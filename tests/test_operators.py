@@ -1,0 +1,147 @@
+"""Invariant tests for the extension-layer operators (dedup, similarity,
+text analysis, multimodal plumbing) that have no SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ups_crossref_etl_spark.operators import dedup, multimodal, similarity, text_analysis as ta
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 1
+        (4, "completely different text about spark query engines and joins"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, schema=["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    d = _docs(spark)
+    kept = dedup.exact_dedup(d, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5]
+    groups = dedup.exact_dup_groups(d, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["keeper_id"] == 1 and groups[0]["n_dups"] == 2
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    d = _docs(spark).filter(F.col("doc_id") != 5)
+    cand = dedup.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=32, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs  # identical signatures must collide in every band
+
+
+def test_minhash_dedup_drops_verified_dup(spark):
+    d = _docs(spark).filter(F.col("doc_id") != 5)
+    kept = dedup.minhash_dedup(d, "text", "doc_id", num_hashes=32, bands=8,
+                              jaccard_threshold=0.99)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 1 in ids and 2 not in ids and 4 in ids
+
+
+def test_jaccard_bounds(spark):
+    d = _docs(spark).filter(F.col("doc_id").isin(1, 2, 3, 4))
+    cand = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(d, cand, "text", "doc_id", threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.0 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] < out[(1, 3)]
+
+
+def test_simhash_close_texts_small_hamming(spark):
+    d = _docs(spark).filter(F.col("doc_id").isin(1, 2, 3, 4))
+    cand = dedup.simhash_candidates(d, "text", "doc_id")
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in cand.collect()}
+    assert ham[(1, 2)] == 0  # identical text → identical simhash
+    if (1, 3) in ham and (1, 4) in ham:
+        assert ham[(1, 3)] <= ham[(1, 4)]
+
+
+def test_brute_force_topk_self_first(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    top = similarity.brute_force_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 7 and abs(top[0]["cos_sim"] - 1.0) < 1e-6
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_topk(emb, q, k=10).collect()]
+    # probe vector itself must be found; recall sanity ≥ 0.3 on synthetic data
+    assert 0 in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_detect_language_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the house and that is fine",),
+         ("el perro y la casa de los vecinos",),
+         ("zzz qqq xxx",)],
+        schema=["text"],
+    )
+    out = [r["lg"] for r in df.select(ta.detect_language(F.col("text")).alias("lg")).collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",)], schema=["text"])
+    out = [r["n"] for r in df.select(ta.token_count(F.col("text")).alias("n")).collect()]
+    assert out == [3, 0, 0]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("alpha beta gamma",), ("gamma beta alpha",)], ["text"])
+    fps = [r["fp"] for r in df.select(ta.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]  # rolling hash must be order-sensitive
+
+
+def test_quality_score_ranges(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(ta.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_multimodal_fake_pipeline(spark):
+    rows = [
+        (1, "image", "image/png", bytearray(b"\x89PNG" + b"x" * 64), 10, 10, None, None),
+        (2, "video", "video/mp4", bytearray(b"\x00mp4" + b"y" * 64), 64, 48, 3500, None),
+        (3, "image", "image/png", None, None, None, None, None),
+    ]
+    from ups_crossref_etl_spark.schemas import media_schema
+
+    df = spark.createDataFrame(rows, schema=media_schema)
+    feats = multimodal.extract_features(df, fake=True).collect()
+    assert {r["asset_id"] for r in feats} == {1, 2, 3}
+    by_id = {r["asset_id"]: r for r in feats}
+    assert by_id[1]["decode_ok"] and not by_id[3]["decode_ok"]
+    assert len(by_id[1]["feat"]) == 8
+
+    frames = multimodal.sample_frames(df, every_ms=1000, fake=True).collect()
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2}  # 3500ms → 3 frames
+
+    stats = multimodal.media_stats(df).collect()
+    assert sum(r["n_assets"] for r in stats) == 3
+
+
+def test_multimodal_real_decode_raises(spark):
+    from ups_crossref_etl_spark.schemas import media_schema
+
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(b"x"), None, None, None, None)],
+        schema=media_schema,
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(df, fake=False).collect()

@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data pipelines.
+
+No reference counterpart (extension layer per BASELINE.json north star).
+All operators are pure DataFrame transforms designed for 100 TB inputs:
+
+- exact:      one shuffle on a 128-bit content hash (no full-text shuffle).
+- minhash:    shingle → minhash signature → LSH band buckets → bucket-join.
+              Candidate pairs are generated per-band (equi-join on band
+              hash), so the only shuffles are on small fixed-width keys;
+              the classic all-pairs O(n²) comparison never materializes.
+- simhash:    64-bit simhash from token hashes; near-dup = hamming ≤ k via
+              block permutation buckets (Charikar/Manku-Jain-Sarma style).
+- ngram_jaccard: exact Jaccard verification on candidate pairs only.
+- embedding near-dup: cosine ≥ threshold within LSH buckets (see
+  ``similarity.py`` for the bucketing machinery).
+
+Everything is built from JVM-side primitives (xxhash64, explode, groupBy);
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts by md5 content hash.
+
+    Returns ``(content_hash, n_dups, keeper_id)`` for groups with >1 member;
+    ``keeper_id`` is the minimum id (deterministic canonical survivor).
+    Scale: single shuffle on the 128-bit hash; map-side partial agg first.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("_id"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("_id").alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per identical text. Deterministic survivor choice
+    (row_number over hash, ordered by id) — NOT dropDuplicates, whose
+    survivor is partition-order-dependent."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _tokens(text_col: Column) -> Column:
+    """Lowercased word tokens (split on non-alphanumeric runs)."""
+    return F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """k-word shingles as strings: deterministic, JVM-side (transform over
+    a sequence of token offsets)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode + 64 min-aggregates.
+
+    Shape matters at scale: exploding shingles to rows and computing
+    ``min(xxhash64(shingle, seed_s))`` per seed as plain aggregates keeps
+    everything in whole-stage codegen with map-side partial aggregation —
+    the shuffle carries one 64-column row per document, never the shingle
+    set. (A per-row higher-order-function formulation is interpreted
+    expression-tree evaluation — measured ~50× slower.)
+
+    Returns (``_id``, ``mh_0``..``mh_{H-1}``).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64("_sh", F.lit(s))).alias(f"mh_{s}") for s in range(num_hashes)
+    ]
+    return exploded.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH on MinHash signatures.
+
+    rows/band = num_hashes/bands; two docs collide if any band's slice of
+    their signatures matches exactly. Output: (id_a, id_b) with id_a < id_b,
+    distinct. Shuffles: one on (band_idx, band_hash) — fixed-width keys —
+    then the self-join happens inside each bucket. Skewed buckets (boiler-
+    plate text) are handled by AQE skew-join; a hard cap can be added by
+    filtering bucket size.
+    """
+    rows_per_band = num_hashes // bands
+    withsig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = withsig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows_per_band + i}") for i in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (verification stage after
+    LSH). Joins shingle sets to both sides of the pair — candidate count
+    is << n², so this stays cheap. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("_sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    out = (
+        candidates.join(a, F.col("id_a") == F.col("a._id"))
+        .join(b, F.col("id_b") == F.col("b._id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a._sh", "b._sh"))
+                / F.size(F.array_union("a._sh", "b._sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify → connected
+    survivors. Each doc maps to the min id among its verified neighbors
+    (single-hop union; iterate for full transitive closure on giant
+    clusters — documented tradeoff, avoids an iterative job by default)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k, jaccard_threshold)
+    # min neighbor per member (both directions) → rows whose min-neighbor < own id drop
+    edges = verified.select(
+        F.col("id_a").alias("m"), F.col("id_b").alias("o")
+    ).unionByName(verified.select(F.col("id_b").alias("m"), F.col("id_a").alias("o")))
+    min_nb = edges.groupBy("m").agg(F.min("o").alias("min_neighbor"))
+    return (
+        df.join(min_nb, df[id_col] == min_nb.m, "left")
+        .filter(F.col("min_neighbor").isNull() | (F.col("min_neighbor") > df[id_col]))
+        .drop("m", "min_neighbor")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def _signed_mask(b: int) -> int:
+    """Bit-b mask as a signed 64-bit value (bit 63 = Long.MIN_VALUE)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side via explode + 64 sums.
+
+    For each bit b: vote = Σ over tokens of (+1 if bit b set in
+    xxhash64(token) else -1); simhash bit b = vote > 0. Same exploded-
+    aggregation shape as ``minhash_signatures`` (map-side combinable;
+    shuffle carries 64 ints per doc). Returns (``_id``, ``_sh``).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(F.col(text_col))).alias("_tok"),
+    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    votes = exploded.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(F.lit(_signed_mask(b))) != 0, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v_{b}")
+            for b in range(64)
+        ]
+    )
+    out = F.lit(0).cast("bigint")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(F.col(f"v_{b}") > 0, F.lit(_signed_mask(b)).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return votes.select("_id", out.alias("_sh"))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, blocks: int = 4
+) -> DataFrame:
+    """Near-dup candidates where hamming(simhash) could be small: split the
+    64-bit hash into ``blocks`` 16-bit blocks; docs sharing any block value
+    are candidates (catches all pairs with hamming < blocks). Returns
+    (id_a, id_b, hamming)."""
+    width = 64 // blocks
+    sh = simhash_table(df, text_col, id_col)
+    blocked = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("_sh", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sh", "bb.blk", "bb.bval")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .distinct()
+    )

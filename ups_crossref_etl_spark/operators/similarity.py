@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension layer (BASELINE.json north star). Two tiers:
+
+- Brute-force cosine top-k: exact baseline. Per-row dot products via
+  higher-order functions (``zip_with`` + ``aggregate``) — JVM-side, no
+  Python. O(n) per query vector; fine for one probe, not for all-pairs.
+- Scale path: random-hyperplane LSH (signed projections onto deterministic
+  pseudo-random planes) buckets vectors so candidate generation is an
+  equi-join on (band, bucket-signature) — the same shuffle discipline as
+  MinHash LSH. An IVF variant (k-means coarse quantizer) would slot in the
+  same way; LSH is chosen because it is stateless/deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (fold order = array order ⇒ deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    The query vector rides along as an array literal (broadcast to every
+    task as part of the plan — no shuffle at all; the scan streams and a
+    global TakeOrdered picks k). Cosine is rounded before ordering so the
+    ranking is reproducible across engines/accumulation orders.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+# --------------------------------------------------------------------------
+
+
+def _plane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: xorshift-free LCG on (seed,i)
+    mapped to [-1, 1). Pure Python at plan time (tiny), constants inlined
+    into the plan as array literals."""
+    vals = []
+    state = (seed * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        vals.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket_signature(vec_col: Column, dim: int, planes_per_band: int, band: int) -> Column:
+    """Sign-bit signature of one band: ``planes_per_band`` hyperplane signs
+    packed into a bigint."""
+    sig = F.lit(0).cast("bigint")
+    for i in range(planes_per_band):
+        plane = F.array(*[F.lit(v) for v in _plane(dim, band * 1000 + i)])
+        bit = F.when(dot(vec_col, plane) >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 24,
+    planes_per_band: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe only vectors sharing ≥1 LSH band signature
+    with the query. At scale the bucketed table is precomputed + partitioned
+    by (band, sig) so a probe touches a few partitions instead of the fleet.
+    """
+    dim = len(query_vec)
+    qsigs = []  # computed driver-side from literals, becomes an IN-filter per band
+    for b in range(bands):
+        sig = 0
+        for i in range(planes_per_band):
+            plane = _plane(dim, b * 1000 + i)
+            d = sum(p * float(v) for p, v in zip(plane, query_vec))
+            if d >= 0:
+                sig |= 1 << i
+        qsigs.append(sig)
+    cond = None
+    for b, qs in enumerate(qsigs):
+        c = lsh_bucket_signature(F.col(vec_col), dim, planes_per_band, b) == F.lit(qs)
+        cond = c if cond is None else (cond | c)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.filter(cond)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk_within_label(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Most-similar pair per label group (blocked all-pairs: the label acts
+    as the coarse partition — the 100 TB pattern is the same join keyed by
+    LSH bucket instead of a given label)."""
+    a = df.select(
+        F.col(label_col).alias("lbl"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(label_col).alias("lbl"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "lbl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "lbl",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lbl").orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: vectors
+    sharing any band signature are candidates; exact cosine verifies.
+    Returns (id_a, id_b, cos_sim ≥ threshold)."""
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        lsh_bucket_signature(F.col(vec_col), dim, planes_per_band, b).alias(
+                            "sig"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("_id", "_v", "bs.band", "bs.sig")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), round_digits).alias("cos_sim"),
+        )
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+    )

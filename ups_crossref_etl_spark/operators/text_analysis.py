@@ -1,0 +1,107 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. Extension layer (no reference counterpart); all
+JVM-side Column expressions — regex + higher-order array functions, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword marker lists per language for the n-gram/stopword heuristic.
+# Deliberately tiny + deterministic; the operator contract is the scoring
+# scheme, not lexicon quality (swap in a real lexicon at deploy time).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "los", "del", "las"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une"],
+}
+
+
+def _marker_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def marker_hits(text_col: Column, lang: str) -> Column:
+    """Count of stopword-marker matches for one language."""
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(_marker_pattern(LANG_MARKERS[lang])), F.lit(0)))
+
+
+def detect_language(text_col: Column, default: str = "und") -> Column:
+    """Heuristic language ID: argmax of marker hits; ties broken by fixed
+    language order (en, es, de, fr); 0 hits everywhere → ``default``."""
+    langs = list(LANG_MARKERS)
+    hits = {lg: marker_hits(text_col, lg) for lg in langs}
+    best = F.greatest(*hits.values())
+    expr = F.lit(default)
+    for lg in reversed(langs):  # earlier langs win ties → apply last
+        expr = F.when((hits[lg] == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(text_col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs, and
+    punctuation singletons (a cheap upper-bound estimator used for
+    budgeting, not a real tokenizer)."""
+    return F.size(
+        F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def quality_features(text_col: Column) -> dict[str, Column]:
+    """Quality-scoring features per document (all deterministic ratios):
+    chars, tokens, mean token length, punctuation ratio, digit ratio,
+    uppercase ratio, stopword ratio (en markers)."""
+    n_chars = F.length(text_col)
+    n_tok = token_count(text_col)
+    n_punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"()-]", ""))
+    n_digit = F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(text_col, r"[^A-Z]", ""))
+    n_stop = marker_hits(text_col, "en")
+    nz = F.when(n_chars > 0, n_chars.cast("double"))  # null-div guard
+    nzt = F.when(n_tok > 0, n_tok.cast("double"))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "mean_token_len": F.round(
+            (n_chars - (n_tok - F.lit(1))).cast("double") / nzt, 4
+        ),
+        "punct_ratio": F.round(n_punct / nz, 4),
+        "digit_ratio": F.round(n_digit / nz, 4),
+        "upper_ratio": F.round(n_upper / nz, 4),
+        "stopword_ratio": F.round(n_stop / nzt, 4),
+    }
+
+
+def quality_score(text_col: Column) -> Column:
+    """Scalar quality score in [0,1]: rewards stopword presence and sane
+    token lengths, penalizes punctuation/digit soup. Deterministic and
+    monotone in its features — a filterable proxy, not a model."""
+    f = quality_features(text_col)
+    score = (
+        F.lit(0.25) * F.least(F.coalesce(f["stopword_ratio"], F.lit(0.0)) * 4, F.lit(1.0))
+        + F.lit(0.25) * F.when(f["mean_token_len"].between(3, 10), 1.0).otherwise(0.0)
+        + F.lit(0.25) * (1 - F.least(F.coalesce(f["punct_ratio"], F.lit(0.0)) * 5, F.lit(1.0)))
+        + F.lit(0.25) * (1 - F.least(F.coalesce(f["digit_ratio"], F.lit(0.0)) * 5, F.lit(1.0)))
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(text_col: Column, mod: int = 2_147_483_647, base: int = 31) -> Column:
+    """Polynomial rolling-hash fingerprint over lowercased word tokens:
+    ``h = (h*base + xxhash64(token) mod mod) mod mod`` folded left.
+    Order-sensitive (unlike a bag-of-words hash) and expressible in ANSI
+    SQL for oracle checking."""
+    toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % F.lit(mod),
+    )

@@ -1,0 +1,145 @@
+"""Event-stream queries (batch form) over ``events`` — tumbling/hourly
+windows, JSON extraction, sessionization. The streaming twins live in
+``streaming/events.py``; these batch versions are the oracle-checkable
+surface (SURVEY.md §2.9: the reference's cursor-paginated ingest is the
+moral equivalent; windows/watermarks are the extension layer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.lake import read_table
+from .registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "q_events_tumbling_5min",
+    """
+    SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 5-min window agg (streaming twin: groupBy(window(ts,'5 minutes'))).",
+)
+def q_events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_events_hourly_user_activity",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           user_id, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Hourly per-user rollup (date_trunc window).",
+)
+def q_events_hourly_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.date_format("h", _TS_FMT).alias("hour"), "user_id", "n", "avg_value"
+        )
+    )
+
+
+@register(
+    "q_events_json_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    doc="JSON path extraction from a string column (F15 inverse; §1.3 JSON-as-TEXT).",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+@register(
+    "q_events_sessionize_30min",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: lag+cumsum gap>30min (guide OLAP pattern; streaming twin session_window).",
+)
+def q_events_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "event_id", "ts", new_s.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(wc))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+    )
+
+
+@register(
+    "q_events_type_funnel",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY event_type
+    """,
+    doc="Per-type lifecycle stats (min/max timestamp aggregates).",
+)
+def q_events_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("first_seen"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("last_seen"),
+    )

@@ -1,0 +1,54 @@
+"""Query registry backing the driver contract (``__spark_entry__.py``).
+
+Each entry pairs a Spark DataFrame program with (when SQL-expressible) an
+ANSI-SQL oracle DuckDB runs on the same parquet tables. Column names/aliases
+must agree exactly between the two — the driver sorts columns by name before
+value-hashing.
+
+Determinism rules every query obeys:
+- No bare LIMIT: any top-k orders by a full tiebreak (measure, then key).
+- Doubles that aggregate are ROUNDed identically on both sides (money → 2dp,
+  ratios → 4dp) so double-accumulation-order ulp noise can't flip a hash.
+- Timestamps are pinned to UTC (session TZ) or projected to epoch/strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: SparkQuery
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (spark, sf_dir) -> DataFrame query to the registry."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registration) and return all."""
+    from . import relational  # noqa: F401
+    from . import events_queries  # noqa: F401
+    from . import text_queries  # noqa: F401
+    from . import similarity_queries  # noqa: F401
+    from . import bibliometric_queries  # noqa: F401
+
+    return QUERIES

@@ -1,0 +1,501 @@
+"""Relational query battery over the TPC-H-ish testdata (TESTDATA.md).
+
+Exercises the engine's join/aggregate/filter/window/set-op surface
+(SURVEY.md §2.3-2.8 operator ids cited per query) on the driver's tables.
+Scale notes: every join below either broadcasts a dimension (region/nation/
+supplier/part are tiny at any SF — Catalyst auto-broadcasts under the 64 MB
+threshold we set) or shuffles on a high-cardinality key with AQE handling
+skew; filters sit directly on scans so parquet pushdown applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.lake import read_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation core
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filter pushdown + 8-agg groupBy (A-class; P1).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + agg + deterministic top-k (J-class, O-class).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join, dims broadcast (J1-class).",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join variants (J-class)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_left_join_order_counts",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    doc="J2-style left equi-join keeping zero-order customers.",
+)
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey, "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_semi_join_urgent_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="J9/P9 semi-join membership (reference integrity filter :491-495).",
+)
+def q_semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J8 anti-join: insert-if-absent / NOT EXISTS shape (:423-428,:599-601).",
+)
+def q_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_full_outer_nation_activity",
+    """
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           coalesce(cn.n_customers, 0) AS n_customers,
+           coalesce(sn.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) sn
+    ON cn.nationkey = sn.nationkey
+    """,
+    doc="Full outer join (absent in reference; engine surface per §2.4).",
+)
+def q_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "q_cross_join_region_priority_grid",
+    """
+    SELECT r.r_name, p.o_orderpriority, count(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    GROUP BY r.r_name, p.o_orderpriority
+    """,
+    doc="Degenerate cross join (J4/J5 pattern-table shape uses the same plan).",
+)
+def q_cross_join_region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(F.broadcast(p)).groupBy("r_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions / top-k per group (O-class + A-class)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey,
+             round(o.o_totalprice, 2) AS o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 3
+    """,
+    doc="Top-k per group via row_number window (guide OLAP pattern).",
+)
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_window_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+    doc="Running-sum window (cumulative per-entity state, batch analog of A5).",
+)
+def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "q_window_lag_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    """,
+    doc="lag() window — gap computation (sessionization building block).",
+)
+def q_window_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup / distinct / set ops (A3, §2.8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_distinct_ship_modes",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="A3 dropDuplicates on a projection.",
+)
+def q_distinct_ship_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q_set_ops_customer_keys",
+    """
+    WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM b UNION SELECT * FROM a)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT * FROM b INTERSECT SELECT * FROM a)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+    doc="§2.8 set operations: UNION/INTERSECT/EXCEPT.",
+)
+def q_set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    a = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    rows = [
+        b.union(a).distinct().select(F.lit("union").alias("op"), F.lit(1).alias("one")),
+        b.intersect(a).select(F.lit("intersect").alias("op"), F.lit(1).alias("one")),
+        b.exceptAll(a).distinct().select(F.lit("except").alias("op"), F.lit(1).alias("one")),
+    ]
+    u = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return u.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / conditional aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup_region_nation_customers",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region_name,
+           coalesce(n.n_name, 'ALL') AS nation_name,
+           count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="ROLLUP grouping sets (engine surface; absent in reference §2.5).",
+)
+def q_rollup_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "q_conditional_agg_status_pivot",
+    """
+    SELECT o_custkey,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Conditional aggregation / manual pivot (F12/F13 when-chain shape).",
+)
+def q_conditional_agg_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def flag(v):
+        return F.sum(F.when(F.col("o_orderstatus") == v, 1).otherwise(0))
+
+    return o.groupBy("o_custkey").agg(
+        flag("F").alias("n_f"), flag("O").alias("n_o"), flag("P").alias("n_p")
+    )
+
+
+@register(
+    "q_sorted_set_agg_priorities",
+    """
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderpriority, '; ' ORDER BY o_orderpriority) AS priorities,
+           count(DISTINCT o_orderpriority) AS n_distinct
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A1/A2 sorted-set '; '-join aggregate (reference flat view :510-519).",
+)
+def q_sorted_set_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "; ").alias("priorities"),
+        F.count_distinct("o_orderpriority").alias("n_distinct"),
+    )
+
+
+@register(
+    "q_count_distinct_parts_per_supplier",
+    """
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="Exact distinct-count aggregate (shuffle-heavy; AQE-coalesced).",
+)
+def q_count_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q_scalar_subquery_above_avg_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    doc="Scalar subquery predicate (Catalyst rewrites to a broadcast agg).",
+)
+def q_scalar_subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_scalar_sub")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM _orders_scalar_sub
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _orders_scalar_sub)
+        """
+    )

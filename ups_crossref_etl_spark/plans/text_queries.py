@@ -1,0 +1,200 @@
+"""Text-analysis + dedup queries over ``documents`` (extension layer).
+
+Oracle notes: DuckDB regexp is RE2, Spark is Java regex — patterns here are
+restricted to the shared dialect (char classes, \\b, alternation). MinHash/
+SimHash internals hash with xxhash64 (no DuckDB equivalent), so those ship
+without SQL oracles (driver records rows-only checks) but carry pytest
+invariant tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text_analysis as ta
+from ..sources.lake import read_table
+from .registry import register
+
+
+@register(
+    "q_docs_exact_dup_groups",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    doc="Exact dedup groups by content hash (hash-groupBy; one shuffle).",
+)
+def q_docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(read_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q_docs_exact_dedup_count",
+    """
+    SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+    FROM documents
+    """,
+    doc="Exact-dedup survivor count (keeper = min doc_id per hash).",
+)
+def q_docs_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, "text", "doc_id")
+    return docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@register(
+    "q_docs_token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex proxy.",
+)
+def q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ta.token_count(F.col("text")).alias("n_tokens"),
+        ta.bpe_ish_token_count(F.col("text")).alias("n_subwords"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "q_docs_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g')) /
+                 nullif(length(text), 0)::DOUBLE, 4) AS digit_ratio,
+           round(length(regexp_replace(text, '[^A-Z]', '', 'g')) /
+                 nullif(length(text), 0)::DOUBLE, 4) AS upper_ratio
+    FROM documents
+    """,
+    doc="Quality-scoring features (ratios; deterministic arithmetic).",
+)
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    f = ta.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["digit_ratio"].alias("digit_ratio"),
+        f["upper_ratio"].alias("upper_ratio"),
+    )
+
+
+@register(
+    "q_docs_lang_marker_hits",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b')) AS en_hits,
+           len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los|del|las)\\b')) AS es_hits
+    FROM documents
+    """,
+    doc="Language-ID marker counting (n-gram/stopword heuristic core).",
+)
+def q_docs_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ta.marker_hits(F.col("text"), "en").alias("en_hits"),
+        ta.marker_hits(F.col("text"), "es").alias("es_hits"),
+    )
+
+
+@register(
+    "q_docs_lang_by_source",
+    None,  # argmax tie-break over engine-specific ordering — pytest-tested instead
+    doc="Detected-language distribution per source (heuristic argmax).",
+)
+def q_docs_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", ta.detect_language(F.col("text")).alias("lang_detected"))
+        .groupBy("source", "lang_detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_docs_minhash_near_dups",
+    None,  # xxhash64-based signatures are Spark-specific → rows-only check
+    doc="MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.8.",
+)
+def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(d, "text", "doc_id")
+    return dedup.ngram_jaccard_pairs(d, cand, "text", "doc_id", threshold=0.8)
+
+
+@register(
+    "q_docs_simhash_hamming",
+    None,  # xxhash64-based — rows-only
+    doc="SimHash near-dup candidates with hamming distance ≤ 8.",
+)
+def q_docs_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(d, "text", "doc_id").filter(F.col("hamming") <= 8)
+
+
+@register(
+    "q_docs_ngram_jaccard_sample",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> '']) AS tok
+      FROM documents WHERE doc_id < 50),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.tok, b.tok))::DOUBLE /
+                   nullif(len(list_distinct(list_concat(a.tok, b.tok))), 0), 4) AS jaccard
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    doc="Exact unigram-Jaccard similarity on a bounded sample (all-pairs verify stage).",
+)
+def q_docs_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("tok").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.nullif(F.size(F.array_union("ta", "tb")), F.lit(0)).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "q_docs_fingerprint",
+    None,  # xxhash64-based rolling hash — rows-only (invariants pytest-tested)
+    doc="Order-sensitive rolling-hash document fingerprint.",
+)
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))

@@ -1,0 +1,48 @@
+"""Parquet-lake readers (reference's SQLite table scans, S5 →
+``spark.read.parquet``; ``src/barrazueta_pipeline_etl_crossref.py:461-469``).
+
+At cluster scale these are plain columnar scans: Catalyst pushes predicates
+and prunes columns into the parquet reader automatically, and partitioned
+table layouts (e.g. ``obras`` by ``Anio``) activate partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as epoch-nanos long,
+    which we truncate to micros (DuckDB does the same truncation when it
+    reads nanos into its micros TIMESTAMP — keeps oracles comparable).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double mantissa
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table present in ``sf_dir`` keyed by name."""
+    from ..schemas import TESTDATA_TABLES
+
+    out: dict[str, DataFrame] = {}
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            out[t] = spark.read.parquet(p)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each testdata table as a temp view for ``spark.sql`` use."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
