@@ -1,0 +1,177 @@
+"""J6/K4 — author entity resolution (reference ``get_or_insert_author``
+:312-340), the one genuinely order-dependent operator (SURVEY §7.4.1).
+
+Reference semantics (sequential): probe by ORCID → else probe by normalized
+name (backfilling ORCID onto a name-row whose ORCID is null) → else insert.
+First writer fixes NombreLimpio; NombreBusqueda is UNIQUE.
+
+Distributed design, faithful AND scalable:
+
+1. Build the identity graph: nodes = names (``n:<name_norm>``) and orcids
+   (``o:<orcid>``); edges from co-occurrence in one author mention.
+2. Connected components by iterated min-label propagation (components are
+   author-sized — diameter 2-4 — so the loop converges in a few joins;
+   each iteration is one shuffle on the edge key, AQE-coalesced).
+3. Per component, replay the reference's probe logic *sequentially* with
+   ``applyInPandas`` over the component's occurrences in canonical order
+   (sorted by (DOI, author_pos)). Components are tiny (a person), so the
+   Python-side loop touches a handful of rows per group while thousands of
+   components resolve in parallel — the classic "small sequential core
+   inside a big parallel shell" shape.
+
+Canonical order replaces the reference's arbitrary API-page order: the
+reference's own output depends on page order (not reproducible); ours pins
+the same rules to a deterministic order, so re-runs are stable.
+
+``AutorID = xxhash64(NombreBusqueda)`` — NombreBusqueda is UNIQUE in the
+reference's schema, making it the natural key (ids therefore stable across
+runs and partitions, unlike AUTOINCREMENT — documented divergence).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RESOLVED_SCHEMA = (
+    "DOI string, author_pos int, NombreBusqueda string, "
+    "NombreLimpio string, Orcid string"
+)
+
+
+def _connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Min-label propagation over an undirected edge list (src, dst) →
+    (node, component). Converges when no label changes; author identity
+    graphs have tiny diameter so this exits in 2-4 iterations."""
+    # localCheckpoint truncates lineage each iteration — without it the
+    # plan doubles per round and the driver re-executes the whole upstream
+    # DAG every count(). Standard practice for iterative algorithms on
+    # Spark (same shape GraphX/GraphFrames use).
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(nodes.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        updated = (
+            nodes.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                "label",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        nodes = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return nodes.select("node", F.col("label").alias("component"))
+
+
+def _replay_component(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference probe logic replayed over one component's occurrences in
+    canonical (DOI, author_pos) order. Pure pandas; group is person-sized."""
+    pdf = pdf.sort_values(["DOI", "author_pos"], kind="mergesort")
+    by_orcid: dict[str, dict] = {}
+    by_name: dict[str, dict] = {}
+    out_rows = []
+    for r in pdf.itertuples(index=False):
+        orcid = r.orcid if isinstance(r.orcid, str) and r.orcid else None
+        row = None
+        if orcid and orcid in by_orcid:
+            row = by_orcid[orcid]
+        elif r.name_norm in by_name:
+            row = by_name[r.name_norm]
+            if row["Orcid"] is None and orcid:
+                row["Orcid"] = orcid  # ORCID backfill (:326-331)
+                by_orcid[orcid] = row
+        else:
+            row = {
+                "NombreBusqueda": r.name_norm,
+                "NombreLimpio": r.NombreLimpio,
+                "Orcid": orcid,
+            }
+            by_name[r.name_norm] = row
+            if orcid:
+                by_orcid[orcid] = row
+        out_rows.append(
+            {
+                "DOI": r.DOI,
+                "author_pos": r.author_pos,
+                "NombreBusqueda": row["NombreBusqueda"],
+                "NombreLimpio": row["NombreLimpio"],
+                "Orcid": row["Orcid"],
+            }
+        )
+    return pd.DataFrame(out_rows, columns=["DOI", "author_pos", "NombreBusqueda",
+                                           "NombreLimpio", "Orcid"])
+
+
+def resolve_authors(aff_rows: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (autores, occurrence→author mapping).
+
+    ``aff_rows`` needs columns DOI, author_pos, NombreLimpio, name_norm,
+    orcid (one row per author-affiliation mention; we dedup to mentions).
+    """
+    occ = (
+        aff_rows.select("DOI", "author_pos", "NombreLimpio", "name_norm", "orcid")
+        .distinct()
+        # five downstream consumers branch from occ (edges, join, replay);
+        # truncate lineage once instead of recomputing the ingest DAG
+        .localCheckpoint()
+    )
+
+    # identity edges; name-only mentions get a self-edge so they surface
+    # as singleton components
+    name_node = F.concat(F.lit("n:"), F.col("name_norm"))
+    orcid_node = F.when(
+        F.col("orcid").isNotNull(), F.concat(F.lit("o:"), F.col("orcid"))
+    ).otherwise(name_node)
+    edges = occ.select(name_node.alias("src"), orcid_node.alias("dst")).distinct()
+
+    comp = _connected_components(edges)
+    occ_c = occ.join(
+        comp.withColumnRenamed("node", "_nn"),
+        F.concat(F.lit("n:"), F.col("name_norm")) == F.col("_nn"),
+    ).drop("_nn")
+
+    resolved = occ_c.groupBy("component").applyInPandas(
+        lambda pdf: _replay_component(pdf), _RESOLVED_SCHEMA
+    )
+
+    autores = (
+        resolved.groupBy("NombreBusqueda")
+        .agg(
+            F.first("NombreLimpio").alias("NombreLimpio"),  # single-valued per key
+            F.max("Orcid").alias("Orcid"),  # final backfilled state
+        )
+        .select(
+            F.xxhash64("NombreBusqueda").alias("AutorID"),
+            "NombreLimpio",
+            "NombreBusqueda",
+            "Orcid",
+        )
+    )
+    mapping = resolved.select(
+        "DOI", "author_pos", F.xxhash64("NombreBusqueda").alias("AutorID")
+    ).distinct()
+    return autores, mapping
