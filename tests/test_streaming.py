@@ -1,0 +1,86 @@
+"""Streaming operators: stream results must equal the batch twins on the
+same static input (the file source drives one micro-batch end-to-end)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ups_crossref_etl_spark.sources.lake import read_table
+from ups_crossref_etl_spark.streaming import events as se
+
+
+@pytest.fixture()
+def batch_events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+def _drain(spark, stream_df, name, mode="complete"):
+    q = se.run_to_memory(stream_df, name, output_mode=mode)
+    try:
+        return spark.table(name).collect()
+    finally:
+        q.stop()
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, batch_events):
+    got = _drain(spark, se.tumbling_counts(se.stream_events(spark, sf_dir)), "t_tumble")
+    want = (
+        batch_events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                "event_type", "n_events", "total_value")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_session_stream_counts(spark, sf_dir, batch_events):
+    got = _drain(spark, se.session_counts(se.stream_events(spark, sf_dir)), "t_sess")
+    # session_window semantics: total events preserved, sessions per user ≥ 1
+    assert sum(r["n_events"] for r in got) == batch_events.count()
+    users = {r["user_id"] for r in got}
+    assert users == {r["user_id"] for r in batch_events.select("user_id").distinct().collect()}
+
+
+def test_sliding_avg_runs(spark, sf_dir):
+    got = _drain(spark, se.sliding_avg(se.stream_events(spark, sf_dir)), "t_slide")
+    assert len(got) > 0
+    # every event lands in exactly window/slide = 2 overlapping windows;
+    # row count ≈ 2× the tumbling row count — sanity-bound it
+    assert len({(r["win_start"], r["event_type"]) for r in got}) == len(got)
+
+
+def test_running_user_totals_stateful(spark, sf_dir, batch_events):
+    got = _drain(
+        spark,
+        se.running_user_totals(se.stream_events(spark, sf_dir)),
+        "t_state",
+        mode="update",
+    )
+    # one final state row per user (single micro-batch → one update each)
+    by_user = {r["user_id"]: r for r in got}
+    want = (
+        batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    )
+    for w in want:
+        g = by_user[w["user_id"]]
+        assert g["n_events"] == w["n"]
+        assert abs(g["total_value"] - w["tv"]) < 0.05
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, batch_events):
+    with tempfile.TemporaryDirectory() as td:
+        target = os.path.join(td, "sink")
+        small = batch_events.limit(100)
+        se.write_idempotent(small, target, ["event_id"])
+        se.write_idempotent(small, target, ["event_id"])  # replay → no growth
+        assert spark.read.parquet(target).count() == 100
+        se.write_idempotent(batch_events.limit(150), target, ["event_id"])
+        assert spark.read.parquet(target).count() == 150

@@ -1,0 +1,163 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference's ingest loop is a cursor-paginated incremental batch
+(SURVEY.md §2.9): offsets in ``Runs``, one committed micro-batch per API
+page, idempotent insert-or-ignore. These are its Spark-native equivalents,
+plus the windowed/watermarked operators a real event stream needs:
+
+- tumbling/sliding window aggregates with late-data watermark
+- session windows (native ``session_window``)
+- custom stateful per-key running totals (``applyInPandasWithState``)
+- an idempotent ``foreachBatch`` sink (anti-join append = INSERT OR IGNORE)
+
+Batch twins of the windowed aggregates live in
+``plans/events_queries.py`` — the driver's oracle gate covers those; the
+streaming tests assert stream == batch on the same input.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+# events.parquet stores TIMESTAMP(NANOS) → scan as long (see sources/lake)
+_EVENTS_RAW_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (for tests/smoke: a static
+    dir behaves as a one-batch stream; in production the same plan reads
+    Kafka). Converts nanos→micros exactly like the batch reader."""
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count+sum per event_type with a late-data watermark.
+    Semantics match q_events_tumbling_5min (batch twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "10 minutes",
+                slide: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Sliding-window mean value per event_type (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "avg_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Native session windows per user (streaming twin of the batch
+    lag+cumsum sessionization in q_events_sessionize_30min)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+_RUNNING_OUT_DDL = "user_id bigint, n_events bigint, total_value double"
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user running totals across
+    micro-batches. State survives between triggers (checkpointed); this is
+    the applyInPandasWithState shape for operators Spark lacks natively."""
+    if state.exists:
+        total, n = state.get
+    else:
+        total, n = 0.0, 0
+    for pdf in pdfs:
+        total += float(pdf["value"].fillna(0.0).sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Per-user lifetime totals via applyInPandasWithState (update mode)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_OUT_DDL,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def write_idempotent(batch_df: DataFrame, target_path: str, key_cols: list[str]) -> None:
+    """foreachBatch sink: INSERT OR IGNORE semantics (K3) — anti-join the
+    incoming micro-batch against the target before appending. Combined
+    with the checkpointed offsets this gives effectively-once delivery,
+    the streaming analog of the reference's seen_dois + DB probe
+    (:595-601,:675)."""
+    spark = batch_df.sparkSession
+    batch_df = batch_df.dropDuplicates(key_cols)
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path).select(*key_cols)
+        batch_df = batch_df.join(existing, key_cols, "left_anti")
+    batch_df.write.mode("append").parquet(target_path)
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Test helper: drive a streaming DF to completion against a memory
+    sink, return the query (caller reads ``spark.table(name)``)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
