@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.lake import read_table
+from .money import dsum
 from .registry import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -23,7 +24,7 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -35,7 +36,7 @@ def q_events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT).alias("win_start"),
@@ -127,7 +128,7 @@ def q_events_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS total_value,
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
     FROM events GROUP BY event_type
@@ -139,7 +140,7 @@ def q_events_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        dsum(F.col("value")).alias("total_value"),
         F.date_format(F.min("ts"), _TS_FMT).alias("first_seen"),
         F.date_format(F.max("ts"), _TS_FMT).alias("last_seen"),
     )

@@ -46,6 +46,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return all."""
     from . import relational  # noqa: F401
+    from . import reference_shapes  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401
