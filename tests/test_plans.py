@@ -1,0 +1,122 @@
+"""Physical-plan assertions — the 100 TB guardrails.
+
+These tests pin the *plan shape*, not the results: filter pushdown reaches
+the parquet scan, column pruning trims ReadSchema, small dimensions
+broadcast, aggregates partial-agg before the shuffle, and partitioned
+layouts prune. A regression here is a 100× slowdown at scale that no
+correctness test would catch."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ups_crossref_etl_spark.plans.registry import load_all
+from ups_crossref_etl_spark.sources import sinks
+from ups_crossref_etl_spark.sources.lake import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    q = load_all()["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "LessThanOrEqual(l_shipdate" in plan.split("PushedFilters:")[1]
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    assert "WholeStageCodegen" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    q = load_all()["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = _plan(q)
+    # scan must not read unused columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    q = load_all()["q5_local_supplier_volume"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    # region filter applied before join (pushed through)
+    assert "EqualTo(r_name,ASIA)" in plan  # pushed into the region scan
+
+
+def test_semi_anti_joins_planned(spark, sf_dir):
+    qs = load_all()
+    assert "LeftSemi" in _optimized(qs["q_semi_join_urgent_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in _optimized(
+        qs["q_anti_join_customers_without_orders"].fn(spark, sf_dir)
+    )
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    from ups_crossref_etl_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.exact_dup_groups(d, "text", "doc_id"))
+    # one exchange for the hash groupBy; no join, no second shuffle
+    assert plan.count("Exchange") == 1
+
+
+def test_partition_pruning_on_year_layout(spark, sf_dir):
+    """obras-by-Anio layout: a year filter must prune partitions at scan."""
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "Anio", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "obras")
+        sinks.write_table(o, path, partition_by=["Anio"])
+        back = spark.read.parquet(path).filter(F.col("Anio") == 1995)
+        plan = _plan(back)
+        assert "PartitionFilters: [isnotnull(Anio" in plan
+        years = {
+            r["Anio"]
+            for r in back.select("Anio").distinct().collect()
+        }
+        assert years == {1995}
+
+
+def test_broadcast_pattern_join_in_ingest(spark):
+    """J4 country tagging must broadcast the 16-row pattern table."""
+    from ups_crossref_etl_spark.plans.ingest import country_pattern_df, tag_countries
+
+    aff = spark.createDataFrame(
+        [("universidad de granada, spain",), ("mit, usa",)], schema="aff_norm string"
+    )
+    out = tag_countries(aff, country_pattern_df(spark))
+    assert "BroadcastNestedLoopJoin" in _plan(out) or "BroadcastHashJoin" in _plan(out)
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """LSH candidate generation must be an equi-join on (band, bhash),
+    never a cartesian product."""
+    from ups_crossref_etl_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.minhash_lsh_candidates(d, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bruteforce_topk_no_shuffle_before_limit(spark, sf_dir):
+    """Top-k against a literal query vector: scan → project → TakeOrdered.
+    No Exchange should precede the ordering (global top-k is collected via
+    TakeOrderedAndProject, not a full sort shuffle)."""
+    from ups_crossref_etl_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = [0.1] * 64
+    plan = _plan(sim.brute_force_topk(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

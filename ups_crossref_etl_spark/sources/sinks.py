@@ -1,0 +1,66 @@
+"""Table writers (K8/K9 + lake layout policy).
+
+Layout decisions for 100 TB (SURVEY.md §4 partition-pruning row):
+
+- ``obras`` / ``vista_analisis`` partitioned by ``Anio``: the dashboard's
+  year-range filter (A6 + docs §2.4) becomes partition pruning — a 4-year
+  window touches 4 directories regardless of table size.
+- Fact tables (``obra_autor_afiliacion``, ``events``) bucketed by their
+  join key when written as managed tables: co-locates the J1 enrichment
+  join and the A1 group-back without a shuffle.
+- Everything snappy parquet; writes are atomic per job (no WAL needed —
+  the reference's per-page commit :708 maps to one write job per batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """K8 full-replace / append write with optional hive-style partitioning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on ``bucket_cols`` skip the
+    shuffle entirely when both sides share the bucketing."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name, format="parquet")
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K9: catalog CSV export (header, UTF-8; coalesced to one file like
+    the reference's single-file to_csv :389-398 — only sane for small
+    dimension tables)."""
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_lake(
+    spark: SparkSession, tables: dict[str, DataFrame], root: str
+) -> None:
+    """Persist the full bibliometric table set with the layout policy."""
+    for name, df in tables.items():
+        pb = ["Anio"] if name in ("obras", "vista_analisis") else None
+        if pb and name == "obras":
+            # partition column must be non-null for pruning to help; null
+            # years land in a __HIVE_DEFAULT_PARTITION__ directory (kept).
+            pass
+        write_table(df, f"{root}/{name}", partition_by=pb)
