@@ -31,8 +31,11 @@ def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
     plan = _plan(q)
     assert "LessThanOrEqual(l_shipdate" in plan.split("PushedFilters:")[1]
     # partial aggregation before the exchange (map-side combine)
+    assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 2
-    assert "WholeStageCodegen" in plan
+    # codegen spans appear once AQE finalizes: execute, then check
+    q.collect()
+    assert "WholeStageCodegen" in _plan(q)
 
 
 def test_q1_column_pruning(spark, sf_dir):
