@@ -33,9 +33,10 @@ def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
     # partial aggregation before the exchange (map-side combine)
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 2
-    # codegen spans appear once AQE finalizes: execute, then check
+    # codegen spans appear once AQE finalizes: execute, then check the
+    # final plan — "*(n)" prefixes mark WholeStageCodegen stages
     q.collect()
-    assert "WholeStageCodegen" in _plan(q)
+    assert "*(" in _plan(q)
 
 
 def test_q1_column_pruning(spark, sf_dir):
