@@ -1,13 +1,131 @@
-"""Bibliometric-pipeline queries (reference parity surface).
+"""Bibliometric-pipeline queries for the driver's gate.
 
-The CrossRef-shaped fixture isn't part of the driver's sf dirs, so the full
-pipeline's oracle check lives in pytest (tests/test_bibliometric_e2e.py runs
-Spark vs a DuckDB transliteration of the reference semantics on a generated
-fixture). Registered here: reference-shaped operators applied to the driver
-tables so the driver's gate still exercises them (A1 sorted-set aggregates,
-K-class upsert shapes, P-class predicates).
+The sf_dir tables don't carry the bibliometric domain, so these queries
+run the FULL pipeline (ingest → entity resolution → catalog labeling →
+flat view → charts) over the package's deterministic fixture
+(``ups_crossref_etl_spark.fixtures``) and compare against VALUES-pinned
+oracle constants. The constants were produced by the independent
+sequential oracle (tests/bibliometric_oracle.py — a faithful replay of the
+reference's per-item semantics) and are additionally re-derived on every
+pytest run (tests/test_bibliometric_e2e.py); the driver's check therefore
+verifies the distributed pipeline reproduces the reference semantics
+end-to-end, not merely that it is self-consistent.
 """
 
 from __future__ import annotations
 
-# Queries added as pipeline stages land; see tests/test_bibliometric_e2e.py.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import make_works
+from ..schemas import works_raw_schema
+from ..sources.catalog import seed_catalog
+from .registry import register
+
+_CACHE: dict[str, DataFrame] = {}
+
+
+def _vista(spark: SparkSession) -> DataFrame:
+    """Build (once per session) the vista_analisis for the fixture."""
+    key = "vista"
+    if key in _CACHE:
+        return _CACHE[key]
+    from . import analytics, flatview  # noqa: F401  (analytics used by callers)
+    from .ingest import ingest
+
+    items = make_works()
+    works_raw = spark.createDataFrame(items, schema=works_raw_schema)
+    catalog = seed_catalog(spark)
+    tables = ingest(spark, works_raw, catalog)
+    clean = flatview.clean_tables(tables)
+    vista = flatview.build_vista_analisis(
+        clean, catalog.select("SedeID", "Sede", "AreaAcademica")
+    ).localCheckpoint()
+    _CACHE[key] = vista
+    return vista
+
+
+@register(
+    "q_biblio_publications_per_year",
+    """
+    SELECT * FROM (VALUES (2021, CAST(4 AS BIGINT)), (2022, 24), (2023, 29),
+                          (2024, 19), (2025, 18)) AS t(Anio, n)
+    """,
+    doc="A6 chart over the full pipeline; oracle = sequential-replay constants.",
+)
+def q_biblio_publications_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import publications_per_year
+
+    return publications_per_year(_vista(spark)).select(
+        F.col("Anio").cast("int").alias("Anio"), F.col("n")
+    )
+
+
+@register(
+    "q_biblio_publications_per_country",
+    """
+    SELECT * FROM (VALUES ('BR', CAST(17 AS BIGINT)), ('CN', 17), ('CO', 26),
+                          ('ES', 24), ('IT', 20), ('PE', 27), ('US', 23)) AS t(cc, n)
+    """,
+    doc="A7 chart (non-EC collaborating countries, multi-counted).",
+)
+def q_biblio_publications_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import publications_per_country
+
+    return publications_per_country(_vista(spark))
+
+
+@register(
+    "q_biblio_publications_per_area",
+    """
+    SELECT * FROM (VALUES ('Ciencias Sociales y Humanas', CAST(22 AS BIGINT)),
+                          ('Ciencias de la Vida', 52),
+                          ('Ingenierías y Arquitectura', 16),
+                          ('No definida', 76)) AS t(area, n)
+    """,
+    doc="A8 chart (knowledge areas, multi-counted).",
+)
+def q_biblio_publications_per_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import publications_per_area
+
+    return publications_per_area(_vista(spark))
+
+
+@register(
+    "q_biblio_table_counts",
+    """
+    SELECT CAST(95 AS BIGINT) AS n_obras, CAST(79 AS BIGINT) AS n_temas,
+           CAST(283 AS BIGINT) AS n_oaa, CAST(95 AS BIGINT) AS n_vista
+    """,
+    doc="Pipeline table cardinalities (gate + dedup + bridge integrity).",
+)
+def q_biblio_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import flatview
+    from .ingest import ingest
+
+    works_raw = spark.createDataFrame(make_works(), schema=works_raw_schema)
+    catalog = seed_catalog(spark)
+    tables = ingest(spark, works_raw, catalog)
+    clean = flatview.clean_tables(tables)
+    return (
+        tables["obras"].agg(F.count(F.lit(1)).alias("n_obras"))
+        .crossJoin(tables["obra_tema"].agg(F.count(F.lit(1)).alias("n_temas")))
+        .crossJoin(
+            clean["obra_autor_afiliacion_clean"].agg(F.count(F.lit(1)).alias("n_oaa"))
+        )
+        .crossJoin(_vista(spark).agg(F.count(F.lit(1)).alias("n_vista")))
+    )
+
+
+@register(
+    "q_biblio_dashboard_filtered",
+    """
+    SELECT CAST(29 AS BIGINT) AS n_2023
+    """,
+    doc="Dashboard filter parity: year-range filter on vista.",
+)
+def q_biblio_dashboard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import apply_dashboard_filters
+
+    f = apply_dashboard_filters(_vista(spark), year_from=2023, year_to=2023)
+    return f.agg(F.count(F.lit(1)).alias("n_2023"))

@@ -131,3 +131,13 @@ def q_emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d2.groupBy("label").agg(
         F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist_to_centroid")
     )
+
+
+@register(
+    "q_emb_near_dups",
+    None,  # LSH-blocked; recall not SQL-replicable cheaply — rows-only
+    doc="Embedding-cosine near-duplicate pairs (LSH blocking + exact verify).",
+)
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dups(emb, threshold=0.8)

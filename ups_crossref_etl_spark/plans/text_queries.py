@@ -198,3 +198,26 @@ def q_docs_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "q_docs_quality_score",
+    None,  # composite heuristic — pinned by pytest range/monotonicity tests
+    doc="Scalar quality score in [0,1] (stopword/length/punct/digit blend).",
+)
+def q_docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ta.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "q_docs_dedup_survivors",
+    None,  # xxhash64-based LSH — rows-only
+    doc="Full near-dup dedup pipeline: LSH -> Jaccard verify -> survivors.",
+)
+def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup(d, "text", "doc_id", jaccard_threshold=0.8)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+    ).crossJoin(d.agg(F.count(F.lit(1)).alias("n_total")))
