@@ -14,8 +14,12 @@ Extension layer (BASELINE.json north star). Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -84,6 +88,38 @@ def _plane(dim: int, seed: int) -> list[float]:
     return vals
 
 
+def _plane_matrix(dim: int, bands: int, planes_per_band: int) -> np.ndarray:
+    """(dim × bands·ppb) hyperplane matrix, same constants as ``_plane``."""
+    cols = []
+    for b in range(bands):
+        for i in range(planes_per_band):
+            cols.append(_plane(dim, b * 1000 + i))
+    return np.array(cols, dtype=np.float64).T
+
+
+def band_signatures_udf(dim: int, bands: int, planes_per_band: int):
+    """All band signatures in one Arrow-batched matmul: embeddings batch
+    (N×dim) @ planes (dim×bands·ppb) → sign bits → packed per-band ints.
+
+    This is the legitimate use of a pandas_udf: dense linear algebra the
+    JVM expression engine can't vectorize (the per-row higher-order-
+    function formulation is interpreted and measured ~10× slower). The
+    plane matrix is a closure constant — serialized once per task, not
+    per row. Returns ``array<bigint>`` of length ``bands``.
+    """
+    pm = _plane_matrix(dim, bands, planes_per_band)
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64)).reshape(1, 1, -1)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(embs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(e, dtype=np.float64) for e in embs])
+        bits = (m @ pm >= 0).astype(np.int64).reshape(len(m), bands, planes_per_band)
+        packed = (bits * weights).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return sigs
+
+
 def lsh_bucket_signature(vec_col: Column, dim: int, planes_per_band: int, band: int) -> Column:
     """Sign-bit signature of one band: ``planes_per_band`` hyperplane signs
     packed into a bigint."""
@@ -112,22 +148,24 @@ def lsh_topk(
     by (band, sig) so a probe touches a few partitions instead of the fleet.
     """
     dim = len(query_vec)
-    qsigs = []  # computed driver-side from literals, becomes an IN-filter per band
-    for b in range(bands):
-        sig = 0
-        for i in range(planes_per_band):
-            plane = _plane(dim, b * 1000 + i)
-            d = sum(p * float(v) for p, v in zip(plane, query_vec))
-            if d >= 0:
-                sig |= 1 << i
-        qsigs.append(sig)
-    cond = None
-    for b, qs in enumerate(qsigs):
-        c = lsh_bucket_signature(F.col(vec_col), dim, planes_per_band, b) == F.lit(qs)
-        cond = c if cond is None else (cond | c)
+    # query signatures computed driver-side with the same plane matrix
+    pm = _plane_matrix(dim, bands, planes_per_band)
+    qbits = (np.asarray(query_vec, dtype=np.float64) @ pm >= 0).astype(np.int64)
+    qsigs = (
+        qbits.reshape(bands, planes_per_band)
+        * (1 << np.arange(planes_per_band, dtype=np.int64))
+    ).sum(axis=1)
+    sigs = band_signatures_udf(dim, bands, planes_per_band)
+    qsig_arr = F.array(*[F.lit(int(s)) for s in qsigs])
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        df.filter(cond)
+        df.withColumn("_sigs", sigs(F.col(vec_col)))
+        # candidate iff any band signature matches the query's
+        .filter(
+            F.exists(
+                F.zip_with("_sigs", qsig_arr, lambda a, b: a == b), lambda x: x
+            )
+        )
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"),
@@ -184,23 +222,15 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via LSH blocking: vectors
     sharing any band signature are candidates; exact cosine verifies.
     Returns (id_a, id_b, cos_sim ≥ threshold)."""
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        lsh_bucket_signature(F.col(vec_col), dim, planes_per_band, b).alias(
-                            "sig"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("_id", "_v", "bs.band", "bs.sig")
+    sig_udf = band_signatures_udf(dim, bands, planes_per_band)
+    sigs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            sig_udf(F.col(vec_col)).alias("_sigs"),
+        )
+        .select("_id", "_v", F.posexplode("_sigs").alias("band", "sig"))
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(

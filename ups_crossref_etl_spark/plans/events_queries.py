@@ -144,3 +144,45 @@ def q_events_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), _TS_FMT).alias("first_seen"),
         F.date_format(F.max("ts"), _TS_FMT).alias("last_seen"),
     )
+
+
+@register(
+    "q_events_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    logins AS (
+      SELECT user_id, ts, event_id AS login_event FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id,
+           l.login_event AS login_event_asof,
+           CAST(date_diff('second', l.ts, p.ts) AS BIGINT) AS secs_since_login
+    FROM purchases p
+    ASOF LEFT JOIN logins l ON p.user_id = l.user_id AND p.ts >= l.ts
+    """,
+    doc="As-of join (union-tag window impl; oracle: DuckDB native ASOF JOIN).",
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    logins = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("login_event")
+    )
+    j2 = asof_join(
+        purchases,
+        logins.withColumn("login_ts", F.col("ts")),
+        on="ts",
+        by="user_id",
+        right_cols=["login_event", "login_ts"],
+    )
+    return j2.select(
+        "event_id",
+        "user_id",
+        F.col("login_event_asof"),
+        (F.col("ts").cast("long") - F.col("login_ts_asof").cast("long")).alias(
+            "secs_since_login"
+        ),
+    )

@@ -494,3 +494,44 @@ def q_scalar_subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> Data
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _orders_scalar_sub)
         """
     )
+
+
+@register(
+    "q_percentiles_order_value",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (approx_percentile is the approximate twin).",
+)
+def q_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "q_unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, round(val, 2) AS val
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS price
+          FROM part)
+    UNPIVOT (val FOR metric IN (size, price))
+    """,
+    doc="Unpivot/stack (§2 absent-in-reference surface; engine completeness).",
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("price"),
+    )
+    return p.unpivot("p_partkey", ["size", "price"], "metric", "v").select(
+        "p_partkey", "metric", F.round("v", 2).alias("val")
+    )
