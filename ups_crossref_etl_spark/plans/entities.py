@@ -89,8 +89,11 @@ def _connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
 
 def _replay_component(pdf: pd.DataFrame) -> pd.DataFrame:
     """Reference probe logic replayed over one component's occurrences in
-    canonical (DOI, author_pos) order. Pure pandas; group is person-sized."""
-    pdf = pdf.sort_values(["DOI", "author_pos"], kind="mergesort")
+    canonical (DOI, author_pos) order. Pure pandas; group is person-sized.
+    name_norm is the tertiary tiebreak so seed mentions (DOI='', pos=0,
+    one per existing author — see resolve_authors(seed=...)) sort
+    deterministically."""
+    pdf = pdf.sort_values(["DOI", "author_pos", "name_norm"], kind="mergesort")
     by_orcid: dict[str, dict] = {}
     by_name: dict[str, dict] = {}
     out_rows = []
@@ -126,15 +129,33 @@ def _replay_component(pdf: pd.DataFrame) -> pd.DataFrame:
                                            "NombreLimpio", "Orcid"])
 
 
-def resolve_authors(aff_rows: DataFrame) -> tuple[DataFrame, DataFrame]:
+def resolve_authors(
+    aff_rows: DataFrame, seed_autores: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Returns (autores, occurrence→author mapping).
 
     ``aff_rows`` needs columns DOI, author_pos, NombreLimpio, name_norm,
     orcid (one row per author-affiliation mention; we dedup to mentions).
+
+    ``seed_autores`` (incremental runs): the existing ``autores`` table.
+    Each existing author is injected as a pseudo-mention with DOI='' so it
+    sorts before every real mention ('' < any DOI) and seeds the replay —
+    new mentions then probe against prior-run identities exactly as the
+    reference's DB probes do across runs (:312-340). Seed rows are
+    excluded from the returned occurrence mapping.
     """
+    occ = aff_rows.select("DOI", "author_pos", "NombreLimpio", "name_norm", "orcid")
+    if seed_autores is not None:
+        seeds = seed_autores.select(
+            F.lit("").alias("DOI"),
+            F.lit(0).alias("author_pos"),
+            F.col("NombreLimpio"),
+            F.col("NombreBusqueda").alias("name_norm"),
+            F.col("Orcid").alias("orcid"),
+        )
+        occ = occ.unionByName(seeds)
     occ = (
-        aff_rows.select("DOI", "author_pos", "NombreLimpio", "name_norm", "orcid")
-        .distinct()
+        occ.distinct()
         # five downstream consumers branch from occ (edges, join, replay);
         # truncate lineage once instead of recomputing the ingest DAG
         .localCheckpoint()
@@ -171,7 +192,9 @@ def resolve_authors(aff_rows: DataFrame) -> tuple[DataFrame, DataFrame]:
             "Orcid",
         )
     )
-    mapping = resolved.select(
-        "DOI", "author_pos", F.xxhash64("NombreBusqueda").alias("AutorID")
-    ).distinct()
+    mapping = (
+        resolved.filter(F.col("DOI") != "")  # drop seed pseudo-mentions
+        .select("DOI", "author_pos", F.xxhash64("NombreBusqueda").alias("AutorID"))
+        .distinct()
+    )
     return autores, mapping

@@ -235,10 +235,15 @@ def build_afiliaciones(aff_rows: DataFrame) -> DataFrame:
 
 
 def ingest(
-    spark: SparkSession, works_raw: DataFrame, catalog: DataFrame
+    spark: SparkSession,
+    works_raw: DataFrame,
+    catalog: DataFrame,
+    seed_autores: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full EP1: returns {obras, obra_tema, autores, afiliaciones,
-    obra_autor_afiliacion} — only works passing the P7 UPS gate."""
+    obra_autor_afiliacion} — only works passing the P7 UPS gate.
+    ``seed_autores``: prior-run author table for incremental identity
+    continuity (see plans/incremental.py)."""
     works = normalize_works(works_raw)
     aff_rows = explode_author_affiliations(works)
     aff_rows = tag_countries(aff_rows, country_pattern_df(spark))
@@ -286,7 +291,7 @@ def ingest(
     from .entities import resolve_authors
 
     afiliaciones = build_afiliaciones(aff_rows)
-    autores, author_map = resolve_authors(aff_rows)
+    autores, author_map = resolve_authors(aff_rows, seed_autores=seed_autores)
 
     # A4: per (DOI, author) the set of affiliations + sequence promotion
     # ('first' if any occurrence is 'first', :656-659)
