@@ -535,3 +535,32 @@ def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unpivot("p_partkey", ["size", "price"], "metric", "v").select(
         "p_partkey", "metric", F.round("v", 2).alias("val")
     )
+
+
+@register(
+    "q_pivot_segment_by_status",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(count(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(count(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Native .pivot() (vs the manual when-chain in q_conditional_agg_status_pivot).",
+)
+def q_pivot_segment_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "c_mktsegment",
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )

@@ -115,8 +115,25 @@ def q_docs_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_docs_lang_by_source",
-    None,  # argmax tie-break over engine-specific ordering — pytest-tested instead
-    doc="Detected-language distribution per source (heuristic argmax).",
+    r"""
+    WITH hits AS (
+      SELECT source,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|del|las)\b')) AS h_es,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|mit|den)\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|dans|pour|une)\b')) AS h_fr
+      FROM documents),
+    det AS (
+      SELECT source,
+             CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+                  WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
+                  WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
+                  WHEN h_de = greatest(h_en,h_es,h_de,h_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_detected
+      FROM hits)
+    SELECT source, lang_detected, count(*) AS n FROM det GROUP BY 1, 2
+    """,
+    doc="Detected-language distribution per source (argmax, fixed-order ties).",
 )
 def q_docs_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
@@ -221,3 +238,43 @@ def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
     ).crossJoin(d.agg(F.count(F.lit(1)).alias("n_total")))
+
+
+@register(
+    "q_media_stats",
+    """
+    WITH media AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS modality,
+             encode(text) AS payload
+      FROM documents)
+    SELECT modality, count(*) AS n_assets,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+           round(CAST(sum(octet_length(payload)) AS DOUBLE) / count(*), 2) AS avg_bytes
+    FROM media GROUP BY modality
+    """,
+    doc="Multimodal metadata triage over binary payload columns (no decode).",
+)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import media_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.lit(None).cast("string").alias("mime_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = media_stats(media)
+    return out.select(
+        "modality",
+        "n_assets",
+        F.col("total_bytes").cast("bigint").alias("total_bytes"),
+        F.round(F.col("total_bytes").cast("double") / F.col("n_assets"), 2).alias(
+            "avg_bytes"
+        ),
+    )
