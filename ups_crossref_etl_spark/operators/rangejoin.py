@@ -1,0 +1,59 @@
+"""Range (interval) join — "find right rows within [left.ts - before,
+left.ts + after]" per key. Spark plans a raw inequality join as
+BroadcastNestedLoop or cartesian; the scalable shape is bucketization:
+
+1. Bucket both sides by ``floor(ts / bucket)`` where ``bucket`` ≥ the
+   window span.
+2. Left rows join right buckets {b-1, b, b+1} (explode 3 bucket keys on
+   the left — bounded replication, not a cross join).
+3. Equi-join on (key, bucket), then apply the exact range predicate.
+
+Cost: one shuffle on (key, bucket) and ≤3× left-side replication,
+independent of data size — vs O(n·m) for the naive plan. Used by the
+``q_events_range_join`` gate query (oracle: DuckDB inequality join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    on: str,
+    before_s: int,
+    after_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Rows (l, r) with same ``by`` key and
+    ``l.on - before_s <= r.on <= l.on + after_s``.
+
+    Column collisions: right-side columns get an ``r_`` prefix (except the
+    join key). Timestamps compared at second granularity via epoch.
+    """
+    span = max(before_s, after_s)
+    bucket = max(span, 1)
+
+    l_epoch = F.col(on).cast("long")
+    r = right
+    for c in right.columns:
+        if c != by:
+            r = r.withColumnRenamed(c, f"r_{c}")
+    r_epoch = F.col(f"r_{on}").cast("long")
+
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                (l_epoch / bucket).cast("long") - 1,
+                (l_epoch / bucket).cast("long"),
+                (l_epoch / bucket).cast("long") + 1,
+            )
+        ),
+    )
+    rb = r.withColumn("_bucket", (r_epoch / bucket).cast("long"))
+    cond = (r_epoch >= l_epoch - before_s) & (r_epoch <= l_epoch + after_s)
+    return lb.join(rb, [by, "_bucket"], how).filter(cond).drop("_bucket")

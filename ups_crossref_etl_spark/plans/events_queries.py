@@ -186,3 +186,37 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_since_login"
         ),
     )
+
+
+@register(
+    "q_events_range_join",
+    """
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    purchases AS (
+      SELECT event_id AS p_event, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT e.event_id, p.p_event
+    FROM errors e JOIN purchases p
+      ON e.user_id = p.user_id
+     AND epoch(p.p_ts) BETWEEN epoch(e.ts) - 600 AND epoch(e.ts) + 600
+    """,
+    doc="Range join via bucketized equi-join (purchases within ±10min of an error).",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"), "user_id", F.col("ts").alias("p_ts")
+    )
+    j = range_join(
+        errors,
+        purchases.withColumnRenamed("p_ts", "ts"),
+        by="user_id",
+        on="ts",
+        before_s=600,
+        after_s=600,
+    )
+    return j.select("event_id", F.col("r_p_event").alias("p_event"))

@@ -564,3 +564,17 @@ def q_pivot_segment_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("O", F.lit(0)).alias("O"),
         F.coalesce("P", F.lit(0)).alias("P"),
     )
+
+
+@register(
+    "q_approx_aggregates",
+    None,  # approximate by design — pytest bounds them against exact values
+    doc="approx_count_distinct + approx percentiles (sketch aggregates).",
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
