@@ -239,11 +239,16 @@ def ingest(
     works_raw: DataFrame,
     catalog: DataFrame,
     seed_autores: DataFrame | None = None,
+    max_works: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full EP1: returns {obras, obra_tema, autores, afiliaciones,
     obra_autor_afiliacion} — only works passing the P7 UPS gate.
     ``seed_autores``: prior-run author table for incremental identity
-    continuity (see plans/incremental.py)."""
+    continuity (see plans/incremental.py).
+    ``max_works``: O2 cap (reference MAX_WORKS :27,564-566) — applied to
+    *accepted* (gated) works, per SURVEY §2.7 O2. The reference's cap is
+    page-order-dependent; ours takes the first N in DOI order so reruns
+    are reproducible."""
     works = normalize_works(works_raw)
     aff_rows = explode_author_affiliations(works)
     aff_rows = tag_countries(aff_rows, country_pattern_df(spark))
@@ -266,6 +271,10 @@ def ingest(
         ).select("DOI")
     )
     works_kept = works.join(ups_dois, "DOI", "left_semi")
+    if max_works is not None:
+        capped = works_kept.select("DOI").orderBy("DOI").limit(max_works)
+        works_kept = works_kept.join(capped, "DOI", "left_semi")
+        ups_dois = capped
     aff_kept = aff_rows.join(ups_dois, "DOI", "left_semi")
 
     obras = works_kept.select(

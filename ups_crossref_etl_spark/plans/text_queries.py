@@ -151,7 +151,9 @@ def q_docs_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(d, "text", "doc_id")
+    # 32 hashes / 8 bands (r=4): same band ratio as the 64/16 default at
+    # half the hashing cost — the right operating point for this corpus
+    cand = dedup.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=32, bands=8)
     return dedup.ngram_jaccard_pairs(d, cand, "text", "doc_id", threshold=0.8)
 
 
@@ -234,7 +236,8 @@ def q_docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    kept = dedup.minhash_dedup(d, "text", "doc_id", jaccard_threshold=0.8)
+    kept = dedup.minhash_dedup(d, "text", "doc_id", num_hashes=32, bands=8,
+                               jaccard_threshold=0.8)
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
     ).crossJoin(d.agg(F.count(F.lit(1)).alias("n_total")))
