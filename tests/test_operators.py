@@ -145,3 +145,25 @@ def test_multimodal_real_decode_raises(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.extract_features(df, fake=False).collect()
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from ups_crossref_etl_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = ivf.kmeans_fit(emb, k=8, max_iter=3)
+    assert centroids.shape == (8, 64)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf.ivf_topk(emb, q, centroids, k=10, nprobe=3).collect()]
+    assert 0 in approx  # the probe vector itself must be found
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    from ups_crossref_etl_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = ivf.kmeans_fit(emb, k=4, max_iter=2)
+    c2 = ivf.kmeans_fit(emb, k=4, max_iter=2)
+    assert (c1 == c2).all()

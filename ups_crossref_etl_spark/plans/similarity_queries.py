@@ -141,3 +141,16 @@ def q_emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return sim.embedding_near_dups(emb, threshold=0.8)
+
+
+@register(
+    "q_emb_ivf_topk",
+    None,  # approximate — recall vs brute force bounded in pytest
+    doc="IVF top-10: k-means coarse quantizer, nprobe nearest lists.",
+)
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = ivf.kmeans_fit(emb, k=16, max_iter=3)
+    return ivf.ivf_topk(emb, _query_vec(spark, sf_dir), centroids, k=10, nprobe=4)
