@@ -62,3 +62,24 @@ def test_max_works_cap(spark):
     full = ingest(spark, works, seed_catalog(spark))
     all_dois = sorted(r["DOI"] for r in full["obras"].collect())
     assert sorted(obras_dois) == all_dois[:10]
+
+
+def test_dynamic_partition_overwrite(spark):
+    """Lake maintenance: overwriting one Anio partition must not clobber
+    the others (partitionOverwriteMode=dynamic) — the K8 full-replace
+    becomes a per-partition replace at scale."""
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t")
+        df = spark.createDataFrame(
+            [(1, 2022, "a"), (2, 2023, "b")], "id bigint, Anio int, v string"
+        )
+        df.write.partitionBy("Anio").parquet(p)
+        patch = spark.createDataFrame([(9, 2023, "B")], "id bigint, Anio int, v string")
+        (
+            patch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("Anio")
+            .parquet(p)
+        )
+        back = {r["Anio"]: r["v"] for r in spark.read.parquet(p).collect()}
+        assert back == {2022: "a", 2023: "B"}

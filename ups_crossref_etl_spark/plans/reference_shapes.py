@@ -467,3 +467,85 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@register(
+    "q_tpch_q13_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: distribution of per-customer order counts (double groupBy).",
+)
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q_tpch_q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+    rich_idle AS (
+      SELECT c.c_custkey, c.c_nationkey % 5 AS cntrycode, c.c_acctbal
+      FROM customer c, avg_bal
+      WHERE c.c_acctbal > avg_bal.a
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P'))
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE) AS totacctbal
+    FROM rich_idle GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: scalar-avg subquery + NOT EXISTS anti-join + agg.",
+)
+def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(
+        o.filter(F.col("o_orderstatus") == "P"),
+        rich.c_custkey == o.o_custkey,
+        "left_anti",
+    )
+    return (
+        idle.select((F.col("c_nationkey") % 5).alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q_cube_flag_status",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (completes rollup coverage from q_rollup_*).",
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+    )
