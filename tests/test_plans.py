@@ -124,3 +124,31 @@ def test_bruteforce_topk_no_shuffle_before_limit(spark, sf_dir):
     plan = _plan(sim.brute_force_topk(emb, q, k=10))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """sinks.write_bucketed co-location claim: joining two tables bucketed
+    on the same key must not exchange either side."""
+    from ups_crossref_etl_spark.sources.sinks import write_bucketed
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    write_bucketed(c, "b_customer", ["c_custkey"], num_buckets=8)
+    write_bucketed(o, "b_orders", ["c_custkey"], num_buckets=8)
+    try:
+        # disable broadcast so the planner must pick a shuffle-family join
+        # (at real scale neither side broadcasts) — bucketing then removes
+        # the shuffle exchanges entirely
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_customer").join(spark.table("b_orders"), "c_custkey")
+        j.collect()
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -27,7 +27,7 @@ _CACHE: dict[str, DataFrame] = {}
 
 def _vista(spark: SparkSession) -> DataFrame:
     """Build (once per session) the vista_analisis for the fixture."""
-    key = "vista"
+    key = f"vista-{id(spark)}"  # cache is session-scoped: checkpointed DFs die with it
     if key in _CACHE:
         return _CACHE[key]
     from . import analytics, flatview  # noqa: F401  (analytics used by callers)

@@ -32,8 +32,11 @@ def get_spark(
     - Arrow on: every pandas_udf / toPandas crosses via Arrow batches.
     - ``parquet.aggregatePushdown``: count/min/max served from footers.
     """
+    import tempfile
+
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    warehouse = os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}")
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -49,6 +52,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # keep managed-table state (bucketed tables, derby metastore) out
+        # of the repo working dir
+        .config("spark.sql.warehouse.dir", warehouse)
+        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={warehouse}")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark lacks a
         # nanos timestamp type — read as long and convert in the source
         # adapter (sources/lake.py truncates to micros, matching DuckDB).
