@@ -50,10 +50,16 @@ def _connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     # plan doubles per round and the driver re-executes the whole upstream
     # DAG every count(). Standard practice for iterative algorithms on
     # Spark (same shape GraphX/GraphFrames use).
+    # partition by actual parallelism, not the inherited shuffle conf: the
+    # identity graph is orders of magnitude smaller than the mention table
+    # (one node per distinct name/orcid), and each iteration materializes
+    # via localCheckpoint — 200 near-empty tasks per round is pure overhead.
+    npart = edges.sparkSession.sparkContext.defaultParallelism
     sym = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        .repartition(npart, "src")
         .distinct()
         .localCheckpoint()
     )

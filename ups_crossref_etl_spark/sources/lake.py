@@ -15,6 +15,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def ensure_oracle_confs(spark: SparkSession) -> None:
+    """Runtime confs the oracle comparison depends on, set defensively in
+    case the calling session isn't ours (the driver builds its own):
+    nanos-parquet readability and UTC timestamp formatting."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table: ``{sf_dir}/{name}.parquet``.
 
@@ -23,6 +31,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     which we truncate to micros (DuckDB does the same truncation when it
     reads nanos into its micros TIMESTAMP — keeps oracles comparable).
     """
+    ensure_oracle_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double mantissa
