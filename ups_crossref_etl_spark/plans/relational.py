@@ -287,7 +287,7 @@ def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.row_number().over(w).alias("rk"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
         )
         .filter(F.col("rk") <= 3)
     )
@@ -335,10 +335,11 @@ def q_window_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     d = F.col("o_orderdate").cast("date")
+    # bigint: DuckDB date_diff returns BIGINT, Spark datediff int
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
     )
 
 

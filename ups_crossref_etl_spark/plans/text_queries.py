@@ -59,11 +59,13 @@ def q_docs_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
+    # bigint casts: DuckDB len()/length() yield BIGINT where Spark's
+    # size()/length() yield int — keep output schemas identical
     return d.select(
         "doc_id",
-        ta.token_count(F.col("text")).alias("n_tokens"),
-        ta.bpe_ish_token_count(F.col("text")).alias("n_subwords"),
-        F.length("text").alias("n_chars"),
+        ta.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        ta.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_subwords"),
+        F.length("text").cast("bigint").alias("n_chars"),
     )
 
 
@@ -108,8 +110,8 @@ def q_docs_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        ta.marker_hits(F.col("text"), "en").alias("en_hits"),
-        ta.marker_hits(F.col("text"), "es").alias("es_hits"),
+        ta.marker_hits(F.col("text"), "en").cast("bigint").alias("en_hits"),
+        ta.marker_hits(F.col("text"), "es").cast("bigint").alias("es_hits"),
     )
 
 
