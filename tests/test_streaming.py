@@ -84,3 +84,26 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, batch_events):
         assert spark.read.parquet(target).count() == 100
         se.write_idempotent(batch_events.limit(150), target, ["event_id"])
         assert spark.read.parquet(target).count() == 150
+
+
+def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir, batch_events):
+    from ups_crossref_etl_spark.operators.rangejoin import range_join
+
+    s1 = se.stream_events(spark, sf_dir)
+    s2 = se.stream_events(spark, sf_dir)
+    got = _drain(
+        spark,
+        se.stream_stream_interval_join(s1, s2),
+        "t_ssjoin",
+        mode="append",
+    )
+    errors = batch_events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("l_event"), "user_id", "ts"
+    )
+    purchases = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_event"), "user_id", "ts"
+    )
+    want = range_join(
+        errors, purchases, by="user_id", on="ts", before_s=600, after_s=600
+    ).select("l_event", F.col("r_r_event").alias("r_event"), "user_id")
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want.collect()))

@@ -136,6 +136,44 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_type: str = "error",
+    right_type: str = "purchase",
+    within_s: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition — the
+    streaming twin of ``operators/rangejoin.py``. Both sides carry
+    watermarks so Spark can bound the join state; the range condition
+    lets it expire rows once the other side's watermark passes.
+    """
+    l = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event"), F.col(by), F.col("ts").alias("l_ts")
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_event"),
+            F.col(by).alias("_rkey"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        (F.col(by) == F.col("_rkey"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within_s} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_s} SECONDS")),
+    ).select("l_event", "r_event", by)
+
+
 def write_idempotent(batch_df: DataFrame, target_path: str, key_cols: list[str]) -> None:
     """foreachBatch sink: INSERT OR IGNORE semantics (K3) — anti-join the
     incoming micro-batch against the target before appending. Combined
