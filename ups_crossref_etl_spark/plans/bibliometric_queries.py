@@ -129,3 +129,82 @@ def q_biblio_dashboard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     f = apply_dashboard_filters(_vista(spark), year_from=2023, year_to=2023)
     return f.agg(F.count(F.lit(1)).alias("n_2023"))
+
+
+@register(
+    "q_biblio_afiliaciones_table",
+    """
+    SELECT * FROM (VALUES
+      ('grupo gihp4c, universidad politecnica salesiana, cuenca, ecuador', 1, 'EC', 'Ecuador', 1),
+      ('instituto ecuador-espana de madrid, spain', 4, 'EC', 'Ecuador', 0),
+      ('mit, usa', 4, 'US', 'Estados Unidos', 0),
+      ('nanjing university, china', 4, 'CN', 'China', 0),
+      ('politecnico di milano, italy', 4, 'IT', 'Italia', 0),
+      ('pontificia universidad catolica del peru, peru', 4, 'PE', 'Perú', 0),
+      ('tsinghua university, china', 4, 'CN', 'China', 0),
+      ('universidad de cuenca, ecuador', 1, 'EC', 'Ecuador', 0),
+      ('universidad de granada, spain', 4, 'ES', 'España', 0),
+      ('universidad nacional de colombia, colombia', 4, 'CO', 'Colombia', 0),
+      ('universidad politecnica salesiana', 4, 'EC', 'Ecuador', 1),
+      ('universidad politecnica salesiana - cuenca', 1, 'EC', 'Ecuador', 1),
+      ('universidad politecnica salesiana sede guayaquil', 3, 'EC', 'Ecuador', 1),
+      ('universidad politecnica salesiana, cuenca, ecuador', 1, 'EC', 'Ecuador', 1),
+      ('universidad politecnica salesiana, guayaquil, ecuador', 3, 'EC', 'Ecuador', 1),
+      ('universidad politecnica salesiana, quito', 2, 'EC', 'Ecuador', 1),
+      ('universidad politecnica salesiana, quito, ecuador', 2, 'EC', 'Ecuador', 1),
+      ('universidade de sao paulo, brazil', 4, 'BR', 'Brasil', 0),
+      ('universite de paris, france', 4, 'FR', 'Francia', 0))
+    AS t(AfiliacionBusqueda, SedeID, CountryCode, CountryName, EsUPS)
+    """,
+    doc=(
+        "Full afiliaciones table pinned row-by-row: entity dedup, J4 "
+        "first-match country (ecuador-espana -> EC), J5 keyword labeling "
+        "(non-UPS 'universidad de cuenca' -> SedeID 1), K6 monotone EsUPS."
+    ),
+)
+def q_biblio_afiliaciones_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest import ingest
+
+    tables = ingest(
+        spark,
+        spark.createDataFrame(make_works(), schema=works_raw_schema),
+        seed_catalog(spark),
+    )
+    return tables["afiliaciones"].select(
+        "AfiliacionBusqueda", "SedeID", "CountryCode", "CountryName", "EsUPS"
+    )
+
+
+@register(
+    "q_biblio_autores_digest",
+    """
+    SELECT CAST(70 AS BIGINT) AS n_autores,
+           CAST(60 AS BIGINT) AS n_with_orcid,
+           'bdb88ac8628d1c9c919dbbe533452577' AS digest
+    """,
+    doc=(
+        "Author entity resolution digest: row count, ORCID coverage, and "
+        "md5 over the sorted (busqueda, limpio, orcid) triples — pins the "
+        "connected-component + sequential-replay resolution end to end."
+    ),
+)
+def q_biblio_autores_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest import ingest
+
+    tables = ingest(
+        spark,
+        spark.createDataFrame(make_works(), schema=works_raw_schema),
+        seed_catalog(spark),
+    )
+    triple = F.concat_ws(
+        ";", "NombreBusqueda", "NombreLimpio", F.coalesce("Orcid", F.lit(""))
+    )
+    return tables["autores"].agg(
+        F.count(F.lit(1)).alias("n_autores"),
+        F.count("Orcid").alias("n_with_orcid"),
+        F.md5(
+            F.to_binary(
+                F.array_join(F.array_sort(F.collect_list(triple)), "|"), F.lit("utf-8")
+            )
+        ).alias("digest"),
+    )
