@@ -11,7 +11,7 @@ tie-breaks encode — which pins the reference's order-dependent rules.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
+
 
 from ups_crossref_etl_spark.plans import analytics, flatview
 from ups_crossref_etl_spark.plans.ingest import ingest
@@ -19,7 +19,7 @@ from ups_crossref_etl_spark.schemas import works_raw_schema
 from ups_crossref_etl_spark.sources.catalog import SEED_ROWS, seed_catalog
 
 from bibliometric_fixture import make_works
-from bibliometric_oracle import (
+from bibliometric_oracle import (  # noqa: F401 (author_name re-exported for debugging)
     author_name,
     norm_nfc,
     run_oracle,

@@ -5,7 +5,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import functions as F
+
 
 from ups_crossref_etl_spark.fixtures import make_works
 from ups_crossref_etl_spark.plans.ingest import ingest

@@ -107,3 +107,50 @@ def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir, batc
         errors, purchases, by="user_id", on="ts", before_s=600, after_s=600
     ).select("l_event", F.col("r_r_event").alias("r_event"), "user_id")
     assert sorted(map(tuple, got)) == sorted(map(tuple, want.collect()))
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, batch_events):
+    """foreachBatch + checkpointed offsets across a stop/restart: the
+    second run must pick up only the new file, and the idempotent sink
+    must hold even if a batch were replayed (K3 anti-join append)."""
+    import shutil
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        ckpt = os.path.join(td, "ckpt")
+        sink = os.path.join(td, "sink")
+        os.makedirs(src)
+        # first file: events 0..499; second file arrives "later"
+        first = batch_events.filter(F.col("event_id") < 500)
+        second = batch_events.filter(F.col("event_id") >= 500)
+        first.coalesce(1).write.parquet(os.path.join(td, "f1"))
+        for f in os.listdir(os.path.join(td, "f1")):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(td, "f1", f), os.path.join(src, "a.parquet"))
+
+        def start():
+            stream = spark.readStream.schema(first.schema).parquet(src)
+            return (
+                stream.writeStream.foreachBatch(
+                    lambda df, epoch: se.write_idempotent(df, sink, ["event_id"])
+                )
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        n1 = spark.read.parquet(sink).count()
+        assert n1 == first.count()
+
+        second.coalesce(1).write.parquet(os.path.join(td, "f2"))
+        for f in os.listdir(os.path.join(td, "f2")):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(td, "f2", f), os.path.join(src, "b.parquet"))
+        q = start()  # restart from the same checkpoint
+        q.processAllAvailable()
+        q.stop()
+        total = spark.read.parquet(sink)
+        assert total.count() == batch_events.count()
+        assert total.select("event_id").distinct().count() == batch_events.count()

@@ -30,7 +30,7 @@ runs and partitions, unlike AUTOINCREMENT — documented divergence).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import now_str, params_json
+from ..functions import now_str
 from ..schemas import runs_schema
 
 
