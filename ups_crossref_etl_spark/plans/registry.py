@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import reference_shapes  # noqa: F401
     from . import events_queries  # noqa: F401
+    from . import streaming_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401
     from . import bibliometric_queries  # noqa: F401

@@ -1,0 +1,104 @@
+"""Streaming queries in the driver gate.
+
+Each callable starts a real Structured Streaming query over the events
+file source, drives it to completion (memory sink + processAllAvailable),
+and returns the result table — so the driver's DuckDB oracle verifies an
+actual streaming execution (state store, watermarks, micro-batch commit),
+not just the batch twin. The file source delivers the static table as one
+micro-batch; semantics equal the batch computation, which is exactly what
+the oracle pins.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import events as se
+from .registry import register
+
+_seq = itertools.count()
+
+
+def _run(stream_df, mode: str = "complete") -> DataFrame:
+    name = f"_gate_stream_{next(_seq)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "q_stream_tumbling_5min",
+    """
+    SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="STREAMING tumbling window (real streaming execution vs the batch oracle).",
+)
+def q_stream_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(se.tumbling_counts(se.stream_events(spark, sf_dir)))
+
+
+@register(
+    "q_stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="STREAMING native session_window vs lag+cumsum SQL oracle.",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(se.session_counts(se.stream_events(spark, sf_dir)))
+
+
+@register(
+    "q_stream_running_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(round(sum(CAST(coalesce(value, 0) AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="STREAMING applyInPandasWithState per-user running totals vs batch oracle.",
+)
+def q_stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run(
+        se.running_user_totals(se.stream_events(spark, sf_dir)), mode="update"
+    )
+    # update-mode emits one row per user per micro-batch; final state = the
+    # row with the max n_events per user
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

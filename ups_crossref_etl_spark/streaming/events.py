@@ -109,12 +109,16 @@ def _running_totals_fn(
     """Custom stateful operator: per-user running totals across
     micro-batches. State survives between triggers (checkpointed); this is
     the applyInPandasWithState shape for operators Spark lacks natively."""
+    import math
+
     if state.exists:
         total, n = state.get
     else:
         total, n = 0.0, 0
     for pdf in pdfs:
-        total += float(pdf["value"].fillna(0.0).sum())
+        # fsum: exact summation → the correctly-rounded double of the true
+        # sum, independent of batch/row order (oracle-comparable)
+        total = math.fsum([total, *pdf["value"].fillna(0.0).tolist()])
         n += len(pdf)
     state.update((total, n))
     yield pd.DataFrame(
