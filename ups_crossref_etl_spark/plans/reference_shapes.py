@@ -549,3 +549,191 @@ def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q_tpch_q4_priority_check",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with a cross-table predicate (semi-join).",
+)
+def q_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q_tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan+filter+agg (pushdown showcase).",
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q12_priority_by_linestatus",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape: join + IN-list conditional counts.",
+)
+def q_tpch_q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS total
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total = (SELECT max(total) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: view + scalar-max subquery (top supplier, exact decimal).",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
+            "total"
+        )
+    )
+    mx = revenue.agg(F.max("total").alias("mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(F.col("total") == F.col("mx"))
+    return (
+        s.join(top, s.s_suppkey == top.supplier_no)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q17_small_quantity",
+    """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(28,8))) / 7.0, 4) AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated per-key avg subquery (agg + rejoin).",
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)) / 7.0, 4
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q_tpch_q21_waiting_orders",
+    """
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING count(DISTINCT l_suppkey) > 1),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l
+      WHERE l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00')
+    SELECT s.s_name, count(*) AS numwait
+    FROM late
+    JOIN multi ON late.l_orderkey = multi.l_orderkey
+    JOIN supplier s ON late.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape (adapted): HAVING distinct-count + multi-join chain.",
+)
+def q_tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        li.filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        late.join(multi, "l_orderkey")
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
