@@ -32,7 +32,9 @@ HEADLINE = [
     "q_docs_exact_dup_groups",
     "q_docs_token_counts",
     "q_docs_minhash_near_dups",
+    "q_docs_cleaning_pipeline",
     "q_emb_bruteforce_topk",
+    "q_events_asof_join",
 ]
 
 

@@ -283,3 +283,39 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bytes"
         ),
     )
+
+
+@register(
+    "q_docs_cleaning_pipeline",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS en_hits
+      FROM documents),
+    labeled AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN dup_rank > 1 THEN 'exact_dup'
+                  WHEN n_tokens < 30 THEN 'too_short'
+                  WHEN n_tokens > 5000 THEN 'too_long'
+                  WHEN en_hits < 1 THEN 'non_english' END AS drop_reason
+      FROM feats)
+    SELECT count(*) AS n_docs,
+           count(CASE WHEN drop_reason IS NULL THEN 1 END) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN drop_reason IS NULL THEN n_tokens END), 0) AS BIGINT)
+             AS kept_tokens,
+           count(CASE WHEN drop_reason = 'exact_dup' THEN 1 END) AS n_dups,
+           count(CASE WHEN drop_reason = 'too_short' THEN 1 END) AS n_short,
+           count(CASE WHEN drop_reason = 'too_long' THEN 1 END) AS n_long,
+           count(CASE WHEN drop_reason = 'non_english' THEN 1 END) AS n_nonenglish
+    FROM labeled
+    """,
+    doc="Composite corpus-cleaning pipeline audit: dedup -> quality -> lang -> token budget.",
+)
+def q_docs_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import clean_corpus, corpus_report
+
+    d = read_table(spark, sf_dir, "documents")
+    return corpus_report(clean_corpus(d))
