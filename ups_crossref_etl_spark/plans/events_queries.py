@@ -24,7 +24,7 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -128,7 +128,7 @@ def q_events_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            count(DISTINCT user_id) AS n_users,
-           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
     FROM events GROUP BY event_type

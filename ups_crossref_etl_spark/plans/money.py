@@ -10,8 +10,8 @@ pure function. The per-row double→decimal cast is deterministic because
 the inputs (parquet doubles) and per-row arithmetic (IEEE) are identical
 on both sides.
 
-SQL twin of ``dsum``:  CAST(round(sum(CAST(x AS DECIMAL(28,8))), 2) AS DOUBLE)
-SQL twin of ``davg``:  round(CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / count(x), 4)
+SQL twin of ``dsum``:  CAST(round(sum(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE)
+SQL twin of ``davg``:  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), 4)
 """
 
 from __future__ import annotations
@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(28,8)"
+# DECIMAL(18,6): stays long-backed in both engines (precision ≤ 18), ~4×
+# faster than an Int128-backed width, and still exact — every money term
+# here is a product of ≤3 two-decimal values, so its true quantum is
+# ≥ 1e-6 and the double→decimal(…,6) cast is lossless.
+DEC = "decimal(18,6)"
 
 
 def dsum(col: Column, scale: int = 2) -> Column:

@@ -162,7 +162,7 @@ def q_ref_monotone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH existing AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
          incoming AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0)
-    SELECT count(*) AS n_inserted, CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS inserted_value
+    SELECT count(*) AS n_inserted, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS inserted_value
     FROM incoming WHERE o_orderkey NOT IN (SELECT o_orderkey FROM existing)
     """,
     doc="K3/J8 insert-if-absent: anti-join of incoming batch vs existing keys.",
@@ -315,7 +315,7 @@ def q_ref_try_cast_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -349,8 +349,8 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END AS DECIMAL(28,8))) AS DOUBLE)
-                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE), 4) AS promo_share
+                                  ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_share
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
     doc="TPC-H Q14 shape: conditional revenue share.",
@@ -380,8 +380,8 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice,
            CAST(round(t.qty, 2) AS DOUBLE) AS total_qty
     FROM orders o
-    JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(28,8))) AS qty FROM lineitem
-          GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(28,8))) > 150) t
+    JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty FROM lineitem
+          GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150) t
     ON o.o_orderkey = t.l_orderkey
     """,
     doc="TPC-H Q18 shape: HAVING-filtered agg joined back to orders.",
@@ -405,7 +405,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q19_bracket_filter",
     """
-    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 5 AND 25
@@ -437,7 +437,7 @@ def q_tpch_q19_bracket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(date_part('year', l.l_shipdate) AS INT) AS l_year,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -503,7 +503,7 @@ def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderstatus = 'P'))
     SELECT cntrycode, count(*) AS numcust,
-           CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
     FROM rich_idle GROUP BY cntrycode
     """,
     doc="TPC-H Q22 shape: scalar-avg subquery + NOT EXISTS anti-join + agg.",
@@ -582,7 +582,7 @@ def q_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q6_forecast_revenue",
     """
-    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))), 2) AS DOUBLE)
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -640,7 +640,7 @@ def q_tpch_q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataF
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS total
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total
       FROM lineitem GROUP BY l_suppkey)
     SELECT s.s_suppkey, s.s_name,
            CAST(round(r.total, 2) AS DOUBLE) AS total_revenue
@@ -672,7 +672,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q17_small_quantity",
     """
-    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(28,8))) / 7.0, 4) AS DOUBLE)
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 4) AS DOUBLE)
              AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey

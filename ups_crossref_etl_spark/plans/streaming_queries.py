@@ -43,7 +43,7 @@ def _run(stream_df, mode: str = "complete") -> DataFrame:
     SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -82,7 +82,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_running_user_totals",
     """
     SELECT user_id, count(*) AS n_events,
-           CAST(round(sum(CAST(coalesce(value, 0) AS DECIMAL(28,8))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(coalesce(value, 0) AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS total_value
     FROM events GROUP BY user_id
     """,
