@@ -154,3 +154,55 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, batch_events):
         total = spark.read.parquet(sink)
         assert total.count() == batch_events.count()
         assert total.select("event_id").distinct().count() == batch_events.count()
+
+
+def test_watermark_drops_late_data(spark, sf_dir):
+    """Append-mode windowed agg with a watermark: a second micro-batch
+    carrying events far older than (max_ts - watermark) must not resurrect
+    closed windows. Two files drive two micro-batches through one query."""
+    import shutil
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        os.makedirs(src)
+        schema = "event_id bigint, ts string, event_type string, value double"
+        fresh = spark.createDataFrame(
+            [(1, "2024-02-01 10:00:00", "a", 1.0),
+             (2, "2024-02-01 12:00:00", "a", 1.0)],
+            schema,
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+        late = spark.createDataFrame(
+            [(3, "2024-02-01 10:00:30", "a", 1.0)],  # 2h late, watermark 10min
+            schema,
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+
+        def add(df, name):
+            tmp = os.path.join(td, name + "_stage")
+            df.coalesce(1).write.parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(tmp, f), os.path.join(src, name))
+
+        add(fresh, "a.parquet")
+        stream = spark.readStream.schema(fresh.schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("t_late")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: watermark advances to ~11:50
+            add(late, "b.parquet")
+            q.processAllAvailable()  # batch 2: late event beyond watermark
+            rows = spark.table("t_late").collect()
+        finally:
+            q.stop()
+        # the 10:00 window was finalized with exactly the on-time event;
+        # the late arrival neither reopened it nor produced a new row
+        n_1000 = [r["n"] for r in rows if r["window"].start.minute == 0
+                  and r["window"].start.hour == 10]
+        assert n_1000 == [1]
