@@ -208,3 +208,23 @@ def q_biblio_autores_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("digest"),
     )
+
+
+@register(
+    "q_biblio_dashboard_filter_combos",
+    """
+    SELECT CAST(17 AS BIGINT) AS n_tipo_sede, CAST(12 AS BIGINT) AS n_year_area
+    """,
+    doc="Dashboard filter combos (docs §2.4): Tipo+Sede and year-range+Area.",
+)
+def q_biblio_dashboard_filter_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import apply_dashboard_filters
+
+    v = _vista(spark)
+    a = apply_dashboard_filters(v, tipo="journal-article", sede="Sede Cuenca").agg(
+        F.count(F.lit(1)).alias("n_tipo_sede")
+    )
+    b = apply_dashboard_filters(
+        v, year_from=2022, year_to=2024, area="Ingenierías y Arquitectura"
+    ).agg(F.count(F.lit(1)).alias("n_year_area"))
+    return a.crossJoin(b)
