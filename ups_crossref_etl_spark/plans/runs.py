@@ -26,11 +26,13 @@ def start_run(spark: SparkSession, run_id: int, query_params: dict[str, str],
 
 def finish_run(start_df: DataFrame, cursor_fin: str | None,
                rows_ingested: int, notes: str | None = None) -> DataFrame:
+    # explicit string casts: F.lit(None) alone is NullType, which breaks
+    # the parquet schema on write
     return (
         start_df.withColumn("EndedAt", now_str())
-        .withColumn("CursorFin", F.lit(cursor_fin))
+        .withColumn("CursorFin", F.lit(cursor_fin).cast("string"))
         .withColumn("RowsIngested", F.lit(rows_ingested).cast("bigint"))
-        .withColumn("Notes", F.lit(notes))
+        .withColumn("Notes", F.lit(notes).cast("string"))
     )
 
 
