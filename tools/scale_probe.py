@@ -1,0 +1,110 @@
+"""Empirical scaling probe: replicate the sf0.1 tables N× in memory-less
+fashion (explode with a salt, ids re-keyed so they stay unique) and time
+the heavy operators. Output: SCALE_PROBE.json with (rows, seconds) pairs —
+evidence the shuffle shapes scale ~linearly, not just claims.
+
+    python tools/scale_probe.py [replication]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ups_crossref_etl_spark.operators import corpus, dedup, similarity as sim
+from ups_crossref_etl_spark.session import get_spark
+from ups_crossref_etl_spark.sources.lake import read_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(df, id_col, n):
+    """n copies with re-keyed ids (id*n + salt) — unique keys, same data
+    distribution (near-dup structure replicates too, which is the hard
+    case for LSH bucket sizes)."""
+    return (
+        df.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .withColumn(id_col, F.col(id_col) * n + F.col("_salt"))
+        .drop("_salt")
+    )
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return round(time.time() - t0, 2), out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    results = {"replication": n, "probes": {}}
+
+    docs1 = read_table(spark, SF_DIR, "documents")
+    docsN = replicate(docs1, "doc_id", n).localCheckpoint()
+    li1 = read_table(spark, SF_DIR, "lineitem")
+    liN = replicate(li1, "l_orderkey", n).localCheckpoint()
+    emb1 = read_table(spark, SF_DIR, "embeddings")
+    embN = replicate(emb1, "vec_id", n).localCheckpoint()
+
+    def probe(name, small_fn, big_fn, small_rows, big_rows):
+        t_small, _ = timed(small_fn)
+        t_big, _ = timed(big_fn)
+        results["probes"][name] = {
+            "rows_1x": small_rows,
+            "rows_Nx": big_rows,
+            "sec_1x": t_small,
+            "sec_Nx": t_big,
+            "slope_vs_linear": round((t_big / max(t_small, 1e-9)) / n, 2),
+        }
+
+    probe(
+        "q1_style_agg",
+        lambda: li1.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count(F.lit(1))).collect(),
+        lambda: liN.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count(F.lit(1))).collect(),
+        li1.count(), liN.count(),
+    )
+    probe(
+        "exact_dedup",
+        lambda: dedup.exact_dup_groups(docs1, "text", "doc_id").count(),
+        lambda: dedup.exact_dup_groups(docsN, "text", "doc_id").count(),
+        docs1.count(), docsN.count(),
+    )
+    probe(
+        "minhash_candidates",
+        lambda: dedup.minhash_lsh_candidates(docs1, "text", "doc_id",
+                                             num_hashes=32, bands=8).count(),
+        lambda: dedup.minhash_lsh_candidates(docsN, "text", "doc_id",
+                                             num_hashes=32, bands=8).count(),
+        docs1.count(), docsN.count(),
+    )
+    probe(
+        "corpus_pipeline",
+        lambda: corpus.corpus_report(corpus.clean_corpus(docs1)).collect(),
+        lambda: corpus.corpus_report(corpus.clean_corpus(docsN)).collect(),
+        docs1.count(), docsN.count(),
+    )
+    qv = [0.1] * 64
+    probe(
+        "bruteforce_topk",
+        lambda: sim.brute_force_topk(emb1, qv, k=10).collect(),
+        lambda: sim.brute_force_topk(embN, qv, k=10).collect(),
+        emb1.count(), embN.count(),
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
