@@ -167,3 +167,11 @@ def test_kmeans_deterministic(spark, sf_dir):
     c1 = ivf.kmeans_fit(emb, k=4, max_iter=2)
     c2 = ivf.kmeans_fit(emb, k=4, max_iter=2)
     assert (c1 == c2).all()
+
+
+def test_approx_aggregates_within_bounds(spark, sf_dir):
+    from ups_crossref_etl_spark.plans.registry import load_all
+
+    r = load_all()["q_approx_aggregates"].fn(spark, sf_dir).first()
+    assert abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"] < 0.05
+    assert r["approx_median_price"] > 0

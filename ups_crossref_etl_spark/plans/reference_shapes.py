@@ -737,3 +737,55 @@ def q_tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q_tpch_q8_market_share",
+    """
+    WITH all_volume AS (
+      SELECT CAST(date_part('year', o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
+             sn.n_regionkey AS supp_region
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_region = 2 THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM all_volume GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: market-share ratio of conditional decimal sums per year.",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_regionkey").alias("supp_region"))
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("cust_region"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(r), F.col("cust_region") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_region")
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_region") == 2, F.col("volume")).otherwise(
+                F.lit(0).cast(DEC)
+            )).cast("double")
+            / F.sum("volume").cast("double"),
+            4,
+        ).alias("mkt_share")
+    )
