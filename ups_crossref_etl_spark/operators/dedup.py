@@ -80,7 +80,7 @@ def shingles(text_col: Column, k: int = 3) -> Column:
 
 
 def shingle_hash_rows(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:
     """Distinct k-word shingle *hashes* per document: (``_id``, ``_sh``).
 
@@ -103,11 +103,11 @@ def shingle_hash_rows(
     rows = toks.select("_id", "_pos", "_tok", *leads, F.count(F.lit(1)).over(wn).alias("_n"))
     keep = F.col(f"_t{k - 1}").isNotNull() | ((F.col("_pos") == 0) & (F.col("_n") < k))
     hash_args = ["_tok"] + [F.coalesce(F.col(f"_t{i}"), F.lit("")) for i in range(1, k)]
-    return (
-        rows.filter(keep)
-        .select("_id", F.xxhash64(*hash_args).alias("_sh"))
-        .distinct()
-    )
+    out = rows.filter(keep).select("_id", F.xxhash64(*hash_args).alias("_sh"))
+    # distinct costs a full shuffle of the largest intermediate — callers
+    # whose aggregate is set-insensitive (min over a multiset == min over
+    # the set) skip it
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -123,7 +123,7 @@ def minhash_signatures(
 
     Returns (``_id``, ``mh_0``..``mh_{H-1}``).
     """
-    sh = shingle_hash_rows(df, text_col, id_col, shingle_k)
+    sh = shingle_hash_rows(df, text_col, id_col, shingle_k, distinct=False)
     aggs = [
         F.min(F.xxhash64("_sh", F.lit(s))).alias(f"mh_{s}") for s in range(num_hashes)
     ]
