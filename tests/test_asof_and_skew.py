@@ -81,3 +81,49 @@ def test_salt_join_matches_plain(spark, sf_dir):
     plain = o.join(c, "o_custkey").count()
     salted = salt_join(o, c, key="o_custkey", unique_col="o_orderkey").count()
     assert plain == salted
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "l1")], schema="k bigint, ts timestamp, lv string"
+    )
+    # two right rows at the identical (k, ts) — the greatest value tuple wins
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "rA"),
+         (1, _ts("2024-01-01T09:00:00"), "rB")],
+        schema="k bigint, ts timestamp, rv string",
+    )
+    for _ in range(3):  # stable across repeated executions
+        out = asof_join(
+            left, right.repartition(4), on="ts", by="k", right_cols=["rv"]
+        ).collect()
+        assert [r["rv_asof"] for r in out] == ["rB"]
+
+
+def test_range_join_left_restores_unmatched_once(spark):
+    from ups_crossref_etl_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "hit"),
+         (1, _ts("2024-01-01T20:00:00"), "miss"),
+         (3, _ts("2024-01-01T10:00:00"), "nokey")],
+        schema="k bigint, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:30"), "r1"),
+         (1, _ts("2024-01-01T10:00:45"), "r2")],
+        schema="k bigint, ts timestamp, rv string",
+    )
+    out = range_join(left, right, by="k", on="ts", before_s=60, after_s=60, how="left")
+    rows = [(r["lv"], r["r_rv"]) for r in out.collect()]
+    assert sorted(r for r in rows if r[0] == "hit") == [("hit", "r1"), ("hit", "r2")]
+    # unmatched left rows appear exactly once, null-extended
+    assert rows.count(("miss", None)) == 1
+    assert rows.count(("nokey", None)) == 1
+    assert len(rows) == 4
+    inner = range_join(left, right, by="k", on="ts", before_s=60, after_s=60, how="inner")
+    assert inner.count() == 2 and "_lid" not in inner.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_join(left, right, by="k", on="ts", before_s=60, after_s=60, how="full")

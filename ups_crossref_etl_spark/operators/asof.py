@@ -51,9 +51,16 @@ def asof_join(
             r_t = r_t.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_t.unionByName(r_t, allowMissingColumns=True)
 
+    # Tiebreak: when multiple right rows share the same (by, on), ordering
+    # by (on, _tag) alone leaves their relative order partition-dependent
+    # and last() would pick an arbitrary one. Appending the carried value
+    # columns pins it: the row with the greatest value tuple wins,
+    # deterministically. (Left rows hold nulls there; nulls sort first
+    # under asc, and left-row relative order is irrelevant — each left row
+    # is its own output row and ignorenulls skips other left rows.)
     w = (
         Window.partitionBy(by)
-        .orderBy(on, "_tag")
+        .orderBy(on, "_tag", *[f"{c}{suffix}" for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -137,15 +137,24 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH on MinHash signatures.
 
     rows/band = num_hashes/bands; two docs collide if any band's slice of
     their signatures matches exactly. Output: (id_a, id_b) with id_a < id_b,
     distinct. Shuffles: one on (band_idx, band_hash) — fixed-width keys —
-    then the self-join happens inside each bucket. Skewed buckets (boiler-
-    plate text) are handled by AQE skew-join; a hard cap can be added by
-    filtering bucket size.
+    then the self-join happens inside each bucket.
+
+    ``max_bucket_size`` bounds the quadratic blow-up from degenerate
+    buckets: a single boilerplate bucket of m docs yields m(m-1)/2
+    candidate pairs, so one viral template at corpus scale turns the
+    banded join into all-pairs. Buckets larger than the cap are dropped
+    *per band* before the self-join (AQE skew-join only rebalances
+    partitions; it cannot reduce the pair count). Docs in a mega-bucket
+    in one band still pair through their other bands, and literal
+    boilerplate clones are exact duplicates that ``exact_dedup`` removes
+    upstream anyway. Pass ``None`` to disable the cap.
     """
     rows_per_band = num_hashes // bands
     withsig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -165,6 +174,13 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bhash")
+    if max_bucket_size is not None:
+        # count() over the bucket key is the same shuffle the self-join
+        # needs, so the cap costs one window pass, not an extra exchange
+        wb = Window.partitionBy("band", "bhash")
+        banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
+            F.col("_bsz") <= F.lit(max_bucket_size)
+        ).drop("_bsz")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -287,14 +303,34 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select("_id", out.alias("_sh"))
 
 
+def _block_spans(total_bits: int, blocks: int) -> list[tuple[int, int]]:
+    """Partition ``total_bits`` into ``blocks`` contiguous (start, width)
+    spans whose widths differ by at most one — every bit lands in exactly
+    one block (no dropped remainder bits when blocks doesn't divide 64)."""
+    base, rem = divmod(total_bits, blocks)
+    spans, start = [], 0
+    for i in range(blocks):
+        width = base + (1 if i < rem else 0)
+        spans.append((start, width))
+        start += width
+    return spans
+
+
 def simhash_candidates(
     df: DataFrame, text_col: str, id_col: str, blocks: int = 4
 ) -> DataFrame:
     """Near-dup candidates where hamming(simhash) could be small: split the
-    64-bit hash into ``blocks`` 16-bit blocks; docs sharing any block value
-    are candidates (catches all pairs with hamming < blocks). Returns
-    (id_a, id_b, hamming)."""
-    width = 64 // blocks
+    64-bit hash into ``blocks`` contiguous blocks (widths differ by ≤1 bit
+    when blocks doesn't divide 64 — all 64 bits are covered); docs sharing
+    any block value are candidates.
+
+    Recall guarantee (pigeonhole, Manku et al. WWW'07 style): a pair at
+    hamming distance h differs in at most h blocks, so with ``blocks`` ≥
+    h+1 at least one block is identical — **all pairs with hamming <
+    blocks are guaranteed candidates**. To find pairs at hamming ≤ k, pass
+    ``blocks = k + 1``. Pairs at hamming ≥ blocks may still surface (any
+    shared block), but are not guaranteed. Returns (id_a, id_b, hamming).
+    """
     sh = simhash_table(df, text_col, id_col)
     blocked = sh.select(
         "_id",
@@ -304,11 +340,11 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("_sh", i * width)
+                        F.shiftrightunsigned("_sh", start)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bval"),
                     )
-                    for i in range(blocks)
+                    for i, (start, width) in enumerate(_block_spans(64, blocks))
                 ]
             )
         ).alias("bb"),

@@ -31,9 +31,22 @@ def range_join(
     """Rows (l, r) with same ``by`` key and
     ``l.on - before_s <= r.on <= l.on + after_s``.
 
+    ``how``: ``inner`` or ``left``. The bucketization explodes each left
+    row into 3 bucket keys, so a naive outer join would triplicate
+    unmatched left rows and a post-join ``filter`` would drop their
+    null-extended rows; ``left`` is therefore implemented as the inner
+    bucketized join plus an anti-join restore of unmatched left rows
+    (each appearing exactly once, right columns null). Other outer modes
+    raise — the explode asymmetry makes them structurally incorrect here.
+
     Column collisions: right-side columns get an ``r_`` prefix (except the
     join key). Timestamps compared at second granularity via epoch.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"range_join supports how='inner' or 'left', got {how!r}: the "
+            "3x left bucket explode cannot express right/full outer modes"
+        )
     span = max(before_s, after_s)
     bucket = max(span, 1)
 
@@ -44,7 +57,11 @@ def range_join(
             r = r.withColumnRenamed(c, f"r_{c}")
     r_epoch = F.col(f"r_{on}").cast("long")
 
-    lb = left.withColumn(
+    # _lid identifies each physical left row so the outer restore can
+    # reconcile multiplicity after the 3x explode; it is derived once,
+    # before the branch, and never appears in the output.
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    lb = lid.withColumn(
         "_bucket",
         F.explode(
             F.array(
@@ -56,4 +73,12 @@ def range_join(
     )
     rb = r.withColumn("_bucket", (r_epoch / bucket).cast("long"))
     cond = (r_epoch >= l_epoch - before_s) & (r_epoch <= l_epoch + after_s)
-    return lb.join(rb, [by, "_bucket"], how).filter(cond).drop("_bucket")
+    inner = lb.join(rb, [by, "_bucket"], "inner").filter(cond).drop("_bucket")
+    if how == "inner":
+        return inner.drop("_lid")
+    matched_ids = inner.select("_lid").distinct()
+    unmatched = lid.join(matched_ids, "_lid", "left_anti")
+    for c in rb.columns:
+        if c not in (by, "_bucket"):
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(rb.schema[c].dataType))
+    return inner.unionByName(unmatched).drop("_lid")

@@ -181,17 +181,37 @@ def pairwise_topk_within_label(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    group_size_cap: int = 1000,
+    dim: int = 64,
+    bands: int = 24,
+    planes_per_band: int = 4,
 ) -> DataFrame:
-    """Most-similar pair per label group (blocked all-pairs: the label acts
-    as the coarse partition — the 100 TB pattern is the same join keyed by
-    LSH bucket instead of a given label)."""
-    a = df.select(
-        F.col(label_col).alias("lbl"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = df.select(
-        F.col(label_col).alias("lbl"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    pairs = (
+    """Most-similar pair per label group, with the self-join blocked so no
+    group ever goes quadratic:
+
+    - groups with ≤ ``group_size_cap`` members: exact all-pairs within the
+      label (bounded: ≤ cap²/2 pairs per group);
+    - larger groups: candidate pairs come from an equi-join on
+      ``(label, band, lsh-signature)`` — the same random-hyperplane LSH
+      machinery as ``embedding_near_dups`` — so with coarse labels (the
+      realistic corpus case) the pair count scales with bucket
+      co-occupancy, not group size². The top-1 pair per group is by
+      construction a high-cosine pair, exactly what LSH buckets preserve.
+
+    Group sizes are a broadcast aggregate on the label (labels are few).
+    Returns one row per label: (lbl, id_a, id_b, cos_sim).
+    """
+    from pyspark.sql.window import Window
+
+    sizes = df.groupBy(F.col(label_col).alias("lbl")).agg(F.count(F.lit(1)).alias("_gsz"))
+    base = df.select(
+        F.col(label_col).alias("lbl"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(sizes), "lbl")
+
+    small = base.filter(F.col("_gsz") <= group_size_cap)
+    a = small.select("lbl", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = small.select("lbl", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    exact_pairs = (
         a.join(b, "lbl")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -201,8 +221,31 @@ def pairwise_topk_within_label(
             F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
         )
     )
-    from pyspark.sql.window import Window
 
+    large = base.filter(F.col("_gsz") > group_size_cap)
+    sig_udf = band_signatures_udf(dim, bands, planes_per_band)
+    sigs = large.select(
+        "lbl", "_id", "_v", F.posexplode(sig_udf(F.col("_v"))).alias("band", "sig")
+    )
+    la, lb = sigs.alias("a"), sigs.alias("b")
+    lsh_pairs = (
+        la.join(
+            lb,
+            (F.col("a.lbl") == F.col("b.lbl"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a.lbl").alias("lbl"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), round_digits).alias("cos_sim"),
+        )
+        .distinct()
+    )
+
+    pairs = exact_pairs.unionByName(lsh_pairs)
     w = Window.partitionBy("lbl").orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
     return (
         pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -162,11 +162,15 @@ def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_docs_simhash_hamming",
     None,  # xxhash64-based — rows-only
-    doc="SimHash near-dup candidates with hamming distance ≤ 8.",
+    doc="SimHash near-dup candidates with hamming distance ≤ 8 (full recall).",
 )
 def q_docs_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_candidates(d, "text", "doc_id").filter(F.col("hamming") <= 8)
+    # blocks = 9 = k+1 guarantees every hamming ≤ 8 pair shares a block
+    # (pigeonhole) — the advertised filter matches the blocking recall.
+    return dedup.simhash_candidates(d, "text", "doc_id", blocks=9).filter(
+        F.col("hamming") <= 8
+    )
 
 
 @register(

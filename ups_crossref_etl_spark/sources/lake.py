@@ -40,14 +40,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every testdata table present in ``sf_dir`` keyed by name."""
+    """Load every testdata table present in ``sf_dir`` keyed by name.
+
+    Routed through ``read_table`` so the events nanos→micros timestamp
+    adaptation applies uniformly — SQL views over ``events`` expose a real
+    TIMESTAMP, consistent with the scan contract and DuckDB semantics.
+    """
     from ..schemas import TESTDATA_TABLES
 
     out: dict[str, DataFrame] = {}
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            out[t] = spark.read.parquet(p)
+            out[t] = read_table(spark, sf_dir, t)
     return out
 
 
