@@ -152,3 +152,36 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         )
         spark.sql("DROP TABLE IF EXISTS b_customer")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_country_tagging_pinned_reference_parity(spark):
+    """Pins (cc, country) for known affiliations against hardcoded expected
+    values — independent of the COUNTRY_PATTERNS constant, so a drift in
+    membership/order/names of the dict (reference :167-185) fails here even
+    though the bibliometric oracle imports the same constant."""
+    from ups_crossref_etl_spark import functions as fx
+    from ups_crossref_etl_spark.plans.ingest import country_pattern_df, tag_countries
+
+    cases = [
+        ("Universidad Politécnica Salesiana, Quito, Ecuador", "EC", "Ecuador"),
+        ("Universidad de Granada, España", "ES", "Spain"),
+        ("Universidad Nacional Mayor de San Marcos, Lima, Perú", "PE", "Peru"),
+        # reference dict order puts peru BEFORE colombia — first match wins
+        ("Oficina regional para Colombia y Peru", "PE", "Peru"),
+        ("MIT, Cambridge, USA", "US", "United States"),
+        ("University of Tokyo, Japan", "JP", "Japan"),
+        ("Harvard University, Estados Unidos", "US", "United States"),
+        ("King's College, Londres, Inglaterra", "GB", "United Kingdom"),
+        # NOT in the reference dict: no 'england' pattern, no Portugal entry
+        ("University of Oxford, England", None, None),
+        ("Instituto Superior Técnico, Lisboa, Portugal", None, None),
+        ("Université de Montréal, Canada", "CA", "Canada"),
+    ]
+    aff = spark.createDataFrame([(c[0],) for c in cases], schema="raw string")
+    aff = aff.select(fx.norm_text_nfkd_lower(F.col("raw")).alias("aff_norm"), "raw")
+    got = {
+        r["raw"]: (r["cc_match"], r["country_match"])
+        for r in tag_countries(aff, country_pattern_df(spark)).collect()
+    }
+    for raw, cc, name in cases:
+        assert got[raw] == (cc, name), f"{raw}: {got[raw]} != {(cc, name)}"

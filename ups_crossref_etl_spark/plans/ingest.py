@@ -30,23 +30,30 @@ UPS_TARGET = "Universidad Politécnica Salesiana"
 
 # F8/J4: COUNTRY_PATTERNS (reference :167-185) as a priority-ordered
 # pattern table — first match in dict order wins, encoded as min(priority).
+# Mirrors the reference dict exactly: membership, iteration order, and
+# English display names. One documented transform: matching happens on
+# NFKD-de-accented lowered text on both engines (reference :105-112 strips
+# combining marks the same way), so the reference's accented alternates
+# (españa, perú, méxico, canadá, japón) can never match and are carried
+# here in de-accented form instead — behavior-identical, and 'espana'
+# additionally catches the de-accented text the normalizer actually emits.
 COUNTRY_PATTERNS: list[tuple[str, str, str]] = [
     ("EC", "Ecuador", r"ecuador"),
-    ("ES", "España", r"spain|espana|españa"),
+    ("ES", "Spain", r"spain|espana"),
+    ("PE", "Peru", r"peru"),
     ("CO", "Colombia", r"colombia"),
-    ("PE", "Perú", r"peru|perú"),
     ("CL", "Chile", r"chile"),
     ("AR", "Argentina", r"argentina"),
-    ("MX", "México", r"mexico|méxico"),
-    ("BR", "Brasil", r"brazil|brasil"),
-    ("US", "Estados Unidos", r"usa|united states|estados unidos"),
-    ("GB", "Reino Unido", r"united kingdom|uk|england|reino unido"),
-    ("DE", "Alemania", r"germany|alemania|deutschland"),
-    ("FR", "Francia", r"france|francia"),
-    ("IT", "Italia", r"italy|italia"),
+    ("MX", "Mexico", r"mexico"),
+    ("BR", "Brazil", r"brazil|brasil"),
+    ("US", "United States", r"united states|usa|u\.s\.a\.|u\.s\.|estados unidos"),
+    ("CA", "Canada", r"canada"),
+    ("GB", "United Kingdom", r"united kingdom|uk|u\.k\.|inglaterra|reino unido"),
+    ("FR", "France", r"france|francia"),
+    ("DE", "Germany", r"germany|alemania"),
+    ("IT", "Italy", r"italy|italia"),
     ("CN", "China", r"china"),
-    ("CA", "Canadá", r"canada|canadá"),
-    ("PT", "Portugal", r"portugal"),
+    ("JP", "Japan", r"japan|japon"),
 ]
 
 
