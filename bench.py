@@ -38,6 +38,50 @@ HEADLINE = [
 ]
 
 
+def _bucketed_join_demo(spark, sf_dir: str, times: dict[str, float]) -> None:
+    """The join-without-exchange number the 100 TB story rests on: the same
+    customer⋈orders agg measured (a) unbucketed — SortMergeJoin with both
+    sides exchanged — and (b) from bucketed tables — SortMergeJoin with ZERO
+    exchanges (plan asserted in tests/test_plans.py::
+    test_bucketed_join_skips_shuffle). Broadcast is disabled for the pair:
+    at cluster scale neither fact side fits in a broadcast. The bucketed
+    write itself is untimed setup — at scale it is paid once at ingest and
+    amortized over every downstream join."""
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.plans.money import DEC
+    from ups_crossref_etl_spark.sources.lake import read_table
+    from ups_crossref_etl_spark.sources.sinks import write_bucketed
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+
+    def agg(cust, orders):
+        return (
+            cust.join(orders, "c_custkey")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2).alias("total"),
+            )
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        agg(c, o).collect()
+        times["q_join_unbucketed_smj"] = round(time.time() - t0, 3)
+        write_bucketed(c, "bench_b_customer", ["c_custkey"], num_buckets=16)
+        write_bucketed(o, "bench_b_orders", ["c_custkey"], num_buckets=16)
+        t0 = time.time()
+        agg(spark.table("bench_b_customer"), spark.table("bench_b_orders")).collect()
+        times["q_join_bucketed_noshuffle"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bench_b_customer")
+        spark.sql("DROP TABLE IF EXISTS bench_b_orders")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -53,6 +97,8 @@ def main() -> None:
         df = specs[name].fn(spark, sf_dir)
         df.collect()
         times[name] = round(time.time() - t0, 3)
+
+    _bucketed_join_demo(spark, sf_dir, times)
 
     print(
         json.dumps(

@@ -190,3 +190,79 @@ def test_runs_audit(spark):
     cur = R.current_runs(log).collect()
     assert len(cur) == 1
     assert cur[0]["RowsIngested"] == 42 and cur[0]["CursorFin"] == "c9"
+
+
+def _api_item(doi: str, family: str, year: int = 2023) -> dict:
+    """A CrossRef-API-shaped item (hyphenated keys, date-parts wrappers)."""
+    return {
+        "DOI": doi,
+        "title": [f"Work {doi}"],
+        "container-title": ["Journal of Tests"],
+        "publisher": "Pub",
+        "type": "journal-article",
+        "is-referenced-by-count": 3,
+        "reference-count": 10,
+        "subject": ["Energy"],
+        "author": [
+            {
+                "given": "Ana",
+                "family": family,
+                "ORCID": "https://orcid.org/0000-0001-2345-6789",
+                "sequence": "first",
+                "affiliation": [
+                    {"name": "Universidad Politecnica Salesiana, Cuenca, Ecuador"}
+                ],
+            }
+        ],
+        "issued": {"date-parts": [[year, 5, 1]]},
+        "created": {"date-parts": [[year, 5, 2]]},
+    }
+
+
+def test_datasource_end_to_end_offline(spark, tmp_path):
+    """Drives CrossRefCursorSource ITSELF (spark.read.format("crossref"),
+    the Spark adapter for the reference's main path, reference
+    src/barrazueta_pipeline_etl_crossref.py:563-733) through a canned
+    3-page cursor walk via the fixture_path offline transport — the read
+    goes through DataSource.reader → partitions → read in a real Python
+    worker, not just iterate_pages in-process."""
+    import json as _json
+
+    from ups_crossref_etl_spark.sources.crossref import CrossRefCursorSource
+
+    pages = {
+        "*": {
+            "message": {
+                "items": [_api_item("10.1/a", "Lopez"), _api_item("10.1/b", "Perez")],
+                "next-cursor": "c1",
+            }
+        },
+        "c1": {
+            "message": {"items": [_api_item("10.1/c", "Sanchez")], "next-cursor": "c2"}
+        },
+        "c2": {"message": {"items": []}},
+    }
+    fp = tmp_path / "pages.json"
+    fp.write_text(_json.dumps(pages))
+
+    spark.dataSource.register(CrossRefCursorSource)
+    df = spark.read.format("crossref").option("fixture_path", str(fp)).load()
+
+    from ups_crossref_etl_spark.schemas import works_raw_schema
+
+    assert df.schema == works_raw_schema
+    rows = sorted(df.collect(), key=lambda r: r["doi"])
+    assert [r["doi"] for r in rows] == ["10.1/a", "10.1/b", "10.1/c"]
+    a = rows[0]["author"][0]
+    assert a["family"] == "Lopez" and a["sequence"] == "first"
+    assert a["affiliation"][0]["name"].startswith("Universidad Politecnica")
+    assert rows[0]["issued"]["date_parts"] == [[2023, 5, 1]]
+
+    # O2 cap pushed through the source option: stops mid-walk at 2 works.
+    df2 = (
+        spark.read.format("crossref")
+        .option("fixture_path", str(fp))
+        .option("max_works", "2")
+        .load()
+    )
+    assert df2.count() == 2

@@ -256,3 +256,79 @@ def test_pairwise_top_within_label_lsh_blocking(spark, sf_dir):
     # for a clear majority of the 10 labels on this fixture
     hits = sum(1 for lbl in exact if lsh.get(lbl) == exact[lbl])
     assert hits >= 7
+
+
+def test_pairwise_top_label_guarantee_and_dim_inference(spark):
+    # 3 labels, tiny vectors (dim=4, NOT 64): every label with >=2 members
+    # must yield a row even when forced down the large-group path, and dim
+    # must be inferred from the data rather than assumed 64.
+    rows = [
+        ("a", 1, [1.0, 0.0, 0.0, 0.0]),
+        ("a", 2, [0.9, 0.1, 0.0, 0.0]),
+        ("a", 3, [0.0, 1.0, 0.0, 0.0]),
+        ("b", 4, [0.0, 0.0, 1.0, 0.0]),
+        ("b", 5, [0.0, 0.0, 0.9, 0.1]),
+        ("c", 6, [0.5, 0.5, 0.0, 0.0]),  # singleton: no pair possible
+    ]
+    emb = spark.createDataFrame(rows, schema=["label", "vec_id", "embedding"])
+    out = {
+        r["lbl"]: (r["id_a"], r["id_b"])
+        for r in similarity.pairwise_topk_within_label(
+            emb, group_size_cap=0  # force every group through the LSH+fallback path
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}  # every >=2-member label has a row; no 'c'
+    assert out["a"] == (1, 2) and out["b"] == (4, 5)  # fallback finds the true top-1
+
+
+def test_fingerprint_md5_variant_matches_rolling_structure(spark):
+    d = _docs(spark)
+    fp = d.select(
+        "doc_id",
+        ta.fingerprint(F.col("text")).alias("fp_xx"),
+        ta.fingerprint(F.col("text"), token_hash="md5_48").alias("fp_md5"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in fp}
+    # exact-dup docs agree under both hashes; near-dup docs differ
+    assert by_id[1]["fp_xx"] == by_id[2]["fp_xx"]
+    assert by_id[1]["fp_md5"] == by_id[2]["fp_md5"]
+    assert by_id[1]["fp_md5"] != by_id[3]["fp_md5"]
+    assert by_id[5]["fp_md5"] == 0  # empty text -> init value
+    for r in fp:  # all values inside [0, mod)
+        assert 0 <= r["fp_md5"] < 2_147_483_647
+
+
+def test_connected_components_transitive_chain(spark):
+    from ups_crossref_etl_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 plus disjoint pair 10-11: labels must propagate
+    # transitively (4 -> 1 even though (1,4) is not an edge)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], schema=["src", "dst"]
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_transitive_collapses_chain(spark):
+    # A~B and B~C verified near-dups but A,C farther apart: transitive
+    # closure keeps only A, while the single-hop variant may keep C.
+    base = "the quick brown fox jumps over the lazy dog again and again extra words here"
+    rows = [
+        (1, base),
+        (2, base + " tail"),
+        (3, base + " tail tail2 tail3"),
+        (4, "completely unrelated text about spark catalyst optimizer internals"),
+    ]
+    d = spark.createDataFrame(rows, schema=["doc_id", "text"])
+    kept = dedup.minhash_dedup_transitive(
+        d, "text", "doc_id", num_hashes=32, bands=16, jaccard_threshold=0.5
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 1 in ids and 4 in ids
+    clusters = dedup.near_dup_clusters(
+        d, "text", "doc_id", num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).collect()
+    comp = {r["node"]: r["component"] for r in clusters}
+    # every clustered doc maps to the min id of its component
+    assert all(c == 1 for n, c in comp.items() if n in (1, 2, 3))

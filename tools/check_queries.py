@@ -56,8 +56,14 @@ def normalize(rows: list[tuple], cols: list[str]):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
 
@@ -67,6 +73,7 @@ def main() -> int:
     con = duck_con(sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,10 +84,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            results[name] = {"status": "fail", "err": f"spark: {ex}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             n_rowsonly += 1
             continue
         try:
@@ -89,6 +98,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
+            results[name] = {"status": "fail", "err": f"duckdb: {ex}"}
             n_fail += 1
             continue
         problems = []
@@ -103,11 +113,33 @@ def main() -> int:
                 problems.append(f"{len(mism)} row mismatches; first: {mism[0]}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:500]}
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "pass",
+                "spark_rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_rows_only": n_rowsonly,
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 

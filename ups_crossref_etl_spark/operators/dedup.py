@@ -261,6 +261,53 @@ def minhash_dedup(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Transitive near-dup clustering: LSH candidates → Jaccard verify →
+    connected components over the verified-pair graph. Unlike
+    ``minhash_dedup``'s single-hop min-neighbor (which can keep one doc
+    per chain link on long chains), every member of a transitive cluster
+    maps to one cluster id = min doc id in the component.
+
+    Returns (node, component) for docs in ≥1 verified pair; docs with no
+    near-dup are absent (they are their own singleton clusters)."""
+    from .graph import connected_components
+
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k, jaccard_threshold)
+    edges = verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(edges, max_iter=max_iter)
+
+
+def minhash_dedup_transitive(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """``minhash_dedup`` with full transitive closure: keep exactly one doc
+    (the min id) per connected near-dup cluster — chain A~B~C keeps only A
+    even when A,C were never a verified pair."""
+    clusters = near_dup_clusters(
+        df, text_col, id_col, num_hashes, bands, shingle_k, jaccard_threshold
+    )
+    drop = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_drop_id")
+    )
+    return df.join(drop, df[id_col] == F.col("_drop_id"), "left_anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -1,0 +1,70 @@
+"""Distributed connected components (min-label propagation).
+
+The general-purpose graph operator behind author entity resolution
+(``plans/entities.py``) and transitive near-duplicate clustering
+(``operators/dedup.near_dup_clusters``): given an undirected edge list,
+assign every node the minimum node id reachable from it.
+
+Scale shape: each iteration is one shuffle (join edges→labels + min-agg);
+iteration count is the graph diameter, which for identity/dup graphs is
+tiny (2-4). ``localCheckpoint`` truncates lineage per round — standard
+practice for iterative algorithms on Spark (same shape GraphX uses for
+its ConnectedComponents). The reference has no graph operator (its author
+identity pass is a sequential dict replay,
+src/barrazueta_pipeline_etl_crossref.py:317-420); this is the
+distributed re-expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(src, dst) undirected edge list → (node, component) where component
+    is the min node id in the node's connected component. Nodes appearing
+    in no edge are absent — union singletons afterwards if needed.
+
+    Converges when no label changes (checked with a limit(1) probe, not a
+    full count); ``max_iter`` bounds worst-case pathological chains.
+    """
+    npart = edges.sparkSession.sparkContext.defaultParallelism
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(npart, "src")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(nodes.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        updated = (
+            nodes.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                "label",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "new_label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        nodes = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return nodes.select("node", F.col("label").alias("component"))

@@ -57,11 +57,7 @@ def range_join(
             r = r.withColumnRenamed(c, f"r_{c}")
     r_epoch = F.col(f"r_{on}").cast("long")
 
-    # _lid identifies each physical left row so the outer restore can
-    # reconcile multiplicity after the 3x explode; it is derived once,
-    # before the branch, and never appears in the output.
-    lid = left.withColumn("_lid", F.monotonically_increasing_id())
-    lb = lid.withColumn(
+    lb = left.withColumn(
         "_bucket",
         F.explode(
             F.array(
@@ -75,10 +71,23 @@ def range_join(
     cond = (r_epoch >= l_epoch - before_s) & (r_epoch <= l_epoch + after_s)
     inner = lb.join(rb, [by, "_bucket"], "inner").filter(cond).drop("_bucket")
     if how == "inner":
-        return inner.drop("_lid")
-    matched_ids = inner.select("_lid").distinct()
-    unmatched = lid.join(matched_ids, "_lid", "left_anti")
+        return inner
+    # Outer restore without row ids: a left row's match status depends only
+    # on its column values, so identical left rows share it. Anti-join the
+    # original left against the distinct matched left-value tuples with
+    # null-safe equality (plain column equi-join would fail to eliminate
+    # matched rows containing nulls and duplicate them into the output).
+    # left_anti preserves left-side multiplicity, and — unlike a
+    # monotonically_increasing_id branch — every term here is deterministic
+    # under recomputation, so no rows can be dropped or duplicated when a
+    # stage is retried on a cluster.
+    matched_vals = inner.select(*left.columns).distinct()
+    anti_cond = None
+    for c in left.columns:
+        clause = left[c].eqNullSafe(matched_vals[c])
+        anti_cond = clause if anti_cond is None else (anti_cond & clause)
+    unmatched = left.join(matched_vals, anti_cond, "left_anti")
     for c in rb.columns:
         if c not in (by, "_bucket"):
             unmatched = unmatched.withColumn(c, F.lit(None).cast(rb.schema[c].dataType))
-    return inner.unionByName(unmatched).drop("_lid")
+    return inner.unionByName(unmatched)

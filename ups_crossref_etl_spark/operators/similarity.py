@@ -182,9 +182,10 @@ def pairwise_topk_within_label(
     vec_col: str = "embedding",
     round_digits: int = 4,
     group_size_cap: int = 1000,
-    dim: int = 64,
+    dim: int | None = None,
     bands: int = 24,
     planes_per_band: int = 4,
+    fallback_sample: int = 256,
 ) -> DataFrame:
     """Most-similar pair per label group, with the self-join blocked so no
     group ever goes quadratic:
@@ -197,8 +198,16 @@ def pairwise_topk_within_label(
       realistic corpus case) the pair count scales with bucket
       co-occupancy, not group size². The top-1 pair per group is by
       construction a high-cosine pair, exactly what LSH buckets preserve.
+      Because LSH alone can miss every pair of a group (no band
+      collision), large groups ALSO contribute exact pairs over their
+      first ``fallback_sample`` members (by id) — so every label with ≥2
+      members is guaranteed a row. The large-group result is therefore
+      approximate: the winning pair is the best among LSH-colliding pairs
+      plus the sampled prefix, not a certified global argmax.
 
-    Group sizes are a broadcast aggregate on the label (labels are few).
+    ``dim`` defaults to the length of the first embedding (one driver-side
+    row fetch, only when a large group exists). Group sizes are a broadcast
+    aggregate on the label (labels are few).
     Returns one row per label: (lbl, id_a, id_b, cos_sim).
     """
     from pyspark.sql.window import Window
@@ -223,29 +232,56 @@ def pairwise_topk_within_label(
     )
 
     large = base.filter(F.col("_gsz") > group_size_cap)
-    sig_udf = band_signatures_udf(dim, bands, planes_per_band)
-    sigs = large.select(
-        "lbl", "_id", "_v", F.posexplode(sig_udf(F.col("_v"))).alias("band", "sig")
-    )
-    la, lb = sigs.alias("a"), sigs.alias("b")
-    lsh_pairs = (
-        la.join(
-            lb,
-            (F.col("a.lbl") == F.col("b.lbl"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a._id") < F.col("b._id")),
+    if dim is None:
+        # One driver-side row fetch (model-state sized), and only when a
+        # large group actually exists; no large groups → skip the branch.
+        head = large.select("_v").take(1)
+        dim = len(head[0][0]) if head else None
+    pairs = exact_pairs
+    if dim is not None:
+        sig_udf = band_signatures_udf(dim, bands, planes_per_band)
+        sigs = large.select(
+            "lbl", "_id", "_v", F.posexplode(sig_udf(F.col("_v"))).alias("band", "sig")
         )
-        .select(
-            F.col("a.lbl").alias("lbl"),
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), round_digits).alias("cos_sim"),
+        la, lb = sigs.alias("a"), sigs.alias("b")
+        lsh_pairs = (
+            la.join(
+                lb,
+                (F.col("a.lbl") == F.col("b.lbl"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a.lbl").alias("lbl"),
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.round(cosine(F.col("a._v"), F.col("b._v")), round_digits).alias("cos_sim"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-
-    pairs = exact_pairs.unionByName(lsh_pairs)
+        # Guaranteed-coverage fallback: exact pairs over the first
+        # `fallback_sample` members of each large group, so a label whose
+        # members never collide in any band still yields its row.
+        ws = Window.partitionBy("lbl").orderBy(F.asc("_id"))
+        sample = (
+            large.withColumn("_srn", F.row_number().over(ws))
+            .filter(F.col("_srn") <= fallback_sample)
+            .drop("_srn")
+        )
+        sa = sample.select("lbl", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+        sb = sample.select("lbl", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        sample_pairs = (
+            sa.join(sb, "lbl")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "lbl",
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+            )
+        )
+        pairs = exact_pairs.unionByName(lsh_pairs).unionByName(sample_pairs).distinct()
     w = Window.partitionBy("lbl").orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
     return (
         pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -94,14 +94,32 @@ def quality_score(text_col: Column) -> Column:
     return F.round(score, 4)
 
 
-def fingerprint(text_col: Column, mod: int = 2_147_483_647, base: int = 31) -> Column:
+def fingerprint(
+    text_col: Column,
+    mod: int = 2_147_483_647,
+    base: int = 31,
+    token_hash: str = "xxhash64",
+) -> Column:
     """Polynomial rolling-hash fingerprint over lowercased word tokens:
-    ``h = (h*base + xxhash64(token) mod mod) mod mod`` folded left.
-    Order-sensitive (unlike a bag-of-words hash) and expressible in ANSI
-    SQL for oracle checking."""
+    ``h = (h*base + tokhash(token) mod mod) mod mod`` folded left.
+    Order-sensitive (unlike a bag-of-words hash).
+
+    ``token_hash``: ``"xxhash64"`` (default — fastest, JVM-native, but
+    Spark-specific) or ``"md5_48"`` (first 48 bits of md5, which DuckDB
+    reproduces as ``CAST('0x' || substr(md5(t),1,12) AS BIGINT)`` — the
+    oracle-checkable variant; same rolling structure, ~2× the per-token
+    hash cost). All arithmetic stays below 2^36 so bigint never wraps:
+    acc < mod ≈ 2^31, acc*31 + tokhash%mod < 2^36 + 2^31.
+    """
     toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    if token_hash == "md5_48":
+        def th(t: Column) -> Column:
+            return F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+    else:
+        def th(t: Column) -> Column:
+            return F.xxhash64(t)
     return F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
-        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % F.lit(mod),
+        lambda acc, t: (acc * base + F.pmod(th(t), F.lit(mod))) % F.lit(mod),
     )

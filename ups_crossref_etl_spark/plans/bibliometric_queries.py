@@ -137,13 +137,13 @@ def q_biblio_dashboard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (VALUES
       ('grupo gihp4c, universidad politecnica salesiana, cuenca, ecuador', 1, 'EC', 'Ecuador', 1),
       ('instituto ecuador-espana de madrid, spain', 4, 'EC', 'Ecuador', 0),
-      ('mit, usa', 4, 'US', 'Estados Unidos', 0),
+      ('mit, usa', 4, 'US', 'United States', 0),
       ('nanjing university, china', 4, 'CN', 'China', 0),
-      ('politecnico di milano, italy', 4, 'IT', 'Italia', 0),
-      ('pontificia universidad catolica del peru, peru', 4, 'PE', 'Perú', 0),
+      ('politecnico di milano, italy', 4, 'IT', 'Italy', 0),
+      ('pontificia universidad catolica del peru, peru', 4, 'PE', 'Peru', 0),
       ('tsinghua university, china', 4, 'CN', 'China', 0),
       ('universidad de cuenca, ecuador', 1, 'EC', 'Ecuador', 0),
-      ('universidad de granada, spain', 4, 'ES', 'España', 0),
+      ('universidad de granada, spain', 4, 'ES', 'Spain', 0),
       ('universidad nacional de colombia, colombia', 4, 'CO', 'Colombia', 0),
       ('universidad politecnica salesiana', 4, 'EC', 'Ecuador', 1),
       ('universidad politecnica salesiana - cuenca', 1, 'EC', 'Ecuador', 1),
@@ -152,8 +152,8 @@ def q_biblio_dashboard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('universidad politecnica salesiana, guayaquil, ecuador', 3, 'EC', 'Ecuador', 1),
       ('universidad politecnica salesiana, quito', 2, 'EC', 'Ecuador', 1),
       ('universidad politecnica salesiana, quito, ecuador', 2, 'EC', 'Ecuador', 1),
-      ('universidade de sao paulo, brazil', 4, 'BR', 'Brasil', 0),
-      ('universite de paris, france', 4, 'FR', 'Francia', 0))
+      ('universidade de sao paulo, brazil', 4, 'BR', 'Brazil', 0),
+      ('universite de paris, france', 4, 'FR', 'France', 0))
     AS t(AfiliacionBusqueda, SedeID, CountryCode, CountryName, EsUPS)
     """,
     doc=(

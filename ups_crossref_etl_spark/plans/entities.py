@@ -44,53 +44,12 @@ _RESOLVED_SCHEMA = (
 
 def _connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     """Min-label propagation over an undirected edge list (src, dst) →
-    (node, component). Converges when no label changes; author identity
-    graphs have tiny diameter so this exits in 2-4 iterations."""
-    # localCheckpoint truncates lineage each iteration — without it the
-    # plan doubles per round and the driver re-executes the whole upstream
-    # DAG every count(). Standard practice for iterative algorithms on
-    # Spark (same shape GraphX/GraphFrames use).
-    # partition by actual parallelism, not the inherited shuffle conf: the
-    # identity graph is orders of magnitude smaller than the mention table
-    # (one node per distinct name/orcid), and each iteration materializes
-    # via localCheckpoint — 200 near-empty tasks per round is pure overhead.
-    npart = edges.sparkSession.sparkContext.defaultParallelism
-    sym = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(npart, "src")
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    (node, component). Delegates to the shared graph operator
+    (``operators/graph.connected_components``); author identity graphs
+    have tiny diameter so it exits in 2-4 iterations."""
+    from ..operators.graph import connected_components
 
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(nodes.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "node")
-        )
-        updated = (
-            nodes.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                "label",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
-            )
-            .localCheckpoint()
-        )
-        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        nodes = updated.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
-    return nodes.select("node", F.col("label").alias("component"))
+    return connected_components(edges, max_iter=max_iter)
 
 
 def _replay_component(pdf: pd.DataFrame) -> pd.DataFrame:

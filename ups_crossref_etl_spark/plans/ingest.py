@@ -30,13 +30,16 @@ UPS_TARGET = "Universidad Politécnica Salesiana"
 
 # F8/J4: COUNTRY_PATTERNS (reference :167-185) as a priority-ordered
 # pattern table — first match in dict order wins, encoded as min(priority).
-# Mirrors the reference dict exactly: membership, iteration order, and
-# English display names. One documented transform: matching happens on
-# NFKD-de-accented lowered text on both engines (reference :105-112 strips
-# combining marks the same way), so the reference's accented alternates
-# (españa, perú, méxico, canadá, japón) can never match and are carried
-# here in de-accented form instead — behavior-identical, and 'espana'
-# additionally catches the de-accented text the normalizer actually emits.
+# Mirrors the reference dict: membership, iteration order, and English
+# display names. One deliberate divergence: matching happens on
+# NFKD-de-accented lowered text (reference :105-112 strips combining marks
+# the same way), so the reference's accented alternates (españa, perú,
+# méxico, canadá, japón) are DEAD there — they can never match the
+# normalized input. We carry them de-accented ('espana', 'japon', …)
+# instead, which DOES match the text the normalizer emits. This is an
+# intentional fix of the reference's dead alternates, not identical
+# behavior: inputs like "Universidad de España" classify here but return
+# no country in the reference.
 COUNTRY_PATTERNS: list[tuple[str, str, str]] = [
     ("EC", "Ecuador", r"ecuador"),
     ("ES", "Spain", r"spain|espana"),

@@ -217,17 +217,55 @@ def q_docs_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_docs_fingerprint",
-    None,  # xxhash64-based rolling hash — rows-only (invariants pytest-tested)
-    doc="Order-sensitive rolling-hash document fingerprint.",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''],
+                 t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2147483647)),
+             (a, b) -> (a * 31 + b) % 2147483647) AS fp
+    FROM documents
+    """,
+    doc=(
+        "Order-sensitive rolling-hash document fingerprint (md5_48 token "
+        "hash — the oracle-checkable variant; production default is "
+        "xxhash64, same rolling structure)."
+    ),
 )
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+    return d.select(
+        "doc_id", ta.fingerprint(F.col("text"), token_hash="md5_48").alias("fp")
+    )
 
 
 @register(
     "q_docs_quality_score",
-    None,  # composite heuristic — pinned by pytest range/monotonicity tests
+    """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b')) AS n_stop
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             round(n_stop / nullif(n_tok, 0)::DOUBLE, 4) AS stopword_ratio,
+             round((n_chars - (n_tok - 1)) / nullif(n_tok, 0)::DOUBLE, 4) AS mean_token_len,
+             round(n_punct / nullif(n_chars, 0)::DOUBLE, 4) AS punct_ratio,
+             round(n_digit / nullif(n_chars, 0)::DOUBLE, 4) AS digit_ratio
+      FROM f)
+    SELECT doc_id,
+           round(0.25 * least(coalesce(stopword_ratio, 0) * 4, 1.0)
+               + 0.25 * (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * (1 - least(coalesce(punct_ratio, 0) * 5, 1.0))
+               + 0.25 * (1 - least(coalesce(digit_ratio, 0) * 5, 1.0)), 4) AS quality
+    FROM r
+    """,
     doc="Scalar quality score in [0,1] (stopword/length/punct/digit blend).",
 )
 def q_docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -217,17 +217,36 @@ try:  # pragma: no cover — API present in PySpark >= 4
             # downstream stages re-partition after the scan.
             return [InputPartition(0)]
 
-        def read(self, partition):  # pragma: no cover — needs network
-            import urllib.parse
-            import urllib.request
+        def read(self, partition):
+            """Runs in the Python worker. Transport is selected by option:
+            ``fixture_path`` (a JSON file mapping cursor → HTTP body dict)
+            replays canned pages through the SAME iterate_pages cursor loop
+            the live path uses — the offline end-to-end test path; without
+            it, a urllib transport hits the real API."""
+            fixture_path = self.options.get("fixture_path")
+            if fixture_path:
+                with open(fixture_path) as fh:
+                    pages = json.load(fh)
 
-            def live_fetch(url, params):
-                full = url + "?" + urllib.parse.urlencode(params)
-                req = urllib.request.Request(full, headers={"User-Agent": "ups-etl-spark"})
-                with urllib.request.urlopen(req, timeout=60) as r:
-                    return r.status, dict(r.headers), json.loads(r.read())
+                def fetch(url, params):
+                    return 200, {}, pages[params.get("cursor", "*")]
 
-            policy = FetchPolicy()
+                policy = FetchPolicy(sleep=lambda s: None)
+                sleep_s = 0.0
+            else:  # pragma: no cover — needs network
+                import urllib.parse
+                import urllib.request
+
+                def fetch(url, params):
+                    full = url + "?" + urllib.parse.urlencode(params)
+                    req = urllib.request.Request(
+                        full, headers={"User-Agent": "ups-etl-spark"}
+                    )
+                    with urllib.request.urlopen(req, timeout=60) as r:
+                        return r.status, dict(r.headers), json.loads(r.read())
+
+                policy = FetchPolicy()
+                sleep_s = 0.3
             params = default_params(
                 affiliation=self.options.get(
                     "affiliation", "Universidad Politécnica Salesiana"
@@ -235,7 +254,10 @@ try:  # pragma: no cover — API present in PySpark >= 4
                 from_date=self.options.get("from_date", "2022-01-01"),
                 until_date=self.options.get("until_date", "2025-11-30"),
             )
-            for _cursor, items in iterate_pages(live_fetch, policy, params):
+            max_works = int(self.options.get("max_works", 1_000_000))
+            for _cursor, items in iterate_pages(
+                fetch, policy, params, max_works=max_works, inter_page_sleep_s=sleep_s
+            ):
                 for it in items:
                     yield _item_to_row(it)
 
