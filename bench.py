@@ -35,6 +35,10 @@ HEADLINE = [
     "q_docs_cleaning_pipeline",
     "q_emb_bruteforce_topk",
     "q_events_asof_join",
+    # training-data pipeline ops (round 3): hash-assigned split/pack/chunk
+    "q_docs_split_assign",
+    "q_docs_pack_sequences",
+    "q_docs_chunk_spans",
 ]
 
 

@@ -332,3 +332,93 @@ def test_minhash_dedup_transitive_collapses_chain(spark):
     comp = {r["node"]: r["component"] for r in clusters}
     # every clustered doc maps to the min id of its component
     assert all(c == 1 for n, c in comp.items() if n in (1, 2, 3))
+
+
+# ---- training-pipeline sampling operators (round 3) ----
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    """The defining property of the hash split: a doc's split is a pure
+    function of (seed, key), so growing the corpus never reassigns
+    existing docs (no train/eval contamination between snapshots)."""
+    from ups_crossref_etl_spark.operators.sampling import split_assign
+
+    small = spark.range(0, 200).withColumnRenamed("id", "k")
+    big = spark.range(0, 1000).withColumnRenamed("id", "k")
+    s_small = {r["k"]: r["split"] for r in split_assign(small, "k").collect()}
+    s_big = {r["k"]: r["split"] for r in split_assign(big, "k").collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # all three splits materialize and roughly respect 90/5/5
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 800
+
+
+def test_pack_sequences_budget_property(spark):
+    """Concat-and-chunk: cum_tokens is monotone per partition and each
+    doc's bin is the budget window its span starts in — so a bin's total
+    overshoots the budget by at most one doc."""
+    from ups_crossref_etl_spark.operators.sampling import pack_sequences
+
+    rows = [("a", i, 100 + (i % 7) * 50) for i in range(40)] + [
+        ("b", i, 500) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, schema=["src", "doc_id", "n_tok"])
+    out = pack_sequences(df, "n_tok", "doc_id", budget=1000, part_col="src").collect()
+    for r in out:
+        assert r["pack_bin"] == (r["cum_tokens"] - r["n_tok"]) // 1000
+    by_src_bin = {}
+    for r in out:
+        by_src_bin.setdefault((r["src"], r["pack_bin"]), []).append(r["n_tok"])
+    for (_, _bin), toks in by_src_bin.items():
+        assert sum(toks) <= 1000 + max(toks)  # overshoot bounded by one doc
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    from ups_crossref_etl_spark.operators.sampling import domain_mix
+
+    rows = [(f"d{i % 3}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, schema=["dom", "k"])
+    kept = domain_mix(
+        df, "dom", "k", {"d0": 0.5, "d1": 0.5}, total_budget=40
+    )
+    got = kept.collect()
+    assert {r["dom"] for r in got} <= {"d0", "d1"}  # d2 dropped
+    # rate = min(1, 0.5*40/100) = 0.2 -> ~20 of 100 per domain kept
+    from collections import Counter
+
+    c = Counter(r["dom"] for r in got)
+    assert 8 <= c["d0"] <= 32 and 8 <= c["d1"] <= 32
+    again = Counter(r["dom"] for r in domain_mix(
+        df, "dom", "k", {"d0": 0.5, "d1": 0.5}, total_budget=40
+    ).collect())
+    assert c == again  # bit-for-bit reproducible
+
+
+def test_chunk_spans_cover_and_overlap(spark):
+    """Chunks tile the doc: first starts at 0, consecutive starts differ
+    by stride, the last chunk ends exactly at n_tok, and every non-final
+    chunk is exactly chunk_size long."""
+    from ups_crossref_etl_spark.operators.sampling import chunk_spans
+    from pyspark.sql import functions as F
+
+    rows = [(1, 10), (2, 512), (3, 513), (4, 2000), (5, 64)]
+    df = spark.createDataFrame(rows, schema=["doc_id", "n_tok"])
+    out = chunk_spans(df, F.col("n_tok"), chunk_size=512, overlap=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_tok = dict(rows)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["chunk_start"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["chunk_start"] - a["chunk_start"] == 448
+            assert a["chunk_len"] == 512
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_len"] == n_tok[doc]
+        assert last["chunk_len"] > 64 or len(chunks) == 1
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 2 and len(by_doc[4]) == 5

@@ -1,0 +1,218 @@
+"""Training-data sampling / splitting / packing / mixing operators.
+
+The reference has no sampling surface (it is a single-tenant ETL,
+src/barrazueta_pipeline_etl_crossref.py); these are the LLM-data-pipeline
+extensions a 100 TB corpus needs before training: deterministic
+train/val/test splits, per-domain stratified sampling, token-budget
+sequence packing, and domain mixing to target proportions.
+
+Design rules, chosen for cluster scale:
+
+- **Assignment is a pure function of (seed, key)** via md5 — the same doc
+  lands in the same split on every run, every engine, every cluster size.
+  No RNG state, no ``rand()`` (non-reproducible across retries), and the
+  DuckDB oracles reproduce every decision bit-for-bit
+  (``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)``).
+- **Assignment is a narrow projection** — zero shuffle to decide; only
+  summaries/aggregations shuffle. Filtering 100 TB down to a sample never
+  moves the unsampled bytes.
+- **Packing is windowed per partition column** (source/domain), not
+  globally — a global pack is a single total-order sort; per-domain packs
+  parallelize across the cluster and match how corpora are sharded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "hash_bucket",
+    "split_assign",
+    "stratified_sample",
+    "pack_sequences",
+    "domain_mix",
+    "sample_n_per_group",
+    "chunk_spans",
+]
+
+
+def hash_bucket(key: Column, seed: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in ``[0, buckets)``: first 8 hex chars of
+    ``md5(seed || '-' || key)`` as an integer, mod buckets. Engine-portable:
+    DuckDB mirrors it as
+    ``CAST('0x' || substr(md5(seed || '-' || key), 1, 8) AS BIGINT) % buckets``.
+    8 hex chars = 32 bits, so the bigint math never overflows and the
+    mod bias is < 2^-25 for bucket counts in the thousands."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "-"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    )
+    return (h.cast("bigint") % F.lit(buckets)).alias("bucket")
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "split",
+    weights: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket the key into
+    ``sum(weights)`` cells and carve contiguous ranges. A doc's split never
+    changes when the corpus grows (hash depends only on the key), which is
+    the property that keeps eval sets uncontaminated across snapshots."""
+    total = sum(w for _, w in weights)
+    b = hash_bucket(F.col(key_col), seed, total)
+    expr = None
+    cum = 0
+    for name, w in weights:
+        cum += w
+        clause = F.when(b < F.lit(cum), F.lit(name))
+        expr = clause if expr is None else expr.when(b < F.lit(cum), F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff
+    ``hash_bucket(key) < rate(stratum) * 10000``. Downsampling junk domains
+    while keeping high-quality ones whole is the canonical corpus-shaping
+    move; the hash keeps it reproducible and join-stable (the same doc is
+    in or out everywhere it appears)."""
+    b = hash_bucket(F.col(key_col), seed, 10_000)
+    rate = None
+    for s, r in rates.items():
+        clause = F.when(F.col(stratum_col) == F.lit(s), F.lit(float(r)))
+        rate = clause if rate is None else rate.when(
+            F.col(stratum_col) == F.lit(s), F.lit(float(r))
+        )
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(
+        F.lit(float(default_rate))
+    )
+    return df.filter(b < (rate * 10_000).cast("bigint"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: deterministic order within each
+    ``part_col`` partition, running token total, bin id = which
+    ``budget``-sized window the doc's span starts in. One window shuffle
+    per partition column — per-domain packs run in parallel across
+    executors. (Exact first-fit bin packing is inherently sequential; the
+    concat-and-chunk approximation is what large training pipelines
+    actually ship, and wastes at most one doc's tokens per boundary.)
+
+    Adds ``pack_bin`` (0-based within partition) and ``cum_tokens``."""
+    keys = [part_col] if part_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn("cum_tokens", cum).withColumn(
+        "pack_bin", F.floor((F.col("cum_tokens") - F.col(token_col)) / F.lit(budget))
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    target_weights: dict[str, float],
+    total_budget: int,
+    seed: str = "mix",
+) -> DataFrame:
+    """Mix domains toward target proportions: per-domain desired count =
+    ``weight * total_budget``, sample rate = ``min(1, desired / available)``
+    applied via the deterministic hash. Domains absent from
+    ``target_weights`` are dropped. The per-domain counts are a tiny
+    aggregate broadcast back onto the fact side — the 100 TB of rows are
+    touched once, with a map-side filter."""
+    wdf = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in target_weights.items()],
+        f"{domain_col} string, _w double",
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_avail"))
+        .join(wdf, domain_col, "inner")
+        .withColumn(
+            "_rate",
+            F.least(F.lit(1.0), F.col("_w") * F.lit(float(total_budget)) / F.col("_avail")),
+        )
+    )
+    b = hash_bucket(F.col(key_col), seed, 10_000)
+    # `_avail` (domain row count) and `_rate` ride along for callers that
+    # report selection stats; `_w` is internal.
+    return (
+        df.join(F.broadcast(counts), domain_col, "inner")
+        .filter(b < (F.col("_rate") * 10_000).cast("bigint"))
+        .drop("_w")
+    )
+
+
+def sample_n_per_group(
+    df: DataFrame, group_col: str, key_col: str, n: int, seed: str = "samp"
+) -> DataFrame:
+    """Exactly-N uniform sample per group (reservoir-sampling equivalent,
+    but deterministic): rank rows within each group by the md5 hash of
+    their key and keep the first ``n``. The hash order is uniform-random
+    with respect to any data ordering yet reproducible across runs and
+    engines. One window shuffle on the group key; at 100 TB prefer this
+    over ``rdd.takeSample`` (driver-side) or ``TABLESAMPLE`` (not
+    per-group, not deterministic)."""
+    h = F.md5(F.concat(F.lit(seed + "-"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def chunk_spans(
+    df: DataFrame,
+    token_count_col: Column,
+    chunk_size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window preparation step before training/embedding. Emits one
+    row per chunk with ``chunk_idx``, ``chunk_start``, ``chunk_len``
+    (token offsets; pair with ``slice(split(text), ...)`` to materialize
+    the token slice).
+
+    Stride = ``chunk_size - overlap``. Every chunk except possibly the
+    last has ``chunk_len == chunk_size``; the last covers the tail and is
+    always longer than ``overlap`` (so no chunk is a strict subset of the
+    previous one). Pure JVM-side ``sequence``+``explode`` — codegen, no
+    UDF, no shuffle."""
+    stride = chunk_size - overlap
+    n_tok = token_count_col
+    n_chunks = F.greatest(
+        F.ceil((n_tok - F.lit(overlap)) / F.lit(float(stride))), F.lit(1)
+    )
+    out = df.withColumn("_n_tok", n_tok).filter(F.col("_n_tok") > 0)
+    out = out.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks.cast("bigint") - 1))
+    )
+    start = F.col("chunk_idx") * stride
+    return (
+        out.withColumn("chunk_start", start)
+        .withColumn("chunk_len", F.least(F.lit(chunk_size), F.col("_n_tok") - start))
+        .drop("_n_tok")
+    )

@@ -52,19 +52,23 @@ def load_all() -> dict[str, QuerySpec]:
     driver re-verifies them; (b) the remaining slots rotate so every oracle is
     driver-exercised at least once across rounds (r01: relational + reference
     shapes; r02: biblio/streaming/text/similarity/events/reference shapes;
-    r03: biblio [afiliaciones oracle fix] + streaming + relational
-    [q_approx_aggregates' round-2 oracle, never yet driver-run] + text
-    [fingerprint/quality_score oracles added] + round-3 additions). Modules
-    rotated out this round (similarity, events, reference_shapes) were all
-    driver-green in CORRECTNESS_r02 and keep their pytest coverage; the full
-    87-query battery is additionally run locally per-round via
-    tools/check_queries.py (committed as FULLCHECK_r{N}.json).
+    r03: biblio [afiliaciones oracle fix] + streaming + round-3 additions
+    [CUBE/CC/salted-skew] + pipeline [split/sample/pack/mix, new] + text
+    [fingerprint/quality_score oracles added] + relational head
+    [q_approx_aggregates' round-2 oracle — never yet driver-run — moved to
+    the module front so the window truncating relational's tail cannot drop
+    it]). Modules/tails rotated out this round (relational tail, similarity,
+    events, reference_shapes) were all driver-green in r01/r02 and keep
+    their pytest coverage; the full battery is additionally run locally
+    per-round via tools/check_queries.py --json (committed as
+    FULLCHECK_r{N}.json).
     """
     from . import bibliometric_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
-    from . import relational  # noqa: F401
-    from . import text_queries  # noqa: F401
     from . import round3_queries  # noqa: F401
+    from . import pipeline_queries  # noqa: F401
+    from . import text_queries  # noqa: F401
+    from . import relational  # noqa: F401
     from . import similarity_queries  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import reference_shapes  # noqa: F401

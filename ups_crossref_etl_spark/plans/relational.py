@@ -23,6 +23,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# Registered first within this module: its round-2 oracle rework has not
+# yet had a driver correctness row, and the gate window truncates this
+# module's tail (see registry.load_all) — the never-yet-verified query must
+# not be the one truncated.
+@register(
+    "q_approx_aggregates",
+    """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_parts_within_5pct,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median_price,
+           TRUE AS approx_median_within_p40_p60
+    FROM lineitem
+    """,
+    doc="Sketch aggregates (HLL count-distinct, approx percentile) with a "
+    "checkable contract: exact twins hash-compared, approximate values "
+    "exported as error-bound booleans the oracle pins to TRUE.",
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
+        F.expr("percentile(l_extendedprice, 0.4)").alias("_p40"),
+        F.expr("percentile(l_extendedprice, 0.6)").alias("_p60"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("approx_parts_within_5pct"),
+        "exact_median_price",
+        (
+            (F.col("_approx_median") >= F.col("_p40"))
+            & (F.col("_approx_median") <= F.col("_p60"))
+        ).alias("approx_median_within_p40_p60"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation core
 # --------------------------------------------------------------------------
@@ -567,39 +609,3 @@ def q_pivot_segment_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_approx_aggregates",
-    """
-    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-           TRUE AS approx_parts_within_5pct,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median_price,
-           TRUE AS approx_median_within_p40_p60
-    FROM lineitem
-    """,
-    doc="Sketch aggregates (HLL count-distinct, approx percentile) with a "
-    "checkable contract: exact twins hash-compared, approximate values "
-    "exported as error-bound booleans the oracle pins to TRUE.",
-)
-def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_median_price"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
-        F.expr("percentile(l_extendedprice, 0.4)").alias("_p40"),
-        F.expr("percentile(l_extendedprice, 0.6)").alias("_p60"),
-    )
-    return agg.select(
-        "exact_parts",
-        (
-            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
-            / F.col("exact_parts")
-            <= 0.05
-        ).alias("approx_parts_within_5pct"),
-        "exact_median_price",
-        (
-            (F.col("_approx_median") >= F.col("_p40"))
-            & (F.col("_approx_median") <= F.col("_p60"))
-        ).alias("approx_median_within_p40_p60"),
-    )

@@ -102,3 +102,24 @@ def q_stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register(
+    "q_stream_dedup_user_bucket",
+    """
+    SELECT user_id,
+           count(DISTINCT time_bucket(INTERVAL 5 MINUTE, ts)) AS n_buckets
+    FROM events GROUP BY user_id
+    """,
+    doc=(
+        "STREAMING dropDuplicatesWithinWatermark per (user, 5-min bucket) "
+        "— bounded-state streaming dedup; the oracle pins the surviving "
+        "bucket count per user (which physical row survives a bucket is "
+        "arrival-order-dependent, so the contract is bucket counts)."
+    ),
+)
+def q_stream_dedup_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = _run(
+        se.dedup_user_bucket(se.stream_events(spark, sf_dir)), mode="append"
+    )
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_buckets"))

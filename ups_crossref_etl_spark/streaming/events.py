@@ -97,6 +97,22 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_user_bucket(events: DataFrame, bucket: str = "5 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: keep one event per (user, time bucket)
+    with ``dropDuplicatesWithinWatermark`` — the state store evicts keys
+    once the watermark passes, so state stays bounded by the watermark
+    horizon (a plain ``dropDuplicates`` on a stream grows state forever —
+    the scale failure mode at 100 TB/day). Which physical row survives a
+    bucket is arrival-order-dependent; downstream consumers must key on
+    the bucket, not the row payload (the gate query counts buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("wstart", F.window("ts", bucket).getField("start"))
+        .dropDuplicatesWithinWatermark(["user_id", "wstart"])
+    )
+
+
 _STATE_SCHEMA = T.StructType(
     [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
 )
