@@ -422,3 +422,55 @@ def test_chunk_spans_cover_and_overlap(spark):
         assert last["chunk_len"] > 64 or len(chunks) == 1
     assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
     assert len(by_doc[3]) == 2 and len(by_doc[4]) == 5
+
+
+def test_incremental_dedup_drops_exact_and_near(spark):
+    from ups_crossref_etl_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different corpus text about query planners")],
+        schema=["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),                      # exact dup of corpus doc 1
+            (11, base + " appended tail"),   # near dup of corpus doc 1
+            (12, "fresh unseen content with brand new shingles entirely"),
+        ],
+        schema=["doc_id", "text"],
+    )
+    surv = incremental_dedup(
+        incoming, corpus, "text", "doc_id",
+        num_hashes=32, bands=16, jaccard_threshold=0.5,
+    )
+    assert [r["doc_id"] for r in surv.collect()] == [12]
+    # corpus is never mutated; running again is idempotent
+    again = incremental_dedup(
+        surv, corpus, "text", "doc_id",
+        num_hashes=32, bands=16, jaccard_threshold=0.5,
+    )
+    assert again.count() == 1
+
+
+def test_scalar_quantize_roundtrip_error_bound(spark):
+    from ups_crossref_etl_spark.operators.similarity import scalar_quantize
+    from pyspark.sql import functions as F
+
+    rows = [(i, [((i * 7 + j * 13) % 101 - 50) / 25.0 for j in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, schema=["vec_id", "embedding"])
+    q = scalar_quantize(df, "embedding", "vec_id", bits=8)
+    got = q.collect()
+    assert all(max(abs(c) for c in r["qvec"]) <= 127 for r in got)
+    # dequantization error is bounded by scale/2 per dimension
+    joined = df.join(q, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.expr(
+                    "transform(embedding, (x, i) -> "
+                    "abs(cast(x as double) - qvec[i] * scales[i]) - scales[i] / 2)"
+                )
+            )
+        ).alias("worst")
+    ).first()
+    assert joined["worst"] <= 1e-9

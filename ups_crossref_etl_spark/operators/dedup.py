@@ -130,6 +130,46 @@ def minhash_signatures(
     return sh.groupBy("_id").agg(*aggs)
 
 
+def _banded_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(``_id``, ``band``, ``bhash``) LSH band rows — the blocking key
+    shared by the self-join (``minhash_lsh_candidates``) and the
+    cross-snapshot join (``incremental_dedup``)."""
+    rows_per_band = num_hashes // bands
+    withsig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = withsig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows_per_band + i}") for i in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    if max_bucket_size is not None:
+        # count() over the bucket key is the same shuffle the self-join
+        # needs, so the cap costs one window pass, not an extra exchange
+        wb = Window.partitionBy("band", "bhash")
+        banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
+            F.col("_bsz") <= F.lit(max_bucket_size)
+        ).drop("_bsz")
+    return banded
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -156,31 +196,9 @@ def minhash_lsh_candidates(
     boilerplate clones are exact duplicates that ``exact_dedup`` removes
     upstream anyway. Pass ``None`` to disable the cap.
     """
-    rows_per_band = num_hashes // bands
-    withsig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    banded = withsig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * rows_per_band + i}") for i in range(rows_per_band)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
-    if max_bucket_size is not None:
-        # count() over the bucket key is the same shuffle the self-join
-        # needs, so the cap costs one window pass, not an extra exchange
-        wb = Window.partitionBy("band", "bhash")
-        banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(wb)).filter(
-            F.col("_bsz") <= F.lit(max_bucket_size)
-        ).drop("_bsz")
+    banded = _banded_rows(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -306,6 +324,66 @@ def minhash_dedup_transitive(
         F.col("node").alias("_drop_id")
     )
     return df.join(drop, df[id_col] == F.col("_drop_id"), "left_anti")
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """Cross-snapshot dedup — the production shape for a daily batch
+    landing against an already-deduped 100 TB corpus: drop incoming docs
+    that duplicate the corpus exactly (content-hash anti-join) or nearly
+    (MinHash bands joined incoming×corpus ONLY; the corpus is never
+    self-joined, so cost scales with |batch| × collision rate, not
+    |corpus|²). Near matches are verified with exact shingle Jaccard
+    before dropping — precision is exact, recall is the LSH band
+    guarantee. Returns surviving incoming rows (schema unchanged).
+
+    The reference's insert-if-absent (src/barrazueta_pipeline_etl_crossref
+    .py:599-601) is the exact-only special case of this operator."""
+    inc_h = incoming.withColumn("_h", F.md5(F.col(text_col)))
+    cor_h = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    inc1 = inc_h.join(cor_h, "_h", "left_anti").drop("_h")
+
+    bi = _banded_rows(
+        inc1, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size
+    ).withColumnRenamed("_id", "id_a")
+    bc = _banded_rows(
+        corpus, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size
+    ).withColumnRenamed("_id", "id_b")
+    cand = bi.join(bc, ["band", "bhash"]).select("id_a", "id_b").distinct()
+
+    # exact-Jaccard verify across the two frames (same shape as
+    # ngram_jaccard_pairs but with per-side shingle tables)
+    sa = shingle_hash_rows(inc1, text_col, id_col, shingle_k)
+    sb = shingle_hash_rows(corpus, text_col, id_col, shingle_k)
+    ca = sa.groupBy("_id").agg(F.count(F.lit(1)).alias("_na"))
+    cb = sb.groupBy("_id").agg(F.count(F.lit(1)).alias("_nb"))
+    inter = (
+        cand.join(sa.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+        .join(sb.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    near = (
+        inter.join(ca.select(F.col("_id").alias("id_a"), "_na"), "id_a")
+        .join(cb.select(F.col("_id").alias("id_b"), "_nb"), "id_b")
+        .filter(
+            F.col("_inter")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+            >= jaccard_threshold
+        )
+        .select("id_a")
+        .distinct()
+    )
+    return inc1.join(near, inc1[id_col] == near["id_a"], "left_anti")
 
 
 # --------------------------------------------------------------------------

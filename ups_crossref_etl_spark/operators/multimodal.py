@@ -22,11 +22,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# feat as double (not float32): the fake kernel's byte arithmetic is part
+# of the driver-checkable contract (q_media_decode_features), and float32
+# truncation would reintroduce ulp noise the oracle can't reproduce.
 IMAGE_FEATURE_SCHEMA = (
-    "asset_id bigint, modality string, n_bytes int, feat array<float>, decode_ok boolean"
+    "asset_id bigint, modality string, n_bytes int, feat array<double>, decode_ok boolean"
 )
 
-FRAME_SAMPLE_SCHEMA = "asset_id bigint, frame_idx int, frame_feat array<float>"
+FRAME_SAMPLE_SCHEMA = "asset_id bigint, frame_idx int, frame_feat array<double>"
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

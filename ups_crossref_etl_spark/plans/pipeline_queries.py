@@ -224,3 +224,65 @@ def q_docs_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(toks, F.col("n_tok"), chunk_size=512, overlap=64).select(
         "doc_id", "chunk_idx", "chunk_start", "chunk_len"
     )
+
+
+@register(
+    "q_docs_incremental_dedup",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id < 500),
+    inc AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+    cor AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+    inc2 AS (
+      SELECT i.* FROM inc i
+      WHERE NOT EXISTS (SELECT 1 FROM cor c WHERE md5(c.text) = md5(i.text))),
+    tok_i AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS tok
+      FROM inc2),
+    tok_c AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS tok
+      FROM cor),
+    sh_i AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))
+                  ELSE [array_to_string(tok, ' ')] END AS s
+      FROM tok_i),
+    sh_c AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))
+                  ELSE [array_to_string(tok, ' ')] END AS s
+      FROM tok_c),
+    near AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh_i a JOIN sh_c b
+        ON len(list_intersect(a.s, b.s))::DOUBLE /
+           nullif(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.8)
+    SELECT doc_id, source FROM inc2
+    WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    """,
+    doc=(
+        "Cross-snapshot incremental dedup (operators/dedup."
+        "incremental_dedup): a 20% incoming batch deduped against the "
+        "80% corpus — exact content-hash anti-join, then MinHash bands "
+        "joined incoming-x-corpus only, exact-Jaccard verified. The "
+        "oracle recomputes the survivor set from exact shingle Jaccard; "
+        "equality holds because the verify stage gives exact precision "
+        "and 32-hash/16-band LSH recall at j>=0.8 is 1-(1-0.8^2)^16 "
+        "~ 1-1e-7 (bounded doc_id<500 sample keeps the all-pairs oracle "
+        "tractable at any SF)."
+    ),
+)
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_dedup
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    inc = d.filter(F.col("doc_id") % 5 == 0)
+    cor = d.filter(F.col("doc_id") % 5 != 0)
+    surv = incremental_dedup(inc, cor, "text", "doc_id", num_hashes=32, bands=16)
+    return surv.select("doc_id", "source")
