@@ -100,6 +100,52 @@ def main() -> None:
         emb1.count(), embN.count(),
     )
 
+    from ups_crossref_etl_spark.operators import sampling
+
+    def assign_count(d):
+        # narrow-projection ops: split + stratified filter, no shuffle
+        s = sampling.split_assign(d, "doc_id")
+        return sampling.stratified_sample(
+            s, "source", "doc_id", rates={"src0": 0.1}, default_rate=0.25
+        ).count()
+
+    probe(
+        "sampling_assign",
+        lambda: assign_count(docs1),
+        lambda: assign_count(docsN),
+        docs1.count(), docsN.count(),
+    )
+
+    def pack_count(d):
+        toks = d.select(
+            "source", "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        )
+        return sampling.pack_sequences(
+            toks, "n_tok", "doc_id", budget=2048, part_col="source"
+        ).groupBy("source", "pack_bin").count().count()
+
+    probe(
+        "pack_sequences",
+        lambda: pack_count(docs1),
+        lambda: pack_count(docsN),
+        docs1.count(), docsN.count(),
+    )
+
+    def inc_dedup_count(d):
+        inc = d.filter(F.col("doc_id") % 5 == 0)
+        cor = d.filter(F.col("doc_id") % 5 != 0)
+        return dedup.incremental_dedup(
+            inc, cor, "text", "doc_id", num_hashes=32, bands=8
+        ).count()
+
+    probe(
+        "incremental_dedup",
+        lambda: inc_dedup_count(docs1),
+        lambda: inc_dedup_count(docsN),
+        docs1.count(), docsN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
         json.dump(results, f, indent=2)
