@@ -246,13 +246,8 @@ def q_docs_minhash_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("j") >= 0.8)
         .select("id_a", "id_b")
     )
-    found = dedup.ngram_jaccard_pairs(
-        d,
-        dedup.minhash_lsh_candidates(d, "text", "doc_id", 32, 16, 3),
-        "text",
-        "doc_id",
-        3,
-        0.8,
+    found = dedup.minhash_near_dup_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=16, threshold=0.8
     ).select("id_a", "id_b")
     n_true = truth.agg(F.count(F.lit(1)).alias("_nt"))
     n_hit = truth.join(found, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("_nh"))

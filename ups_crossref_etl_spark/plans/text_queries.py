@@ -154,9 +154,11 @@ def q_docs_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     # 32 hashes / 8 bands (r=4): same band ratio as the 64/16 default at
-    # half the hashing cost — the right operating point for this corpus
-    cand = dedup.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=32, bands=8)
-    return dedup.ngram_jaccard_pairs(d, cand, "text", "doc_id", threshold=0.8)
+    # half the hashing cost — the right operating point for this corpus.
+    # Fused form: the shingle explode feeds candidates AND verify once.
+    return dedup.minhash_near_dup_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, threshold=0.8
+    )
 
 
 @register(
