@@ -185,3 +185,55 @@ def test_country_tagging_pinned_reference_parity(spark):
     }
     for raw, cc, name in cases:
         assert got[raw] == (cc, name), f"{raw}: {got[raw]} != {(cc, name)}"
+
+
+def test_sampling_assignment_plans_are_narrow(spark, sf_dir):
+    """The sampling ops' core scale claim: split assignment and stratified
+    filtering are pure projections/filters — ZERO exchanges before any
+    caller-added aggregation, so sampling 100 TB never shuffles the
+    unsampled bytes. Chunking adds only a Generate (explode), still no
+    exchange."""
+    from ups_crossref_etl_spark.operators import sampling
+
+    d = read_table(spark, sf_dir, "documents")
+    p1 = _plan(sampling.split_assign(d, "doc_id"))
+    assert "Exchange" not in p1
+    p2 = _plan(
+        sampling.stratified_sample(d, "source", "doc_id", rates={"src0": 0.1})
+    )
+    assert "Exchange" not in p2
+    p3 = _plan(
+        sampling.chunk_spans(
+            d.select("doc_id", F.size(F.split("text", r"\s+")).alias("n_tok")),
+            F.col("n_tok"),
+        )
+    )
+    assert "Exchange" not in p3 and "Generate" in p3
+
+
+def test_pack_sequences_single_partition_exchange(spark, sf_dir):
+    """Packing shuffles exactly once — the window partition on the domain
+    column; no global sort (Sort is within partitions after the hash
+    exchange)."""
+    from ups_crossref_etl_spark.operators import sampling
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", r"\s+")).alias("n_tok")
+    )
+    plan = _plan(sampling.pack_sequences(d, "n_tok", "doc_id", 2048, "source"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_domain_mix_broadcasts_rates(spark, sf_dir):
+    """The per-domain rate table joins back as a broadcast — the fact side
+    is never shuffled for the join."""
+    from ups_crossref_etl_spark.operators import sampling
+
+    d = read_table(spark, sf_dir, "documents")
+    mixed = sampling.domain_mix(
+        d, "source", "doc_id", {"src0": 0.5, "src1": 0.5}, total_budget=50
+    )
+    plan = _plan(mixed)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
