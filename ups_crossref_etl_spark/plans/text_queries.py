@@ -442,3 +442,38 @@ def q_docs_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return corpus_report(clean_corpus(d))
+
+
+@register(
+    "q_docs_pii_scan",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9][0-9()\s.-]{7,}[0-9]')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[PII]', 'g'),
+               '\+?[0-9][0-9()\s.-]{7,}[0-9]', '[PII]', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    doc=(
+        "PII audit + redaction (emails, IPv4s, phone-shaped digit runs): "
+        "pure regexp chain in the Java/RE2-shared dialect — row-local "
+        "codegen, scrubbing 100 TB is a map-only pass. The oracle "
+        "recomputes the hit counts AND the md5 of the redacted text, so "
+        "the replacement semantics (order, greediness) are pinned "
+        "bit-for-bit."
+    ),
+)
+def q_docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    counts = ta.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        F.md5(ta.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )

@@ -97,6 +97,21 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_static_enrich_filter(events: DataFrame, blocklist: DataFrame,
+                                dims: DataFrame) -> DataFrame:
+    """Stream-STATIC joins — the per-batch enrichment pattern: each
+    micro-batch left-anti-joins a static blocklist (drop already-processed
+    / banned keys) and broadcast-joins a static dimension table. The
+    static sides are re-read per micro-batch (so a lake refresh is picked
+    up) but never require state: unlike stream-stream joins there is no
+    watermark bookkeeping, which is why enrich-against-lake should always
+    be expressed stream-static, never stream-stream."""
+    return (
+        events.join(blocklist, "user_id", "left_anti")
+        .join(F.broadcast(dims), "event_type", "inner")
+    )
+
+
 def dedup_user_bucket(events: DataFrame, bucket: str = "5 minutes",
                       watermark: str = "1 hour") -> DataFrame:
     """Streaming deduplication: keep one event per (user, time bucket)
