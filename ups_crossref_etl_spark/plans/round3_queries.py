@@ -293,3 +293,42 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qvec",
         F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("max_code"),
     )
+
+
+@register(
+    "q_emb_pairwise_top_exact",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings WHERE vec_id < 500),
+    dots AS (
+      SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+             sum(a.v * b.v) AS dot,
+             sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+      FROM ex a JOIN ex b
+        ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT label AS lbl, ia AS id_a, ib AS id_b,
+             round(dot / (na * nb), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY round(dot / (na * nb), 4) DESC, ia, ib)
+               AS rn
+      FROM dots)
+    SELECT lbl, id_a, id_b, cos_sim FROM scored WHERE rn = 1
+    """,
+    doc=(
+        "Most-similar pair per label, hash-compared against a full exact "
+        "all-pairs oracle on a bounded sample (vec_id < 500) — pins the "
+        "operator's exact path (groups under group_size_cap) including "
+        "tie-breaking; the full-table rows-only twin "
+        "(q_emb_pairwise_top_within_label) exercises the LSH-blocked "
+        "large-group path."
+    ),
+)
+def q_emb_pairwise_top_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return sim.pairwise_topk_within_label(emb)

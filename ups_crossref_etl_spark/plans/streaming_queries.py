@@ -175,3 +175,30 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "event_type")
         .select("event_type", "weight", "n_events", "n_users")
     )
+
+
+@register(
+    "q_stream_sliding_10m5m",
+    """
+    WITH wins AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+               AS ws
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_value
+    FROM wins GROUP BY ws, event_type
+    """,
+    doc=(
+        "STREAMING sliding windows (10-min window, 5-min slide): every "
+        "event lands in exactly two overlapping windows; the oracle "
+        "replays the window assignment with a two-bucket unnest. "
+        "Completes the gate's window family (tumbling/sliding/session)."
+    ),
+)
+def q_stream_sliding_10m5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(se.sliding_avg(se.stream_events(spark, sf_dir)))

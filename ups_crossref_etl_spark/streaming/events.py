@@ -68,15 +68,26 @@ def tumbling_counts(events: DataFrame, window: str = "5 minutes",
 
 def sliding_avg(events: DataFrame, window: str = "10 minutes",
                 slide: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
-    """Sliding-window mean value per event_type (overlapping windows)."""
+    """Sliding-window mean value per event_type (overlapping windows).
+    The mean is decimal-sum / count (see plans/money.py) so the result is
+    accumulation-order-independent — double avg() over a shuffled stream
+    can flip the rounded digit between runs."""
+    from ..plans.money import DEC
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0)).cast(DEC)).alias("_s"),
+        )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",
-            "avg_value",
+            "n_events",
+            F.round(F.col("_s").cast("double") / F.col("n_events"), 4).alias(
+                "avg_value"
+            ),
         )
     )
 
