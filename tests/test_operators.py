@@ -496,3 +496,28 @@ def test_pii_redaction_planted(spark):
     assert "@" not in out[1]["r"] and "192.168" not in out[1]["r"]
     assert out[2]["n_phones"] == 1 and "555" not in out[2]["r"]
     assert out[3]["r"] == rows[2][1]  # untouched when nothing matches
+
+
+def test_quality_constraints_planted_violations(spark):
+    from ups_crossref_etl_spark.operators import quality as Q
+
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    df = spark.createDataFrame(
+        [(1, None, 5, "ok"), (2, 1, -3, "ok"), (3, 2, 7, "bad!"), (3, 9, 8, "ok")],
+        ["id", "ref", "val", "tag"],
+    )
+    rep = {
+        r["rule"]: r["n_violations"]
+        for r in Q.check(
+            df,
+            [Q.not_null("ref"), Q.in_range("val", 0, None), Q.matches("tag", "^ok$")],
+        ).collect()
+    }
+    assert rep["not_null(ref)"] == 1
+    assert rep["in_range(val)"] == 1
+    assert rep["matches(tag)"] == 1
+    uniq = Q.check_unique(df, ["id"]).first()
+    assert uniq["n_violations"] == 1  # id=3 twice
+    fk = Q.check_foreign_key(df, "ref", parent, "pk").first()
+    # ref=9 is the only orphan; the null ref is not_null's problem, not fk's
+    assert fk["n_violations"] == 1

@@ -1,0 +1,111 @@
+"""Declarative data-quality constraints (expectations-style).
+
+Generalizes the reference's ad-hoc guards (year sanity 1600-2100 at
+src/barrazueta_pipeline_etl_crossref.py — F.extract_year_any's range check —
+and the null/empty mention guards) into a rule API a lake pipeline runs per
+batch: each rule compiles to ONE aggregate expression, so checking any
+number of rules over 100 TB is a single scan with a map-side partial
+aggregate — never one job per rule (the naive expectations loop).
+Uniqueness and referential integrity are the only rules that need more
+than the scan: one groupBy on the key, one broadcast-able anti-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    # predicate marks a VIOLATION (True = bad row)
+    violation: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo=None, hi=None) -> Rule:
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < F.lit(lo))
+    if hi is not None:
+        cond = cond | (F.col(col) > F.lit(hi))
+    # nulls are not range violations — that's not_null's job
+    return Rule(f"in_range({col})", F.col(col).isNotNull() & cond)
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(
+        f"matches({col})",
+        F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+    )
+
+
+def one_of(col: str, allowed: list) -> Rule:
+    return Rule(
+        f"one_of({col})",
+        F.col(col).isNotNull() & ~F.col(col).isin(allowed),
+    )
+
+
+def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """All scan-level rules in ONE pass: returns (rule, n_violations,
+    n_rows) — a conditional-count aggregate per rule, map-side combined."""
+    aggs = [
+        F.sum(F.when(r.violation, 1).otherwise(0)).alias(r.name) for r in rules
+    ] + [F.count(F.lit(1)).alias("_n")]
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(r.name).alias("rule"), F.col(r.name).alias("n_violations"))
+            for r in rules
+        ]
+    )
+    return row.select(F.explode(pairs).alias("p"), F.col("_n").alias("n_rows")).select(
+        "p.rule", "p.n_violations", "n_rows"
+    )
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(rule, n_violations, n_rows) for key uniqueness: violations = rows
+    beyond the first per key. One shuffle on the key."""
+    dup = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum(F.col("_c") - 1).alias("n_violations"),
+            F.sum("_c").alias("n_rows"),
+        )
+    )
+    return dup.select(
+        F.lit(f"unique({','.join(cols)})").alias("rule"),
+        F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+        "n_rows",
+    )
+
+
+def check_foreign_key(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """Orphan count: NON-NULL child keys with no parent (a null FK is
+    not an orphan — flag nulls with ``not_null`` if they are illegal).
+    Anti-join — broadcast when the parent key set is dimension-sized,
+    shuffle otherwise (Catalyst picks; both sides project to single key
+    columns first)."""
+    orphans = (
+        child.select(F.col(child_col).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .join(
+            parent.select(F.col(parent_col).alias("_k")).distinct(), "_k", "left_anti"
+        )
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
+        F.lit(f"fk({child_col}->{parent_col})").alias("rule"),
+        "n_violations",
+        F.lit(None).cast("bigint").alias("n_rows"),
+    )

@@ -332,3 +332,72 @@ def q_emb_pairwise_top_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return sim.pairwise_topk_within_label(emb)
+
+
+@register(
+    "q_quality_constraints",
+    """
+    SELECT 'not_null(o_custkey)' AS rule,
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations,
+           count(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           CAST(count(*) FILTER (o_totalprice IS NOT NULL
+                                 AND (o_totalprice < 1 OR o_totalprice > 200000))
+                AS BIGINT),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'one_of(o_orderstatus)',
+           CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+                                 AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           CAST(count(*) FILTER (o_orderpriority IS NOT NULL
+                                 AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                AS BIGINT),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST((SELECT coalesce(sum(c - 1), 0)
+                 FROM (SELECT count(*) c FROM orders GROUP BY o_orderkey) g)
+                AS BIGINT),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'fk(l_orderkey->o_orderkey)',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    """,
+    doc=(
+        "Declarative data-quality constraints (operators/quality.py): all "
+        "scan-level rules (null / range / set / regex) compile into ONE "
+        "aggregate pass over the table — never one job per rule; "
+        "uniqueness adds one key shuffle, referential integrity one "
+        "anti-join. Generalizes the reference's ad-hoc year-sanity and "
+        "null guards into an engine feature."
+    ),
+)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as Q
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    scan = Q.check(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 1, 200000),
+            Q.one_of("o_orderstatus", ["O", "F", "P"]),
+            Q.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    uniq = Q.check_unique(o, ["o_orderkey"])
+    fk = Q.check_foreign_key(li, "l_orderkey", o, "o_orderkey")
+    return scan.unionByName(uniq).unionByName(fk)
