@@ -65,6 +65,96 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_window_range_frame_7d",
+    """
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_7d,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2)
+                AS DOUBLE) AS spend_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "RANGE-interval window frame: trailing-7-calendar-day order count "
+        "and spend per customer — a value-based frame (peers included by "
+        "time distance, not row position), the window variant ROWS frames "
+        "can't express. One shuffle on the partition key."
+    ),
+)
+def q_window_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("spend_7d"),
+    )
+
+
+@register(
+    "q_analytic_ranks_by_segment",
+    """
+    WITH spend AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_spend
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2)
+    SELECT c_mktsegment, c_custkey, total_spend,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           round(percent_rank() OVER w, 6) AS prank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY total_spend DESC, c_custkey)
+    """,
+    doc=(
+        "Analytic-rank family in one window (dense_rank / percent_rank / "
+        "ntile / cume_dist): customers ranked by exact-decimal spend "
+        "within segment, unique tiebreak so every rank value is "
+        "deterministic."
+    ),
+)
+def q_analytic_ranks_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2)
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    return spend.select(
+        "c_mktsegment",
+        "c_custkey",
+        "total_spend",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation core
 # --------------------------------------------------------------------------
