@@ -521,3 +521,29 @@ def test_quality_constraints_planted_violations(spark):
     fk = Q.check_foreign_key(df, "ref", parent, "pk").first()
     # ref=9 is the only orphan; the null ref is not_null's problem, not fk's
     assert fk["n_violations"] == 1
+
+
+def test_chunk_spans_udtf_matches_native(spark, sf_dir):
+    """The Python UDTF (API-parity path) must agree row-for-row with the
+    JVM-native sequence+explode operator on the real corpus."""
+    from ups_crossref_etl_spark.functions.udtfs import register_udtfs
+    from ups_crossref_etl_spark.operators.sampling import chunk_spans
+    from ups_crossref_etl_spark.operators.text_analysis import token_count
+
+    register_udtfs(spark)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .select("doc_id", token_count(F.col("text")).cast("int").alias("n_tok"))
+    )
+    d.createOrReplaceTempView("_udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.chunk_start, c.chunk_len "
+        "FROM _udtf_docs, LATERAL chunk_spans_udtf(n_tok, 512, 64) c"
+    ).collect()
+    native = (
+        chunk_spans(d, F.col("n_tok"), chunk_size=512, overlap=64)
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+        .collect()
+    )
+    assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, native))

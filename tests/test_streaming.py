@@ -206,3 +206,56 @@ def test_watermark_drops_late_data(spark, sf_dir):
         n_1000 = [r["n"] for r in rows if r["window"].start.minute == 0
                   and r["window"].start.hour == 10]
         assert n_1000 == [1]
+
+
+def test_streaming_dedup_across_microbatches(spark):
+    """dropDuplicatesWithinWatermark semantics across micro-batches: a
+    re-delivery of an already-seen (user, bucket) key in a later batch is
+    dropped while the key is still within the watermark horizon; a new
+    bucket passes. Two files drive two micro-batches."""
+    import shutil
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        os.makedirs(src)
+        schema = "event_id bigint, ts string, user_id bigint, event_type string, value double"
+
+        def mk(rows):
+            return spark.createDataFrame(rows, schema).selectExpr(
+                "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                "event_type", "value"
+            )
+
+        first = mk([
+            (1, "2024-02-01 10:00:00", 7, "a", 1.0),
+            (2, "2024-02-01 10:02:00", 7, "a", 1.0),  # same 5-min bucket as 1
+            (3, "2024-02-01 10:00:00", 8, "a", 1.0),  # other user, kept
+        ])
+        second = mk([
+            (4, "2024-02-01 10:01:00", 7, "a", 1.0),  # re-delivery, same bucket -> drop
+            (5, "2024-02-01 10:20:00", 7, "a", 1.0),  # new bucket -> keep
+        ])
+
+        def add(df, name):
+            tmp = os.path.join(td, name + "_stage")
+            df.coalesce(1).write.parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(tmp, f), os.path.join(src, name))
+
+        add(first, "a.parquet")
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        dedup = se.dedup_user_bucket(stream, bucket="5 minutes", watermark="1 hour")
+        q = (
+            dedup.writeStream.format("memory").queryName("t_dedup2")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            add(second, "b.parquet")
+            q.processAllAvailable()
+            got = spark.table("t_dedup2").collect()
+        finally:
+            q.stop()
+        keys = sorted((r["user_id"], r["wstart"].strftime("%H:%M")) for r in got)
+        assert keys == [(7, "10:00"), (7, "10:20"), (8, "10:00")]
