@@ -401,3 +401,35 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = Q.check_unique(o, ["o_orderkey"])
     fk = Q.check_foreign_key(li, "l_orderkey", o, "o_orderkey")
     return scan.unionByName(uniq).unionByName(fk)
+
+
+@register(
+    "q_events_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS BIGINT) AS gid,
+           count(*) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+    """,
+    doc=(
+        "Explicit asymmetric GROUPING SETS ((type), (hour), ()) — the "
+        "grouping API cube/rollup can't express (no (type, hour) "
+        "combination computed): one Expand + single hash aggregate, not "
+        "three scans. gid disambiguates rolled-up NULLs."
+    ),
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(hour(ts) AS INT) AS hour_of_day,
+               CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS BIGINT) AS gid,
+               count(*) AS n_events
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+        """
+    )
