@@ -51,3 +51,31 @@ def test_engine_end_to_end_and_incremental(spark):
             d.startswith("Anio=")
             for d in os.listdir(os.path.join(lake, "vista_analisis"))
         )
+
+
+def test_cli_corpus_subcommand(spark, sf_dir, tmp_path):
+    """`python -m ups_crossref_etl_spark corpus` end to end: clean + split
+    + pack over the real documents parquet, partitioned output, JSON
+    report line."""
+    import json
+
+    from ups_crossref_etl_spark.__main__ import main
+
+    out = str(tmp_path / "clean")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "corpus", "--docs", f"{sf_dir}/documents.parquet", "--out", out,
+            "--dedup", "transitive", "--split", "--pack", "2048",
+        ])
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["output_docs"] > 0
+    assert report["output_docs"] <= report["input_docs"]
+    got = spark.read.parquet(out)
+    assert {"split", "pack_bin", "n_tok"} <= set(got.columns)
+    assert {r["split"] for r in got.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
