@@ -547,3 +547,21 @@ def test_chunk_spans_udtf_matches_native(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, native))
+
+
+def test_audio_features_fake_pipeline(spark):
+    from ups_crossref_etl_spark.operators import multimodal
+    from ups_crossref_etl_spark.schemas import media_schema
+
+    rows = [
+        (1, "audio", "audio/wav", bytearray(bytes(range(64))), None, None, 4, None),
+        (2, "audio", "audio/wav", None, None, None, None, None),
+        (3, "image", "image/png", bytearray(b"xx"), None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=media_schema)
+    got = {r["asset_id"]: r for r in
+           multimodal.extract_audio_features(df, fake=True).collect()}
+    assert set(got) == {1, 2}  # image filtered out
+    assert got[1]["n_samples"] == 64 and got[1]["decode_ok"]
+    assert 0.0 < got[1]["rms"] <= got[1]["peak"] <= 1.0
+    assert got[2]["n_samples"] == 0 and not got[2]["decode_ok"]

@@ -66,3 +66,24 @@ def test_author_name_never_empty_string(spark, pairs):
         ).collect()
     ]
     assert all(o is None or o.strip() == o != "" for o in out)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200,
+             unique=True),
+    st.integers(min_value=2, max_value=97),
+)
+def test_hash_bucket_deterministic_and_in_range(spark, keys, buckets):
+    """hash_bucket: pure function of (seed, key) — stable across calls,
+    always in [0, buckets), and independent of row order."""
+    from ups_crossref_etl_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], schema="k long")
+    a = {r["k"]: r["b"] for r in
+         df.select("k", hash_bucket(F.col("k"), "s", buckets).alias("b")).collect()}
+    rev = spark.createDataFrame([(k,) for k in reversed(keys)], schema="k long")
+    b = {r["k"]: r["b"] for r in
+         rev.select("k", hash_bucket(F.col("k"), "s", buckets).alias("b")).collect()}
+    assert a == b
+    assert all(0 <= v < buckets for v in a.values())

@@ -96,6 +96,59 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> Da
     return df.filter(F.col("modality") == "video").mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id bigint, n_samples bigint, duration_s double, "
+    "rms double, peak double, decode_ok boolean"
+)
+
+
+def extract_audio_features(
+    df: DataFrame, sample_rate: int = 16_000, fake: bool = False
+) -> DataFrame:
+    """Audio decode + waveform stats via mapInPandas: sample count,
+    duration at ``sample_rate``, RMS and peak amplitude — the triage
+    features a speech-data pipeline filters on before transcription.
+    Real kernel = soundfile/librosa decode (absent in this container);
+    ``fake=True`` treats the payload bytes as int8 PCM — deterministic,
+    so the batch plumbing and schema are tested for real."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires codec libs not present in this "
+                    "container; run with fake=True to exercise plumbing"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r["payload"]
+                if p is None or len(p) == 0:
+                    rows.append((r["asset_id"], 0, 0.0, 0.0, 0.0, False))
+                    continue
+                wave = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
+                wave = wave / 128.0
+                rows.append(
+                    (
+                        r["asset_id"],
+                        len(wave),
+                        round(len(wave) / sample_rate, 6),
+                        round(float(np.sqrt(np.mean(wave * wave))), 6),
+                        round(float(np.max(np.abs(wave))), 6),
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "duration_s", "rms", "peak", "decode_ok",
+                ],
+            )
+
+    return df.filter(F.col("modality") == "audio").mapInPandas(
+        kernel, AUDIO_FEATURE_SCHEMA
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-metadata aggregation (no decode): per modality+mime, count,
     total/avg payload size — the triage query a 100 TB media lake runs
