@@ -565,3 +565,163 @@ def test_audio_features_fake_pipeline(spark):
     assert got[1]["n_samples"] == 64 and got[1]["decode_ok"]
     assert 0.0 < got[1]["rms"] <= got[1]["peak"] <= 1.0
     assert got[2]["n_samples"] == 0 and not got[2]["decode_ok"]
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions
+# --------------------------------------------------------------------------
+
+
+def test_simhash_md5_matches_pure_python(spark):
+    """The md5_60 simhash is the oracle-checkable variant — pin it against
+    an independent pure-Python recomputation (same spec DuckDB runs)."""
+    import hashlib
+    import re
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox jumps over the lazy dog again"),
+    ]
+
+    def py_simhash(text: str, bits: int = 60) -> int:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        votes = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum((1 << b) for b in range(bits) if votes[b] > 0)
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["_id"]: r["_sh"]
+        for r in dedup.simhash_table(
+            df, "text", "doc_id", token_hash="md5_60", bits=60
+        ).collect()
+    }
+    assert got == {i: py_simhash(t) for i, t in docs}
+
+
+def test_simhash_md5_candidates_hamming(spark):
+    docs = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words entirely here now")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(
+            df, "text", "doc_id", blocks=8, token_hash="md5_60", bits=60
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs → identical simhash
+
+
+def test_incremental_dedup_precomputed_state_identical(spark, sf_dir):
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    inc = d.filter(F.col("doc_id") % 5 == 0)
+    cor = d.filter(F.col("doc_id") % 5 != 0)
+    base = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            inc, cor, "text", "doc_id", num_hashes=32, bands=16
+        ).collect()
+    )
+    hashes, bandrows, shrows = dedup.corpus_dedup_state(
+        cor, "text", "doc_id", num_hashes=32, bands=16
+    )
+    pre = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            inc,
+            cor,
+            "text",
+            "doc_id",
+            num_hashes=32,
+            bands=16,
+            corpus_hashes=hashes,
+            corpus_band_rows=bandrows,
+            corpus_shingle_rows=shrows,
+        ).collect()
+    )
+    assert pre == base and len(base) > 0
+
+
+def test_connected_components_nonconvergence_signals(spark):
+    import warnings as w
+
+    from ups_crossref_etl_spark.operators.graph import connected_components
+
+    # a 9-node path graph needs ~diameter iterations; max_iter=1 can't finish
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        connected_components(edges, max_iter=1).collect()
+    assert any("max_iter" in str(c.message) for c in caught)
+    try:
+        connected_components(edges, max_iter=1, strict=True).collect()
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+    # converged runs stay silent
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        comp = connected_components(edges, max_iter=10).collect()
+    assert not any("max_iter" in str(c.message) for c in caught)
+    assert {r["component"] for r in comp} == {0}
+
+
+def test_stratified_sample_fragile_rate_07(spark):
+    """Rate 0.7: double math gives 6999.999… → cast-truncate loses bucket
+    6999; the driver-side integer cutoff keeps it (ADVICE r3 fix)."""
+    from ups_crossref_etl_spark.operators.sampling import hash_bucket, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(2000)], "k bigint, g string"
+    )
+    kept = {
+        r["k"] for r in stratified_sample(df, "g", "k", rates={"s": 0.7}).collect()
+    }
+    want = {
+        r["k"]
+        for r in df.filter(
+            hash_bucket(F.col("k"), "strat", 10_000) < 7000
+        ).collect()
+    }
+    assert kept == want
+
+
+def test_scalar_quantize_empty_and_null_guard(spark):
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    try:
+        similarity.scalar_quantize(df, "embedding", "vec_id")
+        raise AssertionError("expected ValueError on empty input")
+    except ValueError:
+        pass
+    # all-zero dimension degrades to scale 1.0, codes 0 — no crash
+    df2 = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, -2.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["qvec"] for r in
+           similarity.scalar_quantize(df2, "embedding", "vec_id").collect()}
+    assert got[1][0] == 0 and got[2][0] == 0
+
+
+def test_check_queries_rejects_array_cells():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from check_queries import reject_unhashable
+
+    try:
+        reject_unhashable([(1, [1, 2, 3])], ["id", "arr"], "spark")
+        raise AssertionError("expected TypeError (driver canonicalizer parity)")
+    except TypeError:
+        pass
+    reject_unhashable([(1, "a,b")], ["id", "s"], "spark")  # strings fine

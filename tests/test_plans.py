@@ -237,3 +237,47 @@ def test_domain_mix_broadcasts_rates(spark, sf_dir):
     plan = _plan(mixed)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_range_frame_window_single_exchange(spark, sf_dir):
+    """RANGE-interval frame (7-day trailing sum): ONE partition exchange +
+    ONE sort feeding ONE Window operator — a second sort/exchange would
+    mean the frame is re-shuffling per function at 100 TB."""
+    q = load_all()["q_window_range_frame_7d"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("Sort") == 1
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """GROUPING SETS ((type),(hour),()) must compile to ONE Expand + ONE
+    aggregate exchange (with map-side partial agg) — not one scan per set."""
+    q = load_all()["q_events_grouping_sets"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_cube_single_expand(spark, sf_dir):
+    """CUBE(type, hour): same single-Expand shape (4 grouping combos in
+    one pass)."""
+    q = load_all()["q_events_cube_type_hour"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_sliding_window_single_expand(spark, sf_dir):
+    """Sliding window (10m window / 5m slide): each event expands to
+    exactly its 2 window instances via ONE Expand + one agg exchange.
+    Pinned on the batch twin of streaming/events.sliding_avg (identical
+    DataFrame code path; the streaming variant only adds the watermark)."""
+    from ups_crossref_etl_spark.streaming import events as se
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    plan = _plan(se.sliding_avg(ev))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2

@@ -32,6 +32,24 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def reject_unhashable(rows: list[tuple], cols: list[str], side: str) -> None:
+    """Replicate the driver's canonicalizer constraint: it loads results
+    into pandas and ``sort_values`` over every column, which raises
+    ``TypeError: unhashable type: 'list'`` on array/map-typed cells. The
+    r3 gate scored two such queries ``err`` while this replica passed
+    them — so reject them here, BEFORE the driver can. Serialize arrays
+    (array_join / to_json on both engines) instead of returning them."""
+    for r in rows:
+        for v, c in zip(r, cols):
+            if isinstance(v, (list, tuple, set, dict)) or type(v).__name__ == "ndarray":
+                raise TypeError(
+                    f"unhashable type in {side} column {c!r} (value {v!r:.60}): "
+                    "the driver's pandas canonicalizer cannot hash "
+                    "array/map cells — serialize with array_join/to_json "
+                    "on both engines"
+                )
+
+
 def normalize(rows: list[tuple], cols: list[str]):
     """Sort columns by name, normalize cell values, sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -47,8 +65,6 @@ def normalize(rows: list[tuple], cols: list[str]):
             return int(v)
         if hasattr(v, "isoformat"):
             return v.isoformat()
-        if isinstance(v, (list, tuple)):
-            return tuple(cell(x) for x in v)
         return v
 
     out = [tuple(cell(r[i]) for i in order) for r in rows]
@@ -56,14 +72,16 @@ def normalize(rows: list[tuple], cols: list[str]):
 
 
 def main() -> int:
-    argv = list(sys.argv[1:])
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        del argv[i : i + 2]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", help="restrict to these query names")
+    ap.add_argument("--json", dest="json_out", metavar="PATH", default=None)
+    args = ap.parse_args()
+    json_out = args.json_out
+    sf_dir = args.sf_dir
+    only = set(args.names)
 
     import __spark_entry__ as e
 
@@ -102,6 +120,11 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        try:
+            reject_unhashable(srows, scols, "spark")
+            reject_unhashable(drows, dcols, "oracle")
+        except TypeError as ex:
+            problems.append(str(ex))
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):

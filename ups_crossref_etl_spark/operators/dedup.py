@@ -377,6 +377,30 @@ def minhash_dedup_transitive(
     return df.join(drop, df[id_col] == F.col("_drop_id"), "left_anti")
 
 
+def corpus_dedup_state(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 5000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The corpus-side state ``incremental_dedup`` needs, computed once:
+    ``(content_hashes, band_rows, distinct_shingle_rows)``. Persist these
+    at corpus ingest (they are narrow fixed-width tables, a tiny fraction
+    of the text bytes) and pass them to every subsequent batch call so the
+    daily-batch cost never rescans the 100 TB corpus. Parameters must
+    match the ones given to ``incremental_dedup``."""
+    return (
+        corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct(),
+        _banded_rows(
+            corpus, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size
+        ),
+        shingle_hash_rows(corpus, text_col, id_col, shingle_k),
+    )
+
+
 def incremental_dedup(
     incoming: DataFrame,
     corpus: DataFrame,
@@ -387,6 +411,9 @@ def incremental_dedup(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 5000,
+    corpus_hashes: DataFrame | None = None,
+    corpus_band_rows: DataFrame | None = None,
+    corpus_shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot dedup — the production shape for a daily batch
     landing against an already-deduped 100 TB corpus: drop incoming docs
@@ -397,24 +424,45 @@ def incremental_dedup(
     before dropping — precision is exact, recall is the LSH band
     guarantee. Returns surviving incoming rows (schema unchanged).
 
+    The corpus-side derivations (content hashes, band rows, distinct
+    shingle rows) are pure functions of the corpus, so a production
+    deployment persists them once at ingest and passes them back here —
+    ``corpus_hashes`` (``_h``), ``corpus_band_rows`` (``_id, band,
+    bhash``), ``corpus_shingle_rows`` (``_id, _sh`` distinct). With all
+    three supplied the per-batch cost scans the corpus parquet **zero**
+    times (only the precomputed narrow tables are joined); without them
+    each call recomputes the corpus scan, which is O(|corpus|) per batch.
+
     The reference's insert-if-absent (src/barrazueta_pipeline_etl_crossref
     .py:599-601) is the exact-only special case of this operator."""
     inc_h = incoming.withColumn("_h", F.md5(F.col(text_col)))
-    cor_h = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
-    inc1 = inc_h.join(cor_h, "_h", "left_anti").drop("_h")
+    cor_h = (
+        corpus_hashes
+        if corpus_hashes is not None
+        else corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    )
+    inc1 = inc_h.join(cor_h.select("_h"), "_h", "left_anti").drop("_h")
 
     bi = _banded_rows(
         inc1, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size
     ).withColumnRenamed("_id", "id_a")
-    bc = _banded_rows(
-        corpus, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size
+    bc = (
+        corpus_band_rows
+        if corpus_band_rows is not None
+        else _banded_rows(
+            corpus, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size
+        )
     ).withColumnRenamed("_id", "id_b")
     cand = bi.join(bc, ["band", "bhash"]).select("id_a", "id_b").distinct()
 
     # exact-Jaccard verify across the two frames (same shape as
     # ngram_jaccard_pairs but with per-side shingle tables)
     sa = shingle_hash_rows(inc1, text_col, id_col, shingle_k)
-    sb = shingle_hash_rows(corpus, text_col, id_col, shingle_k)
+    sb = (
+        corpus_shingle_rows
+        if corpus_shingle_rows is not None
+        else shingle_hash_rows(corpus, text_col, id_col, shingle_k)
+    )
     ca = sa.groupBy("_id").agg(F.count(F.lit(1)).alias("_na"))
     cb = sb.groupBy("_id").agg(F.count(F.lit(1)).alias("_nb"))
     inter = (
@@ -447,18 +495,36 @@ def _signed_mask(b: int) -> int:
     return (1 << b) if b < 63 else -(1 << 63)
 
 
-def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side via explode + 64 sums.
+def simhash_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    token_hash: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash per document, fully JVM-side via explode + ``bits`` sums.
 
     For each bit b: vote = Σ over tokens of (+1 if bit b set in
-    xxhash64(token) else -1); simhash bit b = vote > 0. Same exploded-
+    hash(token) else -1); simhash bit b = vote > 0. Same exploded-
     aggregation shape as ``minhash_signatures`` (map-side combinable;
-    shuffle carries 64 ints per doc). Returns (``_id``, ``_sh``).
+    shuffle carries ``bits`` ints per doc). Returns (``_id``, ``_sh``).
+
+    ``token_hash``: ``"xxhash64"`` (production default, 64-bit) or
+    ``"md5_60"`` — the first 15 hex chars of md5 as a 60-bit value, which
+    DuckDB reproduces bit-for-bit (``CAST('0x' || substr(md5(t), 1, 15)
+    AS BIGINT)``), making the whole simhash oracle-checkable. Pass
+    ``bits=60`` with ``md5_60`` so every vote bit is hash-covered.
     """
+    if token_hash == "xxhash64":
+        h = F.xxhash64("_tok")
+    elif token_hash == "md5_60":
+        h = F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("bigint")
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(_tokens(F.col(text_col))).alias("_tok"),
-    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    ).select("_id", h.alias("_h"))
     votes = exploded.groupBy("_id").agg(
         *[
             F.sum(
@@ -466,11 +532,11 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     F.col("_h").bitwiseAND(F.lit(_signed_mask(b))) != 0, F.lit(1)
                 ).otherwise(F.lit(-1))
             ).alias(f"v_{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
     out = F.lit(0).cast("bigint")
-    for b in range(64):
+    for b in range(bits):
         out = out.bitwiseOR(
             F.when(F.col(f"v_{b}") > 0, F.lit(_signed_mask(b)).cast("bigint")).otherwise(
                 F.lit(0).cast("bigint")
@@ -493,12 +559,17 @@ def _block_spans(total_bits: int, blocks: int) -> list[tuple[int, int]]:
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, blocks: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    blocks: int = 4,
+    token_hash: str = "xxhash64",
+    bits: int = 64,
 ) -> DataFrame:
     """Near-dup candidates where hamming(simhash) could be small: split the
-    64-bit hash into ``blocks`` contiguous blocks (widths differ by ≤1 bit
-    when blocks doesn't divide 64 — all 64 bits are covered); docs sharing
-    any block value are candidates.
+    ``bits``-bit hash into ``blocks`` contiguous blocks (widths differ by
+    ≤1 bit when blocks doesn't divide ``bits`` — all bits are covered);
+    docs sharing any block value are candidates.
 
     Recall guarantee (pigeonhole, Manku et al. WWW'07 style): a pair at
     hamming distance h differs in at most h blocks, so with ``blocks`` ≥
@@ -506,8 +577,11 @@ def simhash_candidates(
     blocks are guaranteed candidates**. To find pairs at hamming ≤ k, pass
     ``blocks = k + 1``. Pairs at hamming ≥ blocks may still surface (any
     shared block), but are not guaranteed. Returns (id_a, id_b, hamming).
+
+    ``token_hash``/``bits``: see ``simhash_table`` — ``("md5_60", 60)``
+    yields the DuckDB-reproducible variant the driver gate hash-checks.
     """
-    sh = simhash_table(df, text_col, id_col)
+    sh = simhash_table(df, text_col, id_col, token_hash=token_hash, bits=bits)
     blocked = sh.select(
         "_id",
         "_sh",
@@ -520,7 +594,7 @@ def simhash_candidates(
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bval"),
                     )
-                    for i, (start, width) in enumerate(_block_spans(64, blocks))
+                    for i, (start, width) in enumerate(_block_spans(bits, blocks))
                 ]
             )
         ).alias("bb"),

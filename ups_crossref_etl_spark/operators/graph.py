@@ -17,17 +17,27 @@ distributed re-expression.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 10, strict: bool = False
+) -> DataFrame:
     """(src, dst) undirected edge list → (node, component) where component
     is the min node id in the node's connected component. Nodes appearing
     in no edge are absent — union singletons afterwards if needed.
 
     Converges when no label changes (checked with a limit(1) probe, not a
-    full count); ``max_iter`` bounds worst-case pathological chains.
+    full count); ``max_iter`` bounds worst-case pathological chains. If
+    the loop exhausts ``max_iter`` with labels still changing, the
+    returned components are NOT fully merged — that is raised
+    (``strict=True``) or warned (default) rather than silently returned,
+    because a downstream dedup would then keep/drop the wrong documents.
+    Min-label propagation needs ≤ diameter iterations; dup/identity
+    graphs have diameter 2-4, so the default bound is generous.
     """
     npart = edges.sparkSession.sparkContext.defaultParallelism
     sym = (
@@ -45,6 +55,7 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(nodes.withColumnRenamed("node", "dst"), "dst")
@@ -66,5 +77,15 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
         nodes = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components hit max_iter={max_iter} with labels still "
+            "changing — component ids are not fully merged; raise max_iter "
+            "(need ≥ graph diameter)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return nodes.select("node", F.col("label").alias("component"))

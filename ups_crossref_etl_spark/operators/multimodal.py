@@ -110,7 +110,13 @@ def extract_audio_features(
     features a speech-data pipeline filters on before transcription.
     Real kernel = soundfile/librosa decode (absent in this container);
     ``fake=True`` treats the payload bytes as int8 PCM — deterministic,
-    so the batch plumbing and schema are tested for real."""
+    so the batch plumbing and schema are tested for real.
+
+    Outputs are deliberately UNrounded: for int8 PCM every wave value is
+    k/128 (an exact binary fraction), so sums/means/max are bit-exact and
+    an SQL oracle recomputing them lands on the identical doubles —
+    rounding would only reintroduce engine-dependent tie-breaking (Python
+    banker's vs SQL half-away diverge at decimal ties like 157/16000)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,9 +137,9 @@ def extract_audio_features(
                     (
                         r["asset_id"],
                         len(wave),
-                        round(len(wave) / sample_rate, 6),
-                        round(float(np.sqrt(np.mean(wave * wave))), 6),
-                        round(float(np.max(np.abs(wave))), 6),
+                        len(wave) / sample_rate,
+                        float(np.sqrt(np.mean(wave * wave))),
+                        float(np.max(np.abs(wave))),
                         True,
                     )
                 )

@@ -86,18 +86,24 @@ def stratified_sample(
     ``hash_bucket(key) < rate(stratum) * 10000``. Downsampling junk domains
     while keeping high-quality ones whole is the canonical corpus-shaping
     move; the hash keeps it reproducible and join-stable (the same doc is
-    in or out everywhere it appears)."""
+    in or out everywhere it appears).
+
+    The integer cutoff per stratum is computed DRIVER-side
+    (``int(round(rate * 10_000))``) and inlined as a literal — evaluating
+    ``rate * 10_000`` as an IEEE double in-plan truncates 0.7 to 6999
+    (6999.999… under cast) while a DECIMAL-armed oracle gets 7000; fixing
+    the cutoff before the plan removes the engine-dependence entirely."""
     b = hash_bucket(F.col(key_col), seed, 10_000)
-    rate = None
+    cutoff = None
     for s, r in rates.items():
-        clause = F.when(F.col(stratum_col) == F.lit(s), F.lit(float(r)))
-        rate = clause if rate is None else rate.when(
-            F.col(stratum_col) == F.lit(s), F.lit(float(r))
+        lit = F.lit(int(round(float(r) * 10_000)))
+        clause = F.when(F.col(stratum_col) == F.lit(s), lit)
+        cutoff = clause if cutoff is None else cutoff.when(
+            F.col(stratum_col) == F.lit(s), lit
         )
-    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(
-        F.lit(float(default_rate))
-    )
-    return df.filter(b < (rate * 10_000).cast("bigint"))
+    default_lit = F.lit(int(round(float(default_rate) * 10_000)))
+    cutoff = default_lit if cutoff is None else cutoff.otherwise(default_lit)
+    return df.filter(b < cutoff)
 
 
 def pack_sequences(
@@ -157,10 +163,13 @@ def domain_mix(
     )
     b = hash_bucket(F.col(key_col), seed, 10_000)
     # `_avail` (domain row count) and `_rate` ride along for callers that
-    # report selection stats; `_w` is internal.
+    # report selection stats; `_w` is internal. The cutoff ROUNDs the
+    # double product (both engines round half-away on identical doubles)
+    # instead of truncating it — cast-truncation flips a whole bucket when
+    # `_rate * 10_000` lands at 6999.999… vs 7000 across engines.
     return (
         df.join(F.broadcast(counts), domain_col, "inner")
-        .filter(b < (F.col("_rate") * 10_000).cast("bigint"))
+        .filter(b < F.round(F.col("_rate") * 10_000).cast("bigint"))
         .drop("_w")
     )
 

@@ -353,7 +353,16 @@ def scalar_quantize(
         .orderBy("_i")
         .collect()
     )
-    scales = [r["_s"] if r["_s"] > 0 else 1.0 for r in scales_rows]
+    if not scales_rows:
+        # empty corpus (or all-null vector column): no model state to fit —
+        # surface it instead of silently emitting a zero-dim quantizer
+        raise ValueError(
+            f"scalar_quantize: no vector elements found in {vec_col!r} "
+            "(empty input or all-null column)"
+        )
+    # _s is NULL when every value in a dimension is NULL, and 0.0 when the
+    # dimension is identically zero — both degrade to scale 1.0 (code 0)
+    scales = [r["_s"] if r["_s"] is not None and r["_s"] > 0 else 1.0 for r in scales_rows]
     scale_arr = F.array(*[F.lit(float(s)) for s in scales])
     q = F.zip_with(
         F.col(vec_col),

@@ -146,7 +146,7 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_selected
     FROM documents d JOIN rates r ON d.source = r.source
     WHERE {_DUCK_BUCKET.format(seed='mix', key='d.doc_id', n=10000)}
-          < CAST(r.rate * 10000 AS BIGINT)
+          < CAST(round(r.rate * 10000) AS BIGINT)
     GROUP BY d.source
     """,
     doc=(

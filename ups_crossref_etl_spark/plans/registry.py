@@ -52,25 +52,26 @@ def load_all() -> dict[str, QuerySpec]:
     driver re-verifies them; (b) the remaining slots rotate so every oracle is
     driver-exercised at least once across rounds (r01: relational + reference
     shapes; r02: biblio/streaming/text/similarity/events/reference shapes;
-    r03: biblio [afiliaciones oracle fix] + streaming + round-3 additions
-    [CUBE/CC/salted-skew] + pipeline [split/sample/pack/mix, new] + text
-    [fingerprint/quality_score oracles added] + relational head
-    [q_approx_aggregates' round-2 oracle — never yet driver-run — moved to
-    the module front so the window truncating relational's tail cannot drop
-    it]). Modules/tails rotated out this round (relational tail, similarity,
-    events, reference_shapes) were all driver-green in r01/r02 and keep
-    their pytest coverage; the full battery is additionally run locally
-    per-round via tools/check_queries.py --json (committed as
-    FULLCHECK_r{N}.json).
+    r03: biblio + streaming + round-3 additions + pipeline + text;
+    r04: round4_queries [the two r3 driver-err rows re-registered with
+    serialized array columns, audio gate, simhash-md5 oracle, two quality
+    bounds] + pipeline_queries [sampling cutoff hardening changed the
+    operators underneath] + the families last driver-run in r1/r2:
+    relational in full, similarity, events head). Modules/tails rotated out
+    this round (biblio, streaming, round3, text, reference_shapes) were all
+    driver-green in r03-or-earlier windows and keep their pytest coverage;
+    the full battery is additionally run locally per-round via
+    tools/check_queries.py --json (committed as FULLCHECK_r{N}.json).
     """
-    from . import bibliometric_queries  # noqa: F401
-    from . import streaming_queries  # noqa: F401
-    from . import round3_queries  # noqa: F401
+    from . import round4_queries  # noqa: F401
     from . import pipeline_queries  # noqa: F401
-    from . import text_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import similarity_queries  # noqa: F401
     from . import events_queries  # noqa: F401
+    from . import bibliometric_queries  # noqa: F401
+    from . import streaming_queries  # noqa: F401
+    from . import round3_queries  # noqa: F401
+    from . import text_queries  # noqa: F401
     from . import reference_shapes  # noqa: F401
 
     return QUERIES

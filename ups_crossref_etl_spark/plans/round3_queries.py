@@ -258,44 +258,6 @@ def q_docs_minhash_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_emb_quantize_int8",
-    """
-    WITH ex AS (
-      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-             unnest(range(1, len(embedding) + 1)) AS i
-      FROM embeddings),
-    sc AS (SELECT i, max(abs(v)) / 127 AS s FROM ex GROUP BY i),
-    codes AS (
-      SELECT e.vec_id, e.i,
-             CAST(round(e.v / (CASE WHEN sc.s > 0 THEN sc.s ELSE 1.0 END)) AS BIGINT) AS q
-      FROM ex e JOIN sc USING (i))
-    SELECT vec_id,
-           list(q ORDER BY i) AS qvec,
-           CAST(max(abs(q)) AS BIGINT) AS max_code
-    FROM codes GROUP BY vec_id
-    """,
-    doc=(
-        "Symmetric int8 scalar quantization of the embedding column "
-        "(operators/similarity.scalar_quantize): per-dim scales are one "
-        "64-group aggregate collected as model state, quantization is a "
-        "narrow codegen zip_with — the 4x ANN memory/bandwidth cut with "
-        "zero extra shuffles. Oracle recomputes every code; max_code "
-        "pins the 127 clamp-free bound."
-    ),
-)
-def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import scalar_quantize
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = scalar_quantize(emb, "embedding", "vec_id", bits=8)
-    return q.select(
-        "vec_id",
-        "qvec",
-        F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("max_code"),
-    )
-
-
-@register(
     "q_emb_pairwise_top_exact",
     """
     WITH ex AS (

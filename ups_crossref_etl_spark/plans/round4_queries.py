@@ -1,0 +1,372 @@
+"""Round-4 additions and re-registrations.
+
+Registers FIRST in ``registry.load_all`` (window policy) because every
+query here is new or changed this round:
+
+- ``q_emb_quantize_int8`` / ``q_media_decode_features``: the two r3
+  driver-``err`` rows — their array-typed output columns broke the
+  driver's pandas canonicalizer (``TypeError: unhashable type: 'list'``).
+  Re-registered with the arrays serialized to comma-joined strings on
+  BOTH engines (content-identical, hashable).
+- ``q_media_audio_features``: driver gate for the audio kernel
+  (operators/multimodal.extract_audio_features) — scalar columns only.
+- ``q_docs_simhash_md5_hamming``: the SimHash family's first exact
+  oracle — md5-seeded 60-bit signatures DuckDB reproduces bit-for-bit,
+  hamming via xor + bit_count.
+- ``q_docs_dedup_survivors_bound`` / ``q_emb_near_dups_bound``: quality
+  contracts for the two remaining unbounded approximate pipelines
+  (pattern: q_docs_minhash_recall_bound) — exact ground truth is
+  hash-compared and the approximate result's precision/recall bounds are
+  booleans the oracle pins to TRUE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..sources.lake import read_table
+from .registry import register
+
+
+@register(
+    "q_emb_quantize_int8",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings),
+    sc AS (SELECT i, max(abs(v)) / 127 AS s FROM ex GROUP BY i),
+    codes AS (
+      SELECT e.vec_id, e.i,
+             CAST(round(e.v / (CASE WHEN sc.s > 0 THEN sc.s ELSE 1.0 END)) AS BIGINT) AS q
+      FROM ex e JOIN sc USING (i))
+    SELECT vec_id,
+           array_to_string(list(q ORDER BY i), ',') AS qvec_str,
+           CAST(max(abs(q)) AS BIGINT) AS max_code
+    FROM codes GROUP BY vec_id
+    """,
+    doc=(
+        "Symmetric int8 scalar quantization of the embedding column "
+        "(operators/similarity.scalar_quantize): per-dim scales are one "
+        "64-group aggregate collected as model state, quantization is a "
+        "narrow codegen zip_with — the 4x ANN memory/bandwidth cut with "
+        "zero extra shuffles. Oracle recomputes every code; max_code "
+        "pins the 127 clamp-free bound. The code vector is serialized "
+        "to a comma-joined string on both engines (r3 lesson: the "
+        "driver's pandas canonicalizer cannot hash array cells)."
+    ),
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import scalar_quantize
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = scalar_quantize(emb, "embedding", "vec_id", bits=8)
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec_str"
+        ),
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("max_code"),
+    )
+
+
+@register(
+    "q_media_decode_features",
+    """
+    WITH media AS (
+      SELECT doc_id AS asset_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS modality,
+             text
+      FROM documents)
+    SELECT asset_id, modality,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           array_to_string(list_transform(range(0, 8), c ->
+             CAST(round((((ascii(substr(text, CAST(4*c+1 AS INT), 1)) +
+                           ascii(substr(text, CAST(4*c+2 AS INT), 1)) +
+                           ascii(substr(text, CAST(4*c+3 AS INT), 1)) +
+                           ascii(substr(text, CAST(4*c+4 AS INT), 1))) / 4.0)
+                         / 255.0) * 1000000) AS BIGINT)), ',') AS feat_q,
+           TRUE AS decode_ok
+    FROM media
+    """,
+    doc=(
+        "Multimodal decode plumbing driven through the driver gate: the "
+        "mapInPandas Arrow-batch kernel (operators/multimodal."
+        "extract_features, fake=True — container has no codecs) produces "
+        "deterministic byte-arithmetic features the oracle reproduces "
+        "per-element. The 6-dp feature doubles are scaled to exact "
+        "integers (x1e6, margin to the rounding boundary is >=1/102 by "
+        "construction) and comma-joined, so the output is hashable by "
+        "the driver's canonicalizer (r3 err fix). Relies on the corpus "
+        "being pure ASCII (byte i == char i), asserted by n_bytes."
+    ),
+)
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = extract_features(media, fake=True)
+    return out.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.array_join(
+            F.transform("feat", lambda x: F.round(x * 1_000_000).cast("bigint").cast("string")),
+            ",",
+        ).alias("feat_q"),
+        "decode_ok",
+    )
+
+
+@register(
+    "q_media_audio_features",
+    """
+    WITH b AS (
+      SELECT doc_id AS asset_id, text, length(text) AS n,
+             unnest(range(1, length(text) + 1)) AS i
+      FROM documents),
+    w AS (
+      SELECT asset_id, n,
+             ascii(substr(text, CAST(i AS INT), 1)) / 128.0 AS v
+      FROM b),
+    agg AS (
+      SELECT asset_id, max(n) AS n_samples,
+             sqrt(avg(v * v)) AS rms,
+             max(abs(v)) AS peak
+      FROM w GROUP BY asset_id)
+    SELECT d.doc_id AS asset_id,
+           CAST(coalesce(a.n_samples, 0) AS BIGINT) AS n_samples,
+           coalesce(a.n_samples, 0) / 16000.0 AS duration_s,
+           coalesce(a.rms, 0.0) AS rms,
+           coalesce(a.peak, 0.0) AS peak,
+           (length(d.text) > 0) AS decode_ok
+    FROM documents d LEFT JOIN agg a ON a.asset_id = d.doc_id
+    """,
+    doc=(
+        "Audio triage features driven through the driver gate "
+        "(operators/multimodal.extract_audio_features, fake=True — the "
+        "payload bytes are decoded as int8 PCM): sample count, duration "
+        "at 16 kHz, RMS and peak amplitude. The corpus is pure ASCII "
+        "(bytes 0-127), so wave values are ascii/128 — exact binary "
+        "fractions; every partial sum of a^2/16384 terms is exactly "
+        "representable, so numpy's pairwise mean and DuckDB's sequential "
+        "avg produce the identical double, sqrt of identical doubles is "
+        "identical (IEEE), and no rounding exists anywhere to tie-break "
+        "differently (the kernel is deliberately unrounded)."
+    ),
+)
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_audio_features
+
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return extract_audio_features(media, sample_rate=16_000, fake=True).select(
+        "asset_id", "n_samples", "duration_s", "rms", "peak", "decode_ok"
+    )
+
+
+_SIMHASH_BITS = 60
+_SIMHASH_VOTES = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = "\n           + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "q_docs_simhash_md5_hamming",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS tok
+      FROM documents WHERE doc_id < 150),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM h GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id,
+             {_SIMHASH_ASSEMBLE} AS s
+      FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 7
+    """,
+    doc=(
+        "SimHash made exactly oracle-checkable (the fingerprint-md5_48 "
+        "trick): 60-bit signatures from md5-seeded token hashes "
+        "(first 15 hex chars — DuckDB reproduces them bit-for-bit), "
+        "hamming distance via xor + bit_count on both engines. Spark "
+        "runs the production block-permutation pipeline "
+        "(dedup.simhash_candidates, blocks=8) whose pigeonhole guarantee "
+        "makes every hamming<=7 pair a candidate, so filtering candidates "
+        "at <=7 EQUALS the oracle's all-pairs scan on the bounded sample "
+        "— pinning both the signature math and the blocking recall."
+    ),
+)
+def q_docs_simhash_md5_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.simhash_candidates(
+        d, "text", "doc_id", blocks=8, token_hash="md5_60", bits=60
+    ).filter(F.col("hamming") <= 7)
+
+
+@register(
+    "q_docs_dedup_survivors_bound",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS tok
+      FROM documents WHERE doc_id < 200),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))
+                  ELSE [array_to_string(tok, ' ')] END AS s
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            nullif(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.8)
+    SELECT (SELECT count(*) FROM sh) AS n_docs,
+           (SELECT count(*) FROM sh) - (SELECT count(DISTINCT id_b) FROM pairs)
+             AS n_exact_survivors,
+           TRUE AS mh_ge_exact,
+           TRUE AS mh_le_exact_plus_2
+    """,
+    doc=(
+        "Quality contract for the full minhash_dedup pipeline (the "
+        "rows-only q_docs_dedup_survivors could silently regress): on a "
+        "bounded sample the exact survivor count under the same "
+        "min-neighbor rule (drop doc iff a true Jaccard>=0.8 pair with a "
+        "smaller id exists) is computed from all-pairs ground truth and "
+        "hash-compared. minhash survivors >= exact is a THEOREM (the "
+        "verify stage makes found pairs a subset of true pairs, so the "
+        "pipeline can only drop fewer); survivors <= exact+2 pins LSH "
+        "recall (measured: equal at sf0.01)."
+    ),
+)
+def q_docs_dedup_survivors_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select(
+        "doc_id", F.array_distinct(dedup.shingles(F.col("text"), 3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    dropped_exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("sa", "sb"))
+            / F.nullif(F.size(F.array_union("sa", "sb")), F.lit(0)).cast("double")
+            >= 0.8
+        )
+        .select("id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    mh_kept = (
+        dedup.minhash_dedup(
+            d, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.8
+        )
+        .agg(F.count(F.lit(1)).alias("_nk"))
+    )
+    return (
+        n_docs.crossJoin(dropped_exact)
+        .crossJoin(mh_kept)
+        .select(
+            "n_docs",
+            (F.col("n_docs") - F.col("_nd")).alias("n_exact_survivors"),
+            (F.col("_nk") >= F.col("n_docs") - F.col("_nd")).alias("mh_ge_exact"),
+            (F.col("_nk") <= F.col("n_docs") - F.col("_nd") + 2).alias(
+                "mh_le_exact_plus_2"
+            ),
+        )
+    )
+
+
+@register(
+    "q_emb_near_dups_bound",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings WHERE vec_id < 300),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(a.v * b.v) AS dot,
+             sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    t AS (SELECT id_a, id_b FROM dots WHERE round(dot / (na * nb), 4) >= 0.8)
+    SELECT (SELECT count(*) FROM t) AS n_true_pairs,
+           TRUE AS found_subset_of_true,
+           TRUE AS recall_ge_half
+    """,
+    doc=(
+        "Quality contract for embedding_near_dups (the rows-only "
+        "q_emb_near_dups could silently regress): exact all-pairs "
+        "cosine>=0.8 ground truth on a bounded sample is hash-compared; "
+        "precision is pinned exactly (every LSH-blocked pair is "
+        "verify-filtered on exact cosine, so found is a subset of true "
+        "— checked as a boolean), and recall >= 1/2 is the LSH blocking "
+        "bound (8 bands x 8 planes at cos 0.8 gives ~0.75 collision "
+        "probability at the threshold, higher above it)."
+    ),
+)
+def q_emb_near_dups_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = (
+        ea.crossJoin(eb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim.cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    found = sim.embedding_near_dups(emb, threshold=0.8).select("id_a", "id_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("_nt"))
+    n_found = found.agg(F.count(F.lit(1)).alias("_nf"))
+    n_hit = truth.join(found, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("_nh"))
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(n_hit)
+        .select(
+            F.col("_nt").alias("n_true_pairs"),
+            (F.col("_nf") == F.col("_nh")).alias("found_subset_of_true"),
+            (F.col("_nh") * 2 >= F.col("_nt")).alias("recall_ge_half"),
+        )
+    )

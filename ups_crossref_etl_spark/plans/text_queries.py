@@ -330,52 +330,6 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_media_decode_features",
-    """
-    WITH media AS (
-      SELECT doc_id AS asset_id,
-             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                             ELSE 'video' END AS modality,
-             text
-      FROM documents)
-    SELECT asset_id, modality,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           list_transform(range(0, 8), c ->
-             round(((ascii(substr(text, CAST(4*c+1 AS INT), 1)) +
-                     ascii(substr(text, CAST(4*c+2 AS INT), 1)) +
-                     ascii(substr(text, CAST(4*c+3 AS INT), 1)) +
-                     ascii(substr(text, CAST(4*c+4 AS INT), 1))) / 4.0) / 255.0,
-                   6)) AS feat,
-           TRUE AS decode_ok
-    FROM media
-    """,
-    doc=(
-        "Multimodal decode plumbing driven through the driver gate: the "
-        "mapInPandas Arrow-batch kernel (operators/multimodal."
-        "extract_features, fake=True — container has no codecs) produces "
-        "deterministic byte-arithmetic features the oracle reproduces "
-        "per-element. Verifies the distributed decode path's schema, "
-        "batching, and null/padding semantics, not just pytest plumbing. "
-        "Relies on the synthetic corpus being pure ASCII (byte i == "
-        "char i), asserted by the n_bytes column the oracle hash-compares."
-    ),
-)
-def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import extract_features
-
-    d = read_table(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("asset_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("modality"),
-        F.encode("text", "UTF-8").alias("payload"),
-    )
-    return extract_features(media, fake=True)
-
-
-@register(
     "q_media_frame_sample",
     """
     WITH v AS (
