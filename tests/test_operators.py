@@ -725,3 +725,15 @@ def test_check_queries_rejects_array_cells():
     except TypeError:
         pass
     reject_unhashable([(1, "a,b")], ["id", "s"], "spark")  # strings fine
+
+
+def test_top_vocab_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b d")], "doc_id bigint, text string"
+    )
+    rows = ta.top_vocab(df, "text", "doc_id", k=3).collect()
+    # a and b tie at 3 occurrences → token asc breaks the tie; c/d tie at 1
+    # → c wins the last slot alphabetically
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
+        ("a", 3, 2), ("b", 3, 2), ("c", 1, 1)
+    ]

@@ -259,3 +259,33 @@ def test_streaming_dedup_across_microbatches(spark):
             q.stop()
         keys = sorted((r["user_id"], r["wstart"].strftime("%H:%M")) for r in got)
         assert keys == [(7, "10:00"), (7, "10:20"), (8, "10:00")]
+
+
+def test_stream_corpus_dedup_matches_batch(spark, sf_dir):
+    """Streaming incremental dedup (stream-static anti-join + streaming
+    agg) must equal the batch exact-dedup semantics on the same input."""
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.dedup import corpus_dedup_state
+    from ups_crossref_etl_spark.sources.lake import read_table
+    from ups_crossref_etl_spark.streaming import events as se
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    hashes, _, _ = corpus_dedup_state(corpus, "text", "doc_id")
+    stream = se.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    q = se.run_to_memory(
+        se.stream_corpus_dedup(stream, hashes), "t_corpus_dedup", "complete"
+    )
+    q.stop()
+    got = {r["_h"]: r["n_rows"] for r in spark.table("t_corpus_dedup").collect()}
+    want = {
+        r["_h"]: r["n"]
+        for r in docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("_h", F.md5("text"))
+        .join(hashes, "_h", "left_anti")
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

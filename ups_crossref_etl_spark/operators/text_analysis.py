@@ -5,7 +5,7 @@ JVM-side Column expressions — regex + higher-order array functions, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Stopword marker lists per language for the n-gram/stopword heuristic.
@@ -122,6 +122,56 @@ def fingerprint(
         toks,
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * base + F.pmod(th(t), F.lit(mod))) % F.lit(mod),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary (tokenizer/BPE prep)
+# --------------------------------------------------------------------------
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str, id_col: str, exact_doc_freq: bool = True
+) -> DataFrame:
+    """Corpus-level term statistics — the input to vocabulary building /
+    BPE training and to IDF weighting: ``(token, n_occurrences, n_docs)``
+    over lowercased word tokens.
+
+    Scale shape: explode → ONE groupBy(token) with map-side partial
+    aggregation; the shuffle carries (token, partial counts), never text.
+    Exact document frequency adds the standard two-phase distinct
+    expansion; at 100 TB pass ``exact_doc_freq=False`` to use
+    ``approx_count_distinct`` (HLL, single-phase, ~2% error) — term
+    frequencies stay exact either way."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    doc_freq = (
+        F.count_distinct("_id") if exact_doc_freq else F.approx_count_distinct("_id")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        doc_freq.alias("n_docs"),
+    )
+
+
+def top_vocab(
+    df: DataFrame, text_col: str, id_col: str, k: int = 1000
+) -> DataFrame:
+    """Top-k vocabulary by term frequency with a TOTAL tiebreak
+    (count desc, token asc) so the cut boundary is deterministic across
+    runs/engines. Planned as TakeOrderedAndProject over the aggregated
+    term table — no global sort of the full vocabulary."""
+    return (
+        token_frequencies(df, text_col, id_col)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
     )
 
 

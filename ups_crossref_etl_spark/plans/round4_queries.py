@@ -312,6 +312,77 @@ def q_docs_dedup_survivors_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_docs_vocab_top200",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS tok
+      FROM documents)
+    SELECT tok AS token,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM toks GROUP BY tok
+    ORDER BY n_occurrences DESC, token ASC LIMIT 200
+    """,
+    doc=(
+        "Corpus vocabulary / term statistics (operators/text_analysis."
+        "token_frequencies + top_vocab) — the input to tokenizer/BPE "
+        "training and IDF weighting: top-200 tokens by term frequency "
+        "with exact document frequency. One explode + one map-side-"
+        "combined groupBy(token); the shuffle carries (token, counts), "
+        "never text; top-k via TakeOrderedAndProject with a total "
+        "tiebreak (count desc, token asc) so the cut is deterministic."
+    ),
+)
+def q_docs_vocab_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    d = read_table(spark, sf_dir, "documents")
+    return ta.top_vocab(d, "text", "doc_id", k=200)
+
+
+@register(
+    "q_stream_corpus_dedup",
+    """
+    WITH inc AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+    cor AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+    surv AS (
+      SELECT h FROM inc
+      WHERE NOT EXISTS (SELECT 1 FROM cor WHERE cor.h = inc.h))
+    SELECT count(*) AS n_surviving_rows,
+           count(DISTINCT h) AS n_unique_texts
+    FROM surv
+    """,
+    doc=(
+        "STREAMING incremental dedup against a static corpus (streaming/"
+        "events.stream_corpus_dedup): a real streaming execution — each "
+        "micro-batch content-hashes incoming docs (the 20% slice), "
+        "stream-STATIC anti-joins the precomputed corpus hash table "
+        "(dedup.corpus_dedup_state — the corpus parquet is scanned for "
+        "hashes once, not per batch), and a streaming aggregation counts "
+        "rows per surviving hash. The oracle recomputes both totals from "
+        "the batch semantics; the streaming twin of "
+        "q_docs_incremental_dedup's exact stage."
+    ),
+)
+def q_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import corpus_dedup_state
+    from ..streaming import events as se
+    from .streaming_queries import _run
+
+    corpus = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+    hashes, _, _ = corpus_dedup_state(corpus, "text", "doc_id")
+    stream = se.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    per_hash = se.stream_corpus_dedup(stream, hashes)
+    out = _run(per_hash, mode="complete")
+    return out.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_surviving_rows"),
+        F.count(F.lit(1)).alias("n_unique_texts"),
+    )
+
+
+@register(
     "q_emb_near_dups_bound",
     """
     WITH ex AS (

@@ -46,6 +46,43 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+_DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the landing stream a
+    continuously-ingesting corpus pipeline consumes (in production the
+    same plan tails a bucket prefix or Kafka topic of crawled docs)."""
+    return (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_corpus_dedup(
+    docs: DataFrame, corpus_hashes: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """STREAMING incremental dedup against a static corpus — the streaming
+    twin of ``operators/dedup.incremental_dedup``'s exact stage: each
+    micro-batch content-hashes its documents and anti-joins the corpus
+    hash table (stream-STATIC, so no join state or watermark bookkeeping;
+    the static side is the precomputed ``dedup.corpus_dedup_state``
+    hashes, re-read per micro-batch so a corpus refresh is picked up).
+    A streaming aggregation then counts occurrences per surviving hash —
+    tracking in-stream duplicates across micro-batches without picking an
+    arrival-order-dependent survivor row (the count per content hash is
+    deterministic; which physical row arrived first is not).
+
+    Returns (``_h`` content hash, ``n_rows``) in complete/update mode.
+    State = one counter per distinct surviving hash; bound it in
+    production by keying the aggregation on (hash, ingest-day) and
+    watermarking, once the stream carries an event-time column."""
+    hashed = docs.withColumn("_h", F.md5(F.col(text_col)))
+    survivors = hashed.join(corpus_hashes.select("_h"), "_h", "left_anti")
+    return survivors.groupBy("_h").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def tumbling_counts(events: DataFrame, window: str = "5 minutes",
                     watermark: str = "10 minutes") -> DataFrame:
     """Tumbling-window count+sum per event_type with a late-data watermark.
