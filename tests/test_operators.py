@@ -737,3 +737,32 @@ def test_top_vocab_deterministic_tiebreak(spark):
     assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
         ("a", 3, 2), ("b", 3, 2), ("c", 1, 1)
     ]
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(10, f"prefix words {shared} suffix words"),
+         (11, "completely unrelated content with other tokens entirely")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, f"benchmark question {shared} benchmark answer")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in
+           dedup.ngram_contamination(corpus, bench, "text", "doc_id", n=5).collect()}
+    # the 8 shared tokens give 4 shared 5-grams; doc 11 is clean → absent
+    assert got == {10: 4}
+
+
+def test_repeated_ngrams_summary(spark):
+    passage = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, f"{passage} tail a"), (2, f"head b {passage}"),
+         (3, "nothing in common with the others at all whatsoever truly")],
+        "doc_id bigint, text string",
+    )
+    row = dedup.repeated_ngrams_summary(df, "text", "doc_id", n=10).collect()[0]
+    # the 10-token passage is the single repeated 10-gram, in 2 docs
+    assert row["n_repeated_ngrams"] == 1 and row["max_docs_sharing"] == 2

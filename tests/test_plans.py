@@ -281,3 +281,15 @@ def test_sliding_window_single_expand(spark, sf_dir):
     assert plan.count("Expand") == 1
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") == 2
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination at 100 TB only works if the benchmark n-gram set is
+    broadcast — the corpus side must never shuffle for the probe join."""
+    from ups_crossref_etl_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    cor = d.filter(F.col("doc_id") % 5 != 0)
+    plan = _plan(dedup.ngram_contamination(cor, bench, "text", "doc_id", n=5))
+    assert "BroadcastHashJoin" in plan

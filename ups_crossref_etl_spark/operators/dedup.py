@@ -486,6 +486,63 @@ def incremental_dedup(
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination / repeated-passage detection
+# --------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing any
+    word n-gram with a benchmark/eval document (the GPT-3-appendix /
+    overlap-filtering procedure every serious pretraining pipeline runs).
+
+    Returns (``doc_id``, ``n_shared_ngrams``) — distinct corpus-doc
+    n-grams that appear anywhere in the benchmark; docs with zero overlap
+    are absent (filter or anti-join downstream to drop contaminated docs).
+
+    Scale shape: both sides reduce to distinct fixed-width shingle hashes
+    (``shingle_hash_rows`` — explode+window, codegen); the probe is an
+    equi-join on the hash. A benchmark is typically millions of n-grams
+    (MBs) against a corpus of trillions — broadcast it and the scan is
+    map-side with ZERO shuffle of corpus data; set
+    ``broadcast_benchmark=False`` only if the benchmark itself is huge."""
+    cs = shingle_hash_rows(corpus, text_col, id_col, k=n)
+    bs = shingle_hash_rows(benchmark, text_col, id_col, k=n).select("_sh").distinct()
+    if broadcast_benchmark:
+        bs = F.broadcast(bs)
+    return (
+        cs.join(bs, "_sh")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .withColumnRenamed("_id", "doc_id")
+    )
+
+
+def repeated_ngrams_summary(
+    df: DataFrame, text_col: str, id_col: str, n: int = 20, min_docs: int = 2
+) -> DataFrame:
+    """Repeated-passage audit (the memorization-risk signal substring
+    dedup acts on): how many distinct word n-grams occur in ≥ ``min_docs``
+    documents, and the worst n-gram's document count. One groupBy on the
+    shingle hash (map-side combinable); returns a single summary row
+    (``n_repeated_ngrams``, ``max_docs_sharing``)."""
+    sh = shingle_hash_rows(df, text_col, id_col, k=n)  # distinct per doc
+    per = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_nd")).filter(
+        F.col("_nd") >= min_docs
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_repeated_ngrams"),
+        F.coalesce(F.max("_nd"), F.lit(0)).alias("max_docs_sharing"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

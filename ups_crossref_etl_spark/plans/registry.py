@@ -66,8 +66,8 @@ def load_all() -> dict[str, QuerySpec]:
     from . import round4_queries  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
-    from . import similarity_queries  # noqa: F401
     from . import events_queries  # noqa: F401
+    from . import similarity_queries  # noqa: F401
     from . import bibliometric_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import round3_queries  # noqa: F401

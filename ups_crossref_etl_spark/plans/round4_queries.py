@@ -383,6 +383,84 @@ def q_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_docs_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS tok
+      FROM documents WHERE doc_id < 300),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 5
+                  THEN list_distinct(list_transform(range(1, len(tok) - 3),
+                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+                              || tok[i+3] || ' ' || tok[i+4]))
+                  ELSE [array_to_string(tok, ' ')] END AS s
+      FROM toks WHERE len(tok) > 0),
+    bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 5 = 0),
+    cor AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 <> 0)
+    SELECT c.doc_id, count(*) AS n_shared_ngrams
+    FROM cor c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+    doc=(
+        "Benchmark decontamination (operators/dedup.ngram_contamination): "
+        "corpus docs sharing any word 5-gram with the benchmark slice "
+        "(doc_id % 5 = 0), with the count of distinct shared n-grams — "
+        "the overlap-filtering pass every pretraining pipeline runs "
+        "against its eval sets. Both sides reduce to distinct fixed-width "
+        "shingle hashes; the benchmark side is broadcast, so scanning the "
+        "corpus is map-side with zero shuffle of corpus data. The oracle "
+        "recomputes the overlap with string shingles on the bounded "
+        "sample (hash collisions at 2^-64 are the only divergence mode)."
+    ),
+)
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    cor = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.ngram_contamination(cor, bench, "text", "doc_id", n=5)
+
+
+@register(
+    "q_docs_repeated_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS tok
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tok) >= 10
+                  THEN list_distinct(list_transform(range(1, len(tok) - 8),
+                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+                              || tok[i+3] || ' ' || tok[i+4] || ' ' || tok[i+5] || ' '
+                              || tok[i+6] || ' ' || tok[i+7] || ' ' || tok[i+8] || ' '
+                              || tok[i+9]))
+                  ELSE [array_to_string(tok, ' ')] END AS s
+      FROM toks WHERE len(tok) > 0),
+    per AS (
+      SELECT g, count(*) AS nd
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+      GROUP BY g HAVING count(*) >= 2)
+    SELECT count(*) AS n_repeated_ngrams,
+           CAST(coalesce(max(nd), 0) AS BIGINT) AS max_docs_sharing
+    FROM per
+    """,
+    doc=(
+        "Repeated-passage audit (operators/dedup.repeated_ngrams_summary): "
+        "distinct word 10-grams occurring in >=2 documents and the worst "
+        "n-gram's document count — the memorization-risk signal substring "
+        "dedup acts on. One map-side-combined groupBy on the shingle "
+        "hash; the shuffle carries fixed-width hashes, never text."
+    ),
+)
+def q_docs_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.repeated_ngrams_summary(d, "text", "doc_id", n=10, min_docs=2)
+
+
+@register(
     "q_emb_near_dups_bound",
     """
     WITH ex AS (
