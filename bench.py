@@ -42,6 +42,12 @@ HEADLINE = [
     "q_docs_split_assign",
     "q_docs_pack_sequences",
     "q_docs_chunk_spans",
+    # round 4: corpus vocabulary (wordcount-at-scale shape, full table) and
+    # the repeated-passage audit (full-table 10-gram groupBy); the
+    # decontamination probe is covered by tools/scale_probe.py instead
+    # (its gate query is sample-bounded for oracle tractability)
+    "q_docs_vocab_top200",
+    "q_docs_repeated_ngrams",
 ]
 
 

@@ -146,6 +146,30 @@ def main() -> None:
         docs1.count(), docsN.count(),
     )
 
+    from ups_crossref_etl_spark.operators import text_analysis as ta
+
+    probe(
+        "vocab_top1000",
+        lambda: ta.top_vocab(docs1, "text", "doc_id", k=1000).count(),
+        lambda: ta.top_vocab(docsN, "text", "doc_id", k=1000).count(),
+        docs1.count(), docsN.count(),
+    )
+
+    # benchmark side stays FIXED while the corpus replicates — the realistic
+    # decontamination shape (eval suites don't grow with the corpus)
+    bench = docs1.filter(F.col("doc_id") % 50 == 0).localCheckpoint()
+
+    probe(
+        "contamination_probe",
+        lambda: dedup.ngram_contamination(
+            docs1, bench, "text", "doc_id", n=5
+        ).count(),
+        lambda: dedup.ngram_contamination(
+            docsN, bench, "text", "doc_id", n=5
+        ).count(),
+        docs1.count(), docsN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
         json.dump(results, f, indent=2)
