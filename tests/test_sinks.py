@@ -83,3 +83,40 @@ def test_dynamic_partition_overwrite(spark):
         )
         back = {r["Anio"]: r["v"] for r in spark.read.parquet(p).collect()}
         assert back == {2022: "a", 2023: "B"}
+
+
+def test_write_training_shards_deterministic(spark, tmp_path, sf_dir):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.sampling import hash_bucket
+    from ups_crossref_etl_spark.sources.lake import read_table
+    from ups_crossref_etl_spark.sources.sinks import write_training_shards
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = os.path.join(str(tmp_path), "shards")
+    write_training_shards(d, out, "doc_id", num_shards=8)
+
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(shard_dirs) == 8
+    # one data file per shard (repartition by shard → aligned tasks)
+    for sd in shard_dirs:
+        assert len(glob.glob(os.path.join(sd, "*.parquet"))) == 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    # round-trip preserves content and the assignment is the documented
+    # pure function of (seed, key) — reproducible across runs/engines
+    got = {
+        (r["doc_id"], r["shard"])
+        for r in back.select("doc_id", "shard").collect()
+    }
+    want = {
+        (r["doc_id"], r["b"])
+        for r in d.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "shard", 8).alias("b")
+        ).collect()
+    }
+    assert got == want

@@ -71,10 +71,15 @@ def _corpus(args) -> None:
         )
         kept = S.pack_sequences(kept, "n_tok", "doc_id", args.pack, "source")
 
-    writer = kept.write.mode("overwrite")
-    if args.split:
-        writer = writer.partitionBy("split")
-    writer.parquet(args.out)
+    if args.shards:
+        from .sources.sinks import write_training_shards
+
+        write_training_shards(kept, args.out, "doc_id", num_shards=args.shards)
+    else:
+        writer = kept.write.mode("overwrite")
+        if args.split:
+            writer = writer.partitionBy("split")
+        writer.parquet(args.out)
 
     out = spark.read.parquet(args.out)
     report = {
@@ -83,6 +88,7 @@ def _corpus(args) -> None:
         "dedup": args.dedup,
         "split": bool(args.split),
         "pack_budget": args.pack,
+        "shards": args.shards,
     }
     print(json.dumps(report))
 
@@ -119,6 +125,12 @@ def main(argv: list[str] | None = None) -> None:
     )
     corpus.add_argument(
         "--pack", type=int, default=None, help="token budget for sequence packing"
+    )
+    corpus.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        help="export as N deterministic hash-assigned training shards",
     )
     corpus.set_defaults(fn=_corpus)
 

@@ -53,6 +53,42 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int = 64,
+    seed: str = "shard",
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export: shard the corpus into ``num_shards`` parquet
+    files a dataloader can consume (`shard=NNN/part-*.parquet`).
+
+    Shard assignment is the deterministic ``sampling.hash_bucket`` of the
+    document key — a pure function of (seed, key), so the same doc lands
+    in the same shard on every run, engine, and cluster size (resumable
+    exports, reproducible training order), and shards are uniformly sized
+    without measuring anything. One hash-partition shuffle aligns rows to
+    their shard; rows are sorted by key within each shard so file contents
+    are byte-deterministic. The pseudo-random hash order also acts as the
+    corpus-level example shuffle training wants — adjacent source docs
+    land in different shards."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import hash_bucket
+
+    sharded = df.withColumn(
+        "shard", hash_bucket(F.col(key_col), seed, num_shards)
+    )
+    (
+        sharded.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", key_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def write_lake(
     spark: SparkSession, tables: dict[str, DataFrame], root: str
 ) -> None:
