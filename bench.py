@@ -48,6 +48,11 @@ HEADLINE = [
     # (its gate query is sample-bounded for oracle tractability)
     "q_docs_vocab_top200",
     "q_docs_repeated_ngrams",
+    # round 4 (late): lexical retrieval, LM-based quality scoring, and the
+    # SCD2 history rebuild — the three new ops with a wide edge to watch
+    "q_docs_bm25_topk",
+    "q_docs_unigram_nll",
+    "q_events_scd2_intervals",
 ]
 
 

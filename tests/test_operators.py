@@ -766,3 +766,110 @@ def test_repeated_ngrams_summary(spark):
     row = dedup.repeated_ngrams_summary(df, "text", "doc_id", n=10).collect()[0]
     # the 10-token passage is the single repeated 10-gram, in 2 docs
     assert row["n_repeated_ngrams"] == 1 and row["max_docs_sharing"] == 2
+
+
+def test_bm25_ranks_matches_and_idf(spark):
+    from ups_crossref_etl_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark join spark join spark"),          # many hits, short
+        (2, "spark table scan filter value row"),    # one hit
+        (3, "table scan filter value row group"),    # no hits
+        (4, "vector vector vector vector vector"),   # rare term, high tf
+    ]
+    d = spark.createDataFrame(rows, schema=["doc_id", "text"])
+    out = bm25_topk(d, "text", "doc_id", ["spark", "vector"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # non-matching doc never scored
+    scores = {r["doc_id"]: r["score"] for r in out}
+    # doc 4: rarer term (df=1 vs df=2) at saturated tf beats doc 2's single
+    # common-term hit; doc 1's repeated hits beat doc 2 as well
+    assert scores[4] > scores[2]
+    assert scores[1] > scores[2]
+    assert out[0]["score"] == max(scores.values())  # sorted desc
+    assert {r["doc_id"]: r["n_matched_terms"] for r in out}[1] == 1
+
+
+def test_bm25_k_cut_and_empty_query(spark):
+    import pytest as _pytest
+
+    from ups_crossref_etl_spark.operators.retrieval import bm25_topk
+
+    rows = [(i, "spark row") for i in range(20)]
+    d = spark.createDataFrame(rows, schema=["doc_id", "text"])
+    out = bm25_topk(d, "text", "doc_id", ["spark"], k=5).collect()
+    # all 20 docs tie exactly -> doc_id tiebreak makes the cut deterministic
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
+    with _pytest.raises(ValueError):
+        bm25_topk(d, "text", "doc_id", [], k=5)
+
+
+def test_unigram_nll_orders_rare_docs_and_precomputed_model(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        token_frequencies,
+        unigram_nll,
+    )
+
+    rows = [
+        (1, "the the the the the the the the"),  # all common tokens
+        (2, "the the the the the the the zebra"),  # one rare token
+    ]
+    d = spark.createDataFrame(rows, schema=["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_nll(d, "text", "doc_id").collect()}
+    assert out[1]["n_tokens"] == 8
+    assert out[2]["nll"] > out[1]["nll"]  # rare token raises NLL
+    # precomputed-model hook: scoring against the same model is identical
+    freq = token_frequencies(d, "text", "doc_id", exact_doc_freq=False)
+    out2 = {
+        r["doc_id"]: r["nll"]
+        for r in unigram_nll(d, "text", "doc_id", freq=freq).collect()
+    }
+    assert out2 == {k: v["nll"] for k, v in out.items()}
+
+
+def test_self_repetition_planted_extremes(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import self_repetition
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),       # maximal repetition
+        (2, "one two three four five six seven"),   # all distinct
+        (3, "ab"),                                   # shorter than n
+    ]
+    d = spark.createDataFrame(rows, schema=["doc_id", "text"])
+    out = {r["doc_id"]: r for r in self_repetition(d, "text", "doc_id", n=3).collect()}
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_distinct_ngrams"] == 1
+    assert out[1]["dup_ngram_frac"] == 0.75
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert round(out[2]["top_token_frac"], 4) == round(1 / 7, 4)
+    assert out[3]["n_ngrams"] == 1 and out[3]["dup_ngram_frac"] == 0.0
+
+
+def test_scd2_intervals_planted_history(spark):
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.scd import intervals_from_log
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), "bronze"),
+        (1, t(1), "bronze"),
+        (1, t(2), "silver"),
+        (1, t(3), "bronze"),  # value returns -> NEW interval, not merged
+        (2, t(0), None),      # null state is a state (null-safe change detect)
+        (2, t(1), "gold"),
+    ]
+    d = spark.createDataFrame(rows, schema=["user_id", "ts", "tier"])
+    out = intervals_from_log(d, "user_id", "tier", "ts").orderBy(
+        "user_id", "valid_from"
+    ).collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["tier"], r["n_events"]) for r in u1] == [
+        ("bronze", 2), ("silver", 1), ("bronze", 1)
+    ]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]  # intervals abut
+    assert u1[2]["is_current"] and u1[2]["valid_to"] is None
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert [(r["tier"], r["is_current"]) for r in u2] == [
+        (None, False), ("gold", True)
+    ]

@@ -293,3 +293,36 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
     cor = d.filter(F.col("doc_id") % 5 != 0)
     plan = _plan(dedup.ngram_contamination(cor, bench, "text", "doc_id", n=5))
     assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_intervals_single_key_exchange(spark, sf_dir):
+    """SCD2 rebuild: run-id window, run groupBy, and lead window all
+    cluster by user_id — hashpartitioning(user_id) satisfies the
+    groupBy(user_id, run) distribution (grouping keys ⊇ partitioning
+    keys), so the whole plan runs on ONE hash exchange."""
+    q = load_all()["q_events_scd2_intervals"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bm25_topk_take_ordered_and_broadcast_stats(spark, sf_dir):
+    """BM25 top-k: the cut is TakeOrderedAndProject (per-partition heap,
+    no global sort shuffle) and both the corpus stats row and the
+    per-term document frequencies join in as broadcasts."""
+    q = load_all()["q_docs_bm25_topk"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_self_repetition_map_only(spark, sf_dir):
+    """Within-doc repetition signals are row-local: no Exchange anywhere
+    — the operator fuses into the scan at any scale."""
+    from ups_crossref_etl_spark.operators import text_analysis as ta
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(ta.self_repetition(d, "text", "doc_id"))
+    assert "Exchange" not in plan

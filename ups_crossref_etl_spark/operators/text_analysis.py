@@ -176,6 +176,137 @@ def top_vocab(
 
 
 # --------------------------------------------------------------------------
+# Unigram language-model scoring (CCNet-style perplexity filtering)
+# --------------------------------------------------------------------------
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str, id_col: str, freq: DataFrame | None = None
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a Laplace-smoothed
+    corpus unigram model — the cheap seam of CCNet-style perplexity
+    filtering (docs with high NLL are off-distribution / junk; a real
+    deployment swaps the unigram model for KenLM scores, same plan shape).
+
+    ``p(t) = (c(t)+1) / (T+V)``; ``nll(d) = Σ_t tf·(−ln p(t)) / Σ_t tf``
+    (rounded to 4 dp). Returns ``(id_col, n_tokens, nll)`` for documents
+    with ≥1 token.
+
+    ``freq``: optional precomputed :func:`token_frequencies` output, so a
+    persisted corpus model is scored against once instead of recomputed per
+    batch (same hook pattern as ``dedup.incremental_dedup``'s precomputed
+    corpus state).
+
+    Scale shape: the model is one groupBy(token) aggregate; its scalar
+    stats (T, V) are a broadcast row. Scoring joins per-(doc,token) term
+    frequencies against the model on ``token`` — both sides come out of a
+    groupBy(token)-compatible partitioning, and the model side is
+    vocabulary-sized (≪ corpus), broadcast when small. The final
+    groupBy(doc) shuffles only (doc, tf, weight) rows, never text.
+    """
+    if freq is None:
+        freq = token_frequencies(df, text_col, id_col, exact_doc_freq=False)
+    model_stats = freq.agg(
+        F.sum("n_occurrences").alias("_T"), F.count(F.lit(1)).alias("_V")
+    )
+    weights = freq.crossJoin(F.broadcast(model_stats)).select(
+        "token",
+        F.log(
+            (F.col("_T") + F.col("_V")) / (F.col("n_occurrences") + F.lit(1))
+        ).alias("_w"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("token"),
+        )
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    return (
+        tf.join(weights, "token")
+        .groupBy("_id")
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_tf") * F.col("_w")) / F.sum("_tf"), 4
+            ).alias("nll"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "nll")
+    )
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+
+
+def self_repetition(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, all row-local:
+    ``(id_col, n_tokens, n_ngrams, n_distinct_ngrams, dup_ngram_frac,
+    top_token_frac)``.
+
+    - ``dup_ngram_frac``: fraction of word n-gram positions occupied by a
+      repeated n-gram, ``(g − distinct(g)) / g`` — the signal substring /
+      paragraph dedup acts on inside one document.
+    - ``top_token_frac``: share of the most frequent token — detects
+      token-spam pages. Computed as the longest run in the SORTED token
+      array via one ``aggregate`` fold (no explode, no shuffle).
+
+    Both are exact ratios of small integers rounded to 4 dp, so they are
+    engine-reproducible bit-for-bit. The whole operator is a narrow
+    projection: at 100 TB it is a map-only pass fused into whatever scan
+    feeds it. Documents shorter than ``n`` tokens contribute one n-gram of
+    their full text (the ``dedup.shingles`` convention), so nothing drops.
+    """
+    from . import dedup
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    grams = dedup.shingles(F.col(text_col), n)
+    n_tok = F.size(toks)
+    n_g = F.size(grams)
+    n_d = F.size(F.array_distinct(grams))
+    run_best = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    nz_tok = F.when(n_tok > 0, n_tok.cast("double"))
+    nz_g = F.when(n_g > 0, n_g.cast("double"))
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_g.cast("bigint").alias("n_ngrams"),
+        n_d.cast("bigint").alias("n_distinct_ngrams"),
+        F.coalesce(F.round((n_g - n_d) / nz_g, 4), F.lit(0.0)).alias(
+            "dup_ngram_frac"
+        ),
+        F.coalesce(F.round(run_best / nz_tok, 4), F.lit(0.0)).alias(
+            "top_token_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing (corpus cleaning before training)
 # --------------------------------------------------------------------------
 

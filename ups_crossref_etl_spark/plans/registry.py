@@ -55,11 +55,14 @@ def load_all() -> dict[str, QuerySpec]:
     r03: biblio + streaming + round-3 additions + pipeline + text;
     r04: round4_queries [the two r3 driver-err rows re-registered with
     serialized array columns, audio gate, simhash-md5 oracle, two quality
-    bounds] + pipeline_queries [sampling cutoff hardening changed the
-    operators underneath] + the families last driver-run in r1/r2:
-    relational in full, similarity, events head). Modules/tails rotated out
-    this round (biblio, streaming, round3, text, reference_shapes) were all
-    driver-green in r03-or-earlier windows and keep their pytest coverage;
+    bounds, and the four NEW round-4 queries: bm25 / unigram-nll /
+    self-repetition / scd2 — new queries always claim window slots] +
+    pipeline_queries [sampling cutoff hardening changed the operators
+    underneath] + the families last driver-run in r1/r2: relational in
+    full, then the events head fills the remaining slots). Modules/tails
+    rotated out this round (similarity, biblio, streaming, round3, text,
+    reference_shapes) were all driver-green in r03-or-earlier windows and
+    keep their pytest coverage;
     the full battery is additionally run locally per-round via
     tools/check_queries.py --json (committed as FULLCHECK_r{N}.json).
     """

@@ -18,6 +18,12 @@ query here is new or changed this round:
   (pattern: q_docs_minhash_recall_bound) — exact ground truth is
   hash-compared and the approximate result's precision/recall bounds are
   booleans the oracle pins to TRUE.
+- New training-pipeline surface (all exact-oracled): ``q_docs_bm25_topk``
+  (lexical retrieval, operators/retrieval.py), ``q_docs_unigram_nll``
+  (CCNet-style LM quality scoring), ``q_docs_self_repetition``
+  (Gopher-style within-doc repetition signals), and
+  ``q_events_scd2_intervals`` (SCD2 dimension-history rebuild,
+  operators/scd.py).
 """
 
 from __future__ import annotations
@@ -518,4 +524,187 @@ def q_emb_near_dups_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_nf") == F.col("_nh")).alias("found_subset_of_true"),
             (F.col("_nh") * 2 >= F.col("_nt")).alias("recall_ge_half"),
         )
+    )
+
+
+@register(
+    "q_docs_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS tok
+      FROM documents),
+    dl AS (SELECT doc_id, len(tok) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf, max(dl) AS dl
+      FROM (SELECT doc_id, unnest(tok) AS t, len(tok) AS dl FROM toks)
+      WHERE t IN ('join', 'spark', 'stream', 'vector')
+      GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*) AS dfr FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             count(*) AS n_matched_terms,
+             round(sum(
+               ln(1.0 + (stats.n - dfreq.dfr + 0.5) / (dfreq.dfr + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / stats.avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_matched_terms, score
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    doc=(
+        "Okapi BM25 lexical top-k retrieval (operators/retrieval.bm25_topk) "
+        "— the exact-term complement to the embedding ANN stack; pipelines "
+        "use it for keyword-sourced subsets and decontamination review. "
+        "The corpus is scanned once and reduced map-side to query-term "
+        "matches before any shuffle; corpus stats and per-term document "
+        "frequencies are broadcast scalar/tiny aggregates; top-k is "
+        "TakeOrderedAndProject. Scores round to 4 dp with a doc_id "
+        "tiebreak so the cut is total and engine-independent; the oracle "
+        "mirrors the floating-point expression tree term by term."
+    ),
+)
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, "text", "doc_id", ["join", "spark", "stream", "vector"], k=10
+    )
+
+
+@register(
+    "q_docs_unigram_nll",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS token
+      FROM documents),
+    cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    m AS (SELECT sum(c) AS T, count(*) AS V FROM cnt),
+    w AS (SELECT token, ln((m.T + m.V) / (c + 1)) AS w FROM cnt CROSS JOIN m),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * w.w) / sum(tf.tf), 4) AS nll
+    FROM tf JOIN w USING (token)
+    GROUP BY tf.doc_id
+    """,
+    doc=(
+        "Per-document average negative log-likelihood under a Laplace-"
+        "smoothed corpus unigram model (operators/text_analysis."
+        "unigram_nll) — the cheap seam of CCNet-style perplexity "
+        "filtering; high-NLL docs are off-distribution junk. The model is "
+        "one groupBy(token) aggregate with broadcast scalar stats; "
+        "scoring joins per-(doc,token) term frequencies to the vocabulary-"
+        "sized model on token, then one groupBy(doc) over (tf, weight) "
+        "rows — text never shuffles. A precomputed-model hook scores "
+        "daily batches without rescanning the corpus."
+    ),
+)
+def q_docs_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    d = read_table(spark, sf_dir, "documents")
+    return ta.unigram_nll(d, "text", "doc_id")
+
+
+@register(
+    "q_docs_self_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> ''] AS tok
+      FROM documents),
+    g AS (
+      SELECT doc_id, len(tok) AS n_tokens,
+             CASE WHEN len(tok) >= 3
+                  THEN list_transform(range(1, len(tok) - 1),
+                         i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+                  ELSE [array_to_string(tok, ' ')] END AS grams
+      FROM toks),
+    c AS (
+      SELECT doc_id, n_tokens, len(grams) AS n_ngrams,
+             len(list_distinct(grams)) AS n_distinct
+      FROM g),
+    tt AS (
+      SELECT doc_id, max(cnt) AS mx
+      FROM (SELECT doc_id, t, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(tok) AS t FROM toks)
+            GROUP BY doc_id, t)
+      GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(c.n_distinct AS BIGINT) AS n_distinct_ngrams,
+           coalesce(round((c.n_ngrams - c.n_distinct) / CAST(c.n_ngrams AS DOUBLE), 4), 0.0)
+             AS dup_ngram_frac,
+           coalesce(round(tt.mx / CAST(c.n_tokens AS DOUBLE), 4), 0.0)
+             AS top_token_frac
+    FROM c LEFT JOIN tt USING (doc_id)
+    """,
+    doc=(
+        "Gopher-style within-document repetition signals (operators/"
+        "text_analysis.self_repetition): duplicate word-3-gram fraction "
+        "(the signal substring dedup acts on inside one document) and "
+        "most-frequent-token share (token-spam detector, computed as the "
+        "longest run in the sorted token array via one aggregate fold — "
+        "no explode). Entirely row-local: a map-only pass at 100 TB that "
+        "fuses into whatever scan feeds it. All outputs are exact ratios "
+        "of small integers rounded to 4 dp — engine-reproducible "
+        "bit-for-bit."
+    ),
+)
+def q_docs_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    d = read_table(spark, sf_dir, "documents")
+    return ta.self_repetition(d, "text", "doc_id", n=3)
+
+
+@register(
+    "q_events_scd2_intervals",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+      FROM events),
+    r AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM e),
+    g AS (
+      SELECT user_id, run, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM r GROUP BY user_id, run)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL)
+             AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM g
+    """,
+    doc=(
+        "SCD type-2 dimension-history rebuild from an append-only log "
+        "(operators/scd.intervals_from_log): consecutive runs of the same "
+        "attribute value collapse into [valid_from, valid_to) intervals "
+        "with NULL valid_to marking the current row — the full-history "
+        "complement of the reference's latest-state-only monotone upserts "
+        "(K5/K6). One exchange total: the run-id window, the run "
+        "groupBy, and the lead window all cluster by user_id, so "
+        "Catalyst reuses the same hash partitioning end to end."
+    ),
+)
+def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import intervals_from_log
+
+    e = read_table(spark, sf_dir, "events")
+    return intervals_from_log(e, "user_id", "event_type", "ts").select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current", "n_events"
     )
