@@ -873,3 +873,46 @@ def test_scd2_intervals_planted_history(spark):
     assert [(r["tier"], r["is_current"]) for r in u2] == [
         (None, False), ("gold", True)
     ]
+
+
+def test_pq_exact_when_codebook_covers_data(spark):
+    """With k >= number of distinct subvectors, k-means converges to the
+    subvectors themselves, so ADC reconstructs cosine exactly (4 dp)."""
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators import pq as pq_ops
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 8).round(3)
+    rows = [(i, [float(x) for x in base[i % 4]]) for i in range(16)]
+    d = spark.createDataFrame(rows, schema=["vec_id", "embedding"])
+    cb = pq_ops.pq_fit(d, m=2, k=4, max_iter=4)
+    qv = [float(x) for x in base[1]]
+    out = {r["vec_id"]: r["adc_cos"] for r in pq_ops.pq_topk(d, qv, cb, k=16).collect()}
+    # every copy of base[1] must score exactly 1.0 (self-cosine, exact codes)
+    for i in (1, 5, 9, 13):
+        assert out[i] == 1.0
+    # and the exact cosine of every other vector is reproduced to 4 dp
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for i in (0, 2, 3):
+        assert abs(out[i] - round(cos(base[i], base[1]), 4)) <= 1e-9
+
+
+def test_pq_encode_shape_and_fit_guards(spark):
+    import pytest as _pytest
+
+    from ups_crossref_etl_spark.operators import pq as pq_ops
+
+    rows = [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(8)]
+    d = spark.createDataFrame(rows, schema=["vec_id", "embedding"])
+    cb = pq_ops.pq_fit(d, m=2, k=4, max_iter=2)
+    assert cb.shape == (2, 4, 2)
+    codes = pq_ops.pq_encode(d, cb).select("pq_codes").first()[0]
+    assert len(codes) == 2 and all(0 <= c < 4 for c in codes)
+    with _pytest.raises(ValueError):
+        pq_ops.pq_fit(d, m=3, k=4)  # dim 4 not divisible by 3
+    with _pytest.raises(ValueError):
+        pq_ops.pq_fit(d, m=2, k=64)  # k > n vectors

@@ -170,6 +170,39 @@ def main() -> None:
         docs1.count(), docsN.count(),
     )
 
+    # query stays FIXED while the corpus replicates — retrieval's realistic
+    # shape (the matched-rows shuffle grows, the broadcast stats do not)
+    from ups_crossref_etl_spark.operators.retrieval import bm25_topk
+
+    probe(
+        "bm25_topk",
+        lambda: bm25_topk(
+            docs1, "text", "doc_id", ["join", "spark", "stream", "vector"], k=10
+        ).collect(),
+        lambda: bm25_topk(
+            docsN, "text", "doc_id", ["join", "spark", "stream", "vector"], k=10
+        ).collect(),
+        docs1.count(), docsN.count(),
+    )
+
+    probe(
+        "unigram_nll",
+        lambda: ta.unigram_nll(docs1, "text", "doc_id").count(),
+        lambda: ta.unigram_nll(docsN, "text", "doc_id").count(),
+        docs1.count(), docsN.count(),
+    )
+
+    from ups_crossref_etl_spark.operators.scd import intervals_from_log
+
+    ev1 = read_table(spark, SF_DIR, "events")
+    evN = replicate(ev1, "user_id", n).localCheckpoint()
+    probe(
+        "scd2_intervals",
+        lambda: intervals_from_log(ev1, "user_id", "event_type", "ts").count(),
+        lambda: intervals_from_log(evN, "user_id", "event_type", "ts").count(),
+        ev1.count(), evN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -708,3 +708,83 @@ def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intervals_from_log(e, "user_id", "event_type", "ts").select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current", "n_events"
     )
+
+
+@register(
+    "q_emb_pq_recall_bound",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    expanded AS (
+      SELECT e.vec_id,
+             unnest(e.embedding)::DOUBLE AS ev,
+             unnest(q.qv)::DOUBLE AS qe
+      FROM embeddings e, q),
+    dots AS (
+      SELECT vec_id, sum(ev*qe) AS dot, sqrt(sum(ev*ev)) AS na, sqrt(sum(qe*qe)) AS nb
+      FROM expanded GROUP BY vec_id)
+    SELECT round(max(dot/(na*nb)), 4) AS exact_top1_cos,
+           TRUE AS pq_top1_is_exact_top1,
+           TRUE AS pq_recall_ge_06
+    FROM dots
+    """,
+    doc=(
+        "Quality contract for the product-quantization ANN path "
+        "(operators/pq.py — codebook compression to 16 bytes/vector, the "
+        "~32x at-rest cut beyond scalar quantization's 4x): the exact "
+        "top-1 cosine is hash-compared, the ADC rank-1 hit matching the "
+        "brute-force rank-1 is a pinned boolean (self-retrieval sanity), "
+        "and ADC-top-10 recall vs brute-force-top-10 >= 0.6 is a pinned "
+        "boolean (measured 0.9 at sf0.01 with m=16, k=64, 3 Lloyd "
+        "iterations; the margin absorbs codebook drift, a broken encoder "
+        "or LUT fold still trips it)."
+    ),
+)
+def q_emb_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as pq_ops
+    from ..operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+
+    cb = pq_ops.pq_fit(emb, m=16, k=64, max_iter=3)
+    bf = sim.brute_force_topk(emb, qv, k=10).select("vec_id")
+    adc = pq_ops.pq_topk(emb, qv, cb, k=10).select("vec_id")
+
+    top1 = sim.brute_force_topk(emb, qv, k=1).select(
+        F.col("vec_id").alias("_bf1"), F.col("cos_sim").alias("exact_top1_cos")
+    )
+    adc1 = pq_ops.pq_topk(emb, qv, cb, k=1).select(F.col("vec_id").alias("_adc1"))
+    n_hit = bf.join(adc, "vec_id").agg(F.count(F.lit(1)).alias("_nh"))
+    return (
+        top1.crossJoin(adc1)
+        .crossJoin(n_hit)
+        .select(
+            "exact_top1_cos",
+            (F.col("_bf1") == F.col("_adc1")).alias("pq_top1_is_exact_top1"),
+            (F.col("_nh") >= 6).alias("pq_recall_ge_06"),
+        )
+    )
+
+
+@register(
+    "q_emb_pq_topk",
+    None,
+    doc=(
+        "Product-quantization ADC top-10 (operators/pq.pq_topk), the "
+        "rows-only operational twin of q_emb_pq_recall_bound: codebook "
+        "trained on the corpus, database vectors reduced to 16 byte-codes, "
+        "query scored via two (m x k) literal lookup tables folded over "
+        "the code array in codegen — no Python on the scoring path, "
+        "TakeOrderedAndProject cut. Approximate ranks are hash-seeded by "
+        "k-means, hence no SQL oracle; the bound twin pins quality."
+    ),
+)
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as pq_ops
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+    cb = pq_ops.pq_fit(emb, m=16, k=64, max_iter=3)
+    return pq_ops.pq_topk(emb, qv, cb, k=10)
