@@ -916,3 +916,164 @@ def test_pq_encode_shape_and_fit_guards(spark):
         pq_ops.pq_fit(d, m=3, k=4)  # dim 4 not divisible by 3
     with _pytest.raises(ValueError):
         pq_ops.pq_fit(d, m=2, k=64)  # k > n vectors
+
+
+def test_fuzzy_match_blocking_and_verify(spark):
+    from ups_crossref_etl_spark.operators.linkage import (
+        fuzzy_dedup_groups, fuzzy_match_pairs,
+    )
+
+    rows = [
+        (1, "acme university"),
+        (2, "acme universty"),    # shares token "acme", edit 1
+        (3, "acme institute"),    # shares token, edit > 3 -> verified out
+        (4, "zzzz vniversity"),   # edit 2 from nothing here, NO shared token
+        (5, "beta labs"),
+        (6, "beta labz"),         # shares "beta", edit 1
+    ]
+    d = spark.createDataFrame(rows, ["id", "name"])
+    pairs = fuzzy_match_pairs(d, "name", "id", max_edit=3)
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in pairs.collect()}
+    assert got == {(1, 2): 1, (5, 6): 1}
+    # documented recall caveat: 4 is close to "university" rows by edit
+    # distance but shares no token, so it is unreachable by design
+
+    groups = {
+        r["id"]: r["canonical_id"]
+        for r in fuzzy_dedup_groups(d, "name", "id", max_edit=3).collect()
+    }
+    assert groups == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 5}
+
+
+def test_fuzzy_match_token_df_cap(spark):
+    from ups_crossref_etl_spark.operators.linkage import fuzzy_match_pairs
+
+    # every name shares the stop-token "inc"; with the cap below its df the
+    # block is dropped and only the rare-token pair survives
+    rows = [(i, f"inc company{i}") for i in range(10)] + [
+        (100, "inc rare alpha"), (101, "inc rare alphb"),
+    ]
+    d = spark.createDataFrame(rows, ["id", "name"])
+    pairs = fuzzy_match_pairs(d, "name", "id", max_edit=2, token_df_cap=5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}
+
+
+def test_funnel_chaining_semantics(spark):
+    from datetime import datetime
+
+    from ups_crossref_etl_spark.operators.funnel import (
+        funnel_counts, funnel_users,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes in order
+        (1, "signup", t(0)), (1, "view", t(10)), (1, "purchase", t(20)),
+        # u2: purchase BEFORE view -> stops after view
+        (2, "signup", t(0)), (2, "purchase", t(5)), (2, "view", t(10)),
+        # u3: view simultaneous with signup -> strict > rejects it
+        (3, "signup", t(0)), (3, "view", t(0)),
+        # u4: never signed up
+        (4, "view", t(0)), (4, "purchase", t(1)),
+    ]
+    d = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    steps = ["signup", "view", "purchase"]
+    counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(d, "user_id", "event_type", "ts", steps).collect()
+    }
+    assert counts == {"signup": 3, "view": 2, "purchase": 1}
+    u = {r["user"]: (r["t1"], r["t2"], r["t3"])
+         for r in funnel_users(d, "user_id", "event_type", "ts", steps).collect()}
+    assert u[1] == (t(0), t(10), t(20))
+    assert u[2][2] is None and u[2][1] == t(10)
+    assert u[3][1] is None
+
+
+def test_funnel_max_span(spark):
+    from datetime import datetime
+
+    from ups_crossref_etl_spark.operators.funnel import funnel_counts
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, "a", t(0)), (1, "b", t(30)),   # within 40s span
+        (2, "a", t(0)), (2, "b", t(50)),   # outside span
+    ]
+    d = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            d, "user_id", "event_type", "ts", ["a", "b"], max_span_seconds=40
+        ).collect()
+    }
+    assert counts == {"a": 2, "b": 1}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators.pagerank import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(d, n_iter=4).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(4):
+        nr = np.full(len(nodes), 0.15 / len(nodes))
+        for s, dst in edges:
+            nr[idx[dst]] += 0.85 * r[idx[s]] / out[s]
+        r = nr
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12
+    # node 3 is a pure source: floor rank only
+    assert abs(got[3] - 0.15 / 4) < 1e-12
+
+
+def test_token_divergence_identical_and_disjoint(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import token_divergence
+
+    rows = [
+        (1, "alpha beta gamma", "a"), (2, "alpha beta gamma", "b"),
+        (3, "delta delta", "c"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    same = token_divergence(d, "text", "source", "a", "b").first()
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0 and same["js"] == 0.0
+    assert same["vocab_size"] == 3
+    diff = token_divergence(d, "text", "source", "a", "c").first()
+    assert diff["kl_ab"] > 0 and diff["js"] > 0
+    # JS is symmetric and bounded by ln 2
+    d2 = token_divergence(d, "text", "source", "c", "a").first()
+    assert abs(diff["js"] - d2["js"]) < 1e-12
+    assert 0 < diff["js"] < 0.6931472
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    import pytest as _pytest
+
+    from ups_crossref_etl_spark.operators.sketches import heavy_hitters
+
+    # 12 rows: a x6, b x4, c x2 -> with k=3 threshold is n/k = 4 (strict >)
+    rows = [("a",)] * 6 + [("b",)] * 4 + [("c",)] * 2
+    d = spark.createDataFrame(rows, ["v"]).repartition(4)
+    got = {r["v"]: r["n_occurrences"] for r in heavy_hitters(d, "v", 3).collect()}
+    assert got == {"a": 6}  # b has exactly n/k, excluded by strict >
+    got2 = {r["v"]: r["n_occurrences"] for r in heavy_hitters(d, "v", 4).collect()}
+    assert got2 == {"a": 6, "b": 4}
+    with _pytest.raises(ValueError):
+        heavy_hitters(d, "v", 1)
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    from ups_crossref_etl_spark.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 5 + [(None,)] * 10 + [("b",)] * 1
+    d = spark.createDataFrame(rows, schema="v string").repartition(3)
+    got = {r["v"]: r["n_occurrences"] for r in heavy_hitters(d, "v", 2).collect()}
+    assert got == {"a": 5}

@@ -1,0 +1,126 @@
+"""Fuzzy record linkage: blocked edit-distance matching over a string
+column.
+
+Extension layer, but directly on-theme for the reference's entity
+resolution: the reference merges authors/affiliations only on exact
+normalized keys (/root/reference/src/barrazueta_pipeline_etl_crossref.py
+author/affiliation upsert paths) — near-miss spellings ("Universidad
+Politecnica" vs "Universidad Politécnica de ...") survive as distinct
+entities. This operator finds those near-miss pairs at corpus scale.
+
+Design (standard blocking + verify, both stages declarative):
+
+1. **Token blocking** — two records are candidates iff they share at
+   least one (lowercased, alphanumeric) token. Tokens whose document
+   frequency exceeds ``token_df_cap`` are dropped from blocking (a
+   stop-token like "university" would otherwise create one giant
+   O(n²) block); the cap bounds every block, so candidate count is
+   ≤ Σ_token df² ≤ n_tokens · cap² — linear in data for fixed cap.
+2. **Verify** — exact Levenshtein distance (JVM ``levenshtein``,
+   codegen'd, no Python) on the candidate pairs only, keeping pairs
+   with distance ≤ ``max_edit``.
+
+Shuffle budget: one groupBy(token) for document frequencies, one
+self-equi-join on token (co-partitioned with the groupBy output), one
+distinct on the pair key, two id-keyed joins to fetch the strings.
+Nothing is ever compared all-pairs; the 100 TB shape is the banded
+MinHash join's, with tokens as the bands.
+
+Recall caveat (documented contract, pinned by a planted pytest): pairs
+sharing NO common token are unreachable regardless of edit distance
+("Red Plate" vs "Rad Plete"). That is inherent to token blocking; use
+``dedup.minhash_*`` (character shingles) when recall across fully
+misspelled tokens matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _block_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.filter(
+        F.array_distinct(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")),
+        lambda t: t != F.lit(""),
+    )
+    return df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_tok"))
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_edit: int = 3,
+    token_df_cap: int = 1000,
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` sharing a blocking token with
+    ``levenshtein(text_a, text_b) <= max_edit``.
+
+    Returns ``(id_a, id_b, text_a, text_b, edit_dist)``. Deterministic:
+    the pair key is ordered by id and the output carries no floats.
+    """
+    toks = _block_tokens(df, text_col, id_col)
+    # document frequency per token; rare tokens only may block.
+    # The join is co-partitioned with the groupBy output (same key), so
+    # the df-filter costs no extra exchange on the token side.
+    rare = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= token_df_cap)
+        .select("_tok")
+    )
+    blocked = toks.join(rare, "_tok")
+    pairs = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "_tok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    names = df.select(F.col(id_col).alias("_nid"), F.col(text_col).alias("_ntext"))
+    return (
+        pairs.join(names.alias("na"), F.col("id_a") == F.col("na._nid"))
+        .join(names.alias("nb"), F.col("id_b") == F.col("nb._nid"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("na._ntext").alias("text_a"),
+            F.col("nb._ntext").alias("text_b"),
+            F.levenshtein(F.col("na._ntext"), F.col("nb._ntext")).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= max_edit)
+    )
+
+
+def fuzzy_dedup_groups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_edit: int = 3,
+    token_df_cap: int = 1000,
+) -> DataFrame:
+    """Transitive closure of the fuzzy match graph: ``(id, canonical_id)``
+    with ``canonical_id`` = min id of the connected component (same
+    union contract as ``dedup.near_dup_clusters``)."""
+    from .graph import connected_components
+
+    pairs = fuzzy_match_pairs(df, text_col, id_col, max_edit, token_df_cap)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    all_ids = df.select(F.col(id_col).alias("node")).distinct()
+    return (
+        all_ids.join(cc, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias(
+                "canonical_id"
+            ),
+        )
+    )

@@ -1,0 +1,63 @@
+"""Heavy hitters (frequent items) — exact answers at sketch cost.
+
+Extension layer. The training-pipeline use: find domains / languages /
+boilerplate values that dominate a 100 TB corpus without paying a full
+``groupBy`` over a high-cardinality column.
+
+Two-pass design (Misra-Gries-style candidates, then exact verify):
+
+1. **Candidate pass** — ``mapInPandas`` over the value column; per Arrow
+   batch, an exact vectorized ``value_counts`` keeps items with batch
+   count > n_batch/k. Pigeonhole: any item with GLOBAL frequency > n/k
+   must exceed n_b/k in at least one batch (n = Σ n_b), so the candidate
+   union has NO false negatives; at most k items per batch qualify, so
+   candidates ≤ k·n_batches — kilobytes, never data-sized.
+2. **Exact pass** — broadcast the distinct candidates, semi-join the
+   corpus (map-side hash join, zero shuffle of non-candidate rows),
+   ``groupBy`` the survivors, keep ``count·k > n``.
+
+The result is EXACTLY the set ``{v : freq(v) > n/k}`` with exact counts
+— not an approximation — which is why the gate query hash-matches a
+plain ``GROUP BY … HAVING`` oracle. The sketch only changes the cost:
+the full-column groupBy (shuffle ∝ distinct values) becomes a map-only
+candidate scan plus a groupBy over candidate-matching rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """All values occurring in strictly more than ``n/k`` of the rows
+    (≤ k−1 of them by pigeonhole), with exact counts:
+    ``(value_col, n_occurrences)``. NULLs are ignored.
+    """
+    if k < 2:
+        raise ValueError("heavy_hitters: k must be >= 2")
+    vals = df.select(F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    schema = vals.schema
+
+    def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vc = b["_v"].value_counts()
+            keep = vc[vc > len(b) / k]
+            yield pd.DataFrame({"_v": keep.index})
+
+    cand = vals.mapInPandas(candidates, schema=schema).distinct()
+    total = vals.count()
+    return (
+        vals.join(F.broadcast(cand), "_v")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * k > F.lit(total))
+        .select(F.col("_v").alias(value_col), "n_occurrences")
+    )

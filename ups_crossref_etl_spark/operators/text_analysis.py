@@ -336,3 +336,77 @@ def redact_pii(text_col: Column, token: str = "[PII]") -> Column:
     out = F.regexp_replace(text_col, PII_EMAIL_RE, token)
     out = F.regexp_replace(out, PII_IPV4_RE, token)
     return F.regexp_replace(out, PII_PHONE_RE, token)
+
+
+def token_divergence(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Unigram-distribution drift between two corpus slices — the check a
+    training-data pipeline runs when a new crawl/domain batch lands
+    ("does this month's web slice still look like last month's?").
+
+    Laplace-smoothed over the PAIR's union vocabulary ``V``:
+    ``p(t) = (c_a(t)+1)/(T_a+V)``, same for ``q``; both therefore sum to
+    exactly 1 over the union rows. Emits one row:
+    ``(group_a, group_b, vocab_size, kl_ab, kl_ba, js)`` — both KL
+    directions (nats) and Jensen-Shannon ``0.5·KL(P‖M)+0.5·KL(Q‖M)``
+    with ``M=(P+Q)/2``, all rounded to 6 dp.
+
+    Scale shape: one filtered scan (the two-group predicate pushes to the
+    source), one groupBy(group, token) with map-side combine, a
+    token-keyed self-alignment (full outer on token — co-partitioned with
+    the groupBy output), and a single final aggregate. The shuffle
+    carries (token, counts), never text; vocabulary size, not corpus
+    size, bounds every post-aggregation stage.
+    """
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    toks = two.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("_g", "token").agg(F.count(F.lit(1)).alias("_c"))
+    ca = counts.filter(F.col("_g") == group_a).select(
+        "token", F.col("_c").alias("_ca")
+    )
+    cb = counts.filter(F.col("_g") == group_b).select(
+        "token", F.col("_c").alias("_cb")
+    )
+    joined = (
+        ca.join(cb, "token", "full_outer")
+        .select(
+            F.coalesce("_ca", F.lit(0)).alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("_ca").alias("_Ta"),
+        F.sum("_cb").alias("_Tb"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    sm = joined.crossJoin(F.broadcast(tot)).select(
+        ((F.col("_ca") + 1) / (F.col("_Ta") + F.col("_V"))).alias("_p"),
+        ((F.col("_cb") + 1) / (F.col("_Tb") + F.col("_V"))).alias("_q"),
+        "_V",
+    )
+    m = (F.col("_p") + F.col("_q")) / 2
+    return sm.agg(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.max("_V").cast("bigint").alias("vocab_size"),
+        F.round(F.sum(F.col("_p") * F.log(F.col("_p") / F.col("_q"))), 6).alias("kl_ab"),
+        F.round(F.sum(F.col("_q") * F.log(F.col("_q") / F.col("_p"))), 6).alias("kl_ba"),
+        F.round(
+            0.5 * F.sum(F.col("_p") * F.log(F.col("_p") / m))
+            + 0.5 * F.sum(F.col("_q") * F.log(F.col("_q") / m)),
+            6,
+        ).alias("js"),
+    )

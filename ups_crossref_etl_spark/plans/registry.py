@@ -56,8 +56,9 @@ def load_all() -> dict[str, QuerySpec]:
     r04: round4_queries [the two r3 driver-err rows re-registered with
     serialized array columns, audio gate, simhash-md5 oracle, two quality
     bounds, and the NEW round-4 queries: bm25 / unigram-nll /
-    self-repetition / scd2 / pq-recall-bound (+ rows-only pq-topk) — new
-    queries always claim window slots] +
+    self-repetition / scd2 / pq-recall-bound (+ rows-only pq-topk) /
+    fuzzy-linkage / funnel / pagerank / token-divergence / heavy-hitters —
+    new queries always claim window slots] +
     pipeline_queries [sampling cutoff hardening changed the operators
     underneath] + the families last driver-run in r1/r2: relational in
     full, then the events head fills the remaining slots). Modules/tails

@@ -24,6 +24,14 @@ query here is new or changed this round:
   (Gopher-style within-doc repetition signals), and
   ``q_events_scd2_intervals`` (SCD2 dimension-history rebuild,
   operators/scd.py).
+- Second round-4 batch, all exact-oracled: ``q_part_fuzzy_pairs``
+  (blocked edit-distance record linkage, operators/linkage.py),
+  ``q_events_funnel`` (ordered sequence funnel, operators/funnel.py),
+  ``q_graph_pagerank`` (fixed-iteration power iteration,
+  operators/pagerank.py, oracle unrolled as CTEs),
+  ``q_docs_token_divergence`` (KL/JS corpus drift,
+  text_analysis.token_divergence) and ``q_events_heavy_hitters``
+  (two-pass exact frequent items, operators/sketches.py).
 """
 
 from __future__ import annotations
@@ -788,3 +796,216 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in qrow[0]]
     cb = pq_ops.pq_fit(emb, m=16, k=64, max_iter=3)
     return pq_ops.pq_topk(emb, qv, cb, k=10)
+
+
+@register(
+    "q_part_fuzzy_pairs",
+    """
+    WITH names AS (SELECT min(p_partkey) AS pid, p_name FROM part GROUP BY p_name),
+    toks AS (
+      SELECT DISTINCT pid,
+             unnest(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok
+      FROM names),
+    rare AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 1000),
+    blocked AS (SELECT t.pid, t.tok FROM toks t JOIN rare USING (tok)),
+    pairs AS (
+      SELECT DISTINCT a.pid AS id_a, b.pid AS id_b
+      FROM blocked a JOIN blocked b USING (tok)
+      WHERE a.pid < b.pid)
+    SELECT id_a, id_b, na.p_name AS text_a, nb.p_name AS text_b,
+           CAST(levenshtein(na.p_name, nb.p_name) AS INT) AS edit_dist
+    FROM pairs
+    JOIN names na ON pairs.id_a = na.pid
+    JOIN names nb ON pairs.id_b = nb.pid
+    WHERE levenshtein(na.p_name, nb.p_name) <= 3
+    """,
+    doc=(
+        "Fuzzy record linkage (operators/linkage.fuzzy_match_pairs) over "
+        "distinct part names: token blocking (shared rare token, df cap "
+        "1000 bounds every block) then JVM levenshtein <= 3 verify on "
+        "candidates only — the blocked near-miss matcher the reference's "
+        "exact-key author/affiliation merges lack. Exact oracle: DuckDB "
+        "replicates blocking and edit distance bit-for-bit."
+    ),
+)
+def q_part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fuzzy_match_pairs
+
+    part = read_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    return fuzzy_match_pairs(names, "p_name", "pid", max_edit=3).select(
+        "id_a",
+        "id_b",
+        "text_a",
+        "text_b",
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+    )
+
+
+@register(
+    "q_events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+      GROUP BY e.user_id)
+    SELECT 1 AS step_idx, 'signup' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'view', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    doc=(
+        "Ordered funnel signup -> view -> purchase within 24h of signup "
+        "(operators/funnel.funnel_counts): strict temporal chaining via "
+        "earliest-completion greedy, k-1 user-co-partitioned min-joins — "
+        "one logical repartition by user regardless of step count. "
+        "Oracle unrolls the identical chain as CTEs."
+    ),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_counts
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_counts(
+        e, "user_id", "event_type", "ts",
+        ["signup", "view", "purchase"], max_span_seconds=86400,
+    )
+
+
+@register(
+    "q_graph_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nd.node,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r1 r ON r.node = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nd.node,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c2 USING (node)),
+    c3 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r2 r ON r.node = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nd.node,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c3 USING (node))
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+    doc=(
+        "PageRank, 3 power iterations, damping 0.85 "
+        "(operators/pagerank.pagerank) over the customer->supplier trade "
+        "graph (distinct (o_custkey, l_suppkey) via the order join; ids "
+        "prefixed 'c'/'s' to disjoin the keyspaces) — the citation-"
+        "centrality the reference's CrossRef domain asks for next. One "
+        "src-keyed join + one dst-keyed partial-agg shuffle per "
+        "iteration, localCheckpoint truncating lineage; ranks are "
+        "O(nodes), edges scanned once per iteration. Oracle: the same "
+        "3 iterations unrolled as CTEs, ranks rounded to 6 dp."
+    ),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    pr = pagerank(edges, n_iter=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "q_docs_token_divergence",
+    """
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents WHERE source IN ('src0', 'src1')),
+    c AS (SELECT g, token, count(*) AS c FROM toks GROUP BY g, token),
+    ca AS (SELECT token, c FROM c WHERE g = 'src0'),
+    cb AS (SELECT token, c FROM c WHERE g = 'src1'),
+    j AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+          FROM ca FULL OUTER JOIN cb USING (token)),
+    t AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM j),
+    sm AS (SELECT (ca + 1.0) / (ta + v) AS p, (cb + 1.0) / (tb + v) AS q, v
+           FROM j, t)
+    SELECT 'src0' AS group_a, 'src1' AS group_b,
+           CAST(max(v) AS BIGINT) AS vocab_size,
+           round(sum(p * ln(p / q)), 6) AS kl_ab,
+           round(sum(q * ln(q / p)), 6) AS kl_ba,
+           round(0.5 * sum(p * ln(p / ((p + q) / 2)))
+               + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js
+    FROM sm
+    """,
+    doc=(
+        "Unigram-distribution drift between two corpus slices "
+        "(operators/text_analysis.token_divergence): Laplace-smoothed "
+        "over the pair's union vocabulary, both KL directions + "
+        "Jensen-Shannon in one aggregate. One groupBy(group, token) with "
+        "map-side combine, a token-keyed full-outer alignment, one final "
+        "row — vocabulary size, not corpus size, bounds every "
+        "post-aggregation stage. The drift gate a pipeline runs when a "
+        "new crawl batch lands."
+    ),
+)
+def q_docs_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import token_divergence
+
+    docs = read_table(spark, sf_dir, "documents")
+    return token_divergence(docs, "text", "source", "src0", "src1")
+
+
+@register(
+    "q_events_heavy_hitters",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    HAVING count(*) * 6 > (SELECT count(*) FROM events
+                           WHERE event_type IS NOT NULL)
+    """,
+    doc=(
+        "Heavy hitters, k=6 (operators/sketches.heavy_hitters): exact "
+        "answer at sketch cost — per-Arrow-batch vectorized candidate "
+        "cut (count > n_batch/k; pigeonhole guarantees no false "
+        "negatives), broadcast candidates, exact count of candidate-"
+        "matching rows only. The full-column groupBy shuffle (proportional "
+        "to distinct values) becomes a map-only scan plus a tiny "
+        "candidate aggregate; oracle is the plain GROUP BY/HAVING the "
+        "operator provably equals."
+    ),
+)
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+
+    e = read_table(spark, sf_dir, "events")
+    return heavy_hitters(e, "event_type", k=6)
