@@ -1077,3 +1077,110 @@ def test_heavy_hitters_ignores_nulls(spark):
     d = spark.createDataFrame(rows, schema="v string").repartition(3)
     got = {r["v"]: r["n_occurrences"] for r in heavy_hitters(d, "v", 2).collect()}
     assert got == {"a": 5}
+
+
+def test_cdc_apply_changes_semantics(spark):
+    import pytest as _pytest
+
+    from ups_crossref_etl_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "bal"]
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 5),   # superseded by seq 7
+            (2, "b3", 22.0, "U", 7),   # winner for key 2
+            (3, "c", 0.0, "D", 1),     # delete key 3
+            (4, "d", 40.0, "I", 2),    # brand-new key
+            (5, "e", 50.0, "I", 3),    # insert then delete -> absent
+            (5, "e", 0.0, "D", 4),
+        ],
+        ["id", "name", "bal", "op", "seq"],
+    )
+    out = {r["id"]: (r["name"], r["bal"])
+           for r in apply_changes(snap, ch, ["id"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0)}
+
+    with _pytest.raises(ValueError):
+        apply_changes(snap, ch.drop("bal"), ["id"])
+
+
+def test_cdc_delete_wins_seq_tie(spark):
+    from ups_crossref_etl_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([(1, "a")], ["id", "name"])
+    ch = spark.createDataFrame(
+        [(1, "a2", "U", 5), (1, "a", "D", 5)], ["id", "name", "op", "seq"]
+    )
+    assert apply_changes(snap, ch, ["id"]).count() == 0
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    from datetime import datetime
+
+    from ups_crossref_etl_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        # key "x": obs in buckets 0 and 3 (of a 10s grid); 1,2 filled
+        ("x", datetime(2024, 1, 1, 0, 0, 1), 4.0),
+        ("x", datetime(2024, 1, 1, 0, 0, 2), 6.0),   # same bucket -> mean 5.0
+        ("x", datetime(2024, 1, 1, 0, 0, 35), 9.0),
+        # key "y": single observation -> single-row grid
+        ("y", datetime(2024, 1, 1, 0, 0, 21), 7.0),
+    ]
+    d = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = resample_ffill(d, "k", "ts", "v", 10)
+    got = {
+        (r["k"], r["bucket_ts"].second): (r["value"], r["filled"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("x", 0): (5.0, False),
+        ("x", 10): (5.0, True),
+        ("x", 20): (5.0, True),
+        ("x", 30): (9.0, False),
+        ("y", 20): (7.0, False),
+    }
+
+
+def test_percentile_trim_bounds(spark):
+    import pytest as _pytest
+
+    from ups_crossref_etl_spark.operators.corpus import percentile_trim
+
+    d = spark.createDataFrame([(i,) for i in range(1, 101)], ["n"])
+    kept = [r["n"] for r in percentile_trim(d, "n", 0.10, 0.90).collect()]
+    # exact PERCENTILE_CONT on 1..100: p10 = 10.9, p90 = 90.1
+    assert min(kept) == 11 and max(kept) == 90 and len(kept) == 80
+    with _pytest.raises(ValueError):
+        percentile_trim(d, "n", 0.9, 0.1)
+
+
+def test_ivfpq_subset_of_probed_lists(spark):
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators import ivf
+    from ups_crossref_etl_spark.operators import pq as pq_ops
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(64)]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ivf.kmeans_fit(d, k=4, max_iter=2)
+    cb = pq_ops.pq_fit(d, m=2, k=8, max_iter=2)
+    qv = rows[0][1]
+    got = pq_ops.ivfpq_topk(d, qv, cents, cb, k=5, nprobe=1)
+    ids = [r["vec_id"] for r in got.collect()]
+    # nprobe=1 means every hit lives in the query's own list (and the
+    # result is capped by that list's population, not just k)
+    assigned = {
+        r["vec_id"]: r["_cluster"]
+        for r in ivf.assign_clusters(d, cents).collect()
+    }
+    qlist = assigned[0]
+    list_size = sum(1 for c in assigned.values() if c == qlist)
+    assert len(ids) == min(5, list_size)
+    assert all(assigned[i] == qlist for i in ids)
+    # self-retrieval: vector 0 scores its own code reconstruction highest
+    full = pq_ops.ivfpq_topk(d, qv, cents, cb, k=64, nprobe=4)
+    assert full.first()["vec_id"] == 0

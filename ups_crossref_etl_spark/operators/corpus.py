@@ -63,3 +63,36 @@ def corpus_report(cleaned: DataFrame) -> DataFrame:
         F.count(F.when(F.col("drop_reason") == "too_long", 1)).alias("n_long"),
         F.count(F.when(F.col("drop_reason") == "non_english", 1)).alias("n_nonenglish"),
     )
+
+
+def percentile_trim(
+    df: DataFrame,
+    num_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose ``num_col`` lies within the corpus's exact
+    [lower, upper] quantile band (linear interpolation — the ANSI
+    PERCENTILE_CONT definition both Spark and DuckDB implement) — the
+    distribution-relative outlier trim used instead of fixed length
+    cutoffs when the corpus mix shifts.
+
+    Scale shape: the two cutoffs are ONE exact-percentile aggregate
+    (Spark's ``percentile`` — a single-pass typed aggregation, no
+    pre-sort) reduced to a broadcast 2-value row; the trim itself is a
+    codegen'd range filter joined in as a literal-free broadcast, so the
+    corpus is scanned once and never shuffled. For 100 TB, swap
+    ``percentile`` for ``approx_percentile`` (t-digest, same plan shape)
+    — the filter is unchanged."""
+    if not (0 <= lower <= upper <= 1):
+        raise ValueError("percentile_trim: need 0 <= lower <= upper <= 1")
+    cuts = df.agg(
+        F.expr(
+            f"percentile({num_col}, array({lower}, {upper}))"
+        ).alias("_c")
+    ).select(
+        F.element_at("_c", 1).alias("_lo"), F.element_at("_c", 2).alias("_hi")
+    )
+    return df.crossJoin(F.broadcast(cuts)).filter(
+        (F.col(num_col) >= F.col("_lo")) & (F.col(num_col) <= F.col("_hi"))
+    ).drop("_lo", "_hi")

@@ -181,3 +181,48 @@ def pq_topk(
         .orderBy(F.desc("adc_cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: "np.ndarray",
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition — IVF coarse
+    centroids prune the corpus to ``nprobe`` lists (partition pruning
+    when the table is written ``partitionBy('_cluster')``), then PQ ADC
+    scores ONLY the surviving lists from their byte codes. At 100 TB the
+    scan touches nprobe/nlist of the corpus and reads ~16 B/vector —
+    the two reductions compose multiplicatively. Ranks are approximate
+    (ADC); quality is pinned by the gate query's recall bound, same
+    contract as ``ivf_topk``/``pq_topk`` alone."""
+    from .ivf import assign_clusters
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    pruned = assign_clusters(df, centroids, vec_col).filter(
+        F.col("_cluster").isin(probe)
+    )
+    coded = (
+        pruned
+        if "pq_codes" in pruned.columns
+        else pq_encode(pruned, codebooks, vec_col)
+    )
+    return (
+        coded.select(
+            F.col(id_col),
+            F.round(
+                pq_adc_scores(F.col("pq_codes"), query_vec, codebooks),
+                round_digits,
+            ).alias("adc_cos"),
+        )
+        .orderBy(F.desc("adc_cos"), F.asc(id_col))
+        .limit(k)
+    )

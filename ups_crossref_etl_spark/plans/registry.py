@@ -57,8 +57,9 @@ def load_all() -> dict[str, QuerySpec]:
     serialized array columns, audio gate, simhash-md5 oracle, two quality
     bounds, and the NEW round-4 queries: bm25 / unigram-nll /
     self-repetition / scd2 / pq-recall-bound (+ rows-only pq-topk) /
-    fuzzy-linkage / funnel / pagerank / token-divergence / heavy-hitters —
-    new queries always claim window slots] +
+    fuzzy-linkage / funnel / pagerank / token-divergence / heavy-hitters /
+    cdc-apply / resample-ffill / percentile-trim / ivfpq-bound — new
+    queries always claim window slots] +
     pipeline_queries [sampling cutoff hardening changed the operators
     underneath] + the families last driver-run in r1/r2: relational in
     full, then the events head fills the remaining slots). Modules/tails
