@@ -53,6 +53,15 @@ HEADLINE = [
     "q_docs_bm25_topk",
     "q_docs_unigram_nll",
     "q_events_scd2_intervals",
+    # round 4 (batches 2-3): the new ops with a wide edge — blocked
+    # linkage (token self-join), iterative PageRank (per-iter shuffles),
+    # funnel (chained key joins), CDC merge (batch window + anti-join),
+    # and grid resample (explode + fill window)
+    "q_part_fuzzy_pairs",
+    "q_graph_pagerank",
+    "q_events_funnel",
+    "q_customer_cdc_apply",
+    "q_events_resample_1h",
 ]
 
 

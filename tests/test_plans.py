@@ -326,3 +326,89 @@ def test_self_repetition_map_only(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     plan = _plan(ta.self_repetition(d, "text", "doc_id"))
     assert "Exchange" not in plan
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """The funnel chain clusters every step aggregate and join on the
+    user key: one hash exchange (plus the final counts' single-partition
+    reduce), no sort shuffle, step joins broadcast at this scale."""
+    q = load_all()["q_events_funnel"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_never_all_pairs(spark, sf_dir):
+    """Blocked linkage must never degrade to a cross product: every join
+    is keyed (token / pair id), verify runs on candidates only."""
+    q = load_all()["q_part_fuzzy_pairs"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    """The exact pass semi-joins the corpus against BROADCAST candidates
+    — a full-column groupBy shuffle would defeat the sketch."""
+    q = load_all()["q_events_heavy_hitters"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_apply_anti_join_no_snapshot_window(spark, sf_dir):
+    """The last-writer window runs over the change batch only; the
+    snapshot contributes one LeftAnti join and a union — it is never
+    sorted or window-scanned."""
+    q = load_all()["q_customer_cdc_apply"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "LeftAnti" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # row_number()==1 must compile to the rank-limit pushdown: a Partial
+    # WindowGroupLimit prunes each map task to 1 row per key BEFORE the
+    # exchange, so the batch shuffle carries winners, not history
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # and every window clusters on the CDC key, never the snapshot rows
+    assert "windowspecdefinition(c_custkey" in plan
+
+
+def test_resample_grid_generated_executor_side(spark, sf_dir):
+    """The grid comes from sequence+explode (Generate) on the executors,
+    not a driver loop; the fill window sorts locally after a hash
+    exchange — no range shuffle."""
+    q = load_all()["q_events_resample_1h"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "Generate explode" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_percentile_trim_single_scan_broadcast_cutoffs(spark, sf_dir):
+    """Cutoffs reduce to a broadcast single row (the 1-row nested-loop
+    broadcast is the intended shape); the trim filter itself adds no
+    exchange beyond the final report's groupBy."""
+    q = load_all()["q_docs_percentile_trim"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pagerank_lineage_truncated(spark, sf_dir):
+    """After 3 iterations the returned plan must read the checkpointed
+    ranks, not replay the whole iteration DAG — an unbounded lineage
+    would OOM the driver at real iteration counts."""
+    q = load_all()["q_graph_pagerank"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_token_divergence_one_explode_one_token_exchange(spark, sf_dir):
+    """Conditional aggregation aligns both groups' counts in ONE
+    groupBy(token) — no self-join, the corpus is exploded exactly once
+    (the vocab-sized intermediate is checkpointed for the two readers)."""
+    q = load_all()["q_docs_token_divergence"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate explode") == 0  # reads the checkpoint
+    assert "Scan ExistingRDD" in plan

@@ -357,11 +357,11 @@ def token_divergence(
     with ``M=(P+Q)/2``, all rounded to 6 dp.
 
     Scale shape: one filtered scan (the two-group predicate pushes to the
-    source), one groupBy(group, token) with map-side combine, a
-    token-keyed self-alignment (full outer on token — co-partitioned with
-    the groupBy output), and a single final aggregate. The shuffle
-    carries (token, counts), never text; vocabulary size, not corpus
-    size, bounds every post-aggregation stage.
+    source), then ONE groupBy(token) whose conditional aggregates emit
+    both groups' counts per token — the union-vocab alignment costs no
+    self-join and the corpus is exploded exactly once. The shuffle
+    carries (token, partial counts), never text; vocabulary size, not
+    corpus size, bounds every post-aggregation stage.
     """
     two = df.filter(F.col(group_col).isin([group_a, group_b]))
     toks = two.select(
@@ -373,20 +373,12 @@ def token_divergence(
             )
         ).alias("token"),
     )
-    counts = toks.groupBy("_g", "token").agg(F.count(F.lit(1)).alias("_c"))
-    ca = counts.filter(F.col("_g") == group_a).select(
-        "token", F.col("_c").alias("_ca")
-    )
-    cb = counts.filter(F.col("_g") == group_b).select(
-        "token", F.col("_c").alias("_cb")
-    )
-    joined = (
-        ca.join(cb, "token", "full_outer")
-        .select(
-            F.coalesce("_ca", F.lit(0)).alias("_ca"),
-            F.coalesce("_cb", F.lit(0)).alias("_cb"),
-        )
-    )
+    # vocab-sized; materialize once so the totals branch and the
+    # smoothing branch don't each replay the corpus explode
+    joined = toks.groupBy("token").agg(
+        F.count(F.when(F.col("_g") == group_a, 1)).alias("_ca"),
+        F.count(F.when(F.col("_g") == group_b, 1)).alias("_cb"),
+    ).localCheckpoint()
     tot = joined.agg(
         F.sum("_ca").alias("_Ta"),
         F.sum("_cb").alias("_Tb"),
