@@ -1184,3 +1184,47 @@ def test_ivfpq_subset_of_probed_lists(spark):
     # self-retrieval: vector 0 scores its own code reconstruction highest
     full = pq_ops.ivfpq_topk(d, qv, cents, cb, k=64, nprobe=4)
     assert full.first()["vec_id"] == 0
+
+
+def test_bpe_train_learns_planted_merges(spark):
+    from ups_crossref_etl_spark.operators.bpe import (
+        bpe_segment, bpe_train, word_vocab,
+    )
+
+    # classic BPE corpus: "ab" dominates pair counts, then "abc"
+    rows = [(1, "abc abc abc abd"), (2, "abc abd xy")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = {r["word"]: r["n"] for r in word_vocab(d, "text").collect()}
+    assert vocab == {"abc": 4, "abd": 2, "xy": 1}
+    merges = bpe_train(d, "text", n_merges=3)
+    # pair (a,b) occurs 6x -> first merge; then (ab,c) 4x; then (ab,d) 2x
+    assert merges == [("a", "b"), ("ab", "c"), ("ab", "d")]
+
+    seg = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_segment(d, "text", "doc_id", merges).collect()}
+    # doc1: abc->1 token x3, abd->1 -> 4 tokens; doc2: abc, abd, x+y
+    assert seg == {1: (4, 4), 2: (3, 4)}
+
+
+def test_bpe_merge_leftmost_nonoverlapping(spark):
+    from ups_crossref_etl_spark.operators.bpe import _merge_word, bpe_train
+
+    assert _merge_word(list("aaa"), ("a", "a")) == ["aa", "a"]
+    assert _merge_word(list("aaaa"), ("a", "a")) == ["aa", "aa"]
+    # early stop: no pair reaches count 2
+    d = spark.createDataFrame([(1, "ab cd")], ["doc_id", "text"])
+    assert bpe_train(d, "text", n_merges=5) == []
+
+
+def test_triangle_count_and_degrees(spark):
+    from ups_crossref_etl_spark.operators.graph import (
+        degree_stats, triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5 + self-loop + dup/reversed
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 5)]
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count(d).first()["n_triangles"] == 4
+    deg = {r["node"]: r["degree"] for r in degree_stats(d).collect()}
+    assert deg == {1: 3, 2: 3, 3: 3, 4: 4, 5: 2}  # 5: pendant + self-loop

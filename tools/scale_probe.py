@@ -203,6 +203,60 @@ def main() -> None:
         ev1.count(), evN.count(),
     )
 
+    # graph scale: the user->user interaction graph replicates with
+    # re-keyed node ids (disjoint components per salt), so edges grow N x
+    # while per-iteration shuffle stays key-clustered
+    from ups_crossref_etl_spark.operators.pagerank import pagerank
+
+    e1 = (
+        ev1.alias("a").join(ev1.alias("b"), "event_type")
+        .filter(F.col("a.user_id") != F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct().localCheckpoint()
+    )
+    eN = (
+        e1.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .select(
+            (F.col("src") * n + F.col("_salt")).alias("src"),
+            (F.col("dst") * n + F.col("_salt")).alias("dst"),
+        ).localCheckpoint()
+    )
+    probe(
+        "pagerank_3iter",
+        lambda: pagerank(e1, n_iter=3).count(),
+        lambda: pagerank(eN, n_iter=3).count(),
+        e1.count(), eN.count(),
+    )
+
+    # blocked fuzzy linkage: every token is re-keyed per salt (token ->
+    # token+salt), so the BLOCK STRUCTURE replicates — N disjoint copies
+    # of the same blocks, the realistic "more distinct entities" growth
+    # (suffixing whole names instead would pool all salts into shared
+    # blocks and probe quadratic block-collapse, not corpus growth)
+    from ups_crossref_etl_spark.operators.linkage import fuzzy_match_pairs
+
+    part1 = read_table(spark, SF_DIR, "part")
+    names1 = part1.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    namesN = (
+        names1.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .select(
+            (F.col("pid") * n + F.col("_salt")).alias("pid"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("p_name", " "),
+                    lambda t: F.concat(t, F.lit("x"), F.col("_salt").cast("string")),
+                ),
+            ).alias("p_name"),
+        ).localCheckpoint()
+    )
+    probe(
+        "fuzzy_linkage",
+        lambda: fuzzy_match_pairs(names1, "p_name", "pid", max_edit=3).count(),
+        lambda: fuzzy_match_pairs(namesN, "p_name", "pid", max_edit=3).count(),
+        names1.count(), namesN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -1,0 +1,165 @@
+"""Byte-pair-encoding merge training and segmentation.
+
+Extension layer — the tokenizer-training step of an LLM data pipeline
+(the existing ``text_analysis.bpe_ish_token_count`` only *estimates*
+token counts with a fixed regex; this learns actual merges).
+
+The key scale fact BPE training exploits: after the first aggregation
+the working set is the WORD VOCABULARY with counts, not the corpus.
+A 100 TB corpus has maybe 10⁷ distinct words; every training iteration
+operates on that vocab table:
+
+1. ``groupBy(word)`` once over the corpus (the only corpus-sized job —
+   map-side combinable, shuffle carries (word, count)).
+2. Per merge iteration: adjacent symbol pairs are generated row-locally
+   (``transform`` over a ``sequence`` — codegen, no explode of corpus
+   data), weighted by word count, one vocab-sized ``groupBy(pair)``;
+   the arg-max pair (count desc, pair asc — total order, deterministic)
+   is collected as driver model state (one row), and the merge is
+   applied to the vocab with an Arrow-batched pandas UDF (the
+   leftmost-first sequential merge is inherently order-dependent —
+   exactly the "semantics Spark builtins can't express" case for a
+   UDF; it touches vocab rows, never corpus rows).
+   ``localCheckpoint`` per iteration truncates the growing lineage.
+
+Segmentation of the corpus applies the whole learned merge list in one
+Arrow-batched pass (corpus-sized but map-only, no shuffle).
+
+Determinism: ties in pair counts break lexicographically; the merge
+list is therefore a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+
+def _merge_word(syms: list, pair: tuple[str, str]) -> list:
+    """Leftmost-first, non-overlapping application of one merge."""
+    lo, hi = pair
+    out: list = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lo and syms[i + 1] == hi:
+            out.append(lo + hi)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _merge_udf(pair: tuple[str, str]):
+    @pandas_udf(ArrayType(StringType()))
+    def apply_one(col: pd.Series) -> pd.Series:
+        return pd.Series([_merge_word(list(s), pair) for s in col])
+
+    return apply_one
+
+
+def _adjacent_pairs(syms_col):
+    """Row-local (codegen) list of 'lo hi' strings for adjacent symbols.
+    Guarded for fully-merged single-symbol words: Spark's sequence(1, 0)
+    counts DOWN, so the n<2 case must short-circuit to an empty list."""
+    n = F.size(syms_col)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(syms_col, i), F.element_at(syms_col, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """``(word, n)`` over lowercased word tokens — the one corpus-sized
+    aggregation BPE training needs."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 10
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merge pairs; returns them in rank order.
+    Stops early if no adjacent pair occurs twice."""
+    vocab = word_vocab(df, text_col).select(
+        "n", F.split("word", "(?!$)").alias("syms")
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            vocab.select(
+                F.explode(_adjacent_pairs(F.col("syms"))).alias("pair"), "n"
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        lo, hi = top[0]["pair"].split(" ", 1)
+        merges.append((lo, hi))
+        vocab = vocab.select(
+            "n", _merge_udf((lo, hi))(F.col("syms")).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """``(id_col, n_words, n_bpe_tokens)`` — the corpus re-tokenized
+    under the learned merges in ONE Arrow-batched map-only pass."""
+    mlist = [tuple(m) for m in merges]
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        word_re = re.compile(r"[^a-z0-9]+")
+        for b in batches:
+            n_words, n_toks = [], []
+            for text in b["_text"]:
+                words = [w for w in word_re.split(str(text).lower()) if w]
+                total = 0
+                for w in words:
+                    syms = list(w)
+                    for m in mlist:
+                        syms = _merge_word(syms, m)
+                    total += len(syms)
+                n_words.append(len(words))
+                n_toks.append(total)
+            yield pd.DataFrame(
+                {"_id": b["_id"], "n_words": n_words, "n_bpe_tokens": n_toks}
+            )
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(
+        seg, schema=f"_id long, n_words long, n_bpe_tokens long"
+    )
+    return out.withColumnRenamed("_id", id_col)

@@ -58,8 +58,9 @@ def load_all() -> dict[str, QuerySpec]:
     bounds, and the NEW round-4 queries: bm25 / unigram-nll /
     self-repetition / scd2 / pq-recall-bound (+ rows-only pq-topk) /
     fuzzy-linkage / funnel / pagerank / token-divergence / heavy-hitters /
-    cdc-apply / resample-ffill / percentile-trim / ivfpq-bound — new
-    queries always claim window slots] +
+    cdc-apply / resample-ffill / percentile-trim / ivfpq-bound /
+    triangles / degrees / bpe-merges — new queries always claim window
+    slots] +
     pipeline_queries [sampling cutoff hardening changed the operators
     underneath] + the families last driver-run in r1/r2: relational in
     full, then the events head fills the remaining slots). Modules/tails

@@ -38,6 +38,11 @@ query here is new or changed this round:
   quantile-band corpus trim, corpus.percentile_trim) — all
   exact-oracled — and ``q_emb_ivfpq_recall_bound`` (quality contract
   for the IVF×PQ ANN composition, pq.ivfpq_topk).
+- Fourth round-4 batch: ``q_graph_triangles`` / ``q_graph_degrees``
+  (oriented triangle counting + degree stats, operators/graph.py, exact
+  oracles over the supplier co-supply graph) and ``q_docs_bpe_merges``
+  (real BPE merge training, operators/bpe.py — iterative with driver
+  model state, rows-only + planted-corpus pytest).
 """
 
 from __future__ import annotations
@@ -1187,3 +1192,99 @@ def q_emb_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.crossJoin(n_hit).select(
         "exact_top1_cos", (F.col("_nh") >= 6).alias("ivfpq_recall_ge_06")
     )
+
+
+def _supplier_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that co-supplied an order (the co-authorship graph shape
+    of the reference's domain): distinct (order, supplier) pairs
+    self-joined on the order key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_suppkey").distinct()
+    return (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+
+
+@register(
+    "q_graph_triangles",
+    """
+    WITH pe AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+      FROM pe a JOIN pe b USING (l_orderkey)
+      WHERE a.l_suppkey < b.l_suppkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.hi = e2.lo
+    JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    """,
+    doc=(
+        "Global triangle count (operators/graph.triangle_count) over the "
+        "supplier co-supply graph: edges oriented lo<hi so each triangle "
+        "is generated once, two node-keyed equi-joins (wedge + closure), "
+        "never a cross product; hub wedges bounded by higher-id "
+        "neighbors. The clustering-coefficient primitive for the "
+        "reference domain's co-authorship analyses."
+    ),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_supplier_co_edges(spark, sf_dir))
+
+
+@register(
+    "q_graph_degrees",
+    """
+    WITH pe AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM pe a JOIN pe b USING (l_orderkey)
+      WHERE a.l_suppkey < b.l_suppkey),
+    sym AS (
+      SELECT src, dst FROM e0
+      UNION SELECT dst AS src, src AS dst FROM e0)
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM sym GROUP BY src
+    """,
+    doc=(
+        "Undirected degree per node (operators/graph.degree_stats) over "
+        "the supplier co-supply graph: symmetric-closure distinct + one "
+        "node-keyed groupBy."
+    ),
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import degree_stats
+
+    return degree_stats(_supplier_co_edges(spark, sf_dir))
+
+
+@register(
+    "q_docs_bpe_merges",
+    None,
+    doc=(
+        "BPE merge training (operators/bpe.bpe_train), 10 merges over the "
+        "document corpus: ONE corpus-sized word-count aggregate, then "
+        "every iteration works on the vocab table (adjacent pairs "
+        "generated row-locally by codegen transform, one vocab-sized "
+        "groupBy(pair), arg-max collected as one driver row, merge "
+        "applied by an Arrow-batched UDF over vocab rows only, "
+        "localCheckpoint per iteration). Deterministic (count desc, pair "
+        "asc tie-break) but iterative with driver model state, hence no "
+        "SQL oracle; the planted-corpus pytest pins exact learned merges "
+        "(tests/test_operators.py::test_bpe_train_learns_planted_merges)."
+    ),
+)
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    rows = [(i + 1, m[0], m[1]) for i, m in enumerate(merges)]
+    return spark.createDataFrame(rows, ["rank", "left", "right"]).orderBy("rank")
