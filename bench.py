@@ -62,6 +62,9 @@ HEADLINE = [
     "q_events_funnel",
     "q_customer_cdc_apply",
     "q_events_resample_1h",
+    # round 4 (batch 5): the single-window anomaly scan — the shape where
+    # a naive self-join formulation would explode at scale
+    "q_events_zscore_outliers",
 ]
 
 

@@ -1228,3 +1228,104 @@ def test_triangle_count_and_degrees(spark):
     assert triangle_count(d).first()["n_triangles"] == 4
     deg = {r["node"]: r["degree"] for r in degree_stats(d).collect()}
     assert deg == {1: 3, 2: 3, 3: 3, 4: 4, 5: 2}  # 5: pendant + self-loop
+
+
+def test_key_skew_stats_planted(spark):
+    from ups_crossref_etl_spark.operators.skew import key_skew_stats
+
+    # key "hot" 8 rows, "a".."d" 1 row each -> 5 keys, 12 rows, max 8,
+    # avg 2.4, skew 8/2.4=3.33; p99 of [1,1,1,1,8] = 1 + 0.96*7 = 7.72
+    rows = [("hot",)] * 8 + [("a",), ("b",), ("c",), ("d",)]
+    d = spark.createDataFrame(rows, ["k"])
+    r = key_skew_stats(d, "k").first()
+    assert (r["n_keys"], r["total_rows"], r["max_cnt"]) == (5, 12, 8)
+    assert r["avg_cnt"] == 2.4
+    assert r["p99_cnt"] == 7.72
+    assert r["skew_factor"] == 3.33
+
+
+def test_temperature_mix_rebalances(spark):
+    from ups_crossref_etl_spark.operators.sampling import temperature_mix
+
+    # head domain 400 rows, tail 25: alpha=0 -> uniform shares, so the
+    # head is cut toward budget/2 while the tail keeps everything
+    rows = [("head", i) for i in range(400)] + [("tail", 1000 + i) for i in range(25)]
+    d = spark.createDataFrame(rows, ["dom", "k"])
+    got = {
+        r["dom"]: r["cnt"]
+        for r in temperature_mix(d, "dom", "k", alpha=0.0, total_budget=100)
+        .groupBy("dom").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got["tail"] == 25  # rate min(1, 50/25) = 1 -> all kept
+    assert 30 <= got["head"] <= 70  # rate 50/400 = 0.125 of 400 ~ 50
+    # alpha=1 reproduces natural proportions: both rates = 100/425
+    nat = {
+        r["dom"]: r["cnt"]
+        for r in temperature_mix(d, "dom", "k", alpha=1.0, total_budget=100)
+        .groupBy("dom").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert nat["head"] > got["head"] - 20 and nat["tail"] < 25
+
+
+def test_rolling_zscore_outliers_planted(spark):
+    from ups_crossref_etl_spark.operators.timeseries import (
+        rolling_zscore_outliers,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: stable 10.0 +/- 0.1 for 10 rows, then a 50.0 spike;
+    # user 2: too little history to ever flag
+    rows = []
+    for i in range(10):
+        rows.append((1, t0 + dt.timedelta(minutes=i), i, 10.0 + 0.1 * (i % 2)))
+    rows.append((1, t0 + dt.timedelta(minutes=10), 10, 50.0))
+    rows.append((2, t0, 11, 5.0))
+    rows.append((2, t0 + dt.timedelta(minutes=1), 12, 500.0))
+    d = spark.createDataFrame(rows, ["uid", "ts", "eid", "v"])
+    for scale in (None, 100):
+        out = rolling_zscore_outliers(
+            d, "uid", "ts", "v", "eid", window_rows=24,
+            threshold=3.0, min_history=8, value_scale=scale,
+        ).collect()
+        assert [r["eid"] for r in out] == [10]
+        assert out[0]["n_history"] == 10
+        assert out[0]["zscore"] > 100  # 40-sigma spike vs 0.05 stddev
+        assert abs(out[0]["baseline_mean"] - 10.05) < 1e-9
+
+
+def test_zorder_key_locality(spark):
+    from ups_crossref_etl_spark.operators.layout import (
+        repartition_by_zorder, zorder_key, zorder_key_sql, zorder_tile_stats,
+    )
+
+    d = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("bigint").alias("y")
+    )
+    keyed = d.select("x", "y", zorder_key(F.col("x"), F.col("y"), 8).alias("z"))
+    rows = {(r["x"], r["y"]): r["z"] for r in keyed.collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert all(rows[(x, y)] == morton(x, y) for (x, y) in rows)
+    # the SQL twin generates the identical key (evaluated via Spark SQL)
+    sql_rows = {
+        (r["x"], r["y"]): r["z"]
+        for r in d.selectExpr(
+            "x", "y", zorder_key_sql("x", "y", 8).replace("LEAST", "least") + " AS z"
+        ).collect()
+    }
+    assert sql_rows == rows
+    # tiles: shift 4 -> 16-cell curve segments; every tile's bbox is a
+    # compact 4x4 square (perfect 2-D locality), never a full-range slab
+    st = zorder_tile_stats(d, F.col("x"), F.col("y"), bits=8, tile_shift=4).collect()
+    assert len(st) == 16
+    for r in st:
+        assert r["n_rows"] == 16
+        assert r["x_max"] - r["x_min"] == 3 and r["y_max"] - r["y_min"] == 3
+    assert repartition_by_zorder(d, "x", "y", num_partitions=4).count() == 256

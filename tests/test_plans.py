@@ -412,3 +412,46 @@ def test_token_divergence_one_explode_one_token_exchange(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("Generate explode") == 0  # reads the checkpoint
     assert "Scan ExistingRDD" in plan
+
+
+def test_key_skew_stats_two_stage_agg(spark, sf_dir):
+    """Skew diagnostics: one key-hash exchange for the per-key counts
+    (map-side partial), one single-partition reduce for the 1-row
+    summary — never a sort or a join."""
+    q = load_all()["q_events_key_skew"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_temperature_mix_broadcast_rates(spark, sf_dir):
+    """The per-lang rate table must come back as a broadcast: the corpus
+    is scanned once with a map-side hash filter — no shuffle of the
+    fact rows before the final per-lang count."""
+    q = load_all()["q_docs_temperature_mix"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_single_window_operator(spark, sf_dir):
+    """count/sum(c)/sum(c*c) share one frame -> exactly ONE Window
+    operator and one user_id exchange; the naive self-join formulation
+    would show a Join here."""
+    q = load_all()["q_events_zscore_outliers"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_zorder_tiles_codegen_no_udf(spark, sf_dir):
+    """The Morton key is pure JVM bit arithmetic: no Python evaluation
+    in the plan, one tile-hash exchange with map-side partial agg."""
+    q = load_all()["q_events_zorder_tiles"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan

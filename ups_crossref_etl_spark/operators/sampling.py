@@ -225,3 +225,49 @@ def chunk_spans(
         .withColumn("chunk_len", F.least(F.lit(chunk_size), F.col("_n_tok") - start))
         .drop("_n_tok")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float,
+    total_budget: int,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-pretraining
+    rebalance): target share of domain *d* is
+    ``n_d**alpha / sum_e(n_e**alpha)`` — ``alpha=1`` keeps natural
+    proportions, ``alpha=0`` is uniform, the usual ``alpha≈0.3-0.7``
+    up-samples tail domains at the expense of the head. Desired count =
+    share × ``total_budget``; per-domain rate = ``min(1, desired/n_d)``
+    applied via the same deterministic md5 bucket as
+    :func:`hash_bucket`, so membership is a pure function of
+    ``(seed, key)``.
+
+    Execution shape: identical to :func:`domain_mix` — the shares come
+    from one tiny per-domain count aggregate (broadcast back), the
+    corpus is touched once with a map-side filter, zero extra shuffles.
+    The rate cutoff ROUNDs (see domain_mix) so engine double drift at a
+    bucket boundary can't flip membership.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_avail"))
+    tot = counts.agg(
+        F.sum(F.pow("_avail", F.lit(float(alpha)))).alias("_z")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_rate",
+        F.least(
+            F.lit(1.0),
+            F.pow("_avail", F.lit(float(alpha)))
+            / F.col("_z")
+            * F.lit(float(total_budget))
+            / F.col("_avail"),
+        ),
+    )
+    b = hash_bucket(F.col(key_col), seed, 10_000)
+    return (
+        df.join(F.broadcast(rates), domain_col, "inner")
+        .filter(b < F.round(F.col("_rate") * 10_000).cast("bigint"))
+        .drop("_z")
+    )

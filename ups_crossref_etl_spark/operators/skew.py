@@ -59,3 +59,35 @@ def salt_join(
     small_rep = small.select("*", salts)
     large_salted = with_salt(large, unique_col, num_salts)
     return large_salted.join(small_rep, [key, "_salt"], how).drop("_salt")
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, round_digits: int = 2
+) -> DataFrame:
+    """Skew diagnostics for a prospective shuffle key: one row with
+    ``(n_keys, total_rows, max_cnt, avg_cnt, p99_cnt, skew_factor)``.
+
+    The pre-flight check for any 100 TB groupBy/join: ``skew_factor``
+    (max key count / mean key count) tells you whether the hottest
+    partition will straggle — a factor over ~20 is the signal to reach
+    for :func:`salted_agg` / :func:`salt_join` or AQE skew splitting,
+    BEFORE burning a cluster-day discovering it empirically.
+
+    Execution shape: one map-side-combinable count per key, then a
+    single-row global aggregate over the (small) key-count table.
+    ``p99_cnt`` uses Spark's exact ``percentile`` (linear interpolation
+    at rank ``(n-1)*p`` — same contract as DuckDB ``quantile_cont``);
+    exactness over the key-count table is cheap because that table is
+    |keys|-sized, not |rows|-sized.
+    """
+    cnts = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("_c"))
+    return cnts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_c").alias("total_rows"),
+        F.max("_c").alias("max_cnt"),
+        F.round(F.avg("_c"), round_digits).alias("avg_cnt"),
+        F.round(F.percentile("_c", F.lit(0.99)), round_digits).alias("p99_cnt"),
+        F.round(
+            F.max("_c") / F.avg("_c"), round_digits
+        ).alias("skew_factor"),
+    )

@@ -75,3 +75,86 @@ def resample_ffill(
             F.col("_bv").isNull().alias("filled"),
         )
     )
+
+
+def rolling_zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    window_rows: int = 24,
+    threshold: float = 3.0,
+    min_history: int = 8,
+    round_digits: int = 4,
+    value_scale: int | None = None,
+) -> DataFrame:
+    """Streaming-style anomaly detection on a batch table: flag rows whose
+    value deviates more than ``threshold`` sample standard deviations
+    from the trailing ``window_rows`` observations of the SAME key.
+
+    The baseline window is strictly *preceding* rows (``N PRECEDING ..
+    1 PRECEDING``) so the candidate never contaminates its own
+    baseline, and rows with fewer than ``min_history`` prior
+    observations are never flagged (cold-start guard). Window order is
+    ``(ts, tiebreak)`` — the tiebreak column must be unique per key so
+    the frame is deterministic under equal timestamps.
+
+    Execution shape: ONE window spec over the key partition — mean,
+    stddev and count share the same frame, so Catalyst evaluates all
+    three in a single Window physical operator: one shuffle on the key,
+    no self-join (the naive formulation joins each row to its trailing
+    window — |rows|×|window| blowup at 100 TB).
+
+    ``value_scale``: when the values are fixed-point (money at scale
+    100, basis points at 10 000), pass the scale and the moments are
+    computed over EXACT integer window sums (``Σc``, ``Σc²`` — no
+    float accumulation), with mean/variance derived by one shared
+    float expression. This makes the result independent of summation
+    order — reproducible bit-for-bit across partitionings and engines
+    (the float path can flip a rounding boundary when a different plan
+    adds the same 24 doubles in a different order). ``None`` keeps the
+    native float path for genuinely real-valued data.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(order_tiebreak))
+        .rowsBetween(-window_rows, -1)
+    )
+    if value_scale is not None:
+        c = F.round(F.col(value_col) * value_scale).cast("bigint")
+        n = F.count(c).over(w)
+        s1 = F.sum(c).over(w)
+        s2 = F.sum(c * c).over(w)
+        mu = s1 / n / value_scale
+        var = (
+            (s2 - s1 * s1 / n)
+            / (n - F.lit(1))
+            / F.lit(float(value_scale * value_scale))
+        )
+        sd = F.when(var > 0, F.sqrt(var))
+        z = (c / value_scale - mu) / sd
+    else:
+        mu = F.avg(value_col).over(w)
+        sd = F.stddev_samp(value_col).over(w)
+        n = F.count(value_col).over(w)
+        z = (F.col(value_col) - mu) / sd
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            F.col(value_col),
+            F.round(mu, round_digits).alias("baseline_mean"),
+            F.round(z, round_digits).alias("zscore"),
+            n.alias("n_history"),
+            sd.alias("_sd"),
+        )
+        .filter(
+            (F.col("n_history") >= min_history)
+            & F.col("_sd").isNotNull()
+            & (F.col("_sd") > 0)
+            & (F.abs(F.col("zscore")) > threshold)
+        )
+        .drop("_sd")
+    )

@@ -59,7 +59,8 @@ def load_all() -> dict[str, QuerySpec]:
     self-repetition / scd2 / pq-recall-bound (+ rows-only pq-topk) /
     fuzzy-linkage / funnel / pagerank / token-divergence / heavy-hitters /
     cdc-apply / resample-ffill / percentile-trim / ivfpq-bound /
-    triangles / degrees / bpe-merges — new queries always claim window
+    triangles / degrees / bpe-merges / key-skew / temperature-mix /
+    zscore-outliers / zorder-tiles — new queries always claim window
     slots] +
     pipeline_queries [sampling cutoff hardening changed the operators
     underneath] + the families last driver-run in r1/r2: relational in

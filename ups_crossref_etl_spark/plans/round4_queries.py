@@ -43,6 +43,13 @@ query here is new or changed this round:
   oracles over the supplier co-supply graph) and ``q_docs_bpe_merges``
   (real BPE merge training, operators/bpe.py — iterative with driver
   model state, rows-only + planted-corpus pytest).
+- Fifth round-4 batch — the cluster-ops set, all exact-oracled:
+  ``q_events_key_skew`` (shuffle-key pre-flight, skew.key_skew_stats),
+  ``q_docs_temperature_mix`` (n^alpha mixture,
+  sampling.temperature_mix), ``q_events_zscore_outliers``
+  (trailing-window anomaly flags with exact integer-cent moments,
+  timeseries.rolling_zscore_outliers) and ``q_events_zorder_tiles``
+  (Morton-curve layout audit, operators/layout.py).
 """
 
 from __future__ import annotations
@@ -1288,3 +1295,162 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(docs, "text", n_merges=10)
     rows = [(i + 1, m[0], m[1]) for i, m in enumerate(merges)]
     return spark.createDataFrame(rows, ["rank", "left", "right"]).orderBy("rank")
+
+
+@register(
+    "q_events_key_skew",
+    """
+    WITH c AS (SELECT user_id, count(*) AS _c FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(_c) AS BIGINT) AS total_rows,
+           CAST(max(_c) AS BIGINT) AS max_cnt,
+           round(avg(_c), 2) AS avg_cnt,
+           round(quantile_cont(_c, 0.99), 2) AS p99_cnt,
+           round(max(_c) / avg(_c), 2) AS skew_factor
+    FROM c
+    """,
+    doc=(
+        "Shuffle-key pre-flight (operators/skew.key_skew_stats): key "
+        "cardinality, max/avg/p99 key counts and the max/avg skew factor "
+        "for events.user_id — the diagnostic that decides between a plain "
+        "groupBy and the salted/AQE path BEFORE the 100 TB shuffle runs. "
+        "One map-side-combinable count per key + one single-row aggregate "
+        "over the |keys|-sized table; p99 is Spark's exact `percentile` "
+        "(linear interpolation, same contract as DuckDB quantile_cont)."
+    ),
+)
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return key_skew_stats(ev, "user_id")
+
+
+@register(
+    "q_docs_temperature_mix",
+    """
+    WITH c AS (SELECT lang, count(*) AS _avail FROM documents GROUP BY lang),
+    z AS (SELECT sum(pow(_avail, 0.5)) AS _z FROM c),
+    r AS (SELECT lang, _avail,
+                 least(1.0, pow(_avail, 0.5) / _z * 250.0 / _avail) AS _rate
+          FROM c, z)
+    SELECT d.lang,
+           CAST(max(r._avail) AS BIGINT) AS n_candidates,
+           count(*) AS n_selected
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST('0x' || substr(md5('tmix-' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+          < CAST(round(r._rate * 10000) AS BIGINT)
+    GROUP BY d.lang
+    """,
+    doc=(
+        "Temperature-scaled language rebalance (operators/sampling."
+        "temperature_mix, alpha=0.5, budget=250): target share per lang is "
+        "n^alpha / sum(n^alpha), so the en head is down-sampled hard while "
+        "tail languages keep most of their rows — the multilingual-"
+        "pretraining mixture. Same zero-extra-shuffle shape as domain_mix: "
+        "tiny per-lang aggregate broadcast back, md5-bucket map-side "
+        "filter, ROUNDed cutoff."
+    ),
+)
+def q_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mix
+
+    d = read_table(spark, sf_dir, "documents")
+    mixed = temperature_mix(d, "lang", "doc_id", alpha=0.5, total_budget=250)
+    return mixed.groupBy("lang").agg(
+        F.max("_avail").cast("bigint").alias("n_candidates"),
+        F.count(F.lit(1)).alias("n_selected"),
+    )
+
+
+@register(
+    "q_events_zscore_outliers",
+    """
+    WITH cents AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, value, c,
+             count(c) OVER win AS n,
+             sum(c) OVER win AS s1,
+             sum(c * c) OVER win AS s2
+      FROM cents
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    m AS (
+      SELECT user_id, event_id, value, n,
+             s1 / n / 100 AS mu,
+             CASE WHEN (s2 - s1 * s1 / n) / (n - 1) / 10000.0 > 0
+                  THEN sqrt((s2 - s1 * s1 / n) / (n - 1) / 10000.0)
+             END AS sd,
+             c / 100 AS v
+      FROM w)
+    SELECT user_id, event_id, value,
+           round(mu, 4) AS baseline_mean,
+           round((v - mu) / sd, 4) AS zscore,
+           CAST(n AS BIGINT) AS n_history
+    FROM m
+    WHERE n >= 8 AND sd IS NOT NULL AND sd > 0
+          AND abs(round((v - mu) / sd, 4)) > 2.5
+    """,
+    doc=(
+        "Rolling z-score anomaly detection (operators/timeseries."
+        "rolling_zscore_outliers, value_scale=100): flag events deviating "
+        ">2.5 trailing sample-stddevs from the SAME user's previous 24 "
+        "observations; strictly-preceding frame (no self-contamination), "
+        ">=8-row cold-start guard, (ts, event_id) deterministic order. "
+        "Count/sum(c)/sum(c^2) share ONE window frame -> a single Window "
+        "operator, one shuffle on user_id — never the |rows|x|window| "
+        "self-join. Moments come from EXACT integer cent sums, so the "
+        "result is bit-reproducible across engines and partitionings "
+        "(float window sums flip rounding boundaries under re-ordering)."
+    ),
+)
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_zscore_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    return rolling_zscore_outliers(
+        ev, "user_id", "ts", "value", "event_id", threshold=2.5, value_scale=100
+    ).drop("ts")
+
+
+from ..operators.layout import zorder_key_sql as _zsql  # noqa: E402
+
+_Z_X = "user_id"
+_Z_Y = "(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 256)"
+
+
+@register(
+    "q_events_zorder_tiles",
+    f"""
+    SELECT ({_zsql(_Z_X, _Z_Y, 8)} >> 8) AS tile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(user_id) AS BIGINT) AS x_min,
+           CAST(max(user_id) AS BIGINT) AS x_max,
+           min({_Z_Y}) AS y_min,
+           max({_Z_Y}) AS y_max
+    FROM events
+    GROUP BY 1
+    """,
+    doc=(
+        "Z-order (Morton) layout audit (operators/layout.zorder_tile_stats "
+        "over zorder_key): interleave user_id x hour-bucket into a 16-bit "
+        "curve key, group by curve tile (key >> 8 — what a range-"
+        "partitioned file would hold) and emit each tile's row count and "
+        "x/y bounding box. Tight boxes == per-file min/max stats prune "
+        "scans on EITHER dimension — the OPTIMIZE ZORDER BY story as "
+        "plain codegen bit arithmetic (no UDF), with repartition_by_zorder "
+        "as the write-side half. Oracle runs the byte-identical interleave "
+        "expression generated by zorder_key_sql."
+    ),
+)
+def q_events_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_tile_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    hour_bucket = (
+        F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("bigint") % 256
+    )
+    return zorder_tile_stats(ev, F.col("user_id"), hour_bucket, bits=8, tile_shift=8)
