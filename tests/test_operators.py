@@ -1329,3 +1329,124 @@ def test_zorder_key_locality(spark):
         assert r["n_rows"] == 16
         assert r["x_max"] - r["x_min"] == 3 and r["y_max"] - r["y_min"] == 3
     assert repartition_by_zorder(d, "x", "y", num_partitions=4).count() == 256
+
+
+def test_setsim_join_matches_bruteforce(spark):
+    from ups_crossref_etl_spark.operators.setsim import setsim_join
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),       # 4/6 = 0.667 vs 1
+        (3, "alpha beta gamma delta epsilon"),    # exact dup of 1
+        (4, "omega psi chi phi upsilon"),         # disjoint
+        (5, "alpha the the the the"),             # tiny overlap with 1
+        (6, ""),                                  # empty set, never pairs
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def toks(s):
+        return {t for t in s.lower().split() if t}
+
+    sets = {i: toks(t) for i, t in rows}
+    for thr in (0.5, 0.8, 1.0):
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    ov = len(sets[a] & sets[b])
+                    j = ov / len(sets[a] | sets[b])
+                    if j >= thr:
+                        want[(a, b)] = (ov, len(sets[a]), len(sets[b]))
+        got = {
+            (r["id_a"], r["id_b"]): (r["overlap"], r["size_a"], r["size_b"])
+            for r in setsim_join(d, "doc_id", "text", threshold=thr).collect()
+        }
+        assert got == want, f"threshold {thr}"
+
+
+def test_setsim_join_shingles_and_validation(spark):
+    import pytest as _pytest
+    from ups_crossref_etl_spark.operators.setsim import setsim_join
+
+    rows = [
+        (1, "a b c d e"),   # 3-gram shingles: {a b c, b c d, c d e}
+        (2, "a b c d x"),   # shares {a b c, b c d} -> 2/4 = 0.5
+        (3, "e d c b a"),   # same VOCAB as 1, zero shared 3-grams
+        (4, "a b"),         # shorter than the shingle width -> empty set
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in setsim_join(d, "doc_id", "text", threshold=0.5,
+                             shingle_width=3).collect()
+    }
+    assert got == {(1, 2): 0.5}
+    # width 1 is vocabulary similarity: 1 and 3 are identical sets
+    uni = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_join(d, "doc_id", "text", threshold=0.99).collect()
+    }
+    assert (1, 3) in uni
+    with _pytest.raises(ValueError):
+        setsim_join(d, "doc_id", "text", threshold=0.0)
+    with _pytest.raises(ValueError):
+        setsim_join(d, "doc_id", "text", shingle_width=0)
+
+
+def test_inverted_index_postings_and_shards(spark):
+    from ups_crossref_etl_spark.operators.retrieval import inverted_index
+
+    rows = [
+        (10, "spark spark shuffle"),
+        (11, "spark join"),
+        (12, "spark shuffle shuffle"),
+        (13, "join"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = {
+        (r["token"], r["shard"]): r
+        for r in inverted_index(d, "doc_id", "text", shard_size=2).collect()
+    }
+    # 'spark': df 3, cf 4 -> shards [10,11] and [12]
+    assert idx[("spark", 0)]["postings"] == "10:2,11:1"
+    assert idx[("spark", 1)]["postings"] == "12:1"
+    for s in (0, 1):
+        assert idx[("spark", s)]["df_total"] == 3
+        assert idx[("spark", s)]["cf_total"] == 4
+    assert idx[("spark", 0)]["n_postings"] == 2
+    assert idx[("join", 0)]["postings"] == "11:1,13:1"
+    assert idx[("shuffle", 0)]["postings"] == "10:1,12:2"
+    # min_df prunes rare tokens entirely (every shard of them)
+    pruned = inverted_index(d, "doc_id", "text", min_df=3, shard_size=2)
+    assert {r["token"] for r in pruned.collect()} == {"spark"}
+
+
+def test_groupwise_trend_exact_line(spark):
+    from ups_crossref_etl_spark.operators.timeseries import groupwise_trend
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    origin = int(t0.timestamp())
+    rows = []
+    # key 'lin': y = 2.5*x + 1 exactly at hours 0..4 -> slope 2.5, r2 1.0
+    for h in range(5):
+        rows.append(("lin", t0 + dt.timedelta(hours=h), 2.5 * h + 1.0))
+    # key 'flat': constant y -> slope 0, r2 NULL (zero y-variance)
+    for h in range(3):
+        rows.append(("flat", t0 + dt.timedelta(hours=h), 7.0))
+    # key 'one': a single point -> dropped (min_points)
+    rows.append(("one", t0, 3.0))
+    # key 'same_x': two points in one hour bucket -> dropped (zero x-var)
+    rows.append(("same_x", t0, 1.0))
+    rows.append(("same_x", t0 + dt.timedelta(minutes=5), 2.0))
+    d = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r["k"]: r for r in groupwise_trend(
+        d, "k", "ts", "v", x_origin_epoch=origin).collect()}
+    assert set(out) == {"lin", "flat"}
+    assert out["lin"]["n_points"] == 5
+    assert abs(out["lin"]["slope"] - 2.5) < 1e-9
+    assert abs(out["lin"]["intercept"] - 1.0) < 1e-9
+    assert out["lin"]["r2"] == 1.0
+    assert out["flat"]["slope"] == 0.0
+    assert abs(out["flat"]["intercept"] - 7.0) < 1e-9
+    assert out["flat"]["r2"] is None

@@ -22,7 +22,7 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -101,4 +101,63 @@ def bm25_topk(
         scored.select(F.col("_id").alias(id_col), "n_matched_terms", "score")
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    shard_size: int = 1000,
+) -> DataFrame:
+    """Build sharded posting lists: one row per ``(token, shard)`` with
+    ``(df_total, cf_total, n_postings, postings)`` where ``postings`` is
+    the comma-joined ``doc:tf`` list sorted by doc id — the on-disk
+    layout of a lexical search index, produced as a plain table.
+
+    Sharding is the 100 TB answer to the stopword problem: a frequent
+    token's posting list is millions of ids — as ONE collect_list row it
+    is a straggler and an OOM. Splitting every ``shard_size`` postings
+    (by doc-id rank, so shards are contiguous id ranges, mergeable by
+    concatenation) bounds each output row; df/cf totals ride along on
+    every shard so consumers never need a second pass. The doc-rank
+    window and the per-shard aggregation both cluster on the token key —
+    one logical repartition; tf counting is map-side combinable.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_tokens(F.col(text_col))).alias("_t"),
+        )
+        .groupBy("_t", "_id")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    w = Window.partitionBy("_t").orderBy("_id")
+    stats = Window.partitionBy("_t")
+    return (
+        tf.select(
+            "_t",
+            "_id",
+            "_tf",
+            F.floor((F.row_number().over(w) - 1) / shard_size).alias("shard"),
+            F.count(F.lit(1)).over(stats).alias("df_total"),
+            F.sum("_tf").over(stats).alias("cf_total"),
+        )
+        .filter(F.col("df_total") >= min_df)
+        .groupBy(F.col("_t").alias("token"), "shard", "df_total", "cf_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_id", "_tf"))),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["_id"].cast("string"),
+                        s["_tf"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
     )

@@ -158,3 +158,77 @@ def rolling_zscore_outliers(
         )
         .drop("_sd")
     )
+
+
+def groupwise_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    x_origin_epoch: int,
+    x_step_seconds: int = 3600,
+    value_scale: int = 100,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of value over time:
+    ``(key, n_points, slope, intercept, r2)`` with slope in value units
+    per ``x_step_seconds``.
+
+    Closed-form OLS from the five sufficient statistics
+    ``n, Σx, Σy, Σxy, Σx²`` (plus ``Σy²`` for r²) — ONE map-side-
+    combinable aggregate per key, no window, no sorting, no iteration:
+    the classic "reduce a regression to sums" trick that makes trend
+    fitting over a billion keys exactly one shuffle.
+
+    Exactness contract (same policy as :func:`rolling_zscore_outliers`):
+    x is rebased to small integers (``(epoch − x_origin_epoch) /
+    x_step_seconds``, truncating) and y scaled to integers by
+    ``value_scale``, so every sufficient statistic is an EXACT integer —
+    the slope/intercept/r² derivations are then single float
+    expressions over exact inputs, reproducible bit-for-bit across
+    engines and partition orders. Rebasing also keeps ``Σx²`` far from
+    int64 overflow (raw epoch seconds squared do not).
+
+    Keys with fewer than ``min_points`` rows or zero x-variance (all
+    observations in one step) are dropped — slope is undefined there.
+    """
+    x = F.floor(
+        (F.unix_timestamp(F.col(ts_col)) - F.lit(x_origin_epoch))
+        / F.lit(x_step_seconds)
+    ).cast("bigint")
+    y = F.round(F.col(value_col) * value_scale).cast("bigint")
+    agg = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    # derive in DOUBLE: the sufficient statistics are exact integers, but
+    # their second-order products (cov², n·Σy²) overflow int64 on real
+    # data; double products of exact-int-valued doubles are IEEE-
+    # deterministic, so engine parity holds as long as the oracle casts
+    # its sums to DOUBLE before the same expression tree
+    n = F.col("n_points").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / dx / value_scale
+    intercept = (sy - cov / dx * sx) / n / value_scale
+    r2 = (cov * cov) / (dx * dy)
+    return (
+        agg.filter((F.col("n_points") >= min_points) & (dx > 0))
+        .select(
+            F.col(key_col),
+            "n_points",
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.when(dy > 0, F.round(r2, 4)).alias("r2"),
+        )
+    )

@@ -1454,3 +1454,139 @@ def q_events_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("bigint") % 256
     )
     return zorder_tile_stats(ev, F.col("user_id"), hour_bucket, bits=8, tile_shift=8)
+
+
+@register(
+    "q_docs_jaccard_join",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF x <> ''] AS ts
+      FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS token
+      FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+      WHERE len(ts) >= 3),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(overlap AS BIGINT) AS overlap,
+           CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+           round(overlap / (sa.n + sb.n - overlap), 4) AS jaccard
+    FROM ov
+    JOIN sz sa ON sa.doc_id = ov.id_a
+    JOIN sz sb ON sb.doc_id = ov.id_b
+    WHERE overlap / (sa.n + sb.n - overlap) >= 0.6
+    """,
+    doc=(
+        "EXACT set-similarity self-join (operators/setsim.setsim_join, "
+        "PPJoin-style prefix filtering, word 3-gram shingles): every doc "
+        "pair with shingle-set Jaccard >= 0.6 — the no-recall-gap "
+        "counterpart of the MinHash stack (finds exactly the 25 planted "
+        "near-dup pairs at sf0.01). Candidates come only from equi-joins "
+        "on each doc's rarest |s|-ceil(0.6|s|)+1 shingles (global-df "
+        "order), so frequent-shingle blocks never pair documents; a "
+        "length filter prunes size-incompatible pairs inside the join; "
+        "exact overlap counting touches candidates only. The ORACLE is "
+        "the brute-force all-pairs join — tractable at sf0.01, which is "
+        "exactly why the Spark side must not be."
+    ),
+)
+def q_docs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setsim import setsim_join
+
+    d = read_table(spark, sf_dir, "documents")
+    return setsim_join(d, "doc_id", "text", threshold=0.6, shingle_width=3)
+
+
+@register(
+    "q_docs_inverted_index",
+    """
+    WITH tf AS (
+      SELECT t AS token, doc_id, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                           IF x <> '']) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT token, doc_id, tf,
+             CAST(floor((row_number() OVER (PARTITION BY token ORDER BY doc_id) - 1)
+                        / 40) AS BIGINT) AS shard,
+             count(*) OVER (PARTITION BY token) AS df_total,
+             sum(tf) OVER (PARTITION BY token) AS cf_total
+      FROM tf)
+    SELECT token, shard,
+           CAST(df_total AS BIGINT) AS df_total,
+           CAST(cf_total AS BIGINT) AS cf_total,
+           CAST(count(*) AS BIGINT) AS n_postings,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM ranked
+    WHERE df_total >= 50
+    GROUP BY token, shard, df_total, cf_total
+    """,
+    doc=(
+        "Sharded inverted-index build (operators/retrieval."
+        "inverted_index, min_df=50, shard_size=40): per (token, shard) "
+        "posting list 'doc:tf,...' sorted by doc id, with df/cf totals on "
+        "every shard. Sharding by doc-id rank bounds the stopword rows "
+        "that OOM a naive collect_list at 100 TB; rank window and shard "
+        "agg cluster on the token key — one logical repartition. Exact "
+        "string-level oracle via DuckDB string_agg."
+    ),
+)
+def q_docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import inverted_index
+
+    d = read_table(spark, sf_dir, "documents")
+    return inverted_index(d, "doc_id", "text", min_df=50, shard_size=40)
+
+
+@register(
+    "q_events_user_trend",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor((epoch(ts) - 1704067200) / 3600) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT user_id, count(*) AS np,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM b GROUP BY user_id)
+    SELECT user_id, CAST(np AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100, 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100,
+                 6) AS intercept,
+           CASE WHEN n * syy - sy * sy > 0
+                THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+           END AS r2
+    FROM s
+    WHERE np >= 2 AND n * sxx - sx * sx > 0
+    """,
+    doc=(
+        "Per-user OLS value trend (operators/timeseries.groupwise_trend, "
+        "hourly steps from 2024-01-01): slope/intercept/r² from the six "
+        "sufficient statistics in ONE map-side-combinable groupBy — the "
+        "reduce-a-regression-to-sums shape that fits a billion keys with "
+        "exactly one shuffle. x rebased and y cent-scaled so every sum is "
+        "an exact integer; the float derivations are single shared "
+        "expressions — bit-reproducible across engines."
+    ),
+)
+def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import groupwise_trend
+
+    ev = read_table(spark, sf_dir, "events")
+    return groupwise_trend(
+        ev, "user_id", "ts", "value", x_origin_epoch=1704067200
+    )
