@@ -132,23 +132,32 @@ def main() -> None:
     # warmup: JVM/codegen/parquet-footer caches
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
 
+    # One broken query must never zero the whole artifact (BENCH_r04 was
+    # rc=1/no-data because a single NTZ cast threw): record the error per
+    # query, keep timing the rest, and still print the JSON line.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        times[name] = _best_of(lambda: specs[name].fn(spark, sf_dir).collect())
+        try:
+            times[name] = _best_of(lambda: specs[name].fn(spark, sf_dir).collect())
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = str(ex).split("\n")[0][:200]
 
-    _bucketed_join_demo(spark, sf_dir, times)
+    try:
+        _bucketed_join_demo(spark, sf_dir, times)
+    except Exception as ex:  # noqa: BLE001
+        errors["q_join_bucketed_demo"] = str(ex).split("\n")[0][:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -14,6 +14,22 @@ from pyspark.sql import functions as F
 DATE_PRIORITY = ("published_online", "published_print", "issued", "created")
 
 
+def epoch_seconds(col: Column | str) -> Column:
+    """Seconds-since-epoch for TIMESTAMP **or** TIMESTAMP_NTZ columns.
+
+    ``unix_timestamp`` accepts both; for NTZ it interprets the wall clock
+    in the session time zone, which this engine pins to UTC
+    (``session.py``) — exactly DuckDB's ``epoch()`` on its naive
+    TIMESTAMP, so oracles stay comparable. A bare ``.cast("long")`` is an
+    analysis error on NTZ (CAST_WITHOUT_SUGGESTION), which is how the
+    round-4 testdata regeneration (events.ts nanos → micros/
+    isAdjustedToUTC=false) broke the event-time operators. Every epoch
+    extraction must route through here, never ``.cast("long")``.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.unix_timestamp(c)
+
+
 def _ymd(struct_col: Column) -> tuple[Column, Column, Column]:
     parts = struct_col.getField("date_parts")
     # try_element_at: [[y]], [[y,m]], [[y,m,d]] all occur (ANSI mode would

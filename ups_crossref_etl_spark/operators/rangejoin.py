@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dates import epoch_seconds
+
 
 def range_join(
     left: DataFrame,
@@ -50,12 +52,12 @@ def range_join(
     span = max(before_s, after_s)
     bucket = max(span, 1)
 
-    l_epoch = F.col(on).cast("long")
+    l_epoch = epoch_seconds(on)
     r = right
     for c in right.columns:
         if c != by:
             r = r.withColumnRenamed(c, f"r_{c}")
-    r_epoch = F.col(f"r_{on}").cast("long")
+    r_epoch = epoch_seconds(f"r_{on}")
 
     lb = left.withColumn(
         "_bucket",

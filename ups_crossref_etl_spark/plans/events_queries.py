@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.dates import epoch_seconds
 from ..sources.lake import read_table
 from .money import dsum
 from .registry import register
@@ -109,7 +110,7 @@ def q_events_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_s = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        | (epoch_seconds("ts") - epoch_seconds(prev) > 30 * 60),
         1,
     ).otherwise(0)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -182,7 +183,7 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("login_event_asof"),
-        (F.col("ts").cast("long") - F.col("login_ts_asof").cast("long")).alias(
+        (epoch_seconds("ts") - epoch_seconds("login_ts_asof")).alias(
             "secs_since_login"
         ),
     )

@@ -56,9 +56,12 @@ def get_spark(
         # of the repo working dir
         .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={warehouse}")
-        # testdata events.parquet stores TIMESTAMP(NANOS); Spark lacks a
-        # nanos timestamp type — read as long and convert in the source
-        # adapter (sources/lake.py truncates to micros, matching DuckDB).
+        # Testdata events.parquet has shipped two encodings across
+        # regenerations: TIMESTAMP(NANOS) (unreadable without this conf;
+        # sources/lake.py converts the resulting long to micros) and plain
+        # micros/isAdjustedToUTC=false (scans as TIMESTAMP_NTZ; conf is a
+        # no-op). Keep it set so either encoding scans; readers branch on
+        # the observed type, never assume one.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

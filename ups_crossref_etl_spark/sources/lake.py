@@ -26,10 +26,14 @@ def ensure_oracle_confs(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table: ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as epoch-nanos long,
-    which we truncate to micros (DuckDB does the same truncation when it
-    reads nanos into its micros TIMESTAMP — keeps oracles comparable).
+    ``events.ts`` has shipped in two footer encodings across testdata
+    regenerations: TIMESTAMP(NANOS) — scans as epoch-nanos long under
+    ``nanosAsLong``, truncated to micros here (DuckDB truncates the same
+    way, keeping oracles comparable) — and plain micros with
+    ``isAdjustedToUTC=false`` — scans as TIMESTAMP_NTZ and passes through
+    untouched. Downstream epoch math must use
+    ``functions.dates.epoch_seconds`` (NTZ-safe under the UTC-pinned
+    session), never ``.cast("long")``.
     """
     ensure_oracle_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

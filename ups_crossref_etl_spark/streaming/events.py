@@ -27,23 +27,44 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
-# events.parquet stores TIMESTAMP(NANOS) → scan as long (see sources/lake)
-_EVENTS_RAW_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (for tests/smoke: a static
     dir behaves as a one-batch stream; in production the same plan reads
-    Kafka). Converts nanos→micros exactly like the batch reader."""
+    Kafka).
+
+    The stream schema's ``ts`` type is taken from the actual parquet
+    footer via a one-file batch-scan probe, NOT hardcoded — the testdata
+    has shipped both TIMESTAMP(NANOS) (scans as long under
+    ``nanosAsLong``; converted to micros below, like ``sources/lake``)
+    and plain micros/``isAdjustedToUTC=false`` (scans as TIMESTAMP_NTZ,
+    passed through). Hardcoding either encoding silently corrupts
+    timestamps by 1000x when the lake is rewritten with the other."""
+    import os as _os
+
+    probe = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", probe["ts"].dataType),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_DDL)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probe["ts"].dataType, T.LongType):
+        # legacy nanos-as-long: integer `div` (epoch-nanos overflow double)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(probe["ts"].dataType, T.TimestampNTZType):
+        # watermarks/windows demand TIMESTAMP (LTZ): reinterpret the naive
+        # wall clock as UTC — exact, since the session tz is pinned UTC
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 _DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
