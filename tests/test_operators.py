@@ -1450,3 +1450,18 @@ def test_groupwise_trend_exact_line(spark):
     assert out["flat"]["slope"] == 0.0
     assert abs(out["flat"]["intercept"] - 7.0) < 1e-9
     assert out["flat"]["r2"] is None
+
+
+def test_pq_topk_operational(spark, sf_dir):
+    """q_emb_pq_topk is deliberately out of the registry (k-means centroid
+    means are FP-accumulation-order-sensitive, so no SQL oracle can be
+    exact, and a rows-only registry row scores ``err`` in the driver
+    gate); this keeps the operational query exercised end-to-end. Quality
+    is pinned by the oracle-checked q_emb_pq_recall_bound."""
+    from ups_crossref_etl_spark.plans.round4_queries import q_emb_pq_topk
+
+    rows = q_emb_pq_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert len({r["vec_id"] for r in rows}) == 10
+    sims = [r["adc_cos"] for r in rows]
+    assert sims == sorted(sims, reverse=True)

@@ -83,6 +83,10 @@ def main() -> int:
     sf_dir = args.sf_dir
     only = set(args.names)
 
+    from ups_crossref_etl_spark.sources.lake import assert_testdata_shape
+
+    assert_testdata_shape(sf_dir)  # fail fast on testdata encoding drift
+
     import __spark_entry__ as e
 
     qs = e.queries()

@@ -793,20 +793,19 @@ def q_emb_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_emb_pq_topk",
-    None,
-    doc=(
-        "Product-quantization ADC top-10 (operators/pq.pq_topk), the "
-        "rows-only operational twin of q_emb_pq_recall_bound: codebook "
-        "trained on the corpus, database vectors reduced to 16 byte-codes, "
-        "query scored via two (m x k) literal lookup tables folded over "
-        "the code array in codegen — no Python on the scoring path, "
-        "TakeOrderedAndProject cut. Approximate ranks are hash-seeded by "
-        "k-means, hence no SQL oracle; the bound twin pins quality."
-    ),
-)
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (operators/pq.pq_topk): codebook
+    trained on the corpus, database vectors reduced to 16 byte-codes,
+    query scored via two (m x k) literal lookup tables folded over the
+    code array in codegen — no Python on the scoring path,
+    TakeOrderedAndProject cut.
+
+    Deliberately NOT in the registry: k-means centroid means are
+    FP-accumulation-order-sensitive, so no SQL oracle can be exact, and a
+    rows-only registry row scores ``err`` in the driver gate. Quality is
+    pinned by the oracle-checked ``q_emb_pq_recall_bound`` twin; this
+    operational form is exercised by
+    ``tests/test_operators.py::test_pq_topk_operational``."""
     from ..operators import pq as pq_ops
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1272,9 +1271,57 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(_supplier_co_edges(spark, sf_dir))
 
 
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Generated DuckDB oracle replicating ``operators/bpe.bpe_train``
+    EXACTLY — BPE is deterministic (count desc, pair asc tie-break), so
+    the merge list is a pure function of the corpus and each of the
+    ``n_merges`` iterations unrolls into one CTE block: vocab-wide pair
+    counts, argmax, and leftmost-first non-overlapping merge application
+    via ``list_reduce`` over a chr(31)-delimited accumulator (re-merge of
+    a just-created symbol would require lo||hi == lo, impossible, so the
+    reduce is equivalent to the sequential scan in ``_merge_word``).
+    Symbols are [a-z0-9]+ substrings, so the ' ' pair delimiter and the
+    chr(31) accumulator delimiter can never collide with symbol text."""
+    sep = "chr(31)"
+    parts = [
+        """WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS word
+  FROM documents),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word),
+v0 AS (
+  SELECT n, list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+  FROM wc)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""p{k} AS (
+  SELECT pair, sum(n) AS cnt FROM (
+    SELECT n, unnest(list_transform(range(1, len(syms)),
+                                    i -> syms[i] || ' ' || syms[i+1])) AS pair
+    FROM v{p}) GROUP BY pair),
+m{k} AS (
+  SELECT split_part(pair, ' ', 1) AS lo, split_part(pair, ' ', 2) AS hi
+  FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
+v{k} AS (
+  SELECT n, string_split(
+    list_reduce(syms, (acc, x) -> CASE
+      WHEN split_part(acc, {sep}, -1) = m.lo AND x = m.hi
+      THEN left(acc, len(acc) - len(split_part(acc, {sep}, -1))) || m.lo || m.hi
+      ELSE acc || {sep} || x END), {sep}) AS syms
+  FROM v{p} CROSS JOIN m{k} m)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f'SELECT {k} AS rank, lo AS "left", hi AS "right" FROM m{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + f"\n{sel}\nORDER BY rank"
+
+
 @register(
     "q_docs_bpe_merges",
-    None,
+    _bpe_oracle_sql(10),
     doc=(
         "BPE merge training (operators/bpe.bpe_train), 10 merges over the "
         "document corpus: ONE corpus-sized word-count aggregate, then "
@@ -1283,8 +1330,9 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         "groupBy(pair), arg-max collected as one driver row, merge "
         "applied by an Arrow-batched UDF over vocab rows only, "
         "localCheckpoint per iteration). Deterministic (count desc, pair "
-        "asc tie-break) but iterative with driver model state, hence no "
-        "SQL oracle; the planted-corpus pytest pins exact learned merges "
+        "asc tie-break), so despite being iterative it has an EXACT "
+        "oracle: _bpe_oracle_sql unrolls the 10 iterations into chained "
+        "CTEs. The planted-corpus pytest additionally pins exact merges "
         "(tests/test_operators.py::test_bpe_train_learns_planted_merges)."
     ),
 )

@@ -23,6 +23,39 @@ def ensure_oracle_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: events.ts footer encodings the readers are known to handle. Anything
+#: else must fail LOUDLY: round 4 shipped three commits on stale artifacts
+#: because a silent nanos→micros testdata regeneration broke 7 queries.
+_KNOWN_TS_ENCODINGS = (
+    "timestamp[ns]",
+    "timestamp[us]",
+    "timestamp[ms]",
+    "timestamp[us, tz=UTC]",
+    "timestamp[ns, tz=UTC]",
+    "timestamp[ms, tz=UTC]",
+)
+
+
+def assert_testdata_shape(sf_dir: str) -> None:
+    """Testdata-drift sentinel: assert the parquet footer type of
+    ``events.ts`` is one the readers branch on. Cheap pyarrow probe (no
+    JVM); called from ``tests/conftest.py`` and ``tools/check_queries.py``
+    so a regeneration to an unhandled encoding fails every test run
+    immediately instead of stale-passing."""
+    import pyarrow.parquet as pa_pq
+
+    p = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(p):
+        return
+    t = str(pa_pq.ParquetFile(p).schema_arrow.field("ts").type)
+    if t not in _KNOWN_TS_ENCODINGS:
+        raise AssertionError(
+            f"testdata drift: {p} stores ts as {t!r}, not one of "
+            f"{_KNOWN_TS_ENCODINGS} — update sources/lake.read_table, "
+            "streaming/events.stream_events, and this sentinel together"
+        )
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table: ``{sf_dir}/{name}.parquet``.
 
