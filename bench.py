@@ -65,6 +65,10 @@ HEADLINE = [
     # round 4 (batch 5): the single-window anomaly scan — the shape where
     # a naive self-join formulation would explode at scale
     "q_events_zscore_outliers",
+    # round 5: the two new corpus-sized ops — span removal (gram-hash
+    # shuffle + position anti-join rebuild) and bigram-LM scoring
+    "q_docs_remove_common_spans",
+    "q_docs_bigram_nll",
 ]
 
 

@@ -1465,3 +1465,54 @@ def test_pq_topk_operational(spark, sf_dir):
     assert len({r["vec_id"] for r in rows}) == 10
     sims = [r["adc_cos"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_remove_common_spans_planted(spark):
+    from ups_crossref_etl_spark.operators.spans import remove_common_spans
+
+    boiler = "all rights reserved by the site"  # 6 tokens -> two 5-gram windows
+    rows = [
+        (1, f"{boiler} unique alpha text one"),
+        (2, f"{boiler} unique beta text two"),
+        (3, f"{boiler} unique gamma text three"),
+        (4, "entirely distinct content with no shared spans at all here"),
+        (5, "short text"),  # < n tokens: no grams, nothing removable
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_common_spans(d, "text", "doc_id", n=5, min_docs=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # docs 1-3 share the 6 boilerplate tokens AND the following "unique"
+    # (the window [reserved by the site unique] also repeats in 3 docs),
+    # so 7 positions are covered; the per-doc tail survives
+    for i, word in [(1, "alpha"), (2, "beta"), (3, "gamma")]:
+        assert out[i]["n_removed"] == 7
+        assert out[i]["cleaned_text"] == f"{word} text " + \
+            {1: "one", 2: "two", 3: "three"}[i]
+    assert out[4]["n_removed"] == 0
+    assert out[4]["cleaned_text"].startswith("entirely distinct")
+    assert out[5]["n_removed"] == 0 and out[5]["cleaned_text"] == "short text"
+
+
+def test_bigram_nll_prefers_in_distribution_docs(spark):
+    import math
+
+    from ups_crossref_etl_spark.operators.text_analysis import bigram_nll
+
+    rows = [
+        (1, "a b a b a b a b"),
+        (2, "a b a b a b a b"),
+        (3, "b a b a b a b a"),
+        (4, "x y z w q r s t"),  # every bigram unique -> high NLL
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_nll(d, "text", "doc_id").collect()}
+    assert all(out[i]["n_bigrams"] == 7 for i in (1, 2, 3, 4))
+    assert out[1]["nll"] == out[2]["nll"] < out[4]["nll"]
+    # hand-check doc 1: V=10 distinct tokens; c(a)=c(b)=12 corpus-wide;
+    # corpus c2(a,b)=4+4+3=11, c2(b,a)=3+3+4=10
+    # -> nll = (4*ln(22/12) + 3*ln(22/11)) / 7
+    expect = (4 * math.log(22 / 12) + 3 * math.log(22 / 11)) / 7
+    assert abs(out[1]["nll"] - round(expect, 4)) < 1e-9

@@ -455,3 +455,29 @@ def test_zorder_tiles_codegen_no_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
+
+
+def test_remove_common_spans_no_cartesian_hash_keyed(spark, sf_dir):
+    """Span removal must stay equi-join-shaped end to end: grams/covered
+    positions join on hash/position keys, never a cartesian; and the
+    shuffled gram relation carries the md5 hash, not raw n-gram text."""
+    from ups_crossref_etl_spark.operators.spans import remove_common_spans
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(remove_common_spans(d, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "md5" in plan
+
+
+def test_bigram_nll_broadcasts_scalar_no_window(spark, sf_dir):
+    """Bigram generation is row-local codegen (no corpus-wide window
+    function shuffling every token) and the vocabulary scalar V arrives
+    via broadcast."""
+    from ups_crossref_etl_spark.operators.text_analysis import bigram_nll
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(bigram_nll(d, "text", "doc_id"))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,108 @@
+"""Cross-document repeated-span removal — boilerplate pruning.
+
+The substring-level complement of document-level dedup (``operators/
+dedup``): headers, licence blocks, and navigation chrome repeat across
+MANY documents without making whole documents near-duplicates, and
+substring-level duplication is what most inflates LLM memorization (Lee
+et al., "Deduplicating Training Data Makes Language Models Better",
+ACL 2022 — their exact-substring suffix-array pass; this operator is the
+bounded n-gram approximation of it that distributes: a token position is
+removed iff some n-gram window covering it occurs in ≥ ``min_docs``
+distinct documents).
+
+Scale shape (the reason this survives 100 TB where a suffix array does
+not):
+
+1. n-grams are generated ROW-LOCALLY (``transform`` over a ``sequence``
+   — whole-stage codegen, no corpus-sized explode of text), keyed by
+   md5 of the joined window so the shuffle carries fixed-width hashes,
+   never token text.
+2. One groupBy(gram-hash) with map-side combine finds common grams —
+   the only corpus-sized shuffle.
+3. Occurrences of common grams expand to covered positions (``≤ n``
+   ints per occurrence) and collapse to ONE covered-position array per
+   document (``collect_set`` — bounded by document length, not corpus
+   size), so the whole removal state for a doc is one row-sized array.
+4. The rebuild is ROW-LOCAL codegen: an index-aware ``filter`` over the
+   token array against the covered-position array — no token explode,
+   no anti-join, no re-assembly shuffle. Net: two corpus-keyed shuffles
+   total (gram count, per-doc covered set) plus the join back to docs.
+
+No reference parity: the reference pipeline
+(src/barrazueta_pipeline_etl_crossref.py) has no corpus-hygiene surface;
+this is the LLM-data extension layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["remove_common_spans"]
+
+
+def remove_common_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove every token covered by an ``n``-gram occurring in
+    ``>= min_docs`` distinct documents.
+
+    Returns ``(id_col, n_tokens, n_removed, cleaned_text)`` — one row per
+    input document; ``cleaned_text`` is the surviving tokens joined by a
+    single space (lowercased word tokens, the same normalization the
+    dedup family uses), ``''`` when everything was removed or the doc was
+    empty.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).withColumn(
+        "_nt", F.size("_toks")
+    )
+
+    # (doc, pos, gram-hash) for every n-gram window; codegen-local
+    grams = base.filter(F.col("_nt") >= n).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nt") - n + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("_toks", i, n))).alias("gh"),
+                ),
+            )
+        ).alias("_g"),
+    ).select("_id", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+
+    common = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gh")
+    )
+
+    # one covered-position array per doc (collect_set dedups overlapping
+    # windows); everything downstream of this groupBy is row-local
+    cov = (
+        grams.join(common, "gh")
+        .select("_id", F.explode(F.sequence("pos", F.col("pos") + n - 1)).alias("p"))
+        .groupBy("_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+
+    covered_arr = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(covered_arr, (i + 1).cast("int")),
+    )
+    return base.join(cov, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("_nt").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("_cov"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

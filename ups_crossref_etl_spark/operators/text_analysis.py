@@ -241,6 +241,75 @@ def unigram_nll(
     )
 
 
+def bigram_nll(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document average negative log-likelihood under a Laplace-
+    smoothed corpus BIGRAM model — one modeling step up from
+    :func:`unigram_nll` toward CCNet/KenLM perplexity filtering (a real
+    deployment swaps in KenLM scores; the plan shape is identical).
+
+    ``p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)``;
+    ``nll(d) = Σ tf·(−ln p) / Σ tf`` over the document's adjacent-pair
+    occurrences (rounded 4 dp). Returns ``(id_col, n_bigrams, nll)`` for
+    documents with ≥ 2 tokens.
+
+    Scale shape: bigrams are generated row-locally (codegen ``transform``
+    over a ``sequence`` — no corpus-sized window function), the model is
+    one groupBy(w1,w2) aggregate joined to the unigram context counts on
+    ``w1`` (vocabulary-sized), V is a broadcast scalar, and the scoring
+    join + final groupBy(doc) shuffle (doc, tf, weight) rows, never text.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    uni = (
+        base.select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("_V"))
+    bi = base.filter(F.col("_n") >= 2).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - 1),
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("w1"),
+                    F.element_at("_t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    model = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("_c1") + F.col("_V")) / (F.col("_c2") + F.lit(1))).alias(
+                "_w"
+            ),
+        )
+    )
+    tf = bi.groupBy("_id", "w1", "w2").agg(F.count(F.lit(1)).alias("_tf"))
+    return (
+        tf.join(model, ["w1", "w2"])
+        .groupBy("_id")
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("_tf") * F.col("_w")) / F.sum("_tf"), 4).alias(
+                "nll"
+            ),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "nll")
+    )
+
+
 # --------------------------------------------------------------------------
 # Within-document repetition (Gopher-style quality signals)
 # --------------------------------------------------------------------------

@@ -50,6 +50,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: rewritten stream_events reader) and the BPE query whose oracle went
 #: from None to exact.
 _CHANGED_THIS_ROUND = [
+    "q_docs_remove_common_spans",
+    "q_docs_bigram_nll",
+    "q_stream_interval_join",
     "q_events_sessionize_30min",
     "q_events_asof_join",
     "q_events_range_join",
@@ -82,6 +85,7 @@ def load_all() -> dict[str, QuerySpec]:
     per-round via tools/check_queries.py --json (committed as
     FULLCHECK_r{N}.json).
     """
+    from . import round5_queries  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401
