@@ -1516,3 +1516,80 @@ def test_bigram_nll_prefers_in_distribution_docs(spark):
     # -> nll = (4*ln(22/12) + 3*ln(22/11)) / 7
     expect = (4 * math.log(22 / 12) + 3 * math.log(22 / 11)) / 7
     assert abs(out[1]["nll"] - round(expect, 4)) < 1e-9
+
+
+def test_weighted_sample_k_matches_reference_computation(spark):
+    """The sample must be exactly the k smallest -ln(u)/w clocks with the
+    same md5-uniform u a reference Python computation produces."""
+    import hashlib
+    import math
+
+    from ups_crossref_etl_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(1, 201)]
+    rows += [(900, 0.0), (901, None)]  # excluded: non-positive / null weight
+    d = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in weighted_sample_k(d, "doc_id", "w", k=15, seed="t").collect()
+    ]
+
+    def clock(key, w):
+        h = int(hashlib.md5(f"t-{key}".encode()).hexdigest()[:8], 16)
+        return -math.log((h + 0.5) / 2**32) / w
+
+    expect = sorted(
+        ((clock(k, w), k) for k, w in rows if w), key=lambda t: (t[0], t[1])
+    )[:15]
+    assert got == [(k, i + 1) for i, (_, k) in enumerate(expect)]
+
+
+def test_quality_keeper_picks_best_and_singletons(spark):
+    from ups_crossref_etl_spark.operators.dedup import quality_keeper
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)], ["doc_id", "q"]
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {r["doc_id"]: r for r in quality_keeper(docs, "doc_id", "q", edges).collect()}
+    # component {1,2,3}: best quality 30 tie between 2 and 3 -> min id 2
+    for i in (1, 2, 3):
+        assert out[i]["component"] == 1 and out[i]["keeper_id"] == 2
+    assert [out[i]["is_keeper"] for i in (1, 2, 3)] == [False, True, False]
+    # 4 and 5 are singletons keeping themselves
+    for i in (4, 5):
+        assert out[i]["component"] == i and out[i]["keeper_id"] == i
+        assert out[i]["is_keeper"]
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    from ups_crossref_etl_spark.operators import similarity as sim
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    mmr = sim.mmr_topk(emb, qv, k=8, lam=0.5, pool=40)
+    rows = mmr.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, 9))
+    assert rows[0]["vec_id"] == 0 and rows[0]["rel"] == 1.0  # query is its own top-1
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 8
+
+    # diversity: the MMR set's mean pairwise cosine must not exceed the
+    # plain top-8's (greedy penalty can only reduce redundancy)
+    def mean_pairwise(id_list):
+        vecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id").isin(id_list)).collect()
+        }
+        import itertools
+        def cos(a, b):
+            dp = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(y * y for y in b) ** 0.5
+            return dp / (na * nb)
+        pairs = list(itertools.combinations(id_list, 2))
+        return sum(cos(vecs[a], vecs[b]) for a, b in pairs) / len(pairs)
+
+    top8 = [r["vec_id"] for r in sim.brute_force_topk(emb, qv, k=8).collect()]
+    assert mean_pairwise(ids) <= mean_pairwise(top8) + 1e-9

@@ -481,3 +481,24 @@ def test_bigram_nll_broadcasts_scalar_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_global_topk_not_full_sort(spark, sf_dir):
+    """The k-smallest-clocks cut must be TakeOrderedAndProject (filtering
+    the corpus), never a full global sort of all rows."""
+    from ups_crossref_etl_spark.operators.sampling import weighted_sample_k
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(weighted_sample_k(d, "doc_id", "n_chars", k=20))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_context_assembly_single_user_exchange(spark, sf_dir):
+    """Truncating window and assembling groupBy share the user_id
+    partitioning: exactly one shuffle for the whole operator."""
+    from ups_crossref_etl_spark.plans.round5_queries import (
+        q_events_context_assembly,
+    )
+
+    plan = _plan(q_events_context_assembly(spark, sf_dir))
+    assert plan.count("Exchange") == 1

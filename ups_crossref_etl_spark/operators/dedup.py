@@ -671,3 +671,44 @@ def simhash_candidates(
         )
         .distinct()
     )
+
+
+def quality_keeper(
+    df: DataFrame, id_col: str, quality_col: str, edges: DataFrame
+) -> DataFrame:
+    """Quality-aware survivor selection over a near-dup graph: resolve
+    ``edges`` into connected components and keep the HIGHEST-quality
+    member of each (ties: min id) — production corpus dedup keeps the
+    best copy (longest, cleanest), not the arbitrary min-id one the
+    plain dedup family uses. Documents in no edge are singleton
+    components and keep themselves.
+
+    Returns one row per input doc:
+    ``(id_col, quality_col, component, keeper_id, is_keeper)``.
+
+    Scale shape: component labels come from min-label propagation
+    (``graph.connected_components``, one node-keyed shuffle per
+    iteration); keeper selection is ONE window over (component) ordered
+    by (quality desc, id) — no self-join of the corpus against the
+    keeper set."""
+    from .graph import connected_components
+
+    comp = connected_components(edges).withColumnRenamed("node", id_col)
+    lab = (
+        df.select(id_col, quality_col)
+        .join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    w = (
+        Window.partitionBy("component")
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keeper = F.first(id_col).over(w)
+    return lab.select(
+        id_col,
+        quality_col,
+        "component",
+        keeper.alias("keeper_id"),
+        (F.col(id_col) == keeper).alias("is_keeper"),
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "hash_bucket",
     "split_assign",
     "stratified_sample",
+    "weighted_sample_k",
     "pack_sequences",
     "domain_mix",
     "sample_n_per_group",
@@ -104,6 +105,54 @@ def stratified_sample(
     default_lit = F.lit(int(round(float(default_rate) * 10_000)))
     cutoff = default_lit if cutoff is None else cutoff.otherwise(default_lit)
     return df.filter(b < cutoff)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis–Spirakis exponential-clock trick with the RNG replaced by
+    the same md5 hash the split/stratified samplers use. Each row gets
+    ``u = (h32 + 0.5) / 2^32`` (never 0 or 1) and clock
+    ``-ln(u) / weight``; the ``k`` smallest clocks are the sample —
+    exactly a weighted draw without replacement, but reproducible across
+    runs, engines, and cluster sizes, and join-stable (quality-weighted
+    corpus subsampling must pick the same docs everywhere).
+
+    Rows with ``weight <= 0`` or null are excluded. Returns the selected
+    ``(key_col, weight_col, rank)`` rows, rank 1..k by clock with a
+    full (clock, key) tiebreak — a ``TakeOrderedAndProject`` global
+    top-k, never a full sort: the 100 TB of unsampled rows are filtered,
+    not moved.
+
+    Engine-parity note: selection order depends on ``ln`` at full double
+    precision; Java's and libm's ``log`` may differ in the last ulp, but
+    a rank flip needs two clocks within ~1e-15 relative — measure-zero
+    for hash-uniform ``u`` — so the DuckDB oracle reproduces the exact
+    sample."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "-"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    clock = -F.log(u) / F.col(weight_col).cast("double")
+    ranked = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(key_col, weight_col, clock.alias("_clock"))
+        .orderBy(F.asc("_clock"), F.asc(key_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc("_clock"), F.asc(key_col))
+    return ranked.select(
+        key_col, weight_col, F.row_number().over(w).cast("bigint").alias("rank")
+    )
 
 
 def pack_sequences(

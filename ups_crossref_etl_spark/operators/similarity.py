@@ -372,3 +372,85 @@ def scalar_quantize(
     return df.select(
         F.col(id_col), q.alias("qvec"), scale_arr.alias("scales")
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.5,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity selection: greedily pick ``k``
+    vectors maximizing ``lam·rel(x) − (1−lam)·max_sim(x, selected)`` —
+    the standard diversity re-rank for retrieval results and for
+    selecting varied training examples from a near-duplicate-heavy
+    candidate set (plain top-k returns k copies of the same passage;
+    MMR returns one plus its best diverse alternatives).
+
+    Distributed/driver split: the POOL CUT (exact top-``pool`` by
+    relevance, a TakeOrderedAndProject over the corpus — at 100 TB this
+    stage is the ANN/brute-force scan) is the only part that touches all
+    rows; the greedy selection then runs on the collected pool, which is
+    bounded model state like k-means centroids — MMR is inherently
+    sequential (each pick conditions on all previous picks), and a
+    ``pool``-row re-rank belongs on the driver, not in ``k`` cluster
+    jobs.
+
+    Determinism: every relevance/similarity/score is quantized to
+    ``round_digits`` decimals with ``id`` tie-breaks before any argmax,
+    so the selection is a pure function of the data, reproducible across
+    engines — the DuckDB oracle replays it exactly (float sums fold
+    sequentially on both sides; 4-dp quantization absorbs last-ulp
+    noise).
+
+    Returns ``(rank, id_col, rel)``, rank 1..k in selection order.
+    """
+    pool_df = brute_force_topk(
+        df, query_vec, k=pool, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    rows = (
+        df.select(id_col, vec_col)
+        .join(pool_df, id_col)
+        .select(id_col, "cos_sim", vec_col)
+        .collect()
+    )
+    items = sorted(
+        ((-r["cos_sim"], r[id_col], [float(x) for x in r[vec_col]]) for r in rows)
+    )
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dp = na = nb = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+            na += x * x
+            nb += y * y
+        return round(dp / (na**0.5 * nb**0.5), round_digits)
+
+    sel: list[tuple[int, float]] = []
+    sel_vecs: list[list[float]] = []
+    remaining = [(-neg, vid, v) for neg, vid, v in items]
+    for _ in range(min(k, len(remaining))):
+        if not sel:
+            best_i = 0  # items already ordered by (rel desc, id asc)
+        else:
+            best_i, best_key = None, None
+            for i, (rel, vid, v) in enumerate(remaining):
+                penalty = max(_cos(v, s) for s in sel_vecs)
+                score = round(lam * rel - (1 - lam) * penalty, round_digits)
+                key = (-score, vid)
+                if best_key is None or key < best_key:
+                    best_i, best_key = i, key
+        rel, vid, v = remaining.pop(best_i)
+        sel.append((vid, rel))
+        sel_vecs.append(v)
+
+    spark = df.sparkSession
+    out = [(i + 1, vid, rel) for i, (vid, rel) in enumerate(sel)]
+    return spark.createDataFrame(
+        out, schema=f"rank bigint, {id_col} bigint, rel double"
+    )

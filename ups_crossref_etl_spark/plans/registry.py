@@ -53,6 +53,10 @@ _CHANGED_THIS_ROUND = [
     "q_docs_remove_common_spans",
     "q_docs_bigram_nll",
     "q_stream_interval_join",
+    "q_docs_weighted_sample",
+    "q_docs_quality_keeper",
+    "q_events_context_assembly",
+    "q_emb_mmr_diverse_topk",
     "q_events_sessionize_30min",
     "q_events_asof_join",
     "q_events_range_join",

@@ -132,6 +132,244 @@ def q_docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_docs_weighted_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST('0x' || substr(md5('wsample-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 0.5) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE) AS clock
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY clock ASC, doc_id ASC) AS rank
+      FROM w)
+    SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 20
+    """,
+    doc=(
+        "Deterministic weighted sampling without replacement (operators/"
+        "sampling.weighted_sample_k): Efraimidis-Spirakis exponential "
+        "clocks with the RNG replaced by the md5 hash-uniform the other "
+        "samplers use — longer (higher n_chars) docs are proportionally "
+        "likelier, the draw is reproducible across runs/engines/cluster "
+        "sizes, and the plan is a TakeOrderedAndProject top-k: the "
+        "unsampled corpus is filtered, never moved."
+    ),
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_k
+
+    d = read_table(spark, sf_dir, "documents")
+    return weighted_sample_k(d, "doc_id", "n_chars", k=20, seed="wsample")
+
+
+@register(
+    "q_docs_quality_keeper",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_distinct([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                            IF x <> '']) AS tok
+      FROM documents WHERE doc_id < 80),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.tok, b.tok))::DOUBLE /
+            nullif(len(list_distinct(list_concat(a.tok, b.tok))), 0) >= 0.5),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, comp) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node),
+    comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+      FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 80) d
+      LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, n_chars, component,
+           first_value(doc_id) OVER
+             (PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS keeper_id,
+           doc_id = first_value(doc_id) OVER
+             (PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS is_keeper
+    FROM lab
+    """,
+    doc=(
+        "Quality-aware dedup survivor selection (operators/dedup."
+        "quality_keeper): connected components over the exact-Jaccard>=0.5 "
+        "near-dup graph (bounded sample for oracle tractability), keeper "
+        "= highest-n_chars member per component (tie: min id) — keep the "
+        "BEST copy, not the arbitrary min-id one. Min-label propagation "
+        "for components + ONE window for keeper selection; oracle = "
+        "recursive-CTE reachability + first_value window."
+    ),
+)
+def q_docs_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import quality_keeper
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    a = toks.select(F.col("doc_id").alias("src"), F.col("tok").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("dst"), F.col("tok").alias("tb"))
+    edges = (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .filter(
+            F.size(F.array_intersect("ta", "tb"))
+            / F.nullif(F.size(F.array_union("ta", "tb")), F.lit(0)).cast("double")
+            >= 0.5
+        )
+        .select("src", "dst")
+    )
+    return quality_keeper(d, "doc_id", "n_chars", edges)
+
+
+@register(
+    "q_events_context_assembly",
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_ctx,
+           string_agg(event_type || '@' ||
+                      CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR),
+                      ' | ' ORDER BY ts ASC, event_id ASC) AS context
+    FROM ranked WHERE rn <= 20
+    GROUP BY user_id
+    """,
+    doc=(
+        "Per-user training-context assembly: the latest 20 events per "
+        "user serialized oldest-first as 'type@epoch' tokens — the batch "
+        "shape of building per-entity context windows (chat history, "
+        "session features) for sequence-model training data. ONE "
+        "partitioned window (row_number) + ONE groupBy(user) with an "
+        "order-struct collect; the truncation happens BEFORE the "
+        "collect, so per-user state is bounded at 20 rows no matter how "
+        "hot the key — the unbounded-context formulation is the scale "
+        "failure mode this avoids."
+    ),
+)
+def q_events_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.dates import epoch_seconds
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.concat_ws(
+                "@", F.col("event_type"), epoch_seconds("ts").cast("string")
+            ).alias("tok"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+    )
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ctx"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " | ",
+        ).alias("context"),
+    )
+
+
+def _mmr_oracle_sql(k: int = 10, pool: int = 50) -> str:
+    """Generated DuckDB oracle replaying ``similarity.mmr_topk`` EXACTLY
+    (lam fixed at 0.5 so both lambda literals are exact in binary): the
+    greedy selection unrolls into ``k`` chained CTE steps, each picking
+    the argmax of ``round(0.5·rel − 0.5·max_sim_to_selected, 4)`` with a
+    vec_id tie-break. Dot products fold sequentially (``list_reduce``)
+    over float→double casts, matching the driver-side Python loop and
+    Spark's ``aggregate`` fold bit-for-bit; the 4-dp quantization before
+    every argmax absorbs last-ulp noise."""
+
+    def cosexpr(a: str, b: str) -> str:
+        def dotseq(x: str, y: str) -> str:
+            return (
+                f"list_reduce(list_transform(range(1, len({a}.embedding)+1), "
+                f"i -> CAST({x}.embedding[i] AS DOUBLE) * "
+                f"CAST({y}.embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+            )
+
+        return (
+            f"round({dotseq(a, b)} / "
+            f"(sqrt({dotseq(a, a)}) * sqrt({dotseq(b, b)})), 4)"
+        )
+
+    parts = [
+        f"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+rel AS MATERIALIZED (
+  SELECT e.vec_id, {cosexpr('e', 'q')} AS rel
+  FROM embeddings e CROSS JOIN q),
+pool AS MATERIALIZED (
+  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id ASC LIMIT {pool}),
+pv AS MATERIALIZED (
+  SELECT p.vec_id, p.rel, e.embedding
+  FROM pool p JOIN embeddings e USING (vec_id)),
+ps AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cosexpr('a', 'b')} AS sim
+  FROM pv a JOIN pv b ON a.vec_id <> b.vec_id),
+s1 AS (SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1),
+sel1 AS MATERIALIZED (SELECT * FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f"""s{i} AS (
+  SELECT p.vec_id, p.rel FROM pool p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  ORDER BY round(0.5 * p.rel - 0.5 * (
+      SELECT max(ps.sim) FROM ps JOIN sel{p} s
+      ON ps.ia = p.vec_id AND ps.ib = s.vec_id), 4) DESC,
+    p.vec_id ASC
+  LIMIT 1),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{i})"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, rel FROM s{i}" for i in range(1, k + 1)
+    )
+    return ",\n".join(parts) + f"\n{sel}\nORDER BY rank"
+
+
+@register(
+    "q_emb_mmr_diverse_topk",
+    _mmr_oracle_sql(10, 50),
+    doc=(
+        "Maximal-Marginal-Relevance diversity selection (operators/"
+        "similarity.mmr_topk): exact top-50 relevance pool cut "
+        "(TakeOrderedAndProject over the corpus — the only stage touching "
+        "all rows), then greedy lam=0.5 re-rank on the collected pool "
+        "(bounded model state; MMR is inherently sequential). All scores "
+        "quantized to 4 dp with id tie-breaks, so the iterative selection "
+        "is engine-portable and the unrolled 10-step DuckDB oracle "
+        "replays it exactly — same technique as q_docs_bpe_merges."
+    ),
+)
+def q_emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+    return mmr_topk(emb, qv, k=10, lam=0.5, pool=50)
+
+
+@register(
     "q_stream_interval_join",
     """
     WITH e AS (
