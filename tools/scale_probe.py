@@ -257,6 +257,34 @@ def main() -> None:
         names1.count(), namesN.count(),
     )
 
+    # round 5: span removal (replicated near-dup text makes common grams
+    # MORE common — the adversarial case for the gram groupBy) and
+    # bigram scoring (vocab-sized model, corpus-sized tf rows)
+    from ups_crossref_etl_spark.operators.spans import remove_common_spans
+
+    def span_full(d):
+        # sum over cleaned_text defeats column pruning: a bare count()
+        # would let Catalyst skip the rebuild entirely
+        return (
+            remove_common_spans(d, "text", "doc_id")
+            .agg(F.sum(F.length("cleaned_text")))
+            .collect()
+        )
+
+    probe(
+        "span_removal",
+        lambda: span_full(docs1),
+        lambda: span_full(docsN),
+        docs1.count(), docsN.count(),
+    )
+
+    probe(
+        "bigram_nll",
+        lambda: ta.bigram_nll(docs1, "text", "doc_id").count(),
+        lambda: ta.bigram_nll(docsN, "text", "doc_id").count(),
+        docs1.count(), docsN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -95,11 +95,17 @@ def remove_common_spans(
         .agg(F.collect_set("p").alias("_cov"))
     )
 
+    # array_except builds a hash set of the covered positions (linear in
+    # doc length) and preserves first-array order — an index-aware
+    # filter with array_contains is O(len·|covered|) per row, which the
+    # scale probe showed going quadratic on boilerplate-heavy replicas
     covered_arr = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("_toks"),
-        lambda t, i: ~F.array_contains(covered_arr, (i + 1).cast("int")),
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.greatest(F.col("_nt"), F.lit(0))), covered_arr
     )
+    kept = F.when(F.col("_nt") > 0, F.transform(
+        kept_pos, lambda p: F.element_at("_toks", p)
+    )).otherwise(F.array().cast("array<string>"))
     return base.join(cov, "_id", "left").select(
         F.col("_id").alias(id_col),
         F.col("_nt").cast("bigint").alias("n_tokens"),
