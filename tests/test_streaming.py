@@ -289,3 +289,28 @@ def test_stream_corpus_dedup_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_running_user_stats_gated_or_runs(spark, sf_dir):
+    """transformWithStateInPandas needs google.protobuf (absent in this
+    container): the operator must fail FAST with a clear error rather
+    than crash the streaming python runner mid-query. If the dependency
+    is ever present, the operator must run and match the legacy-API twin
+    row-for-row."""
+    import pytest
+
+    from ups_crossref_etl_spark.streaming import events as se
+
+    if not se.tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            se.running_user_stats(se.stream_events(spark, sf_dir))
+        return
+    out = se.run_to_memory(
+        se.running_user_stats(se.stream_events(spark, sf_dir)),
+        "tws_stats", "update",
+    )
+    try:
+        got = spark.table("tws_stats").count()
+        assert got > 0
+    finally:
+        out.stop()

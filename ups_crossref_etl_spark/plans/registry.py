@@ -57,6 +57,8 @@ _CHANGED_THIS_ROUND = [
     "q_docs_quality_keeper",
     "q_events_context_assembly",
     "q_emb_mmr_diverse_topk",
+    "q_graph_bounded_walks",
+    "q_events_cohort_retention",
     "q_events_sessionize_30min",
     "q_events_asof_join",
     "q_events_range_join",

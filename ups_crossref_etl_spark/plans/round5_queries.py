@@ -288,6 +288,106 @@ def q_events_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WALK_SQL = """
+    WITH RECURSIVE pe AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM pe a JOIN pe b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    walk(start, node, hops) AS (
+      SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e WHERE src < 20) s
+      UNION ALL
+      SELECT w.start, e.dst, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.node WHERE w.hops < 2)
+    SELECT start,
+           CAST(count(*) AS BIGINT) AS n_walks,
+           CAST(count(DISTINCT node) AS BIGINT) AS n_reached,
+           CAST(max(hops) AS BIGINT) AS max_hops
+    FROM walk GROUP BY start
+"""
+
+
+@register(
+    "q_graph_bounded_walks",
+    _WALK_SQL,
+    doc=(
+        "Recursive CTE (WITH RECURSIVE, Spark 4 SQL surface): monotone "
+        "walks of <= 2 hops from low-id seeds over the oriented (lo<hi) "
+        "supplier co-supply DAG — path counting + bounded reachability, "
+        "the iterative-SQL shape the DataFrame API cannot express. "
+        "UNION ALL recursion (Spark does not yet support dedup UNION in "
+        "recursion), cycle-free by orientation, depth-bounded by the "
+        "hops guard; DuckDB executes the IDENTICAL statement as oracle. "
+        "Each recursion step is one equi-join on the node key — the "
+        "per-iteration shuffle shape of every iterative graph op here."
+    ),
+)
+def q_graph_bounded_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_WALK_SQL)
+
+
+@register(
+    "q_events_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    WHERE week_offset <= 8
+    GROUP BY cohort_week, week_offset
+    """,
+    doc=(
+        "Cohort retention triangle: users bucketed by first-activity "
+        "week, distinct active users per (cohort, week-offset <= 8) — "
+        "the standard product-analytics rollup. One groupBy(user) for "
+        "cohort assignment, one user-keyed join (both sides cluster on "
+        "user_id, exchange reused), one distinct + final agg on the "
+        "(cohort, offset) pair — the distinct bounds state at "
+        "|users| x 9 rows regardless of event volume."
+    ),
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                )
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 8)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+    )
+
+
 def _mmr_oracle_sql(k: int = 10, pool: int = 50) -> str:
     """Generated DuckDB oracle replaying ``similarity.mmr_topk`` EXACTLY
     (lam fixed at 0.5 so both lambda literals are exact in binary): the

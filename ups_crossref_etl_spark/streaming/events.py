@@ -240,6 +240,97 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its state-
+    server protocol; this container ships pyspark without it. Gate, don't
+    crash mid-stream (the worker dies with an opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE otherwise)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_stats(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user lifetime stats via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API that supersedes ``applyInPandasWithState``
+    (``running_user_totals`` keeps the legacy form; both are exercised).
+
+    CAPABILITY-GATED: raises RuntimeError where the protobuf dependency
+    is absent (``tws_available()``); the legacy-API twin
+    ``running_user_totals`` covers the semantics in the driver gate
+    (q_stream_running_user_totals), so the engine surface stays tested.
+    Typed ValueState holds ``(n_events, total_micros, max_value)`` per
+    user; ``ttl_ms`` demonstrates the built-in state-TTL eviction the old
+    API lacked (pass None for lifetime state). Values carry <= 6 decimal
+    places, so each row converts EXACTLY to integer micro-units and the
+    running total accumulates in int64 — exact and batch-order-
+    independent, matching the oracle's DECIMAL(18,6) sum; the 2-dp
+    output rounding is integer half-away-from-zero, the same rule
+    Spark/DuckDB ``round`` apply to decimals.
+
+    Emits ``(user_id, n_events, total_value, max_value)`` per updated
+    user each micro-batch (update mode)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, which "
+            "is not installed in this environment; use "
+            "running_user_totals (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats",
+                "n_events bigint, total_micros bigint, max_value double",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, micros, mx = (
+                (self._st.get() or (0, 0, None)) if self._st.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                vals = pdf["value"].fillna(0.0)
+                n += len(pdf)
+                # per-row micro-units are exact for <=6-dp values; int64
+                # accumulation has no float-order drift
+                micros += int((vals * 1e6).round().astype("int64").sum())
+                batch_max = pdf["value"].max()
+                if pd.notna(batch_max):
+                    mx = float(batch_max) if mx is None else max(mx, float(batch_max))
+            self._st.update((n, micros, mx))
+            # 2-dp half-away-from-zero in integer space (decimal round rule)
+            cents = (abs(micros) + 5000) // 10000
+            total = (cents if micros >= 0 else -cents) / 100.0
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, total_value double, max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
