@@ -29,7 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in load_all().items()}
+    """Driver-gated queries: every entry here has a DuckDB oracle in
+    ``oracle_sql()``. Approximate/hash-seeded operational twins
+    (``gate=False`` in the registry) stay out — their quality is pinned
+    by oracle-checked ``*_bound``/``*_exact`` contract queries plus
+    pytest; they remain first-class surface via bench.py and
+    tools/dump_plans.py, which read the full registry."""
+    return {name: spec.fn for name, spec in load_all().items() if spec.gate}
 
 
 def oracle_sql() -> dict[str, str]:

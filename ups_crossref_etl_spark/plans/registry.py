@@ -26,18 +26,25 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: SparkQuery
-    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    oracle: str | None  # None → non-SQL-expressible
     doc: str = ""
+    #: gate=False keeps the query as engine surface (bench, pytest,
+    #: dump_plans) but OUT of the driver correctness gate: a no-oracle
+    #: entry sampled by the driver scores ``err``, and every gate=False
+    #: query is an approximate/hash-seeded operational twin whose quality
+    #: is pinned by an oracle-checked ``*_bound``/``*_exact`` contract
+    #: query plus pytest invariants.
+    gate: bool = True
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
     """Decorator: add a (spark, sf_dir) -> DataFrame query to the registry."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, gate=gate)
         return fn
 
     return deco

@@ -56,6 +56,7 @@ def q_emb_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_emb_lsh_topk",
     None,  # approximate — recall checked against brute force in pytest
     doc="LSH-bucketed approximate top-10 (random-hyperplane bands).",
+    gate=False,  # quality pinned by q_emb_ann_recall_bounds
 )
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -90,7 +91,8 @@ def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_emb_pairwise_top_within_label",
-    None,  # O(n²/labels) oracle is too slow in duckdb at sf0.1 — rows-only
+    None,  # O(n²/labels) oracle is too slow in duckdb at sf0.1
+    gate=False,  # exact path pinned by q_emb_pairwise_top_exact
     doc="Most-similar pair per label (blocked all-pairs + window top-1).",
 )
 def q_emb_pairwise_top_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +137,8 @@ def q_emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_emb_near_dups",
-    None,  # LSH-blocked; recall not SQL-replicable cheaply — rows-only
+    None,  # LSH-blocked; recall not SQL-replicable cheaply
+    gate=False,  # precision+recall pinned by q_emb_near_dups_bound
     doc="Embedding-cosine near-duplicate pairs (LSH blocking + exact verify).",
 )
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +149,7 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_emb_ivf_topk",
     None,  # approximate — recall vs brute force bounded in pytest
+    gate=False,  # quality pinned by q_emb_ann_recall_bounds
     doc="IVF top-10: k-means coarse quantizer, nprobe nearest lists.",
 )
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,8 +148,9 @@ def q_docs_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_docs_minhash_near_dups",
-    None,  # xxhash64-based signatures are Spark-specific → rows-only check
+    None,  # xxhash64-based signatures are Spark-specific
     doc="MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.8.",
+    gate=False,  # recall pinned by q_docs_minhash_recall_bound
 )
 def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
@@ -163,8 +164,9 @@ def q_docs_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_docs_simhash_hamming",
-    None,  # xxhash64-based — rows-only
+    None,  # xxhash64-based
     doc="SimHash near-dup candidates with hamming distance ≤ 8 (full recall).",
+    gate=False,  # signature math + blocking pinned by q_docs_simhash_md5_hamming
 )
 def q_docs_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
@@ -277,8 +279,9 @@ def q_docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_docs_dedup_survivors",
-    None,  # xxhash64-based LSH — rows-only
+    None,  # xxhash64-based LSH
     doc="Full near-dup dedup pipeline: LSH -> Jaccard verify -> survivors.",
+    gate=False,  # survivor rule pinned by q_docs_dedup_survivors_bound
 )
 def q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
