@@ -120,3 +120,59 @@ def test_write_training_shards_deterministic(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_compact_small_files_preserves_content(spark, sf_dir, tmp_path):
+    import os
+
+    from ups_crossref_etl_spark.sources.lake import read_table
+    from ups_crossref_etl_spark.sources.sinks import compact_small_files
+
+    d = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_fragmented")
+    d.repartition(40).write.parquet(path)  # simulate micro-batch fragmentation
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    stats = compact_small_files(spark, path, target_file_mb=128)
+    assert not stats["skipped"]
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 40
+    # atomic swap left no debris
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__old__")
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    # second run: already compact -> no-op
+    again = compact_small_files(spark, path, target_file_mb=128)
+    assert again["skipped"] or again["files_after"] == stats["files_after"]
+
+
+def test_write_clustered_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ups_crossref_etl_spark.sources.lake import read_table
+    from ups_crossref_etl_spark.sources.sinks import write_clustered
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "events_clustered")
+    write_clustered(ev, path, "event_id", num_files=4)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index("event_id")
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    # disjoint: every file's min exceeds the previous file's max -> a
+    # range predicate can skip whole files on footer stats alone
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

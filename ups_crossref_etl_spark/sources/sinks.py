@@ -100,3 +100,89 @@ def write_lake(
             # years land in a __HIVE_DEFAULT_PARTITION__ directory (kept).
             pass
         write_table(df, f"{root}/{name}", partition_by=pb)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    min_files: int = 2,
+) -> dict:
+    """Lake maintenance: rewrite a parquet directory into
+    ``ceil(bytes / target_file_mb)`` files — the small-files compaction
+    every streaming/incremental sink eventually needs (a 100 TB table fed
+    by per-micro-batch appends accumulates millions of KB-sized files;
+    open/footer overhead then dominates scans and floods the driver's
+    file index).
+
+    Strategy: read, ``repartition(n)`` (round-robin — uniform output
+    sizes), write to a sibling ``<path>.__compact__`` directory, then
+    atomically swap via two renames. The swap window is the only
+    non-atomic instant (object stores would use a manifest commit; for a
+    filesystem lake, rename is the primitive available). No-op (returns
+    ``skipped=True``) when the directory already has fewer than
+    ``min_files`` files.
+
+    Returns stats: files/bytes before and after.
+    """
+    import math
+    import os
+    import shutil
+
+    def _stats(p: str) -> tuple[int, int]:
+        n = b = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, bytes_before = _stats(path)
+    if files_before < min_files:
+        return {
+            "skipped": True,
+            "files_before": files_before,
+            "bytes_before": bytes_before,
+        }
+    n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after, bytes_after = _stats(path)
+    return {
+        "skipped": False,
+        "files_before": files_before,
+        "bytes_before": bytes_before,
+        "files_after": files_after,
+        "bytes_after": bytes_after,
+    }
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """1-D clustered write: ``repartitionByRange`` on ``cluster_col`` +
+    sort within partitions, so each output file owns a disjoint value
+    range and its parquet min/max footer statistics actually PRUNE — a
+    range predicate then skips whole files/row-groups at scan time (the
+    single-column special case of the z-order layout in
+    ``operators/layout.py``; use z-order when two columns filter
+    together, clustering when one dominates). Without the clustered
+    layout every file spans the full value range and min/max skipping
+    does nothing."""
+    (
+        df.repartitionByRange(num_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
