@@ -519,3 +519,14 @@ def test_context_assembly_single_user_exchange(spark, sf_dir):
 
     plan = _plan(q_events_context_assembly(spark, sf_dir))
     assert plan.count("Exchange") == 1
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    """The profiler's contract is ONE pass however many columns are
+    profiled: a single parquet scan feeding one aggregate, never a scan
+    or job per column."""
+    from ups_crossref_etl_spark.operators.profile import profile_columns
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(profile_columns(d, ["doc_id", "lang", "source", "n_chars"]))
+    assert plan.count("Scan parquet") == 1

@@ -1,0 +1,64 @@
+"""Single-pass table profiling — the ANALYZE/stats-collection feature a
+lake engine needs before it can make size/skew-aware decisions (broadcast
+thresholds, bucketing keys, partition layout; the reference inspects its
+SQLite tables by hand, src/barrazueta_pipeline_etl_crossref.py has no
+stats surface).
+
+One aggregate job computes every column's stats simultaneously —
+``n_rows × n_cols`` cells are reduced map-side in a single pass, never
+one job per column (the naive loop is ``n_cols`` full scans; on 100 TB
+that is the difference between minutes and a day). The wide single-row
+aggregate is then unpivoted row-locally to ``one row per column``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column stats in ONE scan: ``(column, n_rows, n_null,
+    n_distinct, min_str, max_str)``.
+
+    min/max are projected to strings so heterogeneous column types share
+    one output schema (numeric min/max stay numerically ordered — the
+    ordering happens BEFORE the cast). ``n_distinct`` is exact
+    ``count_distinct`` (nulls excluded, matching SQL COUNT(DISTINCT));
+    swap in ``approx_count_distinct`` at 100 TB — same plan shape, the
+    HLL sketch merges map-side exactly like the exact two-phase
+    distinct."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+            F.count_distinct(col).alias(f"_dist_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"_null_{c}"),
+            F.col(f"_dist_{c}"),
+            F.col(f"_min_{c}"),
+            F.col(f"_max_{c}"),
+        ]
+    return one.select(
+        F.col("_n").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_null", "n_distinct", "min_str", "max_str"),
+    ).select(
+        "column",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )

@@ -66,6 +66,9 @@ _CHANGED_THIS_ROUND = [
     "q_emb_mmr_diverse_topk",
     "q_graph_bounded_walks",
     "q_events_cohort_retention",
+    "q_docs_profile_columns",
+    "q_events_value_histogram",
+    "q_docs_shard_assignment",
     "q_events_sessionize_30min",
     "q_events_asof_join",
     "q_events_range_join",

@@ -388,6 +388,116 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_docs_profile_columns",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents)
+    SELECT 'doc_id' AS "column", n.n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_str,
+           CAST(max(doc_id) AS VARCHAR) AS max_str
+    FROM documents CROSS JOIN n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'lang', n.n_rows,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents CROSS JOIN n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'source', n.n_rows,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents CROSS JOIN n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'n_chars', n.n_rows,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents CROSS JOIN n GROUP BY n.n_rows
+    """,
+    doc=(
+        "ANALYZE-style table profiling (operators/profile.profile_columns): "
+        "null rate, exact distinct count, min/max for every requested "
+        "column in ONE scan — the wide single-row aggregate is unpivoted "
+        "row-locally (stack), never one job per column. The stats feed "
+        "broadcast/bucketing/skew decisions; swap approx_count_distinct "
+        "at 100 TB, same plan shape. The oracle recomputes per column "
+        "(DuckDB's planner collapses the UNION into one scan per branch; "
+        "the CONTRACT is the values, the Spark side pins the single-pass "
+        "plan shape in tests)."
+    ),
+)
+def q_docs_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    d = read_table(spark, sf_dir, "documents")
+    return profile_columns(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "q_events_value_histogram",
+    """
+    SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS bucket_sum
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    doc=(
+        "Equi-width histogram of events.value (width-10 buckets): the "
+        "distribution profile that sizes skew/salting decisions. "
+        "floor-division bucketing is identical arithmetic on both "
+        "engines; one map-side-combinable groupBy on the bucket id."
+    ),
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .money import dsum
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        F.floor(F.col("value") / 10).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("value")).alias("bucket_sum"),
+    )
+
+
+@register(
+    "q_docs_shard_assignment",
+    """
+    SELECT CAST(CAST('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 16 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY 1
+    """,
+    doc=(
+        "Training-shard assignment audit (the sinks.write_training_shards "
+        "layout): deterministic md5 bucketing of every doc into 16 shards "
+        "with per-shard counts and id ranges — reproducible across "
+        "runs/engines/cluster sizes, uniformly sized without measuring, "
+        "and the hash order doubles as the corpus-level example shuffle. "
+        "Zero-shuffle assignment; one groupBy(shard) for the audit."
+    ),
+)
+def q_docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("shard", hash_bucket(F.col("doc_id"), "shard", 16))
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
 def _mmr_oracle_sql(k: int = 10, pool: int = 50) -> str:
     """Generated DuckDB oracle replaying ``similarity.mmr_topk`` EXACTLY
     (lam fixed at 0.5 so both lambda literals are exact in binary): the
