@@ -37,6 +37,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint: bool = True,
     checkpoint_every: int = 5,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank → ``(node, rank)`` over distinct edges.
 
@@ -53,12 +54,11 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError("pagerank: n_iter must be >= 1")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .distinct()
-    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        # pass assume_distinct=True when the caller already deduped
+        # (ideally on narrow int keys) — skips a redundant edge shuffle
+        e = e.distinct()
     if checkpoint:
         e = e.localCheckpoint()
     nodes = (
