@@ -1593,3 +1593,50 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
 
     top8 = [r["vec_id"] for r in sim.brute_force_topk(emb, qv, k=8).collect()]
     assert mean_pairwise(ids) <= mean_pairwise(top8) + 1e-9
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Planted semantic duplicates: three tight groups of near-identical
+    vectors plus isolated singletons. The full pipeline must (a) find
+    every within-group pair (they share a nearest centroid by
+    construction), (b) collapse each group to one keeper, (c) keep every
+    singleton, (d) pick the group member FARTHEST from its centroid."""
+    from ups_crossref_etl_spark.operators import semdedup
+
+    base = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+    ]
+    rows = []
+    vid = 0
+    for g, b in enumerate(base):  # 3 groups x 3 members, tiny jitter
+        for j in range(3):
+            vec = [x + (0.01 * (j + 1) * ((i + g) % 3)) for i, x in enumerate(b)]
+            rows.append((vid, vec, g))
+            vid += 1
+    # isolated singletons, pairwise-orthogonal to everything
+    rows.append((vid, [0.0, 0.0, 0.0, 10.0], 99)); vid += 1
+    rows.append((vid, [0.0, 0.0, 0.0, -10.0], 99)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    res = semdedup.semantic_dedup(
+        df, k=4, max_iter=3, threshold=0.9
+    ).collect()
+    by_comp: dict[int, list] = {}
+    for r in res:
+        by_comp.setdefault(r["component"], []).append(r)
+    # 3 planted groups + 2 singletons = 5 components
+    assert len(by_comp) == 5
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1
+        # keeper is the max sem_quality (farthest from centroid), min-id tie
+        best = max(members, key=lambda m: (m["sem_quality"], -m["vec_id"]))
+        assert keepers[0]["vec_id"] == best["vec_id"]
+        for m in members:
+            assert m["keeper_id"] == keepers[0]["vec_id"]
+    sizes = sorted(len(m) for m in by_comp.values())
+    assert sizes == [1, 1, 3, 3, 3]

@@ -148,6 +148,43 @@ def test_compact_small_files_preserves_content(spark, sf_dir, tmp_path):
     assert again["skipped"] or again["files_after"] == stats["files_after"]
 
 
+def test_compact_small_files_preserves_hive_partitions(spark, sf_dir, tmp_path):
+    """Compaction must keep the col=value directory layout (partition
+    pruning depends on it) instead of flattening partition columns into
+    the data files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.sources.lake import read_table
+    from ups_crossref_etl_spark.sources.sinks import compact_small_files
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "lang_part", F.coalesce(F.col("lang"), F.lit("und"))
+    )
+    path = str(tmp_path / "docs_part")
+    d.repartition(10).write.partitionBy("lang_part").parquet(path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    parts_before = sorted(
+        p for p in os.listdir(path) if p.startswith("lang_part=")
+    )
+    assert parts_before  # fixture really is partitioned
+
+    stats = compact_small_files(spark, path, target_file_mb=128)
+    assert not stats["skipped"]
+    assert stats["partition_cols"] == ["lang_part"]
+    parts_after = sorted(
+        p for p in os.listdir(path) if p.startswith("lang_part=")
+    )
+    assert parts_after == parts_before
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # no loose parquet files at the root: layout preserved, not flattened
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
 def test_write_clustered_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     import glob
 

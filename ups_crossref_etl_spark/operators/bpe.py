@@ -163,3 +163,70 @@ def bpe_segment(
         seg, schema=f"_id long, n_words long, n_bpe_tokens long"
     )
     return out.withColumnRenamed("_id", id_col)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Corpus-scale BPE ENCODE: apply a trained merge list to every
+    document, returning ``(id_col, n_tokens, tokens_str)`` where
+    ``tokens_str`` is the space-joined token sequence (symbols are
+    ``[a-z0-9]+`` substrings, so ' ' can never collide with token text —
+    and a flat string keeps the driver's pandas canonicalizer happy,
+    which cannot hash array cells).
+
+    Scale shape: ONE Arrow-batched map-only pass over the corpus — zero
+    shuffles. The merge list is tiny model state (broadcast via task
+    closure); per-word replay is greedy leftmost-first in merge-rank
+    order (same ``_merge_word`` the trainer used, so encode is exactly
+    consistent with training). A per-partition word→tokens memo collapses
+    the cost from O(corpus word occurrences) to O(distinct words per
+    partition) merge replays — the Zipf head (the overwhelming majority
+    of occurrences) is computed once per partition. This beats the
+    join-the-vocab alternative (encode distinct words, then a
+    corpus-sized shuffle to join tokens back and a second to restore
+    order) because it moves no corpus bytes at all.
+
+    Reference parity: the reference repo has no tokenizer; this is the
+    LLM-pipeline extension layer feeding real token counts into sequence
+    packing (``sampling.pack_sequences``) in place of the regex
+    estimate (``text_analysis.bpe_ish_token_count``).
+    """
+    mlist = [tuple(m) for m in merges]
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        word_re = re.compile(r"[^a-z0-9]+")
+        memo: dict[str, list[str]] = {}
+
+        def word_toks(w: str) -> list[str]:
+            t = memo.get(w)
+            if t is None:
+                syms = list(w)
+                for m in mlist:
+                    syms = _merge_word(syms, m)
+                memo[w] = t = syms
+            return t
+
+        for b in batches:
+            ids, ntoks, toks = [], [], []
+            for i, text in zip(b["_id"], b["_text"]):
+                out: list[str] = []
+                for w in word_re.split(str(text).lower()):
+                    if w:
+                        out.extend(word_toks(w))
+                ids.append(i)
+                ntoks.append(len(out))
+                toks.append(" ".join(out))
+            yield pd.DataFrame(
+                {"_id": ids, "n_tokens": ntoks, "tokens_str": toks}
+            )
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(enc, schema="_id long, n_tokens long, tokens_str string")
+    return out.withColumnRenamed("_id", id_col)

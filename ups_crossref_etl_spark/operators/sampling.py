@@ -129,11 +129,14 @@ def weighted_sample_k(
     top-k, never a full sort: the 100 TB of unsampled rows are filtered,
     not moved.
 
-    Engine-parity note: selection order depends on ``ln`` at full double
-    precision; Java's and libm's ``log`` may differ in the last ulp, but
-    a rank flip needs two clocks within ~1e-15 relative — measure-zero
-    for hash-uniform ``u`` — so the DuckDB oracle reproduces the exact
-    sample."""
+    Engine-parity note: ``ln`` is the one transcendental in the clock, and
+    Java's and libm's ``log`` may differ in the last ulp. The clock is
+    therefore QUANTIZED to 12 dp identically on both engines before the
+    ``(clock, key)`` ordering (the repo's round-before-compare rule):
+    clocks are bounded by ``-ln(2^-32)/w ≈ 22/w`` so 1e-12 granularity is
+    ~1e3× coarser than the ~1e-15 ulp noise, and any exact 12-dp tie is
+    resolved by the key tiebreak the same way on both engines — selection
+    stays total and engine-independent."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(seed + "-"), F.col(key_col).cast("string"))), 1, 8
@@ -142,7 +145,7 @@ def weighted_sample_k(
         10,
     ).cast("bigint")
     u = (h + F.lit(0.5)) / F.lit(float(2**32))
-    clock = -F.log(u) / F.col(weight_col).cast("double")
+    clock = F.round(-F.log(u) / F.col(weight_col).cast("double"), 12)
     ranked = (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .select(key_col, weight_col, clock.alias("_clock"))

@@ -423,13 +423,24 @@ def mmr_topk(
         ((-r["cos_sim"], r[id_col], [float(x) for x in r[vec_col]]) for r in rows)
     )
 
+    def _round_half_up(x: float, nd: int) -> float:
+        # Python round() is half-to-even; Spark F.round (Java HALF_UP via
+        # BigDecimal.valueOf, i.e. the double's shortest-repr decimal) and
+        # DuckDB round are half-AWAY-from-zero. The driver-side greedy must
+        # quantize the same way or an exact 4-dp midpoint flips the argmax
+        # vs the oracle. Decimal(repr(x)) mirrors BigDecimal.valueOf.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-nd)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
     def _cos(a: list[float], b: list[float]) -> float:
         dp = na = nb = 0.0
         for x, y in zip(a, b):
             dp += x * y
             na += x * x
             nb += y * y
-        return round(dp / (na**0.5 * nb**0.5), round_digits)
+        return _round_half_up(dp / (na**0.5 * nb**0.5), round_digits)
 
     sel: list[tuple[int, float]] = []
     sel_vecs: list[list[float]] = []
@@ -441,7 +452,9 @@ def mmr_topk(
             best_i, best_key = None, None
             for i, (rel, vid, v) in enumerate(remaining):
                 penalty = max(_cos(v, s) for s in sel_vecs)
-                score = round(lam * rel - (1 - lam) * penalty, round_digits)
+                score = _round_half_up(
+                    lam * rel - (1 - lam) * penalty, round_digits
+                )
                 key = (-score, vid)
                 if best_key is None or key < best_key:
                     best_i, best_key = i, key

@@ -136,9 +136,9 @@ def q_docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT doc_id, n_chars,
-             -ln((CAST('0x' || substr(md5('wsample-' || CAST(doc_id AS VARCHAR)), 1, 8)
+             round(-ln((CAST('0x' || substr(md5('wsample-' || CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) + 0.5) / 4294967296.0)
-             / CAST(n_chars AS DOUBLE) AS clock
+             / CAST(n_chars AS DOUBLE), 12) AS clock
       FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
     r AS (
       SELECT doc_id, n_chars,

@@ -1,0 +1,277 @@
+"""Round-6 query registrations.
+
+New surface this round (VERDICT r5 prescriptions):
+- corpus-scale BPE encode (``operators/bpe.bpe_encode``) feeding real token
+  counts into packing;
+- SemDeDup-style semantic dedup (IVF coarse clusters + within-cluster
+  exact-cosine prune + quality keeper);
+- TPC-H completion: q2, q9, q11, q16, q20 (registered in
+  ``plans/relational.py``);
+- streaming late-data accounting batch twin.
+
+Every gated entry pairs the Spark program with a DuckDB oracle; column
+aliases match exactly (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import read_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Corpus-scale BPE encode
+# --------------------------------------------------------------------------
+
+
+def _bpe_encode_chain_sql(n_merges: int = 10) -> str:
+    """CTE chain replicating ``bpe_train`` + ``bpe_encode`` exactly: the
+    same unrolled vocab/merge chain as ``round4_queries._bpe_oracle_sql``
+    but CARRYING ``word`` through every iteration, then replaying encode
+    at the document level by mapping each doc's word sequence through the
+    final word→tokens vocabulary (a DuckDB ``map`` built from v{n}).
+    Deterministic end to end: the merge list is a pure function of the
+    corpus (count desc, pair asc), and encode is a pure function of
+    (text, merges). Ends with CTE ``enc(doc_id, n_tokens, tokens_str)``
+    — callers append their own final SELECT."""
+    sep = "chr(31)"
+    parts = [
+        """WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS word
+  FROM documents),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word),
+v0 AS (
+  SELECT word, n, list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+  FROM wc)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""p{k} AS (
+  SELECT pair, sum(n) AS cnt FROM (
+    SELECT n, unnest(list_transform(range(1, len(syms)),
+                                    i -> syms[i] || ' ' || syms[i+1])) AS pair
+    FROM v{p}) GROUP BY pair),
+m{k} AS (
+  SELECT split_part(pair, ' ', 1) AS lo, split_part(pair, ' ', 2) AS hi
+  FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
+v{k} AS (
+  SELECT word, n, string_split(
+    list_reduce(syms, (acc, x) -> CASE
+      WHEN split_part(acc, {sep}, -1) = m.lo AND x = m.hi
+      THEN left(acc, len(acc) - len(split_part(acc, {sep}, -1))) || m.lo || m.hi
+      ELSE acc || {sep} || x END), {sep}) AS syms
+  FROM v{p} CROSS JOIN m{k} m)"""
+        )
+    parts.append(
+        f"""wt AS (SELECT word, array_to_string(syms, ' ') AS toks,
+              CAST(len(syms) AS BIGINT) AS ntk FROM v{n_merges}),
+wm AS (SELECT map(list(word ORDER BY word), list(toks ORDER BY word)) AS tok_m,
+              map(list(word ORDER BY word), list(ntk ORDER BY word)) AS cnt_m
+       FROM wt),
+dw AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          t -> t <> '') AS ws
+       FROM documents),
+enc AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(ws) = 0 THEN 0
+              ELSE list_sum(list_transform(ws, w -> cnt_m[w][1])) END
+              AS BIGINT) AS n_tokens,
+         CASE WHEN len(ws) = 0 THEN ''
+              ELSE array_to_string(list_transform(ws, w -> tok_m[w][1]), ' ')
+              END AS tokens_str
+  FROM dw CROSS JOIN wm)"""
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "q_docs_bpe_encode",
+    _bpe_encode_chain_sql(10)
+    + "\nSELECT doc_id, n_tokens, tokens_str FROM enc",
+    doc=(
+        "Corpus-scale BPE ENCODE (operators/bpe.bpe_encode): train 10 "
+        "merges (vocab-sized iterations, one corpus aggregate — see "
+        "q_docs_bpe_merges), then apply them to every document in ONE "
+        "Arrow-batched map-only pass — zero shuffles, merges broadcast "
+        "via task closure, per-partition word→tokens memo so the Zipf "
+        "head is replayed once per partition, not once per occurrence. "
+        "Tokens returned space-joined (symbols are [a-z0-9]+, no "
+        "collision) so the result is hashable by the driver. Oracle "
+        "unrolls the same 10 training iterations carrying the word "
+        "through, then maps each doc's word sequence through the final "
+        "word→tokens vocabulary — exact, not rows-only."
+    ),
+)
+def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    return bpe_encode(docs, "text", "doc_id", merges)
+
+
+@register(
+    "q_docs_pack_bpe_sequences",
+    _bpe_encode_chain_sql(10)
+    + """,
+b AS (
+  SELECT d.lang, e.doc_id, e.n_tokens,
+         sum(e.n_tokens) OVER (PARTITION BY d.lang ORDER BY e.doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM enc e JOIN documents d USING (doc_id))
+SELECT lang, doc_id, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_bin
+FROM b
+""",
+    doc=(
+        "Sequence packing fed by REAL BPE token counts "
+        "(operators/bpe.bpe_encode → sampling.pack_sequences) instead of "
+        "the q_docs_pack_sequences regex estimate: per-language "
+        "concat-and-chunk into 512-token bins — deterministic doc_id "
+        "order within language, one window shuffle keyed on lang so "
+        "per-language packs run in parallel across executors; the encode "
+        "stage itself is map-only (see q_docs_bpe_encode)."
+    ),
+)
+def q_docs_pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, bpe_train
+    from ..operators.sampling import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    enc = bpe_encode(docs, "text", "doc_id", merges).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return pack_sequences(
+        enc, "n_tokens", "doc_id", budget=512, part_col="lang"
+    ).select("lang", "doc_id", "n_tokens", "cum_tokens", "pack_bin")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_semantic_dedup",
+    None,  # k-means + cluster-blocked pairs + CC — not SQL-replicable cheaply
+    gate=False,  # quality pinned by q_emb_semantic_dedup_bound + pytest
+    doc=(
+        "SemDeDup semantic dedup (operators/semdedup.semantic_dedup): "
+        "k-means coarse clusters (k=16, deterministic init), vectors "
+        "posted to their 2 nearest centroids, within-cluster exact-cosine "
+        "edges at 0.35, connected components, keep the member farthest "
+        "from its centroid per group (the paper's keeper policy). "
+        "Operational twin — precision/recall/partition invariants are "
+        "oracle-pinned by q_emb_semantic_dedup_bound."
+    ),
+)
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semdedup import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=16, max_iter=3, threshold=0.35)
+
+
+@register(
+    "q_emb_semantic_dedup_bound",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings WHERE vec_id < 300),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(a.v * b.v) AS dot,
+             sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    t AS (SELECT id_a, id_b FROM dots WHERE round(dot / (na * nb), 4) >= 0.35)
+    SELECT (SELECT count(*) FROM t) AS n_true_pairs,
+           (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 300)
+             AS n_sample,
+           TRUE AS found_subset_of_true,
+           TRUE AS recall_ge_half,
+           TRUE AS one_keeper_per_component,
+           TRUE AS nonkeepers_point_at_keepers
+    """,
+    doc=(
+        "Quality contract for the rows-only q_emb_semantic_dedup "
+        "(pattern: q_emb_near_dups_bound): exact all-pairs cosine>=0.35 "
+        "ground truth on a bounded sample (vec_id<300) is hash-compared "
+        "(n_true_pairs, n_sample exact). Precision is pinned exactly — "
+        "every cluster-blocked pair passes the exact cosine test, so "
+        "found⊆true is checked as a boolean. Recall >= 1/2 is the "
+        "multi-probe blocking bound (nprobe=2 posts each vector to its 2 "
+        "nearest centroids, recovering single-boundary splits; measured "
+        "0.78 on this data, and the bound leaves headroom for corpus "
+        "regeneration). The two keeper invariants pin the CC+window "
+        "stage: every component has exactly one keeper, and every "
+        "non-keeper's keeper_id IS a keeper row."
+    ),
+)
+def q_emb_semantic_dedup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import semdedup
+    from ..operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = (
+        ea.crossJoin(eb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim.cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    cent = semdedup.kmeans_fit(emb, k=16, max_iter=3)
+    found = semdedup.semantic_edges(emb, cent, 0.35, nprobe=2).select(
+        "id_a", "id_b"
+    )
+    res = semdedup.semantic_dedup(emb, k=16, max_iter=3, threshold=0.35)
+
+    n_true = truth.agg(F.count(F.lit(1)).alias("_nt"))
+    n_found = found.agg(F.count(F.lit(1)).alias("_nf"))
+    n_hit = truth.join(found, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("_nh")
+    )
+    n_sample = emb.agg(F.count_distinct(F.col("vec_id")).alias("_ns"))
+    comp_ok = (
+        res.groupBy("component")
+        .agg(F.sum(F.col("is_keeper").cast("int")).alias("_k"))
+        .agg(F.min(F.col("_k") == 1).alias("_comp_ok"))
+    )
+    keeper_ids = res.filter("is_keeper").select(
+        F.col("vec_id").alias("keeper_id")
+    )
+    point_ok = (
+        res.filter(~F.col("is_keeper"))
+        .join(keeper_ids, "keeper_id", "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("_point_ok"))
+    )
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(n_hit)
+        .crossJoin(n_sample)
+        .crossJoin(comp_ok)
+        .crossJoin(point_ok)
+        .select(
+            F.col("_nt").alias("n_true_pairs"),
+            F.col("_ns").alias("n_sample"),
+            (F.col("_nf") == F.col("_nh")).alias("found_subset_of_true"),
+            (F.col("_nh") * 2 >= F.col("_nt")).alias("recall_ge_half"),
+            F.col("_comp_ok").alias("one_keeper_per_component"),
+            F.col("_point_ok").alias("nonkeepers_point_at_keepers"),
+        )
+    )

@@ -116,18 +116,33 @@ def compact_small_files(
     file index).
 
     Strategy: read, ``repartition(n)`` (round-robin — uniform output
-    sizes), write to a sibling ``<path>.__compact__`` directory, then
-    atomically swap via two renames. The swap window is the only
-    non-atomic instant (object stores would use a manifest commit; for a
-    filesystem lake, rename is the primitive available). No-op (returns
-    ``skipped=True``) when the directory already has fewer than
-    ``min_files`` files.
+    sizes), write to a sibling ``<path>.__compact__`` directory, VERIFY
+    the rewrite (row-count equality source vs compacted copy) while the
+    original is still untouched, then swap via two renames. Only after
+    the compacted copy is live at ``path`` is the original removed — a
+    crash at any point leaves at least one complete copy on disk
+    (``<path>.__old__`` if it dies inside the swap window; recovery is
+    renaming it back). A verification mismatch aborts with the original
+    in place and the bad copy deleted.
+
+    Hive-partitioned directories (``col=value`` subdirs) are preserved:
+    the partition column names are recovered from the directory layout
+    and the rewrite uses ``partitionBy`` with the same columns, so the
+    table keeps its pruning layout and partition columns are not
+    flattened into data files. ``n_out`` then applies per partition via
+    ``repartition(n, <partition cols>)`` so each partition directory is
+    compacted without mixing partitions in one task.
+
+    No-op (returns ``skipped=True``) when the directory already has
+    fewer than ``min_files`` files.
 
     Returns stats: files/bytes before and after.
     """
     import math
     import os
     import shutil
+
+    from pyspark.sql import functions as F
 
     def _stats(p: str) -> tuple[int, int]:
         n = b = 0
@@ -138,6 +153,22 @@ def compact_small_files(
                     b += os.path.getsize(os.path.join(root, f))
         return n, b
 
+    def _partition_cols(p: str) -> list[str]:
+        # Hive layout: each nesting level is `col=value` dirs; recover the
+        # column names by walking one branch down.
+        cols: list[str] = []
+        cur = p
+        while True:
+            subs = [
+                d
+                for d in os.listdir(cur)
+                if "=" in d and os.path.isdir(os.path.join(cur, d))
+            ]
+            if not subs:
+                return cols
+            cols.append(subs[0].split("=", 1)[0])
+            cur = os.path.join(cur, subs[0])
+
     files_before, bytes_before = _stats(path)
     if files_before < min_files:
         return {
@@ -145,14 +176,33 @@ def compact_small_files(
             "files_before": files_before,
             "bytes_before": bytes_before,
         }
+    part_cols = _partition_cols(path)
     n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + ".__compact__"
     old = path.rstrip("/") + ".__old__"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    src = spark.read.parquet(path)
+    src_count = src.count()
+    if part_cols:
+        (
+            src.repartition(n_out, *[F.col(c) for c in part_cols])
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+    else:
+        src.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    tmp_count = spark.read.parquet(tmp).count()
+    if tmp_count != src_count:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_small_files: rewrite of {path} produced {tmp_count} "
+            f"rows, expected {src_count}; original left untouched"
+        )
     os.rename(path, old)
     os.rename(tmp, path)
+    # The compacted copy is verified AND live; only now drop the original.
     shutil.rmtree(old)
     files_after, bytes_after = _stats(path)
     return {
@@ -161,6 +211,8 @@ def compact_small_files(
         "bytes_before": bytes_before,
         "files_after": files_after,
         "bytes_after": bytes_after,
+        "partition_cols": part_cols,
+        "rows": src_count,
     }
 
 
