@@ -530,3 +530,26 @@ def test_profile_columns_single_scan(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     plan = _plan(profile_columns(d, ["doc_id", "lang", "source", "n_chars"]))
     assert plan.count("Scan parquet") == 1
+
+
+def test_q20_nested_in_becomes_semi_joins(spark, sf_dir):
+    """TPC-H Q20's nested-IN chain must plan as LEFT SEMI joins executed
+    once as hash-join builds — never per-row subquery re-execution, and
+    never a cross product. Both INs (part-name filter into ps, qualifying
+    suppliers into supplier) are written as left_semi; Catalyst must keep
+    them that way."""
+    q = load_all()["q20_potential_promotion"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_single_ps_derivation(spark, sf_dir):
+    """Q2's correlated-min decorrelates into a per-part min aggregate
+    joined back on (partkey, cost). The derived-ps aggregation and the
+    min re-join are both partkey-keyed; dimensions broadcast; no cross
+    product."""
+    q = load_all()["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation/region, part

@@ -61,6 +61,11 @@ _ROUND = 6
 #: (driver greedy switched to half-away-from-zero rounding) whose
 #: code/oracle changed this round.
 _CHANGED_THIS_ROUND = [
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
     "q_docs_bpe_encode",
     "q_docs_pack_bpe_sequences",
     "q_emb_semantic_dedup_bound",

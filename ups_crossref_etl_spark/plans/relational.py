@@ -699,3 +699,350 @@ def q_pivot_segment_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion (round 6): q2, q9, q11, q16, q20 — the five queries whose
+# canonical form reads PARTSUPP, which the testdata does not ship. The
+# (part, supplier) relation is therefore DERIVED from lineitem:
+# ps_supplycost = min observed unit price (rounded 4dp — division parity),
+# ps_availqty = total shipped quantity. Every query keeps its canonical
+# SHAPE (correlated min, profit decomposition, threshold-of-total, NOT-IN
+# distinct count, nested-IN semi-join chain) on the derived relation.
+# --------------------------------------------------------------------------
+
+_PS_SQL = """
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(CAST(floor(round(l_extendedprice * 100, 0) * 10000
+                            / l_quantity) AS BIGINT)) AS ps_cost_micro,
+             sum(l_quantity) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp surrogate (see module comment above). One map-side-
+    combinable groupBy on (partkey, suppkey) — at 100 TB this is the
+    relation you would materialize once (bucketed by ps_partkey) and
+    reuse across all five queries rather than recompute.
+
+    ``ps_cost_micro`` is the min observed unit price in integer
+    MICRO-units (1e-6 currency): prices are 2dp so ``round(price*100)``
+    is an exact integer, ``*10000/qty`` then ``floor`` is deterministic
+    IEEE arithmetic producing the same bigint on every engine. The
+    fixed-point detour exists because ``round(price/qty, 4)`` is NOT
+    engine-portable — unit prices land exactly on 4dp midpoints
+    (e.g. 72179.93/40 = 1804.49825) where DuckDB's scale-in-binary
+    round and Spark/Java's decimal-repr round disagree by one ulp of
+    the last digit. Downstream arithmetic divides by 1e6 only at the
+    edge (display / 6dp-decimal cast), which is parity-safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.floor(
+                F.round(F.col("l_extendedprice") * 100, 0)
+                * 10000
+                / F.col("l_quantity")
+            ).cast("long")
+        ).alias("ps_cost_micro"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    "WITH " + _PS_SQL + """,
+    eps AS (
+      SELECT ps.ps_partkey, ps.ps_cost_micro, s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    mn AS (SELECT ps_partkey, min(ps_cost_micro) AS mc FROM eps GROUP BY 1)
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+           e.ps_cost_micro / 1000000.0 AS supplycost
+    FROM eps e
+    JOIN mn ON e.ps_partkey = mn.ps_partkey AND e.ps_cost_micro = mn.mc
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+    """,
+    doc=(
+        "TPC-H Q2 shape (adapted to the derived partsupp): cheapest "
+        "EUROPE supplier per qualifying part — the correlated min "
+        "subquery decorrelates into a per-part min aggregate re-joined "
+        "on (partkey, cost). region/nation/supplier broadcast; the only "
+        "big shuffle is the ps derivation itself. Ties (two suppliers at "
+        "the min cost) are all returned — no LIMIT, hash compare is "
+        "order-insensitive."
+    ),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    eps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_cost_micro", "s_acctbal", "s_name", "n_name")
+    )
+    mn = eps.groupBy("ps_partkey").agg(F.min("ps_cost_micro").alias("mc"))
+    return (
+        eps.join(
+            mn,
+            (eps.ps_partkey == mn.ps_partkey)
+            & (eps.ps_cost_micro == mn.mc),
+        )
+        .drop(mn.ps_partkey)
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("ps_cost_micro") / 1000000.0).alias("supplycost"),
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    "WITH " + _PS_SQL + """,
+    profit AS (
+      SELECT n.n_name AS nation,
+             CAST(date_part('year', o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  - ps.ps_cost_micro * l.l_quantity / 1000000.0
+                  AS DECIMAL(18,6)) AS amount
+      FROM lineitem l
+      JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%')
+    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    """,
+    doc=(
+        "TPC-H Q9 shape (adapted): per-nation per-year profit "
+        "decomposition — revenue minus supply cost — for parts matching "
+        "a name pattern. lineitem joins the derived ps on its composite "
+        "key (the one big shuffle, both sides pre-partitionable on "
+        "partkey), part filter broadcast-semi-reduces the probe side, "
+        "supplier/nation broadcast, orders equi-join on orderkey. "
+        "Amounts cast DECIMAL(18,6) before the sum so accumulation "
+        "order cannot flip the hash."
+    ),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    # Both terms are exact-decimal-valued doubles (price×(1−2dp discount)
+    # is a 4dp value, micro-cost×qty/1e6 a 6dp value), so the difference
+    # sits ≥1e-7 from any 6dp midpoint and the DECIMAL(18,6) cast is
+    # engine-portable. See _derived_partsupp for why no round() appears.
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_cost_micro") * F.col("l_quantity") / 1000000.0
+    ).cast(DEC)
+    base = (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return base.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount"), 2).cast("double").alias("sum_profit")
+    )
+
+
+@register(
+    "q11_important_stock",
+    "WITH " + _PS_SQL + """,
+    nps AS (
+      SELECT ps.ps_partkey,
+             CAST(ps.ps_cost_micro * ps.ps_availqty / 1000000.0
+                  AS DECIMAL(18,6)) AS val
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA')
+    SELECT ps_partkey, CAST(round(sum(val), 2) AS DOUBLE) AS value
+    FROM nps
+    GROUP BY ps_partkey
+    HAVING sum(val) > (SELECT 0.001 * sum(val) FROM nps)
+    """,
+    doc=(
+        "TPC-H Q11 shape (adapted): per-part inventory value held by "
+        "ASIA suppliers, keeping parts above a fraction of the TOTAL "
+        "value — the scalar-subquery threshold decorrelates into a "
+        "single-row aggregate broadcast-cross-joined against the "
+        "per-part sums (no second scan of the base relation at scale: "
+        "both aggregates reuse the same shuffled nps). DECIMAL sums "
+        "both sides."
+    ),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_micro") * F.col("ps_availqty") / 1000000.0)
+            .cast(DEC)
+            .alias("val"),
+        )
+    )
+    per_part = nps.groupBy("ps_partkey").agg(F.sum("val").alias("_sv"))
+    thresh = nps.agg((F.sum("val") * F.lit(0.001)).alias("_th"))
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("_sv") > F.col("_th"))
+        .select(
+            "ps_partkey", F.round("_sv", 2).cast("double").alias("value")
+        )
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    """
+    WITH psd AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT psd.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM psd
+    JOIN part p ON p.p_partkey = psd.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND psd.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "TPC-H Q16 shape (adapted): distinct supplier count per "
+        "(brand, type, size) bucket, excluding a brand/type/size set and "
+        "suppliers on a deny list (negative balance stands in for the "
+        "comment-pattern complaint filter; the testdata has no comment "
+        "column). The NOT IN is a broadcast anti-join (supplier is "
+        "tiny); part filter broadcast; one distinct + one grouped "
+        "count-distinct shuffle."
+    ),
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    deny = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    psd = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        psd.join(F.broadcast(deny), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), psd.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    "WITH " + _PS_SQL + """,
+    yearly AS (
+      SELECT l_partkey, 0.5 * sum(l_quantity) AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1),
+    qual AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN yearly y ON y.l_partkey = ps.ps_partkey
+      WHERE ps.ps_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND ps.ps_availqty > y.half_qty)
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT ps_suppkey FROM qual)
+    """,
+    doc=(
+        "TPC-H Q20 shape (adapted): ASIA suppliers holding more than "
+        "half a qualifying part's 1997 shipped volume — the canonical "
+        "nested-IN chain (supplier IN (... partsupp WHERE part IN (...) "
+        "AND availqty > correlated half-sum)). Both INs are LEFT SEMI "
+        "joins in the plan (pinned in tests/test_plans.py) — the "
+        "subqueries execute once as builds, never per-row; the "
+        "correlated scalar decorrelates into the per-part 1997 "
+        "aggregate joined on partkey."
+    ),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("ps_partkey"))
+    )
+    yearly = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg((F.sum("l_quantity") * 0.5).alias("half_qty"))
+    )
+    qual = (
+        ps.join(F.broadcast(small_parts), "ps_partkey", "left_semi")
+        .join(yearly, "ps_partkey")
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        s.join(qual, "s_suppkey", "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
