@@ -69,6 +69,23 @@ HEADLINE = [
     # shuffle + position anti-join rebuild) and bigram-LM scoring
     "q_docs_remove_common_spans",
     "q_docs_bigram_nll",
+    # round 5 ops previously correctness-only — give them timing history
+    "q_docs_profile_columns",
+    "q_events_value_histogram",
+    "q_events_cohort_retention",
+    "q_graph_bounded_walks",
+    "q_stream_interval_join",
+    "q_emb_mmr_diverse_topk",
+    "q_docs_quality_keeper",
+    # round 6: corpus BPE encode (train + map-only apply), SemDeDup
+    # (k-means + cluster-blocked pairs + CC), the TPC-H completions with
+    # a wide edge (q9 composite-key join chain, q20 semi-join chain),
+    # and the distributed prefix-max late-arrival audit
+    "q_docs_bpe_encode",
+    "q_emb_semantic_dedup",
+    "q9_product_type_profit",
+    "q20_potential_promotion",
+    "q_events_late_arrivals",
 ]
 
 

@@ -1640,3 +1640,33 @@ def test_semantic_dedup_planted_groups(spark):
             assert m["keeper_id"] == keepers[0]["vec_id"]
     sizes = sorted(len(m) for m in by_comp.values())
     assert sizes == [1, 1, 3, 3, 3]
+
+
+def test_late_arrival_audit_planted_out_of_order(spark):
+    """Planted out-of-order arrivals: rows arrive (by order_col) with one
+    event 30 minutes behind the running high-watermark and one 5 minutes
+    behind. With a 10-minute delay only the first counts as late; the
+    max out-of-order depth is 1800s. Small bucket_size forces the
+    distributed prefix-max path across buckets."""
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.timeseries import late_arrival_audit
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "a"),
+        (2, t0 + dt.timedelta(minutes=10), "a"),
+        (3, t0 + dt.timedelta(minutes=20), "a"),      # wm now 12:20
+        (4, t0 - dt.timedelta(minutes=10), "a"),      # 30 min behind -> late
+        (5, t0 + dt.timedelta(minutes=15), "b"),      # 5 min behind -> not late
+        (6, t0 + dt.timedelta(minutes=30), "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        r["event_type"]: (r["n_total"], r["n_late"], r["max_ooo_s"])
+        for r in late_arrival_audit(
+            df, "event_id", "ts", "event_type", delay_seconds=600, bucket_size=2
+        ).collect()
+    }
+    assert got["a"] == (4, 1, 1800)
+    assert got["b"] == (2, 0, 300)

@@ -232,3 +232,74 @@ def groupwise_trend(
             F.when(dy > 0, F.round(r2, 4)).alias("r2"),
         )
     )
+
+
+def late_arrival_audit(
+    df: DataFrame,
+    order_col: str,
+    ts_col: str,
+    type_col: str,
+    delay_seconds: int = 600,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Batch watermark audit — the batch twin of Structured Streaming's
+    ``numRowsDroppedByWatermark`` (see ``streaming/events.py``
+    ``late_drop_stats``): replay the table in arrival order
+    (``order_col``), maintain the running high-watermark ``max(event
+    time so far)``, and count rows arriving more than ``delay_seconds``
+    behind it — exactly the rows a streaming job with that watermark
+    would have dropped. Returns per-``type_col``
+    ``(n_total, n_late, max_ooo_s)`` (max out-of-order depth, whole
+    seconds).
+
+    Scale shape — a running max over a global order is the textbook
+    single-partition window trap, so it is computed as a DISTRIBUTED
+    PREFIX MAX instead: bucket the order key (``bucket_size`` rows per
+    bucket), (1) within-bucket running max via a bucket-partitioned
+    window (parallel across buckets), (2) per-bucket maxes — an
+    ``n/bucket_size``-row table — get their strictly-earlier prefix max
+    on one tiny window, (3) broadcast-join the prefix back and take
+    ``greatest(within, prefix)``. 100 TB of events never converge on one
+    executor; only the bucket-summary table does (bytes per 100k rows).
+
+    Event times pass through ``epoch_seconds`` (NTZ-safe, whole
+    seconds) so the comparison is integer-exact on any engine."""
+    from ..functions.dates import epoch_seconds
+
+    base = df.select(
+        F.col(order_col).alias("_ord"),
+        F.col(type_col).alias("_type"),
+        epoch_seconds(ts_col).alias("_sec"),
+        F.floor(F.col(order_col) / bucket_size).alias("_b"),
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = base.withColumn("_wm_in", F.max("_sec").over(w_in))
+    bmax = base.groupBy("_b").agg(F.max("_sec").alias("_bm"))
+    w_pfx = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    pfx = bmax.withColumn("_wm_prev", F.max("_bm").over(w_pfx)).select(
+        "_b", "_wm_prev"
+    )
+    j = within.join(F.broadcast(pfx), "_b")
+    # greatest() skips nulls (global first rows have no watermark yet →
+    # null → never late); null only when both sides are null
+    wm = F.greatest("_wm_in", "_wm_prev")
+    audited = j.select(
+        "_type",
+        "_sec",
+        wm.alias("_wm"),
+        (F.col("_sec") < wm - F.lit(delay_seconds)).alias("_late"),
+        F.when(wm > F.col("_sec"), wm - F.col("_sec"))
+        .otherwise(F.lit(0))
+        .alias("_ooo"),
+    )
+    return audited.groupBy(F.col("_type").alias(type_col)).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.coalesce(F.col("_late"), F.lit(False)).cast("long")).alias(
+            "n_late"
+        ),
+        F.max("_ooo").alias("max_ooo_s"),
+    )

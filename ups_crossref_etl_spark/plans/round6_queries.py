@@ -275,3 +275,52 @@ def q_emb_semantic_dedup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_point_ok").alias("nonkeepers_point_at_keepers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming late-data accounting — batch twin
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_late_arrivals",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(coalesce(sum(CASE WHEN sec < wm - 600 THEN 1 END), 0)
+                AS BIGINT) AS n_late,
+           CAST(coalesce(max(CASE WHEN wm > sec THEN wm - sec ELSE 0 END), 0)
+                AS BIGINT) AS max_ooo_s
+    FROM w GROUP BY event_type
+    """,
+    doc=(
+        "Batch twin of Structured Streaming's numRowsDroppedByWatermark "
+        "(operators/timeseries.late_arrival_audit + streaming/events.py "
+        "late_drop_stats/LateDataListener): replay events in arrival "
+        "order, track the running event-time high-watermark, count rows "
+        "arriving >10min behind it and the max out-of-order depth per "
+        "type. The Spark side computes the running max as a DISTRIBUTED "
+        "PREFIX MAX (bucketed within-partition windows + a tiny "
+        "bucket-summary prefix broadcast back) — the oracle's "
+        "single-partition global window is the semantic spec, not the "
+        "scale plan. Current testdata arrives in order, so n_late pins "
+        "at 0 — the nonzero path is pinned by the late-heavy streaming "
+        "fixture in tests/test_streaming.py and the planted batch in "
+        "tests/test_operators.py."
+    ),
+)
+def q_events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import late_arrival_audit
+
+    ev = read_table(spark, sf_dir, "events")
+    return late_arrival_audit(
+        ev, "event_id", "ts", "event_type", delay_seconds=600,
+        bucket_size=10_000,
+    )

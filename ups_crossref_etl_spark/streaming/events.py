@@ -369,6 +369,99 @@ def stream_stream_interval_join(
     ).select("l_event", "r_event", by)
 
 
+def tumbling_counts_with_late_audit(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """``tumbling_counts`` with an ``observe()`` audit attached to the
+    PRE-aggregation stream: per micro-batch, the named metric
+    ``late_audit`` reports how many rows entered the operator and the
+    batch's event-time span. Combined with the state operator's
+    ``numRowsDroppedByWatermark`` (surfaced per progress update), this
+    gives the full late-data ledger: rows in, rows dropped as too-late,
+    rows aggregated — without a second pass over the stream (observe
+    metrics ride the existing plan; zero extra shuffle). Collect either
+    via ``LateDataListener`` (push) or ``late_drop_stats`` (pull).
+
+    The batch twin is ``operators/timeseries.late_arrival_audit``
+    (gate query q_events_late_arrivals): same watermark rule replayed
+    over the table in arrival order."""
+    obs = events.observe(
+        "late_audit",
+        F.count(F.lit(1)).alias("n_input"),
+        F.min("ts").alias("min_event_ts"),
+        F.max("ts").alias("max_event_ts"),
+    )
+    return tumbling_counts(obs, window, watermark)
+
+
+class LateDataListener:
+    """StreamingQueryListener accumulating the late-data ledger across
+    progress updates: total observed input rows (from the ``late_audit``
+    observe metric) and total ``numRowsDroppedByWatermark`` (from the
+    stateful operator metrics). Attach with
+    ``spark.streams.addListener(listener)``; read ``.n_input`` /
+    ``.n_dropped`` after ``processAllAvailable()``.
+
+    Defined lazily against the runtime base class so importing this
+    module never hard-requires the streaming listener machinery."""
+
+    def __new__(cls, *a, **kw):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Impl(StreamingQueryListener):
+            def __init__(self) -> None:
+                self.n_input = 0
+                self.n_dropped = 0
+                self.progress_events = 0
+
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                self.progress_events += 1
+                got = _fold_progress(event.progress)
+                self.n_input += got["n_input"]
+                self.n_dropped += got["n_dropped"]
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        return _Impl()
+
+
+def _fold_progress(p) -> dict:
+    """Extract the late-data ledger from one progress update.
+    ``StreamingQueryProgress`` is dict-like, but ``observedMetrics``
+    values are ``Row`` objects (tuple subclass — no ``.get``), hence the
+    type split."""
+    la = (p.get("observedMetrics") or {}).get("late_audit")
+    n_input = 0
+    if la is not None:
+        v = la.get("n_input") if isinstance(la, dict) else la["n_input"]
+        n_input = int(v or 0)
+    n_dropped = sum(
+        int(so.get("numRowsDroppedByWatermark") or 0)
+        for so in (p.get("stateOperators") or [])
+    )
+    return {"n_input": n_input, "n_dropped": n_dropped}
+
+
+def late_drop_stats(query) -> dict:
+    """Pull-side late-data ledger: fold a streaming query's
+    ``recentProgress`` into totals — observed input rows (``late_audit``
+    observe metric) and rows dropped by the watermark (state operator
+    metric). Works on any query, listener or not."""
+    n_input = n_dropped = 0
+    for p in query.recentProgress:
+        got = _fold_progress(p)
+        n_input += got["n_input"]
+        n_dropped += got["n_dropped"]
+    return {"n_input": n_input, "n_dropped": n_dropped}
+
+
 def write_idempotent(batch_df: DataFrame, target_path: str, key_cols: list[str]) -> None:
     """foreachBatch sink: INSERT OR IGNORE semantics (K3) — anti-join the
     incoming micro-batch against the target before appending. Combined
