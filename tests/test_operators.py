@@ -1670,3 +1670,65 @@ def test_late_arrival_audit_planted_out_of_order(spark):
     }
     assert got["a"] == (4, 1, 1800)
     assert got["b"] == (2, 0, 300)
+
+
+def test_wav_decode_roundtrip_and_edges(spark):
+    """Real PCM WAV decode: 16-bit roundtrip is exact; stereo downmixes
+    by channel mean; 8-bit unsigned normalizes around 128; garbage and
+    empty payloads map to decode_ok=False instead of failing the task."""
+    import io
+    import struct
+    import wave as wavemod
+
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators.multimodal import (
+        decode_wav,
+        extract_wav_features,
+        wav_encode_pcm16,
+    )
+
+    # 16-bit mono roundtrip
+    samples = [0, 16384, -16384, 32767, -32768]
+    x, rate = decode_wav(wav_encode_pcm16(samples, rate=16000))
+    assert rate == 16000
+    assert np.allclose(x, np.array(samples) / 32768.0)
+
+    # stereo 16-bit: downmix = per-frame channel mean
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 100, 300, -100, -300))
+    x2, _ = decode_wav(buf.getvalue())
+    assert np.allclose(x2, np.array([200.0, -200.0]) / 32768.0)
+
+    # 8-bit unsigned: 128 is silence, 255 ~ +1, 0 = -1
+    buf8 = io.BytesIO()
+    with wavemod.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 255, 0]))
+    x3, _ = decode_wav(buf8.getvalue())
+    assert np.allclose(x3, [(0) / 128.0, 127 / 128.0, -128 / 128.0])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a riff file at all........")
+
+    # distributed path: good, garbage, and null payloads in one frame
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav_encode_pcm16([1000, -1000], rate=8000))),
+            (2, bytearray(b"garbage")),
+            (3, None),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in extract_wav_features(df).collect()}
+    assert got[1]["decode_ok"] and got[1]["n_samples"] == 2
+    assert got[1]["sample_rate"] == 8000
+    assert not got[2]["decode_ok"] and not got[3]["decode_ok"]

@@ -155,6 +155,110 @@ def extract_audio_features(
     )
 
 
+WAV_FEATURE_SCHEMA = (
+    "asset_id bigint, n_samples bigint, sample_rate int, duration_s double, "
+    "rms double, peak double, decode_ok boolean"
+)
+
+
+def wav_encode_pcm16(samples: list[int], rate: int = 8000) -> bytes:
+    """Build a real RIFF/WAVE file (PCM, 16-bit, mono) from int16 sample
+    values — pure stdlib (``wave`` + ``struct``), used by tests and the
+    gate query's synth stage to manufacture genuine WAV payloads."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for PCM WAV — pure stdlib, no codec dependency
+    (this is why the audio path is not container-gated like image/video:
+    RIFF/WAVE PCM needs only ``wave`` + byte reinterpretation).
+
+    Returns ``(wave_float64 in [-1, 1], sample_rate)``; multi-channel
+    audio is downmixed by per-frame channel mean. Supports the PCM
+    sample widths ``wave`` emits: unsigned 8-bit, signed 16/32-bit.
+    Raises ``ValueError`` on non-WAV/compressed payloads (callers map
+    that to ``decode_ok=False``)."""
+    import io
+    import wave as _wave
+
+    try:
+        with _wave.open(io.BytesIO(payload), "rb") as w:
+            nch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (_wave.Error, EOFError) as ex:
+        raise ValueError(f"not a PCM WAV payload: {ex}") from ex
+    if width == 1:  # WAV 8-bit is UNSIGNED
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def extract_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over PCM WAV payloads (contrast
+    ``extract_audio_features``, whose real-codec path is container-gated
+    and whose ``fake=True`` path reinterprets raw bytes): sample count,
+    header sample rate, duration, RMS and peak of the normalized wave.
+    Same mapInPandas/Arrow batch shape as every decode kernel here —
+    one task never holds more than a batch of blobs.
+
+    Determinism: PCM values are exact binary fractions (k/2^w), so
+    squares and sums accumulate EXACTLY (order-independent) until the
+    single rounding at /n and sqrt — an SQL oracle recomputing the same
+    math lands on identical doubles."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r["payload"]
+                if p is None or len(p) == 0:
+                    rows.append((r["asset_id"], 0, 0, 0.0, 0.0, 0.0, False))
+                    continue
+                try:
+                    x, rate = decode_wav(bytes(p))
+                except ValueError:
+                    rows.append((r["asset_id"], 0, 0, 0.0, 0.0, 0.0, False))
+                    continue
+                n = len(x)
+                rows.append(
+                    (
+                        r["asset_id"],
+                        n,
+                        rate,
+                        n / rate if rate else 0.0,
+                        float(np.sqrt(np.mean(x * x))) if n else 0.0,
+                        float(np.max(np.abs(x))) if n else 0.0,
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "sample_rate", "duration_s",
+                    "rms", "peak", "decode_ok",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(kernel, WAV_FEATURE_SCHEMA)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-metadata aggregation (no decode): per modality+mime, count,
     total/avg payload size — the triage query a 100 TB media lake runs

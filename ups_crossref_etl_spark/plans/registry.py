@@ -70,6 +70,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_pack_bpe_sequences",
     "q_emb_semantic_dedup_bound",
     "q_events_late_arrivals",
+    "q_media_wav_features",
     "q_docs_weighted_sample",
     "q_emb_mmr_diverse_topk",
 ]

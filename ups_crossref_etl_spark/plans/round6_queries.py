@@ -324,3 +324,79 @@ def q_events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_id", "ts", "event_type", delay_seconds=600,
         bucket_size=10_000,
     )
+
+
+# --------------------------------------------------------------------------
+# Real PCM WAV decode (pure stdlib — the audio path is no longer
+# fake-gated; image/video stay container-gated)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_media_wav_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS asset_id, (doc_id % 50) + 10 AS n FROM documents),
+    s AS (SELECT asset_id, n, unnest(range(0, n)) AS i FROM m),
+    w AS (SELECT asset_id, n,
+                 (((asset_id * 7 + i * 13) % 256) - 128) * 256 AS x
+          FROM s),
+    a AS (SELECT asset_id, any_value(n) AS n,
+                 sqrt(sum((x / 32768.0) * (x / 32768.0)) / any_value(n)) AS rms,
+                 max(abs(x / 32768.0)) AS peak
+          FROM w GROUP BY asset_id)
+    SELECT asset_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           n / 8000.0 AS duration_s,
+           round(rms, 6) AS rms,
+           round(peak, 6) AS peak,
+           TRUE AS decode_ok
+    FROM a
+    """,
+    doc=(
+        "REAL audio decode through the driver gate: per document a "
+        "genuine RIFF/WAVE PCM-16 payload is synthesized (stdlib wave "
+        "module, samples = ((doc_id*7 + i*13) % 256 - 128)*256, "
+        "n = doc_id%50+10 at 8 kHz), then decoded back by "
+        "operators/multimodal.decode_wav — an actual header-parsing "
+        "byte-reinterpreting PCM decoder, not the fake-feature stub — "
+        "and reduced to (n_samples, sample_rate, duration, rms, peak). "
+        "The oracle recomputes the waveform arithmetically: PCM values "
+        "are exact binary fractions (k/128), squares/sums accumulate "
+        "exactly in any order, and the single /n + sqrt roundings are "
+        "IEEE-identical on both engines; rms/peak rounded 6dp only to "
+        "absorb nothing — they already match bit-for-bit."
+    ),
+)
+def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import extract_wav_features, wav_encode_pcm16
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                n = int(did) % 50 + 10
+                samples = [
+                    ((int(did) * 7 + i * 13) % 256 - 128) * 256
+                    for i in range(n)
+                ]
+                payloads.append(wav_encode_pcm16(samples, rate=8000))
+            yield pd.DataFrame({"asset_id": b["doc_id"], "payload": payloads})
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth, "asset_id bigint, payload binary")
+    feats = extract_wav_features(media)
+    return feats.select(
+        "asset_id",
+        "n_samples",
+        "sample_rate",
+        "duration_s",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        "decode_ok",
+    )
