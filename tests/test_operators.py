@@ -1732,3 +1732,44 @@ def test_wav_decode_roundtrip_and_edges(spark):
     assert got[1]["decode_ok"] and got[1]["n_samples"] == 2
     assert got[1]["sample_rate"] == 8000
     assert not got[2]["decode_ok"] and not got[3]["decode_ok"]
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy ground truths: uniform single char -> 0 bits; 'ab' -> 1
+    bit; 4 distinct equiprobable chars -> 2 bits; empty/null -> 0."""
+    from ups_crossref_etl_spark.operators.text_analysis import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df, "text", "doc_id").collect()}
+    assert got[1]["entropy"] == 0.0
+    assert got[2]["entropy"] == 1.0
+    assert got[3]["entropy"] == 2.0
+    assert got[4]["entropy"] == 0.0 and got[4]["n_chars_counted"] == 0
+    assert got[5]["entropy"] == 0.0 and got[5]["n_chars_counted"] == 0
+
+
+def test_profile_drift_detects_planted_drift(spark):
+    """Planted drift: snapshot B nulls out half of col x and shrinks col
+    y's range — the audit must report the null-fraction delta and the
+    bounds change, and stay quiet on the unchanged column."""
+    from ups_crossref_etl_spark.operators.profile import profile_drift
+    from pyspark.sql import functions as F
+
+    a = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("x"),  # bounds stable under nulling
+        (F.col("id") % 10).alias("y"),
+    )
+    b = a.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.col("x")).alias("x"),  # 50% nulls
+        F.least(F.col("y"), F.lit(5)).alias("y"),             # max 9 -> 5
+    )
+    got = {r["column"]: r for r in profile_drift(a, b, ["x", "y"]).collect()}
+    assert got["x"]["null_frac_a"] == 0.0 and got["x"]["null_frac_b"] == 0.5
+    assert got["x"]["null_frac_delta"] == 0.5
+    assert got["y"]["bounds_changed"] and not got["x"]["bounds_changed"]
+    assert got["y"]["n_distinct_b"] < got["y"]["n_distinct_a"]

@@ -553,3 +553,46 @@ def test_q2_correlated_min_single_ps_derivation(spark, sf_dir):
     plan = _plan(q)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation/region, part
+
+
+def test_bpe_encode_map_only_no_exchange(spark, sf_dir):
+    """Corpus BPE encode must be ONE Arrow map pass: no Exchange anywhere
+    in the plan (merges travel in the task closure, the word memo is
+    per-partition)."""
+    from ups_crossref_etl_spark.operators.bpe import bpe_encode
+
+    d = read_table(spark, sf_dir, "documents")
+    enc = bpe_encode(d, "text", "doc_id", [("t", "h"), ("th", "e")])
+    plan = _plan(enc)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_semantic_edges_cluster_equijoin_no_cartesian(spark, sf_dir):
+    """SemDeDup pair generation must join ON the cluster id (hash join),
+    never a cross product over the vectors."""
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators.semdedup import semantic_edges
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = np.zeros((4, 64)) + np.eye(4, 64)
+    plan = _plan(semantic_edges(emb, cent, 0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_arrival_audit_distributed_prefix_max(spark, sf_dir):
+    """The audit's running max must be the bucketed prefix-max shape:
+    bucket-partitioned window + broadcast of the tiny bucket-summary
+    prefix — not one global-order window over the fact rows."""
+    from ups_crossref_etl_spark.operators.timeseries import late_arrival_audit
+
+    ev = read_table(spark, sf_dir, "events")
+    q = late_arrival_audit(ev, "event_id", "ts", "event_type", 600, bucket_size=10_000)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan  # prefix table joins back broadcast
+    # the fact-row window partitions by bucket, so its exchange is
+    # hashpartitioning on _b — a single-partition global exchange over the
+    # fact rows would show SinglePartition feeding the big window
+    assert "hashpartitioning(_b" in plan

@@ -285,6 +285,148 @@ def main() -> None:
         docs1.count(), docsN.count(),
     )
 
+    # round 5: cohort retention (users grow Nx, events/user constant — the
+    # realistic growth; state stays |users| x 9 regardless of event volume)
+    def cohort_count(ev):
+        firsts = ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        )
+        activity = (
+            ev.join(firsts, "user_id")
+            .select(
+                "user_id",
+                "cohort_week",
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                ).alias("week_offset"),
+            )
+            .distinct()
+        )
+        return (
+            activity.filter(F.col("week_offset") <= 8)
+            .groupBy("cohort_week", "week_offset")
+            .count()
+            .count()
+        )
+
+    probe(
+        "cohort_retention",
+        lambda: cohort_count(ev1),
+        lambda: cohort_count(evN),
+        ev1.count(), evN.count(),
+    )
+
+    # round 5: recursive-CTE bounded walks. Both l_orderkey AND l_suppkey
+    # are re-keyed per salt so the co-supply graph replicates into N
+    # disjoint copies (re-keying only orders would dedup the edge set back
+    # to 1x); seeds scale with the graph (src < 20*N covers the same 20
+    # logical seeds in every copy).
+    li_both_N = (
+        li1.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .withColumn("l_orderkey", F.col("l_orderkey") * n + F.col("_salt"))
+        .withColumn("l_suppkey", F.col("l_suppkey") * n + F.col("_salt"))
+        .drop("_salt")
+        .localCheckpoint()
+    )
+
+    def walks_count(li_df, seed_bound):
+        li_df.createOrReplaceTempView("lineitem")
+        return spark.sql(
+            f"""
+            WITH RECURSIVE pe AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            e AS (
+              SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+              FROM pe a JOIN pe b
+                ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+            walk(start, node, hops) AS (
+              SELECT src, src, 0
+              FROM (SELECT DISTINCT src FROM e WHERE src < {seed_bound}) s
+              UNION ALL
+              SELECT w.start, e.dst, w.hops + 1
+              FROM walk w JOIN e ON e.src = w.node WHERE w.hops < 2)
+            SELECT start, count(*) FROM walk GROUP BY start
+            """
+        ).count()
+
+    probe(
+        "bounded_walks",
+        lambda: walks_count(li1, 20),
+        lambda: walks_count(li_both_N, 20 * n),
+        li1.count(), li_both_N.count(),
+    )
+
+    # round 6: BPE encode — merges trained ONCE (fixed model state, like
+    # the retrieval/decontamination probes), the map-only encode pass is
+    # what must scale linearly
+    from ups_crossref_etl_spark.operators.bpe import bpe_encode, bpe_train
+
+    merges = bpe_train(docs1, "text", n_merges=10)
+    probe(
+        "bpe_encode",
+        lambda: bpe_encode(docs1, "text", "doc_id", merges)
+        .agg(F.sum("n_tokens")).collect(),
+        lambda: bpe_encode(docsN, "text", "doc_id", merges)
+        .agg(F.sum("n_tokens")).collect(),
+        docs1.count(), docsN.count(),
+    )
+
+    # round 6: SemDeDup cluster-blocked edges. Replicas are PERTURBED
+    # (circular shift of the embedding by salt positions) so each salt is
+    # a distinct direction — plain replication would plant N-1 exact
+    # duplicates per vector and the TRUE pair count itself would grow
+    # quadratically, probing the data, not the algorithm. Centroids fixed
+    # (fit once on the 1x sample — the realistic sampled-training shape).
+    from ups_crossref_etl_spark.operators import semdedup
+
+    dim = len(emb1.first()["embedding"])
+    embN_rot = (
+        emb1.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .select(
+            (F.col("vec_id") * n + F.col("_salt")).alias("vec_id"),
+            F.concat(
+                F.slice(
+                    "embedding", F.col("_salt") + 1, F.lit(dim) - F.col("_salt")
+                ),
+                F.slice("embedding", F.lit(1), F.col("_salt")),
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    centroids = semdedup.kmeans_fit(emb1, k=16, max_iter=3)
+    probe(
+        "semantic_edges",
+        lambda: semdedup.semantic_edges(emb1, centroids, 0.35).count(),
+        lambda: semdedup.semantic_edges(embN_rot, centroids, 0.35).count(),
+        emb1.count(), embN_rot.count(),
+    )
+
+    # round 6: late-arrival audit — the distributed prefix-max must stay
+    # linear (the single-partition global-window formulation it replaces
+    # would flatline one executor)
+    from ups_crossref_etl_spark.operators.timeseries import late_arrival_audit
+
+    evN_ord = (
+        ev1.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .withColumn("event_id", F.col("event_id") * n + F.col("_salt"))
+        .drop("_salt")
+        .localCheckpoint()
+    )
+    probe(
+        "late_arrival_audit",
+        lambda: late_arrival_audit(
+            ev1, "event_id", "ts", "event_type", 600
+        ).count(),
+        lambda: late_arrival_audit(
+            evN_ord, "event_id", "ts", "event_type", 600
+        ).count(),
+        ev1.count(), evN_ord.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -1,10 +1,14 @@
 """Text analysis operators: language ID, quality scoring, token counting,
 document fingerprinting. Extension layer (no reference counterpart); all
-JVM-side Column expressions — regex + higher-order array functions, no UDFs.
+JVM-side Column expressions — regex + higher-order array functions, no UDFs
+(one documented exception: ``char_entropy``'s Arrow map pass — its per-doc
+histogram is row-local semantics builtins could only express by exploding
+the corpus per character).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -470,4 +474,55 @@ def token_divergence(
             + 0.5 * F.sum(F.col("_q") * F.log(F.col("_q") / m)),
             6,
         ).alias("js"),
+    )
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the
+    compression-ratio-style quality signal (Rae et al.'s Gopher rules
+    family): natural prose sits ~4-4.5 bits/char, boilerplate/repetition
+    collapses toward 0, random noise pushes toward log2(alphabet).
+    Low-entropy docs are the keyboard-mash/template junk a corpus filter
+    drops.
+
+    Returns ``(id_col, n_chars_counted, entropy)`` with entropy rounded
+    4dp.
+
+    Scale shape: the per-doc character histogram is ROW-LOCAL semantics
+    that built-in ops can only express by exploding the corpus into one
+    row per character and shuffling (doc, char) pairs — corpus-sized
+    exchange for a per-row statistic. So this is the documented
+    Arrow-batch exception: one map-only pandas_udf pass, zero shuffles,
+    ~µs/doc. Entropy is computed as ``log2(n) − Σ c·log2(c) / n`` over
+    counts in sorted-char order; the 4dp rounding absorbs the ~1e-15
+    accumulation-order ulp vs an SQL oracle summing in its own order."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ent(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = "" if t is None else str(t)
+            n = len(s)
+            if n == 0:
+                out.append(0.0)
+                continue
+            counts = Counter(s)
+            h = math.log2(n) - sum(
+                c * math.log2(c) for _, c in sorted(counts.items())
+            ) / n
+            out.append(h)
+        return pd.Series(out)
+
+    # round via F.round, not Python round(): half-away-from-zero on both
+    # engines (Python's banker's rounding is the one mismatch mode)
+    return df.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint").alias(
+            "n_chars_counted"
+        ),
+        F.round(ent(F.col(text_col)), 4).alias("entropy"),
     )

@@ -71,6 +71,8 @@ _CHANGED_THIS_ROUND = [
     "q_emb_semantic_dedup_bound",
     "q_events_late_arrivals",
     "q_media_wav_features",
+    "q_docs_char_entropy",
+    "q_docs_profile_drift",
     "q_docs_weighted_sample",
     "q_emb_mmr_diverse_topk",
 ]

@@ -400,3 +400,91 @@ def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("peak", 6).alias("peak"),
         "decode_ok",
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 extras: char-entropy quality signal + snapshot drift audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+    hist AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+    ent AS (
+      SELECT doc_id,
+             sum(cnt) AS n,
+             log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt) AS h
+      FROM hist GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(len(d.text), 0) AS BIGINT) AS n_chars_counted,
+           coalesce(round(e.h, 4), 0.0) AS entropy
+    FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+    """,
+    doc=(
+        "Per-document Shannon character entropy (operators/text_analysis."
+        "char_entropy) — the compression-ratio-style quality signal "
+        "(natural prose ~4-4.5 bits/char; boilerplate collapses toward "
+        "0). The per-doc histogram is row-local semantics builtins can "
+        "only express by exploding the corpus into per-character rows, "
+        "so this is the documented Arrow-batch exception: ONE map-only "
+        "pandas_udf pass, zero shuffles (plan-pinned). The oracle "
+        "explodes chars in SQL (fine at oracle scale) and lands on the "
+        "same 4dp values — both engines round half-away after the "
+        "identical log2 arithmetic."
+    ),
+)
+def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import char_entropy
+
+    d = read_table(spark, sf_dir, "documents")
+    return char_entropy(d, "text", "doc_id")
+
+
+@register(
+    "q_docs_profile_drift",
+    """
+    WITH pa AS (
+      SELECT 'lang' AS col, count(*) AS n, sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nn,
+             count(DISTINCT lang) AS nd, CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(*), sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      FROM documents),
+    pb AS (
+      SELECT 'lang' AS col, count(*) AS n, sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nn,
+             count(DISTINCT lang) AS nd, CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'n_chars', count(*), sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      FROM documents WHERE doc_id % 2 = 0)
+    SELECT pa.col AS "column",
+           CAST(pa.n AS BIGINT) AS n_rows_a, CAST(pb.n AS BIGINT) AS n_rows_b,
+           round(pa.nn / pa.n, 4) AS null_frac_a,
+           round(pb.nn / pb.n, 4) AS null_frac_b,
+           round(round(pb.nn / pb.n, 4) - round(pa.nn / pa.n, 4), 4) AS null_frac_delta,
+           CAST(pa.nd AS BIGINT) AS n_distinct_a, CAST(pb.nd AS BIGINT) AS n_distinct_b,
+           (pa.mn <> pb.mn OR pa.mx <> pb.mx) AS bounds_changed
+    FROM pa JOIN pb ON pa.col = pb.col
+    """,
+    doc=(
+        "Snapshot drift audit (operators/profile.profile_drift): profile "
+        "the documents table against its even-doc_id 'new snapshot' twin "
+        "— null-fraction delta, distinct-count movement, min/max bounds "
+        "change per column. Two single-pass wide aggregates (one per "
+        "snapshot, every column in one scan — see profile_columns) "
+        "joined on the n_cols-row summary: the lake-monitor pre-flight "
+        "that catches a broken upstream writer before 100 TB of bad "
+        "rows land."
+    ),
+)
+def q_docs_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_drift
+
+    d = read_table(spark, sf_dir, "documents")
+    return profile_drift(d, d.filter(F.col("doc_id") % 2 == 0), ["lang", "n_chars"])
