@@ -1773,3 +1773,88 @@ def test_profile_drift_detects_planted_drift(spark):
     assert got["x"]["null_frac_delta"] == 0.5
     assert got["y"]["bounds_changed"] and not got["x"]["bounds_changed"]
     assert got["y"]["n_distinct_b"] < got["y"]["n_distinct_a"]
+
+
+def test_bmp_decode_roundtrip_and_edges(spark):
+    """Real BMP decode: encode->decode is pixel-exact for widths whose
+    rows need 0..3 pad bytes; top-down (negative height) BMPs decode to
+    the same array; garbage/short/compressed payloads raise ValueError
+    and map to decode_ok=False on the distributed path."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ups_crossref_etl_spark.operators.multimodal import (
+        bmp_encode_rgb24,
+        decode_bmp,
+        extract_bmp_features,
+    )
+
+    rng = np.random.default_rng(7)
+    for w in (3, 4, 5, 6):  # row pad 3, 0, 1, 2 bytes
+        img = rng.integers(0, 256, size=(5, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(bmp_encode_rgb24(img)), img)
+
+    # top-down variant: flip the stored row order and negate height
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    # encode stores img[::-1] bottom-up, i.e. rows land in img order;
+    # flipping the height sign makes decode read them top-down => img
+    enc = bytearray(bmp_encode_rgb24(img[::-1]))
+    struct.pack_into("<i", enc, 22, -4)  # height = -4 => top-down
+    assert np.array_equal(decode_bmp(bytes(enc)), img)
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    with _pytest.raises(ValueError):
+        decode_bmp(bmp_encode_rgb24(img)[:30])  # truncated header
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(bmp_encode_rgb24(img))),
+            (2, bytearray(b"garbage")),
+            (3, None),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in extract_bmp_features(df).collect()}
+    assert got[1]["decode_ok"]
+    assert (got[1]["width"], got[1]["height"], got[1]["n_pixels"]) == (4, 4, 16)
+    px = img.astype(np.int64)
+    assert got[1]["total_gray"] == int(
+        (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]).sum()
+    )
+    assert not got[2]["decode_ok"] and not got[3]["decode_ok"]
+
+
+def test_dhash_neardup_finds_planted_twin(spark):
+    """A one-pixel perturbation outside the sample grid's compared cells
+    moves dHash by at most 1 bit, so the banded pipeline must surface the
+    (base, twin) pair; an unrelated random image must NOT pair with them
+    at hamming <= 3 (pigeonhole recall is exact, verify is bit_count)."""
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators.multimodal import (
+        bmp_encode_rgb24,
+        dhash_neardup_pairs,
+        extract_bmp_features,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+    twin = base.copy()
+    twin[0, 0, 0] = (int(twin[0, 0, 0]) + 64) % 256
+    other = rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(bmp_encode_rgb24(base))),
+            (2, bytearray(bmp_encode_rgb24(twin))),
+            (3, bytearray(bmp_encode_rgb24(other))),
+        ],
+        "asset_id long, payload binary",
+    )
+    feats = extract_bmp_features(df)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dhash_neardup_pairs(feats, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs

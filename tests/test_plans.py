@@ -596,3 +596,21 @@ def test_late_arrival_audit_distributed_prefix_max(spark, sf_dir):
     # hashpartitioning on _b — a single-partition global exchange over the
     # fact rows would show SinglePartition feeding the big window
     assert "hashpartitioning(_b" in plan
+
+
+def test_image_neardup_banded_equi_join_no_cartesian(spark, sf_dir):
+    """Image near-dup candidates must come from the dHash pigeonhole
+    block equi-join — never an all-pairs comparison (that is the
+    ORACLE's job on the bounded sample) — and the decode stage is one
+    map-only mapInPandas pass: zero exchanges before the hash table."""
+    from ups_crossref_etl_spark.plans.registry import load_all
+
+    q = load_all()["q_media_image_neardup"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    feats = load_all()["q_media_bmp_features"].fn(spark, sf_dir)
+    fplan = _plan(feats)
+    assert "Exchange" not in fplan  # decode + features: map-only
+    assert "MapInPandas" in fplan

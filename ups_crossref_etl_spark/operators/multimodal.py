@@ -259,6 +259,178 @@ def extract_wav_features(df: DataFrame) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(kernel, WAV_FEATURE_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# REAL image decode: uncompressed 24-bit BMP (pure stdlib, like the WAV
+# path — BITMAPFILE/INFO headers + padded BGR rows need only ``struct`` +
+# byte reinterpretation, so the image path is no longer container-gated
+# for this format; PNG/JPEG stay behind the codec gate above).
+# --------------------------------------------------------------------------
+
+BMP_FEATURE_SCHEMA = (
+    "asset_id bigint, width int, height int, n_pixels int, "
+    "total_gray bigint, dhash bigint, decode_ok boolean"
+)
+
+
+def bmp_encode_rgb24(pixels: np.ndarray) -> bytes:
+    """Build a real uncompressed 24-bit BMP from an ``(h, w, 3)`` uint8
+    RGB array — BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, bottom-up
+    BGR rows padded to 4 bytes. Pure stdlib; used by tests and the gate
+    queries' synth stage to manufacture genuine image payloads."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = pixels[y, :, ::-1]  # RGB -> BGR
+        body += row.tobytes() + b"\x00" * pad
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed 24-bit BMP: parses the RIFF-era
+    headers, un-pads and un-flips the BGR rows, returns an ``(h, w, 3)``
+    uint8 RGB array. Handles both bottom-up (positive height, the normal
+    case) and top-down (negative height) row order. Raises ``ValueError``
+    on non-BMP / compressed / non-24-bit payloads (callers map that to
+    ``decode_ok=False``)."""
+    import struct
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if len(payload) < pixel_offset + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for i in range(h):
+        off = pixel_offset + i * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=row_bytes, offset=off)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    img = np.stack(rows)
+    if h_signed > 0:  # bottom-up: first stored row is the BOTTOM row
+        img = img[::-1]
+    return img
+
+
+def _dhash64(img: np.ndarray) -> int:
+    """64-bit perceptual difference hash (dHash) with a DETERMINISTIC
+    nearest-neighbor 9x8 sample grid (``gy = i*h//8``, ``gx = j*w//9``)
+    instead of interpolated resize, and integer luma ``299R+587G+114B``
+    (no division) — every step is exact integer arithmetic, so an SQL
+    oracle recomputing the same formula lands on the identical value.
+    Bit ``p = i*8+j`` is set iff ``gray[i][j] > gray[i][j+1]``; bit 63
+    contributes ``-(1<<63)`` so the result is a signed 64-bit BIGINT
+    (same two's-complement convention as ``dedup.simhash_table``)."""
+    h, w, _ = img.shape
+    px = img.astype(np.int64)
+    gray = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    gy = [(i * h) // 8 for i in range(8)]
+    gx = [(j * w) // 9 for j in range(9)]
+    g = gray[np.ix_(gy, gx)]
+    out = 0
+    for i in range(8):
+        for j in range(8):
+            if g[i, j] > g[i, j + 1]:
+                p = i * 8 + j
+                out += -(1 << 63) if p == 63 else (1 << p)
+    return out
+
+
+def extract_bmp_features(df: DataFrame) -> DataFrame:
+    """REAL image feature extraction over BMP payloads: dimensions, total
+    integer luma (exact BIGINT — no rounding seam at all), and the 64-bit
+    perceptual dHash used for image near-dup detection. Same
+    mapInPandas/Arrow batch discipline as every decode kernel here."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r["payload"]
+                try:
+                    img = decode_bmp(bytes(p) if p is not None else None)
+                except ValueError:
+                    rows.append((r["asset_id"], 0, 0, 0, 0, 0, False))
+                    continue
+                h, w, _ = img.shape
+                px = img.astype(np.int64)
+                gray = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                rows.append(
+                    (r["asset_id"], w, h, w * h, int(gray.sum()), _dhash64(img), True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_pixels",
+                    "total_gray", "dhash", "decode_ok",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(kernel, BMP_FEATURE_SCHEMA)
+
+
+def dhash_neardup_pairs(feats: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs by dHash hamming distance, at scale: the
+    64-bit hash is split into ``max_hamming + 1`` contiguous blocks
+    (pigeonhole, Manku et al. WWW'07 — same guarantee as
+    ``dedup.simhash_candidates``): a pair at hamming ≤ ``max_hamming``
+    differs in at most ``max_hamming`` blocks, so at least one block
+    matches and the pair surfaces from the banded EQUI-join — never an
+    all-pairs comparison. Returns ``(id_a, id_b, hamming)`` verified
+    exactly via ``bit_count(xor)`` on the candidates only."""
+    from .dedup import _block_spans
+
+    blocks = max_hamming + 1
+    blocked = feats.select(
+        F.col("asset_id").alias("_id"),
+        F.col("dhash").alias("_dh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("dhash", start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for i, (start, width) in enumerate(_block_spans(64, blocks))
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_dh", "bb.blk", "bb.bval")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._dh").bitwiseXOR(F.col("b._dh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-metadata aggregation (no decode): per modality+mime, count,
     total/avg payload size — the triage query a 100 TB media lake runs

@@ -61,6 +61,8 @@ _ROUND = 6
 #: (driver greedy switched to half-away-from-zero rounding) whose
 #: code/oracle changed this round.
 _CHANGED_THIS_ROUND = [
+    "q_media_bmp_features",
+    "q_media_image_neardup",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",

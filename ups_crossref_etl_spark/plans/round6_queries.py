@@ -488,3 +488,194 @@ def q_docs_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return profile_drift(d, d.filter(F.col("doc_id") % 2 == 0), ["lang", "n_chars"])
+
+
+# --------------------------------------------------------------------------
+# Real BMP image decode + perceptual-hash near-dup (the image path joins
+# the audio path out of the container gate: uncompressed 24-bit BMP needs
+# only struct + byte reinterpretation; PNG/JPEG stay codec-gated)
+# --------------------------------------------------------------------------
+
+#: Shared synth formula (both gate queries + both oracles): per doc a
+#: w x h RGB image with w = 8 + doc_id%6, h = 8 + doc_id%5 and channel
+#: value px(y,x,c) = (doc_id*2654435761 + y*40503 + x*9973 + c*7919) % 256
+#: (multiplicative mix so distinct docs' hashes are uncorrelated) — integer
+#: arithmetic an SQL oracle replays exactly, like the WAV query's PCM ramp.
+
+
+def _synth_bmp(did: int, perturb: bool = False):
+    import numpy as np
+
+    from ..operators.multimodal import bmp_encode_rgb24
+
+    w, h = 8 + did % 6, 8 + did % 5
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    img = ((did * 2654435761 + y * 40503 + x * 9973 + c * 7919) % 256).astype(
+        np.uint8
+    )
+    if perturb:
+        img[0, 0, 0] = (did * 2654435761 + 64) % 256
+    return bmp_encode_rgb24(img)
+
+
+@register(
+    "q_media_bmp_features",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 6 AS w, 8 + doc_id % 5 AS h FROM documents),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, yy.y, xx.x,
+             299*((doc_id*2654435761 + y*40503 + x*9973) % 256)
+           + 587*((doc_id*2654435761 + y*40503 + x*9973 + 7919) % 256)
+           + 114*((doc_id*2654435761 + y*40503 + x*9973 + 15838) % 256) AS gray
+      FROM d, range(0, 13) yy(y), range(0, 14) xx(x)
+      WHERE yy.y < d.h AND xx.x < d.w),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_pixels,
+             CAST(sum(gray) AS BIGINT) AS total_gray
+      FROM px GROUP BY doc_id),
+    samp AS (
+      SELECT d.doc_id, g.i, c.j,
+             299*((d.doc_id*2654435761 + ((g.i*d.h)//8)*40503
+                   + ((c.j*d.w)//9)*9973) % 256)
+           + 587*((d.doc_id*2654435761 + ((g.i*d.h)//8)*40503
+                   + ((c.j*d.w)//9)*9973 + 7919) % 256)
+           + 114*((d.doc_id*2654435761 + ((g.i*d.h)//8)*40503
+                   + ((c.j*d.w)//9)*9973 + 15838) % 256)
+             AS gray
+      FROM d, range(0, 8) g(i), range(0, 9) c(j)),
+    bits AS (
+      SELECT s1.doc_id, s1.i * 8 + s1.j AS p,
+             CASE WHEN s1.gray > s2.gray THEN 1 ELSE 0 END AS b
+      FROM samp s1 JOIN samp s2
+        ON s1.doc_id = s2.doc_id AND s1.i = s2.i AND s2.j = s1.j + 1
+      WHERE s1.j < 8),
+    dh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN b = 1 THEN
+                 CASE WHEN p = 63 THEN -9223372036854775807 - 1
+                      ELSE CAST(1 AS BIGINT) << p END
+               ELSE 0 END) AS BIGINT) AS dhash
+      FROM bits GROUP BY doc_id)
+    SELECT d.doc_id AS asset_id, CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height, t.n_pixels, t.total_gray,
+           dh.dhash, TRUE AS decode_ok
+    FROM d JOIN tot t USING (doc_id) JOIN dh USING (doc_id)
+    """,
+    doc=(
+        "REAL image decode through the driver gate: per document a "
+        "genuine uncompressed 24-bit BMP is synthesized (struct-built "
+        "headers, padded bottom-up BGR rows; px(y,x,c) = (doc_id*2654435761 + "
+        "y*40503 + x*9973 + c*7919) % 256, w = 8+doc_id%6, h = 8+doc_id%5), "
+        "then decoded back by operators/multimodal.decode_bmp — an "
+        "actual header-parsing row-unflipping decoder, not the "
+        "fake-feature stub — and reduced to dimensions, exact integer "
+        "total luma (299R+587G+114B, no division), and the 64-bit "
+        "perceptual dHash over a deterministic 9x8 nearest-neighbor "
+        "grid. Every output is integer arithmetic, so the oracle "
+        "replaying the formula is exact with NO rounding seam at all. "
+        "One map-only mapInPandas pass, zero shuffles."
+    ),
+)
+def q_media_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import extract_bmp_features
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": b["doc_id"],
+                    "payload": [_synth_bmp(int(did)) for did in b["doc_id"]],
+                }
+            )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth, "asset_id bigint, payload binary")
+    return extract_bmp_features(media)
+
+
+@register(
+    "q_media_image_neardup",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    assets AS (
+      SELECT doc_id, doc_id * 2 AS asset_id, 0 AS v FROM d
+      UNION ALL
+      SELECT doc_id, doc_id * 2 + 1 AS asset_id, 1 AS v
+      FROM d WHERE doc_id % 3 = 0),
+    dims AS (
+      SELECT asset_id, doc_id, v, 8 + doc_id % 6 AS w, 8 + doc_id % 5 AS h
+      FROM assets),
+    samp AS (
+      SELECT a.asset_id, g.i, c.j,
+             299*(CASE WHEN a.v = 1 AND (g.i*a.h)//8 = 0 AND (c.j*a.w)//9 = 0
+                       THEN (a.doc_id*2654435761 + 64) % 256
+                       ELSE (a.doc_id*2654435761 + ((g.i*a.h)//8)*40503
+                             + ((c.j*a.w)//9)*9973) % 256 END)
+           + 587*((a.doc_id*2654435761 + ((g.i*a.h)//8)*40503
+                   + ((c.j*a.w)//9)*9973 + 7919) % 256)
+           + 114*((a.doc_id*2654435761 + ((g.i*a.h)//8)*40503
+                   + ((c.j*a.w)//9)*9973 + 15838) % 256) AS gray
+      FROM dims a, range(0, 8) g(i), range(0, 9) c(j)),
+    bits AS (
+      SELECT s1.asset_id, s1.i * 8 + s1.j AS p,
+             CASE WHEN s1.gray > s2.gray THEN 1 ELSE 0 END AS b
+      FROM samp s1 JOIN samp s2
+        ON s1.asset_id = s2.asset_id AND s1.i = s2.i AND s2.j = s1.j + 1
+      WHERE s1.j < 8),
+    pairs AS (
+      SELECT b1.asset_id AS id_a, b2.asset_id AS id_b,
+             CAST(sum(CASE WHEN b1.b <> b2.b THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM bits b1 JOIN bits b2
+        ON b1.p = b2.p AND b1.asset_id < b2.asset_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+    doc=(
+        "Image near-dup detection by perceptual-hash hamming distance "
+        "(operators/multimodal.dhash_neardup_pairs): a bounded asset "
+        "sample (doc_id < 300, so the all-pairs ORACLE stays tractable "
+        "at any SF) where every third document also gets a one-pixel- "
+        "perturbed twin — the near-dup the pipeline must catch. Spark "
+        "decodes REAL BMPs, computes dHash, and finds pairs at hamming "
+        "<= 3 via the pigeonhole banded EQUI-join (4 contiguous 16-bit "
+        "blocks: a pair differing in <= 3 bits matches at least one "
+        "block — recall 1 is a THEOREM, same machinery as "
+        "dedup.simhash_candidates), then verifies with bit_count(xor) "
+        "on candidates only. The oracle recomputes every hash "
+        "arithmetically and compares ALL pairs — which is exactly what "
+        "the Spark side must never do at 100 TB (plan-pinned: no "
+        "CartesianProduct)."
+    ),
+)
+def q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import dhash_neardup_pairs, extract_bmp_features
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                ids.append(did * 2)
+                payloads.append(_synth_bmp(did))
+                if did % 3 == 0:
+                    ids.append(did * 2 + 1)
+                    payloads.append(_synth_bmp(did, perturb=True))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.filter(F.col("doc_id") < 300)
+    media = d.mapInPandas(synth, "asset_id bigint, payload binary")
+    feats = extract_bmp_features(media)
+    return dhash_neardup_pairs(feats, max_hamming=3)
