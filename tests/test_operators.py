@@ -1858,3 +1858,35 @@ def test_dhash_neardup_finds_planted_twin(spark):
              dhash_neardup_pairs(feats, max_hamming=3).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 1
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_nb_classify_planted_vocab(spark):
+    """NB ground truth: disjoint per-label vocabularies classify exactly;
+    a mixed doc goes to the label with more evidence; an all-unseen-token
+    doc falls back to the prior argmax (label with more training docs)."""
+    from ups_crossref_etl_spark.operators.text_analysis import nb_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "aa bb aa", "A"),
+            (2, "aa bb", "A"),
+            (3, "cc dd cc", "B"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "aa aa bb"),
+            (11, "cc dd"),
+            (12, "aa cc cc"),
+            (13, "zz qq"),  # unseen everywhere -> prior argmax = A (2 docs)
+            (14, ""),  # zero tokens -> prior argmax = A
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["predicted"]
+        for r in nb_classify(train, test, "text", "doc_id", "lang").collect()
+    }
+    assert got[10] == "A" and got[11] == "B" and got[12] == "B"
+    assert got[13] == "A" and got[14] == "A"

@@ -614,3 +614,26 @@ def test_image_neardup_banded_equi_join_no_cartesian(spark, sf_dir):
     fplan = _plan(feats)
     assert "Exchange" not in fplan  # decode + features: map-only
     assert "MapInPandas" in fplan
+
+
+def test_nb_classify_model_joins_grid_bounded(spark, sf_dir):
+    """NB scoring: the corpus-side joins are equi-joins (term freqs x
+    vocabulary-sized model); the only nested-loop join is the bounded
+    doc x label grid whose build side is the broadcast label-stats row
+    set; the argmax window partitions per document (n_labels rows each),
+    never a global order."""
+    from ups_crossref_etl_spark.plans.registry import load_all
+
+    q = load_all()["q_docs_nb_langid"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    # every nested-loop join is a broadcast-build Cross of scalar/label
+    # stats (consts x consts, cls x consts, doc x grid) — never a
+    # shuffled corpus side on both inputs
+    n_nlj = plan.count("BroadcastNestedLoopJoin")
+    assert 1 <= n_nlj <= 3
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == n_nlj
+    # the model join is a hash equi-join on the token key
+    assert "row_number" in plan
+    # Spark collapses rn=1 into a group-limit before the full window
+    assert "WindowGroupLimit" in plan

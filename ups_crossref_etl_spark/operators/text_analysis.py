@@ -526,3 +526,104 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         F.round(ent(F.col(text_col)), 4).alias("entropy"),
     )
+
+
+def nb_classify(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classification — the fastText/CCNet
+    seam of classifier-based corpus filtering (quality, language,
+    domain): train token-count statistics per label on a labeled slice,
+    score every candidate document, keep the argmax.
+
+    ``score(d, l) = ln(n_docs_l / N) + Σ_t tf_dt · ln((c_lt + 1) /
+    (T_l + V))`` (Laplace smoothing) decomposed as ``ln(n_docs_l) −
+    ln(N) + Σ_t tf·ln(c_lt + 1) − (Σ_t tf) · ln(T_l + V)`` so tokens a
+    label never saw need NO (token, label) row — the unseen-token mass
+    folds into the per-doc total-tf term, keeping the model table at
+    observed (label, token) pairs only.
+
+    Returns ``(id_col, predicted label, score)`` for every test row;
+    score is rounded to ``round_dp`` and ties break label-ascending, so
+    the argmax is engine-independent (same seam as ``unigram_nll``).
+
+    Scale shape: training is ONE groupBy(label, token) aggregate (the
+    model — vocabulary-sized, ≪ corpus) plus tiny per-label and scalar
+    (N, V) aggregates that broadcast. Scoring joins per-(doc, token)
+    term frequencies against the model on ``token``, aggregates per
+    (doc, label), and right-joins onto the doc × label grid (labels are
+    a handful — the grid multiplier is bounded and the label stats side
+    is a broadcast). No window touches the corpus; the final argmax
+    window partitions by document over n_labels rows each.
+    """
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("_tok"),
+        ).groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+
+    tr = toks(train.select(F.col(id_col), F.col(text_col)))
+    tr = tr.join(
+        train.select(F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")),
+        "_id",
+    )
+    wc = tr.groupBy("_lbl", "_tok").agg(F.sum("_tf").alias("_cnt"))
+    cls = (
+        train.groupBy(F.col(label_col).alias("_lbl"))
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .join(wc.groupBy("_lbl").agg(F.sum("_cnt").alias("_tl")), "_lbl", "left")
+        .fillna({"_tl": 0})
+    )
+    consts = train.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
+        wc.select("_tok").distinct().agg(F.count(F.lit(1)).alias("_v"))
+    )
+    word_w = wc.select("_lbl", "_tok", F.log(F.col("_cnt") + 1).alias("_w"))
+
+    te_tf = toks(test)
+    doc_tot = test.select(F.col(id_col).alias("_id")).join(
+        te_tf.groupBy("_id").agg(F.sum("_tf").alias("_tot")), "_id", "left"
+    ).fillna({"_tot": 0})
+    raw = (
+        te_tf.join(word_w, "_tok")
+        .groupBy("_id", "_lbl")
+        .agg(F.sum(F.col("_tf") * F.col("_w")).alias("_raw"))
+    )
+    scored = (
+        doc_tot.crossJoin(F.broadcast(cls.crossJoin(consts)))
+        .join(raw, ["_id", "_lbl"], "left")
+        .fillna({"_raw": 0.0})
+        .select(
+            "_id",
+            "_lbl",
+            F.round(
+                F.log("_n_docs")
+                - F.log("_n")
+                + F.col("_raw")
+                - F.col("_tot") * F.log(F.col("_tl") + F.col("_v")),
+                round_dp,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("_lbl").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_lbl").alias("predicted"),
+            "score",
+        )
+    )

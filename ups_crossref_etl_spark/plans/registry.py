@@ -61,6 +61,7 @@ _ROUND = 6
 #: (driver greedy switched to half-away-from-zero rounding) whose
 #: code/oracle changed this round.
 _CHANGED_THIS_ROUND = [
+    "q_docs_nb_langid",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -679,3 +679,88 @@ def q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(synth, "asset_id bigint, payload binary")
     feats = extract_bmp_features(media)
     return dhash_neardup_pairs(feats, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Classifier-based corpus filtering: multinomial Naive Bayes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_nb_langid",
+    """
+    WITH train AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+    test AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+    trtok AS (
+      SELECT t.doc_id, t.lang, u.tok
+      FROM train t,
+           unnest(list_filter(string_split_regex(lower(t.text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS u(tok)),
+    wc AS (SELECT lang, tok, count(*) AS cnt FROM trtok GROUP BY 1, 2),
+    cls AS (
+      SELECT c.lang, c.n_docs, coalesce(t.tl, 0) AS tl
+      FROM (SELECT lang, count(*) AS n_docs FROM train GROUP BY 1) c
+      LEFT JOIN (SELECT lang, sum(cnt) AS tl FROM wc GROUP BY 1) t
+        USING (lang)),
+    consts AS (
+      SELECT (SELECT count(*) FROM train) AS n,
+             (SELECT count(DISTINCT tok) FROM wc) AS v),
+    tetok AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT t.doc_id, u.tok
+            FROM test t,
+                 unnest(list_filter(string_split_regex(lower(t.text),
+                                                       '[^a-z0-9]+'),
+                                    x -> x <> '')) AS u(tok))
+      GROUP BY 1, 2),
+    doctot AS (
+      SELECT te.doc_id, coalesce(s.tot, 0) AS tot
+      FROM test te LEFT JOIN
+        (SELECT doc_id, sum(tf) AS tot FROM tetok GROUP BY 1) s
+        USING (doc_id)),
+    raw AS (
+      SELECT tt.doc_id, w.lang, sum(tt.tf * ln(w.cnt + 1)) AS raw
+      FROM tetok tt JOIN wc w ON tt.tok = w.tok
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.doc_id, c.lang,
+             round(ln(c.n_docs) - ln(k.n) + coalesce(r.raw, 0)
+                   - d.tot * ln(c.tl + k.v), 4) AS score
+      FROM doctot d CROSS JOIN cls c CROSS JOIN consts k
+      LEFT JOIN raw r ON r.doc_id = d.doc_id AND r.lang = c.lang),
+    pred AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM scored)
+    SELECT p.doc_id, te.lang AS true_lang, p.lang AS predicted, p.score
+    FROM pred p JOIN test te USING (doc_id)
+    WHERE p.rn = 1
+    """,
+    doc=(
+        "Classifier-based corpus filtering (operators/text_analysis."
+        "nb_classify): a multinomial Naive Bayes language classifier — "
+        "the fastText/CCNet seam — trained on the even-doc_id half "
+        "(labels = lang), scoring every odd-doc_id document and keeping "
+        "the argmax label, reported beside the true lang. The Laplace "
+        "score decomposes so unseen (token, label) pairs need no model "
+        "row: training is ONE groupBy(label, token) aggregate; scoring "
+        "joins test term frequencies to the vocabulary-sized model and "
+        "right-joins onto the bounded docxlabel grid (label stats "
+        "broadcast). Scores round 4dp with a label-asc tiebreak so the "
+        "argmax is engine-independent (the unigram_nll precedent); the "
+        "oracle replays the identical algebra."
+    ),
+)
+def q_docs_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import nb_classify
+
+    d = read_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    pred = nb_classify(train, test, "text", "doc_id", "lang")
+    return pred.join(
+        test.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    ).select("doc_id", "true_lang", "predicted", "score")
