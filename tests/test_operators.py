@@ -1890,3 +1890,49 @@ def test_nb_classify_planted_vocab(spark):
     }
     assert got[10] == "A" and got[11] == "B" and got[12] == "B"
     assert got[13] == "A" and got[14] == "A"
+
+
+def test_incremental_mv_apply_matches_full_recompute(spark, tmp_path):
+    """The MV invariant: apply(MV(base), delta) == MV(base - deletes +
+    inserts), including a key dropping out at count 0 and a brand-new
+    key arriving — checked against a from-scratch rebuild."""
+    from ups_crossref_etl_spark.operators.incremental_mv import (
+        build_mv,
+        incremental_mv_apply,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 10.0), ("c", 7.0)],
+        "k string, v double",
+    )
+    mv = build_mv(base, ["k"], ["v"])
+    # delete both 'a' rows (key drops out), delete one 'b'? no — delete
+    # nothing of b; insert a new 'd' key and another 'c' row
+    delta = spark.createDataFrame(
+        [
+            ("a", 1.5, "D"),
+            ("a", 2.5, "D"),
+            ("c", 3.0, "I"),
+            ("d", 4.0, "I"),
+        ],
+        "k string, v double, op string",
+    )
+    got = {
+        r["k"]: (r["n_rows"], float(r["sum_v"]))
+        for r in incremental_mv_apply(mv, delta, ["k"], ["v"]).collect()
+    }
+    assert "a" not in got  # count reached zero -> dropped
+    assert got["b"] == (1, 10.0)  # untouched key passes through
+    assert got["c"] == (2, 10.0)
+    assert got["d"] == (1, 4.0)
+
+    # invariant vs full recompute on the merged state
+    merged = spark.createDataFrame(
+        [("b", 10.0), ("c", 7.0), ("c", 3.0), ("d", 4.0)],
+        "k string, v double",
+    )
+    full = {
+        r["k"]: (r["n_rows"], float(r["sum_v"]))
+        for r in build_mv(merged, ["k"], ["v"]).collect()
+    }
+    assert got == full

@@ -637,3 +637,31 @@ def test_nb_classify_model_joins_grid_bounded(spark, sf_dir):
     assert "row_number" in plan
     # Spark collapses rn=1 into a group-limit before the full window
     assert "WindowGroupLimit" in plan
+
+
+def test_incremental_mv_apply_never_rescans_base(spark, sf_dir, tmp_path):
+    """The refresh stage must touch only the persisted MV and the delta:
+    with the MV materialized to parquet, the apply plan scans the events
+    relation exactly once (the delta) and merges via one full-outer
+    equi-join on the view key with a map-side partial aggregate on the
+    delta — the base aggregate never reruns."""
+    from ups_crossref_etl_spark.operators.incremental_mv import (
+        build_mv,
+        incremental_mv_apply,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .select("event_id", "event_type", "hour", "value")
+    )
+    mv_path = str(tmp_path / "mv")
+    build_mv(ev.filter(F.col("event_id") % 10 < 8), ["event_type", "hour"],
+             ["value"]).write.parquet(mv_path)
+    mv = spark.read.parquet(mv_path)
+    delta = ev.filter(F.col("event_id") % 10 >= 8).withColumn("op", F.lit("I"))
+    plan = _plan(incremental_mv_apply(mv, delta, ["event_type", "hour"], ["value"]))
+    assert plan.count("events.parquet") == 1  # delta scan only
+    assert "FullOuter" in plan
+    assert "partial_sum" in plan  # delta agg combines map-side
+    assert "CartesianProduct" not in plan

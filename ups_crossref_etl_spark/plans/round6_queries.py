@@ -764,3 +764,58 @@ def q_docs_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(
         test.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
     ).select("doc_id", "true_lang", "predicted", "score")
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_mv_merge",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events
+    WHERE event_id % 10 <> 7
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Incremental materialized-view maintenance (operators/"
+        "incremental_mv): an hourly (event_type, hour) COUNT/SUM rollup "
+        "built over the 80% base slice (event_id%10 < 8), then refreshed "
+        "by ONE signed change batch — deletes for the id%10=7 base rows "
+        "(full old row image, the CDC convention) plus inserts for the "
+        "id%10>=8 tail — via one delta aggregate + one full-outer merge "
+        "on the view key. The base relation is never rescanned in the "
+        "apply stage (plan-pinned); keys whose count reaches zero drop "
+        "out. Sums accumulate in DECIMAL(18,6) so the incremental path "
+        "(base-agg + delta-agg) lands on bit-identical values to the "
+        "ORACLE's full recompute over the merged state — the invariant "
+        "an incremental refresh exists to preserve, checked exactly."
+    ),
+)
+def q_events_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental_mv import build_mv, incremental_mv_apply
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .select("event_id", "event_type", "hour", "value")
+    )
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    mv = build_mv(base, ["event_type", "hour"], ["value"])
+    delta = (
+        base.filter(F.col("event_id") % 10 == 7).withColumn("op", F.lit("D"))
+    ).unionByName(
+        ev.filter(F.col("event_id") % 10 >= 8).withColumn("op", F.lit("I"))
+    )
+    out = incremental_mv_apply(mv, delta, ["event_type", "hour"], ["value"])
+    return out.select(
+        "event_type",
+        "hour",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+    )
