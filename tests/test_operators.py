@@ -1936,3 +1936,34 @@ def test_incremental_mv_apply_matches_full_recompute(spark, tmp_path):
         for r in build_mv(merged, ["k"], ["v"]).collect()
     }
     assert got == full
+
+
+def test_hybrid_skew_join_equals_plain_join(spark):
+    """The hybrid's contract: union(hot broadcast branch, cold shuffled
+    branch) == plain join, for inner AND left (unmatched fact rows kept
+    with nulls); right/full raise."""
+    import pytest as _pytest
+
+    from ups_crossref_etl_spark.operators.skew import hybrid_skew_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"), (9, "f")],
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "cold")], "k long, tag string"
+    )
+
+    def rows(df):
+        return sorted((r["k"], r["payload"], r["tag"]) for r in df.collect())
+
+    plain = fact.join(dim, "k", "inner")
+    hybrid = hybrid_skew_join(fact, dim, "k", min_hot_count=3)
+    assert rows(hybrid) == rows(plain)
+
+    plain_l = fact.join(dim, "k", "left")
+    hybrid_l = hybrid_skew_join(fact, dim, "k", min_hot_count=3, how="left")
+    assert rows(hybrid_l) == rows(plain_l)  # k=9 survives with null tag
+
+    with _pytest.raises(ValueError):
+        hybrid_skew_join(fact, dim, "k", how="full")

@@ -665,3 +665,30 @@ def test_incremental_mv_apply_never_rescans_base(spark, sf_dir, tmp_path):
     assert "FullOuter" in plan
     assert "partial_sum" in plan  # delta agg combines map-side
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_skew_join_two_branch_plan(spark, sf_dir):
+    """Under a disabled auto-broadcast threshold the hybrid must still
+    show BOTH strategies: the hot branch's explicit broadcast hash join
+    (hot rows never shuffle) and a shuffle-family join for the cold
+    remainder, glued by a Union — and never a cartesian."""
+    from ups_crossref_etl_spark.operators.skew import hybrid_skew_join
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        "o_totalprice",
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(hybrid_skew_join(o, c, "c_custkey", min_hot_count=400))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Union" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

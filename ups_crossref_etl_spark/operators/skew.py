@@ -91,3 +91,60 @@ def key_skew_stats(
             F.max("_c") / F.avg("_c"), round_digits
         ).alias("skew_factor"),
     )
+
+
+def hot_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
+    """Exact heavy-hitter key set: keys with ≥ ``min_count`` rows. One
+    map-side-combinable count shuffle carrying (key, count) only. The
+    result is bounded by total_rows / min_count keys — broadcastable by
+    construction. At 100 TB, swap in a sampled or stats-backed estimate
+    (sketches.heavy_hitters) with the same output contract."""
+    return (
+        df.groupBy(F.col(key))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select(key)
+    )
+
+
+def hybrid_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    min_hot_count: int = 100_000,
+    how: str = "inner",
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Hot/cold hybrid equi-join — the skew strategy for joins where the
+    dim side is too big to broadcast WHOLE but the slice matching the
+    hot keys is tiny (the usual case: few heavy-hitter keys).
+
+    Split the fact by heavy-hitter membership: hot fact rows join the
+    hot dim SLICE via broadcast hash join — the skewed rows never
+    shuffle, so no reducer receives the hot key's mountain; the cold
+    remainder takes the normal shuffled equi-join over now-uniform
+    keys. Each fact row lands in exactly one branch, so the union
+    equals the plain join row-for-row (the gate query's oracle IS the
+    plain join). Supports ``inner`` and ``left`` (fact-preserving)
+    joins — for right/full the dim split would also need the hot set
+    applied on the preserved side.
+
+    ``hot``: optionally a precomputed heavy-hitter key set (e.g. from
+    yesterday's stats) to skip the counting pass.
+
+    Complements (not replaces) AQE skew splitting: AQE splits oversized
+    partitions of a sort-merge join AFTER shuffling them; this operator
+    keeps hot rows out of the shuffle entirely and pairs them with a
+    broadcast build, which also works when the cold side picks a
+    different strategy."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hybrid_skew_join supports inner/left, got {how!r}")
+    if hot is None:
+        hot = hot_keys(fact, key, min_hot_count)
+    hot_b = F.broadcast(hot)
+    fact_hot = fact.join(hot_b, key, "left_semi")
+    fact_cold = fact.join(hot_b, key, "left_anti")
+    dim_hot = dim.join(hot_b, key, "left_semi")
+    out_hot = fact_hot.join(F.broadcast(dim_hot), key, how)
+    out_cold = fact_cold.join(dim, key, how)
+    return out_hot.unionByName(out_cold)

@@ -63,6 +63,7 @@ _ROUND = 6
 _CHANGED_THIS_ROUND = [
     "q_docs_nb_langid",
     "q_events_mv_merge",
+    "q_orders_hybrid_skew_join",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -819,3 +819,59 @@ def q_events_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-aware hybrid join (hot keys broadcast, cold keys shuffled)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_hybrid_skew_join",
+    """
+    WITH f AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS k,
+             o_totalprice
+      FROM orders)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(f.o_totalprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM f JOIN customer c ON f.k = c.c_custkey
+    GROUP BY 1
+    """,
+    doc=(
+        "Skew-aware hybrid join (operators/skew.hybrid_skew_join): a "
+        "synthetically skewed orders fact (every third order redirected "
+        "to custkey 1 — one key holding a third of the table, the shape "
+        "that melts a single reducer at 100 TB) joined to customer by "
+        "hot/cold split: heavy-hitter keys (exact count >= threshold, "
+        "bounded by rows/threshold so broadcastable BY CONSTRUCTION) "
+        "take a broadcast hash join against the matching dim SLICE — "
+        "the hot rows never shuffle — while the cold remainder takes "
+        "the normal shuffled equi-join over now-uniform keys. Each "
+        "fact row lands in exactly one branch, so the union equals the "
+        "plain join row-for-row: the ORACLE IS the plain join, making "
+        "the equivalence the checked contract. Plan-pinned: both a "
+        "BroadcastHashJoin and a shuffle-family join present under a "
+        "disabled auto-broadcast threshold."
+    ),
+)
+def q_orders_hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import hybrid_skew_join
+    from .money import DEC
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        "o_totalprice",
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = hybrid_skew_join(o, c, "c_custkey", min_hot_count=400)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
