@@ -86,6 +86,14 @@ HEADLINE = [
     "q9_product_type_profit",
     "q20_potential_promotion",
     "q_events_late_arrivals",
+    # round 6 (batch 2): the new ops with a wide edge — NB classifier
+    # (train + score joins over the token relation), real-BMP decode +
+    # banded dHash near-dup, incremental MV refresh (delta agg + full
+    # outer merge), and the hot/cold hybrid skew join
+    "q_docs_nb_langid",
+    "q_media_image_neardup",
+    "q_events_mv_merge",
+    "q_orders_hybrid_skew_join",
 ]
 
 

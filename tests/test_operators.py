@@ -1967,3 +1967,22 @@ def test_hybrid_skew_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError):
         hybrid_skew_join(fact, dim, "k", how="full")
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path graph (diameter 39) must fully merge within the
+    default max_iter=10 — pointer-halving makes rounds O(log diameter),
+    where plain min-label propagation would need 39 and previously left
+    the semantic near-dup graph split at sf0.1."""
+    import warnings
+
+    from ups_crossref_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src long, dst long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warning -> fail
+        comp = connected_components(edges)
+        labels = {r["component"] for r in comp.collect()}
+    assert labels == {0}

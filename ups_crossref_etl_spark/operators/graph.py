@@ -36,8 +36,17 @@ def connected_components(
     returned components are NOT fully merged — that is raised
     (``strict=True``) or warned (default) rather than silently returned,
     because a downstream dedup would then keep/drop the wrong documents.
-    Min-label propagation needs ≤ diameter iterations; dup/identity
-    graphs have diameter 2-4, so the default bound is generous.
+
+    Each round does min-label propagation (one hop along edges) PLUS
+    pointer-halving (follow the label's own label — labels are node ids,
+    so the label table doubles as a parent-pointer table): propagation
+    alone needs ≥ diameter rounds, which long chain-shaped components
+    (observed in the semantic near-dup graph: diameter > 12) turn into a
+    non-convergence trap; with halving the label chain length roughly
+    halves per round, so convergence is O(log diameter) — ``max_iter=10``
+    covers diameters into the thousands. Cost: one extra label-keyed
+    equi-join per round — the label table is node-sized, far smaller
+    than the edge relation the propagation join already touches.
     """
     npart = edges.sparkSession.sparkContext.defaultParallelism
     sym = (
@@ -63,14 +72,20 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
+        hop = nodes.join(neighbor_min, "node", "left").select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("_l1"),
+        )
+        # pointer-halving: labels are node ids, so (node, _l1) is a
+        # parent-pointer table — follow it one step and take the min
+        ptr = hop.select(F.col("node").alias("_pn"), F.col("_l1").alias("_pl"))
         updated = (
-            nodes.join(neighbor_min, "node", "left")
+            hop.join(ptr, hop["_l1"] == ptr["_pn"], "left")
             .select(
                 "node",
                 "label",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "new_label"
-                ),
+                F.least(F.col("_l1"), F.coalesce("_pl", "_l1")).alias("new_label"),
             )
             .localCheckpoint()
         )

@@ -64,6 +64,13 @@ _CHANGED_THIS_ROUND = [
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",
+    # CC pointer-halving + semantic_edges block kernel touched these
+    "q_emb_semantic_dedup_bound",
+    "q_docs_neardup_cc",
+    "q_docs_quality_keeper",
+    "q_part_fuzzy_pairs",
+    # degree-capped to keep recursion volume SF-invariant
+    "q_graph_bounded_walks",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",
