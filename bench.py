@@ -94,6 +94,7 @@ HEADLINE = [
     "q_media_image_neardup",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",
+    "q_docs_tfidf_knn",
 ]
 
 

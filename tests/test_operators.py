@@ -1986,3 +1986,35 @@ def test_connected_components_long_chain_converges(spark):
         comp = connected_components(edges)
         labels = {r["component"] for r in comp.collect()}
     assert labels == {0}
+
+
+def test_tfidf_knn_graph_hand_computed(spark):
+    """5-doc corpus with a ubiquitous token: 'the' (df=5) exceeds the
+    0.9*5=4 df cap and is dropped, leaving two disjoint token cliques;
+    cos values are hand-computed (idf scales out of cosine)."""
+    from ups_crossref_etl_spark.operators.retrieval import tfidf_knn_graph
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the apple banana apple"),
+            (2, "the apple banana"),
+            (3, "the cherry date cherry date"),
+            (4, "the cherry date"),
+            (5, "the the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_knn_graph(
+        docs, "text", "doc_id", k=3, max_df_frac=0.9, ngram=1
+    )
+    rows = {
+        (r["doc_id"], r["neighbor_id"]): (r["cos"], r["rank"])
+        for r in out.collect()
+    }
+    # cos(1,2) = (2+1)/(sqrt(5)*sqrt(2)) = 0.9487; cos(3,4) = 4/(sqrt(8)*sqrt(2)) = 1
+    assert rows == {
+        (1, 2): (0.9487, 1),
+        (2, 1): (0.9487, 1),
+        (3, 4): (1.0, 1),
+        (4, 3): (1.0, 1),
+    }

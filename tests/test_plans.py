@@ -692,3 +692,18 @@ def test_hybrid_skew_join_two_branch_plan(spark, sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_tfidf_knn_token_equijoin_no_cartesian(spark, sf_dir):
+    """Pair dot-products must be a token-keyed equi-join over posting
+    lists, never a doc-by-doc product; the df-capped vocab broadcast
+    joins against tf; the posting relation is persisted so the corpus
+    tf pipeline is computed once, not once per consumer."""
+    from ups_crossref_etl_spark.operators.retrieval import tfidf_knn_graph
+
+    d = read_table(spark, sf_dir, "documents")
+    out = tfidf_knn_graph(d, "text", "doc_id", k=5, max_df_frac=0.06, ngram=3)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # persisted posting relation reused

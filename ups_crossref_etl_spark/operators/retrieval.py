@@ -104,6 +104,135 @@ def bm25_topk(
     )
 
 
+def tfidf_knn_graph(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    max_df_frac: float = 0.5,
+    ngram: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Lexical k-nearest-neighbor graph over TF-IDF vectors — the sparse
+    complement of the dense ANN stack (``operators/similarity``), and the
+    standard backbone for cluster-then-curate corpus workflows.
+
+    Per document, the ``k`` most-cosine-similar other documents under
+    smoothed TF-IDF weights ``w = tf · (ln((1+N)/(1+df)) + 1)`` (sklearn's
+    smooth-idf), cosine over the kept-term weight vectors; terms are
+    ``ngram``-token shingles (``ngram > 1`` is the useful setting on
+    small-vocabulary corpora, where unigram df ≈ N makes every vector
+    point the same way). Returns ``(doc_id, neighbor_id, cos, rank)``
+    with ``rank`` 1-based per doc; ties break on ``neighbor_id`` so the
+    cut is total. Documents whose every term is df-capped away have a
+    zero vector and simply emit no rows.
+
+    Scale shape — the whole computation is posting-list joins, never a
+    doc×doc product:
+
+    1. One corpus scan → ``(doc, token, tf)`` (map-side combinable
+       groupBy — shuffle #1, token/doc-keyed).
+    2. Token document frequencies reduce FROM tf (tiny, vocab-sized).
+       Tokens with ``df > max_df_frac·N`` are DROPPED before any pairing
+       — the posting-list cap. This is the 100 TB control: pair volume
+       is ``Σ_t df(t)²`` which one stopword ("the", df≈N) turns into
+       N² — capped, it is ≤ ``cap · Σ_t df(t)`` = ``cap × corpus token
+       mass``, linear in the corpus at fixed cap fraction only if the
+       fraction shrinks with N; operationally you tune the cap so the
+       hottest surviving posting list fits a task. (Dropping ubiquitous
+       tokens also barely moves cosine — their idf ≈ ln(1)+1 is the
+       floor; this is the trade every sparse-KNN system ships.)
+    3. Pair dot-products via self-equi-join on token + groupBy(id_a,
+       id_b) — shuffle is pair-keyed partial-aggregated rows, and the
+       join itself is a hash/SMJ equi-join on the token key.
+    4. Norms are per-doc aggregates over kept tokens (so dropped tokens
+       are consistently absent from BOTH numerator and denominator);
+       unordered pairs are computed once (``id_a < id_b``) and mirrored
+       AFTER the aggregate — the mirror doubles only the small pair
+       relation, not the posting join.
+    5. Top-k per doc is one row_number window on the pair relation,
+       clustered on the source doc key.
+    """
+    if ngram < 1:
+        raise ValueError("tfidf_knn_graph: ngram must be >= 1")
+    warr = _tokens(F.col(text_col))
+    if ngram == 1:
+        terms = warr
+    else:
+        # shingles built ROW-LOCALLY (codegen transform over sequence,
+        # same shape as operators/spans) — no corpus-sized re-explode
+        terms = F.when(
+            F.size(warr) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(warr) - ngram + 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(warr, i, ngram)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(terms).alias("_t"))
+    n_docs = df.count()  # scalar N for idf — one count, not collected per row
+    max_df = int(max_df_frac * n_docs)
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = (
+        tf.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+    )
+    # persisted: the posting relation feeds the norm aggregate AND both
+    # sides of the pair join — without it the corpus scan + tf shuffle
+    # replays 3x (a token-mass-sized cache, not a corpus-sized one;
+    # MEMORY_AND_DISK spills rather than OOMs at scale)
+    w = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .select(
+            "_id",
+            "_t",
+            (
+                F.col("_tf")
+                * (F.log(F.lit(1.0 + n_docs) / (F.lit(1.0) + F.col("_df"))) + 1.0)
+            ).alias("_w"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_n"))
+    a = w.select(F.col("_id").alias("id_a"), "_t", F.col("_w").alias("_wa"))
+    b = w.select(F.col("_id").alias("id_b"), "_t", F.col("_w").alias("_wb"))
+    dots = (
+        a.join(b, "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    cosp = (
+        dots.join(norms.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(norms.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), round_digits).alias(
+                "cos"
+            ),
+        )
+    )
+    mirrored = cosp.unionByName(
+        cosp.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"
+        )
+    )
+    win = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        mirrored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbor_id"),
+            "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str,

@@ -875,3 +875,79 @@ def q_orders_hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF k-nearest-neighbor graph (sparse lexical similarity)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_tfidf_knn",
+    """
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1]
+                                        || ' ' || ws[i+2])) AS tok
+      FROM dw),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n FROM documents),
+    dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+      HAVING count(*) <= (SELECT CAST(floor(0.06 * count(*)) AS BIGINT)
+                          FROM documents)),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0) AS w
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b USING (tok)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    cosp AS (
+      SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+      FROM dots JOIN nrm na ON na.doc_id = dots.id_a
+                JOIN nrm nb ON nb.doc_id = dots.id_b),
+    mir AS (
+      SELECT id_a, id_b, cos FROM cosp
+      UNION ALL SELECT id_b, id_a, cos FROM cosp),
+    rk AS (
+      SELECT id_a, id_b, cos,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY cos DESC, id_b) AS rank
+      FROM mir)
+    SELECT id_a AS doc_id, id_b AS neighbor_id, cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+    doc=(
+        "Sparse lexical KNN graph (operators/retrieval.tfidf_knn_graph): "
+        "per document the 5 most-cosine-similar others under smooth-idf "
+        "TF-IDF over trigram shingles (unigram df ~= N on this corpus — "
+        "the degenerate case the ngram knob exists for), df-capped at "
+        "6% of N so no posting list exceeds cap*N pairs — the join-"
+        "fanout control that keeps pair volume ~= cap * token mass "
+        "instead of N^2 at 100 TB. Shingles are built row-locally "
+        "(codegen transform, no corpus re-explode); pair dot products "
+        "are a token-keyed self-equi-join with map-side partial agg, "
+        "never a doc-by-doc product; unordered pairs computed once and "
+        "mirrored AFTER the aggregate; top-k is one row_number window "
+        "on the source key with a neighbor-id tiebreak making the cut "
+        "total. Oracle replays the identical arithmetic (same ln, same "
+        "4-dp round)."
+    ),
+)
+def q_docs_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import tfidf_knn_graph
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_knn_graph(
+        docs, "text", "doc_id", k=5, max_df_frac=0.06, ngram=3
+    )
