@@ -2018,3 +2018,40 @@ def test_tfidf_knn_graph_hand_computed(spark):
         (3, 4): (1.0, 1),
         (4, 3): (1.0, 1),
     }
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Contract: every true member probes true; with a deliberately
+    saturated tiny filter (1 word / 32 bits, 20 members) the
+    false-positive path is exercised too — deterministically, since the
+    md5-derived bit positions are fixed."""
+    from ups_crossref_etl_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = [(f"m{i}",) for i in range(20)]
+    others = [(f"x{i}",) for i in range(100)]
+    mdf = spark.createDataFrame(members, "v string")
+    pdf = spark.createDataFrame(members + others, "v string").withColumn(
+        "pid", F.monotonically_increasing_id()
+    )
+    bloom = bloom_build(mdf, "v", num_words=1, num_hashes=1)
+    got = {
+        r["v"]: r["might_contain"]
+        for r in bloom_probe(
+            pdf, "v", "v", bloom, num_words=1, num_hashes=1
+        ).collect()
+    }
+    assert all(got[f"m{i}"] for i in range(20))  # no false negatives
+    fps = sum(1 for i in range(100) if got[f"x{i}"])
+    assert 0 < fps < 100  # saturated filter: some FPs, not all
+
+    # roomy filter: same members, 256 words / 3 hashes -> zero FPs here
+    bloom2 = bloom_build(mdf, "v", num_words=256, num_hashes=3)
+    got2 = {
+        r["v"]: r["might_contain"]
+        for r in bloom_probe(pdf, "v", "v", bloom2).collect()
+    }
+    assert all(got2[f"m{i}"] for i in range(20))
+    assert not any(got2[f"x{i}"] for i in range(100))

@@ -707,3 +707,29 @@ def test_tfidf_knn_token_equijoin_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan  # persisted posting relation reused
+
+
+def test_bloom_probe_broadcasts_bitmap_no_corpus_shuffle_join(spark, sf_dir):
+    """The probe side must join the bitmap via BroadcastHashJoin (the
+    bitmap is <= num_words rows by construction) — an exchange-keyed
+    join here would shuffle the corpus on word_idx and defeat the
+    operator's purpose."""
+    from ups_crossref_etl_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.lower(F.col("text")).alias("v")
+    )
+    bloom = bloom_build(ev, "v")
+    out = bloom_probe(
+        d.select("doc_id", F.lower(F.col("text")).alias("v")),
+        "v",
+        "doc_id",
+        bloom,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

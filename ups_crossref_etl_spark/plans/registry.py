@@ -72,6 +72,7 @@ _CHANGED_THIS_ROUND = [
     # degree-capped to keep recursion volume SF-invariant
     "q_graph_bounded_walks",
     "q_docs_tfidf_knn",
+    "q_docs_bloom_decontam",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

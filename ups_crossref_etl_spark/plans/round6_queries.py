@@ -951,3 +951,66 @@ def q_docs_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_knn_graph(
         docs, "text", "doc_id", k=5, max_df_frac=0.06, ngram=3
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership (broadcastable set probe / decontamination)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_bloom_decontam",
+    """
+    WITH hs AS (SELECT unnest(range(1, 4)) AS i),
+    ev AS (SELECT lower(text) AS v FROM documents WHERE doc_id % 17 = 0),
+    bpos AS (
+      SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15)
+                  AS BIGINT) % 8192 AS pos
+      FROM ev CROSS JOIN hs),
+    bloom AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+      FROM bpos GROUP BY 1),
+    pr AS (SELECT doc_id, lower(text) AS v FROM documents),
+    ppos AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15)
+                  AS BIGINT) % 8192 AS pos
+      FROM pr CROSS JOIN hs),
+    hits AS (
+      SELECT p.doc_id,
+             CASE WHEN (coalesce(b.word, 0)
+                        & (1::BIGINT << CAST(p.pos % 32 AS INTEGER)))
+                  = (1::BIGINT << CAST(p.pos % 32 AS INTEGER))
+                  THEN 1 ELSE 0 END AS hit
+      FROM ppos p LEFT JOIN bloom b ON b.word_idx = p.pos // 32)
+    SELECT doc_id, CAST(min(hit) = 1 AS BOOLEAN) AS might_contain
+    FROM hits GROUP BY doc_id
+    """,
+    doc=(
+        "Bloom-filter decontamination probe (operators/membership): the "
+        "eval set (every 17th doc) is compressed to a 8192-bit bitmap "
+        "(256 x 32-bit words — a few KB, broadcastable at ANY set size "
+        "up to saturation), and every corpus document is probed with a "
+        "map-side broadcast join + bit test: zero corpus shuffles vs "
+        "the exact anti-join's corpus-keyed exchange; no false "
+        "negatives by construction, false positives at (bits/m)^k. "
+        "Bit positions are md5_60-derived (the simhash parity trick) "
+        "so the bitmap — and therefore every probe answer including "
+        "any false positive — is engine-independent: the oracle "
+        "rebuilds the identical filter in DuckDB and must match "
+        "hash-exactly, not just statistically."
+    ),
+)
+def q_docs_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.membership import bloom_build, bloom_probe
+
+    docs = read_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.lower(F.col("text")).alias("v")
+    )
+    bloom = bloom_build(ev, "v", num_words=256, num_hashes=3)
+    probe = docs.select("doc_id", F.lower(F.col("text")).alias("v"))
+    return bloom_probe(
+        probe, "v", "doc_id", bloom, num_words=256, num_hashes=3
+    )
