@@ -2055,3 +2055,29 @@ def test_bloom_membership_no_false_negatives(spark):
     }
     assert all(got2[f"m{i}"] for i in range(20))
     assert not any(got2[f"x{i}"] for i in range(100))
+
+
+def test_hll_sketch_merge_equals_rebuild(spark):
+    """The algebraic contract behind incremental sketch maintenance:
+    union of per-part sketches == sketch of the whole, exactly (same
+    lg_k, same input set), and estimates are exact for small-cardinality
+    inputs (HLL stores small sets losslessly in sparse mode)."""
+    from ups_crossref_etl_spark.operators.sketches import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    df = spark.createDataFrame(
+        [(d, u) for d in range(4) for u in range(d * 10, d * 10 + 25)],
+        "day int, user_id long",
+    ).withColumn("grp", F.lit("a"))
+    daily = hll_sketch_table(df, "user_id", ["grp", "day"])
+    assert daily.count() == 4
+    rolled = hll_rollup(daily, ["grp"])
+    direct = hll_sketch_table(df, "user_id", ["grp"])
+    # distinct users = 4*25 minus overlaps: days overlap by 15 each step
+    exact = df.select("user_id").distinct().count()
+    r = rolled.collect()[0]
+    d = direct.collect()[0]
+    assert r["est"] == d["est"]
+    assert abs(r["est"] - exact) / exact <= 0.05

@@ -61,3 +61,48 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int) -> DataFrame:
         .filter(F.col("n_occurrences") * k > F.lit(total))
         .select(F.col("_v").alias(value_col), "n_occurrences")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketch tables (Datasketches, Spark-native since 3.5)
+# --------------------------------------------------------------------------
+
+
+def hll_sketch_table(
+    df: DataFrame, value_col: str, group_cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """Per-group distinct-count SKETCH table: ``group_cols + (sketch
+    binary, est bigint)``.
+
+    This is the incremental-analytics primitive exact distinct counts
+    can't give you: ``count_distinct`` does not decompose (yesterday's
+    count + today's count ≠ total), so a daily exact rollup rescans ALL
+    history. A Datasketches HLL sketch DOES decompose — persist this
+    table per partition/day (the sketch is a few KB binary per group at
+    ``lg_k=12``), and any coarser grain or longer window is a
+    ``hll_union_agg`` over the stored sketches (``hll_rollup``), never a
+    rescan. One map-side-combinable groupBy; estimate error ~1.6%/√2^lg_k
+    (~2.5% at lg_k=12), deterministic for fixed input.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(value_col, F.lit(lg_k))
+        ).alias("est"),
+    )
+
+
+def hll_rollup(
+    sketch_df: DataFrame, rollup_cols: list[str], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Roll a sketch table to a coarser grain WITHOUT touching base data:
+    ``rollup_cols + (sketch binary, est bigint)``. Input sketches must
+    share ``lg_k`` (Datasketches unions to the smaller lg_k otherwise —
+    silently coarser error). The union agg is map-side combinable; the
+    shuffle carries one small binary per input group, so rolling a year
+    of daily sketches moves days×groups KB-rows, not the corpus.
+    """
+    return sketch_df.groupBy(*rollup_cols).agg(
+        F.hll_union_agg(sketch_col).alias("sketch"),
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("est"),
+    )

@@ -73,6 +73,7 @@ _CHANGED_THIS_ROUND = [
     "q_graph_bounded_walks",
     "q_docs_tfidf_knn",
     "q_docs_bloom_decontam",
+    "q_events_hll_rollup_bound",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",
