@@ -2081,3 +2081,27 @@ def test_hll_sketch_merge_equals_rebuild(spark):
     d = direct.collect()[0]
     assert r["est"] == d["est"]
     assert abs(r["est"] - exact) / exact <= 0.05
+
+
+def test_cms_never_undercounts_and_bounds(spark):
+    """CM invariants on a skewed value set: est >= true for every value
+    (collisions only add), exact for values whose slots are collision-
+    free, and the heavy hitter's estimate is near-exact (its counter
+    dwarfs collision noise)."""
+    from ups_crossref_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string")
+    cms = cms_build(df, "v", width=256, depth=3)
+    probe = df.select("v").distinct()
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(probe, "v", cms, width=256, depth=3).collect()
+    }
+    assert est["hot"] >= 500
+    assert est["hot"] <= 500 + 50  # collision noise bounded by cold mass
+    for i in range(50):
+        assert est[f"cold{i}"] >= 1

@@ -106,3 +106,99 @@ def hll_rollup(
         F.hll_union_agg(sketch_col).alias("sketch"),
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (deterministic md5 hash family — oracle-replicable)
+# --------------------------------------------------------------------------
+
+
+def _cms_slot(value_col, d: int, width: int):
+    """Row d's slot for a value: md5_60 of ``d ':' value`` mod width —
+    the same engine-independent hash family as operators/membership."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(d)), F.lit(":"), value_col)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame, value_col: str, width: int = 1024, depth: int = 3
+) -> DataFrame:
+    """Count-Min frequency sketch: ``(d, slot, cnt)`` — at most
+    ``depth × width`` rows regardless of corpus size, i.e. always
+    broadcastable. One explode (``depth`` rows per input row, row-local
+    codegen hashing) + one map-side-combinable groupBy. Estimates
+    OVERCOUNT only (collisions add, never subtract): est ≥ true always,
+    est ≤ true + 2n/width with probability 1 − 2^−depth — the classic
+    CM guarantee. Deterministic hash family (md5_60, as
+    ``membership.bloom_build``), so the sketch — and every estimate
+    including collision noise — is engine-independent and exactly
+    oracle-checkable, unlike a murmur/seed-dependent implementation.
+    """
+    rows = df.select(F.col(value_col).alias("_v")).filter(F.col("_v").isNotNull())
+    slots = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_slot(F.col("_v").cast("string"), d, width).alias(
+                            "slot"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_s")
+    )
+    return (
+        slots.select(F.col("_s.d").alias("d"), F.col("_s.slot").alias("slot"))
+        .groupBy("d", "slot")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    value_col: str,
+    cms: DataFrame,
+    width: int = 1024,
+    depth: int = 3,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Frequency estimate per input row: ``(value_col, out_col)``.
+    Row-local hash positions → broadcast left join against the sketch
+    (≤ depth×width rows) → min over the depth rows. A slot the sketch
+    never touched has count 0. ``width``/``depth`` must match the build
+    (they define the hash family). The only probe-sized shuffle is the
+    final value-keyed min-groupBy, partial-agged map-side.
+    """
+    pos = df.select(F.col(value_col).alias("_v")).select(
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_slot(F.col("_v").cast("string"), d, width).alias(
+                            "slot"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_v", F.col("_s.d").alias("d"), F.col("_s.slot").alias("slot"))
+    hit = pos.join(F.broadcast(cms), ["d", "slot"], "left").select(
+        "_v", F.coalesce(F.col("cnt"), F.lit(0)).alias("_c")
+    )
+    return hit.groupBy("_v").agg(F.min("_c").alias(out_col)).select(
+        F.col("_v").alias(value_col), out_col
+    )

@@ -74,6 +74,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_tfidf_knn",
     "q_docs_bloom_decontam",
     "q_events_hll_rollup_bound",
+    "q_events_cms_user_freq",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

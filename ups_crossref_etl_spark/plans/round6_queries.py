@@ -1080,3 +1080,73 @@ def q_events_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min frequency sketch
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cms_user_freq",
+    """
+    WITH ds AS (SELECT unnest(range(0, 3)) AS d),
+    vals AS (
+      SELECT CAST(user_id AS VARCHAR) AS v FROM events
+      WHERE user_id IS NOT NULL),
+    slots AS (
+      SELECT d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || v),
+                                    1, 15) AS BIGINT) % 1024 AS slot
+      FROM vals CROSS JOIN ds),
+    cms AS (SELECT d, slot, CAST(count(*) AS BIGINT) AS cnt
+            FROM slots GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+    ppos AS (
+      SELECT p.user_id, ds.d,
+             CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':'
+                                     || CAST(p.user_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 1024 AS slot
+      FROM probe p CROSS JOIN ds),
+    est AS (
+      SELECT user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+      FROM ppos LEFT JOIN cms c USING (d, slot) GROUP BY user_id),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+      FROM events WHERE user_id < 40 GROUP BY 1)
+    SELECT e.user_id, e.est_count, x.exact_count,
+           e.est_count >= x.exact_count AS never_undercounts
+    FROM est e JOIN exact x USING (user_id)
+    """,
+    doc=(
+        "Count-Min frequency sketch (operators/sketches.cms_build/"
+        "cms_estimate): event frequencies per user compressed to a "
+        "3x1024-counter table (broadcastable at ANY corpus size) built "
+        "with one map-side-combinable groupBy; probes are row-local "
+        "hashing + broadcast join + min — no corpus shuffle on the "
+        "probe key. The md5_60 hash family makes every estimate — "
+        "including collision overcounts — engine-independent, so the "
+        "oracle rebuilds the identical sketch in DuckDB and the gate "
+        "is hash-exact, with the never-undercounts CM invariant "
+        "checked per probe against exact counts."
+    ),
+)
+def q_events_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", width=1024, depth=3)
+    probe = ev.filter(F.col("user_id") < 40).select("user_id").distinct()
+    est = cms_estimate(probe, "user_id", cms, width=1024, depth=3)
+    exact = (
+        ev.filter(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias(
+            "never_undercounts"
+        ),
+    )
