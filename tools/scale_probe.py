@@ -334,15 +334,24 @@ def main() -> None:
     )
 
     def walks_count(li_df, seed_bound):
+        # degree-capped edge relation, same as the gate query — uncapped
+        # 2-hop enumeration grows with hub degree squared and exceeds
+        # the engine recursion guard exactly as corpus density grows
         li_df.createOrReplaceTempView("lineitem")
         return spark.sql(
             f"""
             WITH RECURSIVE pe AS (
               SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
             e AS (
-              SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-              FROM pe a JOIN pe b
-                ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+              SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+                FROM (
+                  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+                  FROM pe a JOIN pe b
+                    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                  GROUP BY a.l_suppkey, b.l_suppkey))
+              WHERE rn <= 5),
             walk(start, node, hops) AS (
               SELECT src, src, 0
               FROM (SELECT DISTINCT src FROM e WHERE src < {seed_bound}) s
@@ -425,6 +434,126 @@ def main() -> None:
             evN_ord, "event_id", "ts", "event_type", 600
         ).count(),
         ev1.count(), evN_ord.count(),
+    )
+
+    # round 6: TF-IDF KNN — the df-cap is RELATIVE (6% of N), so the kept
+    # vocab and pair fanout both scale with the corpus; what must stay
+    # bounded is fanout/token-mass, which the cap enforces by construction.
+    from ups_crossref_etl_spark.operators.retrieval import tfidf_knn_graph
+
+    probe(
+        "tfidf_knn",
+        lambda: tfidf_knn_graph(
+            docs1, "text", "doc_id", k=5, max_df_frac=0.06, ngram=3
+        ).count(),
+        lambda: tfidf_knn_graph(
+            docsN, "text", "doc_id", k=5, max_df_frac=0.06, ngram=3
+        ).count(),
+        docs1.count(), docsN.count(),
+    )
+
+    # round 6: Bloom probe — the SET stays fixed while the corpus grows
+    # (eval suites don't scale with training data); the probe pass is
+    # map-only + broadcast join, the linearity that matters
+    from ups_crossref_etl_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    ev_set = (
+        docs1.filter(F.col("doc_id") % 17 == 0)
+        .select(F.lower(F.col("text")).alias("v"))
+        .localCheckpoint()
+    )
+    bloom = bloom_build(ev_set, "v").localCheckpoint()
+
+    def bloom_count(d):
+        return (
+            bloom_probe(
+                d.select("doc_id", F.lower(F.col("text")).alias("v")),
+                "v",
+                "doc_id",
+                bloom,
+            )
+            .filter(F.col("might_contain"))
+            .count()
+        )
+
+    probe(
+        "bloom_probe",
+        lambda: bloom_count(docs1),
+        lambda: bloom_count(docsN),
+        docs1.count(), docsN.count(),
+    )
+
+    # round 6: CMS build+estimate — sketch size is FIXED (depth x width)
+    # regardless of corpus size; build is one combinable groupBy
+    from ups_crossref_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    def cms_count(ev):
+        cms = cms_build(ev, "user_id", width=1024, depth=3)
+        pr = ev.filter(F.col("user_id") < 40).select("user_id").distinct()
+        return cms_estimate(pr, "user_id", cms, width=1024, depth=3).count()
+
+    probe(
+        "cms_build_estimate",
+        lambda: cms_count(ev1),
+        lambda: cms_count(evN),
+        ev1.count(), evN.count(),
+    )
+
+    # round 6: HLL daily sketch + rollup — per-group KB binaries; the
+    # rollup shuffle moves groups x days rows, never events
+    def hll_count(ev):
+        daily = hll_sketch_table(
+            ev.withColumn("day", F.to_date("ts")),
+            "user_id",
+            ["event_type", "day"],
+        )
+        return hll_rollup(daily, ["event_type"]).count()
+
+    probe(
+        "hll_sketch_rollup",
+        lambda: hll_count(ev1),
+        lambda: hll_count(evN),
+        ev1.count(), evN.count(),
+    )
+
+    # round 6: hybrid skew join — replication multiplies the hot key's
+    # row count (same key, Nx rows: the skew WORSENS with scale, the
+    # adversarial case the hot/cold split exists for)
+    from ups_crossref_etl_spark.operators.skew import hybrid_skew_join
+
+    ord1 = read_table(spark, SF_DIR, "orders")
+    cust1 = read_table(spark, SF_DIR, "customer")
+
+    def skew_fact(o, copies):
+        f = o.select(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(1))
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            "o_totalprice",
+        )
+        if copies > 1:
+            f = f.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+            ).drop("_salt")
+        return f
+
+    probe(
+        "hybrid_skew_join",
+        lambda: hybrid_skew_join(
+            skew_fact(ord1, 1), cust1, "c_custkey", min_hot_count=400
+        ).groupBy("c_mktsegment").count().count(),
+        lambda: hybrid_skew_join(
+            skew_fact(ord1, n), cust1, "c_custkey", min_hot_count=400
+        ).groupBy("c_mktsegment").count().count(),
+        ord1.count(), ord1.count() * n,
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
