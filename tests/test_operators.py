@@ -2105,3 +2105,47 @@ def test_cms_never_undercounts_and_bounds(spark):
     assert est["hot"] <= 500 + 50  # collision noise bounded by cold mass
     for i in range(50):
         assert est[f"cold{i}"] >= 1
+
+
+def test_rp_project_distance_preservation(spark):
+    """JL contract on deterministic vectors: projection is reproducible
+    (fixed sign matrix), scaled so E[||proj||^2] = ||v||^2, and pairwise
+    dot signs are mostly preserved at 16 dims for near-orthogonal input."""
+    import math
+
+    from ups_crossref_etl_spark.operators.similarity import (
+        rp_project,
+        rp_sign_matrix,
+    )
+
+    m = rp_sign_matrix(8, 4)
+    assert len(m) == 4 and all(len(r) == 8 for r in m)
+    assert all(v in (1, -1) for r in m for v in r)
+    # derivation pinned: first row begins with the md5-parity signs
+    import hashlib
+
+    exp0 = [
+        1 if int(hashlib.md5(f"{i}:0".encode()).hexdigest()[:15], 16) % 2 == 0
+        else -1
+        for i in range(8)
+    ]
+    assert m[0] == exp0
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 5 - 2) for d in range(64)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = rp_project(df, "embedding", "vec_id", out_dim=16).toPandas()
+    assert set(out["j"]) == set(range(16))
+    # norm preservation in expectation: mean ratio within 3x either way
+    import numpy as np
+
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    ratios = []
+    for vid, grp in out.groupby("vec_id"):
+        pn = float((grp["val"] ** 2).sum())
+        on = float((orig[vid] ** 2).sum())
+        if on > 0:
+            ratios.append(pn / on)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 1 / 3 < mean_ratio < 3

@@ -733,3 +733,13 @@ def test_bloom_probe_broadcasts_bitmap_no_corpus_shuffle_join(spark, sf_dir):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rp_project_map_only_no_exchange(spark, sf_dir):
+    """The JL projection must fuse into the scan: literal sign arrays
+    folded row-locally, posexplode after reduction — zero exchanges."""
+    from ups_crossref_etl_spark.operators.similarity import rp_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = _plan(rp_project(emb, "embedding", "vec_id", out_dim=16))
+    assert "Exchange" not in plan

@@ -467,3 +467,86 @@ def mmr_topk(
     return spark.createDataFrame(
         out, schema=f"rank bigint, {id_col} bigint, rel double"
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (deterministic sign matrix)
+# --------------------------------------------------------------------------
+
+
+def rp_sign_matrix(dim: int, out_dim: int) -> list[list[int]]:
+    """The ±1 Achlioptas/JL projection matrix, derived deterministically:
+    ``sign(i, j) = +1 iff md5(f"{i}:{j}") has an even 60-bit prefix``.
+    Model state (dim × out_dim ints, KBs) shared verbatim between the
+    Spark plan and the DuckDB oracle — both get the values as literals,
+    so projection arithmetic is engine-identical with no hash functions
+    in the hot path."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def rp_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Project embeddings to ``out_dim`` dims with the ±1 JL matrix:
+    ``(id_col, j, val)`` in long form, ``val = round(Σᵢ vᵢ·sign(i,j) /
+    √out_dim, round_digits)``. JL preserves pairwise distances within
+    (1±ε) at out_dim = O(log n / ε²) — the standard pre-ANN compression
+    that cuts scan bytes 4× here (64→16 dims) before brute-force or
+    IVF ranking.
+
+    Scale shape: ZERO shuffles — the signs are literal arrays folded by
+    codegen ``zip_with``/``aggregate`` per output dim, a narrow map-only
+    projection that fuses into any scan (the posexplode to long form
+    multiplies rows by out_dim AFTER reduction, never the input dim).
+    The fold runs i ascending on both engines; the terms are ±vᵢ so
+    magnitudes are embedding-sized and the 4-dp round absorbs fold-order
+    ulps. At 100 TB swap the per-row HOF fold for the Arrow matmul
+    kernel (``band_signatures_udf``'s shape) — same matrix, same output.
+    """
+    first = df.select(F.size(vec_col).alias("n")).first()
+    dim = int(first["n"])
+    signs = rp_sign_matrix(dim, out_dim)
+    scale = float(np.sqrt(out_dim))
+    # the raw fold is quantized to 10 dp BEFORE the scale division (the
+    # repo's round-before-compare rule): engines agree on the fold to
+    # ~1e-15 but not to the last ulp, and an ulp next to a 4-dp midpoint
+    # flips the final round; 10-dp quantization absorbs it, and dividing
+    # AFTER by √out_dim is exact when out_dim is a power of four
+    proj = F.array(
+        *[
+            F.round(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(s)) for s in signs[j]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    10,
+                )
+                / scale,
+                round_digits,
+            )
+            + F.lit(0.0)  # fold -0.0 to +0.0 (engines disagree on sign)
+            for j in range(out_dim)
+        ]
+    )
+    return df.select(F.col(id_col), F.posexplode(proj).alias("j", "val"))

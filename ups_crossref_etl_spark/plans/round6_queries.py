@@ -1150,3 +1150,52 @@ def q_events_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# --------------------------------------------------------------------------
+
+
+def _rp_oracle_sql(dim: int = 64, out_dim: int = 16) -> str:
+    """Oracle carrying the SAME literal sign matrix the Spark plan folds
+    (rp_sign_matrix — md5-parity derivation, operators/similarity): both
+    engines fold i ascending from 0.0, so the 4-dp round makes the
+    projection hash-exact."""
+    from ..operators.similarity import rp_sign_matrix
+
+    m = rp_sign_matrix(dim, out_dim)
+    rows = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in m
+    )
+    return f"""
+    WITH s AS (SELECT [{rows}] AS m),
+    js AS (SELECT unnest(range(0, {out_dim})) AS j)
+    SELECT vec_id, CAST(j AS INTEGER) AS j,
+           round(round(list_reduce(
+                   list_transform(range(1, {dim + 1}),
+                                  i -> CAST(embedding[i] AS DOUBLE) * m[j + 1][i]),
+                   (a, b) -> a + b), 10) / sqrt({out_dim}.0), 4) + 0.0 AS val
+    FROM embeddings CROSS JOIN s CROSS JOIN js
+    """
+
+
+@register(
+    "q_emb_rp_project",
+    _rp_oracle_sql(64, 16),
+    doc=(
+        "Johnson-Lindenstrauss random projection (operators/similarity."
+        "rp_project): 64-dim embeddings compressed to 16 dims with a "
+        "deterministic +-1 sign matrix (md5-parity derived, inlined as "
+        "literals in BOTH engines). ZERO shuffles — codegen zip_with/"
+        "aggregate folds per output dim fuse into the scan, the standard "
+        "pre-ANN compression cutting scan bytes 4x before ranking; the "
+        "Arrow-matmul kernel is the 100 TB swap-in (same matrix, same "
+        "output). Hash-exact oracle: identical fold order, 4-dp round."
+    ),
+)
+def q_emb_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rp_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return rp_project(emb, "embedding", "vec_id", out_dim=16)
