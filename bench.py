@@ -95,6 +95,11 @@ HEADLINE = [
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",
     "q_docs_tfidf_knn",
+    # round 6 (batch 3): sketch family + JL projection
+    "q_docs_bloom_decontam",
+    "q_events_cms_user_freq",
+    "q_events_hll_rollup_bound",
+    "q_emb_rp_project",
 ]
 
 
