@@ -2149,3 +2149,22 @@ def test_rp_project_distance_preservation(spark):
             ratios.append(pn / on)
     mean_ratio = sum(ratios) / len(ratios)
     assert 1 / 3 < mean_ratio < 3
+
+
+def test_windowed_ewma_hand_computed(spark):
+    """3-row series, alpha=0.5, window=2: ewma_1 = 1.0 (single obs,
+    normalized), ewma_2 = (2 + 0.5*1)/(1.5) = 1.6667,
+    ewma_3 = (3 + 0.5*2)/1.5 = 2.6667 (row 1 fell out of the window)."""
+    from ups_crossref_etl_spark.operators.timeseries import windowed_ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0)],
+        "k long, t long, value double",
+    )
+    out = {
+        r["t"]: r["ewma"]
+        for r in windowed_ewma(
+            df, "k", ["t"], "value", alpha=0.5, window=2
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 1.6667, 3: 2.6667}

@@ -72,6 +72,10 @@ def pq_fit(
         raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
     d_sub = dim // m
 
+    # init is id-deterministic BY DESIGN (k lowest ids, plans as
+    # TakeOrdered for k<=64): reproducible codebooks beat k-means++
+    # randomness for an oracle-pinned engine; swap a seeded sample at
+    # 100 TB if init quality ever dominates
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(init_rows) < k:
         raise ValueError(f"pq_fit: need >= k={k} vectors, got {len(init_rows)}")

@@ -303,3 +303,62 @@ def late_arrival_audit(
         ),
         F.max("_ooo").alias("max_ooo_s"),
     )
+
+
+def windowed_ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    window: int = 20,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exponentially-weighted moving average over the last ``window``
+    observations per key: adds ``ewma`` to every row —
+    ``round(α·Σⱼ (1−α)ʲ·x_{t−j} / Σⱼ α·(1−α)ʲ, round_digits)`` for j in
+    [0, window), i.e. the truncated-window EWMA normalized so weights sum
+    to 1 (no cold-start bias on short prefixes). ``order_cols`` must be a
+    total order within key (e.g. ``[ts, event_id]``) or the fold is
+    nondeterministic.
+
+    Why truncated: the classic recursive EWMA is a sequential scan per
+    key — on Spark that is one task per key or a driver loop, both wrong
+    at scale. The truncated form is ONE window ``collect_list`` over a
+    bounded frame (``window`` rows of state per row, constant) + a
+    row-local codegen fold — one key-clustered shuffle total, and the
+    (1−α)^j weights never underflow because j is bounded. The fold runs
+    newest→oldest on both engines (frame collected ascending, reversed
+    row-locally), so the gate oracle replays it exactly.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    # collected ascending by frame; reverse so j=0 is the current row
+    vals = F.reverse(F.collect_list(F.col(value_col)).over(w))
+    decay = 1.0 - alpha
+    weighted = F.aggregate(
+        F.zip_with(
+            vals,
+            F.transform(
+                F.sequence(F.lit(0), F.size(vals) - 1),
+                lambda j: F.pow(F.lit(decay), j.cast("double")),
+            ),
+            lambda x, p: x.cast("double") * p,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size(vals) - 1),
+            lambda j: F.pow(F.lit(decay), j.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumn(
+        "ewma", F.round(weighted / wsum, round_digits) + F.lit(0.0)
+    )

@@ -1199,3 +1199,52 @@ def q_emb_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return rp_project(emb, "embedding", "vec_id", out_dim=16)
+
+
+# --------------------------------------------------------------------------
+# Windowed EWMA (truncated exponential smoothing per key)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_ewma",
+    """
+    WITH w AS (
+      SELECT event_id,
+             list_reverse(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS vs
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_id,
+           round(
+             list_reduce(list_transform(range(1, len(vs) + 1),
+                                        i -> vs[i] * pow(0.5, i - 1)),
+                         (a, b) -> a + b)
+             / list_reduce(list_transform(range(1, len(vs) + 1),
+                                          i -> pow(0.5, i - 1)),
+                           (a, b) -> a + b),
+             4) + 0.0 AS ewma
+    FROM w
+    """,
+    doc=(
+        "Truncated-window EWMA per user (operators/timeseries."
+        "windowed_ewma): last-20-observation exponential smoothing, "
+        "normalized so weights sum to 1 (no cold-start bias). The "
+        "classic recursive EWMA is a sequential per-key scan — wrong "
+        "shape at scale; the truncated form is ONE bounded-frame "
+        "collect_list window (constant state per row) + a row-local "
+        "codegen fold, one key-clustered shuffle total. Gate pins "
+        "alpha=0.5 so every decay power is exactly representable — "
+        "pow() parity between engines is structural, not luck; fold "
+        "order newest-to-oldest replayed identically by the oracle."
+    ),
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import windowed_ewma
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return windowed_ewma(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, window=20
+    ).select("event_id", "ewma")
