@@ -2168,3 +2168,21 @@ def test_windowed_ewma_hand_computed(spark):
         ).collect()
     }
     assert out == {1: 1.0, 2: 1.6667, 3: 2.6667}
+
+
+def test_standardize_embeddings_hand_computed(spark):
+    """2-dim corpus: dim 0 has values (1, 3) -> mu=2, sigma=1 -> z = -1, 1;
+    dim 1 is constant -> sigma=0 -> z = 0 for all rows."""
+    from ups_crossref_etl_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r["vec_id"], r["j"]): r["zval"]
+        for r in standardize_embeddings(df, "embedding", "vec_id").collect()
+    }
+    assert out == {(1, 0): -1.0, (2, 0): 1.0, (1, 1): 0.0, (2, 1): 0.0}

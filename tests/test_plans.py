@@ -743,3 +743,17 @@ def test_rp_project_map_only_no_exchange(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     plan = _plan(rp_project(emb, "embedding", "vec_id", out_dim=16))
     assert "Exchange" not in plan
+
+
+def test_standardize_stats_partial_agg_and_broadcast(spark, sf_dir):
+    """The dim-stat aggregate must partial-agg before its exchange (the
+    64x posexplode collapses map-side) and the stat table must broadcast
+    into the normalization join."""
+    from ups_crossref_etl_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = _plan(standardize_embeddings(emb, "embedding", "vec_id"))
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert "BroadcastHashJoin" in plan

@@ -550,3 +550,79 @@ def rp_project(
         ]
     )
     return df.select(F.col(id_col), F.posexplode(proj).alias("j", "val"))
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding standardization (whitening)
+# --------------------------------------------------------------------------
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    round_digits: int = 4,
+    stat_digits: int = 6,
+) -> DataFrame:
+    """Per-dimension z-normalization of the embedding column — the
+    whitening pass run before quantization/ANN when dimensions have
+    wildly different scales (raw activations, concatenated feature
+    groups): ``(id_col, j, zval)`` with
+    ``zval = round((vᵢⱼ − μⱼ)/σⱼ, round_digits)``.
+
+    Scale shape: stats come from ONE posexplode + groupBy(dim) — the
+    explode looks like 64× row inflation but partial aggregation
+    collapses it to ``partitions × dim`` rows BEFORE the shuffle (the
+    same reason word-count scales); the 64-row stat table then rides
+    into the normalization as broadcast-joined model state, and the
+    z-transform itself is row-local. Constant dimensions (σ=0) emit 0.
+
+    Determinism: μ and σ derive from SUM/SUM-OF-SQUARES/COUNT rounded to
+    ``stat_digits`` BEFORE the derived arithmetic (round-before-compare:
+    raw float sums agree across engines to ~1e-15 but not the last ulp;
+    quantizing the accumulators — not the outputs — makes every
+    downstream value bit-identical), with the population-variance
+    formula ``σ² = Σx²/n − μ²`` spelled explicitly on both engines
+    rather than trusting builtin stddev implementations to share a
+    summation algorithm.
+    """
+    pos = df.select(F.posexplode(vec_col).alias("j", "_v"))
+    stats = (
+        pos.groupBy("j")
+        .agg(
+            F.round(F.sum(F.col("_v").cast("double")), stat_digits).alias("_s"),
+            F.round(
+                F.sum(F.col("_v").cast("double") * F.col("_v").cast("double")),
+                stat_digits,
+            ).alias("_s2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "j",
+            (F.col("_s") / F.col("_n")).alias("_mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("_s2") / F.col("_n")
+                    - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n")),
+                    F.lit(0.0),
+                )
+            ).alias("_sigma"),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("j", "_v")
+    )
+    return exploded.join(F.broadcast(stats), "j").select(
+        F.col(id_col),
+        "j",
+        (
+            F.round(
+                F.when(F.col("_sigma") > 0,
+                       (F.col("_v").cast("double") - F.col("_mu"))
+                       / F.col("_sigma"))
+                .otherwise(F.lit(0.0)),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias("zval"),
+    )

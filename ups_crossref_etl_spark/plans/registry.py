@@ -77,6 +77,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_cms_user_freq",
     "q_emb_rp_project",
     "q_events_ewma",
+    "q_emb_standardize",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

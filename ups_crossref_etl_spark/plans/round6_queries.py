@@ -1248,3 +1248,50 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_ewma(
         ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, window=20
     ).select("event_id", "ewma")
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding standardization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_standardize",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS j,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+    st AS (
+      SELECT j, round(sum(v), 6) AS s, round(sum(v * v), 6) AS s2,
+             count(*) AS n
+      FROM ex GROUP BY j),
+    ms AS (
+      SELECT j, s / n AS mu,
+             sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS sigma
+      FROM st)
+    SELECT ex.vec_id, ex.j,
+           round(CASE WHEN ms.sigma > 0 THEN (ex.v - ms.mu) / ms.sigma
+                      ELSE 0.0 END, 4) + 0.0 AS zval
+    FROM ex JOIN ms USING (j)
+    """,
+    doc=(
+        "Per-dimension embedding whitening (operators/similarity."
+        "standardize_embeddings): z-normalize every dim against corpus "
+        "mean/std — the preprocessing pass before quantization/ANN when "
+        "dims carry different scales. Stats via ONE posexplode + "
+        "groupBy(dim) whose partial aggregation collapses the 64x "
+        "explode to partitions x dim rows pre-shuffle; the dim-sized "
+        "stat table broadcasts into a row-local transform. Determinism "
+        "by quantizing the ACCUMULATORS (sum, sum-of-squares to 6 dp) "
+        "before the derived mean/variance arithmetic, with the "
+        "population formula spelled identically on both engines instead "
+        "of trusting builtin stddev summation algorithms to agree."
+    ),
+)
+def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import standardize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return standardize_embeddings(emb, "embedding", "vec_id")
