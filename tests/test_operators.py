@@ -2186,3 +2186,18 @@ def test_standardize_embeddings_hand_computed(spark):
         for r in standardize_embeddings(df, "embedding", "vec_id").collect()
     }
     assert out == {(1, 0): -1.0, (2, 0): 1.0, (1, 1): 0.0, (2, 1): 0.0}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-item lists with one overlap: the doc ranked 1st+2nd beats
+    both single-list rank-1 docs; absent lists contribute nothing."""
+    from ups_crossref_etl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc long, rank long")
+    b = spark.createDataFrame([(11, 1), (13, 2), (14, 3)], "doc long, rank long")
+    out = rrf_fuse([a, b], "doc", k_rrf=60, topk=5)
+    rows = [(r["doc"], r["rrf_score"], r["n_sources"]) for r in out.collect()]
+    # doc 11: 1/62 + 1/61 = 0.0325224...; doc 10: 1/61 = 0.016393; doc 13: 1/62
+    assert rows[0] == (11, 0.032522, 2)
+    assert rows[1] == (10, 0.016393, 1)
+    assert {r[0] for r in rows} == {10, 11, 12, 13, 14}

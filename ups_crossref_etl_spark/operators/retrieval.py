@@ -290,3 +290,47 @@ def inverted_index(
             ).alias("postings"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k_rrf: int = 60,
+    topk: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N result lists — the standard hybrid-
+    search combiner (Cormack et al., SIGIR 2009): each input carries
+    ``(id_col, rank)`` (1-based, from any retriever — BM25, dense ANN,
+    ...) and a document's fused score is ``Σ_lists 1/(k_rrf + rank)``,
+    absent lists contributing 0. Returns the fused top-``topk`` as
+    ``(id_col, rrf_score, n_sources)`` with the (score desc, id asc)
+    total order.
+
+    RRF is the production answer to score-scale mismatch: BM25 scores
+    and cosines are incomparable, ranks always are. Scale shape: the
+    inputs are already top-k lists (KB-sized however big the corpus), so
+    fusion is a union + one groupBy on the id — negligible next to the
+    retrievers; determinism comes from integer ranks (each retriever
+    already breaks ties totally) and a ``round_digits`` quantization of
+    the tiny reciprocal sums.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    tagged = None
+    for r in rankings:
+        part = r.select(F.col(id_col).alias("_id"), F.col("rank").alias("_r"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = (
+        tagged.groupBy("_id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_r"))),
+                round_digits,
+            ).alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("_id"))
+        .limit(topk)
+    )
+    return fused.select(F.col("_id").alias(id_col), "rrf_score", "n_sources")

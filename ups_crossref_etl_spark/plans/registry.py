@@ -78,6 +78,7 @@ _CHANGED_THIS_ROUND = [
     "q_emb_rp_project",
     "q_events_ewma",
     "q_emb_standardize",
+    "q_docs_rrf_hybrid",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

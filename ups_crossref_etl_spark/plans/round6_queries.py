@@ -1295,3 +1295,102 @@ def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return standardize_embeddings(emb, "embedding", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid lexical + dense retrieval)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_rrf_hybrid",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF x <> ''] AS tok
+      FROM documents),
+    dl AS (SELECT doc_id, len(tok) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf, max(dl) AS dl
+      FROM (SELECT doc_id, unnest(tok) AS t, len(tok) AS dl FROM toks)
+      WHERE t IN ('join', 'spark', 'stream', 'vector')
+      GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*) AS dfr FROM tf GROUP BY t),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (stats.n - dfreq.dfr + 0.5) / (dfreq.dfr + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / stats.avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    expanded AS (
+      SELECT e.vec_id,
+             unnest(e.embedding)::DOUBLE AS ev,
+             unnest(q.qv)::DOUBLE AS qe
+      FROM embeddings e, q),
+    dots AS (
+      SELECT vec_id, sum(ev*qe) AS dot,
+             sqrt(sum(ev*ev)) AS na, sqrt(sum(qe*qe)) AS nb
+      FROM expanded GROUP BY vec_id),
+    dn AS (
+      SELECT vec_id AS doc_id, round(dot/(na*nb), 4) AS cos_sim
+      FROM dots),
+    dnr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+      FROM dn ORDER BY cos_sim DESC, doc_id LIMIT 20),
+    fused AS (
+      SELECT doc_id,
+             round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM (SELECT * FROM bmr UNION ALL SELECT * FROM dnr)
+      GROUP BY doc_id)
+    SELECT doc_id, rrf_score, n_sources
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    doc=(
+        "Hybrid retrieval via reciprocal-rank fusion (operators/"
+        "retrieval.rrf_fuse, Cormack et al. 2009): BM25 top-20 and "
+        "exact-cosine dense top-20 (the embedding row sharing the doc "
+        "id space) fused by sum of 1/(60+rank) — the scale-free rank "
+        "combiner production hybrid search uses because BM25 scores "
+        "and cosines are incomparable. The retrievers do all the heavy "
+        "lifting (each already TakeOrdered + broadcast-stat shapes); "
+        "fusion is a union of two 20-row lists + one groupBy. Integer "
+        "ranks (both underlying scores 4-dp-rounded with id tiebreaks) "
+        "make the fused order engine-exact."
+    ),
+)
+def q_docs_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+    from .similarity_queries import _query_vec
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = (
+        bm25_topk(
+            docs, "text", "doc_id", ["join", "spark", "stream", "vector"], k=20
+        )
+        .withColumn("rank", F.row_number().over(w_bm))
+        .select("doc_id", "rank")
+    )
+    w_dn = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    dn = (
+        brute_force_topk(emb, _query_vec(spark, sf_dir), k=20)
+        .withColumn("rank", F.row_number().over(w_dn))
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([bm, dn], "doc_id", k_rrf=60, topk=10)
