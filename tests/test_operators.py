@@ -2201,3 +2201,20 @@ def test_rrf_fuse_hand_computed(spark):
     assert rows[0] == (11, 0.032522, 2)
     assert rows[1] == (10, 0.016393, 1)
     assert {r[0] for r in rows} == {10, 11, 12, 13, 14}
+
+
+def test_nucleus_select_minimal_prefix(spark):
+    """Group with weights 50, 30, 15, 5 (total 100), p=0.8: prefix sums
+    50, 80, 95 — row 3 starts at 80 which is NOT < 80, so exactly
+    {50, 30} are kept (the minimal prefix covering 0.8). A zero-total
+    group keeps nothing."""
+    from ups_crossref_etl_spark.operators.sampling import nucleus_select
+
+    df = spark.createDataFrame(
+        [("a", 1, 50), ("a", 2, 30), ("a", 3, 15), ("a", 4, 5),
+         ("z", 9, 0)],
+        "g string, id long, w long",
+    )
+    out = nucleus_select(df, "g", "w", "id", p=0.8)
+    rows = {r["id"]: r["cum_frac"] for r in out.collect()}
+    assert rows == {1: 0.5, 2: 0.8}

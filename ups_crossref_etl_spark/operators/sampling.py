@@ -323,3 +323,56 @@ def temperature_mix(
         .filter(b < F.round(F.col("_rate") * 10_000).cast("bigint"))
         .drop("_z")
     )
+
+
+def nucleus_select(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    p: float = 0.9,
+) -> DataFrame:
+    """Top-p (nucleus) selection per group: keep the highest-weight rows
+    of each group until their cumulative weight first reaches ``p`` of
+    the group total — the data-curation analog of nucleus sampling
+    (keep the quality mass, drop the long low-quality tail, without a
+    fixed per-group k that over-prunes small groups and under-prunes
+    large ones). Returns the kept rows plus ``cum_frac`` (the cumulative
+    weight fraction through this row).
+
+    The rule is "cumulative weight BEFORE this row < p·total" — the row
+    that crosses the threshold is kept, everything after is dropped —
+    so exactly the minimal prefix covering p. Order is (weight desc, id
+    asc): total, engine-independent.
+
+    Scale shape: one groupBy(group) for totals (broadcast back — group
+    cardinality, not row cardinality) + ONE cumulative window on the
+    same group key (exchange reused). Weights must be non-negative;
+    groups with zero total keep nothing.
+    """
+    from pyspark.sql import Window
+
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("_tot")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(weight_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        df.join(F.broadcast(totals), group_col)
+        .withColumn("_cum", F.sum(F.col(weight_col).cast("double")).over(w))
+        .withColumn(
+            "_before", F.col("_cum") - F.col(weight_col).cast("double")
+        )
+    )
+    return (
+        cum.filter(
+            (F.col("_tot") > 0) & (F.col("_before") < p * F.col("_tot"))
+        )
+        .withColumn(
+            "cum_frac", F.round(F.col("_cum") / F.col("_tot"), 6) + F.lit(0.0)
+        )
+        .drop("_tot", "_cum", "_before")
+    )

@@ -79,6 +79,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_ewma",
     "q_emb_standardize",
     "q_docs_rrf_hybrid",
+    "q_docs_nucleus_select",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -1394,3 +1394,48 @@ def q_docs_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([bm, dn], "doc_id", k_rrf=60, topk=10)
+
+
+# --------------------------------------------------------------------------
+# Nucleus (top-p) per-domain selection
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_nucleus_select",
+    """
+    WITH t AS (
+      SELECT source, sum(CAST(n_chars AS DOUBLE)) AS tot
+      FROM documents GROUP BY source),
+    c AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS wgt,
+             sum(CAST(n_chars AS DOUBLE)) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    SELECT c.doc_id, c.source, round(c.cum / t.tot, 6) + 0.0 AS cum_frac
+    FROM c JOIN t USING (source)
+    WHERE t.tot > 0 AND (c.cum - c.wgt) < 0.8 * t.tot
+    """,
+    doc=(
+        "Top-p (nucleus) per-domain selection (operators/sampling."
+        "nucleus_select): per source, keep the minimal highest-weight "
+        "prefix covering 80% of the domain's total mass — the curation "
+        "analog of nucleus sampling; a fixed per-group k over-prunes "
+        "small domains and under-prunes large ones, a mass fraction "
+        "does neither. One groupBy for totals (broadcast back, group-"
+        "cardinality) + one cumulative window on the same group key. "
+        "Integer weights make the cumulative double sums EXACT (no "
+        "fold-order hazard below 2^53), so the gate is hash-exact with "
+        "the (weight desc, id) total order."
+    ),
+)
+def q_docs_nucleus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import nucleus_select
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return nucleus_select(docs, "source", "n_chars", "doc_id", p=0.8).select(
+        "doc_id", "source", "cum_frac"
+    )
