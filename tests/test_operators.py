@@ -2218,3 +2218,19 @@ def test_nucleus_select_minimal_prefix(spark):
     out = nucleus_select(df, "g", "w", "id", p=0.8)
     rows = {r["id"]: r["cum_frac"] for r in out.collect()}
     assert rows == {1: 0.5, 2: 0.8}
+
+
+def test_interval_union_length_hand_computed(spark):
+    """Overlapping [0,10),[5,15) merge to one island of 15; touching
+    [20,30),[30,40) merge (start == prev end is NOT a gap); [100,101)
+    is its own island. Totals: 3 islands, 15+20+1 = 36 covered."""
+    from ups_crossref_etl_spark.operators.timeseries import (
+        interval_union_length,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 15), (1, 20, 30), (1, 30, 40), (1, 100, 101)],
+        "k long, s long, e long",
+    )
+    r = interval_union_length(df, "k", "s", "e").collect()[0]
+    assert (r["n_intervals"], r["n_islands"], r["covered_total"]) == (5, 3, 36)

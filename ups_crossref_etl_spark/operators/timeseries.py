@@ -362,3 +362,58 @@ def windowed_ewma(
     return df.withColumn(
         "ewma", F.round(weighted / wsum, round_digits) + F.lit(0.0)
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total length of the UNION of (possibly overlapping) integer
+    intervals per key: ``(key_col, n_intervals, n_islands,
+    covered_total)`` — the gaps-and-islands reduction behind "total
+    active seconds per user", utilization, and coverage metrics, where
+    naive ``sum(end - start)`` double-counts overlaps.
+
+    Classic sweep: order intervals by (start, end); an interval opens a
+    new island iff its start exceeds the running max end of everything
+    before it; the cumulative island count labels islands; each island
+    contributes ``max(end) − min(start)``. All three steps are windows/
+    groupBys on the SAME key partitioning — one exchange total, and the
+    per-row state is two integers (the running max end), never a
+    collected interval list. Intervals must be integer-valued (epoch
+    seconds): every aggregate is exact, no float hazard.
+    """
+    w_ord = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    marked = df.withColumn(
+        "_new_island",
+        F.when(
+            F.col(start_col)
+            > F.coalesce(
+                F.max(end_col).over(w_prev), F.lit(None).cast("long")
+            ),
+            F.lit(1),
+        )
+        .otherwise(
+            F.when(
+                F.max(end_col).over(w_prev).isNull(), F.lit(1)
+            ).otherwise(F.lit(0))
+        ),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = marked.groupBy(key_col, "_island").agg(
+        F.min(start_col).alias("_s"),
+        F.max(end_col).alias("_e"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return islands.groupBy(key_col).agg(
+        F.sum("_n").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("covered_total"),
+    )

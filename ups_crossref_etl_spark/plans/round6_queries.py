@@ -1439,3 +1439,60 @@ def q_docs_nucleus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nucleus_select(docs, "source", "n_chars", "doc_id", p=0.8).select(
         "doc_id", "source", "cum_frac"
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-union coverage (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(
+                    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775807)
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    g AS (SELECT user_id, island, min(s) AS s, max(e) AS e, count(*) AS n
+          FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(e - s) AS BIGINT) AS covered_total
+    FROM g GROUP BY user_id
+    """,
+    doc=(
+        "Interval-union coverage per user (operators/timeseries."
+        "interval_union_length): each event opens a 5-minute activity "
+        "interval; total ACTIVE seconds = union length with overlaps "
+        "merged — the gaps-and-islands sweep behind utilization and "
+        "session-coverage metrics, where naive sum(end-start) double-"
+        "counts. New-island detection (start > running max end), island "
+        "labeling (cumulative sum) and island extents are all windows/"
+        "groupBys on the SAME user key — one exchange total, two-integer "
+        "running state, never a collected interval list. Integer epoch "
+        "arithmetic end-to-end: hash-exact oracle."
+    ),
+)
+def q_events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dates import epoch_seconds
+    from ..operators.timeseries import interval_union_length
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_seconds("ts").alias("s"),
+        (epoch_seconds("ts") + 300).alias("e"),
+    )
+    return interval_union_length(ev, "user_id", "s", "e")
