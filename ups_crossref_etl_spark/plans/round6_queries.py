@@ -1496,3 +1496,53 @@ def q_events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_seconds("ts") + 300).alias("e"),
     )
     return interval_union_length(ev, "user_id", "s", "e")
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov estimate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, sum(n) AS total_n FROM pairs GROUP BY 1)
+    SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n_transitions,
+           round(CAST(p.n AS DOUBLE) / tot.total_n, 4) AS p_next
+    FROM pairs p JOIN tot USING (prev_type)
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: lag window on the user key (one exchange), pair "
+        "counts map-side combinable, row-normalized into transition "
+        "probabilities — the sequence-model summary behind funnel "
+        "diagnostics and synthetic-session generation. n/t is an exact "
+        "integer ratio, so the 4-dp round is engine-stable."
+    ),
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("_n").alias("_t"))
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("_n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("_n").cast("double") / F.col("_t"), 4).alias("p_next"),
+    )
