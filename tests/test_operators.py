@@ -2234,3 +2234,31 @@ def test_interval_union_length_hand_computed(spark):
     )
     r = interval_union_length(df, "k", "s", "e").collect()[0]
     assert (r["n_intervals"], r["n_islands"], r["covered_total"]) == (5, 3, 36)
+
+
+def test_binary_auc_matches_closed_form(spark):
+    """Hand-checkable cases: perfect separation -> 1.0; perfect
+    inversion -> 0.0; all-tied scores -> 0.5 (midranks); degenerate
+    single-class input -> NULL."""
+    from ups_crossref_etl_spark.operators.evaluation import binary_auc
+
+    perfect = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    assert binary_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)], "s double, y int"
+    )
+    assert binary_auc(inverted, "s", "y").collect()[0]["auc"] == 0.0
+    tied = spark.createDataFrame(
+        [(5.0, 1), (5.0, 0), (5.0, 1), (5.0, 0)], "s double, y int"
+    )
+    assert binary_auc(tied, "s", "y").collect()[0]["auc"] == 0.5
+    onecls = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    assert binary_auc(onecls, "s", "y").collect()[0]["auc"] is None
+    # mixed ties: scores [1,1,2], labels [0,1,1]:
+    # avgranks: 1.5, 1.5, 3; AUC = (1.5+3 - 2*3/2) / (2*1) = 0.75
+    mixed = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (2.0, 1)], "s double, y int"
+    )
+    assert binary_auc(mixed, "s", "y").collect()[0]["auc"] == 0.75

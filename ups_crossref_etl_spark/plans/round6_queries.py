@@ -1546,3 +1546,52 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_n").cast("bigint").alias("n_transitions"),
         F.round(F.col("_n").cast("double") / F.col("_t"), 4).alias("p_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact distributed ROC-AUC
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_auc_lang_by_length",
+    """
+    WITH g AS (
+      SELECT n_chars AS s, count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT s, n, np,
+             coalesce(sum(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rows_before
+      FROM g)
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+           CASE WHEN sum(np) > 0 AND sum(n) - sum(np) > 0 THEN
+             round((sum(np * (rows_before + (n + 1) / 2.0))
+                    - sum(np) * (sum(np) + 1) / 2.0)
+                   / (sum(np) * (sum(n) - sum(np))), 6) + 0.0
+           END AS auc
+    FROM r
+    """,
+    doc=(
+        "Exact distributed ROC-AUC (operators/evaluation.binary_auc, "
+        "Mann-Whitney rank-sum with midrank ties — sklearn-identical): "
+        "does document length predict lang='en'? Evaluation-as-query: "
+        "at corpus scale the metric itself must distribute, so ranks "
+        "come from a per-distinct-score aggregate (the only corpus-"
+        "sized shuffle, map-side combinable) + ONE cumulative window "
+        "over the score-DISTINCT table — bounded because every scorer "
+        "here quantizes to 4 dp, and tiny next to the corpus. Integer/"
+        "rational arithmetic until the single final division: "
+        "hash-exact oracle."
+    ),
+)
+def q_docs_auc_lang_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import binary_auc
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return binary_auc(docs, "n_chars", "is_en")
