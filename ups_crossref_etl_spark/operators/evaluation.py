@@ -61,11 +61,11 @@ def binary_auc(
         (F.sum("_n") - F.sum("_np")).cast("bigint").alias("n_neg"),
         (
             F.round(
-                (
+                F.try_divide(  # NULL (not an ANSI error) on one-class input
                     F.sum(F.col("_np") * F.col("_avgrank"))
-                    - F.sum("_np") * (F.sum("_np") + 1) / 2.0
-                )
-                / (F.sum("_np") * (F.sum("_n") - F.sum("_np"))),
+                    - F.sum("_np") * (F.sum("_np") + 1) / 2.0,
+                    F.sum("_np") * (F.sum("_n") - F.sum("_np")),
+                ),
                 round_digits,
             )
             + F.lit(0.0)
