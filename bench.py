@@ -100,6 +100,15 @@ HEADLINE = [
     "q_events_cms_user_freq",
     "q_events_hll_rollup_bound",
     "q_emb_rp_project",
+    # round 6 (batch 4): smoothing, whitening, hybrid retrieval, curation,
+    # coverage, sequence stats, evaluation
+    "q_events_ewma",
+    "q_emb_standardize",
+    "q_docs_rrf_hybrid",
+    "q_docs_nucleus_select",
+    "q_events_interval_union",
+    "q_events_transition_matrix",
+    "q_docs_auc_lang_by_length",
 ]
 
 

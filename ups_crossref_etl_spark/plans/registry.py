@@ -92,7 +92,6 @@ _CHANGED_THIS_ROUND = [
     "q20_potential_promotion",
     "q_docs_bpe_encode",
     "q_docs_pack_bpe_sequences",
-    "q_emb_semantic_dedup_bound",
     "q_events_late_arrivals",
     "q_media_wav_features",
     "q_docs_char_entropy",
