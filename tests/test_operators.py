@@ -2262,3 +2262,24 @@ def test_binary_auc_matches_closed_form(spark):
         [(1.0, 0), (1.0, 1), (2.0, 1)], "s double, y int"
     )
     assert binary_auc(mixed, "s", "y").collect()[0]["auc"] == 0.75
+
+
+def test_table_digest_order_insensitive_and_null_sentinel(spark):
+    """Same multiset in different row orders -> same digest; changing a
+    cell changes it; NULL vs empty string hash differently."""
+    from ups_crossref_etl_spark.operators.profile import table_digest
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "z")], "k long, v string"
+    )
+    b = spark.createDataFrame(
+        [(3, "z"), (1, "x"), (2, None)], "k long, v string"
+    ).repartition(5)
+    da = table_digest(a, ["k", "v"]).collect()[0]
+    db = table_digest(b, ["k", "v"]).collect()[0]
+    assert (da["n_rows"], da["digest"]) == (db["n_rows"], db["digest"])
+    c = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, "z")], "k long, v string"
+    )
+    dc = table_digest(c, ["k", "v"]).collect()[0]
+    assert dc["digest"] != da["digest"]

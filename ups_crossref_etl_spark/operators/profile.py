@@ -111,3 +111,35 @@ def profile_drift(df_a: DataFrame, df_b: DataFrame, cols: list[str]) -> DataFram
             | (F.col("_max_a") != F.col("_max_b"))
         ).alias("bounds_changed"),
     )
+
+
+def table_digest(df, cols: list[str]):
+    """Order-insensitive content digest of selected columns: one row
+    ``(n_rows, digest)`` where ``digest = bit_xor`` of each row's md5_60
+    hash over the ``'|'``-joined column strings (nulls → the sentinel
+    ``<NULL>`` so (a, NULL) and (a, '') hash differently).
+
+    The snapshot-comparison primitive: after a migration/backfill/
+    compaction, ``digest(before) == digest(after)`` verifies content
+    equality without sorting or moving either table — one map-only scan
+    + a single-row XOR aggregate (commutative ⇒ partitioning- and
+    order-independent; map-side combinable). XOR cancels PAIRS of
+    identical rows, so this is an equality check for tables with the
+    same multiset parity, not a cryptographic commitment — the standard
+    trade for a free-aggregation digest; pair it with ``n_rows`` (also
+    returned) which catches the duplicated+dropped-row case. Columns
+    must be integer/string-typed: float-to-string rendering differs
+    across engines, so callers quantize/cast floats first.
+    """
+    from pyspark.sql import functions as F
+
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols
+    ]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10
+    ).cast("bigint")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor(h).alias("digest"),
+    )

@@ -1595,3 +1595,41 @@ def q_docs_auc_lang_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars", (F.col("lang") == "en").alias("is_en")
     )
     return binary_auc(docs, "n_chars", "is_en")
+
+
+# --------------------------------------------------------------------------
+# Order-insensitive table content digest
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_table_digest",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST('0x' || substr(md5(
+             coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+             coalesce(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
+             coalesce(o_orderstatus, '<NULL>') || '|' ||
+             coalesce(o_orderpriority, '<NULL>')), 1, 15) AS BIGINT))
+             AS digest
+    FROM orders
+    """,
+    doc=(
+        "Order-insensitive table content digest (operators/profile."
+        "table_digest): XOR of md5_60 row hashes over '|'-joined "
+        "key/status columns + row count — the snapshot-equality "
+        "primitive for verifying migrations/backfills/compactions "
+        "WITHOUT sorting or moving either table: one map-only scan, a "
+        "commutative single-row aggregate (partitioning- and order-"
+        "independent, map-side combinable). md5_60 + explicit NULL "
+        "sentinel make the digest engine-identical; the oracle computes "
+        "the same XOR in DuckDB."
+    ),
+)
+def q_orders_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import table_digest
+
+    o = read_table(spark, sf_dir, "orders")
+    return table_digest(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
