@@ -495,6 +495,53 @@ def rp_sign_matrix(dim: int, out_dim: int) -> list[list[int]]:
     ]
 
 
+def _rp_proj_col(vec_col: str, dim: int, out_dim: int, round_digits: int):
+    """The projected array as a Column (shared by rp_project and the
+    recall contract's ranking path)."""
+    signs = rp_sign_matrix(dim, out_dim)
+    scale = float(np.sqrt(out_dim))
+    return F.array(
+        *[
+            F.round(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(v)) for v in signs[j]]),
+                            lambda a, b: a.cast("double") * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    10,
+                )
+                / scale,
+                round_digits,
+            )
+            + F.lit(0.0)
+            for j in range(out_dim)
+        ]
+    )
+
+
+def rp_project_arr(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """``(id_col, proj array<double>)`` wide form of ``rp_project`` —
+    feed this to the cosine rankers; same arithmetic, same zero-shuffle
+    map-only shape."""
+    first = df.select(F.size(vec_col).alias("n")).first()
+    dim = int(first["n"])
+    return df.select(
+        F.col(id_col),
+        _rp_proj_col(vec_col, dim, out_dim, round_digits).alias("proj"),
+    )
+
+
 def rp_project(
     df: DataFrame,
     vec_col: str,
@@ -518,37 +565,12 @@ def rp_project(
     ulps. At 100 TB swap the per-row HOF fold for the Arrow matmul
     kernel (``band_signatures_udf``'s shape) — same matrix, same output.
     """
+    # raw fold quantized to 10 dp BEFORE the scale division (round-
+    # before-compare rule); division by √out_dim is exact for power-of-
+    # four out_dim; + 0.0 folds -0.0 to +0.0 (engines disagree on sign)
     first = df.select(F.size(vec_col).alias("n")).first()
     dim = int(first["n"])
-    signs = rp_sign_matrix(dim, out_dim)
-    scale = float(np.sqrt(out_dim))
-    # the raw fold is quantized to 10 dp BEFORE the scale division (the
-    # repo's round-before-compare rule): engines agree on the fold to
-    # ~1e-15 but not to the last ulp, and an ulp next to a 4-dp midpoint
-    # flips the final round; 10-dp quantization absorbs it, and dividing
-    # AFTER by √out_dim is exact when out_dim is a power of four
-    proj = F.array(
-        *[
-            F.round(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col),
-                            F.array(*[F.lit(float(s)) for s in signs[j]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    10,
-                )
-                / scale,
-                round_digits,
-            )
-            + F.lit(0.0)  # fold -0.0 to +0.0 (engines disagree on sign)
-            for j in range(out_dim)
-        ]
-    )
+    proj = _rp_proj_col(vec_col, dim, out_dim, round_digits)
     return df.select(F.col(id_col), F.posexplode(proj).alias("j", "val"))
 
 

