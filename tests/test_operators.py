@@ -2283,3 +2283,23 @@ def test_table_digest_order_insensitive_and_null_sentinel(spark):
     )
     dc = table_digest(c, ["k", "v"]).collect()[0]
     assert dc["digest"] != da["digest"]
+
+
+def test_mean_shift_scores_detects_level_change(spark):
+    """Series of 10 zeros then 10 tens (w=5): the score peaks at 5.0+
+    right after the jump once both windows are full, is 0 inside the
+    flat regions, and NULL while fewer than 2w rows precede."""
+    from ups_crossref_etl_spark.operators.timeseries import (
+        mean_shift_scores,
+    )
+
+    rows = [(1, t, 0.0 if t < 10 else 10.0) for t in range(20)]
+    df = spark.createDataFrame(rows, "k long, t long, value double")
+    out = {
+        r["t"]: r["shift_score"]
+        for r in mean_shift_scores(df, "k", ["t"], "value", w=5).collect()
+    }
+    assert all(out[t] is None for t in range(9))  # windows not yet full
+    assert out[9] == 0.0  # both windows in the flat region
+    assert out[14] == 10.0  # recent all 10s, prior all 0s
+    assert out[19] == 0.0  # both windows past the jump

@@ -417,3 +417,51 @@ def interval_union_length(
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
         F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("covered_total"),
     )
+
+
+def mean_shift_scores(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    w: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-window level-change (changepoint) scores per key: adds
+    ``shift_score = round(|mean(last w) − mean(previous w)|, 4)`` to
+    every row with two FULL windows behind it (earlier rows get NULL) —
+    the sliding mean-shift detector that flags level changes the
+    point-outlier z-score (``rolling_zscore_outliers``) misses.
+
+    Page's recursive CUSUM ``S_t = max(0, S_{t−1} + …)`` cannot be a
+    window function (the clamp breaks prefix-decomposability) — a
+    faithful port would be a sequential per-key scan. The two-window
+    form keeps the same detection role with TWO bounded frames over ONE
+    key-clustered sort: no recursion, constant per-row state,
+    partitioning-independent. Values are accumulated as integer
+    micro-units (exact for ≤6-dp inputs, same trick as
+    ``rolling_zscore_outliers``), so sums are order-exact and the gate
+    hash-compares.
+    """
+    micros = F.round(F.col(value_col) * 1_000_000).cast("long")
+    base = df.withColumn("_m", micros)
+    w_recent = (
+        Window.partitionBy(key_col).orderBy(*order_cols).rowsBetween(-(w - 1), 0)
+    )
+    w_prior = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(2 * w - 1), -w)
+    )
+    n_r = F.count(F.lit(1)).over(w_recent)
+    n_p = F.count(F.lit(1)).over(w_prior)
+    mean_r = F.sum("_m").over(w_recent) / n_r
+    mean_p = F.sum("_m").over(w_prior) / n_p
+    return base.withColumn(
+        "shift_score",
+        F.when(
+            (n_r == w) & (n_p == w),
+            F.round(F.abs(mean_r - mean_p) / 1_000_000.0, round_digits)
+            + F.lit(0.0),
+        ),
+    ).drop("_m")

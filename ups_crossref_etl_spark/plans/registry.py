@@ -85,6 +85,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_auc_lang_by_length",
     "q_orders_table_digest",
     "q_emb_rp_recall_bound",
+    "q_events_mean_shift",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -1708,3 +1708,50 @@ def q_emb_rp_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_h") >= 5).alias("pool_recall_ge_05"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-window mean-shift (changepoint) detection
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_mean_shift",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 1000000) AS BIGINT) AS m
+      FROM events),
+    s AS (
+      SELECT event_id,
+             count(*) OVER wr AS nr, count(*) OVER wp AS np,
+             sum(m) OVER wr AS sr, sum(m) OVER wp AS sp
+      FROM b
+      WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+             wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 19 PRECEDING AND 10 PRECEDING))
+    SELECT event_id,
+           CASE WHEN nr = 10 AND np = 10 THEN
+             round(abs(sr / nr - sp / np) / 1000000.0, 4) + 0.0
+           END AS shift_score
+    FROM s
+    """,
+    doc=(
+        "Two-window mean-shift changepoint scores per user (operators/"
+        "timeseries.mean_shift_scores): |mean(last 10) - mean(prior "
+        "10)| flags LEVEL changes the point-outlier z-score misses. "
+        "Page's recursive CUSUM clamp is not window-decomposable (it "
+        "would force a sequential per-key scan); the two-window form "
+        "keeps the detection role with two bounded frames over ONE "
+        "key-clustered sort — constant per-row state. Integer micro-"
+        "unit accumulation makes sums order-exact: hash-exact oracle."
+    ),
+)
+def q_events_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import mean_shift_scores
+
+    ev = read_table(spark, sf_dir, "events")
+    return mean_shift_scores(
+        ev, "user_id", ["ts", "event_id"], "value", w=10
+    ).select("event_id", "shift_score")
