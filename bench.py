@@ -109,6 +109,9 @@ HEADLINE = [
     "q_events_interval_union",
     "q_events_transition_matrix",
     "q_docs_auc_lang_by_length",
+    "q_orders_table_digest",
+    "q_events_mean_shift",
+    "q_emb_rp_recall_bound",
 ]
 
 
