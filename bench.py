@@ -112,6 +112,7 @@ HEADLINE = [
     "q_orders_table_digest",
     "q_events_mean_shift",
     "q_emb_rp_recall_bound",
+    "q_events_ab_readout",
 ]
 
 

@@ -86,6 +86,7 @@ _CHANGED_THIS_ROUND = [
     "q_orders_table_digest",
     "q_emb_rp_recall_bound",
     "q_events_mean_shift",
+    "q_events_ab_readout",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -1755,3 +1755,114 @@ def q_events_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_shift_scores(
         ev, "user_id", ["ts", "event_id"], "value", w=10
     ).select("event_id", "shift_score")
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout (hash-assigned arms, exact moments, Welch t)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_ab_readout",
+    """
+    WITH a AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('ab1-' ||
+                    CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(value * 1000000) AS BIGINT) AS m
+      FROM events WHERE value IS NOT NULL),
+    st AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             sum(m) AS s, sum(CAST(m AS HUGEINT) * m) AS s2
+      FROM a GROUP BY arm),
+    ms AS (
+      SELECT arm, n,
+             s / n / 1000000.0 AS mu,
+             (s2 / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE))
+              * (s / CAST(n AS DOUBLE)))
+               / (n - 1) / 1000000.0 / 1000000.0 AS var_over_n_unit
+      FROM st),
+    w AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             max(CASE WHEN arm = 'A' THEN mu END) AS mu_a,
+             max(CASE WHEN arm = 'B' THEN mu END) AS mu_b,
+             max(CASE WHEN arm = 'A' THEN var_over_n_unit END) AS va,
+             max(CASE WHEN arm = 'B' THEN var_over_n_unit END) AS vb
+      FROM ms)
+    SELECT n_a, n_b, round(mu_a, 4) + 0.0 AS mean_a,
+           round(mu_b, 4) + 0.0 AS mean_b,
+           round((mu_b - mu_a) / sqrt(va / n_a + vb / n_b), 4) + 0.0
+             AS welch_t
+    FROM w
+    """,
+    doc=(
+        "A/B experiment readout: users hash-assigned to arms (the "
+        "hash_bucket primitive — assignment is a pure function of the "
+        "key, so arms are stable as data grows and across engines), "
+        "per-arm mean and Welch t-statistic for the value metric. "
+        "Moments accumulate as integer micro-units (exact, order-"
+        "independent — the rolling_zscore trick) with sample variance "
+        "derived from (n, sum, sum-of-squares), i.e. one map-side-"
+        "combinable groupBy over the fact table and a 2-row pivot: "
+        "the whole experiment readout is a single cheap aggregate "
+        "however large the event log. Hash-exact oracle."
+    ),
+)
+def q_events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    a = ev.select(
+        F.when(hash_bucket(F.col("user_id"), "ab1", 2) == 0, "A")
+        .otherwise("B")
+        .alias("arm"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("_m"),
+    )
+    st = a.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_m").alias("s"),
+        # micro-units square to ~1e18 per row: a bigint accumulator
+        # overflows, so the squares sum in DECIMAL(38,0) (exact), the
+        # oracle's HUGEINT twin
+        F.sum(F.col("_m").cast("decimal(38,0)") * F.col("_m")).alias("s2"),
+    )
+    ms = st.select(
+        "arm",
+        "n",
+        (F.col("s") / F.col("n") / 1e6).alias("mu"),
+        (
+            (
+                F.col("s2") / F.col("n").cast("double")
+                - (F.col("s") / F.col("n").cast("double"))
+                * (F.col("s") / F.col("n").cast("double"))
+            )
+            / (F.col("n") - 1)
+            / 1e6
+            / 1e6
+        ).alias("v"),
+    )
+    w = ms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("mu"))).alias("mu_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("mu"))).alias("mu_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("v"))).alias("va"),
+        F.max(F.when(F.col("arm") == "B", F.col("v"))).alias("vb"),
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        (F.round(F.col("mu_a"), 4) + F.lit(0.0)).alias("mean_a"),
+        (F.round(F.col("mu_b"), 4) + F.lit(0.0)).alias("mean_b"),
+        (
+            F.round(
+                (F.col("mu_b") - F.col("mu_a"))
+                / F.sqrt(F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("welch_t"),
+    )
