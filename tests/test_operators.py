@@ -2303,3 +2303,27 @@ def test_mean_shift_scores_detects_level_change(spark):
     assert out[9] == 0.0  # both windows in the flat region
     assert out[14] == 10.0  # recent all 10s, prior all 0s
     assert out[19] == 0.0  # both windows past the jump
+
+
+def test_calibration_bins_shape_and_rates(spark):
+    """20 rows, scores 0..19, label = score >= 10, 4 bins of 5: bins
+    1-2 all negative, bins 3-4 all positive; mean scores are the bin
+    midpoints."""
+    from ups_crossref_etl_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i), 1 if i >= 10 else 0) for i in range(20)],
+        "id long, s double, y int",
+    )
+    out = {
+        r["bin"]: (r["n"], r["mean_score"], r["pos_rate"])
+        for r in calibration_bins(df, "s", "y", "id", n_bins=4).collect()
+    }
+    assert out == {
+        1: (5, 2.0, 0.0),
+        2: (5, 7.0, 0.0),
+        3: (5, 12.0, 1.0),
+        4: (5, 17.0, 1.0),
+    }

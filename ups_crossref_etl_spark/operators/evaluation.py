@@ -77,3 +77,46 @@ def binary_auc(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.col("auc")
         ).alias("auc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Reliability-diagram bins: rows ranked by score into ``n_bins``
+    equal-count bins (ntile over the (score, …) total order), per bin
+    the mean score and the observed positive rate —
+    ``(bin, n, mean_score, pos_rate)``. A well-calibrated scorer has
+    pos_rate tracking mean_score bin by bin; AUC (``binary_auc``) can
+    be high while calibration is junk, which is why both ship.
+
+    One global ntile window + one groupBy. The ntile window orders ALL
+    rows — at corpus scale swap the window for percentile-cutoff
+    assignment (``percentile_approx`` on the score → codegen bin
+    lookup), same output contract; the window form is the exact gate
+    reference. Scores must be quantized/integer so bin boundaries are
+    engine-deterministic (the repo's scorers all are).
+    """
+    w = Window.orderBy(score_col)
+    binned = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).withColumn("bin", F.ntile(n_bins).over(w.orderBy("_s")))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.avg("_s"), round_digits) + F.lit(0.0)).alias(
+                "mean_score"
+            ),
+            (
+                F.round(F.sum("_y") / F.count(F.lit(1)), round_digits)
+                + F.lit(0.0)
+            ).alias("pos_rate"),
+        )
+        .select(F.col("bin").cast("bigint").alias("bin"), "n", "mean_score", "pos_rate")
+    )

@@ -87,6 +87,7 @@ _CHANGED_THIS_ROUND = [
     "q_emb_rp_recall_bound",
     "q_events_mean_shift",
     "q_events_ab_readout",
+    "q_docs_calibration_bins",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -1866,3 +1866,44 @@ def q_events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("welch_t"),
     )
+
+
+# --------------------------------------------------------------------------
+# Calibration (reliability-diagram) bins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_calibration_bins",
+    """
+    WITH b AS (
+      SELECT CAST(n_chars AS DOUBLE) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id)
+               AS bin
+      FROM documents)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(s), 4) + 0.0 AS mean_score,
+           round(sum(y) / CAST(count(*) AS DOUBLE), 4) + 0.0 AS pos_rate
+    FROM b GROUP BY bin
+    """,
+    doc=(
+        "Reliability-diagram bins (operators/evaluation."
+        "calibration_bins): documents decile-binned by length, per bin "
+        "mean score vs observed lang='en' rate — calibration is the "
+        "complement AUC cannot see (a scorer can rank perfectly and "
+        "still be uncalibrated). The exact gate reference uses a total-"
+        "order ntile (ties split deterministically on doc_id); the "
+        "100 TB swap-in is percentile-cutoff bin assignment "
+        "(approx_percentile boundaries -> codegen lookup), same output "
+        "contract without the global window. Integer ratios: "
+        "hash-exact."
+    ),
+)
+def q_docs_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import calibration_bins
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return calibration_bins(docs, "n_chars", "is_en", "doc_id", n_bins=10)
