@@ -2327,3 +2327,23 @@ def test_calibration_bins_shape_and_rates(spark):
         3: (5, 12.0, 1.0),
         4: (5, 17.0, 1.0),
     }
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    """Two groups with shifted-identical shapes (a: 1..4, b: 101..104):
+    each group's values map onto the same global positions pattern, and
+    the extremes map to the global min/max."""
+    from ups_crossref_etl_spark.operators.corpus import quantile_normalize
+
+    rows = [("a", i, i) for i in range(1, 5)] + [
+        ("b", 100 + i, 100 + i) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = {r["id"]: r["norm_value"] for r in
+           quantile_normalize(df, "g", "v", "id").collect()}
+    # within-group pr: 0, 1/3, 2/3, 1 -> global pos round(pr*7)+1 = 1,3,6,8
+    # global sorted values: 1,2,3,4,101,102,103,104
+    assert out[1] == 1 and out[101] == 1      # both group minima -> global min
+    assert out[4] == 104 and out[104] == 104  # both maxima -> global max
+    assert out[2] == 3 and out[102] == 3      # pr=1/3 -> pos 3
+    assert out[3] == 102 and out[103] == 102  # pr=2/3 -> pos 6

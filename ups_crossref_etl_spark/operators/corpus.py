@@ -96,3 +96,47 @@ def percentile_trim(
     return df.crossJoin(F.broadcast(cuts)).filter(
         (F.col(num_col) >= F.col("_lo")) & (F.col(num_col) <= F.col("_hi"))
     ).drop("_lo", "_hi")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Map each group's value distribution onto the GLOBAL distribution:
+    ``(id_col, group_col, value_col, norm_value)`` where ``norm_value``
+    is the global value at the row's within-group percent-rank — after
+    which a single global threshold treats every domain fairly (the fix
+    for "domain A's quality scores run hot, so a global cut keeps all
+    of A and none of B"; rank-based, so monotone per-domain score
+    transforms don't change the outcome at all).
+
+    Exact reference shape: within-group percent_rank (group-keyed
+    window), a global row_number over (value, group, id) — a total
+    order, so ties map deterministically — and a position join
+    ``round(pr·(N−1)) + 1``. The global window is the oracle-exact
+    formulation; at 100 TB swap it for an ``approx_percentile`` grid of
+    the global distribution joined on the rounded rank (same contract,
+    no single-partition sort).
+    """
+    from pyspark.sql import Window
+
+    n = df.count()
+    w_g = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    w_all = Window.orderBy(value_col, group_col, id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.percent_rank().over(w_g).alias("_pr"),
+    ).withColumn(
+        "_pos", (F.round(F.col("_pr") * (n - 1)) + 1).cast("bigint")
+    )
+    glob = df.select(
+        F.col(value_col).alias("norm_value"),
+        F.row_number().over(w_all).alias("_pos"),
+    )
+    return ranked.join(glob, "_pos").select(
+        id_col, group_col, value_col, "norm_value"
+    )

@@ -1907,3 +1907,50 @@ def q_docs_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars", (F.col("lang") == "en").alias("is_en")
     )
     return calibration_bins(docs, "n_chars", "is_en", "doc_id", n_bins=10)
+
+
+# --------------------------------------------------------------------------
+# Cross-domain quantile normalization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_quantile_normalize",
+    """
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, n_chars,
+             CAST(round(pr * (n.n - 1)) + 1 AS BIGINT) AS pos
+      FROM r CROSS JOIN n),
+    g AS (
+      SELECT n_chars AS norm_value,
+             row_number() OVER (ORDER BY n_chars, source, doc_id) AS pos
+      FROM documents)
+    SELECT p.doc_id, p.source, p.n_chars, g.norm_value
+    FROM p JOIN g USING (pos)
+    """,
+    doc=(
+        "Cross-domain quantile normalization (operators/corpus."
+        "quantile_normalize): map every domain's length distribution "
+        "onto the global one via within-domain percent-rank -> global "
+        "rank-position lookup, so one global threshold treats hot- and "
+        "cold-scoring domains fairly (rank-based: monotone per-domain "
+        "score transforms change nothing). Total orders everywhere "
+        "(doc_id tiebreaks) make the mapping engine-deterministic; the "
+        "global row_number is the oracle-exact reference, with the "
+        "documented 100 TB swap-in being an approx_percentile grid "
+        "joined on the rounded rank."
+    ),
+)
+def q_docs_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import quantile_normalize
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")
