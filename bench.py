@@ -113,6 +113,8 @@ HEADLINE = [
     "q_events_mean_shift",
     "q_emb_rp_recall_bound",
     "q_events_ab_readout",
+    "q_docs_calibration_bins",
+    "q_docs_quantile_normalize",
 ]
 
 

@@ -757,3 +757,47 @@ def test_standardize_stats_partial_agg_and_broadcast(spark, sf_dir):
     plan = _plan(standardize_embeddings(emb, "embedding", "vec_id"))
     assert "partial_sum" in plan or "partial" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_single_key_exchange_window_family(spark, sf_dir):
+    """The round-6 window operators claim ONE key-clustered exchange
+    each (EWMA, interval union, mean shift) and two for nucleus
+    (totals agg + window) — pin the counts so a refactor that loses
+    exchange reuse is caught."""
+    from ups_crossref_etl_spark.functions.dates import epoch_seconds
+    from ups_crossref_etl_spark.operators.sampling import nucleus_select
+    from ups_crossref_etl_spark.operators.timeseries import (
+        interval_union_length,
+        mean_shift_scores,
+        windowed_ewma,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def n_ex(df):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "Exchange SinglePartition" not in p
+        return p.count("Exchange hashpartitioning")
+
+    assert n_ex(
+        windowed_ewma(
+            ev.filter(F.col("value").isNotNull()),
+            "user_id", ["ts", "event_id"], "value", alpha=0.5,
+        )
+    ) == 1
+    iv = ev.select(
+        "user_id",
+        epoch_seconds("ts").alias("s"),
+        (epoch_seconds("ts") + 300).alias("e"),
+    )
+    assert n_ex(interval_union_length(iv, "user_id", "s", "e")) == 1
+    assert n_ex(
+        mean_shift_scores(ev, "user_id", ["ts", "event_id"], "value", w=10)
+    ) == 1
+    assert n_ex(
+        nucleus_select(docs, "source", "n_chars", "doc_id", p=0.8)
+    ) == 2
