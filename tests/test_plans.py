@@ -801,3 +801,15 @@ def test_single_key_exchange_window_family(spark, sf_dir):
     assert n_ex(
         nucleus_select(docs, "source", "n_chars", "doc_id", p=0.8)
     ) == 2
+
+
+def test_approx_bin_assign_zero_shuffle(spark, sf_dir):
+    """The percentile-cutoff binning claim: assignment is a codegen
+    comparison chain that fuses into the scan — no Exchange at all."""
+    from ups_crossref_etl_spark.operators.evaluation import (
+        approx_bin_assign,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = _plan(approx_bin_assign(docs, "n_chars", n_bins=10))
+    assert "Exchange" not in plan

@@ -120,3 +120,34 @@ def calibration_bins(
         )
         .select(F.col("bin").cast("bigint").alias("bin"), "n", "mean_score", "pos_rate")
     )
+
+
+def approx_bin_assign(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+):
+    """The 100 TB swap-in for ``calibration_bins``/``quantile_normalize``
+    rank windows: bin by APPROXIMATE percentile cutoffs instead of a
+    global sort. One single-pass ``percentile_approx`` aggregate yields
+    the ``n_bins − 1`` interior cutoffs (model state, broadcast as plan
+    literals); assignment is then a row-local codegen comparison chain —
+    zero shuffles, fuses into any scan. Adds ``bin`` (1-based). Bins are
+    approximately equal-count (sketch error ~1/accuracy of rank);
+    deterministic for fixed input — Spark's Greenwald-Khanna sketch has
+    no randomness — but NOT engine-reproducible, so gates pin balance
+    bounds rather than exact bins.
+    """
+    from pyspark.sql import functions as F
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.percentile_approx(value_col, qs, accuracy).alias("c")
+    ).first()["c"]
+    expr = F.lit(n_bins)
+    for i in range(n_bins - 1, 0, -1):
+        expr = F.when(F.col(value_col) <= F.lit(cuts[i - 1]), F.lit(i)).otherwise(
+            expr
+        )
+    return df.withColumn("bin", expr.cast("bigint"))

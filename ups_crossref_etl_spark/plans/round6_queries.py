@@ -1954,3 +1954,69 @@ def q_docs_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Approx-percentile bin assignment (the scale swap-in, bound-contracted)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_approx_bins_bound",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(10 AS BIGINT) AS n_bins_used,
+           TRUE AS every_bin_within_50pct_of_ideal,
+           TRUE AS bins_monotone_in_score
+    FROM documents
+    """,
+    doc=(
+        "Contract for the zero-shuffle percentile-cutoff binning "
+        "(operators/evaluation.approx_bin_assign) — the documented "
+        "100 TB swap-in for the exact ntile references: one single-pass "
+        "percentile_approx gives the cutoffs (plan-literal model "
+        "state), assignment is a codegen comparison chain that fuses "
+        "into the scan. Pinned: all 10 bins occupied, every bin within "
+        "50% of ideal equal-count size (sketch error is far smaller; "
+        "the slack absorbs tie plateaus), and bin means monotone in "
+        "the score — the property calibration consumers rely on."
+    ),
+)
+def q_docs_approx_bins_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import approx_bin_assign
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = approx_bin_assign(docs, "n_chars", n_bins=10)
+    stats = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("n_chars").alias("_mu")
+    )
+    n = docs.count()
+    ideal = n / 10.0
+    from pyspark.sql import Window
+
+    mono = (
+        stats.select(
+            "bin",
+            "_mu",
+            F.lag("_mu").over(Window.orderBy("bin")).alias("_prev"),
+        )
+        .select(
+            F.when(F.col("_mu") < F.col("_prev"), 1).otherwise(0).alias("_v")
+        )
+        .agg(F.max("_v").alias("_viol"))
+    )
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.max(F.abs(F.col("_n") - ideal) / ideal).alias("_dev"),
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(agg)
+        .crossJoin(mono)
+        .select(
+            "n_docs",
+            F.col("_nb").cast("bigint").alias("n_bins_used"),
+            (F.col("_dev") <= 0.5).alias("every_bin_within_50pct_of_ideal"),
+            (F.col("_viol") == 0).alias("bins_monotone_in_score"),
+        )
+    )
