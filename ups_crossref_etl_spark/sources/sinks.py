@@ -238,3 +238,40 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int = 64,
+    seed: str = "shard",
+    mode: str = "overwrite",
+) -> None:
+    """``write_training_shards``'s JSON-Lines twin — the interchange
+    format most LLM dataloaders and curation tools consume directly
+    (one JSON object per line, ``shard=NNN/part-*.txt``). Identical
+    deterministic hash-shard assignment and within-shard key ordering,
+    so exports are resumable and byte-reproducible; each line is
+    ``to_json`` over the full row struct (field order = column order).
+    Text encoding costs ~2-4x parquet bytes — this sink is for
+    interchange at the pipeline edge, parquet shards for storage."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import hash_bucket
+
+    cols = [c for c in df.columns]
+    sharded = df.withColumn(
+        "shard", hash_bucket(F.col(key_col), seed, num_shards)
+    )
+    (
+        sharded.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", key_col)
+        .select(
+            "shard",
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+        )
+        .write.mode(mode)
+        .partitionBy("shard")
+        .text(path)
+    )
