@@ -813,3 +813,37 @@ def test_approx_bin_assign_zero_shuffle(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     plan = _plan(approx_bin_assign(docs, "n_chars", n_bins=10))
     assert "Exchange" not in plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark, sf_dir):
+    """CMS probes must take a broadcast join against the fixed-size
+    counter table — a shuffled join would move the probe relation on
+    (d, slot) for a table that is depth x width rows by construction."""
+    from ups_crossref_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", width=1024, depth=3)
+    probe = ev.filter(F.col("user_id") < 40).select("user_id").distinct()
+    plan = _plan(cms_estimate(probe, "user_id", cms, width=1024, depth=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_rollup_partial_aggregates(spark, sf_dir):
+    """Sketch build and union must both partial-agg map-side — the
+    shuffle carries per-group KB binaries, never event rows twice."""
+    from ups_crossref_etl_spark.operators.sketches import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_sketch_table(ev, "user_id", ["event_type", "day"])
+    plan = _plan(hll_rollup(daily, ["event_type"]))
+    assert plan.count("HashAggregate") >= 4  # partial+final at both grains
+    assert "partial" in plan.lower()
