@@ -140,3 +140,42 @@ def quantile_normalize(
     return ranked.join(glob, "_pos").select(
         id_col, group_col, value_col, "norm_value"
     )
+
+
+def quantile_normalize_approx(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    grid: int = 200,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """``quantile_normalize``'s scale swap-in: instead of a global
+    row_number sort, the global distribution is summarized ONCE by an
+    ``approx_percentile`` grid (``grid + 1`` cutpoints — model state,
+    inlined as a plan literal), and each row maps to the grid value at
+    its within-group percent-rank. Same output contract
+    ``(id, group, value, norm_value)``; norm_value is now one of the
+    grid values (quantization error ≤ the spacing between adjacent
+    grid quantiles — tighten with ``grid``), and the only shuffle left
+    is the group-keyed rank window. Deterministic for fixed input, but
+    the sketch is engine-specific — gate with a bound contract
+    (monotonicity + range + group-alignment), not hash equality.
+    """
+    from pyspark.sql import Window
+
+    qs = [i / grid for i in range(grid + 1)]
+    cuts = df.agg(
+        F.percentile_approx(value_col, qs, accuracy).alias("c")
+    ).first()["c"]
+    garr = F.array(*[F.lit(float(c)) for c in cuts])
+    w_g = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.element_at(
+            garr,
+            (F.round(F.percent_rank().over(w_g) * grid) + 1).cast("int"),
+        ).alias("norm_value"),
+    )

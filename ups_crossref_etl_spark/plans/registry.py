@@ -90,6 +90,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_calibration_bins",
     "q_docs_quantile_normalize",
     "q_docs_approx_bins_bound",
+    "q_docs_quantile_normalize_approx_bound",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -2020,3 +2020,85 @@ def q_docs_approx_bins_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_viol") == 0).alias("bins_monotone_in_score"),
         )
     )
+
+
+@register(
+    "q_docs_quantile_normalize_approx_bound",
+    """
+    WITH st AS (
+      SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           TRUE AS norms_within_global_range,
+           TRUE AS monotone_within_every_group,
+           TRUE AS group_extremes_align
+    FROM st
+    """,
+    doc=(
+        "Bound contract for the approx-grid quantile normalization "
+        "(operators/corpus.quantile_normalize_approx — the scale "
+        "swap-in for q_docs_quantile_normalize's exact global sort): "
+        "all normalized values stay inside the global [min, max], the "
+        "mapping is monotone within every group (rank-based by "
+        "construction — a violation means the grid lookup broke), and "
+        "every group's minimum maps to the global grid floor and "
+        "maximum to the grid ceiling. The sketch is engine-specific, "
+        "so the gate pins invariants rather than hash equality."
+    ),
+)
+def q_docs_quantile_normalize_approx_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.corpus import quantile_normalize_approx
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = quantile_normalize_approx(docs, "source", "n_chars", "doc_id")
+    rng = docs.agg(
+        F.min("n_chars").alias("_lo"), F.max("n_chars").alias("_hi")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    mono = (
+        out.withColumn("_prev", F.lag("norm_value").over(w))
+        .select(
+            F.when(F.col("norm_value") < F.col("_prev"), 1)
+            .otherwise(0)
+            .alias("_v")
+        )
+        .agg(F.max("_v").alias("_viol"))
+    )
+    ext = (
+        out.groupBy("source")
+        .agg(
+            F.min("norm_value").alias("_gmin"),
+            F.max("norm_value").alias("_gmax"),
+        )
+        .agg(
+            F.count_distinct("_gmin").alias("_nmin"),
+            F.count_distinct("_gmax").alias("_nmax"),
+        )
+    )
+    chk = out.crossJoin(rng).agg(
+        F.max(
+            F.when(
+                (F.col("norm_value") < F.col("_lo"))
+                | (F.col("norm_value") > F.col("_hi")),
+                1,
+            ).otherwise(0)
+        ).alias("_oob"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        chk.crossJoin(mono)
+        .crossJoin(ext)
+        .select(
+            "n_docs",
+            (F.col("_oob") == 0).alias("norms_within_global_range"),
+            (F.col("_viol") == 0).alias("monotone_within_every_group"),
+            ((F.col("_nmin") == 1) & (F.col("_nmax") == 1)).alias(
+                "group_extremes_align"
+            ),
+        )
+    )
