@@ -2347,3 +2347,29 @@ def test_quantile_normalize_aligns_distributions(spark):
     assert out[4] == 104 and out[104] == 104  # both maxima -> global max
     assert out[2] == 3 and out[102] == 3      # pr=1/3 -> pos 3
     assert out[3] == 102 and out[103] == 102  # pr=2/3 -> pos 6
+
+
+def test_wav_spectrum_detects_tone(spark):
+    """A bin-aligned 1000 Hz tone (bin 32 at 256 samples / 8 kHz) must
+    put the FFT argmax exactly on bin 32; a garbage payload reports
+    decode_ok=False."""
+    import math
+
+    from ups_crossref_etl_spark.operators.multimodal import (
+        extract_wav_spectrum,
+        wav_encode_pcm16,
+    )
+
+    samples = [
+        int(round(30000 * math.sin(2 * math.pi * 1000 * i / 8000)))
+        for i in range(256)
+    ]
+    wav = wav_encode_pcm16(samples, rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a wav"))],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in extract_wav_spectrum(df).collect()}
+    assert out[1]["decode_ok"] and out[1]["dominant_bin"] == 32
+    assert abs(out[1]["dominant_hz"] - 1000.0) < 1e-9
+    assert not out[2]["decode_ok"]

@@ -443,3 +443,59 @@ def media_stats(df: DataFrame) -> DataFrame:
             F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
         )
     )
+
+
+WAV_SPECTRUM_SCHEMA = (
+    "asset_id bigint, n_samples int, dominant_bin int, dominant_hz double, "
+    "spectral_centroid_hz double, decode_ok boolean"
+)
+
+
+def extract_wav_spectrum(df: DataFrame) -> DataFrame:
+    """REAL frequency-domain features over PCM WAV payloads: rFFT
+    magnitude spectrum → dominant frequency (argmax bin, DC excluded)
+    and spectral centroid — the audio fingerprinting/quality seam a
+    media pipeline runs after decode. Same mapInPandas/Arrow kernel
+    shape as every decode here; numpy's rfft is the vectorized hot loop
+    (O(n log n) per clip, clips bounded by maxPartitionBytes).
+
+    Determinism note for gates: a pure tone BIN-ALIGNED to the FFT grid
+    (freq = k·rate/n for integer k) puts the argmax exactly at bin k
+    regardless of float noise, so dominant_hz is analytically
+    predictable; the centroid is float-accumulated and engine-local —
+    contract-check it (range, monotonicity), don't hash it.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r["payload"]
+                try:
+                    x, rate = decode_wav(bytes(p)) if p else (None, 0)
+                except ValueError:
+                    x = None
+                if x is None or len(x) < 4 or not rate:
+                    rows.append((r["asset_id"], 0, 0, 0.0, 0.0, False))
+                    continue
+                n = len(x)
+                mag = np.abs(np.fft.rfft(x))
+                mag[0] = 0.0  # exclude DC from the dominant-bin search
+                k = int(np.argmax(mag))
+                total = float(mag.sum())
+                freqs = np.arange(len(mag)) * (rate / n)
+                centroid = float((freqs * mag).sum() / total) if total else 0.0
+                rows.append(
+                    (r["asset_id"], n, k, k * rate / n, centroid, True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_samples", "dominant_bin", "dominant_hz",
+                    "spectral_centroid_hz", "decode_ok",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        kernel, WAV_SPECTRUM_SCHEMA
+    )

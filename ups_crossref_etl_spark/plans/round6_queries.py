@@ -2102,3 +2102,64 @@ def q_docs_quantile_normalize_approx_bound(
             ),
         )
     )
+
+
+@register(
+    "q_media_wav_spectrum",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(16 + (doc_id % 8) * 8 AS BIGINT) AS dominant_bin,
+           round((16 + (doc_id % 8) * 8) * 31.25, 2) + 0.0 AS dominant_hz,
+           TRUE AS centroid_in_band,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+    doc=(
+        "REAL FFT through the driver gate (operators/multimodal."
+        "extract_wav_spectrum): per document a genuine PCM-16 WAV pure "
+        "tone is synthesized at freq (16 + doc_id%8*8) x 31.25 Hz — "
+        "BIN-ALIGNED to the 256-sample/8 kHz rFFT grid, so the decoded "
+        "spectrum's argmax lands EXACTLY on the predicted bin however "
+        "the float noise falls, making dominant_bin/dominant_hz "
+        "analytically oracle-able with no FFT in DuckDB. The float-"
+        "accumulated spectral centroid is contract-checked (within "
+        "[dominant/2, Nyquist] — a pure tone's centroid hugs its "
+        "frequency but int16 quantization adds a broadband floor)."
+    ),
+)
+def q_media_wav_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import extract_wav_spectrum, wav_encode_pcm16
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                k = 16 + int(did) % 8 * 8
+                f = k * 8000 / 256
+                samples = [
+                    int(round(30000 * math.sin(2 * math.pi * f * i / 8000)))
+                    for i in range(256)
+                ]
+                payloads.append(wav_encode_pcm16(samples, rate=8000))
+            yield pd.DataFrame({"asset_id": b["doc_id"], "payload": payloads})
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth, "asset_id bigint, payload binary")
+    sp = extract_wav_spectrum(media)
+    return sp.select(
+        "asset_id",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("dominant_bin").cast("bigint").alias("dominant_bin"),
+        (F.round("dominant_hz", 2) + F.lit(0.0)).alias("dominant_hz"),
+        (
+            (F.col("spectral_centroid_hz") >= F.col("dominant_hz") / 2)
+            & (F.col("spectral_centroid_hz") <= 4000.0)
+        ).alias("centroid_in_band"),
+        "decode_ok",
+    )
