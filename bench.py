@@ -115,6 +115,8 @@ HEADLINE = [
     "q_events_ab_readout",
     "q_docs_calibration_bins",
     "q_docs_quantile_normalize",
+    "q_docs_quantile_normalize_approx_bound",
+    "q_media_wav_spectrum",
 ]
 
 
