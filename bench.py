@@ -117,6 +117,7 @@ HEADLINE = [
     "q_docs_quantile_normalize",
     "q_docs_quantile_normalize_approx_bound",
     "q_media_wav_spectrum",
+    "q_stream_trending_topk",
 ]
 
 

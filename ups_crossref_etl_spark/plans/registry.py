@@ -92,6 +92,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_approx_bins_bound",
     "q_docs_quantile_normalize_approx_bound",
     "q_media_wav_spectrum",
+    "q_stream_trending_topk",
     "q_media_bmp_features",
     "q_media_image_neardup",
     "q2_min_cost_supplier",

@@ -202,3 +202,36 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_sliding_10m5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(se.sliding_avg(se.stream_events(spark, sf_dir)))
+
+
+@register(
+    "q_stream_trending_topk",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+             CAST(n AS BIGINT) AS n_events,
+             row_number() OVER (PARTITION BY w
+                                ORDER BY n DESC, event_type) AS rank
+      FROM c)
+    SELECT win_start, event_type, n_events, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    doc=(
+        "STREAMING per-trigger trending (streaming/events.trending_topk "
+        "vs the batch rank oracle): top-3 event types per tumbling "
+        "window, re-ranked every micro-batch inside foreachBatch — the "
+        "correct home for rank-over-stream, which Structured Streaming "
+        "forbids in-plan because ranks aren't incrementally "
+        "maintainable. The streaming plan maintains only bounded "
+        "(window, type) counts; the per-trigger rank is one window "
+        "function over that aggregate, never over events."
+    ),
+)
+def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import events as se
+
+    return se.trending_topk(se.stream_events(spark, sf_dir))

@@ -487,3 +487,57 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     )
     q.processAllAvailable()
     return q
+
+
+def trending_topk(
+    events: DataFrame, window: str = "5 minutes", k: int = 3
+) -> DataFrame:
+    """Per-trigger trending: top-``k`` event types per tumbling window,
+    re-ranked on EVERY micro-batch via ``foreachBatch`` — the correct
+    home for rank-over-stream, which Structured Streaming forbids
+    in-plan (a rank is not incrementally maintainable; per-trigger
+    ranking of the maintained counts is). The streaming plan maintains
+    only the (window, type) counts — bounded state; the rank runs on
+    that aggregate as a BATCH DataFrame inside the sink, so it is one
+    window function over |windows|x|types| rows per trigger, never over
+    events. Returns the final trigger's top-k table (ties break on
+    event_type for a total order)."""
+    from pyspark.sql import Window as W
+
+    agg = events.groupBy(
+        F.window("ts", window).alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    out: list = []
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        w = W.partitionBy("win").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        ranked = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "event_type",
+                F.col("n_events").cast("long"),
+                F.col("rank").cast("long"),
+            )
+        )
+        out.clear()  # keep only the latest trigger's ranking
+        out.extend([tuple(r) for r in ranked.collect()])
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return events.sparkSession.createDataFrame(
+        out, "win_start string, event_type string, n_events long, rank long"
+    )
