@@ -391,3 +391,42 @@ def test_late_data_accounting_nonzero_drops(spark, tmp_path):
     assert listener.n_dropped == stats["n_dropped"]
     # and the dropped rows are really absent from the emitted windows
     assert sum(r["n_events"] for r in rows) <= len(fresh) + len(fresh2)
+
+
+def test_trending_topk_matches_batch_rank(spark, sf_dir):
+    """The per-trigger rank over maintained counts must equal the batch
+    rank over the same tumbling counts (single-file stream -> the final
+    trigger sees everything)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.sources.lake import read_table
+    from ups_crossref_etl_spark.streaming import events as se
+
+    got = {
+        tuple(r)
+        for r in se.trending_topk(se.stream_events(spark, sf_dir)).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("win").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    exp = {
+        tuple(r)
+        for r in (
+            ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "event_type",
+                F.col("n_events").cast("long"),
+                F.col("rank").cast("long"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp and len(got) > 0
