@@ -55,11 +55,13 @@ _ROUND = 6
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 6: every NEW round-6 query
-#: (round6_queries module), plus ``q_docs_weighted_sample`` (clock now
-#: quantized to 12 dp on both engines) and ``q_emb_mmr_diverse_topk``
-#: (driver greedy switched to half-away-from-zero rounding) whose
-#: code/oracle changed this round.
+#: (first ~50 entries) re-verifies them. Round 6 (45 entries, listed in
+#: landing order): every query ADDED this round (the round6_queries
+#: module plus ``q_stream_trending_topk`` in streaming_queries), the
+#: queries whose operators changed (CC pointer-halving, semantic_edges
+#: block kernel, kmeans partial-sum rewrite, walk degree cap), and two
+#: rounding-rule fixes carried from early round 6
+#: (``q_docs_weighted_sample``, ``q_emb_mmr_diverse_topk``).
 _CHANGED_THIS_ROUND = [
     "q_docs_nb_langid",
     "q_events_mv_merge",
