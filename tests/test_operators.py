@@ -2446,3 +2446,23 @@ def test_transition_and_ab_readout_queries_hand_checked(spark, tmp_path):
     assert tm == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
     ab = qs["q_events_ab_readout"].fn(spark, p).collect()[0]
     assert ab["n_a"] + ab["n_b"] == 5 and ab["n_a"] > 0 and ab["n_b"] > 0
+
+
+def test_rp_two_stage_topk_subset_of_pool_and_exact_at_full_pool(spark, sf_dir):
+    """With pool_frac=1.0 the two-stage result must equal exact brute
+    force (stage 1 keeps everything); with a partial pool it returns k
+    rows whose cosines are computed on the FULL vectors."""
+    from ups_crossref_etl_spark.operators import similarity as sim
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [tuple(r) for r in sim.brute_force_topk(emb, q, k=10).collect()]
+    full = [tuple(r) for r in sim.rp_two_stage_topk(emb, q, k=10, pool_frac=1.0).collect()]
+    assert full == exact
+    part = sim.rp_two_stage_topk(emb, q, k=10, pool_frac=0.3).collect()
+    assert len(part) == 10
+    exact_cos = dict(exact)
+    for r in part:
+        if r["vec_id"] in exact_cos:
+            assert r["cos_sim"] == exact_cos[r["vec_id"]]

@@ -648,3 +648,39 @@ def standardize_embeddings(
             + F.lit(0.0)
         ).alias("zval"),
     )
+
+
+def rp_two_stage_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool_frac: float = 0.3,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-stage ANN with the JL projection: stage 1 ranks the 16-dim
+    PROJECTED vectors (4× fewer scan bytes than the raw embeddings) and
+    keeps the top ``pool_frac`` as candidates; stage 2 exact-reranks
+    only the pool on the full vectors. Same output contract as
+    ``brute_force_topk``; quality pinned by ``q_emb_rp_recall_bound``.
+    At 100 TB the projected column is materialized at ingest (a narrow
+    map-only write), so stage 1 never touches the wide embedding bytes.
+    """
+    dim = len(query_vec)
+    m = np.asarray(rp_sign_matrix(dim, out_dim), dtype=np.float64)
+    scale = float(np.sqrt(out_dim))
+    qp = [
+        round(round(float(s), 10) / scale, round_digits) + 0.0
+        for s in (m @ np.asarray(query_vec, dtype=np.float64))
+    ]
+    n = df.count()
+    pool = max(k, int(pool_frac * n))
+    proj = rp_project_arr(df, vec_col, id_col, out_dim, round_digits)
+    cand = brute_force_topk(
+        proj, qp, k=pool, id_col=id_col, vec_col="proj"
+    ).select(id_col)
+    return brute_force_topk(
+        df.join(cand, id_col), query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )

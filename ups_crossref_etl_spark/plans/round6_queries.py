@@ -2163,3 +2163,23 @@ def q_media_wav_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_in_band"),
         "decode_ok",
     )
+
+
+@register(
+    "q_emb_rp_two_stage_topk",
+    None,  # approximate — quality pinned by q_emb_rp_recall_bound
+    gate=False,
+    doc=(
+        "Operational two-stage JL retrieval (operators/similarity."
+        "rp_two_stage_topk): projected 16-dim pool cut (4x fewer scan "
+        "bytes; at scale the projected column is materialized at "
+        "ingest) + exact rerank of the pool on full vectors. Quality "
+        "contract: q_emb_rp_recall_bound."
+    ),
+)
+def q_emb_rp_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rp_two_stage_topk
+    from .similarity_queries import _query_vec
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return rp_two_stage_topk(emb, _query_vec(spark, sf_dir), k=10)
