@@ -156,3 +156,71 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         ["a", "c"],
     )
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def kcore(
+    edges: DataFrame, k: int = 3, max_iter: int = 50, strict: bool = True
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where every
+    node has degree ≥ ``k`` within the subgraph. Returns
+    ``(node, core_degree)`` for surviving nodes — the classic
+    peel: repeatedly delete nodes of degree < k (deleting a node lowers
+    its neighbours' degrees, which can push THEM under k) until a
+    fixpoint. The standard corpus-graph quality/centrality signal
+    (dense-core extraction over citation / co-occurrence / near-dup
+    graphs) and a spam-farm detector.
+
+    Scale shape: each round is one degree aggregate (groupBy node over
+    the surviving symmetric edges, map-side combined) plus one semi-join
+    filtering the edge set to surviving endpoints — both keyed on node
+    ids; nothing pairwise, no window. Rounds needed = peel depth, which
+    is small for real graphs (a node sequence each unlocking the next is
+    the worst case); ``localCheckpoint`` truncates lineage per round.
+    The peel step is IDEMPOTENT at the fixpoint (applying it to a
+    converged subgraph changes nothing), which is what lets the SQL
+    oracle over-unroll a fixed number of rounds safely.
+
+    Convergence is verified (limit(1) probe); exhausting ``max_iter``
+    with deletions still occurring raises (``strict=True``, default —
+    a partial peel over-reports the core) or warns.
+    """
+    import warnings
+
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("src")
+        pruned = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        # the symmetric edge set only ever shrinks; unchanged ⇒ fixpoint
+        removed = (
+            sym.join(pruned, ["src", "dst"], "left_anti").limit(1).count()
+        )
+        sym = pruned
+        if removed == 0:
+            converged = True
+            break
+    if not converged:
+        msg = (
+            f"kcore hit max_iter={max_iter} before the peel reached a "
+            "fixpoint — the returned core over-approximates; raise max_iter"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

@@ -627,3 +627,150 @@ def nb_classify(
             "score",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Collocation mining (PMI) and per-document keyword extraction
+# --------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 100,
+    min_count: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information — the classic corpus-analysis pass (Church & Hanks 1990)
+    a tokenizer/phrase-mining pipeline runs to find multi-word units
+    worth merging ("new york", "machine learning") before vocabulary
+    building.
+
+    ``PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )`` with ``p(ab) = c_ab / P``
+    (P = total adjacent bigrams) and ``p(x) = c_x / T`` (T = total
+    unigrams). Pairs below ``min_count`` are dropped (the standard
+    low-frequency PMI-explosion guard). Rounded to ``round_digits``;
+    ordered (pmi desc, w1 asc, w2 asc) — a total tiebreak.
+
+    Scale shape: bigram generation is row-local codegen; corpus-keyed
+    work is TWO token-keyed aggregates (bigram counts, unigram counts —
+    both map-side combined, shuffling token strings with partial counts,
+    never documents). The unigram table is vocabulary-sized and joins
+    the bigram table twice BROADCAST; T/P are a broadcast scalar row.
+    The final top-k is TakeOrderedAndProject — no global sort.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    tok_rows = df.select(F.explode(toks).alias("w"))
+    uni = tok_rows.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+
+    t = toks  # alias for the bigram builder below
+    bigrams = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(t, i + 2).alias("w2")
+        ),
+    )
+    bi_all = (
+        df.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    bi = bi_all.filter(F.col("c_ab") >= min_count)
+    # P = TOTAL adjacent-bigram count (pre-filter): p(ab) is a probability
+    # over all bigram events, not over the min-count survivors
+    scalars = uni.agg(F.sum("c").alias("_T")).crossJoin(
+        bi_all.agg(F.sum("c_ab").alias("_P"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.col("_T") * F.col("_T")
+                    / (F.col("_P") * F.col("c_a") * F.col("c_b"))
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def top_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF — the metadata-
+    enrichment pass (search facets, topic tagging, near-dup explain)
+    run over every document of a corpus.
+
+    ``score = tf · (ln((N+1)/(df+1)) + 1)`` (smoothed IDF, never
+    negative), rounded; per-doc ranking breaks ties token-ascending so
+    the cut is total. Returns ``(id_col, token, rank, score)``.
+
+    Scale shape: per-(doc, token) tf is one corpus aggregate; document
+    frequencies are one token-keyed aggregate whose vocabulary-sized
+    output joins back BROADCAST; the per-doc top-k window partitions by
+    document — rows per partition = distinct tokens of one doc, so no
+    skew risk. Corpus text crosses exactly one shuffle (the tf groupBy).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("token"),
+        )
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_N"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "token",
+            F.round(
+                F.col("_tf")
+                * (F.log((F.col("_N") + 1) / (F.col("_df") + 1)) + 1),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "token",
+            F.col("rank").cast("bigint").alias("rank"),
+            "score",
+        )
+    )

@@ -55,9 +55,10 @@ _ROUND = 6
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 6 (45 entries, listed in
-#: landing order): every query ADDED this round (the round6_queries
-#: module plus ``q_stream_trending_topk`` in streaming_queries), the
+#: (first ~50 entries) re-verifies them. Round 6 (51 entries, listed in
+#: landing order): every query ADDED this round (the round6_queries and
+#: round6b_queries modules plus ``q_stream_trending_topk`` in
+#: streaming_queries), the
 #: queries whose operators changed (CC pointer-halving, semantic_edges
 #: block kernel, kmeans partial-sum rewrite, walk degree cap), and two
 #: rounding-rule fixes carried from early round 6
@@ -110,6 +111,13 @@ _CHANGED_THIS_ROUND = [
     "q_docs_profile_drift",
     "q_docs_weighted_sample",
     "q_emb_mmr_diverse_topk",
+    # second-wave round-6 additions (round6b_queries)
+    "q_docs_dsir_select",
+    "q_docs_pmi_collocations",
+    "q_docs_top_keywords",
+    "q_emb_hard_negatives",
+    "q_emb_hard_negatives_recall_bound",
+    "q_graph_kcore",
 ]
 
 
@@ -134,6 +142,7 @@ def load_all() -> dict[str, QuerySpec]:
     import hashlib
 
     from . import round6_queries  # noqa: F401
+    from . import round6b_queries  # noqa: F401
     from . import round5_queries  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
