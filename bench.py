@@ -118,6 +118,13 @@ HEADLINE = [
     "q_docs_quantile_normalize_approx_bound",
     "q_media_wav_spectrum",
     "q_stream_trending_topk",
+    # round 6 (batch 5): data selection, phrase mining, keyword tagging,
+    # contrastive hard negatives (IVF operational path), k-core peel
+    "q_docs_dsir_select",
+    "q_docs_pmi_collocations",
+    "q_docs_top_keywords",
+    "q_emb_hard_negatives_ivf",
+    "q_graph_kcore",
 ]
 
 
