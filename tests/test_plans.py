@@ -847,3 +847,87 @@ def test_hll_rollup_partial_aggregates(spark, sf_dir):
     plan = _plan(hll_rollup(daily, ["event_type"]))
     assert plan.count("HashAggregate") >= 4  # partial+final at both grains
     assert "partial" in plan.lower()
+
+
+def test_dsir_select_broadcast_model_and_topk(spark, sf_dir):
+    """DSIR: the 256-row bucket model must come back as a broadcast join
+    (never a corpus-sized shuffle join) and the final selection must be
+    TakeOrderedAndProject, not a global sort."""
+    q = load_all()["q_docs_dsir_select"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_broadcast_vocab_and_topk(spark, sf_dir):
+    """PMI: the vocabulary-sized unigram table joins the bigram table
+    BROADCAST (twice); top-k is TakeOrderedAndProject; the only
+    cross join is the 1-row T/P scalar row."""
+    q = load_all()["q_docs_pmi_collocations"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_keywords_broadcast_dfreq_partial_agg(spark, sf_dir):
+    """Keyword extraction: document frequencies join back BROADCAST (the
+    vocab-sized table never shuffle-joins the tf relation) and every
+    token-keyed aggregate partial-aggregates before its exchange — the
+    skew-safe formulation (a token-partitioned window would funnel every
+    stopword row into one partition). The dfreq branch deliberately
+    re-aggregates from the scan (4 exchanges total): at 100 TB you
+    persist the tf relation instead — documented in the operator."""
+    q = load_all()["q_docs_top_keywords"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_hard_negatives_ivf_no_cartesian(spark, sf_dir):
+    """IVF hard negatives: candidate generation must stay inside the
+    cluster-blocked applyInPandas kernel — no pairwise join of the
+    embedding relation in the plan."""
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators.mining import hard_negatives_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = np.eye(4, 64)
+    plan = _plan(hard_negatives_ivf(emb, cents, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_kcore_round_is_node_keyed_no_cartesian(spark, sf_dir):
+    """One k-core peel round plans as a node-keyed degree aggregate plus
+    two (broadcast- or shuffle-) semi-joins — nothing pairwise beyond
+    the co-order edge derivation's orderkey equi-join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    keep = deg.filter(F.col("_deg") >= 80).select("src")
+    pruned = sym.join(keep, "src", "left_semi").join(
+        keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+    )
+    plan = _plan(pruned)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    # map-side combine on the degree aggregate
+    assert "partial_count" in plan

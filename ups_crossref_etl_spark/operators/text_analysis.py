@@ -729,7 +729,12 @@ def top_keywords(
     frequencies are one token-keyed aggregate whose vocabulary-sized
     output joins back BROADCAST; the per-doc top-k window partitions by
     document — rows per partition = distinct tokens of one doc, so no
-    skew risk. Corpus text crosses exactly one shuffle (the tf groupBy).
+    skew risk. The dfreq branch re-aggregates from the scan (Spark does
+    not share unpersisted subplans), a deliberate trade: the alternative
+    — ``count().over(Window.partitionBy(token))`` — avoids the second
+    scan but funnels every stopword row into one partition (no map-side
+    combine on windows). At 100 TB, persist the tf relation and derive
+    dfreq from it to get one scan AND the skew-safe aggregate.
     """
     from pyspark.sql import Window
 
