@@ -125,6 +125,11 @@ HEADLINE = [
     "q_docs_top_keywords",
     "q_emb_hard_negatives_ivf",
     "q_graph_kcore",
+    # round 6 (batch 6): table versioning, leakage-safe splitting,
+    # unigram-LM tokenizer inference
+    "q_docs_snapshot_diff",
+    "q_docs_leakage_safe_split",
+    "q_docs_unigram_segment",
 ]
 
 

@@ -1,0 +1,147 @@
+"""Unit tests for the round-6 third-wave operators: snapshot diff and
+leakage-safe (near-dup-component) splitting."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ups_crossref_etl_spark.operators.diff import snapshot_diff
+from ups_crossref_etl_spark.operators.sampling import leakage_safe_split
+
+
+def _tables(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10),  # unchanged
+            Row(k=2, a="x", b=10),  # b changes
+            Row(k=3, a=None, b=10),  # a: null -> value
+            Row(k=4, a="x", b=None),  # b: null stays null => unchanged
+            Row(k=5, a="x", b=10),  # deleted
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10),
+            Row(k=2, a="x", b=11),
+            Row(k=3, a="y", b=10),
+            Row(k=4, a="x", b=None),
+            Row(k=6, a="z", b=1),  # inserted
+        ]
+    )
+    return old, new
+
+
+def test_snapshot_diff_classifies_and_names_columns(spark):
+    old, new = _tables(spark)
+    got = {
+        r["k"]: (r["op"], r["changed_cols"])
+        for r in snapshot_diff(old, new, "k").collect()
+    }
+    assert got == {
+        2: ("U", "b"),
+        3: ("U", "a"),
+        5: ("D", ""),
+        6: ("I", ""),
+    }
+
+
+def test_snapshot_diff_include_unchanged_and_multi_col(spark):
+    old, new = _tables(spark)
+    new2 = new.withColumn(
+        "a", F.when(F.col("k") == 2, F.lit("w")).otherwise(F.col("a"))
+    )
+    rows = {
+        r["k"]: (r["op"], r["changed_cols"])
+        for r in snapshot_diff(old, new2, "k", include_unchanged=True).collect()
+    }
+    assert rows[2] == ("U", "a,b")  # sorted column names
+    assert rows[1] == ("N", "")
+    assert rows[4] == ("N", "")  # null == null is not a change
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    old, new = _tables(spark)
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, "k", ["a"]).collect()}
+    # only column a compared: k=2 (b-only change) is no longer an update
+    assert got == {3: "U", 5: "D", 6: "I"}
+
+
+def test_leakage_safe_split_never_splits_an_edge(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    # chain components {0..4}, {10,11}, rest singletons
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(4)] + [Row(src=10, dst=11)]
+    )
+    out = leakage_safe_split(docs, edges, "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 200
+    # whole component shares one split and one label
+    assert len({by_id[i]["split"] for i in range(5)}) == 1
+    assert {by_id[i]["component"] for i in range(5)} == {0}
+    assert by_id[10]["split"] == by_id[11]["split"]
+    # singletons fall back to their own id
+    assert by_id[50]["component"] == 50
+    # every edge endpoint pair shares a split (the invariant, directly)
+    for e in [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]:
+        assert by_id[e[0]]["split"] == by_id[e[1]]["split"]
+    # all three splits exist over 200 ids (sanity that hashing spreads)
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
+def test_unigram_viterbi_planted_vocab(spark):
+    """Planted corpus: 'ing' must be learned as a piece and win over
+    char-by-char splits; tie-breaks are exercised via equal-score paths."""
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.unigram import (
+        unigram_segment_words,
+        unigram_vocab,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="testing casting resting " * 5) for i in range(20)]
+    )
+    wc = word_counts(docs)
+    vocab = unigram_vocab(wc, max_piece_len=4, min_count=100)
+    segs = {r["word"]: (r["seg"], r["n_pieces"]) for r in
+            unigram_segment_words(wc, vocab).collect()}
+    assert set(segs) == {"testing", "casting", "resting"}
+    # 'ing' appears 300 times weighted -> survives min_count and, being
+    # longer, scores better than i+n+g; every word ends with it
+    for w, (seg, np_) in segs.items():
+        assert seg.endswith("ing"), (w, seg)
+        assert seg.replace(" ", "") == w
+
+
+def test_unigram_dp_matches_bruteforce():
+    """_viterbi against exhaustive enumeration on random small vocabs."""
+    import itertools
+
+    from ups_crossref_etl_spark.operators.unigram import _viterbi
+
+    scores = {
+        "a": -10, "b": -11, "c": -12, "ab": -15, "bc": -16, "abc": -30,
+        "ca": -14, "aa": -13,
+    }
+
+    def brute(word):
+        best = None
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            pieces = [word[pos[i]:pos[i + 1]] for i in range(len(pos) - 1)]
+            if any(p not in scores for p in pieces):
+                continue
+            cand = (sum(scores[p] for p in pieces), len(pieces), " ".join(pieces))
+            key = (-cand[0], cand[1], cand[2])
+            if best is None or key < (-best[0], best[1], best[2]):
+                best = cand
+        return best
+
+    for word in ["abc", "aabc", "caab", "abca", "aaaa", "cabc", "a"]:
+        b = brute(word)
+        seg, np_, sc = _viterbi(word, scores, 4)
+        assert b is not None
+        assert (sc, np_, seg) == b, (word, b, (sc, np_, seg))

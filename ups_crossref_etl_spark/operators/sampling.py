@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "hash_bucket",
     "split_assign",
+    "leakage_safe_split",
     "stratified_sample",
     "weighted_sample_k",
     "pack_sequences",
@@ -376,3 +377,50 @@ def nucleus_select(
         )
         .drop("_tot", "_cum", "_before")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    edges: DataFrame,
+    key_col: str,
+    seed: str = "split",
+    weights: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5)),
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: documents connected by a
+    similarity edge land in the SAME split, always.
+
+    ``split_assign`` hashing raw doc ids leaks: a near-duplicate pair
+    split across train and test contaminates the eval set exactly the
+    way benchmark decontamination tries to prevent (Lee et al., ACL
+    2022 measure the resulting metric inflation). The fix is to split
+    by near-dup EQUIVALENCE CLASS: connected components over the
+    similarity graph (LSH candidate edges at scale — the pipeline
+    already materializes them for dedup; exact-Jaccard edges on gate
+    samples), then one hash of the component representative decides the
+    whole class. Singleton docs (no edge) are their own component.
+
+    Scale shape: CC is the existing iterative min-label propagation
+    (node-keyed shuffles only, pointer-halving — operators/graph);
+    component attach is ONE key-keyed left join (edges output is
+    node-keyed, co-partitioned with the corpus join key); the split
+    itself is a row-local hash — zero additional shuffles. The
+    no-cross-split-edge invariant holds by construction: the split is a
+    pure function of the component label.
+
+    Returns ``df`` plus ``component`` and ``split`` columns.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(edges).withColumnRenamed("node", key_col)
+    out = df.join(comp, key_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(key_col).cast("bigint"))
+    )
+    total = sum(w for _, w in weights)
+    b = hash_bucket(F.col("component"), seed, total)
+    expr = None
+    cum = 0
+    for name, w in weights:
+        cum += w
+        clause = F.when(b < F.lit(cum), F.lit(name))
+        expr = clause if expr is None else expr.when(b < F.lit(cum), F.lit(name))
+    return out.withColumn("split", expr)

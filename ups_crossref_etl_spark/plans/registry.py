@@ -118,6 +118,10 @@ _CHANGED_THIS_ROUND = [
     "q_emb_hard_negatives",
     "q_emb_hard_negatives_recall_bound",
     "q_graph_kcore",
+    # third-wave round-6 additions (round6c_queries)
+    "q_docs_snapshot_diff",
+    "q_docs_leakage_safe_split",
+    "q_docs_unigram_segment",
 ]
 
 
@@ -143,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
 
     from . import round6_queries  # noqa: F401
     from . import round6b_queries  # noqa: F401
+    from . import round6c_queries  # noqa: F401
     from . import round5_queries  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401

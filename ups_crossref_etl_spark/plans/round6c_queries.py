@@ -1,0 +1,272 @@
+"""Round-6 third-wave query registrations.
+
+New surface:
+- snapshot diff (``operators/diff.snapshot_diff``): row-level
+  insert/delete/update classification between two table versions with
+  per-row changed-column sets — the inverse of CDC apply, backing
+  incremental re-processing and ingest audits;
+- leakage-safe split (``operators/sampling.leakage_safe_split``):
+  train/val/test assignment by near-dup connected component, so a
+  near-duplicate pair can never straddle train and test (the eval
+  contamination Lee et al., ACL 2022 measure);
+- unigram-LM subword segmentation (``operators/unigram``): Viterbi
+  max-likelihood tokenization under a frequency-derived piece vocab
+  (Kudo 2018 inference — the second tokenizer family next to BPE),
+  integer micro-nat scores so the DP is engine-exact.
+
+Every gated entry pairs the Spark program with a DuckDB oracle; column
+aliases match exactly (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import read_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Snapshot diff
+# --------------------------------------------------------------------------
+
+# Deterministic "v2" of the documents table, derived in-query so the diff
+# is reproducible on any SF: delete doc_id%17==3, mutate lang (%13==0) and
+# n_chars (%11==0) — overlapping at %143 — and insert shifted copies of
+# doc_id%29==0 under key doc_id+1_000_000.
+_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents),
+new AS (
+  SELECT doc_id,
+         text,
+         CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+         source,
+         CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 29 = 0),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         o.doc_id IS NULL AS ins, n.doc_id IS NULL AS del,
+         list_filter([
+           CASE WHEN o.lang    IS DISTINCT FROM n.lang    THEN 'lang' END,
+           CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END,
+           CASE WHEN o.source  IS DISTINCT FROM n.source  THEN 'source' END,
+           CASE WHEN o.text    IS DISTINCT FROM n.text    THEN 'text' END
+         ], x -> x IS NOT NULL) AS diffs
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN ins THEN 'I' WHEN del THEN 'D' ELSE 'U' END AS op,
+       CASE WHEN ins OR del THEN '' ELSE list_aggr(diffs, 'string_agg', ',') END
+         AS changed_cols
+FROM j
+WHERE ins OR del OR len(diffs) > 0
+"""
+
+
+def _documents_v2(d: DataFrame) -> DataFrame:
+    mutated = (
+        d.filter(F.col("doc_id") % 17 != 3)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 11 == 0, F.col("n_chars") + 1).otherwise(
+                F.col("n_chars")
+            ),
+        )
+    )
+    inserted = d.filter(F.col("doc_id") % 29 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return mutated.unionByName(inserted)
+
+
+@register(
+    "q_docs_snapshot_diff",
+    _DIFF_ORACLE,
+    doc=(
+        "Snapshot diff (operators/diff.snapshot_diff): row-level I/D/U "
+        "classification between two versions of the documents table, with "
+        "the exact changed-column set per update (null-safe <=> per "
+        "column; null->null is no change). ONE key-keyed full-outer hash "
+        "join is the only shuffle; classification and the changed-column "
+        "array are row-local codegen (no unpivot, no per-column passes); "
+        "unchanged rows drop before any consumer sees them, so output is "
+        "proportional to churn, not table size. v2 is derived in-query by "
+        "deterministic doc_id rules (delete %17==3, mutate lang %13==0 / "
+        "n_chars %11==0 — both at %143 — insert shifted %29==0), so the "
+        "oracle rebuilds the identical pair of versions."
+    ),
+)
+def q_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    d = read_table(spark, sf_dir, "documents")
+    return snapshot_diff(d, _documents_v2(d), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split
+# --------------------------------------------------------------------------
+
+_LEAKAGE_SPLIT_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_distinct([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> '']) AS tok
+  FROM documents WHERE doc_id < 80),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.tok, b.tok))::DOUBLE /
+        nullif(len(list_distinct(list_concat(a.tok, b.tok))), 0) >= 0.5),
+sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node),
+cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(cc.component, d.doc_id) AS component
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 80) d
+  LEFT JOIN cc ON cc.node = d.doc_id),
+b AS (
+  SELECT doc_id, component,
+         CAST('0x' || substr(md5('split-' || CAST(component AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bkt
+  FROM labeled)
+SELECT doc_id, component,
+       CASE WHEN bkt < 90 THEN 'train'
+            WHEN bkt < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register(
+    "q_docs_leakage_safe_split",
+    _LEAKAGE_SPLIT_ORACLE,
+    doc=(
+        "Leakage-safe train/val/test split "
+        "(operators/sampling.leakage_safe_split): docs connected by a "
+        "near-dup edge (exact Jaccard >= 0.5 on the bounded doc_id<80 "
+        "sample — the oracle-expressible stand-in for the LSH edge set "
+        "the dedup pipeline already materializes at scale) are split BY "
+        "CONNECTED COMPONENT, so no near-dup pair ever straddles "
+        "train/test — the contamination channel plain id-hash splitting "
+        "leaves open. Split is a pure function of the component label, "
+        "so the no-cross-split-edge invariant holds by construction "
+        "(also pinned in tests/test_operators.py). CC is the iterative "
+        "min-label propagation vs a recursive-CTE reachability oracle; "
+        "singletons fall back to their own id; the assignment hash is "
+        "the engine-portable md5 bucket."
+    ),
+)
+def q_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import leakage_safe_split
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    a = toks.select(F.col("doc_id").alias("src"), F.col("tok").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("dst"), F.col("tok").alias("tb"))
+    edges = (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .filter(
+            F.size(F.array_intersect("ta", "tb"))
+            / F.nullif(F.size(F.array_union("ta", "tb")), F.lit(0)).cast("double")
+            >= 0.5
+        )
+        .select("src", "dst")
+    )
+    return leakage_safe_split(d.select("doc_id"), edges, "doc_id").select(
+        "doc_id", "component", "split"
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM subword segmentation (SentencePiece-style Viterbi inference)
+# --------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS word
+  FROM documents),
+wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+pieces AS (
+  SELECT substr(word, i, L) AS piece, cnt
+  FROM wc, range(1, 5) r(L),
+       LATERAL (SELECT unnest(range(1, length(word) - L + 2)) AS i)
+  WHERE length(word) >= L),
+agg AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_cnt
+        FROM pieces GROUP BY piece),
+kept AS (SELECT * FROM agg WHERE length(piece) = 1 OR piece_cnt >= 800),
+tot AS (SELECT CAST(sum(piece_cnt) AS BIGINT) AS t FROM kept),
+vocab AS (
+  SELECT piece, piece_cnt,
+         CAST(round(1000000.0 * ln(piece_cnt / t)) AS BIGINT) AS score
+  FROM kept CROSS JOIN tot),
+paths(word, cnt, pos, score, np, path) AS (
+  SELECT word, cnt, 0, CAST(0 AS BIGINT), 0, ''
+  FROM wc
+  UNION ALL
+  SELECT p.word, p.cnt, p.pos + length(v.piece), p.score + v.score, p.np + 1,
+         CASE WHEN p.path = '' THEN v.piece ELSE p.path || ' ' || v.piece END
+  FROM paths p JOIN vocab v
+    ON v.piece = substr(p.word, p.pos + 1, length(v.piece))
+  WHERE p.pos < length(p.word)),
+fin AS (
+  SELECT word, cnt, score, np, path,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY score DESC, np ASC, path ASC) AS rn
+  FROM paths WHERE pos = length(word))
+SELECT word, CAST(cnt AS BIGINT) AS cnt, path AS seg,
+       CAST(np AS BIGINT) AS n_pieces, score
+FROM fin WHERE rn = 1
+"""
+
+
+@register(
+    "q_docs_unigram_segment",
+    _UNIGRAM_ORACLE,
+    doc=(
+        "Unigram-LM subword segmentation (operators/unigram, Kudo 2018 "
+        "inference — the second standard tokenizer family next to "
+        "operators/bpe.py): Viterbi-segment every distinct word into the "
+        "max-likelihood piece sequence under a frequency-derived char-"
+        "n-gram vocabulary (1..4-grams, min_count=800, single chars kept "
+        "unconditionally as the coverage guarantee). Piece scores are "
+        "INTEGER micro-nats — round(1e6*ln(cnt/total)) — so the DP "
+        "compares exact int64 sums (no accumulated-double hazard); ties "
+        "break (fewer pieces, lexicographically smallest joined string) "
+        "— a total order, since equal-piece-count candidates are equal-"
+        "length strings. Scale: word counting is the one corpus shuffle; "
+        "the vocab aggregate is bounded by the char-n-gram space "
+        "(broadcastable at any corpus size); Viterbi runs ONCE per "
+        "distinct word in an Arrow-batched mapInPandas with the score "
+        "table a task-closure constant — corpus tokenization is then a "
+        "broadcast join against this vocab-sized result, never per-"
+        "occurrence DP. Oracle: recursive-CTE path enumeration "
+        "(compositions of len<=8 words with parts<=4 — bounded) with the "
+        "identical integer scoring and tie-break."
+    ),
+)
+def q_docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_segment_words, unigram_vocab, word_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    wc = word_counts(d)
+    vocab = unigram_vocab(wc, max_piece_len=4, min_count=800)
+    return unigram_segment_words(wc, vocab, max_piece_len=4)
