@@ -130,6 +130,7 @@ HEADLINE = [
     "q_docs_snapshot_diff",
     "q_docs_leakage_safe_split",
     "q_docs_unigram_segment",
+    "q_stream_cdc_apply",
 ]
 
 

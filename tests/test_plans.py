@@ -931,3 +931,32 @@ def test_kcore_round_is_node_keyed_no_cartesian(spark, sf_dir):
     assert "LeftSemi" in plan
     # map-side combine on the degree aggregate
     assert "partial_count" in plan
+
+
+def test_snapshot_diff_single_join_no_cartesian(spark, sf_dir):
+    """snapshot_diff: ONE full-outer SortMergeJoin/ShuffledHashJoin on the
+    key — never a cartesian, never per-column joins; the changed-column
+    array is row-local projection."""
+    q = load_all()["q_docs_snapshot_diff"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert plan.count("FullOuter") == 1
+    # no second join of any kind (classification is projection-side)
+    import re
+
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoop",
+        plan,
+    )
+    assert len(joins) == 1, joins
+
+
+def test_unigram_word_count_partial_agg_and_map_only_segment(spark, sf_dir):
+    """unigram segmentation: the corpus word count partial-aggregates
+    before its exchange; the Viterbi stage is mapInPandas (no exchange
+    between the vocab-sized word table and the segmenter)."""
+    q = load_all()["q_docs_unigram_segment"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan

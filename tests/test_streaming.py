@@ -430,3 +430,84 @@ def test_trending_topk_matches_batch_rank(spark, sf_dir):
         )
     }
     assert got == exp and len(got) > 0
+
+
+def _chg(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(k=k, v=v, op=op, seq=seq) for (k, v, op, seq) in rows]
+    )
+
+
+def test_merge_cdc_state_commutative_and_tombstones(spark):
+    b1 = _chg(spark, [(1, "a1", "U", 10), (2, "b1", "U", 11), (3, "c1", "D", 12)])
+    b2 = _chg(spark, [(1, "a0", "U", 5), (2, "b2", "U", 20), (3, "c0", "U", 7)])
+
+    def apply_seq(batches):
+        st = None
+        for b in batches:
+            st = se.merge_cdc_state(st, b, ["k"])
+        return {r["k"]: (r["v"], r["op"], r["seq"]) for r in st.collect()}
+
+    fwd, rev = apply_seq([b1, b2]), apply_seq([b2, b1])
+    assert fwd == rev
+    # stale lower-seq update must NOT resurrect the deleted key
+    assert fwd[3] == ("c1", "D", 12)
+    assert fwd[1] == ("a1", "U", 10) and fwd[2] == ("b2", "U", 20)
+
+
+def test_merge_cdc_state_delete_wins_seq_tie(spark):
+    b = _chg(spark, [(1, "x", "U", 10), (1, "y", "D", 10)])
+    st = se.merge_cdc_state(None, b, ["k"])
+    assert st.collect()[0]["op"] == "D"
+
+
+def test_stream_cdc_apply_matches_batch_apply(spark, sf_dir, tmp_path):
+    """Change files streamed one-per-trigger through stream_cdc_apply
+    converge to exactly apply_changes(snapshot, all_changes)."""
+    from ups_crossref_etl_spark.operators.cdc import apply_changes
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    changes = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+
+    # seed state = snapshot rows as op=U, seq=0 (below every orderkey)
+    state_path = str(tmp_path / "state")
+    cust.withColumn("op", F.lit("U")).withColumn(
+        "seq", F.lit(0).cast("long")
+    ).write.parquet(state_path)
+
+    # change feed as several files, streamed one file per trigger
+    feed = str(tmp_path / "feed")
+    changes.repartition(4).write.parquet(feed)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = se.stream_cdc_apply(stream, state_path, ["c_custkey"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["c_custkey"]: (r["c_name"], r["c_acctbal"])
+        for r in se.cdc_current(spark, state_path).collect()
+    }
+    want = {
+        r["c_custkey"]: (r["c_name"], r["c_acctbal"])
+        for r in apply_changes(cust, changes, ["c_custkey"]).collect()
+    }
+    assert got == want and len(got) > 0

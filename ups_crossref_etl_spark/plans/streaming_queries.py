@@ -235,3 +235,81 @@ def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import events as se
 
     return se.trending_topk(se.stream_events(spark, sf_dir))
+
+
+@register(
+    "q_stream_cdc_apply",
+    """
+    WITH ch AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(o_totalprice, 2) AS c_acctbal, c_mktsegment,
+             CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             o_orderkey AS seq
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    latest AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY c_custkey ORDER BY seq DESC, op ASC) AS rn
+        FROM ch) WHERE rn = 1)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+    doc=(
+        "STREAMING CDC apply (streaming/events.stream_cdc_apply): the "
+        "order-change feed from q_customer_cdc_apply, split into files "
+        "and streamed one file per trigger through a foreachBatch LWW "
+        "merge into a parquet state table (write-ahead dir swap; "
+        "tombstones retained so a stale lower-seq update can never "
+        "resurrect a deleted key). The merge compares incoming (op,seq) "
+        "against the STORED (op,seq), making batch composition and "
+        "order irrelevant — the streamed result hash-matches the "
+        "one-shot batch MERGE oracle exactly. Per micro-batch the state "
+        "pays one anti-join + one winner join keyed on c_custkey; the "
+        "winner window runs over the batch only, never the snapshot."
+    ),
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.lake import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    changes = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_gate_")
+    state_path, feed = f"{tmp}/state", f"{tmp}/feed"
+    cust.withColumn("op", F.lit("U")).withColumn(
+        "seq", F.lit(0).cast("long")
+    ).write.parquet(state_path)
+    changes.repartition(4).write.parquet(feed)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = se.stream_cdc_apply(stream, state_path, ["c_custkey"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize before the tempdir ages out of the driver's run
+    out = se.cdc_current(spark, state_path).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    return out

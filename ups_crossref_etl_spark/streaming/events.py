@@ -541,3 +541,120 @@ def trending_topk(
     return events.sparkSession.createDataFrame(
         out, "win_start string, event_type string, n_events long, rank long"
     )
+
+
+def merge_cdc_state(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Commutative LWW merge of a CDC micro-batch into a versioned state
+    table (full row image + ``op`` + ``seq``; delete rows are RETAINED
+    as tombstones).
+
+    Per key the winner is max ``seq``, ties broken ``op`` ascending
+    ('D' < 'I' < 'U', so a delete deterministically beats an update at
+    the same sequence — the ``operators/cdc.apply_changes`` rule). Because
+    the comparison is against the STORED (op, seq) rather than arrival
+    order, applying batches in any order yields the same state — which is
+    what makes the streaming apply safe under micro-batch recomposition,
+    replays, and out-of-order file discovery. Tombstones are what keep it
+    so: dropping a deleted key instead would let a stale lower-seq update
+    resurrect it. (Production compacts tombstones older than the maximum
+    expected disorder; that is a retention policy, not a correctness
+    knob here.)
+
+    Scale shape: the batch winner window runs over the BATCH only; the
+    state pays one key-keyed anti-join + one left join of the batch
+    winners (broadcast when the batch is small) — never a corpus window.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(F.desc(seq_col), F.asc(op_col))
+    latest = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if state is None:
+        return latest
+    data_cols = [c for c in state.columns if c not in key_cols]
+    j = latest.alias("n").join(state.alias("o"), key_cols, "left")
+    take_new = (
+        F.col(f"o.{seq_col}").isNull()
+        | (F.col(f"n.{seq_col}") > F.col(f"o.{seq_col}"))
+        | (
+            (F.col(f"n.{seq_col}") == F.col(f"o.{seq_col}"))
+            & (F.col(f"n.{op_col}") <= F.col(f"o.{op_col}"))
+        )
+    )
+    winners = j.select(
+        *key_cols,
+        *[
+            F.when(take_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+            for c in data_cols
+        ],
+    )
+    untouched = state.join(latest.select(*key_cols), key_cols, "left_anti")
+    return untouched.unionByName(winners)
+
+
+def cdc_current(
+    spark: SparkSession, state_path: str, op_col: str = "op", seq_col: str = "seq"
+) -> DataFrame:
+    """The live snapshot view over a CDC state table: tombstones filtered,
+    versioning metadata dropped."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col(op_col) != "D")
+        .drop(op_col, seq_col)
+    )
+
+
+def stream_cdc_apply(
+    changes: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+):
+    """STREAMING CDC apply: maintain a keyed snapshot under a change
+    stream — the streaming twin of ``operators/cdc.apply_changes`` and
+    the continuous version of the reference's upsert loops (per-row
+    SQLite INSERT OR REPLACE; here one merge join per micro-batch).
+
+    Each micro-batch LWW-merges into the parquet state table at
+    ``state_path`` (see ``merge_cdc_state`` — order-independent, so
+    replayed or reordered batches converge to the same state), written
+    with a write-ahead swap: the merged state lands at
+    ``<path>.__next__`` while the old state is still intact, then two
+    renames swap it live (crash inside the window leaves
+    ``<path>.__old__`` as the complete previous state; recovery =
+    rename back). Combined with checkpointed source offsets the sink is
+    effectively-once: a replayed batch merges to the identical state.
+
+    Seed the initial snapshot by writing it (with op/seq columns) to
+    ``state_path`` before starting. Read the result via ``cdc_current``.
+    Returns the started StreamingQuery.
+    """
+    import shutil
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        spark = batch_df.sparkSession
+        state = (
+            spark.read.parquet(state_path) if os.path.exists(state_path) else None
+        )
+        merged = merge_cdc_state(state, batch_df, key_cols, op_col, seq_col)
+        nxt, old = f"{state_path}.__next__", f"{state_path}.__old__"
+        merged.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(nxt, state_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return changes.writeStream.foreachBatch(sink).start()
