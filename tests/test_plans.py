@@ -960,3 +960,14 @@ def test_unigram_word_count_partial_agg_and_map_only_segment(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_single_aggregate_exchange(spark, sf_dir):
+    """corr_matrix: ALL pairwise moments in ONE map-side-combinable
+    aggregate — a single exchange carrying one row; no per-pair rescans,
+    no join."""
+    q = load_all()["q_lineitem_corr_matrix"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -145,3 +145,52 @@ def test_unigram_dp_matches_bruteforce():
         seg, np_, sc = _viterbi(word, scores, 4)
         assert b is not None
         assert (sc, np_, seg) == b, (word, b, (sc, np_, seg))
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.stats import corr_matrix
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=300)
+    y = 0.8 * x + rng.normal(size=300) * 0.3
+    z = rng.normal(size=300)
+    df = spark.createDataFrame(
+        [Row(x=float(a), y=float(b), z=float(c)) for a, b, c in zip(x, y, z)]
+    )
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    want = np.corrcoef(np.vstack([x, y, z]))
+    assert abs(got[("x", "y")] - want[0, 1]) < 1e-3
+    assert abs(got[("x", "z")] - want[0, 2]) < 1e-3
+    assert abs(got[("y", "z")] - want[1, 2]) < 1e-3
+    assert len(got) == 3
+
+
+def test_corr_matrix_null_rows_listwise_deleted(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.stats import corr_matrix
+
+    df = spark.createDataFrame(
+        [Row(x=1.0, y=2.0), Row(x=2.0, y=4.0), Row(x=3.0, y=6.0),
+         Row(x=None, y=99.0), Row(x=50.0, y=None)]
+    )
+    r = corr_matrix(df, ["x", "y"]).collect()[0]
+    assert r["corr"] == 1.0  # null rows excluded, remaining is exact line
+
+
+def test_mad_outliers_planted(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.stats import mad_outliers
+
+    rows = [Row(k="a", v=float(i % 7)) for i in range(100)]
+    rows += [Row(k="a", v=1000.0), Row(k="a", v=-1000.0)]
+    rows += [Row(k="b", v=5.0)] * 60 + [Row(k="b", v=6.0)]  # MAD=0 group
+    df = spark.createDataFrame(rows)
+    got = {r["k"]: r for r in mad_outliers(df, "k", "v").collect()}
+    assert got["a"]["n_outliers"] == 2  # only the planted extremes
+    assert got["b"]["mad"] == 0.0 and got["b"]["n_outliers"] == 1

@@ -1,0 +1,148 @@
+"""Distributed statistics: single-pass correlation matrices and robust
+(median/MAD) outlier detection.
+
+Profiling a 100 TB table means the statistics themselves must
+distribute: a correlation matrix computed by ``df.stat.corr`` per pair
+re-scans the table O(k²) times; the single-pass formulation here scans
+ONCE for all pairs. Robust outlier flagging (median + MAD instead of
+mean + stddev) is the standard guard against the heavy-tailed value
+distributions that make z-scores useless — one extreme value drags the
+mean and inflates the stddev, masking every other outlier; the median
+and MAD have breakdown point 0.5.
+
+Reference parity note: the reference pipeline (/root/reference,
+rabarrazueta/ups-crossref-etl) computes only counts for its dashboard;
+this is profiling extension surface, same family as
+operators/profile.py and operators/evaluation.py.
+
+Determinism contract: moment sums accumulate in DECIMAL (exact, order-
+independent); the correlation itself is then one double expression over
+exact sums, rounded 4 dp — both engines evaluate the identical
+expression tree on identical rationals.
+
+Scale shape:
+- ``corr_matrix``: ONE aggregate over the table computing every
+  Σx, Σx², Σxy (map-side combinable; shuffle = one row of k + k(k+1)/2
+  decimals); the pairwise melt is row-local on that single row.
+- ``mad_outliers``: two grouped exact-percentile aggregates (median,
+  then median of |x−median|) plus a broadcast-back flag pass — three
+  key-clustered shuffles of (key, value) pairs, no window. At 100 TB
+  swap the exact percentile for ``approx_percentile`` (sketch,
+  mergeable) — same contract as calibration bins' documented swap-in.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corr_matrix", "mad_outliers"]
+
+_DEC = "decimal(38,12)"
+
+
+def corr_matrix(df: DataFrame, cols: list[str], round_digits: int = 4) -> DataFrame:
+    """Pearson correlation for every unordered column pair in ONE scan.
+
+    Returns ``(col_a, col_b, corr)`` for the k(k-1)/2 pairs (a < b in
+    the given column order). Null rows are excluded up front so every
+    moment sees the same row set (listwise deletion — the semantics of
+    a correlation MATRIX, vs pairwise deletion which can produce a
+    non-PSD matrix).
+    """
+    d = df.na.drop(subset=cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(_DEC)).alias(f"_s_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(
+            F.sum((F.col(a).cast(_DEC) * F.col(b).cast(_DEC)).cast(_DEC)).alias(
+                f"_p_{a}_{b}"
+            )
+        )
+    for c in cols:
+        aggs.append(
+            F.sum((F.col(c).cast(_DEC) * F.col(c).cast(_DEC)).cast(_DEC)).alias(
+                f"_p_{c}_{c}"
+            )
+        )
+    m = d.agg(*aggs)
+
+    def _r(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        sab = F.col(f"_p_{a}_{b}").cast("double")
+        saa, sbb = (
+            F.col(f"_p_{a}_{a}").cast("double"),
+            F.col(f"_p_{b}_{b}").cast("double"),
+        )
+        num = n * sab - sa * sb
+        den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        return F.round(num / F.nullif(den, F.lit(0.0)), round_digits)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                _r(a, b).alias("corr"),
+            )
+            for a, b in combinations(cols, 2)
+        ]
+    )
+    return (
+        m.select(F.explode(pairs).alias("p"))
+        .select("p.col_a", "p.col_b", "p.corr")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier summary: flag rows where
+    ``|x - median| > k * 1.4826 * MAD`` (1.4826 scales the MAD to the
+    stddev of a normal, so ``k`` reads like a z-threshold).
+
+    Returns per group: ``(key, n, med, mad, n_outliers)`` with
+    ``med``/``mad`` rounded. Degenerate groups (MAD = 0: over half the
+    values identical) flag any value different from the median — the
+    standard convention, and the right one for data cleaning (a column
+    that is 99% one constant should flag the exceptions).
+    """
+    med = df.groupBy(key_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = df.join(med, key_col)
+    dev = j.withColumn("_adev", F.abs(F.col(value_col) - F.col("_med")))
+    mad = dev.groupBy(key_col, "_med", "n").agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    flagged = (
+        dev.join(mad.select(key_col, "_mad"), key_col)
+        .withColumn(
+            "_out",
+            F.when(
+                F.col("_mad") > 0,
+                F.col("_adev") > F.lit(k) * F.lit(1.4826) * F.col("_mad"),
+            ).otherwise(F.col("_adev") > 0),
+        )
+        .groupBy(key_col)
+        .agg(F.sum(F.col("_out").cast("long")).alias("n_outliers"))
+    )
+    return (
+        mad.join(flagged, key_col)
+        .select(
+            key_col,
+            F.col("n").cast("long").alias("n"),
+            F.round("_med", round_digits).alias("med"),
+            F.round("_mad", round_digits).alias("mad"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )

@@ -123,6 +123,8 @@ _CHANGED_THIS_ROUND = [
     "q_docs_leakage_safe_split",
     "q_docs_unigram_segment",
     "q_stream_cdc_apply",
+    "q_lineitem_corr_matrix",
+    "q_events_mad_outliers",
 ]
 
 

@@ -270,3 +270,110 @@ def q_docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = word_counts(d)
     vocab = unigram_vocab(wc, max_piece_len=4, min_count=800)
     return unigram_segment_words(wc, vocab, max_piece_len=4)
+
+
+# --------------------------------------------------------------------------
+# Distributed statistics: correlation matrix, robust outliers
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lineitem_corr_matrix",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(38,12))) AS s_q,
+             sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS s_e,
+             sum(CAST(l_discount AS DECIMAL(38,12))) AS s_d,
+             sum(CAST(l_tax AS DECIMAL(38,12))) AS s_t,
+             sum(CAST(CAST(l_quantity AS DECIMAL(38,12)) * CAST(l_quantity AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_qq,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(38,12)) * CAST(l_extendedprice AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_ee,
+             sum(CAST(CAST(l_discount AS DECIMAL(38,12)) * CAST(l_discount AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_dd,
+             sum(CAST(CAST(l_tax AS DECIMAL(38,12)) * CAST(l_tax AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_tt,
+             sum(CAST(CAST(l_quantity AS DECIMAL(38,12)) * CAST(l_extendedprice AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_qe,
+             sum(CAST(CAST(l_quantity AS DECIMAL(38,12)) * CAST(l_discount AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_qd,
+             sum(CAST(CAST(l_quantity AS DECIMAL(38,12)) * CAST(l_tax AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_qt,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(38,12)) * CAST(l_discount AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_ed,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(38,12)) * CAST(l_tax AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_et,
+             sum(CAST(CAST(l_discount AS DECIMAL(38,12)) * CAST(l_tax AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_dt
+      FROM lineitem),
+    pairs(col_a, col_b, sab, sa, sb, saa, sbb) AS (
+      SELECT 'l_quantity', 'l_extendedprice', p_qe, s_q, s_e, p_qq, p_ee FROM m
+      UNION ALL SELECT 'l_quantity', 'l_discount', p_qd, s_q, s_d, p_qq, p_dd FROM m
+      UNION ALL SELECT 'l_quantity', 'l_tax', p_qt, s_q, s_t, p_qq, p_tt FROM m
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', p_ed, s_e, s_d, p_ee, p_dd FROM m
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', p_et, s_e, s_t, p_ee, p_tt FROM m
+      UNION ALL SELECT 'l_discount', 'l_tax', p_dt, s_d, s_t, p_dd, p_tt FROM m)
+    SELECT col_a, col_b,
+           round((m.n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE) /
+                 nullif(sqrt(m.n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
+                        sqrt(m.n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE), 0.0), 4)
+             AS corr
+    FROM pairs, m
+    """,
+    doc=(
+        "Pearson correlation matrix over the four lineitem measures in "
+        "ONE table scan (operators/stats.corr_matrix): all Σx/Σx²/Σxy "
+        "moments accumulate in a single map-side-combinable aggregate "
+        "whose shuffle is ONE row of DECIMAL(38,12) sums — vs "
+        "df.stat.corr's O(k²) rescans. The melt to (col_a, col_b, corr) "
+        "pairs is row-local on that one row. Decimal moment sums are "
+        "exact and order-independent; the correlation is one double "
+        "expression over identical rationals on both engines, rounded "
+        "4dp. Null rows excluded up front (listwise deletion — keeps "
+        "the matrix PSD)."
+    ),
+)
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import corr_matrix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "q_events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS m, count(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, abs(e.value - med.m) AS adev, med.m, med.n
+      FROM events e JOIN med USING (event_type)
+      WHERE e.value IS NOT NULL),
+    mad AS (
+      SELECT event_type, m, n, median(adev) AS md
+      FROM dev GROUP BY event_type, m, n),
+    fl AS (
+      SELECT d.event_type,
+             CAST(sum(CASE WHEN mad.md > 0
+                           THEN CASE WHEN d.adev > 3.0 * 1.4826 * mad.md THEN 1 ELSE 0 END
+                           ELSE CASE WHEN d.adev > 0 THEN 1 ELSE 0 END END) AS BIGINT)
+               AS n_outliers
+      FROM dev d JOIN mad USING (event_type) GROUP BY d.event_type)
+    SELECT mad.event_type, CAST(mad.n AS BIGINT) AS n,
+           round(mad.m, 4) AS med, round(mad.md, 4) AS mad,
+           fl.n_outliers
+    FROM mad JOIN fl USING (event_type)
+    """,
+    doc=(
+        "Robust per-type outlier summary (operators/stats.mad_outliers): "
+        "flag |x - median| > 3 * 1.4826 * MAD — the median/MAD pair has "
+        "breakdown point 0.5, so heavy tails cannot mask outliers the "
+        "way they inflate a z-score's stddev (the existing "
+        "q_events_zscore_outliers is the moment-based counterpart). "
+        "Exact grouped percentiles both passes (the 100 TB swap-in is "
+        "approx_percentile, mergeable, same contract as calibration "
+        "bins); three key-clustered shuffles, no window. MAD=0 groups "
+        "flag any value off the median — the data-cleaning convention "
+        "for near-constant columns. Both engines interpolate the same "
+        "two order statistics, and med/mad round 4dp."
+    ),
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mad_outliers
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return mad_outliers(e, "event_type", "value")
