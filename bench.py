@@ -133,6 +133,8 @@ HEADLINE = [
     "q_stream_cdc_apply",
     "q_lineitem_corr_matrix",
     "q_events_mad_outliers",
+    "q_customer_loo_encode",
+    "q_graph_label_propagation",
 ]
 
 

@@ -971,3 +971,12 @@ def test_corr_matrix_single_aggregate_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "partial_sum" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_label_propagation_round_no_window_no_cartesian(spark, sf_dir):
+    """LPA rounds are joins + aggregates clustering on node keys — never
+    a window over the edge set, never a cartesian."""
+    q = load_all()["q_graph_label_propagation"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

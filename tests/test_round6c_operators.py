@@ -194,3 +194,42 @@ def test_mad_outliers_planted(spark):
     got = {r["k"]: r for r in mad_outliers(df, "k", "v").collect()}
     assert got["a"]["n_outliers"] == 2  # only the planted extremes
     assert got["b"]["mad"] == 0.0 and got["b"]["n_outliers"] == 1
+
+
+def test_label_propagation_two_cliques(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["node"]: r["label"] for r in label_propagation(df, rounds=3).collect()}
+    # each clique converges to its own min-id label; bridge doesn't merge
+    assert len({got[i] for i in (1, 2, 3, 4)}) == 1
+    assert len({got[i] for i in (10, 11, 12, 13)}) == 1
+    assert got[1] != got[10]
+
+
+def test_loo_target_encode_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.stats import loo_target_encode
+
+    df = spark.createDataFrame(
+        [Row(cat="a", y=1.0), Row(cat="a", y=3.0), Row(cat="a", y=5.0),
+         Row(cat="b", y=10.0)]
+    )
+    got = {(r["cat"], r["y"]): r["loo_enc"]
+           for r in loo_target_encode(df, "cat", "y").collect()}
+    assert got[("a", 1.0)] == 4.0   # (3+5)/2
+    assert got[("a", 3.0)] == 3.0   # (1+5)/2
+    assert got[("a", 5.0)] == 2.0   # (1+3)/2
+    assert got[("b", 10.0)] is None  # singleton, no smoothing -> NULL
+    sm = {(r["cat"], r["y"]): r["loo_enc"]
+          for r in loo_target_encode(df, "cat", "y", prior_weight=1.0).collect()}
+    mu = 19.0 / 4
+    assert abs(sm[("b", 10.0)] - mu) < 1e-9  # shrinks fully to global mean

@@ -511,3 +511,48 @@ def test_stream_cdc_apply_matches_batch_apply(spark, sf_dir, tmp_path):
         for r in apply_changes(cust, changes, ["c_custkey"]).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_cdc_apply_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill the CDC stream mid-feed, restart from the checkpoint, add more
+    files: the state converges to the full batch apply (replay of an
+    in-flight batch is harmless — the LWW merge is idempotent)."""
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(20)])
+    state_path = str(tmp_path / "state")
+    snap.withColumn("op", F.lit("U")).withColumn(
+        "seq", F.lit(0).cast("long")
+    ).write.parquet(state_path)
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    c1 = [Row(k=1, v="a", op="U", seq=10), Row(k=2, v="b", op="D", seq=11)]
+    c2 = [Row(k=1, v="c", op="U", seq=20), Row(k=3, v="d", op="U", seq=21)]
+    spark.createDataFrame(c1).coalesce(1).write.mode("append").parquet(feed)
+
+    schema = "k bigint, v string, op string, seq bigint"
+
+    def start_cdc():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        return se.stream_cdc_apply(stream, state_path, ["k"], checkpoint=ckpt)
+
+    q = start_cdc()
+    q.processAllAvailable()
+    q.stop()
+    spark.createDataFrame(c2).coalesce(1).write.mode("append").parquet(feed)
+    q = start_cdc()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["k"]: r["v"] for r in se.cdc_current(spark, state_path).collect()}
+    changes = spark.createDataFrame(c1 + c2)
+    want = {r["k"]: r["v"] for r in apply_changes(snap, changes, ["k"]).collect()}
+    assert got == want
+    assert 2 not in got and got[1] == "c" and got[3] == "d"

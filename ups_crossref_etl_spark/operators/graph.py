@@ -226,3 +226,56 @@ def kcore(
     return sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007), made deterministic: every node starts as its own label; each
+    round ALL nodes simultaneously adopt the label most frequent among
+    their neighbors, ties broken by the SMALLEST label. Asynchronous LPA
+    (the textbook version) is update-order-dependent — useless under a
+    distributed scheduler; the synchronous variant with a total
+    tie-break is a pure function of (edges, rounds), which is what makes
+    it oracle-checkable and run-to-run stable on a cluster.
+
+    Returns ``(node, label)`` after ``rounds`` rounds over the
+    symmetrized edge set. Fixed small ``rounds`` is the production
+    setting too: LPA's useful signal arrives in the first few rounds,
+    and synchronous LPA on bipartite-ish structures can oscillate
+    rather than converge — so a fixpoint loop is the WRONG contract
+    (unlike kcore's monotone peel).
+
+    Scale shape per round: one src-keyed equi-join of (node, label)
+    onto edges, one (dst, label) count aggregate (map-side combinable),
+    one per-dst argmax via ``max_by``-style struct max — aggregates,
+    never a window; all three cluster on node keys. ``localCheckpoint``
+    truncates lineage per round.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node").cast("long"))
+    )
+    for _ in range(rounds):
+        freq = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            freq.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("n"), (-F.col("label")).alias("_neg"))).alias(
+                    "_b"
+                )
+            )
+            .select("node", (-F.col("_b._neg")).cast("long").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

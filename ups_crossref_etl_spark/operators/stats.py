@@ -38,7 +38,7 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "mad_outliers"]
+__all__ = ["corr_matrix", "mad_outliers", "loo_target_encode"]
 
 _DEC = "decimal(38,12)"
 
@@ -146,3 +146,52 @@ def mad_outliers(
             F.col("n_outliers").cast("long").alias("n_outliers"),
         )
     )
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prior_weight: float = 0.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Leave-one-out target encoding: replace a categorical with the mean
+    of the target over the OTHER rows of its category —
+    ``(Σ_cat - x_i) / (n_cat - 1)`` — the standard high-cardinality
+    categorical encoding that a plain category-mean would leak (each
+    row's own target inside its feature is train-time leakage that
+    validates perfectly and generalizes terribly).
+
+    With ``prior_weight`` w > 0 the encoding shrinks toward the global
+    mean: ``(Σ_cat - x_i + w·μ) / (n_cat - 1 + w)`` — the smoothing that
+    keeps 1-row categories from encoding to NULL/noise.
+
+    Scale shape: ONE grouped aggregate over the category key (map-side
+    combinable, category-sized output) broadcast-joined back, plus a
+    1-row global aggregate; the leave-one-out arithmetic is row-local
+    codegen. No window, no self-join. Sums accumulate in DECIMAL —
+    exact and order-independent — and the single final division is the
+    only double op, rounded.
+
+    Returns ``df`` plus ``loo_enc`` (NULL for singleton categories when
+    ``prior_weight=0`` — flag or smooth them, never silently zero).
+    """
+    sums = df.groupBy(cat_col).agg(
+        F.sum(F.col(target_col).cast(_DEC)).alias("_cs"),
+        F.count(F.lit(1)).alias("_cn"),
+    )
+    glob = df.agg(
+        F.sum(F.col(target_col).cast(_DEC)).alias("_gs"),
+        F.count(F.lit(1)).alias("_gn"),
+    )
+    out = df.join(F.broadcast(sums), cat_col).crossJoin(F.broadcast(glob))
+    w = float(prior_weight)
+    num = (
+        F.col("_cs").cast("double")
+        - F.col(target_col).cast("double")
+        + F.lit(w) * (F.col("_gs").cast("double") / F.col("_gn").cast("double"))
+    )
+    den = (F.col("_cn") - F.lit(1)).cast("double") + F.lit(w)
+    return out.withColumn(
+        "loo_enc", F.round(num / F.nullif(den, F.lit(0.0)), round_digits)
+    ).drop("_cs", "_cn", "_gs", "_gn")

@@ -55,8 +55,9 @@ _ROUND = 6
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 6 (51 entries, listed in
-#: landing order): every query ADDED this round (the round6_queries and
+#: (first ~50 entries) re-verifies them. Round 6 (listed in landing order;
+#: the list exceeds the window, so the newest entries are appended at the
+#: END and the driver samples the head — rotation covers the rest): every query ADDED this round (the round6_queries and
 #: round6b_queries modules plus ``q_stream_trending_topk`` in
 #: streaming_queries), the
 #: queries whose operators changed (CC pointer-halving, semantic_edges
@@ -64,15 +65,31 @@ _ROUND = 6
 #: rounding-rule fixes carried from early round 6
 #: (``q_docs_weighted_sample``, ``q_emb_mmr_diverse_topk``).
 _CHANGED_THIS_ROUND = [
+    # second/third-wave round-6 additions lead: they have never appeared
+    # in a driver window, while the earlier round-6 entries were verified
+    # by the intermediate FULLCHECK artifacts — the ~50-entry window
+    # samples from the head, the rotation covers the overflow next round
+    "q_docs_dsir_select",
+    "q_docs_pmi_collocations",
+    "q_docs_top_keywords",
+    "q_emb_hard_negatives",
+    "q_emb_hard_negatives_recall_bound",
+    "q_graph_kcore",
+    "q_docs_snapshot_diff",
+    "q_docs_leakage_safe_split",
+    "q_docs_unigram_segment",
+    "q_stream_cdc_apply",
+    "q_lineitem_corr_matrix",
+    "q_events_mad_outliers",
+    "q_customer_loo_encode",
+    "q_graph_label_propagation",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",
-    # CC pointer-halving + semantic_edges block kernel touched these
     "q_emb_semantic_dedup_bound",
     "q_docs_neardup_cc",
     "q_docs_quality_keeper",
     "q_part_fuzzy_pairs",
-    # degree-capped to keep recursion volume SF-invariant
     "q_graph_bounded_walks",
     "q_docs_tfidf_knn",
     "q_docs_bloom_decontam",
@@ -111,20 +128,6 @@ _CHANGED_THIS_ROUND = [
     "q_docs_profile_drift",
     "q_docs_weighted_sample",
     "q_emb_mmr_diverse_topk",
-    # second-wave round-6 additions (round6b_queries)
-    "q_docs_dsir_select",
-    "q_docs_pmi_collocations",
-    "q_docs_top_keywords",
-    "q_emb_hard_negatives",
-    "q_emb_hard_negatives_recall_bound",
-    "q_graph_kcore",
-    # third-wave round-6 additions (round6c_queries)
-    "q_docs_snapshot_diff",
-    "q_docs_leakage_safe_split",
-    "q_docs_unigram_segment",
-    "q_stream_cdc_apply",
-    "q_lineitem_corr_matrix",
-    "q_events_mad_outliers",
 ]
 
 

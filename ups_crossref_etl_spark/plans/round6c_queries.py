@@ -377,3 +377,112 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return mad_outliers(e, "event_type", "value")
+
+
+@register(
+    "q_customer_loo_encode",
+    """
+    WITH cs AS (
+      SELECT c_mktsegment,
+             sum(CAST(c_acctbal AS DECIMAL(38,12))) AS s,
+             count(*) AS n
+      FROM customer GROUP BY c_mktsegment),
+    g AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(38,12))) AS gs, count(*) AS gn
+      FROM customer)
+    SELECT c.c_custkey, c.c_mktsegment,
+           round((CAST(cs.s AS DOUBLE) - CAST(c.c_acctbal AS DOUBLE)
+                  + 10.0 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+                 / nullif(CAST(cs.n - 1 AS DOUBLE) + 10.0, 0.0), 4) AS loo_enc
+    FROM customer c JOIN cs USING (c_mktsegment) CROSS JOIN g
+    """,
+    doc=(
+        "Leave-one-out target encoding (operators/stats.loo_target_encode, "
+        "prior_weight=10): encode c_mktsegment as the mean c_acctbal of "
+        "the OTHER rows in the segment, shrunk toward the global mean — "
+        "the high-cardinality categorical encoding where including the "
+        "row's own target is train-time leakage. ONE category-keyed "
+        "aggregate broadcast back + a 1-row global aggregate; the LOO "
+        "arithmetic is row-local codegen (no window, no self-join). "
+        "Decimal sums are exact/order-independent; the single double "
+        "division mirrors the oracle's expression tree, rounded 4dp."
+    ),
+)
+def q_customer_loo_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import loo_target_encode
+
+    c = read_table(spark, sf_dir, "customer")
+    return loo_target_encode(c, "c_mktsegment", "c_acctbal", prior_weight=10.0).select(
+        "c_custkey", "c_mktsegment", "loo_enc"
+    )
+
+
+_LPA_ORACLE = """
+WITH pe AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM pe a JOIN pe b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey),
+sym AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+f1 AS (SELECT e.dst AS node, l.label, count(*) AS n
+       FROM sym e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY n DESC, label ASC) AS rn
+         FROM f1) WHERE rn = 1),
+f2 AS (SELECT e.dst AS node, l.label, count(*) AS n
+       FROM sym e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+l2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY n DESC, label ASC) AS rn
+         FROM f2) WHERE rn = 1),
+f3 AS (SELECT e.dst AS node, l.label, count(*) AS n
+       FROM sym e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+l3 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY n DESC, label ASC) AS rn
+         FROM f3) WHERE rn = 1)
+SELECT node, CAST(label AS BIGINT) AS label FROM l3
+"""
+
+
+@register(
+    "q_graph_label_propagation",
+    _LPA_ORACLE,
+    doc=(
+        "Synchronous label-propagation communities "
+        "(operators/graph.label_propagation, 3 rounds) over the part "
+        "co-order graph: every node simultaneously adopts its neighbors' "
+        "most frequent label, ties to the smallest — the deterministic "
+        "variant of Raghavan et al. 2007 (asynchronous LPA is update-"
+        "order-dependent, useless under a distributed scheduler; fixed "
+        "small rounds is also the right contract, since synchronous LPA "
+        "can oscillate — unlike kcore's monotone peel there is no "
+        "fixpoint to run to). Per round: one src-keyed join, one "
+        "(dst,label) count, one per-node struct-max argmax — "
+        "aggregates, never a window; lineage truncated per round. "
+        "Oracle unrolls the 3 rounds as chained CTEs with the identical "
+        "(n DESC, label ASC) total order."
+    ),
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return label_propagation(edges, rounds=3)

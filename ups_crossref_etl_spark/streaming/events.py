@@ -619,6 +619,7 @@ def stream_cdc_apply(
     key_cols: list[str],
     op_col: str = "op",
     seq_col: str = "seq",
+    checkpoint: str | None = None,
 ):
     """STREAMING CDC apply: maintain a keyed snapshot under a change
     stream — the streaming twin of ``operators/cdc.apply_changes`` and
@@ -657,4 +658,7 @@ def stream_cdc_apply(
         if os.path.exists(old):
             shutil.rmtree(old)
 
-    return changes.writeStream.foreachBatch(sink).start()
+    w = changes.writeStream.foreachBatch(sink)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
