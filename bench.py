@@ -135,6 +135,7 @@ HEADLINE = [
     "q_events_mad_outliers",
     "q_customer_loo_encode",
     "q_graph_label_propagation",
+    "q_docs_split_leakage_audit",
 ]
 
 

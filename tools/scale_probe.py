@@ -556,6 +556,73 @@ def main() -> None:
         ord1.count(), ord1.count() * n,
     )
 
+    # round 6 third wave: versioning diff, stats, tokenizer inference,
+    # community detection
+    from ups_crossref_etl_spark.operators.diff import snapshot_diff
+    from ups_crossref_etl_spark.operators.graph import label_propagation
+    from ups_crossref_etl_spark.operators.stats import corr_matrix, mad_outliers
+    from ups_crossref_etl_spark.operators.unigram import (
+        unigram_segment_words,
+        unigram_vocab,
+        word_counts,
+    )
+
+    def perturb(d):
+        return d.filter(F.col("doc_id") % 17 != 3).withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+
+    probe(
+        "snapshot_diff",
+        lambda: snapshot_diff(docs1, perturb(docs1), "doc_id").count(),
+        lambda: snapshot_diff(docsN, perturb(docsN), "doc_id").count(),
+        docs1.count(), docsN.count(),
+    )
+
+    def seg_count(d):
+        wc = word_counts(d)
+        return unigram_segment_words(wc, unigram_vocab(wc, min_count=800)).count()
+
+    probe(
+        "unigram_segment",
+        lambda: seg_count(docs1),
+        lambda: seg_count(docsN),
+        docs1.count(), docsN.count(),
+    )
+    _CM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    probe(
+        "corr_matrix",
+        lambda: corr_matrix(li1, _CM).count(),
+        lambda: corr_matrix(liN, _CM).count(),
+        li1.count(), liN.count(),
+    )
+    ev1 = read_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    evN = replicate(ev1, "event_id", n).localCheckpoint()
+    probe(
+        "mad_outliers",
+        lambda: mad_outliers(ev1, "event_type", "value").count(),
+        lambda: mad_outliers(evN, "event_type", "value").count(),
+        ev1.count(), evN.count(),
+    )
+
+    def lpa_edges(li):
+        pe = li.select("l_orderkey", "l_partkey").distinct()
+        return (
+            pe.alias("a").join(pe.alias("b"), "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        )
+
+    # replication multiplies co-order edges superlinearly within orders —
+    # keep the graph comparable by re-keying orders (replicate already did)
+    probe(
+        "label_propagation_3r",
+        lambda: label_propagation(lpa_edges(li1), rounds=3).count(),
+        lambda: label_propagation(lpa_edges(liN), rounds=3).count(),
+        li1.count(), liN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
         json.dump(results, f, indent=2)

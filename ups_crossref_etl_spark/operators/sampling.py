@@ -31,6 +31,7 @@ __all__ = [
     "hash_bucket",
     "split_assign",
     "leakage_safe_split",
+    "split_leakage_audit",
     "stratified_sample",
     "weighted_sample_k",
     "pack_sequences",
@@ -424,3 +425,36 @@ def leakage_safe_split(
         clause = F.when(b < F.lit(cum), F.lit(name))
         expr = clause if expr is None else expr.when(b < F.lit(cum), F.lit(name))
     return out.withColumn("split", expr)
+
+
+def split_leakage_audit(
+    labeled: DataFrame,
+    edges: DataFrame,
+    key_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Audit a split assignment against a similarity edge set: how many
+    edges cross split boundaries? Cross-split near-dup edges ARE eval
+    contamination — this is the measurement ``leakage_safe_split``
+    drives to zero by construction, and the number to report for any
+    split you didn't construct that way (an inherited split, a
+    doc-id-hash split, a time-based split).
+
+    Scale shape: two key-keyed equi-joins of the (key, split) projection
+    onto the edge list + one global aggregate — edge-list-sized, no
+    window, nothing pairwise beyond the edges already materialized.
+
+    Returns one row: ``(n_edges, n_cross)``.
+    """
+    l_ = labeled.select(F.col(key_col).alias("src"), F.col(split_col).alias("_ls"))
+    r_ = labeled.select(F.col(key_col).alias("dst"), F.col(split_col).alias("_rs"))
+    return (
+        edges.join(l_, "src")
+        .join(r_, "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum((F.col("_ls") != F.col("_rs")).cast("long"))
+            .cast("long")
+            .alias("n_cross"),
+        )
+    )

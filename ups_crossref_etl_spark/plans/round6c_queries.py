@@ -486,3 +486,106 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return label_propagation(edges, rounds=3)
+
+
+_SPLIT_AUDIT_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_distinct([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') IF x <> '']) AS tok
+  FROM documents WHERE doc_id < 80),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.tok, b.tok))::DOUBLE /
+        nullif(len(list_distinct(list_concat(a.tok, b.tok))), 0) >= 0.5),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, comp) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node),
+cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+docs AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+naive AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS b
+  FROM docs),
+safe AS (
+  SELECT d.doc_id,
+         CAST('0x' || substr(md5('split-' ||
+              CAST(coalesce(cc.component, d.doc_id) AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS b
+  FROM docs d LEFT JOIN cc ON cc.node = d.doc_id),
+lab AS (
+  SELECT 'naive' AS method, doc_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM naive
+  UNION ALL
+  SELECT 'component', doc_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+  FROM safe)
+SELECT l.method,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN l.split <> r.split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross
+FROM edges e
+JOIN lab l ON l.doc_id = e.src
+JOIN lab r ON r.doc_id = e.dst AND r.method = l.method
+GROUP BY l.method
+"""
+
+
+@register(
+    "q_docs_split_leakage_audit",
+    _SPLIT_AUDIT_ORACLE,
+    doc=(
+        "Cross-split contamination audit "
+        "(operators/sampling.split_leakage_audit): count near-dup edges "
+        "whose endpoints landed in different train/val/test splits, for "
+        "a naive doc-id-hash split vs the component split, over the same "
+        "exact-Jaccard>=0.5 edge set (bounded doc_id<80 sample). The "
+        "naive split crosses hundreds of edges (eval contamination, "
+        "measured); leakage_safe_split crosses ZERO — and here that "
+        "invariant is measured rather than assumed. Two key-keyed "
+        "equi-joins of the (key, split) projection onto the edge list + "
+        "one aggregate; edge-list-sized, no window."
+    ),
+)
+def q_docs_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+        split_leakage_audit,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    a = toks.select(F.col("doc_id").alias("src"), F.col("tok").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("dst"), F.col("tok").alias("tb"))
+    edges = (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .filter(
+            F.size(F.array_intersect("ta", "tb"))
+            / F.nullif(F.size(F.array_union("ta", "tb")), F.lit(0)).cast("double")
+            >= 0.5
+        )
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    ids = d.select("doc_id")
+    naive = split_assign(ids, "doc_id")
+    safe = leakage_safe_split(ids, edges, "doc_id")
+    return split_leakage_audit(naive, edges, "doc_id").select(
+        F.lit("naive").alias("method"), "n_edges", "n_cross"
+    ).unionByName(
+        split_leakage_audit(safe, edges, "doc_id").select(
+            F.lit("component").alias("method"), "n_edges", "n_cross"
+        )
+    )
