@@ -136,6 +136,7 @@ HEADLINE = [
     "q_customer_loo_encode",
     "q_graph_label_propagation",
     "q_docs_split_leakage_audit",
+    "q_events_seasonal_backtest",
 ]
 
 

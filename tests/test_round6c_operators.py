@@ -233,3 +233,35 @@ def test_loo_target_encode_hand_computed(spark):
           for r in loo_target_encode(df, "cat", "y", prior_weight=1.0).collect()}
     mu = 19.0 / 4
     assert abs(sm[("b", 10.0)] - mu) < 1e-9  # shrinks fully to global mean
+
+
+def test_seasonal_baseline_backtest_planted(spark):
+    """Perfectly periodic signal -> MAE 0 on seen slots; a test row in an
+    unseen slot uses the fallback mean and reports n_fallback."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.timeseries import (
+        seasonal_baseline_backtest,
+    )
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    # train: two weeks, value = hour number at hours 1 and 2 every day
+    for day in range(14):
+        for h in (1, 2):
+            rows.append(Row(k="a", ts=t0 + dt.timedelta(days=day, hours=h),
+                            v=float(h * 10)))
+    # test: third week, same slots (predictable) + one 5am row (unseen slot)
+    for day in range(14, 16):
+        for h in (1, 2):
+            rows.append(Row(k="a", ts=t0 + dt.timedelta(days=day, hours=h),
+                            v=float(h * 10)))
+    rows.append(Row(k="a", ts=t0 + dt.timedelta(days=14, hours=5), v=15.0))
+    df = spark.createDataFrame(rows)
+    got = seasonal_baseline_backtest(df, "k", "ts", "v", "2024-01-15").collect()[0]
+    assert got["n_test"] == 5
+    assert got["n_fallback"] == 1
+    # 4 exact rows err 0; fallback pred = train mean 15.0, err 0 too
+    assert got["mae"] == 0.0

@@ -465,3 +465,91 @@ def mean_shift_scores(
             + F.lit(0.0),
         ),
     ).drop("_m")
+
+
+def seasonal_baseline_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hour-of-week seasonal-mean forecast with a held-out backtest — the
+    baseline every forecasting effort must beat before any model earns
+    its compute (a seasonal-naive that loses to nothing still catches
+    pipeline bugs: a broken feature join shows up as MAE exploding
+    against this floor).
+
+    Model: per (key, day-of-week, hour) mean of ``value_col`` over rows
+    BEFORE ``split_ts``; unseen slots fall back to the key's overall
+    train mean. Test rows (>= ``split_ts``) score against the
+    prediction; returns per key: ``(key, n_test, n_fallback, mae)``.
+
+    Determinism: slot means divide exact DECIMAL sums (one double each,
+    identical expression tree on both engines); each row's absolute
+    error converts to integer MICRO-UNITS (``round(|v-pred|*1e6)``)
+    before summing, so the corpus aggregate is exact int64 math and the
+    final division is the only unordered double op — the repo's
+    round-before-compare rule applied to an error metric.
+
+    Scale shape: the model is one (key, dow, hour) aggregate over train
+    (map-side combinable, ``|keys|*168``-row output — broadcastable);
+    scoring is a broadcast join + row-local arithmetic; the backtest
+    summary is one key aggregate. No window anywhere.
+    """
+    dec = "decimal(38,12)"
+    dow = (F.dayofweek(F.col(ts_col)) - F.lit(1)).alias("_dow")
+    hr = F.hour(F.col(ts_col)).alias("_hr")
+    base = df.select(
+        F.col(key_col),
+        dow,
+        hr,
+        F.col(value_col).alias("_v"),
+        (F.col(ts_col) < F.lit(split_ts).cast("timestamp")).alias("_train"),
+    )
+    slot = (
+        base.filter("_train")
+        .groupBy(key_col, "_dow", "_hr")
+        .agg(F.sum(F.col("_v").cast(dec)).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            key_col,
+            "_dow",
+            "_hr",
+            (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("_slot"),
+        )
+    )
+    overall = (
+        base.filter("_train")
+        .groupBy(key_col)
+        .agg(F.sum(F.col("_v").cast(dec)).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            key_col,
+            (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("_fb"),
+        )
+    )
+    test = (
+        base.filter(~F.col("_train"))
+        .join(F.broadcast(slot), [key_col, "_dow", "_hr"], "left")
+        .join(F.broadcast(overall), key_col, "left")
+    )
+    err_micro = F.round(
+        F.abs(F.col("_v") - F.coalesce(F.col("_slot"), F.col("_fb"))) * 1_000_000.0, 0
+    ).cast("bigint")
+    return (
+        test.select(
+            F.col(key_col),
+            err_micro.alias("_e"),
+            F.col("_slot").isNull().cast("long").alias("_f"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("_f").cast("long").alias("n_fallback"),
+            F.round(
+                (F.sum("_e").cast("double") / F.count(F.lit(1)).cast("double"))
+                / 1_000_000.0,
+                round_digits,
+            ).alias("mae"),
+        )
+    )

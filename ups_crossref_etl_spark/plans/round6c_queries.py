@@ -589,3 +589,59 @@ def q_docs_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("component").alias("method"), "n_edges", "n_cross"
         )
     )
+
+
+@register(
+    "q_events_seasonal_backtest",
+    """
+    WITH base AS (
+      SELECT event_type,
+             EXTRACT(dow FROM ts) AS d, EXTRACT(hour FROM ts) AS h,
+             value AS v, ts < TIMESTAMP '2024-01-22' AS train
+      FROM events WHERE value IS NOT NULL),
+    slot AS (
+      SELECT event_type, d, h,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS p
+      FROM base WHERE train GROUP BY 1, 2, 3),
+    fb AS (
+      SELECT event_type,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS p
+      FROM base WHERE train GROUP BY 1),
+    test AS (
+      SELECT b.event_type,
+             CAST(round(abs(b.v - coalesce(s.p, fb.p)) * 1000000.0) AS BIGINT)
+               AS e,
+             CASE WHEN s.p IS NULL THEN 1 ELSE 0 END AS f
+      FROM base b
+      LEFT JOIN slot s ON s.event_type = b.event_type AND s.d = b.d AND s.h = b.h
+      LEFT JOIN fb ON fb.event_type = b.event_type
+      WHERE NOT b.train)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(f) AS BIGINT) AS n_fallback,
+           round((CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0, 4)
+             AS mae
+    FROM test GROUP BY event_type
+    """,
+    doc=(
+        "Hour-of-week seasonal-mean forecast with held-out backtest "
+        "(operators/timeseries.seasonal_baseline_backtest): per-type "
+        "(dow, hour) train means (before Jan 22) predict the final week; "
+        "unseen slots fall back to the type's train mean; per-type MAE "
+        "reported — the baseline any forecasting model must beat. Slot "
+        "means divide exact decimal sums; each absolute error converts "
+        "to integer micro-units BEFORE summing, so the corpus aggregate "
+        "is exact int64 and only the final division is double "
+        "(round-before-compare applied to an error metric). Model is a "
+        "|types|*168-row broadcast; scoring is row-local; no window."
+    ),
+)
+def q_events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import seasonal_baseline_backtest
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return seasonal_baseline_backtest(
+        e, "event_type", "ts", "value", "2024-01-22"
+    )
