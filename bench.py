@@ -137,6 +137,7 @@ HEADLINE = [
     "q_graph_label_propagation",
     "q_docs_split_leakage_audit",
     "q_events_seasonal_backtest",
+    "q_lineitem_join_preflight",
 ]
 
 

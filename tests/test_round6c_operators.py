@@ -265,3 +265,36 @@ def test_seasonal_baseline_backtest_planted(spark):
     assert got["n_fallback"] == 1
     # 4 exact rows err 0; fallback pred = train mean 15.0, err 0 too
     assert got["mae"] == 0.0
+
+
+def test_join_cardinality_preflight_exact(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.skew import join_cardinality_preflight
+
+    left = spark.createDataFrame(
+        [Row(k=1)] * 3 + [Row(k=2)] * 2 + [Row(k=3)]
+    )
+    right = spark.createDataFrame([Row(k=1)] * 4 + [Row(k=2)] * 5)
+    out = {r["rank"]: r for r in
+           join_cardinality_preflight(left, right, ["k"]).collect()}
+    actual = left.join(right, "k").count()
+    assert out[0]["out_rows"] == actual == 22  # 3*4 + 2*5
+    assert out[1]["key_repr"] == "1" and out[1]["out_rows"] == 12
+    assert out[2]["key_repr"] == "2" and out[2]["out_rows"] == 10
+    assert 3 not in out  # key 3 has no match -> contributes nothing
+
+
+def test_vacuum_tombstones_horizon(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.cdc import vacuum_tombstones
+
+    st = spark.createDataFrame(
+        [Row(k=1, op="U", seq=5), Row(k=2, op="D", seq=3),
+         Row(k=3, op="D", seq=9), Row(k=4, op="U", seq=1)]
+    )
+    kept = {(r["k"], r["op"]) for r in vacuum_tombstones(st, 5).collect()}
+    # old tombstone (seq 3) compacted away; recent one (seq 9) retained;
+    # live rows untouched regardless of seq
+    assert kept == {(1, "U"), (3, "D"), (4, "U")}

@@ -56,3 +56,30 @@ def apply_changes(
         latest.select(*key_cols), key_cols, "left_anti"
     )
     return untouched.unionByName(upserts)
+
+
+def vacuum_tombstones(
+    state: DataFrame,
+    horizon_seq: int,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Retention compaction for a versioned CDC state table
+    (``streaming/events.merge_cdc_state`` keeps delete rows as
+    tombstones so stale lower-seq updates can never resurrect a key):
+    drop tombstones with ``seq < horizon_seq``.
+
+    The horizon encodes the maximum disorder the pipeline can still
+    deliver — once every source guarantees nothing older than
+    ``horizon_seq`` will arrive, a tombstone below it can no longer
+    lose an LWW comparison to anything, so removing it is safe; above
+    the horizon it must stay. Live rows are never touched. This is the
+    retention policy the merge's docstring defers to — the same
+    contract as Delta/Iceberg VACUUM vs time travel.
+
+    Row-local filter — zero shuffles; run it piggybacked on any state
+    rewrite.
+    """
+    return state.filter(
+        (F.col(op_col) != "D") | (F.col(seq_col) >= F.lit(horizon_seq))
+    )

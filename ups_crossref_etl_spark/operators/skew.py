@@ -148,3 +148,63 @@ def hybrid_skew_join(
     out_hot = fact_hot.join(F.broadcast(dim_hot), key, how)
     out_cold = fact_cold.join(dim, key, how)
     return out_hot.unionByName(out_cold)
+
+
+def join_cardinality_preflight(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Pre-flight a join before paying its shuffle: the EXACT output
+    cardinality and the keys that dominate it, from two key-histogram
+    aggregates — each a tiny fraction of the join's own cost.
+
+    ``|A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)`` — the classic identity; the
+    per-key products are also exactly the join's skew profile (one key
+    contributing 10⁹ of 10⁹·⁵ output rows means salting or a hot/cold
+    split BEFORE launching, not an OOM'd stage retry after). At 100 TB
+    this check is the difference between discovering a runaway
+    many-to-many join in a 2-minute aggregate and discovering it three
+    hours into a 10-hour stage.
+
+    Returns one summary row per dominating key (rank <= ``top``, total
+    tiebreak) plus a rank-0 TOTAL row: ``(rank, key_repr, out_rows,
+    frac)`` with ``frac`` the key's share of the total output, 4dp.
+
+    Scale shape: one map-side-combinable count aggregate per side, an
+    inner join of the two key histograms (distinct-key-sized), a
+    TakeOrdered top-k — nothing touches a full-width row.
+    """
+    from pyspark.sql.window import Window
+
+    kr = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    la = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_ca"))
+    rb = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cb"))
+    prod = la.join(rb, key_cols).select(
+        kr.alias("key_repr"), (F.col("_ca") * F.col("_cb")).alias("out_rows")
+    )
+    total = prod.agg(F.sum("out_rows").alias("_tot"))
+    topk = (
+        prod.crossJoin(F.broadcast(total))
+        .select(
+            "key_repr",
+            F.col("out_rows").cast("long").alias("out_rows"),
+            F.round(F.col("out_rows") / F.col("_tot"), 4).alias("frac"),
+        )
+        .orderBy(F.desc("out_rows"), F.asc("key_repr"))
+        .limit(top)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("out_rows"), F.asc("key_repr")))
+            .cast("long"),
+        )
+    )
+    tot_row = total.select(
+        F.lit(0).cast("long").alias("rank"),
+        F.lit("__TOTAL__").alias("key_repr"),
+        F.col("_tot").cast("long").alias("out_rows"),
+        F.lit(1.0).alias("frac"),
+    )
+    return tot_row.unionByName(topk.select("rank", "key_repr", "out_rows", "frac"))

@@ -85,6 +85,7 @@ _CHANGED_THIS_ROUND = [
     "q_graph_label_propagation",
     "q_docs_split_leakage_audit",
     "q_events_seasonal_backtest",
+    "q_lineitem_join_preflight",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

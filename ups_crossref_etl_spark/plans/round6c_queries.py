@@ -645,3 +645,44 @@ def q_events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_baseline_backtest(
         e, "event_type", "ts", "value", "2024-01-22"
     )
+
+
+@register(
+    "q_lineitem_join_preflight",
+    """
+    WITH la AS (SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+    prod AS (
+      SELECT CAST(k AS VARCHAR) AS key_repr,
+             CAST(ca * ca AS BIGINT) AS out_rows
+      FROM la),
+    tot AS (SELECT CAST(sum(out_rows) AS BIGINT) AS t FROM prod),
+    topk AS (
+      SELECT key_repr, out_rows,
+             round(CAST(out_rows AS DOUBLE) / CAST(t AS DOUBLE), 4) AS frac,
+             row_number() OVER (ORDER BY out_rows DESC, key_repr ASC) AS rank
+      FROM prod, tot QUALIFY rank <= 10)
+    SELECT CAST(0 AS BIGINT) AS rank, '__TOTAL__' AS key_repr,
+           t AS out_rows, 1.0 AS frac
+    FROM tot
+    UNION ALL
+    SELECT CAST(rank AS BIGINT), key_repr, out_rows, frac FROM topk
+    """,
+    doc=(
+        "Join-cardinality pre-flight "
+        "(operators/skew.join_cardinality_preflight) for the lineitem "
+        "self-join on l_partkey: |A JOIN B| = sum over keys of "
+        "cnt_A*cnt_B, computed from two key-histogram aggregates at a "
+        "tiny fraction of the join's own cost — plus the top-10 "
+        "dominating keys (the join's exact skew profile). At 100 TB "
+        "this turns a runaway many-to-many join from a 3-hour stage "
+        "failure into a 2-minute aggregate answer that routes the job "
+        "to salting / hot-cold splitting FIRST. Histograms are map-side "
+        "combinable; their join is distinct-key-sized; top-k is "
+        "TakeOrdered with a key tiebreak."
+    ),
+)
+def q_lineitem_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import join_cardinality_preflight
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return join_cardinality_preflight(li, li, ["l_partkey"])
