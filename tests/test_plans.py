@@ -980,3 +980,40 @@ def test_label_propagation_round_no_window_no_cartesian(spark, sf_dir):
     plan = _plan(q)
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
+    """Spark's runtime bloom-filter injection: a selective filter on the
+    orders side materializes a bloom_filter_agg whose might_contain
+    probe prunes lineitem rows BEFORE the join shuffle — the in-engine
+    semi-join reduction that, at 100 TB, avoids shuffling the ~97% of
+    probe rows a 1-URGENT filter discards. The application-side scan
+    threshold (default 10GB) triggers naturally at scale; locally it is
+    zeroed to demonstrate the plan."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
