@@ -138,6 +138,7 @@ HEADLINE = [
     "q_docs_split_leakage_audit",
     "q_events_seasonal_backtest",
     "q_lineitem_join_preflight",
+    "q_events_psi_drift",
 ]
 
 

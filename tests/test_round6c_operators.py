@@ -298,3 +298,19 @@ def test_vacuum_tombstones_horizon(spark):
     # old tombstone (seq 3) compacted away; recent one (seq 9) retained;
     # live rows untouched regardless of seq
     assert kept == {(1, "U"), (3, "D"), (4, "U")}
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame([Row(v=float(i % 100)) for i in range(1000)])
+    cut = [20.0, 40.0, 60.0, 80.0]
+    same = {r["bin"]: r for r in psi_drift(a, a, "v", cut).collect()}
+    assert same[-1]["term"] == 0.0  # identical distributions -> PSI 0
+    b = spark.createDataFrame([Row(v=float(i % 100) + 40.0) for i in range(1000)])
+    shifted = {r["bin"]: r for r in psi_drift(a, b, "v", cut).collect()}
+    assert shifted[-1]["term"] > 0.25  # a 40-unit shift is an act-now PSI
+    # per-bin rows cover every bin incl. empties
+    assert set(shifted) == {-1, 0, 1, 2, 3, 4}

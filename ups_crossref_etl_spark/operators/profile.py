@@ -143,3 +143,79 @@ def table_digest(df, cols: list[str]):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.bit_xor(h).alias("digest"),
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    cutoffs: list[float],
+    round_digits: int = 4,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a value
+    column — the distributional complement of ``profile_drift`` (which
+    sees nulls/bounds/distincts move but not the SHAPE shifting inside
+    unchanged bounds). PSI = Σ_bins (p−q)·ln(p/q); the industry alert
+    thresholds are ~0.1 (investigate) / ~0.25 (act).
+
+    ``cutoffs`` are inlined as plan literals (pick them once from the
+    reference snapshot's quantiles — ``approx_percentile`` at scale, the
+    calibration-bins swap-in), so binning is a codegen comparison chain
+    fused into both scans; each side then pays ONE map-side-combinable
+    bin-count aggregate whose output is bins-sized. Empty bins are
+    ε-smoothed (1e-6) on both engines so the log never sees zero.
+
+    Determinism: bin fractions are exact rationals; each bin's PSI term
+    converts to integer MICRO-units (``round(term*1e6)``) before the
+    final sum, so the total is exact int64 math (the repo's
+    round-before-compare rule; a 10-double sum would be fold-order
+    noise). Returns per-bin rows (``bin``, ``frac_a``, ``frac_b``,
+    ``term``) plus a ``bin=-1`` TOTAL row carrying the PSI.
+    """
+    eps = 1e-6
+
+    def binned(df, tag):
+        b = F.lit(len(cutoffs))
+        for i, c in enumerate(reversed(cutoffs)):
+            b = F.when(
+                F.col(value_col) < F.lit(float(c)), F.lit(len(cutoffs) - 1 - i)
+            ).otherwise(b)
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"_n_{tag}"))
+        )
+
+    a, bdf = binned(df_a, "a"), binned(df_b, "b")
+    ta = df_a.filter(F.col(value_col).isNotNull()).count()
+    tb = df_b.filter(F.col(value_col).isNotNull()).count()
+    grid = df_a.sparkSession.range(0, len(cutoffs) + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    j = (
+        grid.join(a, "bin", "left")
+        .join(bdf, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("_n_a", F.lit(0)).alias("_na"),
+            F.coalesce("_n_b", F.lit(0)).alias("_nb"),
+        )
+    )
+    p = F.col("_na") / F.lit(float(ta)) + F.lit(eps)
+    q = F.col("_nb") / F.lit(float(tb)) + F.lit(eps)
+    term_micro = F.round((p - q) * F.log(p / q) * 1_000_000.0, 0).cast("bigint")
+    per_bin = j.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round(F.col("_na") / F.lit(float(ta)), round_digits).alias("frac_a"),
+        F.round(F.col("_nb") / F.lit(float(tb)), round_digits).alias("frac_b"),
+        F.round(term_micro / 1_000_000.0, round_digits).alias("term"),
+        term_micro.alias("_tm"),
+    )
+    total = per_bin.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.lit(None).cast("double").alias("frac_a"),
+        F.lit(None).cast("double").alias("frac_b"),
+        F.round(F.sum("_tm") / 1_000_000.0, round_digits).alias("term"),
+    )
+    return per_bin.drop("_tm").unionByName(total)

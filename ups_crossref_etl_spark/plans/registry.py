@@ -86,6 +86,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_split_leakage_audit",
     "q_events_seasonal_backtest",
     "q_lineitem_join_preflight",
+    "q_events_psi_drift",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

@@ -686,3 +686,71 @@ def q_lineitem_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
     return join_cardinality_preflight(li, li, ["l_partkey"])
+
+
+@register(
+    "q_events_psi_drift",
+    """
+    WITH a AS (SELECT value FROM events
+               WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'),
+    b AS (SELECT value FROM events
+          WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'),
+    ta AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM a),
+    tb AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM b),
+    bin_a AS (
+      SELECT CASE WHEN value < 10 THEN 0 WHEN value < 25 THEN 1
+                  WHEN value < 50 THEN 2 WHEN value < 100 THEN 3
+                  WHEN value < 200 THEN 4 ELSE 5 END AS bin,
+             count(*) AS na
+      FROM a GROUP BY 1),
+    bin_b AS (
+      SELECT CASE WHEN value < 10 THEN 0 WHEN value < 25 THEN 1
+                  WHEN value < 50 THEN 2 WHEN value < 100 THEN 3
+                  WHEN value < 200 THEN 4 ELSE 5 END AS bin,
+             count(*) AS nb
+      FROM b GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 6)) AS bin),
+    j AS (
+      SELECT g.bin,
+             coalesce(bin_a.na, 0) AS na, coalesce(bin_b.nb, 0) AS nb
+      FROM grid g
+      LEFT JOIN bin_a ON bin_a.bin = g.bin
+      LEFT JOIN bin_b ON bin_b.bin = g.bin),
+    terms AS (
+      SELECT bin, na, nb,
+             CAST(round(((na / ta.t + 0.000001) - (nb / tb.t + 0.000001)) *
+                        ln((na / ta.t + 0.000001) / (nb / tb.t + 0.000001)) *
+                        1000000.0) AS BIGINT) AS tm
+      FROM j, ta, tb)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           round(na / ta.t, 4) AS frac_a,
+           round(nb / tb.t, 4) AS frac_b,
+           round(CAST(tm AS DOUBLE) / 1000000.0, 4) AS term
+    FROM terms, ta, tb
+    UNION ALL
+    SELECT -1, NULL, NULL,
+           round(CAST(sum(tm) AS DOUBLE) / 1000000.0, 4)
+    FROM terms
+    """,
+    doc=(
+        "Population Stability Index between the first and second half of "
+        "January (operators/profile.psi_drift, cutoffs 10/25/50/100/200): "
+        "the distributional drift metric profile_drift cannot see — the "
+        "shape shifting inside unchanged bounds. Cutoffs are plan "
+        "literals (taken once from the reference snapshot's quantiles at "
+        "scale), so binning fuses into both scans; each side pays ONE "
+        "bins-sized map-side-combinable aggregate. Each bin's PSI term "
+        "converts to integer micro-units before the total sum (exact "
+        "int64 — a 6-double fold would be order noise); empty bins are "
+        "epsilon-smoothed identically on both engines. Output: per-bin "
+        "fractions + terms, and a bin=-1 TOTAL row carrying the PSI."
+    ),
+)
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dates import epoch_seconds  # noqa: F401 (NTZ-safe read)
+    from ..operators.profile import psi_drift
+
+    e = read_table(spark, sf_dir, "events")
+    a = e.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    b = e.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+    return psi_drift(a, b, "value", [10.0, 25.0, 50.0, 100.0, 200.0])
