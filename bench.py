@@ -139,6 +139,7 @@ HEADLINE = [
     "q_events_seasonal_backtest",
     "q_lineitem_join_preflight",
     "q_events_psi_drift",
+    "q_docs_containment_join",
 ]
 
 

@@ -314,3 +314,21 @@ def test_psi_drift_identical_and_shifted(spark):
     assert shifted[-1]["term"] > 0.25  # a 40-unit shift is an act-now PSI
     # per-bin rows cover every bin incl. empties
     assert set(shifted) == {-1, 0, 1, 2, 3, 4}
+
+
+def test_containment_join_detects_fragment(spark):
+    """A short doc quoted inside a much longer one: Jaccard tiny,
+    containment 1.0, and only in the fragment->host direction."""
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.setsim import containment_join
+
+    frag = "alpha beta gamma delta epsilon zeta"
+    host = frag + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=frag), Row(doc_id=2, text=host),
+         Row(doc_id=3, text="totally different words here entirely now")]
+    )
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_join(df, "doc_id", "text", 0.8, 3).collect()}
+    assert out == {(1, 2): 1.0}  # directed: fragment contained in host only

@@ -87,6 +87,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_seasonal_backtest",
     "q_lineitem_join_preflight",
     "q_events_psi_drift",
+    "q_docs_containment_join",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

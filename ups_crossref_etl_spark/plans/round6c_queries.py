@@ -754,3 +754,48 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
     b = e.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
     return psi_drift(a, b, "value", [10.0, 25.0, 50.0, 100.0, 200.0])
+
+
+@register(
+    "q_docs_containment_join",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ts
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+      FROM toks WHERE len(ts) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS overlap,
+           CAST(len(a.s) AS BIGINT) AS size_a,
+           CAST(len(b.s) AS BIGINT) AS size_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 4)
+             AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8
+    """,
+    doc=(
+        "Asymmetric set-containment self-join "
+        "(operators/setsim.containment_join, word 3-gram shingles, "
+        "t=0.8): every DIRECTED pair where A's shingles are mostly "
+        "inside B — the quote/excerpt/boilerplate detector Jaccard "
+        "cannot see (a fragment inside a 100x longer doc has ~0 Jaccard "
+        "but containment ~1; the direction says which is the fragment). "
+        "Prefix filtering adapts to the asymmetry: only the contained "
+        "side is prefix-pruned (rarest |A|-ceil(t|A|)+1 shingles), the "
+        "superset side joins its full list, plus the |B| >= t|A| length "
+        "bound — candidate blocks stay rare-shingle-dominated, never "
+        "all-pairs. The ORACLE is the brute-force all-pairs join, "
+        "tractable at oracle scale — exactly why the Spark side must "
+        "not be."
+    ),
+)
+def q_docs_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setsim import containment_join
+
+    d = read_table(spark, sf_dir, "documents")
+    return containment_join(d, "doc_id", "text", threshold=0.8, shingle_width=3)
