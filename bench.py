@@ -140,6 +140,7 @@ HEADLINE = [
     "q_lineitem_join_preflight",
     "q_events_psi_drift",
     "q_docs_containment_join",
+    "q_docs_unigram_token_counts",
 ]
 
 

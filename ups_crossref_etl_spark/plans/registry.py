@@ -88,6 +88,7 @@ _CHANGED_THIS_ROUND = [
     "q_lineitem_join_preflight",
     "q_events_psi_drift",
     "q_docs_containment_join",
+    "q_docs_unigram_token_counts",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

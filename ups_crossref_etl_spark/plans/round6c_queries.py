@@ -799,3 +799,61 @@ def q_docs_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return containment_join(d, "doc_id", "text", threshold=0.8, shingle_width=3)
+
+
+@register(
+    "q_docs_unigram_token_counts",
+    _UNIGRAM_ORACLE.replace(
+        "SELECT word, CAST(cnt AS BIGINT) AS cnt, path AS seg,\n"
+        "       CAST(np AS BIGINT) AS n_pieces, score\n"
+        "FROM fin WHERE rn = 1",
+        """,
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS word
+  FROM documents),
+seg AS (SELECT word, np FROM fin WHERE rn = 1)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(seg.np) AS BIGINT) AS n_pieces
+FROM docw d JOIN seg ON seg.word = d.word
+GROUP BY d.doc_id""",
+    ),
+    doc=(
+        "Corpus tokenization under the unigram LM "
+        "(operators/unigram): per-document word and PIECE counts by "
+        "broadcast-joining the corpus's (doc, word) rows against the "
+        "vocab-sized Viterbi segmentation — the scale path the "
+        "segmenter's docstring promises (the Zipf head is segmented "
+        "once, never once per occurrence; the only corpus-sized ops are "
+        "the word explode and one doc-keyed count). This is the unigram "
+        "twin of q_docs_pack_bpe_sequences' token budget: real "
+        "subword counts for sequence packing, not regex proxies."
+    ),
+)
+def q_docs_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_segment_words, unigram_vocab, word_counts
+
+    d = read_table(spark, sf_dir, "documents")
+    wc = word_counts(d)
+    vocab = unigram_vocab(wc, max_piece_len=4, min_count=800)
+    seg = unigram_segment_words(wc, vocab, max_piece_len=4).select(
+        "word", "n_pieces"
+    )
+    docw = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+            )
+        ).alias("word"),
+    )
+    return (
+        docw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+    )
