@@ -141,6 +141,7 @@ HEADLINE = [
     "q_events_psi_drift",
     "q_docs_containment_join",
     "q_docs_unigram_token_counts",
+    "q_docs_shard_manifest",
 ]
 
 

@@ -332,3 +332,30 @@ def test_containment_join_detects_fragment(spark):
     out = {(r["id_a"], r["id_b"]): r["containment"]
            for r in containment_join(df, "doc_id", "text", 0.8, 3).collect()}
     assert out == {(1, 2): 1.0}  # directed: fragment contained in host only
+
+
+def test_shard_manifest_detects_corruption(spark, sf_dir):
+    from ups_crossref_etl_spark.operators.profile import shard_manifest
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    base = {r["shard"]: (r["n_rows"], r["digest"])
+            for r in shard_manifest(d, "doc_id", cols).collect()}
+    # same data -> identical manifest (order/partitioning independent)
+    again = {r["shard"]: (r["n_rows"], r["digest"])
+             for r in shard_manifest(d.repartition(7), "doc_id", cols).collect()}
+    assert base == again
+    # corrupt one row's lang -> exactly the shards holding it differ,
+    # with unchanged row counts (the digest catches what count cannot)
+    from pyspark.sql import functions as F
+
+    bad = d.withColumn(
+        "lang", F.when(F.col("doc_id") == 5, F.lit("zz")).otherwise(F.col("lang"))
+    )
+    after = {r["shard"]: (r["n_rows"], r["digest"])
+             for r in shard_manifest(bad, "doc_id", cols).collect()}
+    diff = {s for s in base if base[s] != after[s]}
+    assert len(diff) == 1
+    s = diff.pop()
+    assert base[s][0] == after[s][0] and base[s][1] != after[s][1]

@@ -219,3 +219,43 @@ def psi_drift(
         F.round(F.sum("_tm") / 1_000_000.0, round_digits).alias("term"),
     )
     return per_bin.drop("_tm").unionByName(total)
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    cols: list[str],
+    num_shards: int = 16,
+    seed: str = "shard",
+) -> DataFrame:
+    """Verification manifest for a sharded training-data export: per
+    shard, the row count and the order-insensitive XOR content digest
+    (``table_digest`` semantics, grouped). A consumer re-derives the
+    manifest from the files it received and diffs — detecting a
+    truncated, duplicated, or silently-corrupted shard without
+    re-reading the producer's copy; a re-export after compaction is
+    provably content-identical shard by shard. Shard ids reuse
+    ``sampling.hash_bucket`` — the exact assignment
+    ``sinks.write_training_shards`` writes, so the manifest matches the
+    physical layout key for key.
+
+    One map-only hash pass + ONE shards-sized grouped aggregate
+    (map-side combinable; XOR and count are both commutative).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import hash_bucket
+
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        df.withColumn("shard", hash_bucket(F.col(key_col), seed, num_shards))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor(h).alias("digest"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_rows", "digest")
+    )

@@ -857,3 +857,40 @@ def q_docs_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces").cast("long").alias("n_pieces"),
         )
     )
+
+
+@register(
+    "q_docs_shard_manifest",
+    """
+    WITH sh AS (
+      SELECT CAST('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 16 AS shard,
+             CAST('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' ||
+               coalesce(lang, '<NULL>') || '|' ||
+               coalesce(source, '<NULL>') || '|' ||
+               coalesce(CAST(n_chars AS VARCHAR), '<NULL>')), 1, 15)
+               AS BIGINT) AS h
+      FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS digest
+    FROM sh GROUP BY shard
+    """,
+    doc=(
+        "Shard verification manifest (operators/profile.shard_manifest, "
+        "16 shards): per-shard row count + order-insensitive XOR content "
+        "digest under the SAME hash_bucket assignment "
+        "write_training_shards lays files out with — a consumer "
+        "re-derives this from received files and diffs to catch a "
+        "truncated/duplicated/corrupted shard; a post-compaction "
+        "re-export is provably content-identical shard by shard. One "
+        "map-only hash pass + one shards-sized map-side-combinable "
+        "aggregate (XOR and count both commutative — partition- and "
+        "order-independent by construction)."
+    ),
+)
+def q_docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import shard_manifest
+
+    d = read_table(spark, sf_dir, "documents")
+    return shard_manifest(d, "doc_id", ["doc_id", "lang", "source", "n_chars"])
