@@ -359,3 +359,27 @@ def test_shard_manifest_detects_corruption(spark, sf_dir):
     assert len(diff) == 1
     s = diff.pop()
     assert base[s][0] == after[s][0] and base[s][1] != after[s][1]
+
+
+def test_ivf_centroid_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted centroids reload bit-identically: assignments made with
+    the reloaded matrix equal the original's (index reuse across jobs)."""
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators.ivf import (
+        assign_clusters,
+        kmeans_fit,
+        load_centroids,
+        save_centroids,
+    )
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    c = kmeans_fit(emb, k=4, max_iter=2)
+    p = str(tmp_path / "centroids")
+    save_centroids(spark, c, p)
+    c2 = load_centroids(spark, p)
+    assert np.array_equal(c, c2)
+    a1 = {r["vec_id"]: r["_cluster"] for r in assign_clusters(emb, c).collect()}
+    a2 = {r["vec_id"]: r["_cluster"] for r in assign_clusters(emb, c2).collect()}
+    assert a1 == a2 and len(a1) > 0

@@ -158,3 +158,27 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def save_centroids(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist a fitted centroid matrix as parquet ``(cluster_id,
+    centroid)`` — the index-maintenance step every production ANN
+    deployment needs: fit once on a corpus sample, then ASSIGN new
+    batches for months without refitting (drift is a re-fit decision,
+    monitored via ``profile.psi_drift`` on the assignment histogram).
+    Model state is k×dim floats — parquet keeps it engine-portable and
+    diffable, vs a pickled array nothing else can read."""
+    rows = [
+        (int(i), [float(x) for x in centroids[i]]) for i in range(len(centroids))
+    ]
+    spark.createDataFrame(rows, "cluster_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    """Inverse of ``save_centroids``: parquet → (k × dim) ndarray,
+    ordered by cluster_id (the id IS the row index, so assignments made
+    against the reloaded matrix are bit-identical to the original)."""
+    rows = spark.read.parquet(path).orderBy("cluster_id").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
