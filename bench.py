@@ -142,6 +142,7 @@ HEADLINE = [
     "q_docs_containment_join",
     "q_docs_unigram_token_counts",
     "q_docs_shard_manifest",
+    "q_emb_ranking_metrics",
 ]
 
 

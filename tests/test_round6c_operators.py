@@ -383,3 +383,29 @@ def test_ivf_centroid_save_load_roundtrip(spark, sf_dir, tmp_path):
     a1 = {r["vec_id"]: r["_cluster"] for r in assign_clusters(emb, c).collect()}
     a2 = {r["vec_id"]: r["_cluster"] for r in assign_clusters(emb, c2).collect()}
     assert a1 == a2 and len(a1) > 0
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.evaluation import ranking_metrics
+
+    system = spark.createDataFrame(
+        [Row(qid=1, doc_id=d, rank=r) for r, d in enumerate([10, 20, 30], 1)]
+        + [Row(qid=2, doc_id=d, rank=r) for r, d in enumerate([40, 50], 1)]
+    )
+    qrels = spark.createDataFrame(
+        [Row(qid=1, doc_id=20), Row(qid=1, doc_id=30), Row(qid=1, doc_id=99),
+         Row(qid=2, doc_id=77)]
+    )
+    got = {r["qid"]: r for r in ranking_metrics(system, qrels, k=3).collect()}
+    # qid 1: hits at ranks 2,3 of 3 relevant
+    assert got[1]["recall_at_k"] == round(2 / 3, 4)
+    assert got[1]["mrr"] == 0.5
+    dcg = round(1e6 / math.log2(3)) + round(1e6 / math.log2(4))
+    idcg = round(1e6 / math.log2(2)) + round(1e6 / math.log2(3)) + round(1e6 / math.log2(4))
+    assert got[1]["ndcg"] == round(dcg / idcg, 4)
+    # qid 2: no hits
+    assert got[2]["recall_at_k"] == 0.0 and got[2]["mrr"] == 0.0 and got[2]["ndcg"] == 0.0

@@ -581,7 +581,7 @@ def main() -> None:
     )
 
     def seg_count(d):
-        wc = word_counts(d)
+        wc = word_counts(d).localCheckpoint()
         return unigram_segment_words(wc, unigram_vocab(wc, min_count=800)).count()
 
     probe(

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_auc"]
+__all__ = ["binary_auc", "ranking_metrics"]
 
 
 def binary_auc(
@@ -151,3 +151,77 @@ def approx_bin_assign(
             expr
         )
     return df.withColumn("bin", expr.cast("bigint"))
+
+
+def ranking_metrics(
+    system: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-query ranking quality of a retrieval ``system`` (rows
+    ``(qid, doc_id, rank)``, rank 1-based) against binary ``qrels``
+    (rows ``(qid, doc_id)``): recall@k, MRR@k, nDCG@k — the metric
+    trio every retrieval change ships with (the ANN/BM25/RRF operators
+    here produce exactly the ``system`` shape, and exact brute-force
+    top-k produces the qrels).
+
+    Evaluation-as-query: at corpus scale the metric job is itself a
+    join — ONE (qid, doc) equi-join marking hits + one qid aggregate;
+    nothing pairwise, no window (ranks arrive from the system).
+
+    Determinism: each hit's reciprocal-rank and DCG terms (1/log2(1+r))
+    convert to integer MICRO-units per row before summing; the ideal
+    DCG divides an identical micro-unit sum, so nDCG is a ratio of two
+    exact int64 sums with one final double division, rounded — the
+    round-before-compare rule. Queries with empty qrels are excluded
+    (metrics undefined), matching trec_eval.
+    """
+    rel_counts = qrels.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("_n_rel")
+    )
+    hits = (
+        system.filter(F.col(rank_col) <= k)
+        .join(
+            qrels.withColumn("_rel", F.lit(1)),
+            [query_col, doc_col],
+            "left",
+        )
+        .withColumn("_rel", F.coalesce("_rel", F.lit(0)))
+    )
+    rr_micro = F.when(
+        F.col("_rel") == 1,
+        F.round(F.lit(1_000_000.0) / F.col(rank_col), 0).cast("bigint"),
+    ).otherwise(F.lit(0))
+    dcg_micro = F.when(
+        F.col("_rel") == 1,
+        F.round(F.lit(1_000_000.0) / F.log2(F.col(rank_col) + 1), 0).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0))
+    per_q = hits.groupBy(query_col).agg(
+        F.sum("_rel").cast("long").alias("_n_hit"),
+        F.max(rr_micro).alias("_best_rr"),
+        F.sum(dcg_micro).alias("_dcg"),
+    )
+    out = per_q.join(rel_counts, query_col)
+    # ideal DCG: hits fill ranks 1..min(n_rel, k); same micro-unit table
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("_n_rel"), F.lit(k))),
+        F.lit(0).cast("bigint"),
+        lambda acc, r: acc
+        + F.round(F.lit(1_000_000.0) / F.log2(r + 1), 0).cast("bigint"),
+    )
+    return out.select(
+        query_col,
+        F.col("_n_rel").cast("long").alias("n_rel"),
+        F.col("_n_hit").alias("n_hit"),
+        F.round(F.col("_n_hit") / F.col("_n_rel"), round_digits).alias(
+            "recall_at_k"
+        ),
+        F.round(F.col("_best_rr") / 1_000_000.0, round_digits).alias("mrr"),
+        F.round(F.col("_dcg") / ideal.cast("double"), round_digits).alias("ndcg"),
+    )

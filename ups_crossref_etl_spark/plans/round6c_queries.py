@@ -267,7 +267,9 @@ def q_docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.unigram import unigram_segment_words, unigram_vocab, word_counts
 
     d = read_table(spark, sf_dir, "documents")
-    wc = word_counts(d)
+    # one corpus shuffle, reused by vocab AND segmentation (checkpointed:
+    # vocab.collect() + the segment pass would otherwise re-run it 3x)
+    wc = word_counts(d).localCheckpoint()
     vocab = unigram_vocab(wc, max_piece_len=4, min_count=800)
     return unigram_segment_words(wc, vocab, max_piece_len=4)
 
@@ -836,7 +838,7 @@ def q_docs_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.unigram import unigram_segment_words, unigram_vocab, word_counts
 
     d = read_table(spark, sf_dir, "documents")
-    wc = word_counts(d)
+    wc = word_counts(d).localCheckpoint()
     vocab = unigram_vocab(wc, max_piece_len=4, min_count=800)
     seg = unigram_segment_words(wc, vocab, max_piece_len=4).select(
         "word", "n_pieces"
@@ -894,3 +896,112 @@ def q_docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return shard_manifest(d, "doc_id", ["doc_id", "lang", "source", "n_chars"])
+
+
+_RANKEVAL_ORACLE = """
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+           AS na,
+         sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) AS nb
+  FROM embeddings e, qs q WHERE e.vec_id <> q.qid),
+qrels AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot/(na*nb), 4) DESC, vec_id ASC) AS r
+    FROM pairs) WHERE r <= 10),
+sys AS (
+  SELECT qid, vec_id, r AS rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot, 4) DESC, vec_id ASC) AS r
+    FROM pairs) WHERE r <= 10),
+hits AS (
+  SELECT s.qid, s.rank,
+         CASE WHEN qr.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM sys s LEFT JOIN qrels qr ON qr.qid = s.qid AND qr.vec_id = s.vec_id),
+perq AS (
+  SELECT qid,
+         CAST(sum(rel) AS BIGINT) AS n_hit,
+         max(CASE WHEN rel = 1
+                  THEN CAST(round(1000000.0 / rank) AS BIGINT)
+                  ELSE 0 END) AS best_rr,
+         sum(CASE WHEN rel = 1
+                  THEN CAST(round(1000000.0 / log2(rank + 1)) AS BIGINT)
+                  ELSE 0 END) AS dcg
+  FROM hits GROUP BY qid),
+ideal AS (
+  SELECT CAST(list_sum(list_transform(range(1, 11),
+           r -> CAST(round(1000000.0 / log2(r + 1)) AS BIGINT))) AS BIGINT)
+         AS idcg)
+SELECT qid, CAST(10 AS BIGINT) AS n_rel, n_hit,
+       round(CAST(n_hit AS DOUBLE) / 10, 4) AS recall_at_k,
+       round(CAST(best_rr AS DOUBLE) / 1000000.0, 4) AS mrr,
+       round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 4) AS ndcg
+FROM perq, ideal
+"""
+
+
+@register(
+    "q_emb_ranking_metrics",
+    _RANKEVAL_ORACLE,
+    doc=(
+        "Retrieval evaluation as a query "
+        "(operators/evaluation.ranking_metrics): recall@10 / MRR / "
+        "nDCG@10 of an unnormalized dot-product retriever against exact "
+        "cosine top-10 ground truth, for 5 query vectors — the metric "
+        "trio every retrieval change ships with, distributed (ONE "
+        "(qid, doc) equi-join marks hits + one qid aggregate; ranks "
+        "come from the systems, no metric-side window). Reciprocal-rank "
+        "and DCG terms convert to integer micro-units per row before "
+        "summing; nDCG is a ratio of two exact int64 sums — the "
+        "round-before-compare rule applied to IR metrics. Both rankings "
+        "use round-4dp scores with vec_id tiebreaks, so the top-10 cuts "
+        "are total orders on both engines."
+    ),
+)
+def q_emb_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.evaluation import ranking_metrics
+    from ..operators.similarity import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "qv", lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("_s"), F.asc("vec_id"))
+    qrels = (
+        pairs.withColumn("_s", F.round("cos", 4))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 10)
+        .select("qid", F.col("vec_id").alias("doc_id"))
+    )
+    system = (
+        pairs.withColumn("_s", F.round("dot", 4))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 10)
+        .select("qid", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return ranking_metrics(system, qrels, k=10)
