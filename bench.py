@@ -143,6 +143,7 @@ HEADLINE = [
     "q_docs_unigram_token_counts",
     "q_docs_shard_manifest",
     "q_emb_ranking_metrics",
+    "q_events_type_hourly_corr",
 ]
 
 

@@ -1005,3 +1005,80 @@ def q_emb_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("doc_id"), "rank")
     )
     return ranking_metrics(system, qrels, k=10)
+
+
+@register(
+    "q_events_type_hourly_corr",
+    """
+    WITH hb AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, event_type,
+             round(avg(value), 4) AS hv
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    piv AS (
+      SELECT b,
+             max(CASE WHEN event_type = 'click' THEN hv END) AS click,
+             max(CASE WHEN event_type = 'view' THEN hv END) AS view,
+             max(CASE WHEN event_type = 'purchase' THEN hv END) AS purchase
+      FROM hb GROUP BY b),
+    dn AS (SELECT * FROM piv
+           WHERE click IS NOT NULL AND view IS NOT NULL
+             AND purchase IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(click AS DECIMAL(38,12))) AS s_c,
+             sum(CAST(view AS DECIMAL(38,12))) AS s_v,
+             sum(CAST(purchase AS DECIMAL(38,12))) AS s_p,
+             sum(CAST(CAST(click AS DECIMAL(38,12)) * CAST(click AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_cc,
+             sum(CAST(CAST(view AS DECIMAL(38,12)) * CAST(view AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_vv,
+             sum(CAST(CAST(purchase AS DECIMAL(38,12)) * CAST(purchase AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_pp,
+             sum(CAST(CAST(click AS DECIMAL(38,12)) * CAST(view AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_cv,
+             sum(CAST(CAST(click AS DECIMAL(38,12)) * CAST(purchase AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_cp,
+             sum(CAST(CAST(view AS DECIMAL(38,12)) * CAST(purchase AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS p_vp
+      FROM dn),
+    pairs(col_a, col_b, sab, sa, sb, saa, sbb) AS (
+      SELECT 'click', 'purchase', p_cp, s_c, s_p, p_cc, p_pp FROM m
+      UNION ALL SELECT 'click', 'view', p_cv, s_c, s_v, p_cc, p_vv FROM m
+      UNION ALL SELECT 'purchase', 'view', p_vp, s_p, s_v, p_pp, p_vv FROM m)
+    SELECT col_a, col_b,
+           round((m.n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE) /
+                 nullif(sqrt(m.n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
+                        sqrt(m.n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE), 0.0), 4)
+             AS corr
+    FROM pairs, m
+    """,
+    doc=(
+        "Cross-series correlation: do click/view/purchase hourly value "
+        "series co-move? Composition of the engine's own operators — "
+        "hourly resample (bucket means, deterministic under row order) "
+        "-> manual pivot to one row per hour -> operators/stats."
+        "corr_matrix's single-pass exact-decimal moment aggregate over "
+        "the three series (complete hours only: listwise deletion). "
+        "Total: one (bucket,type) aggregate, one bucket pivot "
+        "aggregate, one single-row moment aggregate — each map-side "
+        "combinable; the correlation divides identical rationals on "
+        "both engines, rounded 4dp. Alphabetical pair order matches "
+        "corr_matrix's combinations order on the sorted column list."
+    ),
+)
+def q_events_type_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dates import epoch_seconds
+    from ..operators.stats import corr_matrix
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hb = (
+        e.select(
+            F.floor(epoch_seconds(F.col("ts")) / 3600).cast("bigint").alias("b"),
+            "event_type",
+            "value",
+        )
+        .groupBy("b", "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("hv"))
+    )
+    piv = hb.groupBy("b").agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("hv"))).alias("click"),
+        F.max(F.when(F.col("event_type") == "view", F.col("hv"))).alias("view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("hv"))).alias(
+            "purchase"
+        ),
+    )
+    return corr_matrix(piv, ["click", "purchase", "view"])
