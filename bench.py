@@ -144,6 +144,7 @@ HEADLINE = [
     "q_docs_shard_manifest",
     "q_emb_ranking_metrics",
     "q_events_type_hourly_corr",
+    "q_part_skyline",
 ]
 
 

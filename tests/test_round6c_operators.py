@@ -409,3 +409,45 @@ def test_ranking_metrics_hand_computed(spark):
     assert got[1]["ndcg"] == round(dcg / idcg, 4)
     # qid 2: no hits
     assert got[2]["recall_at_k"] == 0.0 and got[2]["mrr"] == 0.0 and got[2]["ndcg"] == 0.0
+
+
+def test_skyline_hand_computed_and_duplicates(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.skyline import skyline
+
+    rows = [
+        Row(id=1, cost=1.0, size=1),   # frontier (cheapest)
+        Row(id=2, cost=2.0, size=5),   # frontier
+        Row(id=3, cost=3.0, size=5),   # dominated by 2
+        Row(id=4, cost=2.0, size=5),   # duplicate of 2 -> both survive
+        Row(id=5, cost=5.0, size=10),  # frontier (largest)
+        Row(id=6, cost=6.0, size=9),   # dominated by 5
+    ]
+    df = spark.createDataFrame(rows).repartition(3)  # exercise local phase
+    got = {r["id"] for r in
+           skyline(df, minimize=["cost"], maximize=["size"]).collect()}
+    assert got == {1, 2, 4, 5}
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    from ups_crossref_etl_spark.operators.skyline import skyline
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    got = {r["p_partkey"] for r in
+           skyline(p, minimize=["p_retailprice"], maximize=["p_size"]).collect()}
+    rows = p.collect()
+    brute = {
+        a["p_partkey"]
+        for a in rows
+        if not any(
+            b["p_retailprice"] <= a["p_retailprice"]
+            and b["p_size"] >= a["p_size"]
+            and (b["p_retailprice"] < a["p_retailprice"] or b["p_size"] > a["p_size"])
+            for b in rows
+        )
+    }
+    assert got == brute and len(got) > 0

@@ -92,6 +92,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_shard_manifest",
     "q_emb_ranking_metrics",
     "q_events_type_hourly_corr",
+    "q_part_skyline",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

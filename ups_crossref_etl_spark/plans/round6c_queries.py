@@ -1082,3 +1082,44 @@ def q_events_type_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return corr_matrix(piv, ["click", "purchase", "view"])
+
+
+@register(
+    "q_part_skyline",
+    """
+    SELECT p_partkey, round(p_retailprice, 2) AS price,
+           CAST(p_size AS BIGINT) AS psize
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+    doc=(
+        "Skyline / Pareto frontier (operators/skyline.skyline): parts "
+        "where no other part is both cheaper-or-equal AND "
+        "larger-or-equal (strictly better on one) — multi-criteria "
+        "selection without begging the question via a weighted score. "
+        "Two-phase distributed skyline: each partition prunes its own "
+        "dominated rows in an Arrow sort-sweep kernel (dominance is "
+        "transitive, so local losers are global losers), the shuffle "
+        "carries only skyline-sized survivors, and one final kernel "
+        "pass settles the union. The skyline SET is unique, so no "
+        "tie-break is needed. Oracle is the brute-force NOT EXISTS "
+        "dominance query — quadratic, which is exactly why the Spark "
+        "side prunes locally first."
+    ),
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline
+
+    p = read_table(spark, sf_dir, "part")
+    return skyline(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        minimize=["p_retailprice"],
+        maximize=["p_size"],
+    ).select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("bigint").alias("psize"),
+    )
