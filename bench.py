@@ -145,6 +145,7 @@ HEADLINE = [
     "q_emb_ranking_metrics",
     "q_events_type_hourly_corr",
     "q_part_skyline",
+    "q_graph_personalized_pagerank",
 ]
 
 

@@ -451,3 +451,23 @@ def test_skyline_matches_bruteforce(spark, sf_dir):
         )
     }
     assert got == brute and len(got) > 0
+
+
+def test_personalized_pagerank_mass_stays_near_seed(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.pagerank import personalized_pagerank
+
+    # two disjoint stars; seed only in the first
+    edges = [Row(src="a", dst=f"x{i}") for i in range(3)]
+    edges += [Row(src="b", dst=f"y{i}") for i in range(3)]
+    seeds = spark.createDataFrame([Row(node="a")])
+    got = {r["node"]: r["rank"] for r in
+           personalized_pagerank(
+               spark.createDataFrame(edges), seeds, n_iter=2
+           ).collect()}
+    # seed keeps its teleport mass; its neighbors get propagated mass;
+    # the disconnected star gets exactly zero
+    assert got["a"] > 0
+    assert got["x0"] > 0 and got["x0"] == got["x1"] == got["x2"]
+    assert got["b"] == 0.0 and got["y0"] == 0.0

@@ -1123,3 +1123,85 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_retailprice", 2).alias("price"),
         F.col("p_size").cast("bigint").alias("psize"),
     )
+
+
+@register(
+    "q_graph_personalized_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    nodes AS (
+      SELECT node,
+             CASE WHEN node IN (
+               SELECT 'c' || c_custkey FROM customer
+               WHERE c_mktsegment = 'BUILDING') THEN 1 ELSE 0 END AS s
+      FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    ns AS (SELECT CAST(sum(s) AS DOUBLE) AS n FROM nodes),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, s,
+                  CASE WHEN s = 1 THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END
+                    AS rank
+           FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nd.node, nd.s,
+                  CASE WHEN nd.s = 1 THEN 0.15 / (SELECT n FROM ns)
+                       ELSE 0.0 END + 0.85 * coalesce(c1.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r1 r ON r.node = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nd.node, nd.s,
+                  CASE WHEN nd.s = 1 THEN 0.15 / (SELECT n FROM ns)
+                       ELSE 0.0 END + 0.85 * coalesce(c2.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c2 USING (node)),
+    c3 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r2 r ON r.node = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nd.node, nd.s,
+                  CASE WHEN nd.s = 1 THEN 0.15 / (SELECT n FROM ns)
+                       ELSE 0.0 END + 0.85 * coalesce(c3.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c3 USING (node))
+    SELECT node, round(rank, 6) AS rank FROM r3 WHERE rank > 0
+    """,
+    doc=(
+        "Personalized PageRank "
+        "(operators/pagerank.personalized_pagerank, 3 iterations, "
+        "damping 0.85) over the customer->supplier trade graph, teleport "
+        "concentrated on BUILDING-segment customers: ranks suppliers by "
+        "proximity to that customer cohort — the recommendation/"
+        "expansion primitive (seed a user's purchases, rank what to "
+        "recommend) vs global centrality. Same per-iteration shuffle "
+        "shape as q_graph_pagerank (src join + dst partial-agg); the "
+        "seed indicator is one node-keyed join carried as a 0/1 column. "
+        "Zero-rank nodes are filtered so the output is the reached "
+        "expansion set. Oracle unrolls the 3 iterations with the "
+        "identical seeded teleport."
+    ),
+)
+def q_graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import personalized_pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node")
+    )
+    ppr = personalized_pagerank(
+        edges, seeds, n_iter=3, damping=0.85, assume_distinct=True
+    )
+    return ppr.filter(F.col("rank") > 0).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
