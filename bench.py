@@ -146,6 +146,7 @@ HEADLINE = [
     "q_events_type_hourly_corr",
     "q_part_skyline",
     "q_graph_personalized_pagerank",
+    "q_events_scd2_lookup",
 ]
 
 

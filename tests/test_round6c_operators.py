@@ -471,3 +471,27 @@ def test_personalized_pagerank_mass_stays_near_seed(spark):
     assert got["a"] > 0
     assert got["x0"] > 0 and got["x0"] == got["x1"] == got["x2"]
     assert got["b"] == 0.0 and got["y0"] == 0.0
+
+
+def test_scd2_lookup_asof_versions(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.scd import lookup_asof
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(hours=s)
+    dim = spark.createDataFrame(
+        [Row(k=1, attr="bronze", valid_from=t(0), valid_to=t(10)),
+         Row(k=1, attr="gold", valid_from=t(10), valid_to=None)]
+    )
+    facts = spark.createDataFrame(
+        [Row(fid=1, k=1, ts=t(5)),    # inside v1
+         Row(fid=2, k=1, ts=t(10)),   # boundary -> NEW version (half-open)
+         Row(fid=3, k=1, ts=t(99)),   # current version
+         Row(fid=4, k=1, ts=t(-5)),   # before history -> NULL
+         Row(fid=5, k=2, ts=t(5))]    # unknown key -> NULL
+    )
+    got = {r["fid"]: r["attr_asof"]
+           for r in lookup_asof(facts, dim, "k", "ts").collect()}
+    assert got == {1: "bronze", 2: "gold", 3: "gold", 4: None, 5: None}

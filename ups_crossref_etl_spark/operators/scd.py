@@ -59,3 +59,46 @@ def intervals_from_log(
         F.col("n_events"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def lookup_asof(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Join fact rows to the SCD2 dimension VERSION valid at each fact's
+    timestamp — the point-in-time lookup that makes type-2 history
+    useful (training-data labeling at event time, "what segment was
+    this customer in when they ordered", audit reconstruction). A
+    latest-state join silently time-travels future attribute values
+    onto past facts; this join cannot.
+
+    ``dim`` rows carry ``(key, attr, valid_from, valid_to)`` with NULL
+    ``valid_to`` marking the current version
+    (``intervals_from_log``'s output shape). Match rule:
+    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)`` —
+    half-open, so a fact exactly at a version boundary takes the NEW
+    version, and versions never double-match. Facts before the key's
+    first version get NULL (left join — surface them, don't drop).
+
+    Scale shape: ONE key-keyed equi-join (the interval predicates ride
+    along as join filters; per-key version counts are change-bounded,
+    so the filter fan-out is small); no window, no range-join explosion
+    — the key equality does the partitioning work.
+    """
+    d = dim.select(
+        F.col(key_col).alias("_k"),
+        F.col(attr_col).alias("_attr"),
+        F.col("valid_from").alias("_vf"),
+        F.col("valid_to").alias("_vt"),
+    )
+    cond = (
+        (facts[ts_col] >= d["_vf"])
+        & (d["_vt"].isNull() | (facts[ts_col] < d["_vt"]))
+        & (facts[key_col] == d["_k"])
+    )
+    return facts.join(d, cond, "left").select(
+        *facts.columns, F.col("_attr").alias(f"{attr_col}_asof")
+    )

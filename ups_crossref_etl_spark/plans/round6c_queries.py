@@ -1205,3 +1205,68 @@ def q_graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame
     return ppr.filter(F.col("rank") > 0).select(
         "node", F.round("rank", 6).alias("rank")
     )
+
+
+@register(
+    "q_events_scd2_lookup",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+      FROM events),
+    r AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM e),
+    g AS (
+      SELECT user_id, run, min(event_type) AS attr,
+             min(ts) AS valid_from
+      FROM r GROUP BY user_id, run),
+    dim AS (
+      SELECT user_id, attr, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM g),
+    facts AS (
+      SELECT event_id, user_id, ts + INTERVAL 300 SECOND AS fts
+      FROM events WHERE event_id % 7 = 0)
+    SELECT f.event_id, f.user_id, dim.attr AS attr_asof
+    FROM facts f
+    LEFT JOIN dim ON dim.user_id = f.user_id
+      AND f.fts >= dim.valid_from
+      AND (dim.valid_to IS NULL OR f.fts < dim.valid_to)
+    """,
+    doc=(
+        "SCD2 point-in-time lookup (operators/scd.lookup_asof): every "
+        "7th event, time-shifted +5 minutes, joined to the event-type "
+        "version VALID AT that instant in the user's SCD2 history "
+        "(rebuilt by intervals_from_log) — the training-data labeling "
+        "join a latest-state lookup gets wrong by silently "
+        "time-traveling future attributes onto past facts. Half-open "
+        "[valid_from, valid_to) matching: boundary facts take the new "
+        "version, versions never double-match. ONE user-keyed equi-join "
+        "with the interval predicates riding as join filters (per-key "
+        "version counts are change-bounded — no range-join explosion)."
+    ),
+)
+def q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import intervals_from_log, lookup_asof
+
+    e = read_table(spark, sf_dir, "events")
+    dim = intervals_from_log(e, "user_id", "event_type", "ts").select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = e.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("fts"),
+    )
+    return lookup_asof(facts, dim, "user_id", "fts").select(
+        "event_id", "user_id", "attr_asof"
+    )
