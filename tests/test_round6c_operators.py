@@ -495,3 +495,28 @@ def test_scd2_lookup_asof_versions(spark):
     got = {r["fid"]: r["attr_asof"]
            for r in lookup_asof(facts, dim, "k", "ts").collect()}
     assert got == {1: "bronze", 2: "gold", 3: "gold", 4: None, 5: None}
+
+
+def test_file_pruning_stats_sorted_vs_shuffled(spark, sf_dir, tmp_path):
+    """The layout measurement z-order/sort decisions exist for: a
+    range-partitioned-by-key layout prunes most files for a narrow key
+    range; a hash-scattered layout prunes none."""
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.layout import file_pruning_stats
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    o.repartitionByRange(8, "o_orderkey").write.parquet(clustered)
+    o.repartition(8).write.parquet(scattered)
+
+    lo = o.agg(F.min("o_orderkey")).collect()[0][0]
+    hi_narrow = lo + 50
+    good = file_pruning_stats(clustered, "o_orderkey", lo, hi_narrow)
+    bad = file_pruning_stats(scattered, "o_orderkey", lo, hi_narrow)
+    assert good["files_total"] == 8 and bad["files_total"] == 8
+    assert good["files_skipped"] >= 6  # narrow range -> most files skip
+    assert bad["files_skipped"] == 0   # every file spans the whole range
+    assert good["skip_frac"] > bad["skip_frac"]

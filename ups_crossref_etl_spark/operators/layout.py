@@ -98,3 +98,52 @@ def zorder_tile_stats(
             F.max("_y").alias("y_max"),
         )
     )
+
+
+def file_pruning_stats(
+    path: str, col: str, lo, hi
+) -> dict:
+    """Measure how effective a parquet layout's min/max file statistics
+    are for a range predicate ``lo <= col <= hi``: read every file's
+    footer (column chunk min/max — metadata only, zero data IO) and
+    count the files the scan could SKIP because their range cannot
+    intersect the predicate. This is the number Z-order / sort /
+    partition layout decisions exist to move — "we clustered by X" is a
+    claim; ``files_skipped / files_total`` is the measurement, and the
+    same arithmetic the engine's own PushedFilters row-group pruning
+    performs at scan time.
+
+    Driver-side footer walk (pyarrow) — footers are KBs; at lake scale
+    run the same logic over the table manifest instead of listing.
+    Returns ``{files_total, files_skipped, files_scanned, skip_frac}``.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = skipped = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    c = row_group.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        if s.has_min_max:
+                            fmin = s.min if fmin is None else min(fmin, s.min)
+                            fmax = s.max if fmax is None else max(fmax, s.max)
+            # unknown stats -> must scan (never skip blindly)
+            if fmin is not None and (fmax < lo or fmin > hi):
+                skipped += 1
+    return {
+        "files_total": total,
+        "files_skipped": skipped,
+        "files_scanned": total - skipped,
+        "skip_frac": round(skipped / total, 4) if total else 0.0,
+    }
