@@ -953,12 +953,20 @@ def test_snapshot_diff_single_join_no_cartesian(spark, sf_dir):
 
 def test_unigram_word_count_partial_agg_and_map_only_segment(spark, sf_dir):
     """unigram segmentation: the corpus word count partial-aggregates
-    before its exchange; the Viterbi stage is mapInPandas (no exchange
-    between the vocab-sized word table and the segmenter)."""
+    before its exchange, and — because it is checkpointed once for its
+    three consumers — the final query plan is ONLY mapInPandas over the
+    materialized word table (no re-run of the corpus shuffle, no
+    exchange between the vocab-sized word table and the segmenter)."""
+    from ups_crossref_etl_spark.operators.unigram import word_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc_plan = _plan(word_counts(docs))
+    assert "partial_count" in wc_plan or "partial_sum" in wc_plan
     q = load_all()["q_docs_unigram_segment"].fn(spark, sf_dir)
     plan = _plan(q)
-    assert "partial_count" in plan or "partial_sum" in plan
     assert "MapInPandas" in plan
+    assert "ExistingRDD" in plan  # the checkpointed word table
+    assert "Exchange" not in plan  # map-only over it
     assert "CartesianProduct" not in plan
 
 
