@@ -147,6 +147,7 @@ HEADLINE = [
     "q_part_skyline",
     "q_graph_personalized_pagerank",
     "q_events_scd2_lookup",
+    "q_docs_max_coverage_select",
 ]
 
 

@@ -520,3 +520,21 @@ def test_file_pruning_stats_sorted_vs_shuffled(spark, sf_dir, tmp_path):
     assert good["files_skipped"] >= 6  # narrow range -> most files skip
     assert bad["files_skipped"] == 0   # every file spans the whole range
     assert good["skip_frac"] > bad["skip_frac"]
+
+
+def test_max_coverage_greedy_planted(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.selection import max_coverage_select
+
+    docs = [
+        Row(doc_id=1, text="a b c d e"),      # 5 tokens
+        Row(doc_id=2, text="a b c"),           # subset of 1
+        Row(doc_id=3, text="f g h"),           # disjoint 3
+        Row(doc_id=4, text="e f"),             # overlaps 1 and 3
+    ]
+    got = [(r["pick_order"], r["doc_id"], r["gain"]) for r in
+           max_coverage_select(spark.createDataFrame(docs), k=4)
+           .orderBy("pick_order").collect()]
+    # greedy: doc1 (5 new), doc3 (3 new), then nothing adds -> stop
+    assert got == [(1, 1, 5), (2, 3, 3)]

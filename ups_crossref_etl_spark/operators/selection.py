@@ -156,3 +156,76 @@ def dsir_select(
         .orderBy(F.desc("weight"), F.asc(id_col))
         .limit(n)
     )
+
+
+def max_coverage_select(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    shingle_width: int = 1,
+) -> DataFrame:
+    """Greedy maximum-coverage selection: pick ``k`` documents that
+    together cover the most distinct word unigrams — the classic
+    submodular corpus-subset objective (diverse seed sets, eval-set
+    construction, coverage-first curation). The greedy algorithm's
+    (1 - 1/e) approximation guarantee is the textbook result
+    (Nemhauser et al. 1978), and greedy is inherently sequential in k —
+    so the DRIVER holds only the loop counter while every round's
+    marginal-gain computation is distributed:
+
+    - round state = the covered-token set, kept as a DATAFRAME (never
+      collected — at corpus scale it is vocabulary-sized);
+    - marginal gain per candidate = one anti-join of (doc, token) rows
+      against the covered set + one doc-keyed count (both key-clustered
+      shuffles);
+    - the winner is ONE driver row (max gain, doc_id tiebreak — total
+      order, engine-independent);
+    - k rounds total, k small by construction.
+
+    Returns ``(pick_order, doc_id, gain)`` — gain is the number of NEW
+    tokens the pick added.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    if shingle_width > 1:
+        w_ = shingle_width
+        elems = F.when(
+            F.size(toks) >= w_,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - w_ + 1),
+                lambda i: F.array_join(F.slice(toks, i, w_), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        elems = toks
+    tok = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(elems)).alias("_t"),
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    covered = None
+    picks = []
+    for rnd in range(1, k + 1):
+        cand = tok
+        if covered is not None:
+            cand = tok.join(covered, "_t", "left_anti")
+        gains = cand.groupBy("_id").agg(F.count(F.lit(1)).alias("gain"))
+        top = gains.orderBy(F.desc("gain"), F.asc("_id")).limit(1).collect()
+        if not top or top[0]["gain"] == 0:
+            break
+        doc, gain = top[0]["_id"], int(top[0]["gain"])
+        picks.append((rnd, doc, gain))
+        newly = tok.filter(F.col("_id") == doc).select("_t")
+        covered = (
+            newly if covered is None else covered.unionByName(newly).distinct()
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        picks, "pick_order long, doc_id long, gain long"
+    )

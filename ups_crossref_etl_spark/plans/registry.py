@@ -95,6 +95,7 @@ _CHANGED_THIS_ROUND = [
     "q_part_skyline",
     "q_graph_personalized_pagerank",
     "q_events_scd2_lookup",
+    "q_docs_max_coverage_select",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

@@ -1270,3 +1270,68 @@ def q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lookup_asof(facts, dim, "user_id", "fts").select(
         "event_id", "user_id", "attr_asof"
     )
+
+
+_MAXCOV_ORACLE = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts)),
+           i -> ts[i] || ' ' || ts[i+1]))) AS t
+  FROM tk WHERE len(ts) >= 2),
+g1 AS (SELECT doc_id, count(*) AS gain FROM toks GROUP BY doc_id),
+p1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT t FROM toks JOIN p1 USING (doc_id)),
+g2 AS (SELECT doc_id, count(*) AS gain FROM toks
+       WHERE t NOT IN (SELECT t FROM c1) GROUP BY doc_id),
+p2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+c2 AS (SELECT t FROM c1 UNION SELECT t FROM toks JOIN p2 USING (doc_id)),
+g3 AS (SELECT doc_id, count(*) AS gain FROM toks
+       WHERE t NOT IN (SELECT t FROM c2) GROUP BY doc_id),
+p3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1),
+c3 AS (SELECT t FROM c2 UNION SELECT t FROM toks JOIN p3 USING (doc_id)),
+g4 AS (SELECT doc_id, count(*) AS gain FROM toks
+       WHERE t NOT IN (SELECT t FROM c3) GROUP BY doc_id),
+p4 AS (SELECT doc_id, gain FROM g4 ORDER BY gain DESC, doc_id LIMIT 1),
+c4 AS (SELECT t FROM c3 UNION SELECT t FROM toks JOIN p4 USING (doc_id)),
+g5 AS (SELECT doc_id, count(*) AS gain FROM toks
+       WHERE t NOT IN (SELECT t FROM c4) GROUP BY doc_id),
+p5 AS (SELECT doc_id, gain FROM g5 ORDER BY gain DESC, doc_id LIMIT 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS pick_order, doc_id, CAST(gain AS BIGINT) AS gain FROM p1
+  UNION ALL SELECT 2, doc_id, gain FROM p2
+  UNION ALL SELECT 3, doc_id, gain FROM p3
+  UNION ALL SELECT 4, doc_id, gain FROM p4
+  UNION ALL SELECT 5, doc_id, gain FROM p5)
+WHERE gain > 0
+"""
+
+
+@register(
+    "q_docs_max_coverage_select",
+    _MAXCOV_ORACLE,
+    doc=(
+        "Greedy maximum-coverage corpus selection "
+        "(operators/selection.max_coverage_select, k=5, word bigrams): "
+        "pick the 5 documents jointly covering the most distinct "
+        "bigrams — the submodular subset objective behind diverse seed "
+        "sets and coverage-first curation, with greedy's (1-1/e) "
+        "guarantee (Nemhauser et al. 1978). Greedy is inherently "
+        "sequential in k, so the driver holds only the loop counter: "
+        "per round the covered-token set stays a DataFrame (never "
+        "collected — vocabulary-sized at scale), marginal gains are one "
+        "anti-join + one doc-keyed count, and the winner is a single "
+        "driver row under the (gain DESC, doc_id ASC) total order. "
+        "Stops early when gains hit zero (oracle mirrors by filtering "
+        "gain>0 from the unrolled rounds)."
+    ),
+)
+def q_docs_max_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import max_coverage_select
+
+    d = read_table(spark, sf_dir, "documents")
+    return max_coverage_select(d, "doc_id", "text", k=5, shingle_width=2)
