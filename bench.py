@@ -148,6 +148,7 @@ HEADLINE = [
     "q_graph_personalized_pagerank",
     "q_events_scd2_lookup",
     "q_docs_max_coverage_select",
+    "q_events_pattern_no_error",
 ]
 
 

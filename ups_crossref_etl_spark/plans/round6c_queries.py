@@ -1335,3 +1335,83 @@ def q_docs_max_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return max_coverage_select(d, "doc_id", "text", k=5, shingle_width=2)
+
+
+@register(
+    "q_events_pattern_no_error",
+    """
+    WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT s.user_id, s.ts AS s_ts, min(p.ts) AS p_ts
+      FROM s JOIN p ON p.user_id = s.user_id
+         AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+      GROUP BY s.user_id, s.ts),
+    c AS (
+      SELECT m.user_id,
+             CASE WHEN NOT EXISTS (
+               SELECT 1 FROM events e
+               WHERE e.user_id = m.user_id AND e.event_type = 'error'
+                 AND e.ts > m.s_ts AND e.ts < m.p_ts) THEN 1 ELSE 0 END
+               AS clean
+      FROM m)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(clean) AS BIGINT) AS n_clean
+    FROM c GROUP BY user_id
+    """,
+    doc=(
+        "Complex-event pattern with NEGATION: signup followed by the "
+        "EARLIEST purchase within 24h, with no error event strictly "
+        "between — the 'A then B within t, without C' shape basic "
+        "funnels cannot express (q_events_funnel counts completions; "
+        "this one vetoes on an intervening event). Composition of the "
+        "engine's join arsenal: a user-keyed time-banded join + min-agg "
+        "finds each signup's next purchase (forward as-of), then ONE "
+        "anti-join with the interval predicates as join filters applies "
+        "the negation — all three stages cluster on user_id, no window. "
+        "Oracle states the same pattern declaratively via NOT EXISTS."
+    ),
+)
+def q_events_pattern_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    m = (
+        s.join(
+            p,
+            (F.col("p_uid") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_uid"), F.col("ts").alias("e_ts")
+    )
+    veto = (
+        (F.col("e_uid") == F.col("user_id"))
+        & (F.col("e_ts") > F.col("s_ts"))
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    clean = m.join(err, veto, "left_anti")
+    return (
+        m.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .join(
+            clean.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_clean")
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            "n_matches",
+            F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
+        )
+    )
