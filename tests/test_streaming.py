@@ -556,3 +556,41 @@ def test_stream_cdc_apply_checkpoint_restart(spark, sf_dir, tmp_path):
     want = {r["k"]: r["v"] for r in apply_changes(snap, changes, ["k"]).collect()}
     assert got == want
     assert 2 not in got and got[1] == "c" and got[3] == "d"
+
+
+def test_stream_psi_monitor_equals_batch_psi(spark, sf_dir, batch_events):
+    """Streaming PSI over the static events file equals the batch
+    psi_drift total (same micro-unit arithmetic end to end)."""
+    from ups_crossref_etl_spark.operators.profile import psi_drift
+
+    cutoffs = [10.0, 25.0, 50.0, 100.0, 200.0]
+    ref = batch_events.filter(
+        F.col("value").isNotNull()
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    # reference fractions from the first half (4dp, like the monitor input)
+    n_ref = ref.count()
+    from pyspark.sql import functions as SF
+
+    b = SF.lit(len(cutoffs))
+    for i, c in enumerate(reversed(cutoffs)):
+        b = SF.when(SF.col("value") < SF.lit(c), SF.lit(len(cutoffs) - 1 - i)).otherwise(b)
+    rc = {int(r["bin"]): int(r["n"]) for r in
+          ref.select(b.alias("bin")).groupBy("bin").agg(SF.count(SF.lit(1)).alias("n")).collect()}
+    ref_fracs = [rc.get(i, 0) / n_ref for i in range(len(cutoffs) + 1)]
+
+    q, result = se.stream_psi_monitor(
+        se.stream_events(spark, sf_dir), "value", cutoffs, ref_fracs
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert result, "monitor produced no trigger output"
+    n_stream, psi_stream = result[0]
+
+    want = psi_drift(ref, batch_events, "value", cutoffs).filter(
+        F.col("bin") == -1
+    ).collect()[0]["term"]
+    assert n_stream == batch_events.filter(F.col("value").isNotNull()).count()
+    assert abs(psi_stream - want) <= 0.0003  # ref-frac rounding slack

@@ -662,3 +662,60 @@ def stream_cdc_apply(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_psi_monitor(
+    stream: DataFrame,
+    value_col: str,
+    cutoffs: list[float],
+    ref_fracs: list[float],
+):
+    """STREAMING distribution-drift monitor: maintain bin counts of the
+    incoming value stream (bounded state: ``len(cutoffs)+1`` counters)
+    and, on every trigger, recompute the Population Stability Index
+    against a FIXED reference histogram (``ref_fracs``, one fraction
+    per bin — taken from the training snapshot the models downstream
+    were fit on). The per-trigger PSI is the pager signal: a feature
+    pipeline silently shifting under a live model shows up here within
+    one trigger, not at the next offline audit.
+
+    Arithmetic mirrors ``operators/profile.psi_drift`` exactly (epsilon
+    smoothing, per-bin micro-unit terms summed as int64), so the
+    streamed PSI over a static source equals the batch PSI — pinned in
+    tests. The streaming plan holds ONLY the bin counts; the PSI math
+    runs on ``len(cutoffs)+1`` rows inside ``foreachBatch``.
+
+    Returns ``(query, result)`` — ``result`` is a one-element list
+    holding the latest ``(n_rows, psi)`` tuple, refreshed per trigger.
+    """
+    eps = 1e-6
+    b = F.lit(len(cutoffs))
+    for i, c in enumerate(reversed(cutoffs)):
+        b = F.when(
+            F.col(value_col) < F.lit(float(c)), F.lit(len(cutoffs) - 1 - i)
+        ).otherwise(b)
+    agg = (
+        stream.filter(F.col(value_col).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    result: list = []
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        counts = {int(r["bin"]): int(r["n"]) for r in batch_df.collect()}
+        total = sum(counts.values())
+        if total == 0:
+            return
+        tm = 0
+        import math
+
+        for i, rf in enumerate(ref_fracs):
+            p = rf + eps
+            q = counts.get(i, 0) / float(total) + eps
+            tm += round((p - q) * math.log(p / q) * 1_000_000.0)
+        result.clear()
+        result.append((total, round(tm / 1_000_000.0, 4)))
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(sink).start()
+    return q, result
