@@ -149,6 +149,7 @@ HEADLINE = [
     "q_events_scd2_lookup",
     "q_docs_max_coverage_select",
     "q_events_pattern_no_error",
+    "q_orders_quarantine",
 ]
 
 

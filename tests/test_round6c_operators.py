@@ -538,3 +538,23 @@ def test_max_coverage_greedy_planted(spark):
            .orderBy("pick_order").collect()]
     # greedy: doc1 (5 new), doc3 (3 new), then nothing adds -> stop
     assert got == [(1, 1, 5), (2, 3, 3)]
+
+
+def test_quarantine_routes_rows_with_reasons(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [Row(k=1, price=50.0, status="O"),
+         Row(k=2, price=-1.0, status="O"),
+         Row(k=3, price=-1.0, status="X"),
+         Row(k=4, price=None, status=None)]
+    )
+    out = {r["k"]: (r["violations"], r["quarantined"]) for r in Q.quarantine(
+        df, [Q.in_range("price", 0, 100), Q.one_of("status", ["O", "F"])]
+    ).collect()}
+    assert out[1] == ("", False)
+    assert out[2] == ("in_range(price)", True)
+    assert out[3] == ("in_range(price),one_of(status)", True)  # sorted names
+    assert out[4] == ("", False)  # nulls are not_null's job, not these rules'

@@ -109,3 +109,30 @@ def check_foreign_key(
         "n_violations",
         F.lit(None).cast("bigint").alias("n_rows"),
     )
+
+
+def quarantine(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """The actionable half of ``check``: route ROWS, not just count
+    them. Every row gains ``violations`` (comma-joined names of the
+    rules it breaks, sorted; empty string when clean) and
+    ``quarantined`` (boolean) — the writer then splits the clean stream
+    from the quarantine table in one pass (``partitionBy('quarantined')``
+    or two filtered writes) instead of re-scanning per rule. Keeping
+    violators WITH their reasons is the operational contract: a
+    quarantine table nobody can triage is a dead letter queue.
+
+    Row-local codegen (a when-chain per rule + array_join) — zero
+    shuffles added to whatever write follows.
+    """
+    names = F.filter(
+        F.array(
+            *[
+                F.when(r.violation, F.lit(r.name)).otherwise(F.lit(None))
+                for r in sorted(rules, key=lambda r: r.name)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.withColumn("violations", F.array_join(names, ",")).withColumn(
+        "quarantined", F.col("violations") != F.lit("")
+    )

@@ -97,6 +97,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_scd2_lookup",
     "q_docs_max_coverage_select",
     "q_events_pattern_no_error",
+    "q_orders_quarantine",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

@@ -1415,3 +1415,55 @@ def q_events_pattern_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
         )
     )
+
+
+@register(
+    "q_orders_quarantine",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             coalesce(array_to_string(list_filter([
+               CASE WHEN o_orderpriority IS NOT NULL
+                         AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 'matches(o_orderpriority)' END,
+               CASE WHEN o_custkey IS NULL THEN 'not_null(o_custkey)' END,
+               CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('O','F','P')
+                    THEN 'one_of(o_orderstatus)' END,
+               CASE WHEN o_totalprice IS NOT NULL
+                         AND (o_totalprice < 1 OR o_totalprice > 200000)
+                    THEN 'in_range(o_totalprice)' END
+             ], x -> x IS NOT NULL), ','), '') AS violations
+      FROM orders)
+    SELECT violations, CAST(count(*) AS BIGINT) AS n_rows
+    FROM v GROUP BY violations
+    """,
+    doc=(
+        "Row routing with reasons (operators/quality.quarantine): every "
+        "order tagged with the sorted comma-joined names of the rules it "
+        "violates (empty = clean) — the actionable half of the "
+        "check-audit (q_quality_constraints counts violations; this "
+        "splits the rows so the writer lands clean data and a "
+        "TRIAGEABLE quarantine table in one pass). Pure row-local "
+        "codegen when-chain; the only shuffle here is the audit "
+        "aggregation over violation combos. Rule spellings and the "
+        "sorted-name order are pinned by the oracle's identical CASE "
+        "list."
+    ),
+)
+def q_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as Q
+
+    o = read_table(spark, sf_dir, "orders")
+    tagged = Q.quarantine(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 1, 200000),
+            Q.one_of("o_orderstatus", ["O", "F", "P"]),
+            Q.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    return tagged.groupBy("violations").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
