@@ -150,6 +150,7 @@ HEADLINE = [
     "q_docs_max_coverage_select",
     "q_events_pattern_no_error",
     "q_orders_quarantine",
+    "q_events_markov_backtest",
 ]
 
 

@@ -98,6 +98,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_max_coverage_select",
     "q_events_pattern_no_error",
     "q_orders_quarantine",
+    "q_events_markov_backtest",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

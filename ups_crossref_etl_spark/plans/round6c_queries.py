@@ -1467,3 +1467,74 @@ def q_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("violations").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+@register(
+    "q_events_markov_backtest",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    train AS (
+      SELECT prev, event_type, count(*) AS n FROM seq
+      WHERE prev IS NOT NULL AND ts < TIMESTAMP '2024-01-22' GROUP BY 1, 2),
+    model AS (
+      SELECT prev, event_type AS pred FROM (
+        SELECT prev, event_type, row_number() OVER (
+          PARTITION BY prev ORDER BY n DESC, event_type ASC) AS rn
+        FROM train) WHERE rn = 1),
+    test AS (
+      SELECT s.prev, s.event_type FROM seq s
+      WHERE s.prev IS NOT NULL AND s.ts >= TIMESTAMP '2024-01-22')
+    SELECT t.prev, CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN m.pred = t.event_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM test t LEFT JOIN model m ON m.prev = t.prev
+    GROUP BY t.prev
+    """,
+    doc=(
+        "Markov next-event prediction backtest: first-order transition "
+        "argmax trained on the first three weeks (ties to the "
+        "alphabetically-first type — total order), scored on the final "
+        "week, per previous-state accuracy — completing the "
+        "model-eval-as-query family (AUC, calibration, ranking metrics, "
+        "seasonal baseline) with the sequence-model case. The lag "
+        "window orders by (ts, event_id) so simultaneous events cannot "
+        "flip the sequence between engines. One user-keyed lag window, "
+        "one |types|²-sized train aggregate, a broadcast model join, "
+        "one test aggregate."
+    ),
+)
+def q_events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "ts", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cut = F.lit("2024-01-22").cast("timestamp")
+    train = (
+        seq.filter(F.col("ts") < cut)
+        .groupBy("prev", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("prev").orderBy(F.desc("n"), F.asc("event_type"))
+    model = (
+        train.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("event_type").alias("pred"))
+    )
+    test = seq.filter(F.col("ts") >= cut)
+    return (
+        test.join(F.broadcast(model), "prev", "left")
+        .groupBy("prev")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("pred") == F.col("event_type")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
