@@ -1025,3 +1025,41 @@ def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_containment_join_no_cartesian_prefix_equijoin(spark, sf_dir):
+    """containment_join: candidates come from the prefix-token equi-join
+    — never a cartesian/nested-loop over document pairs."""
+    q = load_all()["q_docs_containment_join"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seasonal_backtest_broadcast_model_no_window(spark, sf_dir):
+    """seasonal_baseline_backtest: the |keys|x168 model joins broadcast;
+    no window function anywhere."""
+    q = load_all()["q_events_seasonal_backtest"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_preflight_histograms_partial_agg(spark, sf_dir):
+    """join_cardinality_preflight: both key histograms partial-aggregate
+    map-side; top-k is TakeOrdered, not a global sort."""
+    q = load_all()["q_lineitem_join_preflight"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pattern_no_error_no_cartesian(spark, sf_dir):
+    """CEP pattern with negation: the time-banded match and the veto are
+    user-keyed joins with interval filters — no cartesian products."""
+    q = load_all()["q_events_pattern_no_error"].fn(spark, sf_dir)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # the negation is a real anti-join
