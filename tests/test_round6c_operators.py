@@ -558,3 +558,20 @@ def test_quarantine_routes_rows_with_reasons(spark):
     assert out[2] == ("in_range(price)", True)
     assert out[3] == ("in_range(price),one_of(status)", True)  # sorted names
     assert out[4] == ("", False)  # nulls are not_null's job, not these rules'
+
+
+def test_ranking_metrics_no_system_rows_reports_zero(spark):
+    """A query with qrels but no retrieved rows must report zeros, not
+    vanish (review finding: a broken retriever would inflate averages)."""
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.evaluation import ranking_metrics
+
+    system = spark.createDataFrame([Row(qid=1, doc_id=10, rank=1)])
+    qrels = spark.createDataFrame(
+        [Row(qid=1, doc_id=10), Row(qid=2, doc_id=20)]
+    )
+    got = {r["qid"]: r for r in ranking_metrics(system, qrels, k=3).collect()}
+    assert got[1]["recall_at_k"] == 1.0
+    assert got[2]["recall_at_k"] == 0.0
+    assert got[2]["mrr"] == 0.0 and got[2]["ndcg"] == 0.0

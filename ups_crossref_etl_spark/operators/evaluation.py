@@ -178,7 +178,9 @@ def ranking_metrics(
     DCG divides an identical micro-unit sum, so nDCG is a ratio of two
     exact int64 sums with one final double division, rounded — the
     round-before-compare rule. Queries with empty qrels are excluded
-    (metrics undefined), matching trec_eval.
+    (metrics undefined), matching trec_eval; queries with qrels but NO
+    system rows in the top-k report zeros — a retriever that returns
+    nothing must drag the average down, not drop out of it.
     """
     rel_counts = qrels.groupBy(query_col).agg(
         F.count(F.lit(1)).alias("_n_rel")
@@ -207,7 +209,15 @@ def ranking_metrics(
         F.max(rr_micro).alias("_best_rr"),
         F.sum(dcg_micro).alias("_dcg"),
     )
-    out = per_q.join(rel_counts, query_col)
+    # base on the QRELS side: a query the system returned nothing for
+    # (broken retriever) must report zeros, not vanish from the average
+    out = rel_counts.join(per_q, query_col, "left").select(
+        query_col,
+        "_n_rel",
+        F.coalesce("_n_hit", F.lit(0)).alias("_n_hit"),
+        F.coalesce("_best_rr", F.lit(0)).alias("_best_rr"),
+        F.coalesce("_dcg", F.lit(0)).alias("_dcg"),
+    )
     # ideal DCG: hits fill ranks 1..min(n_rel, k); same micro-unit table
     ideal = F.aggregate(
         F.sequence(F.lit(1), F.least(F.col("_n_rel"), F.lit(k))),

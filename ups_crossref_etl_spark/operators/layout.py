@@ -129,17 +129,27 @@ def file_pruning_stats(
             total += 1
             md = pq.ParquetFile(os.path.join(root, f)).metadata
             fmin = fmax = None
+            all_groups_have_stats = md.num_row_groups > 0
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
+                got = False
                 for ci in range(row_group.num_columns):
                     c = row_group.column(ci)
                     if c.path_in_schema == col and c.statistics is not None:
                         s = c.statistics
                         if s.has_min_max:
+                            got = True
                             fmin = s.min if fmin is None else min(fmin, s.min)
                             fmax = s.max if fmax is None else max(fmax, s.max)
-            # unknown stats -> must scan (never skip blindly)
-            if fmin is not None and (fmax < lo or fmin > hi):
+                if not got:
+                    # ANY stats-less row group could hold matching rows:
+                    # the whole file must scan (never skip blindly)
+                    all_groups_have_stats = False
+            if (
+                all_groups_have_stats
+                and fmin is not None
+                and (fmax < lo or fmin > hi)
+            ):
                 skipped += 1
     return {
         "files_total": total,

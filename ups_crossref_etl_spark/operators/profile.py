@@ -113,6 +113,20 @@ def profile_drift(df_a: DataFrame, df_b: DataFrame, cols: list[str]) -> DataFram
     )
 
 
+def _row_hash_60(cols: list[str]):
+    """md5_60 row hash over '|'-joined column strings (NULL -> the
+    ``<NULL>`` sentinel so (a, NULL) and (a, '') hash differently).
+    Shared by ``table_digest`` and ``shard_manifest`` — the two must
+    stay bit-identical or shard manifests stop being comparable to
+    whole-table digests."""
+    from pyspark.sql import functions as F
+
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def table_digest(df, cols: list[str]):
     """Order-insensitive content digest of selected columns: one row
     ``(n_rows, digest)`` where ``digest = bit_xor`` of each row's md5_60
@@ -133,15 +147,9 @@ def table_digest(df, cols: list[str]):
     """
     from pyspark.sql import functions as F
 
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols
-    ]
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10
-    ).cast("bigint")
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.bit_xor(h).alias("digest"),
+        F.bit_xor(_row_hash_60(cols)).alias("digest"),
     )
 
 
@@ -188,8 +196,6 @@ def psi_drift(
         )
 
     a, bdf = binned(df_a, "a"), binned(df_b, "b")
-    ta = df_a.filter(F.col(value_col).isNotNull()).count()
-    tb = df_b.filter(F.col(value_col).isNotNull()).count()
     grid = df_a.sparkSession.range(0, len(cutoffs) + 1).select(
         F.col("id").cast("int").alias("bin")
     )
@@ -202,13 +208,21 @@ def psi_drift(
             F.coalesce("_n_b", F.lit(0)).alias("_nb"),
         )
     )
-    p = F.col("_na") / F.lit(float(ta)) + F.lit(eps)
-    q = F.col("_nb") / F.lit(float(tb)) + F.lit(eps)
+    # totals come from the bins-sized aggregates themselves — the
+    # histogram already saw every non-null row; a separate count()
+    # would re-scan each input
+    tot = j.agg(
+        F.sum("_na").cast("double").alias("_ta"),
+        F.sum("_nb").cast("double").alias("_tb"),
+    )
+    j = j.crossJoin(F.broadcast(tot))
+    p = F.col("_na") / F.col("_ta") + F.lit(eps)
+    q = F.col("_nb") / F.col("_tb") + F.lit(eps)
     term_micro = F.round((p - q) * F.log(p / q) * 1_000_000.0, 0).cast("bigint")
     per_bin = j.select(
         F.col("bin").cast("long").alias("bin"),
-        F.round(F.col("_na") / F.lit(float(ta)), round_digits).alias("frac_a"),
-        F.round(F.col("_nb") / F.lit(float(tb)), round_digits).alias("frac_b"),
+        F.round(F.col("_na") / F.col("_ta"), round_digits).alias("frac_a"),
+        F.round(F.col("_nb") / F.col("_tb"), round_digits).alias("frac_b"),
         F.round(term_micro / 1_000_000.0, round_digits).alias("term"),
         term_micro.alias("_tm"),
     )
@@ -242,20 +256,14 @@ def shard_manifest(
     One map-only hash pass + ONE shards-sized grouped aggregate
     (map-side combinable; XOR and count are both commutative).
     """
-    from pyspark.sql import functions as F
-
     from ..operators.sampling import hash_bucket
 
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
-    h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
-        "bigint"
-    )
     return (
         df.withColumn("shard", hash_bucket(F.col(key_col), seed, num_shards))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.bit_xor(h).alias("digest"),
+            F.bit_xor(_row_hash_60(cols)).alias("digest"),
         )
         .select(F.col("shard").cast("long").alias("shard"), "n_rows", "digest")
     )

@@ -416,15 +416,7 @@ def leakage_safe_split(
     out = df.join(comp, key_col, "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col(key_col).cast("bigint"))
     )
-    total = sum(w for _, w in weights)
-    b = hash_bucket(F.col("component"), seed, total)
-    expr = None
-    cum = 0
-    for name, w in weights:
-        cum += w
-        clause = F.when(b < F.lit(cum), F.lit(name))
-        expr = clause if expr is None else expr.when(b < F.lit(cum), F.lit(name))
-    return out.withColumn("split", expr)
+    return split_assign(out, "component", seed, weights)
 
 
 def split_leakage_audit(

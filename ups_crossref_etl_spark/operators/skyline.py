@@ -88,6 +88,9 @@ def skyline(
             return
         yield _local_skyline(pd.concat(chunks, ignore_index=True), crit)
 
-    local = work.mapInPandas(kernel, schema=schema)
+    # materialize phase 1 before the single-partition pass: coalesce(1)
+    # is a NARROW dependency, so without the checkpoint the one global
+    # task would execute every local kernel itself, serially
+    local = work.mapInPandas(kernel, schema=schema).localCheckpoint()
     glob = local.coalesce(1).mapInPandas(kernel, schema=schema)
     return glob.drop(*neg)

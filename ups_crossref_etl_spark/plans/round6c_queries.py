@@ -1423,16 +1423,16 @@ def q_events_pattern_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT o_orderkey,
              coalesce(array_to_string(list_filter([
+               CASE WHEN o_totalprice IS NOT NULL
+                         AND (o_totalprice < 1 OR o_totalprice > 200000)
+                    THEN 'in_range(o_totalprice)' END,
                CASE WHEN o_orderpriority IS NOT NULL
                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
                     THEN 'matches(o_orderpriority)' END,
                CASE WHEN o_custkey IS NULL THEN 'not_null(o_custkey)' END,
                CASE WHEN o_orderstatus IS NOT NULL
                          AND o_orderstatus NOT IN ('O','F','P')
-                    THEN 'one_of(o_orderstatus)' END,
-               CASE WHEN o_totalprice IS NOT NULL
-                         AND (o_totalprice < 1 OR o_totalprice > 200000)
-                    THEN 'in_range(o_totalprice)' END
+                    THEN 'one_of(o_orderstatus)' END
              ], x -> x IS NOT NULL), ','), '') AS violations
       FROM orders)
     SELECT violations, CAST(count(*) AS BIGINT) AS n_rows
@@ -1447,8 +1447,8 @@ def q_events_pattern_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TRIAGEABLE quarantine table in one pass). Pure row-local "
         "codegen when-chain; the only shuffle here is the audit "
         "aggregation over violation combos. Rule spellings and the "
-        "sorted-name order are pinned by the oracle's identical CASE "
-        "list."
+        "sorted-name order are pinned by the oracle's CASE list, which "
+        "is itself in sorted-name order."
     ),
 )
 def q_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1533,7 +1533,10 @@ def q_events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),
-            F.sum((F.col("pred") == F.col("event_type")).cast("long"))
+            F.coalesce(
+                F.sum((F.col("pred") == F.col("event_type")).cast("long")),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_correct"),
         )
