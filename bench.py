@@ -151,6 +151,7 @@ HEADLINE = [
     "q_events_pattern_no_error",
     "q_orders_quarantine",
     "q_events_markov_backtest",
+    "q_customer_k_anonymity",
 ]
 
 

@@ -575,3 +575,37 @@ def test_ranking_metrics_no_system_rows_reports_zero(spark):
     assert got[1]["recall_at_k"] == 1.0
     assert got[2]["recall_at_k"] == 0.0
     assert got[2]["mrr"] == 0.0 and got[2]["ndcg"] == 0.0
+
+
+def test_k_anonymity_audit_planted_violations(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.privacy import k_anonymity_audit
+
+    rows = [Row(zip="A", age=30, dx="flu")] * 10      # compliant class
+    rows += [Row(zip="B", age=40, dx="flu"),
+             Row(zip="B", age=40, dx="cold")]          # size-2 class
+    rows += [Row(zip="C", age=50, dx="covid")]         # singleton
+    df = spark.createDataFrame(rows)
+    got = {r["bucket"]: r for r in
+           k_anonymity_audit(df, ["zip", "age"], "dx", k=5).collect()}
+    assert got[1]["n_classes"] == 1 and got[1]["below_k"] is True
+    assert got[2]["n_classes"] == 1 and got[2]["n_rows"] == 2
+    assert got[5]["below_k"] is False
+    assert got[5]["min_l"] == 1  # big class but one diagnosis -> leaks
+
+
+def test_pseudonymize_keyed_stable_null_preserving(spark):
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.privacy import pseudonymize
+
+    df = spark.createDataFrame(
+        [Row(k=1, email="a@x.com"), Row(k=2, email="a@x.com"),
+         Row(k=3, email=None)]
+    )
+    t1 = {r["k"]: r["email"] for r in pseudonymize(df, ["email"], "s1").collect()}
+    t2 = {r["k"]: r["email"] for r in pseudonymize(df, ["email"], "s2").collect()}
+    assert t1[1] == t1[2] and t1[1] != "a@x.com"  # join-stable token
+    assert t1[1] != t2[1]                          # salt changes mapping
+    assert t1[3] is None                           # NULL stays NULL

@@ -99,6 +99,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_pattern_no_error",
     "q_orders_quarantine",
     "q_events_markov_backtest",
+    "q_customer_k_anonymity",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

@@ -1541,3 +1541,44 @@ def q_events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_correct"),
         )
     )
+
+
+@register(
+    "q_customer_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+             count(DISTINCT CASE WHEN c_acctbal > 5000 THEN 'hi'
+                                 ELSE 'lo' END) AS l
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(least(sz, 5) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           min(sz) < 5 AS below_k,
+           CAST(min(l) AS BIGINT) AS min_l
+    FROM classes GROUP BY least(sz, 5)
+    """,
+    doc=(
+        "k-anonymity / l-diversity audit "
+        "(operators/privacy.k_anonymity_audit, k=5): customers bucketed "
+        "by (nation, segment) quasi-identifier equivalence-class size — "
+        "classes below k are re-identification violations (Sweeney "
+        "2002), and min_l reports the weakest l-diversity over a binary "
+        "account-balance sensitive attribute (a k-large class where "
+        "everyone shares the sensitive value still leaks it). ONE "
+        "corpus scan: a QI-tuple groupBy (map-side combinable) + a "
+        "class-table bucket aggregate — the release-decision histogram "
+        "at any table size. Pseudonymization of direct identifiers is "
+        "the row-local complement (operators/privacy.pseudonymize, "
+        "pytest-pinned: keyed, join-stable, NULL-preserving)."
+    ),
+)
+def q_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import k_anonymity_audit
+
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.when(F.col("c_acctbal") > 5000, "hi").otherwise("lo")
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment"], sensitive_col="bal_band", k=5
+    )
