@@ -152,6 +152,7 @@ HEADLINE = [
     "q_orders_quarantine",
     "q_events_markov_backtest",
     "q_customer_k_anonymity",
+    "q_events_theil_sen",
 ]
 
 

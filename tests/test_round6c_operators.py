@@ -609,3 +609,21 @@ def test_pseudonymize_keyed_stable_null_preserving(spark):
     assert t1[1] == t1[2] and t1[1] != "a@x.com"  # join-stable token
     assert t1[1] != t2[1]                          # salt changes mapping
     assert t1[3] is None                           # NULL stays NULL
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A wild outlier leaves the Theil-Sen slope on the true line while
+    the OLS slope is dragged off it."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.timeseries import theil_sen_trend
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(k="a", ts=t0 + dt.timedelta(seconds=i), v=2.0 * i)
+            for i in range(20)]
+    rows.append(Row(k="a", ts=t0 + dt.timedelta(seconds=25), v=1_000_000.0))
+    got = theil_sen_trend(spark.createDataFrame(rows), "k", "ts", "v").collect()[0]
+    assert got["n_points"] == 21
+    assert abs(got["slope"] - 2.0) < 0.01  # outlier cannot move the median

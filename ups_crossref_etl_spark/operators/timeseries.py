@@ -553,3 +553,79 @@ def seasonal_baseline_backtest(
             ).alias("mae"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen slope: the MEDIAN of all pairwise slopes
+    ``(v_j - v_i) / (t_j - t_i)`` — the robust complement of
+    ``groupwise_trend``'s OLS (one wild outlier drags a least-squares
+    slope arbitrarily; Theil–Sen tolerates ~29% contamination). The
+    estimator of choice for per-entity drift over noisy telemetry.
+
+    Returns ``(key, n_points, n_pairs, slope)`` with the slope in
+    value-units per second, rounded.
+
+    Scale shape: ONE key-clustered self-join generates the pairs (the
+    quadratic lives inside each key's partition — per-key event counts
+    are the bill, not the corpus), one grouped exact-percentile median
+    over (key, slope) rows. Keys with heavy histories: pre-sample
+    per-key (``sample_n_per_group``) before calling — the estimator
+    is stable under subsampling, which is the standard production cut.
+    Pairs with equal timestamps are excluded (undefined slope).
+    """
+    from ..functions.dates import epoch_seconds
+
+    a = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(F.col(ts_col)).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    b = a.select(
+        F.col("_k"),
+        F.col("_t").alias("_t2"),
+        F.col("_v").alias("_v2"),
+    )
+    pairs = (
+        a.join(b, "_k")
+        .filter(F.col("_t2") > F.col("_t"))
+        .select(
+            "_k",
+            # integer NANO-slopes before the median: the even-count median
+            # interpolates, and (a+b)/2 over int64 is an exact half on
+            # every engine — interpolating raw doubles leaves the rounded
+            # 6th digit to ulp luck (observed flipping vs the oracle)
+            F.round(
+                (F.col("_v2") - F.col("_v"))
+                / (F.col("_t2") - F.col("_t")).cast("double")
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("_s"),
+        )
+    )
+    counts = a.groupBy("_k").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        pairs.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            # + 0.0 folds IEEE -0.0 to 0.0 (hash-comparable)
+            (
+                F.round(F.percentile("_s", F.lit(0.5)) / 1e9, round_digits)
+                + F.lit(0.0)
+            ).alias("slope"),
+        )
+        .join(counts, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("n_points").cast("long").alias("n_points"),
+            "n_pairs",
+            "slope",
+        )
+    )

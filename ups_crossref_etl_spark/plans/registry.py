@@ -100,6 +100,7 @@ _CHANGED_THIS_ROUND = [
     "q_orders_quarantine",
     "q_events_markov_backtest",
     "q_customer_k_anonymity",
+    "q_events_theil_sen",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

@@ -1582,3 +1582,45 @@ def q_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         c, ["c_nationkey", "c_mktsegment"], sensitive_col="bal_band", k=5
     )
+
+
+@register(
+    "q_events_theil_sen",
+    """
+    WITH pts AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    pairs AS (
+      SELECT a.k,
+             CAST(round((b.v - a.v) / CAST(b.t - a.t AS DOUBLE) * 1e9)
+                  AS BIGINT) AS s
+      FROM pts a JOIN pts b ON a.k = b.k AND b.t > a.t),
+    med AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+             round(median(s) / 1e9, 6) + 0.0 AS slope
+      FROM pairs GROUP BY k),
+    cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM pts GROUP BY k)
+    SELECT med.k AS user_id, cnt.n_points, med.n_pairs, med.slope
+    FROM med JOIN cnt USING (k)
+    """,
+    doc=(
+        "Per-user Theil-Sen slope (operators/timeseries.theil_sen_trend): "
+        "median of all pairwise slopes — robust to ~29% contamination "
+        "where one wild outlier drags the OLS slope "
+        "(q_events_user_trend's groupwise_trend) arbitrarily. The "
+        "quadratic lives INSIDE each user's partition (one key-clustered "
+        "self-join; per-key history length is the bill, with "
+        "sample_n_per_group as the documented cut for heavy keys), then "
+        "one grouped exact median. Timestamps truncate to whole epoch "
+        "seconds on both engines (unix_timestamp vs floor(epoch)), "
+        "equal-second pairs are excluded identically, and both engines "
+        "take the median over integer NANO-slopes, so even-count "
+        "interpolation is an exact half, never an ulp race."
+    ),
+)
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import theil_sen_trend
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return theil_sen_trend(e, "user_id", "ts", "value")
