@@ -627,3 +627,28 @@ def test_theil_sen_robust_to_outlier(spark):
     got = theil_sen_trend(spark.createDataFrame(rows), "k", "ts", "v").collect()[0]
     assert got["n_points"] == 21
     assert abs(got["slope"] - 2.0) < 0.01  # outlier cannot move the median
+
+
+def test_merge_profiles_additive_and_distinct_refusal(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.profile import (
+        merge_profiles,
+        profile_columns,
+    )
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    p1 = profile_columns(d.filter(F.col("doc_id") < 25), ["lang", "n_chars"])
+    p2 = profile_columns(d.filter(F.col("doc_id") >= 25), ["lang", "n_chars"])
+    merged = {r["column"]: r for r in
+              merge_profiles(p1, p2, numeric_cols=["n_chars"]).collect()}
+    full = {r["column"]: r for r in
+            profile_columns(d, ["lang", "n_chars"]).collect()}
+    for c in ("lang", "n_chars"):
+        assert merged[c]["n_rows"] == full[c]["n_rows"]
+        assert merged[c]["n_null"] == full[c]["n_null"]
+        assert merged[c]["min_str"] == full[c]["min_str"]
+        assert merged[c]["max_str"] == full[c]["max_str"]
+        # exact distincts are NOT mergeable: refuse, don't guess
+        assert merged[c]["n_distinct"] is None

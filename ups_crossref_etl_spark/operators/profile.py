@@ -267,3 +267,71 @@ def shard_manifest(
         )
         .select(F.col("shard").cast("long").alias("shard"), "n_rows", "digest")
     )
+
+
+def merge_profiles(
+    stored: DataFrame, increment: DataFrame, numeric_cols: list[str] | None = None
+) -> DataFrame:
+    """Incremental statistics maintenance: fold a new partition's
+    ``profile_columns`` output into the stored table profile WITHOUT
+    rescanning history — the append-only lake pattern (profile each
+    landed partition once; the table profile is the running merge).
+
+    counts and null-counts add; min/max take the extremes. CAVEAT,
+    stated loudly: ``n_distinct`` is NOT mergeable from exact per-part
+    distinct counts (the parts may overlap in values) — the merged
+    value here is ``NULL`` to refuse a wrong answer. A mergeable
+    distinct needs the sketch form: keep per-partition HLL sketches
+    (``operators/sketches``' mergeable HLL tables / Spark's
+    ``approx_count_distinct`` partials) and merge THOSE — same lake
+    layout, sketch column instead of a number.
+
+    Caveat 2: ``profile_columns`` projects min/max to STRINGS, whose
+    lexicographic order disagrees with numeric order ('128' < '47') —
+    so columns named in ``numeric_cols`` are COMPARED as doubles while
+    keeping the winner's original string rendering. Both caveats are
+    the reason this helper exists: the merge rules are easy to get
+    silently wrong, so they live in ONE place.
+
+    Input/output schema = ``profile_columns``'s. Classes-sized join —
+    trivially small.
+    """
+    a = stored.alias("a")
+    b = increment.alias("b")
+    j = a.join(b, F.col("a.column") == F.col("b.column"), "full_outer")
+    pick = lambda c: F.coalesce(F.col(f"a.{c}"), F.col(f"b.{c}"))  # noqa: E731
+    both = F.col("a.column").isNotNull() & F.col("b.column").isNotNull()
+    return j.select(
+        F.coalesce(F.col("a.column"), F.col("b.column")).alias("column"),
+        (F.coalesce(F.col("a.n_rows"), F.lit(0)) + F.coalesce(F.col("b.n_rows"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows"),
+        (F.coalesce(F.col("a.n_null"), F.lit(0)) + F.coalesce(F.col("b.n_null"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_null"),
+        F.when(both, F.lit(None).cast("bigint"))
+        .otherwise(pick("n_distinct").cast("bigint"))
+        .alias("n_distinct"),
+        F.when(both, _extreme("min_str", numeric_cols or [], smaller=True))
+        .otherwise(pick("min_str"))
+        .alias("min_str"),
+        F.when(both, _extreme("max_str", numeric_cols or [], smaller=False))
+        .otherwise(pick("max_str"))
+        .alias("max_str"),
+    )
+
+
+def _extreme(field: str, numeric_cols: list[str], smaller: bool):
+    """Pick a/b's min_str-or-max_str: numeric comparison for columns in
+    ``numeric_cols`` (keeping the winner's original string), string
+    comparison otherwise."""
+    av, bv = F.col(f"a.{field}"), F.col(f"b.{field}")
+    num = F.col("a.column").isin(numeric_cols)
+    a_num, b_num = av.cast("double"), bv.cast("double")
+    if smaller:
+        num_pick = F.when(a_num <= b_num, av).otherwise(bv)
+        str_pick = F.least(av, bv)
+    else:
+        num_pick = F.when(a_num >= b_num, av).otherwise(bv)
+        str_pick = F.greatest(av, bv)
+    return F.when(num, num_pick).otherwise(str_pick)
