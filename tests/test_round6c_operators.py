@@ -652,3 +652,38 @@ def test_merge_profiles_additive_and_distinct_refusal(spark, sf_dir):
         assert merged[c]["max_str"] == full[c]["max_str"]
         # exact distincts are NOT mergeable: refuse, don't guess
         assert merged[c]["n_distinct"] is None
+
+
+def test_diff_then_apply_reconstructs_snapshot(spark, sf_dir):
+    """Inverse-pair property: snapshot_diff(old, new) converted to a CDC
+    change batch and applied to old via apply_changes reproduces new
+    exactly — the two lakehouse operators are mutual inverses."""
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.cdc import apply_changes
+    from ups_crossref_etl_spark.operators.diff import snapshot_diff
+    from ups_crossref_etl_spark.plans.round6c_queries import _documents_v2
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    old = read_table(spark, sf_dir, "documents")
+    new = _documents_v2(old)
+    diff = snapshot_diff(old, new, "doc_id")
+    # build the change batch: I/U carry new's row image, D is a tombstone
+    imaged = diff.join(
+        new.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.when(F.col("op") == "I", "I")
+        .when(F.col("op") == "D", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    rebuilt = apply_changes(old, imaged, ["doc_id"])
+    a = {tuple(r) for r in rebuilt.select(sorted(rebuilt.columns)).collect()}
+    b = {tuple(r) for r in new.select(sorted(new.columns)).collect()}
+    assert a == b and len(a) > 0
