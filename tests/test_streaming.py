@@ -594,3 +594,56 @@ def test_stream_psi_monitor_equals_batch_psi(spark, sf_dir, batch_events):
     ).collect()[0]["term"]
     assert n_stream == batch_events.filter(F.col("value").isNotNull()).count()
     assert abs(psi_stream - want) <= 0.0003  # ref-frac rounding slack
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(
+    spark, sf_dir, tmp_path
+):
+    """Left-outer stream-stream join: an error with no purchase within
+    the interval emits with NULL once the watermark passes — driven by a
+    second file far enough in the future to advance the watermark."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    data = [
+        Row(event_id=1, ts=t0, user_id=7, event_type="error",
+            value=1.0, props="{}"),
+        Row(event_id=2, ts=t0 + dt.timedelta(seconds=60), user_id=7,
+            event_type="purchase", value=1.0, props="{}"),
+        Row(event_id=3, ts=t0, user_id=8, event_type="error",
+            value=1.0, props="{}"),  # no purchase -> must still emit
+    ]
+    flush = [
+        Row(event_id=99, ts=t0 + dt.timedelta(hours=3), user_id=9,
+            event_type="error", value=1.0, props="{}"),
+        Row(event_id=98, ts=t0 + dt.timedelta(hours=3), user_id=9,
+            event_type="purchase", value=1.0, props="{}"),
+    ]
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(data).coalesce(1).write.mode("append").parquet(feed)
+    spark.createDataFrame(flush).coalesce(1).write.mode("append").parquet(feed)
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = se.stream_stream_interval_join_outer(
+        stream, stream, within_s=600, watermark="10 minutes"
+    )
+    name = "_outer_join_test"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["l_event"], r["r_event"]) for r in spark.table(name).collect()}
+    assert (1, 2) in rows          # matched pair
+    assert (3, None) in rows       # unmatched error emitted with NULL

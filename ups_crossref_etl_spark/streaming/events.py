@@ -719,3 +719,51 @@ def stream_psi_monitor(
 
     q = agg.writeStream.outputMode("complete").foreachBatch(sink).start()
     return q, result
+
+
+def stream_stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_type: str = "error",
+    right_type: str = "purchase",
+    within_s: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    ``stream_stream_interval_join`` but unmatched left rows EMIT (with
+    NULL right) once the right watermark passes their interval — the
+    alerting shape ("errors with no rescuing purchase within 10
+    minutes") an inner join structurally cannot produce. This is the
+    capability that forces real watermarks: the engine may only declare
+    'no match will ever come' after it can bound the right side's
+    lateness, so outer results trail the data by the watermark — a
+    LATENCY COST, not a correctness one, and the reason the watermark
+    should be as tight as the source's true disorder.
+
+    State bounds identically to the inner variant (both sides
+    watermarked, range condition lets Spark expire rows).
+    """
+    l = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event"), F.col(by), F.col("ts").alias("l_ts")
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_event"),
+            F.col(by).alias("_rkey"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        (F.col(by) == F.col("_rkey"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within_s} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_s} SECONDS")),
+        "leftOuter",
+    ).select("l_event", "r_event", by)
