@@ -687,3 +687,26 @@ def test_diff_then_apply_reconstructs_snapshot(spark, sf_dir):
     a = {tuple(r) for r in rebuilt.select(sorted(rebuilt.columns)).collect()}
     b = {tuple(r) for r in new.select(sorted(new.columns)).collect()}
     assert a == b and len(a) > 0
+
+
+def test_sketch_profile_merge_matches_full_scan_estimate(spark, sf_dir):
+    """HLL-sketch profiles merged across two halves give the same
+    distinct estimate as one full-scan profile — the mergeable form
+    merge_profiles' NULL refusal points at."""
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.profile import (
+        merge_profile_sketches,
+        profile_columns_sketch,
+    )
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    p1 = profile_columns_sketch(d.filter(F.col("doc_id") < 25), ["source"])
+    p2 = profile_columns_sketch(d.filter(F.col("doc_id") >= 25), ["source"])
+    merged = merge_profile_sketches(p1, p2).collect()[0]
+    full = profile_columns_sketch(d, ["source"]).collect()[0]
+    assert merged["n_rows"] == full["n_rows"]
+    assert merged["n_distinct_est"] == full["n_distinct_est"]
+    exact = d.select("source").distinct().count()
+    assert abs(merged["n_distinct_est"] - exact) <= max(1, exact // 20)
