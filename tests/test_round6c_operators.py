@@ -710,3 +710,40 @@ def test_sketch_profile_merge_matches_full_scan_estimate(spark, sf_dir):
     assert merged["n_distinct_est"] == full["n_distinct_est"]
     exact = d.select("source").distinct().count()
     assert abs(merged["n_distinct_est"] - exact) <= max(1, exact // 20)
+
+
+def test_wav_fingerprint_matches_same_melody(spark):
+    """Two clips of the same tone sequence (one at half amplitude) share
+    many constellation hashes; an unrelated sequence shares few."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.multimodal import (
+        fingerprint_matches,
+        wav_encode_pcm16,
+        wav_fingerprints,
+    )
+
+    rate, frame = 8000, 256
+
+    def tone_seq(freq_bins, amp):
+        xs = []
+        for k in freq_bins:  # bin-aligned tones, 4 frames each
+            t = np.arange(frame * 4)
+            xs.append(amp * np.sin(2 * np.pi * (k * rate / frame) * t / rate))
+        return wav_encode_pcm16(
+            list((np.concatenate(xs) * 20000).astype(int)), rate
+        )
+
+    melody = [5, 9, 14, 7, 11]
+    other = [22, 3, 17, 25, 8]
+    clips = [
+        Row(asset_id=1, payload=bytearray(tone_seq(melody, 1.0))),
+        Row(asset_id=2, payload=bytearray(tone_seq(melody, 0.5))),
+        Row(asset_id=3, payload=bytearray(tone_seq(other, 1.0))),
+    ]
+    fp = wav_fingerprints(spark.createDataFrame(clips))
+    m = {(r["id_a"], r["id_b"]): r["n_shared"]
+         for r in fingerprint_matches(fp, min_shared=1).collect()}
+    assert m.get((1, 2), 0) >= 20          # same melody -> strong match
+    assert m.get((1, 3), 0) < m[(1, 2)] / 4  # unrelated -> weak/no match
