@@ -153,6 +153,7 @@ HEADLINE = [
     "q_events_markov_backtest",
     "q_customer_k_anonymity",
     "q_events_theil_sen",
+    "q_media_audio_match",
 ]
 
 

@@ -101,6 +101,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_markov_backtest",
     "q_customer_k_anonymity",
     "q_events_theil_sen",
+    "q_media_audio_match",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

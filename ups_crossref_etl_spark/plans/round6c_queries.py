@@ -1624,3 +1624,63 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return theil_sen_trend(e, "user_id", "ts", "value")
+
+
+@register(
+    "q_media_audio_match",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS strong
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10
+    WHERE a.doc_id < 50 AND b.doc_id < 50
+    """,
+    doc=(
+        "Constellation audio matching through the driver gate "
+        "(operators/multimodal.wav_fingerprints + fingerprint_matches): "
+        "each of 50 docs gets a synthesized 4-tone PCM melody whose "
+        "bins depend only on doc_id%10 — clips in the same group are "
+        "identical recordings, and the groups use DISJOINT bin sets "
+        "(20+g, 40+g, 60+g, 80+g), so cross-group landmark hashes "
+        "cannot collide (every hash packs its anchor/target bins). The "
+        "match set at min_shared=10 is therefore EXACTLY the "
+        "within-group pairs — analytically oracle-able with no FFT in "
+        "DuckDB (the wav_spectrum bin-alignment trick extended to "
+        "hash-set matching); the strong boolean pins n_shared >= 10."
+    ),
+)
+def q_media_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        fingerprint_matches,
+        wav_encode_pcm16,
+        wav_fingerprints,
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frame, rate = 256, 8000
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                g = int(did) % 10
+                samples: list[int] = []
+                for k in (20 + g, 40 + g, 60 + g, 80 + g):
+                    f = k * rate / frame
+                    samples += [
+                        int(round(20000 * math.sin(2 * math.pi * f * i / rate)))
+                        for i in range(frame * 4)
+                    ]
+                payloads.append(wav_encode_pcm16(samples, rate=rate))
+            yield pd.DataFrame({"asset_id": b["doc_id"], "payload": payloads})
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+    media = d.mapInPandas(synth, "asset_id bigint, payload binary")
+    fp = wav_fingerprints(media)
+    return fingerprint_matches(fp, min_shared=10).select(
+        "id_a", "id_b", (F.col("n_shared") >= 10).alias("strong")
+    )
