@@ -87,3 +87,75 @@ def test_hash_bucket_deterministic_and_in_range(spark, keys, buckets):
          rev.select("k", hash_bucket(F.col("k"), "s", buckets).alias("b")).collect()}
     assert a == b
     assert all(0 <= v < buckets for v in a.values())
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),   # cost
+            st.integers(min_value=0, max_value=30),   # size
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_equals_bruteforce_property(spark, pts):
+    """Distributed two-phase skyline == brute-force dominance filter on
+    arbitrary point sets (duplicates and ties included)."""
+    from pyspark.sql import Row
+
+    from ups_crossref_etl_spark.operators.skyline import skyline
+
+    rows = [Row(id=i, cost=float(c), size=s) for i, (c, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows).repartition(3)
+    got = {r["id"] for r in
+           skyline(df, minimize=["cost"], maximize=["size"]).collect()}
+    brute = {
+        i for i, (c, s) in enumerate(pts)
+        if not any(
+            c2 <= c and s2 >= s and (c2 < c or s2 > s) for c2, s2 in pts
+        )
+    }
+    assert got == brute
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),    # key
+            st.integers(min_value=0, max_value=50),   # seq
+            st.sampled_from(["U", "D", "I"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.randoms(),
+)
+def test_merge_cdc_state_batch_order_invariant_property(spark, changes, rnd):
+    """LWW tombstone merge converges to the same state under ANY batch
+    partitioning and ordering of the change set."""
+    from pyspark.sql import Row
+
+    import ups_crossref_etl_spark.streaming.events as se
+
+    rows = [Row(k=k, v=f"v{i}", op=op, seq=s)
+            for i, (k, s, op) in enumerate(changes)]
+
+    def apply_in_batches(order, n_batches):
+        st_ = None
+        per = max(1, len(order) // n_batches)
+        for i in range(0, len(order), per):
+            batch = spark.createDataFrame(order[i : i + per])
+            st_ = se.merge_cdc_state(st_, batch, ["k"])
+        return {(r["k"], r["op"], r["seq"]) for r in st_.collect()}
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    a = apply_in_batches(rows, 1)
+    b = apply_in_batches(shuffled, 3)
+    # per-key winners must agree on (op, seq); v may differ only when two
+    # DISTINCT rows tie exactly on (k, seq, op) — then either image is a
+    # legitimate winner, so compare the (k, op, seq) state
+    assert a == b
