@@ -623,7 +623,15 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(
     ]
     feed = str(tmp_path / "feed")
     spark.createDataFrame(data).coalesce(1).write.mode("append").parquet(feed)
+    first_wave = {f for f in os.listdir(feed) if f.endswith(".parquet")}
     spark.createDataFrame(flush).coalesce(1).write.mode("append").parquet(feed)
+    # FileStreamSource orders files by mtime; back-to-back writes can tie
+    # at fs granularity — pin the data files strictly before the flush file
+    now = os.path.getmtime(feed)
+    for f in os.listdir(feed):
+        if f.endswith(".parquet"):
+            t = now if f in first_wave else now + 100
+            os.utime(os.path.join(feed, f), (t, t))
 
     schema = ("event_id bigint, ts timestamp, user_id bigint, "
               "event_type string, value double, props string")

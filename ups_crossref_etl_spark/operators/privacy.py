@@ -83,7 +83,12 @@ def pseudonymize(
     """
     out = df
     for c in cols:
-        h = F.md5(F.concat_ws("|", F.lit(salt), F.col(c).cast("string")))
+        # per-column NULL sentinel: with keep_null=False a hashed NULL
+        # must not collapse to md5(salt) across every column and table
+        # released under the same salt (concat_ws skips NULLs) — that
+        # constant token would fabricate linkage out of absence
+        v = F.coalesce(F.col(c).cast("string"), F.lit(f"<NULL:{c}>"))
+        h = F.md5(F.concat_ws("|", F.lit(salt), v))
         out = out.withColumn(
             c, F.when(F.col(c).isNull() & F.lit(keep_null), F.lit(None)).otherwise(h)
         )

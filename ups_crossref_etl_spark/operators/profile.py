@@ -30,12 +30,22 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     swap in ``approx_count_distinct`` at 100 TB — same plan shape, the
     HLL sketch merges map-side exactly like the exact two-phase
     distinct."""
+    prof = _profile_scaffold(
+        df, cols, lambda col: F.count_distinct(col), "n_distinct"
+    )
+    return prof.withColumn("n_distinct", F.col("n_distinct").cast("bigint"))
+
+
+def _profile_scaffold(df: DataFrame, cols: list[str], distinct_agg, field: str):
+    """The single-scan agg+stack unpivot both profile variants share;
+    ``distinct_agg`` supplies the per-column distinct aggregate (exact
+    count_distinct or an HLL sketch) landing in column ``field``."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         col = F.col(c)
         aggs += [
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
-            F.count_distinct(col).alias(f"_dist_{c}"),
+            distinct_agg(col).alias(f"_dist_{c}"),
             F.min(col).cast("string").alias(f"_min_{c}"),
             F.max(col).cast("string").alias(f"_max_{c}"),
         ]
@@ -51,14 +61,14 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     return one.select(
         F.col("_n").alias("n_rows"),
-        F.stack(
-            F.lit(len(cols)), *stack_args
-        ).alias("column", "n_null", "n_distinct", "min_str", "max_str"),
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "column", "n_null", field, "min_str", "max_str"
+        ),
     ).select(
         "column",
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_null").cast("bigint").alias("n_null"),
-        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        field,
         "min_str",
         "max_str",
     )
@@ -324,16 +334,23 @@ def merge_profiles(
 def _extreme(field: str, numeric_cols: list[str], smaller: bool):
     """Pick a/b's min_str-or-max_str: numeric comparison for columns in
     ``numeric_cols`` (keeping the winner's original string), string
-    comparison otherwise."""
+    comparison otherwise. NULL on either side yields the other side —
+    an all-NULL partition must not erase the stored extreme (a NULL
+    comparison would otherwise fall through to the wrong branch)."""
     av, bv = F.col(f"a.{field}"), F.col(f"b.{field}")
     num = F.col("a.column").isin(numeric_cols)
     a_num, b_num = av.cast("double"), bv.cast("double")
     if smaller:
         num_pick = F.when(a_num <= b_num, av).otherwise(bv)
-        str_pick = F.least(av, bv)
+        str_pick = F.least(av, bv)  # least/greatest skip NULLs already
     else:
         num_pick = F.when(a_num >= b_num, av).otherwise(bv)
         str_pick = F.greatest(av, bv)
+    num_pick = (
+        F.when(av.isNull() | a_num.isNull(), bv)
+        .when(bv.isNull() | b_num.isNull(), av)
+        .otherwise(num_pick)
+    )
     return F.when(num, num_pick).otherwise(str_pick)
 
 
@@ -346,34 +363,16 @@ def profile_columns_sketch(
     distinct counts through incremental maintenance (exact per-part
     distincts don't merge; sketches do, with ~1.6%/sqrt(2^lg_k) error).
     One scan, same as the exact profile."""
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        col = F.col(c)
-        aggs += [
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
-            F.hll_sketch_agg(col.cast("string"), F.lit(lg_k)).alias(f"_hll_{c}"),
-            F.min(col).cast("string").alias(f"_min_{c}"),
-            F.max(col).cast("string").alias(f"_max_{c}"),
-        ]
-    one = df.agg(*aggs)
-    stack_args = []
-    for c in cols:
-        stack_args += [
-            F.lit(c),
-            F.col(f"_null_{c}"),
-            F.col(f"_hll_{c}"),
-            F.col(f"_min_{c}"),
-            F.col(f"_max_{c}"),
-        ]
-    return one.select(
-        F.col("_n").alias("n_rows"),
-        F.stack(F.lit(len(cols)), *stack_args).alias(
-            "column", "n_null", "sketch", "min_str", "max_str"
-        ),
-    ).select(
+    prof = _profile_scaffold(
+        df,
+        cols,
+        lambda col: F.hll_sketch_agg(col.cast("string"), F.lit(lg_k)),
+        "sketch",
+    )
+    return prof.select(
         "column",
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("n_null").cast("bigint").alias("n_null"),
+        "n_rows",
+        "n_null",
         "sketch",
         F.hll_sketch_estimate("sketch").cast("bigint").alias("n_distinct_est"),
         "min_str",
@@ -384,36 +383,39 @@ def profile_columns_sketch(
 def merge_profile_sketches(stored: DataFrame, increment: DataFrame) -> DataFrame:
     """Merge two ``profile_columns_sketch`` outputs: additive stats add,
     extremes compare (string order — see ``merge_profiles`` for the
-    numeric-column variant), and the HLL sketches UNION — so the merged
-    distinct estimate is as good as a fresh full scan's, at zero rescan
-    cost. This closes the gap ``merge_profiles`` refuses with NULL."""
+    numeric-column variant), and the HLL sketches UNION row-locally
+    (``hll_union`` — no shuffle) — so the merged distinct estimate is as
+    good as a fresh full scan's, at zero rescan cost. Full-outer on the
+    column name: a column present in only one profile (schema
+    evolution) carries its one-sided stats through instead of being
+    dropped."""
     a, b = stored.alias("a"), increment.alias("b")
-    j = a.join(b, F.col("a.column") == F.col("b.column"), "inner")
-    merged_sketch = F.hll_union_agg(F.col("sk"))
-    pairs = j.select(
-        F.col("a.column").alias("column"),
-        (F.col("a.n_rows") + F.col("b.n_rows")).cast("bigint").alias("n_rows"),
-        (F.col("a.n_null") + F.col("b.n_null")).cast("bigint").alias("n_null"),
-        F.array(F.col("a.sketch"), F.col("b.sketch")).alias("_sks"),
-        F.least(F.col("a.min_str"), F.col("b.min_str")).alias("min_str"),
-        F.greatest(F.col("a.max_str"), F.col("b.max_str")).alias("max_str"),
-    )
-    exploded = pairs.select(
-        "column", "n_rows", "n_null", "min_str", "max_str",
-        F.explode("_sks").alias("sk"),
-    )
-    return (
-        exploded.groupBy("column", "n_rows", "n_null", "min_str", "max_str")
-        .agg(
-            merged_sketch.alias("sketch"),
+    j = a.join(b, F.col("a.column") == F.col("b.column"), "full_outer")
+    both = F.col("a.column").isNotNull() & F.col("b.column").isNotNull()
+    pick = lambda c: F.coalesce(F.col(f"a.{c}"), F.col(f"b.{c}"))  # noqa: E731
+    sketch = F.when(
+        both, F.hll_union(F.col("a.sketch"), F.col("b.sketch"))
+    ).otherwise(pick("sketch"))
+    return j.select(
+        F.coalesce(F.col("a.column"), F.col("b.column")).alias("column"),
+        (
+            F.coalesce(F.col("a.n_rows"), F.lit(0))
+            + F.coalesce(F.col("b.n_rows"), F.lit(0))
         )
-        .select(
-            "column",
-            "n_rows",
-            "n_null",
-            "sketch",
-            F.hll_sketch_estimate("sketch").cast("bigint").alias("n_distinct_est"),
-            "min_str",
-            "max_str",
+        .cast("bigint")
+        .alias("n_rows"),
+        (
+            F.coalesce(F.col("a.n_null"), F.lit(0))
+            + F.coalesce(F.col("b.n_null"), F.lit(0))
         )
+        .cast("bigint")
+        .alias("n_null"),
+        sketch.alias("sketch"),
+        F.hll_sketch_estimate(sketch).cast("bigint").alias("n_distinct_est"),
+        F.when(both, F.least(F.col("a.min_str"), F.col("b.min_str")))
+        .otherwise(pick("min_str"))
+        .alias("min_str"),
+        F.when(both, F.greatest(F.col("a.max_str"), F.col("b.max_str")))
+        .otherwise(pick("max_str"))
+        .alias("max_str"),
     )

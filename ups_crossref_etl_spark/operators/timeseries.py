@@ -585,7 +585,9 @@ def theil_sen_trend(
         F.col(key_col).alias("_k"),
         epoch_seconds(F.col(ts_col)).alias("_t"),
         F.col(value_col).cast("double").alias("_v"),
-    )
+    ).filter(F.col("_v").isNotNull() & F.col("_t").isNotNull())
+    # NULL/non-castable values drop BEFORE pairing so n_pairs counts
+    # exactly the slopes the median sees (consumers weight by it)
     b = a.select(
         F.col("_k"),
         F.col("_t").alias("_t2"),

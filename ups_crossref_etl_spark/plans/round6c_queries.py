@@ -1641,7 +1641,8 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bins depend only on doc_id%10 — clips in the same group are "
         "identical recordings, and the groups use DISJOINT bin sets "
         "(20+g, 40+g, 60+g, 80+g), so cross-group landmark hashes "
-        "cannot collide (every hash packs its anchor/target bins). The "
+        "cannot collide — peaks_per_frame=1 keeps only the dominant "
+        "tone bin per frame, so noise bins never enter a hash. The "
         "match set at min_shared=10 is therefore EXACTLY the "
         "within-group pairs — analytically oracle-able with no FFT in "
         "DuckDB (the wav_spectrum bin-alignment trick extended to "
@@ -1680,7 +1681,11 @@ def q_media_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     media = d.mapInPandas(synth, "asset_id bigint, payload binary")
-    fp = wav_fingerprints(media)
+    # peaks_per_frame=1 keeps ONLY the dominant tone bin per frame, so
+    # every landmark hash is built from the group's disjoint tone bins —
+    # quantization-noise bins (rank 2+) never enter a hash and the
+    # cross-group-disjointness argument holds unconditionally
+    fp = wav_fingerprints(media, peaks_per_frame=1)
     return fingerprint_matches(fp, min_shared=10).select(
         "id_a", "id_b", (F.col("n_shared") >= 10).alias("strong")
     )

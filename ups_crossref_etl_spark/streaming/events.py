@@ -339,6 +339,7 @@ def stream_stream_interval_join(
     right_type: str = "purchase",
     within_s: int = 600,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with a time-interval condition — the
     streaming twin of ``operators/rangejoin.py``. Both sides carry
@@ -366,6 +367,7 @@ def stream_stream_interval_join(
         (F.col(by) == F.col("_rkey"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within_s} SECONDS"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_s} SECONDS")),
+        how,
     ).select("l_event", "r_event", by)
 
 
@@ -741,29 +743,9 @@ def stream_stream_interval_join_outer(
     LATENCY COST, not a correctness one, and the reason the watermark
     should be as tight as the source's true disorder.
 
-    State bounds identically to the inner variant (both sides
-    watermarked, range condition lets Spark expire rows).
-    """
-    l = (
-        left.filter(F.col("event_type") == left_type)
-        .select(
-            F.col("event_id").alias("l_event"), F.col(by), F.col("ts").alias("l_ts")
-        )
-        .withWatermark("l_ts", watermark)
+    State bounds identically to the inner variant (same builder —
+    ``how='leftOuter'``)."""
+    return stream_stream_interval_join(
+        left, right, by, left_type, right_type, within_s, watermark,
+        how="leftOuter",
     )
-    r = (
-        right.filter(F.col("event_type") == right_type)
-        .select(
-            F.col("event_id").alias("r_event"),
-            F.col(by).alias("_rkey"),
-            F.col("ts").alias("r_ts"),
-        )
-        .withWatermark("r_ts", watermark)
-    )
-    return l.join(
-        r,
-        (F.col(by) == F.col("_rkey"))
-        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within_s} SECONDS"))
-        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_s} SECONDS")),
-        "leftOuter",
-    ).select("l_event", "r_event", by)
