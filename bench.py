@@ -154,6 +154,7 @@ HEADLINE = [
     "q_customer_k_anonymity",
     "q_events_theil_sen",
     "q_media_audio_match",
+    "q_orders_filterspec",
 ]
 
 

@@ -1063,3 +1063,13 @@ def test_pattern_no_error_no_cartesian(spark, sf_dir):
     plan = _plan(q)
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan  # the negation is a real anti-join
+
+
+def test_filterspec_predicates_push_to_scan(spark, sf_dir):
+    """Config-compiled filters must reach the parquet scan exactly like
+    hand-written predicates — the point of compiling to Catalyst columns
+    instead of a Python row predicate."""
+    q = load_all()["q_orders_filterspec"].fn(spark, sf_dir)
+    plan = _plan(q)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_totalprice" in pushed and "IsNotNull" in pushed

@@ -747,3 +747,24 @@ def test_wav_fingerprint_matches_same_melody(spark):
          for r in fingerprint_matches(fp, min_shared=1).collect()}
     assert m.get((1, 2), 0) >= 20          # same melody -> strong match
     assert m.get((1, 3), 0) < m[(1, 2)] / 4  # unrelated -> weak/no match
+
+
+def test_filterspec_compiles_and_rejects_typos(spark):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from ups_crossref_etl_spark.functions.filterspec import compile_filter
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=5, b="y"), Row(a=9, b=None)]
+    )
+    spec = {"or": [{"col": "a", "op": "ge", "value": 9},
+                   {"and": [{"col": "b", "op": "eq", "value": "x"},
+                            {"col": "a", "op": "lt", "value": 3}]}]}
+    got = {r["a"] for r in df.filter(compile_filter(spec)).collect()}
+    assert got == {1, 9}
+    with _pytest.raises(ValueError):
+        compile_filter({"col": "a", "op": "equals", "value": 1})  # typo
+    with _pytest.raises(ValueError):
+        compile_filter({"and": []})

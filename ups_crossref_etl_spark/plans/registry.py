@@ -102,6 +102,7 @@ _CHANGED_THIS_ROUND = [
     "q_customer_k_anonymity",
     "q_events_theil_sen",
     "q_media_audio_match",
+    "q_orders_filterspec",
     "q_docs_nb_langid",
     "q_events_mv_merge",
     "q_orders_hybrid_skew_join",

@@ -1689,3 +1689,42 @@ def q_media_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_matches(fp, min_shared=10).select(
         "id_a", "id_b", (F.col("n_shared") >= 10).alias("strong")
     )
+
+
+@register(
+    "q_orders_filterspec",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE (o_orderstatus IN ('O', 'F'))
+      AND (o_totalprice BETWEEN 1000 AND 150000)
+      AND NOT (o_orderpriority LIKE '5-%')
+      AND o_orderdate IS NOT NULL
+    """,
+    doc=(
+        "Config-driven filtering (functions/filterspec.compile_filter): "
+        "a nested JSON-able spec — and/or/not over eq/in/like/between/"
+        "null leaves — compiles to ONE Catalyst boolean column, so the "
+        "whole release-config filter stays in whole-stage codegen and "
+        "pushes into the parquet scan like hand-written predicates "
+        "(pinned: PushedFilters carries the status/price bounds). The "
+        "reference hardcodes its WHERE clauses; here the filter is "
+        "reviewable DATA. Unknown ops raise at compile time — a config "
+        "typo must fail loudly, never silently keep everything."
+    ),
+)
+def q_orders_filterspec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.filterspec import compile_filter
+
+    spec = {
+        "and": [
+            {"col": "o_orderstatus", "op": "in", "value": ["O", "F"]},
+            {"col": "o_totalprice", "op": "between", "value": [1000, 150000]},
+            {"not": {"col": "o_orderpriority", "op": "like", "value": "5-%"}},
+            {"col": "o_orderdate", "op": "notnull"},
+        ]
+    }
+    o = read_table(spark, sf_dir, "orders")
+    return o.filter(compile_filter(spec)).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
