@@ -408,13 +408,20 @@ def leakage_safe_split(
     no-cross-split-edge invariant holds by construction: the split is a
     pure function of the component label.
 
+    The ``component`` column keeps the TYPE of ``key_col``: singleton
+    docs (no edge) fall back to their raw key, not a cast — a cast to
+    bigint would turn every non-numeric string key into NULL and
+    silently collapse all singletons into one mega-component (total
+    skew plus cross-doc correlation in the split). Edge node ids must
+    be the same type as ``key_col`` (they are produced from it).
+
     Returns ``df`` plus ``component`` and ``split`` columns.
     """
     from .graph import connected_components
 
     comp = connected_components(edges).withColumnRenamed("node", key_col)
     out = df.join(comp, key_col, "left").withColumn(
-        "component", F.coalesce(F.col("component"), F.col(key_col).cast("bigint"))
+        "component", F.coalesce(F.col("component"), F.col(key_col))
     )
     return split_assign(out, "component", seed, weights)
 

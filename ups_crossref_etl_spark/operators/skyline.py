@@ -68,7 +68,14 @@ def skyline(
 ) -> DataFrame:
     """Rows on the Pareto frontier of the given criteria. ``maximize``
     columns are negated internally so the kernel minimizes everything;
-    output rows keep their original values and all other columns."""
+    output rows keep their original values and all other columns.
+
+    Rows with a NULL or NaN criterion value are DROPPED up front: in the
+    float64 kernel they would become NaN, which never dominates and is
+    never dominated, so they would silently survive every frontier —
+    diverging from the SQL NOT-EXISTS dominance semantics this operator
+    mirrors. Dropping matches SQL, where a NULL comparison keeps the row
+    out of both sides of the dominance predicate."""
     minimize = list(minimize or [])
     maximize = list(maximize or [])
     if not minimize and not maximize:
@@ -77,6 +84,9 @@ def skyline(
 
     neg = [f"_neg_{c}" for c in maximize]
     work = df
+    for c in minimize + maximize:
+        v = F.col(c).cast("double")
+        work = work.filter(v.isNotNull() & ~F.isnan(v))
     for c, n in zip(maximize, neg):
         work = work.withColumn(n, -F.col(c).cast("double"))
     crit = minimize + neg

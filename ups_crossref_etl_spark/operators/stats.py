@@ -114,7 +114,14 @@ def mad_outliers(
     values identical) flag any value different from the median — the
     standard convention, and the right one for data cleaning (a column
     that is 99% one constant should flag the exceptions).
+
+    NULL ``value_col`` rows are dropped up front, so ``n`` counts the
+    NON-NULL values the median/MAD are computed over — a NULL can be
+    neither an outlier nor an inlier, and counting it in ``n`` would
+    leave the summary internally inconsistent. Groups whose values are
+    all NULL disappear from the output.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     med = df.groupBy(key_col).agg(
         F.percentile(value_col, F.lit(0.5)).alias("_med"),
         F.count(F.lit(1)).alias("n"),

@@ -558,7 +558,11 @@ def merge_cdc_state(
 
     Per key the winner is max ``seq``, ties broken ``op`` ascending
     ('D' < 'I' < 'U', so a delete deterministically beats an update at
-    the same sequence — the ``operators/cdc.apply_changes`` rule). Because
+    the same sequence — the ``operators/cdc.apply_changes`` rule), with
+    a final payload tiebreak (min ``xxhash64`` over all non-key columns)
+    so even two DISTINCT rows tying on (key, seq, op) produce one
+    deterministic winner — the merge is commutative over full row
+    payloads, not just up to the (key, op, seq) projection. Because
     the comparison is against the STORED (op, seq) rather than arrival
     order, applying batches in any order yields the same state — which is
     what makes the streaming apply safe under micro-batch recomposition,
@@ -574,7 +578,11 @@ def merge_cdc_state(
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(*key_cols).orderBy(F.desc(seq_col), F.asc(op_col))
+    payload_cols = [c for c in batch.columns if c not in key_cols]
+    batch_hash = F.xxhash64(*[F.col(c) for c in payload_cols])
+    w = W.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), F.asc(op_col), F.asc(batch_hash)
+    )
     latest = (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -584,12 +592,19 @@ def merge_cdc_state(
         return latest
     data_cols = [c for c in state.columns if c not in key_cols]
     j = latest.alias("n").join(state.alias("o"), key_cols, "left")
+    new_hash = F.xxhash64(*[F.col(f"n.{c}") for c in data_cols])
+    old_hash = F.xxhash64(*[F.col(f"o.{c}") for c in data_cols])
     take_new = (
         F.col(f"o.{seq_col}").isNull()
         | (F.col(f"n.{seq_col}") > F.col(f"o.{seq_col}"))
         | (
             (F.col(f"n.{seq_col}") == F.col(f"o.{seq_col}"))
-            & (F.col(f"n.{op_col}") <= F.col(f"o.{op_col}"))
+            & (F.col(f"n.{op_col}") < F.col(f"o.{op_col}"))
+        )
+        | (
+            (F.col(f"n.{seq_col}") == F.col(f"o.{seq_col}"))
+            & (F.col(f"n.{op_col}") == F.col(f"o.{op_col}"))
+            & (new_hash <= old_hash)
         )
     )
     winners = j.select(
