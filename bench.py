@@ -176,6 +176,11 @@ EXTENDED = [
     "q_events_theil_sen",
     "q_media_audio_match",
     "q_orders_filterspec",
+    # round 7: the Theil-Sen heavy-key cap (stride subsample before the
+    # per-key quadratic) and the shard-export → compact → manifest
+    # round-trip (the sink path, timed end to end including the writes)
+    "q_events_theil_sen_capped",
+    "q_docs_shards_compaction_identity",
 ]
 
 

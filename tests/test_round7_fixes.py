@@ -86,3 +86,75 @@ def test_skyline_null_and_nan_criteria_rows_dropped(spark):
            skyline(spark.createDataFrame(rows),
                    minimize=["cost"], maximize=["size"]).collect()}
     assert got == {1, 2}
+
+
+def _mega_mentions(spark, n):
+    """One ORCID pasted onto n distinct names: every mention chains into a
+    single identity component through the shared o:<orcid> node."""
+    rows = [
+        Row(
+            DOI=f"10.1/{i:06d}",
+            author_pos=1,
+            NombreLimpio=f"Name {i:06d}",
+            name_norm=f"name {i:06d}",
+            orcid="0000-0001-0000-0000",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_resolve_authors_mega_component_one_identity_and_warn(spark):
+    """A pathological mega-component (one ORCID chaining thousands of
+    names) still resolves correctly — every mention maps to ONE author,
+    the first in canonical (DOI, pos) order — and the size guard warns."""
+    import warnings
+
+    from ups_crossref_etl_spark.plans.entities import resolve_authors
+
+    occ = _mega_mentions(spark, 3000)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        autores, mapping = resolve_authors(occ, max_component_mentions=1000)
+        a = autores.collect()
+        m = mapping.collect()
+    assert any("chains" in str(w.message) for w in caught)
+    assert len(a) == 1
+    assert a[0]["NombreBusqueda"] == "name 000000"
+    assert a[0]["Orcid"] == "0000-0001-0000-0000"
+    assert len(m) == 3000 and len({r["AutorID"] for r in m}) == 1
+
+
+def test_resolve_authors_mega_component_strict_raises(spark):
+    import pytest
+
+    from ups_crossref_etl_spark.plans.entities import resolve_authors
+
+    occ = _mega_mentions(spark, 50)
+    with pytest.raises(RuntimeError, match="chains 5[0-9] mentions"):
+        resolve_authors(occ, max_component_mentions=10, strict=True)
+    # default cap: no tripwire, resolution proceeds
+    autores, _ = resolve_authors(occ)
+    assert autores.count() == 1
+
+
+def test_theil_sen_cap_bounds_pairs_on_mega_key(spark):
+    """One key with a huge history: the cap must bound n_pairs at
+    ~cap^2/2 and n_points at <= cap, while the slope on a clean linear
+    series survives subsampling exactly."""
+    import datetime
+
+    from ups_crossref_etl_spark.operators.timeseries import theil_sen_trend
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(k="hot", ts=base + datetime.timedelta(seconds=10 * i), v=2.5 * 10 * i)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows)
+    got = theil_sen_trend(df, "k", "ts", "v", max_points_per_key=40).collect()[0]
+    assert got["n_points"] <= 40
+    assert got["n_pairs"] <= 40 * 39 / 2
+    assert got["slope"] == 2.5  # exact linear series: subsample-invariant
+    full = theil_sen_trend(df, "k", "ts", "v").collect()[0]
+    assert full["n_points"] == 2000 and full["slope"] == 2.5

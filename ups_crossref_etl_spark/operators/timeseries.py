@@ -561,6 +561,7 @@ def theil_sen_trend(
     ts_col: str,
     value_col: str,
     round_digits: int = 6,
+    max_points_per_key: int | None = None,
 ) -> DataFrame:
     """Per-group Theil–Sen slope: the MEDIAN of all pairwise slopes
     ``(v_j - v_i) / (t_j - t_i)`` — the robust complement of
@@ -569,14 +570,23 @@ def theil_sen_trend(
     estimator of choice for per-entity drift over noisy telemetry.
 
     Returns ``(key, n_points, n_pairs, slope)`` with the slope in
-    value-units per second, rounded.
+    value-units per second, rounded. ``n_points`` counts the points the
+    pairing actually saw (post-cap when a cap is set).
 
     Scale shape: ONE key-clustered self-join generates the pairs (the
     quadratic lives inside each key's partition — per-key event counts
     are the bill, not the corpus), one grouped exact-percentile median
-    over (key, slope) rows. Keys with heavy histories: pre-sample
-    per-key (``sample_n_per_group``) before calling — the estimator
-    is stable under subsampling, which is the standard production cut.
+    over (key, slope) rows. ``max_points_per_key`` is the heavy-key
+    escape hatch: keys whose history exceeds the cap are DETERMINISTICALLY
+    stride-subsampled in time order (keep every ceil(n/cap)-th point, by
+    ``row_number() over (key ORDER BY t, v)``) before pairing, bounding
+    the per-key pair count at ~cap²/2 no matter how hot the key —
+    systematic time sampling preserves trend structure and the estimator
+    is stable under it (the standard production cut). The stride rule is
+    a pure function of the sorted history, so capped runs are exactly
+    reproducible (``q_events_theil_sen_capped`` pins it against SQL; the
+    agreement with the uncapped slope is pinned by
+    ``q_events_theil_sen_cap_agreement``).
     Pairs with equal timestamps are excluded (undefined slope).
     """
     from ..functions.dates import epoch_seconds
@@ -586,6 +596,19 @@ def theil_sen_trend(
         epoch_seconds(F.col(ts_col)).alias("_t"),
         F.col(value_col).cast("double").alias("_v"),
     ).filter(F.col("_v").isNotNull() & F.col("_t").isNotNull())
+    if max_points_per_key is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("_k")
+        rn = F.row_number().over(w.orderBy("_t", "_v"))
+        n_k = F.count(F.lit(1)).over(w)
+        stride = F.ceil(n_k / F.lit(max_points_per_key))
+        a = (
+            a.withColumn("_rn", rn)
+            .withColumn("_stride", stride)
+            .filter((F.col("_rn") - 1) % F.col("_stride") == 0)
+            .drop("_rn", "_stride")
+        )
     # NULL/non-castable values drop BEFORE pairing so n_pairs counts
     # exactly the slopes the median sees (consumers weight by it)
     b = a.select(

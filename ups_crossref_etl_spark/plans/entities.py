@@ -95,7 +95,10 @@ def _replay_component(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def resolve_authors(
-    aff_rows: DataFrame, seed_autores: DataFrame | None = None
+    aff_rows: DataFrame,
+    seed_autores: DataFrame | None = None,
+    max_component_mentions: int = 100_000,
+    strict: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (autores, occurrence→author mapping).
 
@@ -108,6 +111,19 @@ def resolve_authors(
     new mentions then probe against prior-run identities exactly as the
     reference's DB probes do across runs (:312-340). Seed rows are
     excluded from the returned occurrence mapping.
+
+    The per-component ``applyInPandas`` replay is sequential by design
+    (the reference's probe order is part of the semantics), so one
+    component's mention count is the memory/latency bill of its task.
+    Real identity components are person-sized; a component past
+    ``max_component_mentions`` almost always means corrupted identity
+    data (one ORCID pasted onto thousands of names chains them into one
+    mega-identity). That is warned (default) or raised (``strict=True``)
+    BEFORE the replay runs — mirroring ``connected_components``'
+    convergence guard — rather than discovered as one straggler task
+    OOMing an executor. The replay itself still runs on warn: the replay
+    is O(component) rows through pandas, fine into the millions; the
+    guard is a data-quality tripwire, not a correctness cap.
     """
     occ = aff_rows.select("DOI", "author_pos", "NombreLimpio", "name_norm", "orcid")
     if seed_autores is not None:
@@ -139,6 +155,27 @@ def resolve_authors(
         comp.withColumnRenamed("node", "_nn"),
         F.concat(F.lit("n:"), F.col("name_norm")) == F.col("_nn"),
     ).drop("_nn")
+
+    big = (
+        occ_c.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_component_mentions)
+        .orderBy(F.desc("n"))
+        .limit(1)
+        .collect()
+    )
+    if big:
+        import warnings
+
+        msg = (
+            f"resolve_authors: identity component {big[0]['component']!r} "
+            f"chains {big[0]['n']} mentions (> {max_component_mentions}) — "
+            "likely corrupted identity keys (one ORCID spanning thousands "
+            "of names); its sequential replay will be one long task"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     resolved = occ_c.groupBy("component").applyInPandas(
         lambda pdf: _replay_component(pdf), _RESOLVED_SCHEMA

@@ -51,103 +51,26 @@ def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
 
 
 #: Current build round — keys the deterministic rotation in ``load_all``.
-_ROUND = 6
+_ROUND = 7
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 6 (listed in landing order;
-#: the list exceeds the window, so the newest entries are appended at the
-#: END and the driver samples the head — rotation covers the rest): every query ADDED this round (the round6_queries and
-#: round6b_queries modules plus ``q_stream_trending_topk`` in
-#: streaming_queries), the
-#: queries whose operators changed (CC pointer-halving, semantic_edges
-#: block kernel, kmeans partial-sum rewrite, walk degree cap), and two
-#: rounding-rule fixes carried from early round 6
-#: (``q_docs_weighted_sample``, ``q_emb_mmr_diverse_topk``).
+#: (first ~50 entries) re-verifies them. Round 7 (landing order): the new
+#: Theil-Sen heavy-key-cap contracts and the queries whose operators were
+#: hardened this round (leakage_safe_split component typing, merge_cdc_state
+#: payload tiebreak, mad_outliers NULL handling, skyline NULL/NaN drop,
+#: theil_sen_trend cap parameter). More entries are appended as the round
+#: adds queries.
 _CHANGED_THIS_ROUND = [
-    # second/third-wave round-6 additions lead: they have never appeared
-    # in a driver window, while the earlier round-6 entries were verified
-    # by the intermediate FULLCHECK artifacts — the ~50-entry window
-    # samples from the head, the rotation covers the overflow next round
-    "q_docs_dsir_select",
-    "q_docs_pmi_collocations",
-    "q_docs_top_keywords",
-    "q_emb_hard_negatives",
-    "q_emb_hard_negatives_recall_bound",
-    "q_graph_kcore",
-    "q_docs_snapshot_diff",
-    "q_docs_leakage_safe_split",
-    "q_docs_unigram_segment",
-    "q_stream_cdc_apply",
-    "q_lineitem_corr_matrix",
-    "q_events_mad_outliers",
-    "q_customer_loo_encode",
-    "q_graph_label_propagation",
-    "q_docs_split_leakage_audit",
-    "q_events_seasonal_backtest",
-    "q_lineitem_join_preflight",
-    "q_events_psi_drift",
-    "q_docs_containment_join",
-    "q_docs_unigram_token_counts",
-    "q_docs_shard_manifest",
-    "q_emb_ranking_metrics",
-    "q_events_type_hourly_corr",
-    "q_part_skyline",
-    "q_graph_personalized_pagerank",
-    "q_events_scd2_lookup",
-    "q_docs_max_coverage_select",
-    "q_events_pattern_no_error",
-    "q_orders_quarantine",
-    "q_events_markov_backtest",
-    "q_customer_k_anonymity",
+    "q_events_theil_sen_capped",
+    "q_docs_shards_compaction_identity",
+    "q_events_theil_sen_cap_agreement",
     "q_events_theil_sen",
-    "q_media_audio_match",
-    "q_orders_filterspec",
-    "q_docs_nb_langid",
-    "q_events_mv_merge",
-    "q_orders_hybrid_skew_join",
-    "q_emb_semantic_dedup_bound",
-    "q_docs_neardup_cc",
-    "q_docs_quality_keeper",
-    "q_part_fuzzy_pairs",
-    "q_graph_bounded_walks",
-    "q_docs_tfidf_knn",
-    "q_docs_bloom_decontam",
-    "q_events_hll_rollup_bound",
-    "q_events_cms_user_freq",
-    "q_emb_rp_project",
-    "q_events_ewma",
-    "q_emb_standardize",
-    "q_docs_rrf_hybrid",
-    "q_docs_nucleus_select",
-    "q_events_interval_union",
-    "q_events_transition_matrix",
-    "q_docs_auc_lang_by_length",
-    "q_orders_table_digest",
-    "q_emb_rp_recall_bound",
-    "q_events_mean_shift",
-    "q_events_ab_readout",
-    "q_docs_calibration_bins",
-    "q_docs_quantile_normalize",
-    "q_docs_approx_bins_bound",
-    "q_docs_quantile_normalize_approx_bound",
-    "q_media_wav_spectrum",
-    "q_stream_trending_topk",
-    "q_media_bmp_features",
-    "q_media_image_neardup",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_counts",
-    "q20_potential_promotion",
-    "q_docs_bpe_encode",
-    "q_docs_pack_bpe_sequences",
-    "q_events_late_arrivals",
-    "q_media_wav_features",
-    "q_docs_char_entropy",
-    "q_docs_profile_drift",
-    "q_docs_weighted_sample",
-    "q_emb_mmr_diverse_topk",
+    "q_docs_leakage_safe_split",
+    "q_docs_split_leakage_audit",
+    "q_stream_cdc_apply",
+    "q_events_mad_outliers",
+    "q_part_skyline",
 ]
 
 
@@ -171,6 +94,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     import hashlib
 
+    from . import round7_queries  # noqa: F401
     from . import round6_queries  # noqa: F401
     from . import round6b_queries  # noqa: F401
     from . import round6c_queries  # noqa: F401
