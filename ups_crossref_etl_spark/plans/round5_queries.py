@@ -206,26 +206,10 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import quality_keeper
+    from ..operators.setsim import bounded_jaccard_edges
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    toks = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
-        ).alias("tok"),
-    )
-    a = toks.select(F.col("doc_id").alias("src"), F.col("tok").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("dst"), F.col("tok").alias("tb"))
-    edges = (
-        a.crossJoin(b)
-        .filter(F.col("src") < F.col("dst"))
-        .filter(
-            F.size(F.array_intersect("ta", "tb"))
-            / F.nullif(F.size(F.array_union("ta", "tb")), F.lit(0)).cast("double")
-            >= 0.5
-        )
-        .select("src", "dst")
-    )
+    edges = bounded_jaccard_edges(d, threshold=0.5)
     return quality_keeper(d, "doc_id", "n_chars", edges)
 
 

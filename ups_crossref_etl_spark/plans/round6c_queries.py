@@ -170,26 +170,10 @@ FROM b
 )
 def q_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import leakage_safe_split
+    from ..operators.setsim import bounded_jaccard_edges
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    toks = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
-        ).alias("tok"),
-    )
-    a = toks.select(F.col("doc_id").alias("src"), F.col("tok").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("dst"), F.col("tok").alias("tb"))
-    edges = (
-        a.crossJoin(b)
-        .filter(F.col("src") < F.col("dst"))
-        .filter(
-            F.size(F.array_intersect("ta", "tb"))
-            / F.nullif(F.size(F.array_union("ta", "tb")), F.lit(0)).cast("double")
-            >= 0.5
-        )
-        .select("src", "dst")
-    )
+    edges = bounded_jaccard_edges(d, threshold=0.5)
     return leakage_safe_split(d.select("doc_id"), edges, "doc_id").select(
         "doc_id", "component", "split"
     )
@@ -560,27 +544,10 @@ def q_docs_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_assign,
         split_leakage_audit,
     )
+    from ..operators.setsim import bounded_jaccard_edges
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    toks = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
-        ).alias("tok"),
-    )
-    a = toks.select(F.col("doc_id").alias("src"), F.col("tok").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("dst"), F.col("tok").alias("tb"))
-    edges = (
-        a.crossJoin(b)
-        .filter(F.col("src") < F.col("dst"))
-        .filter(
-            F.size(F.array_intersect("ta", "tb"))
-            / F.nullif(F.size(F.array_union("ta", "tb")), F.lit(0)).cast("double")
-            >= 0.5
-        )
-        .select("src", "dst")
-        .localCheckpoint()
-    )
+    edges = bounded_jaccard_edges(d, threshold=0.5).localCheckpoint()
     ids = d.select("doc_id")
     naive = split_assign(ids, "doc_id")
     safe = leakage_safe_split(ids, edges, "doc_id")

@@ -194,28 +194,11 @@ def q_docs_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact unigram-Jaccard similarity on a bounded sample (all-pairs verify stage).",
 )
 def q_docs_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setsim import bounded_jaccard_edges
+
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    toks = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
-        ).alias("tok"),
-    )
-    a = toks.select(F.col("doc_id").alias("id_a"), F.col("tok").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(F.array_intersect("ta", "tb"))
-                / F.nullif(F.size(F.array_union("ta", "tb")), F.lit(0)).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+    return bounded_jaccard_edges(d, threshold=0.5, with_score=True).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "jaccard"
     )
 
 
