@@ -3,7 +3,11 @@ fashion (explode with a salt, ids re-keyed so they stay unique) and time
 the heavy operators. Output: SCALE_PROBE.json with (rows, seconds) pairs —
 evidence the shuffle shapes scale ~linearly, not just claims.
 
-    python tools/scale_probe.py [replication]
+    python tools/scale_probe.py [replication] [probe_name ...]
+
+With probe names, only those probes run and their results are MERGED
+into the existing SCALE_PROBE.json (same replication factor assumed);
+without, the full battery runs and the file is rewritten.
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ def timed(fn):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
     spark = get_spark("scale_probe")
     results = {"replication": n, "probes": {}}
 
@@ -54,6 +59,8 @@ def main() -> None:
     embN = replicate(emb1, "vec_id", n).localCheckpoint()
 
     def probe(name, small_fn, big_fn, small_rows, big_rows):
+        if only and name not in only:
+            return
         t_small, _ = timed(small_fn)
         t_big, _ = timed(big_fn)
         results["probes"][name] = {
@@ -623,8 +630,89 @@ def main() -> None:
         li1.count(), liN.count(),
     )
 
+    # round 7: the round-6 heavyweights (VERDICT r6 item 4).
+    # containment join: replicas get per-salt token suffixes so the
+    # shingle-space replicates into N disjoint dialects (plain text
+    # replication would plant N mutual-containment copies per doc and the
+    # TRUE pair count itself would grow quadratically — probing the data,
+    # not the candidate generation)
+    from ups_crossref_etl_spark.operators.setsim import containment_join
+
+    docsN_dialect = (
+        docs1.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .select(
+            (F.col("doc_id") * n + F.col("_salt")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.lower("text"), r"[^a-z0-9]+"),
+                    lambda t: F.concat(t, F.lit("x"), F.col("_salt").cast("string")),
+                ),
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "containment_join",
+        lambda: containment_join(docs1, "doc_id", "text", threshold=0.8).count(),
+        lambda: containment_join(
+            docsN_dialect, "doc_id", "text", threshold=0.8
+        ).count(),
+        docs1.count(), docsN_dialect.count(),
+    )
+
+    # dsir_select: the target slice is a fixed FRACTION (mod-50 of the
+    # re-keyed id), the hashed-gram model stays 256 buckets regardless of
+    # corpus size, selection is a TakeOrdered top-n — the whole path must
+    # be one linear corpus scan + broadcast scoring
+    from ups_crossref_etl_spark.operators.selection import (
+        dsir_select,
+        max_coverage_select,
+    )
+
+    probe(
+        "dsir_select",
+        lambda: dsir_select(
+            docs1, "text", "doc_id", F.col("doc_id") % 50 == 0, n=100
+        ).count(),
+        lambda: dsir_select(
+            docsN, "text", "doc_id", F.col("doc_id") % 50 == 0, n=100
+        ).count(),
+        docs1.count(), docsN.count(),
+    )
+
+    # kcore: same disjoint-replicated co-order graph as label_propagation —
+    # each peel round is a degree agg + 2 semi-joins, rounds don't grow
+    # with N (the peel depth is a property of each component, and the
+    # components replicate unchanged)
+    from ups_crossref_etl_spark.operators.graph import kcore
+
+    probe(
+        "kcore",
+        lambda: kcore(lpa_edges(li1), k=3).count(),
+        lambda: kcore(lpa_edges(liN), k=3).count(),
+        li1.count(), liN.count(),
+    )
+
+    # max_coverage_select: k fixed at 5 — cost is k linear corpus passes
+    # by design (greedy is sequential in k); what must not happen is any
+    # round growing superlinearly in corpus size
+    probe(
+        "max_coverage_select",
+        lambda: max_coverage_select(docs1, "doc_id", "text", k=5).count(),
+        lambda: max_coverage_select(docsN, "doc_id", "text", k=5).count(),
+        docs1.count(), docsN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
+    out_path = os.path.join(root, "SCALE_PROBE.json")
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        prior["probes"].update(results["probes"])
+        prior["replication"] = n
+        results = prior
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 

@@ -38,7 +38,13 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "mad_outliers", "loo_target_encode"]
+__all__ = [
+    "corr_matrix",
+    "mad_outliers",
+    "loo_target_encode",
+    "ks_drift",
+    "chisq_drift",
+]
 
 _DEC = "decimal(38,12)"
 
@@ -202,3 +208,139 @@ def loo_target_encode(
     return out.withColumn(
         "loo_enc", F.round(num / F.nullif(den, F.lit(0.0)), round_digits)
     ).drop("_cs", "_cn", "_gs", "_gn")
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    is_right,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov statistic between the
+    ``is_right`` slice (sample B) and its complement (sample A):
+    ``D = max_x |F_A(x) − F_B(x)|`` — the classic distribution-drift
+    monitor (per-feature train-vs-serve drift, this-week-vs-last-week
+    telemetry). Complements ``psi`` (operators/timeseries) which needs a
+    binning choice; KS is binning-free.
+
+    Returns ``(group, n_a, n_b, ks_stat)``; groups missing either sample
+    are dropped (D is undefined). ``ks_stat`` rounded, −0.0 folded.
+
+    Scale shape: one groupBy collapses the table to DISTINCT
+    (group, value) cells with per-sample counts, then ONE window per
+    group ordered by value forms both ECDFs cumulatively — the window
+    partition is a group's distinct values, never the raw rows; the max
+    is a final grouped aggregate. No all-pairs, no driver state.
+    ECDF ratios are exact-integer cumsums divided once per cell; the max
+    over cells is order-independent, so the rounded statistic is
+    engine-portable.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+        is_right.cast("int").alias("_b"),
+    ).filter(F.col("_v").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_g", "_v").agg(
+        F.sum(1 - F.col("_b")).alias("_ca"),
+        F.sum("_b").alias("_cb"),
+    )
+    w = W.partitionBy("_g").orderBy("_v")
+    wg = W.partitionBy("_g")
+    stepped = cells.select(
+        "_g",
+        F.sum("_ca").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("_cum_a"),
+        F.sum("_cb").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("_cum_b"),
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+    )
+    return (
+        stepped.filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .groupBy("_g")
+        .agg(
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+            (
+                F.round(
+                    F.max(
+                        F.abs(
+                            F.col("_cum_a") / F.col("_na")
+                            - F.col("_cum_b") / F.col("_nb")
+                        )
+                    ),
+                    round_digits,
+                )
+                + F.lit(0.0)
+            ).alias("ks_stat"),
+        )
+        .select(F.col("_g").alias(group_col), "n_a", "n_b", "ks_stat")
+    )
+
+
+def chisq_drift(
+    df: DataFrame,
+    cat_col: str,
+    is_right,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Chi-square homogeneity statistic between the categorical
+    distribution of the ``is_right`` slice and its complement — the
+    categorical twin of ``ks_drift`` (event-mix drift, label-shift
+    audits). One row out: ``(n_a, n_b, n_cats, dof, chi2)``.
+
+    Per-cell terms use the margin form ``(o·T − r·c)² / (T·r·c)``
+    (T = grand total, r = row total, c = column total) evaluated in
+    IEEE doubles — every factor is an exact small-integer-valued double
+    and the op sequence is identical on both engines, so each term is
+    bit-reproducible (the all-integer form would be exact but its square
+    overflows even DECIMAL(38) once T ~ 1e12); terms are then CAST to
+    DECIMAL(38,12) before summing — order-independent accumulation, the
+    repo's standard portable-sum rule. Cells with an all-zero category
+    margin cannot occur (a category exists only if observed).
+
+    Scale shape: one groupBy to K category cells, margins from one
+    aggregate over those K rows, the statistic from a second — the
+    shuffle after the first aggregate carries K rows, never the corpus.
+    """
+    base = df.select(
+        F.col(cat_col).alias("_c"),
+        is_right.cast("int").alias("_b"),
+    ).filter(F.col("_c").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_c").agg(
+        F.sum(1 - F.col("_b")).cast("long").alias("_oa"),
+        F.sum("_b").cast("long").alias("_ob"),
+    )
+    tot = cells.select(
+        F.sum("_oa").cast("long").alias("_na"),
+        F.sum("_ob").cast("long").alias("_nb"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    oa = F.col("_oa").cast("double")
+    ob = F.col("_ob").cast("double")
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    t_all = na + nb
+    r_tot = oa + ob
+    da = oa * t_all - r_tot * na
+    db = ob * t_all - r_tot * nb
+    term = da * da / (t_all * r_tot * na) + db * db / (t_all * r_tot * nb)
+    return (
+        j.select(
+            "_na", "_nb", "_k",
+            term.cast(_DEC).alias("_term"),
+        )
+        .groupBy("_na", "_nb", "_k")
+        .agg(F.sum("_term").alias("_chi2"))
+        .select(
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+            F.col("_k").alias("n_cats"),
+            (F.col("_k") - 1).cast("long").alias("dof"),
+            (F.round(F.col("_chi2").cast("double"), round_digits) + F.lit(0.0)).alias(
+                "chi2"
+            ),
+        )
+    )

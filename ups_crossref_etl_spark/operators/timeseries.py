@@ -654,3 +654,198 @@ def theil_sen_trend(
             "slope",
         )
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_digits: int = 4,
+    max_points_per_key: int | None = None,
+) -> DataFrame:
+    """Per-group Mann–Kendall trend test: ``S = Σ_{i<j} sign(v_j − v_i)``
+    over the time-ordered series, with the tie-corrected variance
+    ``Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18`` and the
+    continuity-corrected normal score ``z`` — the significance companion
+    to ``theil_sen_trend`` (Theil–Sen says HOW steep, Mann–Kendall says
+    whether a monotone trend exists at all; the pair is the standard
+    non-parametric trend readout).
+
+    Returns ``(key, n_points, s_stat, z)``; ``z`` rounded, −0.0 folded.
+    ``S`` is an exact integer (a sum of ±1/0), so only ``z`` touches
+    floats. Pairs with equal timestamps are excluded (their order is
+    undefined), matching ``theil_sen_trend``; ties in VALUE contribute
+    sign 0 and enter the variance correction.
+
+    Scale shape: same as Theil–Sen — ONE key-clustered self-join forms
+    the pairs (per-key quadratic, corpus-linear across keys), tie groups
+    from one (key, value) aggregate, and ``max_points_per_key`` is the
+    identical deterministic stride cap (same ``row_number() over
+    (key ORDER BY t, v)`` rule, so capped runs reproduce exactly).
+    """
+    from ..functions.dates import epoch_seconds
+
+    a = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(F.col(ts_col)).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_t").isNotNull())
+    if max_points_per_key is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("_k")
+        rn = F.row_number().over(w.orderBy("_t", "_v"))
+        n_k = F.count(F.lit(1)).over(w)
+        stride = F.ceil(n_k / F.lit(max_points_per_key))
+        a = (
+            a.withColumn("_rn", rn)
+            .withColumn("_stride", stride)
+            .filter((F.col("_rn") - 1) % F.col("_stride") == 0)
+            .drop("_rn", "_stride")
+        )
+    b = a.select(
+        F.col("_k"), F.col("_t").alias("_t2"), F.col("_v").alias("_v2")
+    )
+    s = (
+        a.join(b, "_k")
+        .filter(F.col("_t2") > F.col("_t"))
+        .groupBy("_k")
+        .agg(
+            F.sum(F.signum(F.col("_v2") - F.col("_v")))
+            .cast("long")
+            .alias("_s")
+        )
+    )
+    n_t = F.count(F.lit(1)).cast("long")
+    ties = (
+        a.groupBy("_k", "_v")
+        .agg(n_t.alias("_tg"))
+        .groupBy("_k")
+        .agg(
+            F.sum("_tg").cast("long").alias("_n"),
+            F.sum(
+                F.col("_tg") * (F.col("_tg") - 1) * (2 * F.col("_tg") + 5)
+            )
+            .cast("long")
+            .alias("_tie_term"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tie_term").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("_s").cast("double")
+    z = (
+        F.when(F.col("_var") <= 0, F.lit(0.0))
+        .when(sd > 0, (sd - 1) / F.sqrt("_var"))
+        .when(sd < 0, (sd + 1) / F.sqrt("_var"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(ties, "_k")
+        .withColumn("_var", var_s)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_n").alias("n_points"),
+            F.col("_s").alias("s_stat"),
+            (F.round(z, round_digits) + F.lit(0.0)).alias("z"),
+        )
+    )
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group sample autocorrelation function at lags ``1..max_lag``
+    over the time-ordered series:
+    ``r_L = Σ_{t≤n−L}(x_t − x̄)(x_{t+L} − x̄) / Σ_t(x_t − x̄)²``
+    (the standard biased estimator — one shared denominator, so the ACF
+    is a proper positive-semidefinite sequence). The seasonality /
+    memory detector that tells a pipeline whether per-entity telemetry
+    is white noise or worth a seasonal model.
+
+    Returns ``(key, lag, n_points, acf_val)``; keys with zero variance
+    are dropped (ACF undefined). Determinism: positions come from
+    ``row_number() over (key ORDER BY t, v)`` (total order), the mean is
+    an exact DECIMAL sum divided once, every per-row product is a
+    deterministic double, and products are CAST to DECIMAL(38,12) before
+    summing — order-independent accumulation on both engines.
+
+    Scale shape: one window ranks each key's history, ONE range self-join
+    (``0 < rn_b − rn_a ≤ max_lag``) forms all lag pairs — fanout is
+    ``max_lag`` rows per point, not quadratic — and two key-keyed
+    aggregates finish. No driver state, no global window.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.dates import epoch_seconds
+
+    a = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            epoch_seconds(F.col(ts_col)).alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull() & F.col("_t").isNotNull())
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("_k").orderBy("_t", "_v")),
+        )
+        .select("_k", "_rn", "_v")
+    )
+    stats = a.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        (
+            F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_mean"),
+    )
+    centered = a.join(stats, "_k").select(
+        "_k",
+        "_rn",
+        "_n",
+        "_mean",
+        (F.col("_v") - F.col("_mean")).alias("_c"),
+    )
+    denom = centered.groupBy("_k").agg(
+        F.sum((F.col("_c") * F.col("_c")).cast("decimal(38,12)")).alias("_den")
+    )
+    b = centered.select(
+        F.col("_k"), F.col("_rn").alias("_rn2"), F.col("_c").alias("_c2")
+    )
+    num = (
+        centered.join(b, "_k")
+        .filter(
+            (F.col("_rn2") > F.col("_rn"))
+            & (F.col("_rn2") - F.col("_rn") <= max_lag)
+        )
+        .groupBy("_k", (F.col("_rn2") - F.col("_rn")).alias("lag"))
+        .agg(
+            F.sum((F.col("_c") * F.col("_c2")).cast("decimal(38,12)")).alias(
+                "_num"
+            )
+        )
+    )
+    return (
+        num.join(denom, "_k")
+        .join(stats.select("_k", "_n"), "_k")
+        .filter(F.col("_den") > 0)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("lag").cast("long").alias("lag"),
+            F.col("_n").alias("n_points"),
+            (
+                F.round(
+                    F.col("_num").cast("double") / F.col("_den").cast("double"),
+                    round_digits,
+                )
+                + F.lit(0.0)
+            ).alias("acf_val"),
+        )
+    )

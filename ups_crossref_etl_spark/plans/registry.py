@@ -62,6 +62,10 @@ _ROUND = 7
 #: theil_sen_trend cap parameter). More entries are appended as the round
 #: adds queries.
 _CHANGED_THIS_ROUND = [
+    "q_events_ks_drift",
+    "q_events_chisq_drift",
+    "q_events_mann_kendall",
+    "q_events_acf",
     "q_events_theil_sen_capped",
     "q_docs_shards_compaction_identity",
     "q_events_theil_sen_cap_agreement",

@@ -252,3 +252,210 @@ def q_docs_shards_compaction_identity(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift tests: KS (numeric) and chi-square (categorical)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_ks_drift",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+             CAST(user_id % 2 AS INT) AS b
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    cells AS (
+      SELECT g, v, sum(1 - b) AS ca, sum(b) AS cb
+      FROM base GROUP BY g, v),
+    stepped AS (
+      SELECT g,
+             sum(ca) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum_b,
+             sum(ca) OVER (PARTITION BY g) AS na,
+             sum(cb) OVER (PARTITION BY g) AS nb
+      FROM cells)
+    SELECT g AS event_type,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(max(abs(CAST(cum_a AS DOUBLE) / na
+                         - CAST(cum_b AS DOUBLE) / nb)), 4) + 0.0 AS ks_stat
+    FROM stepped WHERE na > 0 AND nb > 0
+    GROUP BY g
+    """,
+    doc=(
+        "Per-event-type two-sample Kolmogorov-Smirnov drift statistic "
+        "(operators/stats.ks_drift) between even and odd user cohorts: "
+        "D = max |ECDF_a - ECDF_b|. Binning-free numeric drift — the "
+        "companion to PSI (q_events_psi_drift) which needs bucket edges. "
+        "One groupBy to distinct (group, value) cells + ONE per-group "
+        "window builds both ECDFs; the window partition holds a group's "
+        "distinct values, never raw rows."
+    ),
+)
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ks_drift
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return ks_drift(ev, "event_type", "value", F.col("user_id") % 2)
+
+
+@register(
+    "q_events_chisq_drift",
+    """
+    WITH base AS (
+      SELECT event_type AS c, CAST(user_id % 2 AS INT) AS b
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    cells AS (
+      SELECT c, CAST(sum(1 - b) AS BIGINT) AS oa,
+             CAST(sum(b) AS BIGINT) AS ob
+      FROM base GROUP BY c),
+    tot AS (
+      SELECT CAST(sum(oa) AS BIGINT) AS na, CAST(sum(ob) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS k
+      FROM cells),
+    terms AS (
+      SELECT na, nb, k,
+             CAST(da * da / (t * r * nad) + db * db / (t * r * nbd)
+                  AS DECIMAL(38,12)) AS term
+      FROM (
+        SELECT na, nb, k,
+               CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+               CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS t,
+               CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE) AS r,
+               CAST(oa AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                 - (CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE))
+                   * CAST(na AS DOUBLE) AS da,
+               CAST(ob AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                 - (CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE))
+                   * CAST(nb AS DOUBLE) AS db
+        FROM cells CROSS JOIN tot))
+    SELECT na AS n_a, nb AS n_b, k AS n_cats,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(CAST(sum(term) AS DOUBLE), 4) + 0.0 AS chi2
+    FROM terms GROUP BY na, nb, k
+    """,
+    doc=(
+        "Chi-square homogeneity test (operators/stats.chisq_drift) on the "
+        "event-type mix of even vs odd user cohorts — the categorical "
+        "twin of the KS gate. Per-cell terms in the margin form "
+        "(o*T - r*c)^2/(T*r*c) as deterministic doubles, accumulated in "
+        "DECIMAL(38,12) so the sum is order-independent; one K-row "
+        "shuffle after the category aggregate."
+    ),
+)
+def q_events_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import chisq_drift
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return chisq_drift(ev, "event_type", F.col("user_id") % 2)
+
+
+# --------------------------------------------------------------------------
+# Mann–Kendall trend test (capped) + per-key autocorrelation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_mann_kendall",
+    f"""
+    WITH {_CAPPED_CTES},
+    s AS (
+      SELECT a.k, CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s_stat
+      FROM capped a JOIN capped b ON a.k = b.k AND b.t > a.t
+      GROUP BY a.k),
+    tg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS t_g
+      FROM capped GROUP BY k, v),
+    agg AS (
+      SELECT k, CAST(sum(t_g) AS BIGINT) AS n,
+             CAST(sum(t_g * (t_g - 1) * (2 * t_g + 5)) AS BIGINT) AS tie_term
+      FROM tg GROUP BY k),
+    vs AS (
+      SELECT s.k, s.s_stat, agg.n,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+              * (2 * CAST(n AS DOUBLE) + 5)
+              - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+      FROM s JOIN agg ON s.k = agg.k)
+    SELECT k AS user_id, n AS n_points, s_stat,
+           round(CASE WHEN var_s <= 0 THEN 0.0
+                      WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+                      WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 4) + 0.0 AS z
+    FROM vs
+    """,
+    doc=(
+        "Per-user Mann-Kendall trend test (operators/timeseries."
+        "mann_kendall, max_points_per_key=40): S = sum of pairwise value "
+        "signs over the time-ordered capped series, tie-corrected "
+        "variance, continuity-corrected z. The significance companion to "
+        "the Theil-Sen slope gates — same deterministic stride cap, same "
+        "key-clustered pair join, S stays an exact integer so only z "
+        "touches floats. At sf0.01 every user exceeds the cap, so the "
+        "capped path is exercised on 100% of keys."
+    ),
+)
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import mann_kendall
+
+    ev = read_table(spark, sf_dir, "events")
+    return mann_kendall(
+        ev, "user_id", "ts", "value", max_points_per_key=40
+    )
+
+
+@register(
+    "q_events_acf",
+    """
+    WITH pts AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    ranked AS (
+      SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn
+      FROM pts),
+    st AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean
+      FROM ranked GROUP BY k),
+    c AS (
+      SELECT r.k, r.rn, (r.v - st.mean) AS cv
+      FROM ranked r JOIN st ON r.k = st.k),
+    den AS (
+      SELECT k, sum(CAST(cv * cv AS DECIMAL(38,12))) AS den
+      FROM c GROUP BY k),
+    num AS (
+      SELECT a.k, b.rn - a.rn AS lag,
+             sum(CAST(a.cv * b.cv AS DECIMAL(38,12))) AS num
+      FROM c a JOIN c b ON a.k = b.k AND b.rn > a.rn AND b.rn - a.rn <= 3
+      GROUP BY a.k, b.rn - a.rn)
+    SELECT num.k AS user_id, CAST(lag AS BIGINT) AS lag, st.n AS n_points,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0
+             AS acf_val
+    FROM num JOIN den ON num.k = den.k JOIN st ON num.k = st.k
+    WHERE den > 0
+    """,
+    doc=(
+        "Per-user sample autocorrelation at lags 1-3 (operators/"
+        "timeseries.acf): r_L = sum (x_t - mean)(x_t+L - mean) / "
+        "sum (x_t - mean)^2 over the time-ordered series. The "
+        "seasonality/memory detector for per-entity telemetry. One "
+        "ranking window + ONE range self-join (fanout max_lag per point, "
+        "never quadratic) + two key-keyed aggregates; means from exact "
+        "DECIMAL sums, per-row products decimal-accumulated so both "
+        "engines sum order-independently."
+    ),
+)
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import acf
+
+    ev = read_table(spark, sf_dir, "events")
+    return acf(ev, "user_id", "ts", "value", max_lag=3)
