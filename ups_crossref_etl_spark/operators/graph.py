@@ -291,3 +291,99 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def k_hop_reach(edges: DataFrame, hops: int = 2) -> DataFrame:
+    """EXACT k-hop neighborhood size per node: ``(node, n_reach)`` where
+    ``n_reach`` counts distinct nodes reachable within ≤ ``hops``
+    undirected hops (self excluded). The ground-truth twin of
+    ``hyper_anf`` below — exact reach materializes every (node, reached)
+    pair, so its output is Σ|N_h(v)| rows: fine for bounded/sampled
+    graphs and contract queries, quadratic-prone on dense 100 TB graphs,
+    which is precisely why the sketch variant exists.
+
+    Each extension round is one node-keyed equi-join (frontier.dst =
+    edges.src) plus a distinct — no windows, no cartesian; lineage is
+    truncated per round.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    reach = sym
+    for _ in range(hops - 1):
+        ext = (
+            reach.join(
+                sym.select(F.col("src").alias("_m"), F.col("dst").alias("_d")),
+                reach["dst"] == F.col("_m"),
+            )
+            .select("src", F.col("_d").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        reach = reach.unionByName(ext).distinct().localCheckpoint()
+    return reach.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reach")
+    ).select(F.col("src").alias("node"), "n_reach")
+
+
+def hyper_anf(edges: DataFrame, hops: int = 2, lg_k: int = 12) -> DataFrame:
+    """HyperANF (Boldi–Rosa–Vigna): the approximate neighborhood function
+    per node — ``(node, est_reach)`` estimating |{u : dist(v,u) ≤ hops}|
+    INCLUDING v itself — via per-node HLL sketches merged along edges.
+    The scale path for reach/centrality profiling: where ``k_hop_reach``
+    materializes Σ|N_h(v)| pairs (quadratic-prone), this keeps ONE
+    fixed-size sketch per node and each round is
+
+        sketch_{r+1}(v) = sketch_r(v) ∪ ⋃_{u ∈ N(v)} sketch_r(u)
+
+    — a node-keyed join + one ``hll_union_agg`` groupBy, shuffling
+    node-count × KB sketches regardless of how dense the reachable sets
+    get. At low cardinality the Datasketches HLL stays in exact (sparse)
+    mode, so small-graph estimates equal exact counts — the property the
+    ``q_graph_hyperanf_bound`` contract pins; at scale error is
+    ~1.04/√2^lg_k.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node")).distinct()
+    )
+    sketches = nodes.groupBy("node").agg(
+        F.hll_sketch_agg("node", F.lit(lg_k)).alias("sk")
+    ).localCheckpoint()
+    for _ in range(hops):
+        nbr = (
+            sym.join(
+                sketches.select(F.col("node").alias("dst"), F.col("sk").alias("_nsk")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.hll_union_agg("_nsk").alias("_usk"))
+            .withColumnRenamed("src", "node")
+        )
+        sketches = (
+            sketches.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("_usk").isNull(), F.col("sk")
+                ).otherwise(F.hll_union("sk", "_usk")).alias("sk"),
+            )
+            .localCheckpoint()
+        )
+    return sketches.select(
+        "node",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_reach"),
+    )

@@ -684,3 +684,83 @@ def rp_two_stage_topk(
     return brute_force_topk(
         df.join(cand, id_col), query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def matryoshka_truncate(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Matryoshka truncation: keep the FIRST ``dim`` coordinates and
+    L2-renormalize — the zero-compute dimensionality reduction for
+    MRL-trained embeddings (Kusupati et al.), where prefixes of the
+    vector are themselves valid embeddings. Returns ``(id, prefix)``
+    with the renormalized prefix rounded (the repo's round-before-
+    compare rule; + 0.0 folds −0.0).
+
+    Unlike the JL projection (``rp_project_arr``) there is no matrix —
+    ``slice`` + one row-local ``aggregate`` for the norm, all codegen;
+    at 100 TB the prefix column is materialized at ingest so coarse
+    passes scan dim/64 of the embedding bytes.
+    """
+    pref = F.slice(F.col(vec_col), 1, dim)
+    nrm = F.sqrt(
+        F.aggregate(
+            pref,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(
+            nrm > 0,
+            F.transform(
+                pref,
+                lambda x: F.round(x.cast("double") / nrm, round_digits)
+                + F.lit(0.0),
+            ),
+        )
+        .otherwise(F.transform(pref, lambda x: x.cast("double")))
+        .alias("prefix"),
+    )
+
+
+def matryoshka_two_stage_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool_frac: float = 0.3,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-stage ANN with matryoshka prefixes: stage 1 ranks the
+    ``dim``-coordinate renormalized PREFIXES (dim/full_dim of the scan
+    bytes, no projection matrix at all) and keeps the top ``pool_frac``
+    of the corpus; stage 2 exact-reranks only the pool on full vectors.
+    Same output contract as ``brute_force_topk``; recall pinned by
+    ``q_emb_matryoshka_recall_bound``. The MRL counterpart of
+    ``rp_two_stage_topk`` — prefer it when embeddings are MRL-trained
+    (prefix quality beats a random projection at equal dims); prefer JL
+    when they are not.
+    """
+    import math
+
+    qp = query_vec[:dim]
+    qn = math.sqrt(sum(x * x for x in qp))
+    qp = [
+        round(x / qn, round_digits) + 0.0 if qn > 0 else float(x) for x in qp
+    ]
+    n = df.count()
+    pool = max(k, int(pool_frac * n))
+    pref = matryoshka_truncate(df, vec_col, id_col, dim, round_digits)
+    cand = brute_force_topk(
+        pref, qp, k=pool, id_col=id_col, vec_col="prefix"
+    ).select(id_col)
+    return brute_force_topk(
+        df.join(cand, id_col), query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )

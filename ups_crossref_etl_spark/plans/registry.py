@@ -62,6 +62,10 @@ _ROUND = 7
 #: theil_sen_trend cap parameter). More entries are appended as the round
 #: adds queries.
 _CHANGED_THIS_ROUND = [
+    "q_graph_two_hop_reach",
+    "q_graph_hyperanf_bound",
+    "q_emb_matryoshka_prefix",
+    "q_emb_matryoshka_recall_bound",
     "q_events_ks_drift",
     "q_events_chisq_drift",
     "q_events_mann_kendall",
