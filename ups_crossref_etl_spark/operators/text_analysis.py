@@ -779,3 +779,145 @@ def top_keywords(
             "score",
         )
     )
+
+
+def stupid_backoff_nll(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model_df: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document average negative log-score under a TRIGRAM stupid-
+    backoff model (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the web-scale LM filter shape: no discounting to
+    tune, counts only, and the backoff chain keeps every score defined
+    on held-out text:
+
+        S(w3|w1,w2) = c(w1w2w3)/c(w1w2)          if the trigram is seen
+                    = α · c(w2w3)/c(w2)           elif the bigram is seen
+                    = α² · (c(w3)+1)/(T+V)        else (Laplace unigram)
+
+    ``model_df`` is the reference corpus the counts come from (defaults
+    to ``df`` itself — but the realistic deployment scores the crawl
+    against a TRUSTED slice, which is what the gate does); scoring docs
+    need ≥ 3 tokens. Returns ``(id_col, n_trigrams, nll)``,
+    ``nll = Σ tf·(−ln S) / Σ tf`` rounded 4 dp.
+
+    Scale shape: identical to :func:`bigram_nll` one order up — n-grams
+    generated row-locally by codegen ``transform`` over ``sequence``
+    (no window), the three count tables are groupBy aggregates of the
+    MODEL corpus (vocabulary-sized, joined on gram keys), T/V are one
+    broadcast row, and the scoring join + final groupBy(doc) shuffle
+    (doc, tf, weight) rows, never text. Per-term weights are cast to
+    DECIMAL(38,12) before the document sum — order-independent
+    accumulation on both engines.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def grams(frame, n):
+        base = frame.select(
+            F.col(id_col).alias("_id"), toks.alias("_t")
+        ).withColumn("_n", F.size("_t"))
+        if n == 1:
+            return base.select("_id", F.explode("_t").alias("w1"))
+        cols = lambda i: [
+            F.element_at("_t", i + j).alias(f"w{j + 1}") for j in range(n)
+        ]
+        return (
+            base.filter(F.col("_n") >= n)
+            .select(
+                "_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_n") - (n - 1)),
+                        lambda i: F.struct(*cols(i)),
+                    )
+                ).alias("_g"),
+            )
+            .select("_id", *[f"_g.w{j + 1}" for j in range(n)])
+        )
+
+    m = model_df if model_df is not None else df
+    uni = grams(m, 1).groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    stats = uni.agg(
+        F.sum("_c1").alias("_T"), F.count(F.lit(1)).alias("_V")
+    )
+    bi = grams(m, 2).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    tri = grams(m, 3).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_c3")
+    )
+
+    tf = grams(df, 3).groupBy("_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    a = F.lit(alpha)
+    scored = (
+        tf.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select(
+                F.col("w1"), F.col("w2"), F.col("_c2").alias("_c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("_c2").alias("_c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w2"), F.col("_c1").alias("_c1w2")),
+            "w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w3"), F.col("_c1").alias("_c1w3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.when(
+                F.col("_c3").isNotNull(), F.col("_c3") / F.col("_c12")
+            )
+            .when(
+                F.col("_c23").isNotNull(),
+                a * (F.col("_c23") / F.col("_c1w2")),
+            )
+            .otherwise(
+                a
+                * a
+                * (
+                    (F.coalesce(F.col("_c1w3"), F.lit(0)) + 1)
+                    / (F.col("_T") + F.col("_V"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "_id",
+            "_tf",
+            (F.col("_tf") * -F.log("_s")).cast("decimal(38,12)").alias("_w"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_trigrams"),
+            (
+                F.round(
+                    F.sum("_w").cast("double") / F.sum("_tf"), 4
+                )
+                + F.lit(0.0)
+            ).alias("nll"),
+        )
+        .select(F.col("_id").alias(id_col), "n_trigrams", "nll")
+    )

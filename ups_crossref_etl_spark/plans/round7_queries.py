@@ -676,3 +676,88 @@ def q_emb_matryoshka_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("_h") >= 7).alias("pool_recall_ge_07"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Trigram stupid-backoff LM scoring (held-out corpus-quality filter)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_stupid_backoff_nll",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF x <> ''] AS t
+      FROM documents),
+    m AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS w1 FROM m) GROUP BY w1),
+    stats AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS vv
+      FROM uni),
+    bi AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c2
+      FROM (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> {'w1': t[i], 'w2': t[i+1]})) AS g
+            FROM m)
+      GROUP BY g.w1, g.w2),
+    tri AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+             CAST(count(*) AS BIGINT) AS c3
+      FROM (SELECT unnest(list_transform(range(1, len(t) - 1),
+                     i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS g
+            FROM m)
+      GROUP BY g.w1, g.w2, g.w3),
+    tf AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                     i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS g
+            FROM tk)
+      GROUP BY doc_id, g.w1, g.w2, g.w3),
+    sc AS (
+      SELECT tf.doc_id, tf.tf,
+             CASE WHEN tri.c3 IS NOT NULL
+                    THEN CAST(tri.c3 AS DOUBLE) / b12.c2
+                  WHEN b23.c2 IS NOT NULL
+                    THEN CAST(0.4 AS DOUBLE)
+                         * (CAST(b23.c2 AS DOUBLE) / u2.c1)
+                  ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                       * (CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE)
+                          / (stats.tt + stats.vv))
+             END AS s
+      FROM tf
+      LEFT JOIN tri ON tf.w1 = tri.w1 AND tf.w2 = tri.w2 AND tf.w3 = tri.w3
+      LEFT JOIN bi b12 ON tf.w1 = b12.w1 AND tf.w2 = b12.w2
+      LEFT JOIN bi b23 ON tf.w2 = b23.w1 AND tf.w3 = b23.w2
+      LEFT JOIN uni u2 ON tf.w2 = u2.w1
+      LEFT JOIN uni u3 ON tf.w3 = u3.w1
+      CROSS JOIN stats)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           round(CAST(sum(CAST(tf * -ln(s) AS DECIMAL(38,12))) AS DOUBLE)
+                 / sum(tf), 4) + 0.0 AS nll
+    FROM sc GROUP BY doc_id
+    """,
+    doc=(
+        "Trigram stupid-backoff scoring (operators/text_analysis."
+        "stupid_backoff_nll, Brants et al. 2007): model counts from the "
+        "even-doc_id slice, ALL docs scored against it — the held-out "
+        "deployment shape, so every rung of the backoff chain "
+        "(trigram hit -> 0.4 x bigram -> 0.16 x Laplace unigram) is "
+        "actually exercised on the odd docs. N-grams generated "
+        "row-locally (codegen transform, no window); three count tables "
+        "joined on gram keys; T/V broadcast; per-term weights "
+        "decimal-accumulated. The plan shape KenLM scores would reuse "
+        "verbatim at 100 TB."
+    ),
+)
+def q_docs_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import stupid_backoff_nll
+
+    d = read_table(spark, sf_dir, "documents")
+    model = d.filter(F.col("doc_id") % 2 == 0)
+    return stupid_backoff_nll(d, "text", "doc_id", model_df=model)
