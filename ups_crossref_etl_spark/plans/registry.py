@@ -62,6 +62,9 @@ _ROUND = 7
 #: theil_sen_trend cap parameter). More entries are appended as the round
 #: adds queries.
 _CHANGED_THIS_ROUND = [
+    "q_docs_wordpiece_segment",
+    "q_docs_wordpiece_token_counts",
+    "q_docs_stupid_backoff_nll",
     "q_graph_two_hop_reach",
     "q_graph_hyperanf_bound",
     "q_emb_matryoshka_prefix",

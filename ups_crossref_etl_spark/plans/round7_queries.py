@@ -761,3 +761,150 @@ def q_docs_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     model = d.filter(F.col("doc_id") % 2 == 0)
     return stupid_backoff_nll(d, "text", "doc_id", model_df=model)
+
+
+# --------------------------------------------------------------------------
+# WordPiece tokenizer (greedy longest-match-first, ## continuations)
+# --------------------------------------------------------------------------
+
+# Shared oracle chain: corpus word counts -> positional piece vocabulary
+# (initial vs ## continuation inventories, single chars kept
+# unconditionally) -> greedy longest-match segmentation as a recursive
+# CTE whose step picks THE match no longer match can beat (NOT EXISTS) —
+# greedy is deterministic because at fixed position and length at most
+# one vocab string equals the substring.
+_WP_CTES = """
+    wc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest([x for x in
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS word
+            FROM documents)
+      GROUP BY word),
+    cand AS (
+      SELECT g.p AS piece, g.c AS is_cont, cnt
+      FROM (SELECT unnest(flatten(list_transform(range(1, len(word) + 1),
+                     i -> list_transform(
+                            range(1, least(6, len(word) - i + 1) + 1),
+                            L -> {'p': substr(word, i, L),
+                                  'c': i > 1})))) AS g,
+                   cnt
+            FROM wc)),
+    vocab AS (
+      SELECT piece, is_cont
+      FROM (SELECT piece, is_cont, sum(cnt) AS piece_cnt
+            FROM cand GROUP BY piece, is_cont)
+      WHERE len(piece) = 1 OR piece_cnt >= 800),
+    seg(word, pos, acc, n) AS (
+      SELECT word, 1, '', 0 FROM wc
+      UNION ALL
+      SELECT s.word, s.pos + len(m.piece),
+             s.acc || CASE WHEN s.acc = '' THEN '' ELSE ' ' END ||
+               CASE WHEN s.pos = 1 THEN m.piece ELSE '##' || m.piece END,
+             s.n + 1
+      FROM seg s JOIN vocab m
+        ON m.is_cont = (s.pos > 1)
+       AND substr(s.word, s.pos, len(m.piece)) = m.piece
+      WHERE s.pos <= len(s.word)
+        AND NOT EXISTS (
+          SELECT 1 FROM vocab m2
+          WHERE m2.is_cont = (s.pos > 1)
+            AND len(m2.piece) > len(m.piece)
+            AND substr(s.word, s.pos, len(m2.piece)) = m2.piece)),
+    fin AS (
+      SELECT s.word, s.acc AS seg, CAST(s.n AS BIGINT) AS n_pieces
+      FROM seg s JOIN wc ON s.word = wc.word
+      WHERE s.pos = len(s.word) + 1)
+"""
+
+
+@register(
+    "q_docs_wordpiece_segment",
+    f"""
+    WITH RECURSIVE {_WP_CTES}
+    SELECT wc.word, wc.cnt, fin.seg, fin.n_pieces
+    FROM fin JOIN wc ON fin.word = wc.word
+    """,
+    doc=(
+        "WordPiece segmentation of every distinct corpus word "
+        "(operators/wordpiece.wordpiece_segment_words): greedy "
+        "longest-match-first with separate word-initial and ## "
+        "continuation inventories (Wu et al. 2016 / BERT's tokenizer) — "
+        "the third tokenizer family next to BPE (merge-based) and "
+        "unigram-LM (Viterbi). Vocab = positional char n-grams (1..6) "
+        "weighted by word count, min_count=800, single chars kept "
+        "unconditionally so coverage is total and [UNK] never fires. "
+        "All-integer/string determinism (no floats anywhere); Spark "
+        "side = one piece-keyed groupBy for the vocab + Arrow-batched "
+        "greedy matching over the DISTINCT-word table only; oracle = "
+        "recursive CTE whose step is pinned longest by NOT EXISTS."
+    ),
+)
+def q_docs_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import word_counts
+    from ..operators.wordpiece import wordpiece_segment_words, wordpiece_vocab
+
+    wc = word_counts(read_table(spark, sf_dir, "documents")).localCheckpoint()
+    vocab = wordpiece_vocab(wc, max_piece_len=6, min_count=800)
+    return wordpiece_segment_words(wc, vocab, max_piece_len=6)
+
+
+@register(
+    "q_docs_wordpiece_token_counts",
+    f"""
+    WITH RECURSIVE {_WP_CTES},
+    docw AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest([x for x in
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS word
+            FROM documents)
+      GROUP BY doc_id, word)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_words,
+           CAST(sum(tf * fin.n_pieces) AS BIGINT) AS n_wp_tokens
+    FROM docw JOIN fin ON docw.word = fin.word
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Corpus tokenization under the WordPiece vocab: per-document "
+        "word and wordpiece-token counts — the token-budget accounting "
+        "pass of a training-data pipeline (sequence packing, cost "
+        "estimates). The Zipf head is segmented ONCE on the "
+        "distinct-word table, then broadcast-joined back onto (doc, "
+        "word) rows — per-occurrence matching never happens; the final "
+        "groupBy(doc) shuffles (doc, tf, n_pieces) only."
+    ),
+)
+def q_docs_wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import word_counts
+    from ..operators.wordpiece import wordpiece_segment_words, wordpiece_vocab
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = word_counts(docs).localCheckpoint()
+    vocab = wordpiece_vocab(wc, max_piece_len=6, min_count=800)
+    seg = wordpiece_segment_words(wc, vocab, max_piece_len=6)
+    docw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        docw.join(F.broadcast(seg.select("word", "n_pieces")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_pieces")).cast("bigint").alias(
+                "n_wp_tokens"
+            ),
+        )
+    )
