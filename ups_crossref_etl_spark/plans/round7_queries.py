@@ -908,3 +908,94 @@ def q_docs_wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KLL mergeable quantile sketch (bound contract)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_kll_quantiles_bound",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(19 AS BIGINT) AS n_probs,
+           TRUE AS single_within_bound,
+           TRUE AS merged_within_bound,
+           TRUE AS merge_commutative
+    FROM events WHERE value IS NOT NULL
+    """,
+    doc=(
+        "Rank-error contract for the deterministic KLL quantile sketch "
+        "(operators/kll) — the one-pass mergeable summary that replaces "
+        "a full sort for percentile cutoffs at 100 TB. Pins three "
+        "properties on events.value at 19 vigintiles: (1) every "
+        "single-sketch estimate's exact rank interval is within 5% of "
+        "the target rank (k=200's theoretical worst case is ~2.8%); "
+        "(2) the SAME bound holds for a sketch merged from two disjoint "
+        "halves (event_id parity) — mergeability is what makes it a "
+        "partial aggregate; (3) merge is commutative (A.merge(B) and "
+        "B.merge(A) estimate identically — per-level multisets are "
+        "order-free under deterministic even-index compaction). The "
+        "sketch state is engine-specific, so the gate pins invariants; "
+        "rank verification is a 19-row broadcast join + one aggregate."
+    ),
+)
+def q_events_kll_quantiles_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.kll import KLLSketch, kll_build
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    vals = ev.select("event_id", F.col("value").cast("double").alias("v"))
+    probs = [i / 20.0 for i in range(1, 20)]
+
+    single = kll_build(vals, "v", k=200)
+    half_a = kll_build(vals.filter(F.col("event_id") % 2 == 0), "v", k=200)
+    half_b = kll_build(vals.filter(F.col("event_id") % 2 == 1), "v", k=200)
+    ab = KLLSketch.from_json(half_a.to_json()).merge(
+        KLLSketch.from_json(half_b.to_json())
+    )
+    ba = KLLSketch.from_json(half_b.to_json()).merge(
+        KLLSketch.from_json(half_a.to_json())
+    )
+    commutative = all(ab.quantile(p) == ba.quantile(p) for p in probs)
+
+    est = spark.createDataFrame(
+        [(p, single.quantile(p), ab.quantile(p)) for p in probs],
+        "p double, est double, est_m double",
+    )
+    # Exact rank of each estimate: one broadcast join, one aggregate.
+    ranks = (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("v") < F.col("est")).cast("long")).alias("lt"),
+            F.sum((F.col("v") <= F.col("est")).cast("long")).alias("le"),
+            F.sum((F.col("v") < F.col("est_m")).cast("long")).alias("lt_m"),
+            F.sum((F.col("v") <= F.col("est_m")).cast("long")).alias("le_m"),
+        )
+    )
+
+    def _err(lt, le):
+        target = F.col("p") * F.col("n")
+        below = (lt - target) / F.col("n")
+        above = (target - le) / F.col("n")
+        return F.greatest(below, above, F.lit(0.0))
+
+    agg = ranks.agg(
+        F.max("n").alias("_n"),
+        F.count(F.lit(1)).alias("_np"),
+        F.max(_err(F.col("lt"), F.col("le"))).alias("_e1"),
+        F.max(_err(F.col("lt_m"), F.col("le_m"))).alias("_e2"),
+    )
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.col("_np").cast("bigint").alias("n_probs"),
+        (F.col("_e1") <= 0.05).alias("single_within_bound"),
+        (F.col("_e2") <= 0.05).alias("merged_within_bound"),
+        F.lit(bool(commutative)).alias("merge_commutative"),
+    )
