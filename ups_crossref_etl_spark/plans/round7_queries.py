@@ -999,3 +999,55 @@ def q_events_kll_quantiles_bound(
         (F.col("_e2") <= 0.05).alias("merged_within_bound"),
         F.lit(bool(commutative)).alias("merge_commutative"),
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance similarity join (FastSS deletion neighborhoods)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_words_edit_distance_join",
+    """
+    WITH w AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents
+        UNION ALL
+        SELECT unnest(regexp_split_to_array(lower(p_name), '[^a-z0-9]+')) AS w
+        FROM part)
+      WHERE len(w) >= 3)
+    SELECT a.w AS text_a, b.w AS text_b,
+           CAST(levenshtein(a.w, b.w) AS INT) AS edit_dist
+    FROM w a JOIN w b ON a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 2
+    """,
+    doc=(
+        "Exact edit-distance <= 2 similarity join over the combined "
+        "dictionary (document words + part-name tokens, len >= 3) — "
+        "typo-clustering for corpus vocab normalization. Spark side "
+        "(operators/editjoin.edit_distance_join) blocks via COMPLETE "
+        "FastSS deletion neighborhoods (equi-join on xxhash64(variant), "
+        "codegen levenshtein verify; no CartesianProduct, pinned); "
+        "oracle is the brute-force all-pairs twin — legitimate ONLY "
+        "because the blocking is provably complete, so both compute "
+        "exactly {(a,b) : ed <= 2}."
+    ),
+)
+def q_words_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.editjoin import edit_distance_join
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("w")
+    )
+    parts = read_table(spark, sf_dir, "part").select(
+        F.explode(F.split(F.lower("p_name"), r"[^a-z0-9]+")).alias("w")
+    )
+    words = (
+        docs.unionByName(parts)
+        .filter(F.length("w") >= 3)
+        .distinct()
+    )
+    return edit_distance_join(words, "w", "w", max_edit=2).select(
+        "text_a", "text_b", "edit_dist"
+    )
