@@ -1051,3 +1051,78 @@ def q_words_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(words, "w", "w", max_edit=2).select(
         "text_a", "text_b", "edit_dist"
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap (one-pass resampling CI)
+# --------------------------------------------------------------------------
+
+
+def _poisson_oracle_ctes() -> str:
+    from ..operators.bootstrap import poisson_weight_sql
+
+    wcase = poisson_weight_sql("h")
+    return f"""
+    base AS (
+      SELECT CAST(event_id AS VARCHAR) AS id,
+             CAST(round(value * 1e9) AS BIGINT) AS v_nano
+      FROM events WHERE value IS NOT NULL),
+    reps AS (
+      SELECT r.b AS b, v_nano,
+             CAST('0x' || substr(md5('boot:' || id || ':' ||
+                                     CAST(r.b AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM base, (SELECT unnest(range(1, 202)) AS b) r),
+    wtd AS (SELECT b, v_nano, {wcase} AS w FROM reps),
+    m AS (
+      SELECT b,
+             round(sum(w * v_nano) / (sum(w) * 1e9), 6) + 0.0 AS mean
+      FROM wtd GROUP BY b),
+    rk AS (
+      SELECT mean, row_number() OVER (ORDER BY mean, b) AS rk FROM m),
+    samp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(CAST(sum(v_nano) AS DOUBLE) / (count(*) * 1e9), 6)
+               + 0.0 AS sample_mean
+      FROM base)
+    """
+
+
+@register(
+    "q_events_poisson_bootstrap_ci",
+    f"""
+    WITH {_poisson_oracle_ctes()}
+    SELECT samp.n_rows,
+           CAST((SELECT count(*) FROM m) AS BIGINT) AS n_replicates,
+           samp.sample_mean,
+           (SELECT round(sum(CAST(round(mean * 1e6) AS BIGINT))
+                         / (count(*) * 1e6), 6) FROM m) + 0.0 AS boot_mean,
+           (SELECT mean FROM rk WHERE rk = 6) + 0.0 AS ci_lo,
+           (SELECT mean FROM rk WHERE rk = 196) + 0.0 AS ci_hi,
+           samp.sample_mean >= (SELECT mean FROM rk WHERE rk = 6)
+             AND samp.sample_mean <= (SELECT mean FROM rk WHERE rk = 196)
+             AS covers_sample_mean
+    FROM samp
+    """,
+    doc=(
+        "Poisson bootstrap CI for mean(events.value), B = 201 "
+        "(operators/bootstrap.poisson_bootstrap_mean_ci) — the one-pass "
+        "large-scale bootstrap (per-(row, replicate) Poisson(1) weights "
+        "instead of materialized resamples). Fully deterministic and "
+        "hash-exact vs the DuckDB twin: weights come from md5 through "
+        "shared integer CDF thresholds, replicate means are exact "
+        "integer nano-unit sums, CI endpoints are exact order "
+        "statistics (ranks 6 / 196 of 201 — no interpolation). Scale: "
+        "explode(1..B) collapses map-side into B-per-partition partial "
+        "sums; the shuffle carries two BIGINTs per (b, partition)."
+    ),
+)
+def q_events_poisson_bootstrap_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.bootstrap import poisson_bootstrap_mean_ci
+
+    ev = read_table(spark, sf_dir, "events")
+    return poisson_bootstrap_mean_ci(
+        ev, "value", "event_id", n_replicates=201, alpha=0.05, seed="boot"
+    )
