@@ -62,6 +62,8 @@ _ROUND = 7
 #: theil_sen_trend cap parameter). More entries are appended as the round
 #: adds queries.
 _CHANGED_THIS_ROUND = [
+    "q_events_seq2_support",
+    "q_events_seq3_support",
     "q_events_poisson_bootstrap_ci",
     "q_words_edit_distance_join",
     "q_events_kll_quantiles_bound",

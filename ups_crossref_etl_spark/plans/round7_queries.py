@@ -1126,3 +1126,81 @@ def q_events_poisson_bootstrap_ci(
     return poisson_bootstrap_mean_ci(
         ev, "value", "event_id", n_replicates=201, alpha=0.05, seed="boot"
     )
+
+
+# --------------------------------------------------------------------------
+# GSP-style sequential pattern support (gap-constrained)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_events_seq2_support",
+    """
+    WITH sup AS (
+      SELECT DISTINCT e1.user_id AS u, e1.event_type AS t1,
+             e2.event_type AS t2
+      FROM events e1
+      JOIN events e2 ON e2.user_id = e1.user_id
+       AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 3600 SECOND)
+    SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_users
+    FROM sup GROUP BY t1, t2
+    """,
+    doc=(
+        "Support of every gap-constrained 2-sequence (a then b within "
+        "1 h, strict order) over the event log — GSP's counting core "
+        "(operators/seqmine.sequential_support, k=2). Spark side is "
+        "ONE per-user window sort with RANGE(-gap, -1) flag columns "
+        "(tie-exact strictness) — no event-to-event join; the oracle "
+        "is the brute-force EXISTS self-join twin."
+    ),
+)
+def q_events_seq2_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.seqmine import sequential_support
+
+    ev = read_table(spark, sf_dir, "events")
+    return sequential_support(
+        ev, "user_id", "event_type", "ts", _EVENT_TYPES, 3600, k=2
+    )
+
+
+@register(
+    "q_events_seq3_support",
+    """
+    WITH sup AS (
+      SELECT DISTINCT e1.user_id AS u, e1.event_type AS t1,
+             e2.event_type AS t2, e3.event_type AS t3
+      FROM events e1
+      JOIN events e2 ON e2.user_id = e1.user_id
+       AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 21600 SECOND
+      JOIN events e3 ON e3.user_id = e2.user_id
+       AND e3.ts > e2.ts AND e3.ts <= e2.ts + INTERVAL 21600 SECOND)
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_users
+    FROM sup GROUP BY t1, t2, t3
+    HAVING count(*) >= 5
+    """,
+    doc=(
+        "Support of every 3-sequence with per-step max-gap 6 h, min "
+        "support 5 users (operators/seqmine.sequential_support, k=3): "
+        "two chained window passes sharing one Exchange+Sort (stage-2 "
+        "flags reference stage-1 flags — the funnel generalized to all "
+        "T^3 type combinations at once). The naive plan is a 3-way "
+        "self-join with |events|^3/|users|^2 intermediate; this one "
+        "shuffles each event row exactly once."
+    ),
+)
+def q_events_seq3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.seqmine import sequential_support
+
+    ev = read_table(spark, sf_dir, "events")
+    return sequential_support(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        _EVENT_TYPES,
+        21600,
+        k=3,
+        min_support=5,
+    )
