@@ -1204,3 +1204,102 @@ def q_events_seq3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         min_support=5,
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS minimizers)
+# --------------------------------------------------------------------------
+
+# Shared oracle chain: token 3-grams with positions -> 40-bit md5 hash ->
+# combined = h * 2^20 + (2^20-1-pos) so ONE window min implements
+# "minimum hash, rightmost position on ties" -> full windows only ->
+# distinct decoded selections.
+_WINNOW_CTES = """
+    toks AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF x <> ''] AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+                    list_slice(tk, i, i + 2), ' ')), 1, 10) AS BIGINT) AS h
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM toks WHERE len(tk) >= 3)),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             1048575 - (c % 1048576) AS pos,
+             CAST(c // 1048576 AS BIGINT) AS fp_hash
+      FROM (SELECT doc_id, pos,
+                   min(h * 1048576 + (1048575 - pos))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c,
+                   max(pos) OVER (PARTITION BY doc_id) AS n
+            FROM grams) s
+      WHERE pos <= n - 3)
+"""
+
+
+@register(
+    "q_docs_winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_CTES}
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp_hash FROM sel
+    """,
+    doc=(
+        "Winnowing fingerprint selection (operators/winnow."
+        "winnow_fingerprints, k=3 token-grams, window w=4) — Schleimer/"
+        "Wilkerson/Aiken 2003, the MOSS detector: every shared run of "
+        "w+k-1 = 6 tokens between two documents is guaranteed a common "
+        "selected fingerprint, at ~1/w the index size of the full gram "
+        "set. Rightmost-min tie rule encoded arithmetically so one "
+        "window MIN does both comparisons (h*2^20 + (2^20-1-pos)); "
+        "decode uses integer div/mod — hash-exact on both engines. One "
+        "per-doc window sort is the only shuffle; text never shuffles."
+    ),
+)
+def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.winnow import winnow_fingerprints
+
+    d = read_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "text", "doc_id", k=3, w=4).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "fp_hash"
+    )
+
+
+@register(
+    "q_docs_winnow_overlap_pairs",
+    f"""
+    WITH {_WINNOW_CTES},
+    fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+    kept AS (
+      SELECT doc_id, fp_hash FROM fp
+      WHERE fp_hash IN (SELECT fp_hash FROM fp
+                        GROUP BY fp_hash HAVING count(*) <= 50)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+    """,
+    doc=(
+        "Local-overlap candidate pairs from shared winnowing "
+        "fingerprints (operators/winnow.winnow_overlap_pairs): "
+        "fingerprint-keyed equi-join with a document-frequency cap 50 "
+        "on join keys (ubiquitous grams are boilerplate, and the cap "
+        "bounds join fanout at 100 TB exactly like the inverted-index "
+        "posting cap), >= 3 shared mins. The MOSS use case: candidate "
+        "copy pairs without ever comparing documents pairwise."
+    ),
+)
+def q_docs_winnow_overlap_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.winnow import winnow_overlap_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d, "text", "doc_id", k=3, w=4, min_shared=3, max_df=50
+    )
