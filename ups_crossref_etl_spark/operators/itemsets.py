@@ -1,0 +1,156 @@
+"""Frequent itemset mining — relational Apriori (pairs and triples).
+
+Extension layer — no counterpart in /root/reference. Market-basket
+analysis (Agrawal & Srikant 1994, Apriori): which items co-occur in
+the same basket more often than a support threshold — here with the
+level-wise candidate pruning expressed as broadcast semi-joins, the
+Spark-idiomatic form of "candidates come only from frequent
+(k-1)-itemsets".
+
+Input model: a ``(basket_id, item)`` relation (dedup applied — basket
+membership, not multiplicity). Pipeline uses: co-occurring tags /
+domains / quality flags over a corpus; classic retail baskets over a
+sales fact table (the gated queries run orders × part brands).
+
+Scale shape:
+- L1 is one groupBy over (basket, item)-distinct rows; the frequent
+  item set is bounded by the item vocabulary, broadcast back as a
+  map-side filter (Apriori prune #1 — infrequent items never enter
+  pair generation).
+- L2 pair candidates come from a basket-keyed self-join of the PRUNED
+  membership table: fanout per basket is m^2/2 with m = pruned basket
+  size — bounded by basket width, never corpus size. One shuffle on
+  basket_id, one on the pair key.
+- L3 extends frequent pairs by a third item (basket-keyed join with
+  ``item > item_b``) and prunes candidates whose (a, c) and (b, c)
+  sub-pairs are not frequent — two broadcast semi-joins against the
+  L2 result (Apriori prune #2), so the triple aggregation only ever
+  sees candidates all of whose subsets are frequent.
+- Support thresholds are FRACTIONS of the basket count, so the same
+  query is equally selective at sf0.01 and at 100 TB.
+
+Association strength: the pair query also emits lift =
+P(ab) / (P(a) P(b)) — computed from the same counts, rounded 4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["frequent_items", "frequent_pairs", "frequent_triples"]
+
+
+def _baskets(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    return df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+
+
+def frequent_items(
+    df: DataFrame, basket_col: str, item_col: str, min_support_frac: float
+) -> DataFrame:
+    """``(item, n_baskets)`` for items in at least ``min_support_frac``
+    of the distinct baskets."""
+    b = _baskets(df, basket_col, item_col)
+    n = b.select("_b").distinct().count()
+    thr = float(min_support_frac) * n
+    return (
+        b.groupBy("_i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= thr)
+        .select(F.col("_i").alias("item"), "n_baskets")
+    )
+
+
+def frequent_pairs(
+    df: DataFrame, basket_col: str, item_col: str, min_support_frac: float
+) -> DataFrame:
+    """``(item_a, item_b, n_baskets, lift)`` with ``item_a < item_b``,
+    support >= ``min_support_frac`` of baskets, Apriori-pruned."""
+    b = _baskets(df, basket_col, item_col)
+    n = b.select("_b").distinct().count()
+    thr = float(min_support_frac) * n
+
+    l1 = (
+        b.groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_n1"))
+        .filter(F.col("_n1") >= thr)
+    )
+    pruned = b.join(F.broadcast(l1), "_i")  # prune #1
+    pairs = (
+        pruned.select("_b", F.col("_i").alias("_ia"), F.col("_n1").alias("_na"))
+        .join(
+            pruned.select(
+                "_b", F.col("_i").alias("_ib"), F.col("_n1").alias("_nb")
+            ),
+            "_b",
+        )
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib", "_na", "_nb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= thr)
+    )
+    return pairs.select(
+        F.col("_ia").alias("item_a"),
+        F.col("_ib").alias("item_b"),
+        "n_baskets",
+        F.round(
+            F.col("n_baskets") * F.lit(float(n)) / (F.col("_na") * F.col("_nb")),
+            4,
+        ).alias("lift"),
+    )
+
+
+def frequent_triples(
+    df: DataFrame, basket_col: str, item_col: str, min_support_frac: float
+) -> DataFrame:
+    """``(item_a, item_b, item_c, n_baskets)`` with items ascending,
+    support >= ``min_support_frac``; candidates require ALL three
+    sub-pairs frequent (level-wise pruning via broadcast semi-joins)."""
+    b = _baskets(df, basket_col, item_col)
+    n = b.select("_b").distinct().count()
+    thr = float(min_support_frac) * n
+
+    l2 = frequent_pairs(df, basket_col, item_col, min_support_frac).select(
+        "item_a", "item_b"
+    )
+    # baskets containing a frequent pair (a < b), joined with a third
+    # member c > b, pruned so (a, c) and (b, c) are frequent too
+    pair_in_basket = (
+        b.select("_b", F.col("_i").alias("item_a"))
+        .join(
+            b.select("_b", F.col("_i").alias("item_b")),
+            "_b",
+        )
+        .filter(F.col("item_a") < F.col("item_b"))
+        .join(F.broadcast(l2), ["item_a", "item_b"])
+    )
+    cand = (
+        pair_in_basket.join(
+            b.select("_b", F.col("_i").alias("item_c")), "_b"
+        )
+        .filter(F.col("item_b") < F.col("item_c"))
+        .join(
+            F.broadcast(
+                l2.select(
+                    F.col("item_a"), F.col("item_b").alias("item_c")
+                )
+            ),
+            ["item_a", "item_c"],
+        )
+        .join(
+            F.broadcast(
+                l2.select(
+                    F.col("item_a").alias("item_b"),
+                    F.col("item_b").alias("item_c"),
+                )
+            ),
+            ["item_b", "item_c"],
+        )
+    )
+    return (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= thr)
+    )

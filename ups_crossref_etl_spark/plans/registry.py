@@ -62,6 +62,8 @@ _ROUND = 7
 #: theil_sen_trend cap parameter). More entries are appended as the round
 #: adds queries.
 _CHANGED_THIS_ROUND = [
+    "q_basket_frequent_pairs",
+    "q_basket_frequent_triples",
     "q_docs_winnow_fingerprints",
     "q_docs_winnow_overlap_pairs",
     "q_events_seq2_support",

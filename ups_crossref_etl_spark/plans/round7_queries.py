@@ -1303,3 +1303,87 @@ def q_docs_winnow_overlap_pairs(
     return winnow_overlap_pairs(
         d, "text", "doc_id", k=3, w=4, min_shared=3, max_df=50
     )
+
+
+# --------------------------------------------------------------------------
+# Frequent itemsets (relational Apriori over order baskets)
+# --------------------------------------------------------------------------
+
+_BASKET_CTES = """
+    b AS (
+      SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT count(DISTINCT bk) AS nb FROM b)
+"""
+
+
+@register(
+    "q_basket_frequent_pairs",
+    f"""
+    WITH {_BASKET_CTES},
+    l1 AS (
+      SELECT it, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY it
+      HAVING count(*) >= (SELECT 0.022 * nb FROM n)),
+    pr AS (
+      SELECT a.it AS ia, x.it AS ib, CAST(count(*) AS BIGINT) AS c
+      FROM b a JOIN b x ON a.bk = x.bk AND a.it < x.it
+      GROUP BY 1, 2
+      HAVING count(*) >= (SELECT 0.022 * nb FROM n))
+    SELECT ia AS item_a, ib AS item_b, c AS n_baskets,
+           round(c * (SELECT CAST(nb AS DOUBLE) FROM n)
+                 / (la.c1 * lb.c1), 4) AS lift
+    FROM pr JOIN l1 la ON pr.ia = la.it JOIN l1 lb ON pr.ib = lb.it
+    """,
+    doc=(
+        "Frequent brand pairs over order baskets (operators/itemsets."
+        "frequent_pairs, support >= 2.2% of the 14.7k baskets) with "
+        "lift — relational Apriori: L1 broadcast prune before the "
+        "basket-keyed self-join, per-basket fanout bounded by basket "
+        "width. Fraction-based threshold keeps the query equally "
+        "selective at any scale factor. Oracle is the brute-force "
+        "self-join twin (valid: the pruning is lossless by the Apriori "
+        "property — subsets of frequent sets are frequent)."
+    ),
+)
+def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import frequent_pairs
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return frequent_pairs(baskets, "l_orderkey", "p_brand", 0.022)
+
+
+@register(
+    "q_basket_frequent_triples",
+    f"""
+    WITH {_BASKET_CTES}
+    SELECT a.it AS item_a, x.it AS item_b, y.it AS item_c,
+           CAST(count(*) AS BIGINT) AS n_baskets
+    FROM b a
+    JOIN b x ON a.bk = x.bk AND a.it < x.it
+    JOIN b y ON a.bk = y.bk AND x.it < y.it
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= (SELECT 0.0032 * nb FROM n)
+    """,
+    doc=(
+        "Frequent brand triples (operators/itemsets.frequent_triples, "
+        "support >= 0.32% of baskets): candidates extend frequent "
+        "pairs by a third item and are pruned so ALL three sub-pairs "
+        "are frequent (two broadcast semi-joins against L2) before the "
+        "triple aggregation — the level-wise Apriori walk, lossless by "
+        "the downward-closure property, which is why the brute-force "
+        "3-way-join oracle hash-matches."
+    ),
+)
+def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import frequent_triples
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return frequent_triples(baskets, "l_orderkey", "p_brand", 0.0032)
