@@ -158,3 +158,53 @@ def test_theil_sen_cap_bounds_pairs_on_mega_key(spark):
     assert got["slope"] == 2.5  # exact linear series: subsample-invariant
     full = theil_sen_trend(df, "k", "ts", "v").collect()[0]
     assert full["n_points"] == 2000 and full["slope"] == 2.5
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney bigram scoring
+# --------------------------------------------------------------------------
+
+
+def test_kneser_ney_hand_model(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from ups_crossref_etl_spark.operators.text_analysis import kneser_ney_nll
+
+    model = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    out = kneser_ney_nll(score, "text", "doc_id", model_df=model).first()
+    # model: c(ab)=2 c(ba)=2 c(ac)=1; cl(a)=3 nl(a)=2; cl(b)=2 nl(b)=1;
+    # nr = 1 for each of a,b,c; B=3, V=3 -> Pc = 2/6 for seen words
+    pc = 2.0 / 6.0
+    p_b_a = max(2 - 0.75, 0) / 3 + (0.75 * 2 / 3) * pc
+    p_c_b = max(0 - 0.75, 0) / 2 + (0.75 * 1 / 2) * pc
+    want = round((-math.log(p_b_a) - math.log(p_c_b)) / 2, 4)
+    assert out["n_bigrams"] == 2
+    assert abs(out["nll"] - want) < 1e-9
+
+
+def test_kneser_ney_normalizes_over_vocab(spark):
+    # sum over the model vocab of P(w2|w1) must be exactly 1 for a seen
+    # context (Laplace-smoothed continuation sums to 1 over vocab)
+    from ups_crossref_etl_spark.operators.text_analysis import kneser_ney_nll
+    import math
+
+    model_text = "a b a b a c"
+    model = spark.createDataFrame(
+        [(0, model_text)], "doc_id long, text string"
+    )
+    vocab = ["a", "b", "c"]
+    probes = spark.createDataFrame(
+        [(i + 1, f"a {w}") for i, w in enumerate(vocab)],
+        "doc_id long, text string",
+    )
+    rows = kneser_ney_nll(
+        probes, "text", "doc_id", model_df=model
+    ).collect()
+    total = sum(math.exp(-r["nll"]) for r in rows)
+    assert abs(total - 1.0) < 1e-3  # nll is rounded 4dp per doc

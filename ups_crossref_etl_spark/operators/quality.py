@@ -136,3 +136,77 @@ def quarantine(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return df.withColumn("violations", F.array_join(names, ",")).withColumn(
         "quarantined", F.col("violations") != F.lit("")
     )
+
+
+#: P[first significant digit = d] under Benford's law, d = 1..9 —
+#: log10(1 + 1/d), frozen as repr literals so the Spark expression and
+#: every oracle SQL string share bit-identical constants.
+BENFORD_P = [
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+]
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of ``value_col`` vs
+    Benford's law: ``(digit, n_obs, obs_frac, exp_frac, chi2_term)``,
+    one row per digit 1-9. A forensic data-quality screen: fabricated,
+    truncated, or unit-mixed numeric columns show first-digit
+    distributions far from log10(1 + 1/d), and the per-digit chi-square
+    terms localize which digit bucket deviates.
+
+    Rows with NULL or ``abs(value) < 1`` are excluded — the digit is
+    extracted on the INTEGER path (first char of floor(abs(v)) as
+    BIGINT), which is engine-exact, unlike a floor(log10(v)) float
+    round-trip that can misbucket at power-of-ten boundaries. Sub-unit
+    columns should be rescaled by the caller (Benford is scale-
+    sensitive by nature).
+
+    Scale: one map-side digit extraction + a 9-key aggregate; the
+    expected-count terms are computed from frozen literal constants
+    (``BENFORD_P``) after the single shuffle.
+    """
+    digits = (
+        df.filter(
+            F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) >= 1)
+        )
+        .select(
+            F.substring(
+                F.floor(F.abs(F.col(value_col))).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").alias("_n"))
+    exp = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("digit")
+    )
+    n_d = F.col("_n").cast("double")
+    obs_d = F.col("n_obs").cast("double")
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            (F.round(obs_d / n_d, 6) + F.lit(0.0)).alias("obs_frac"),
+            F.round(exp, 6).alias("exp_frac"),
+            (
+                F.round(
+                    F.pow(obs_d - n_d * exp, F.lit(2.0)) / (n_d * exp), 4
+                )
+                + F.lit(0.0)
+            ).alias("chi2_term"),
+        )
+    )

@@ -344,3 +344,76 @@ def chisq_drift(
             ),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two columns:
+    ``(group, n, rho)`` — Pearson on FRACTIONAL (average) ranks, the
+    tie-correct definition. Complements :func:`corr_matrix` (Pearson,
+    linear) with the monotone-association measure quality pipelines
+    use for "does score X order the same way as score Y".
+
+    Exactness: average ranks are half-integers, so DOUBLED ranks
+    (``2·avg_rank = 2·rank() + tie_count − 1``) are exact BIGINTs; the
+    five sufficient statistics are exact integer sums (the doubling
+    cancels in the correlation), and rho is one double expression over
+    them — bit-reproducible across engines and partition orders, same
+    policy as timeseries.groupwise_trend.
+
+    Scale: two rank windows + one aggregate per group — three
+    window/aggregate passes over the SAME group partitioning (one
+    Exchange). NULL rows in either column are dropped (rank semantics
+    require it). Groups need >= 2 rows and nonzero variance in both
+    rank vectors (all-tied columns have undefined rho and are dropped).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    )
+
+    def dbl_rank(col):
+        wr = Window.partitionBy("_g").orderBy(col)
+        wt = Window.partitionBy("_g", col)
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("bigint")
+
+    ranked = base.select(
+        "_g", dbl_rank(F.col("_x")).alias("_rx"), dbl_rank(F.col("_y")).alias("_ry")
+    )
+    agg = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = (n * sxy - sx * sy) / F.sqrt(dx * dy)
+    return (
+        agg.filter((F.col("n") >= 2) & (dx > 0) & (dy > 0))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n").cast("bigint").alias("n"),
+            (F.round(rho, round_digits) + F.lit(0.0)).alias("rho"),
+        )
+    )

@@ -921,3 +921,122 @@ def stupid_backoff_nll(
         )
         .select(F.col("_id").alias(id_col), "n_trigrams", "nll")
     )
+
+
+def kneser_ney_nll(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model_df: DataFrame | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document average negative log-probability under an
+    interpolated BIGRAM Kneser-Ney model (Kneser & Ney 1995; the
+    absolute-discount formulation of Chen & Goodman 1999) — the third
+    LM-scoring family next to :func:`bigram_nll` (MLE + Laplace) and
+    :func:`stupid_backoff_nll` (count ratios, no discount). KN's
+    distinguishing idea: the backoff distribution is the CONTINUATION
+    probability (how many distinct contexts a word follows), not the
+    raw unigram — "Francisco" is frequent but follows only "San", so
+    it backs off low.
+
+        P(w2|w1) = max(c(w1 w2) − D, 0) / c(w1 ·)
+                   + (D · N1+(w1 ·) / c(w1 ·)) · Pc(w2)     if w1 seen
+        P(w2|w1) = Pc(w2)                                    otherwise
+        Pc(w2)   = (N1+(· w2) + 1) / (B + V)
+
+    where ``c(w1 ·)`` sums bigram counts with left context w1,
+    ``N1+(w1 ·)`` / ``N1+(· w2)`` count distinct right/left partners,
+    B = distinct bigram types, V = vocabulary size. The continuation
+    term is Laplace-smoothed (the ``+1 / +V``) so held-out words with
+    unseen continuations keep a defined probability — a documented
+    divergence from the textbook (which leaves P undefined there).
+
+    Scale shape: identical to the sibling scorers — grams row-local by
+    codegen ``transform``; the model tables are model-corpus aggregates
+    joined on gram keys (vocabulary-sized); (B, V) is one broadcast
+    row; the scoring shuffle carries (doc, tf, weight); per-term
+    weights DECIMAL(38,12)-accumulated for order-independent sums.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def grams(frame, n):
+        base = frame.select(
+            F.col(id_col).alias("_id"), toks.alias("_t")
+        ).withColumn("_n", F.size("_t"))
+        if n == 1:
+            return base.select("_id", F.explode("_t").alias("w1"))
+        return (
+            base.filter(F.col("_n") >= 2)
+            .select(
+                "_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_n") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_t", i).alias("w1"),
+                            F.element_at("_t", i + 1).alias("w2"),
+                        ),
+                    )
+                ).alias("_g"),
+            )
+            .select("_id", "_g.w1", "_g.w2")
+        )
+
+    m = model_df if model_df is not None else df
+    bi = grams(m, 2).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c12")
+    )
+    lt = bi.groupBy("w1").agg(
+        F.sum("_c12").alias("_cl"), F.count(F.lit(1)).alias("_nl")
+    )
+    rt = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("_nr"))
+    stats = bi.agg(F.count(F.lit(1)).alias("_B")).crossJoin(
+        grams(m, 1).select("w1").distinct().agg(
+            F.count(F.lit(1)).alias("_V")
+        )
+    )
+
+    tf = grams(df, 2).groupBy("_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    d = F.lit(float(discount))
+    cont = (F.coalesce(F.col("_nr"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("_B") + F.col("_V")
+    )
+    scored = (
+        tf.join(bi, ["w1", "w2"], "left")
+        .join(lt, "w1", "left")
+        .join(rt, "w2", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_p",
+            F.when(
+                F.col("_cl").isNotNull(),
+                F.greatest(
+                    F.coalesce(F.col("_c12"), F.lit(0)) - d, F.lit(0.0)
+                )
+                / F.col("_cl")
+                + (d * F.col("_nl") / F.col("_cl")) * cont,
+            ).otherwise(cont),
+        )
+    )
+    return (
+        scored.select(
+            "_id",
+            "_tf",
+            (F.col("_tf") * -F.log("_p")).cast("decimal(38,12)").alias("_w"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_bigrams"),
+            (
+                F.round(F.sum("_w").cast("double") / F.sum("_tf"), 4)
+                + F.lit(0.0)
+            ).alias("nll"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "nll")
+    )

@@ -1387,3 +1387,191 @@ def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "p_brand"
     )
     return frequent_triples(baskets, "l_orderkey", "p_brand", 0.0032)
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney bigram LM scoring
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_kneser_ney_nll",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF x <> ''] AS t
+      FROM documents),
+    m AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+    bi AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> {'w1': t[i], 'w2': t[i+1]})) AS g
+            FROM m)
+      GROUP BY g.w1, g.w2),
+    lt AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS cl,
+             CAST(count(*) AS BIGINT) AS nl
+      FROM bi GROUP BY w1),
+    rt AS (SELECT w2, CAST(count(*) AS BIGINT) AS nr FROM bi GROUP BY w2),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS B FROM bi),
+    vs AS (
+      SELECT CAST(count(DISTINCT w1) AS BIGINT) AS V
+      FROM (SELECT unnest(t) AS w1 FROM m)),
+    tf AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                     i -> {'w1': t[i], 'w2': t[i+1]})) AS g
+            FROM tk)
+      GROUP BY doc_id, g.w1, g.w2),
+    sc AS (
+      SELECT tf.doc_id, tf.tf,
+             CASE WHEN lt.cl IS NOT NULL THEN
+                    greatest(coalesce(bi.c12, 0) - 0.75, 0.0) / lt.cl
+                    + (0.75 * lt.nl / lt.cl)
+                      * ((coalesce(rt.nr, 0) + 1.0) / (st.B + vs.V))
+                  ELSE (coalesce(rt.nr, 0) + 1.0) / (st.B + vs.V)
+             END AS p
+      FROM tf
+      LEFT JOIN bi ON tf.w1 = bi.w1 AND tf.w2 = bi.w2
+      LEFT JOIN lt ON tf.w1 = lt.w1
+      LEFT JOIN rt ON tf.w2 = rt.w2
+      CROSS JOIN st CROSS JOIN vs)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(tf * -ln(p) AS DECIMAL(38,12))) AS DOUBLE)
+                 / sum(tf), 4) + 0.0 AS nll
+    FROM sc GROUP BY doc_id
+    """,
+    doc=(
+        "Interpolated bigram Kneser-Ney scoring (operators/"
+        "text_analysis.kneser_ney_nll, D=0.75, Laplace-smoothed "
+        "continuation): model counts from the even-doc_id slice, all "
+        "docs scored held-out — the third LM-scoring family next to "
+        "MLE+Laplace bigrams and stupid backoff, distinguished by "
+        "backing off to CONTINUATION probability (distinct-context "
+        "counts), the bit that makes KN the standard n-gram smoother. "
+        "Same scale shape as its siblings: row-local grams, "
+        "vocab-sized model joins, one broadcast stats row, decimal-"
+        "accumulated doc sums."
+    ),
+)
+def q_docs_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import kneser_ney_nll
+
+    d = read_table(spark, sf_dir, "documents")
+    model = d.filter(F.col("doc_id") % 2 == 0)
+    return kneser_ney_nll(d, "text", "doc_id", model_df=model)
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (monotone trend per event type)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_spearman_value_time",
+    """
+    WITH b AS (
+      SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    r AS (
+      SELECT g,
+             2 * rank() OVER (PARTITION BY g ORDER BY x)
+               + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY g ORDER BY y)
+               + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+      FROM b),
+    a AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+             CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+             CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+             CAST(sum(ry * ry) AS DOUBLE) AS syy
+      FROM r GROUP BY g)
+    SELECT g AS event_type, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             + 0.0 AS rho
+    FROM a
+    WHERE n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    doc=(
+        "Per-event-type Spearman rank correlation between value and "
+        "event time (operators/stats.spearman_corr) — the monotone-"
+        "association test ('is this metric drifting in SOME direction') "
+        "that Pearson-on-raw-values misses under nonlinearity. Tie-"
+        "correct fractional ranks carried as exact doubled BIGINTs "
+        "(2*rank + tie_count - 1 — the half cancels in rho); five "
+        "integer sufficient statistics; one double expression, "
+        "identical shape both engines. Two rank windows + one aggregate "
+        "over the same partitioning."
+    ),
+)
+def q_events_spearman_value_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.dates import epoch_seconds
+    from ..operators.stats import spearman_corr
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            epoch_seconds("ts").alias("x"),
+            F.col("value").alias("y"),
+        )
+    )
+    return spearman_corr(ev, "event_type", "x", "y")
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+
+def _benford_oracle() -> str:
+    from ..operators.quality import BENFORD_P
+
+    arr = ", ".join(repr(p) for p in BENFORD_P)
+    return f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice)) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) >= 1),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+          FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM c),
+    p AS (SELECT digit, n_obs,
+                 CAST(([{arr}])[digit] AS DOUBLE) AS ep FROM c)
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / t.n, 6) + 0.0 AS obs_frac,
+           round(ep, 6) AS exp_frac,
+           round(pow(CAST(n_obs AS DOUBLE) - t.n * ep, 2) / (t.n * ep), 4)
+             + 0.0 AS chi2_term
+    FROM p CROSS JOIN t
+    """
+
+
+@register(
+    "q_lineitem_benford_audit",
+    _benford_oracle(),
+    doc=(
+        "Benford first-significant-digit audit of l_extendedprice "
+        "(operators/quality.benford_audit): observed digit fractions "
+        "vs log10(1+1/d) with per-digit chi-square terms — the "
+        "forensic screen for fabricated/unit-mixed numerics. Digit "
+        "extraction on the integer path (first char of floor(abs(v))) "
+        "so no float-log boundary risk; expected probabilities are "
+        "frozen shared literals (BENFORD_P); one 9-key aggregate."
+    ),
+)
+def q_lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import benford_audit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
