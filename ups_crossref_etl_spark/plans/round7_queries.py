@@ -1575,3 +1575,101 @@ def q_lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     return benford_audit(li, "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# PCA (bound contract)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_pca_bound",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(8 AS BIGINT) AS k,
+           TRUE AS components_orthonormal,
+           TRUE AS eigenvalues_descending,
+           TRUE AS component_variance_matches_eigenvalue,
+           TRUE AS reconstruction_residual_matches_spectrum,
+           TRUE AS total_variance_matches
+    FROM embeddings
+    """,
+    doc=(
+        "Invariant contract for distributed PCA (operators/pca: one "
+        "mapInPandas moments pass -> driver eigh -> broadcast map-only "
+        "projection — the learned counterpart to the JL random "
+        "projection). Eigenvectors are sign/rotation-ambiguous, so the "
+        "gate pins what must hold regardless: components orthonormal "
+        "(1e-9), eigenvalues descending, the DATA variance of each "
+        "projected component equal to its eigenvalue (rel 1e-6), the "
+        "mean reconstruction residual equal to trace minus the kept "
+        "spectrum, and mean ||x-mu||^2 equal to the trace — computed "
+        "distributed over the projection, not from the model."
+    ),
+)
+def q_emb_pca_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.pca import pca_fit, pca_transform
+
+    k = 8
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=k)
+    orth = bool(
+        np.max(
+            np.abs(model.components @ model.components.T - np.eye(k))
+        )
+        < 1e-9
+    )
+    desc = bool(np.all(np.diff(model.eigenvalues) <= 1e-12))
+
+    proj = pca_transform(emb, model, "embedding", out_col="pc")
+    mean_lit = F.array(*[F.lit(float(m)) for m in model.mean])
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    sq = F.aggregate(
+        F.zip_with(xd, mean_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pcsq = F.aggregate(
+        F.col("pc"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg(sq).alias("tv"),
+        F.avg(sq - pcsq).alias("resid"),
+    ]
+    for i in range(k):
+        e = F.element_at("pc", i + 1)
+        aggs.append(F.avg(e * e).alias(f"m2_{i}"))
+        aggs.append(F.avg(e).alias(f"m1_{i}"))
+    row = proj.agg(*aggs).first()
+
+    lam = model.eigenvalues
+    var_ok = all(
+        abs((row[f"m2_{i}"] - row[f"m1_{i}"] ** 2) - lam[i])
+        <= 1e-6 * max(lam[i], 1e-12)
+        for i in range(k)
+    )
+    tv = model.total_variance
+    resid_ok = abs(row["resid"] - (tv - float(lam.sum()))) <= 1e-6 * tv
+    tv_ok = abs(row["tv"] - tv) <= 1e-6 * tv
+
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n"]),
+                k,
+                orth,
+                desc,
+                bool(var_ok),
+                bool(resid_ok),
+                bool(tv_ok),
+            )
+        ],
+        "n_vecs long, k long, components_orthonormal boolean, "
+        "eigenvalues_descending boolean, "
+        "component_variance_matches_eigenvalue boolean, "
+        "reconstruction_residual_matches_spectrum boolean, "
+        "total_variance_matches boolean",
+    )
