@@ -1673,3 +1673,71 @@ def q_emb_pca_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reconstruction_residual_matches_spectrum boolean, "
         "total_variance_matches boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch conversion attribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_attribution",
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+    t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+    m AS (
+      SELECT c.event_id, c.value, t.event_type AS tt,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY t.ts ASC, t.event_type ASC)
+               AS rn_first,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY t.ts DESC, t.event_type DESC)
+               AS rn_last,
+             count(*) OVER (PARTITION BY c.event_id) AS n_t
+      FROM conv c JOIN t ON t.user_id = c.user_id
+       AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 86400 SECOND)
+    SELECT 'first_touch' AS model, tt AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS credited_value
+    FROM m WHERE rn_first = 1 GROUP BY tt
+    UNION ALL
+    SELECT 'last_touch', tt, CAST(count(*) AS BIGINT),
+           CAST(round(sum(CAST(value AS DECIMAL(38,12))), 2) AS DOUBLE)
+    FROM m WHERE rn_last = 1 GROUP BY tt
+    UNION ALL
+    SELECT 'linear', tt, CAST(count(DISTINCT event_id) AS BIGINT),
+           CAST(round(sum(CAST(value / n_t AS DECIMAL(38,12))), 2)
+                AS DOUBLE)
+    FROM m GROUP BY tt
+    """,
+    doc=(
+        "First/last/linear multi-touch attribution of purchase value "
+        "to click/view touches within a 24 h lookback (operators/"
+        "attribution.attribute_conversions). Spark side is ONE per-user "
+        "RANGE window (strict precedence via the (-lookback, -1) "
+        "micros frame; min/max struct(ts,type) for first/last; "
+        "per-type counts for linear) — no conversions x touches "
+        "interval join ever materializes. Linear credit accumulates "
+        "DECIMAL(value/n) * cnt, bit-equal to the oracle's per-touch-"
+        "row sum. Oracle is the brute-force interval-join twin."
+    ),
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import attribute_conversions
+
+    ev = read_table(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_seconds=86400,
+    )
