@@ -208,3 +208,42 @@ def test_kneser_ney_normalizes_over_vocab(spark):
     ).collect()
     total = sum(math.exp(-r["nll"]) for r in rows)
     assert abs(total - 1.0) < 1e-3  # nll is rounded 4dp per doc
+
+
+# --------------------------------------------------------------------------
+# TextRank keywords
+# --------------------------------------------------------------------------
+
+
+def test_textrank_hub_word_ranks_highest(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        textrank_keywords,
+    )
+
+    # 'hub' co-occurs with everything; satellites only with the hub
+    docs = [
+        (1, "hub alpha hub beta hub gamma"),
+        (2, "delta hub epsilon hub zeta"),
+        (3, "hub alpha"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = textrank_keywords(df, "text", window=2, n_iter=5).collect()
+    ranks = {r["word"]: r["rank"] for r in rows}
+    assert max(ranks, key=ranks.get) == "hub"
+    assert set(ranks) == {
+        "hub", "alpha", "beta", "gamma", "delta", "epsilon", "zeta"
+    }
+
+
+def test_textrank_short_and_single_token_docs(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        textrank_keywords,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "pair word"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(df, "text", window=2, n_iter=2).collect()
+    # only the 2-token doc contributes an edge
+    assert {r["word"] for r in rows} == {"pair", "word"}

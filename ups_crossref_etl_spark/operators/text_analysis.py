@@ -1040,3 +1040,66 @@ def kneser_ney_nll(
         )
         .select(F.col("_id").alias(id_col), "n_bigrams", "nll")
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str,
+    window: int = 2,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Corpus-level TextRank keyword scores (Mihalcea & Tarau 2004):
+    PageRank over the word co-occurrence graph — words are nodes, an
+    (undirected) edge links words appearing within ``window`` positions
+    of each other in any document. Returns ``(word, rank)``; higher
+    rank = more central vocabulary, the unsupervised keyword-extraction
+    baseline (complements the tf-idf-flavored ``top_keywords``, which
+    scores words per document rather than by graph centrality).
+
+    Scale shape: co-occurrence pairs are generated row-locally (codegen
+    ``transform`` over token positions — no window function, no join);
+    the edge list is DISTINCT (word, word) pairs — vocabulary-bounded,
+    tiny relative to the corpus; iteration cost is pagerank's (one
+    src-keyed join + one dst-keyed partial agg per round over the
+    vocab-sized graph). The corpus is scanned once.
+    """
+    from .pagerank import pagerank
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(toks.alias("_t")).filter(F.size("_t") >= 2)
+    # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly.
+    # NB: the transform lambda must be single-arg (a two-arg lambda is
+    # interpreted as (element, index)).
+    def _pairs_at(off: int):
+        def body(i):
+            return F.struct(
+                F.element_at("_t", i).alias("src"),
+                F.element_at("_t", i + F.lit(off)).alias("dst"),
+            )
+
+        return F.when(
+            F.size("_t") > off,
+            F.transform(F.sequence(F.lit(1), F.size("_t") - off), body),
+        ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+
+    pair_arrays = [_pairs_at(off) for off in range(1, window + 1)]
+    fwd = (
+        base.select(
+            F.explode(F.flatten(F.array(*pair_arrays))).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank(
+        edges,
+        n_iter=n_iter,
+        damping=damping,
+        assume_distinct=True,
+    ).select(F.col("node").alias("word"), "rank")

@@ -1741,3 +1741,68 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         touch_types=["click", "view"],
         lookback_seconds=86400,
     )
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword centrality
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_textrank_keywords",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF x <> ''] AS t
+      FROM documents),
+    fwd AS (
+      SELECT t[i] AS src, t[i + o] AS dst
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk
+            WHERE len(t) >= 2),
+           (SELECT unnest([1, 2]) AS o)
+      WHERE i + o <= len(t) AND t[i] <> t[i + o]),
+    e AS (
+      SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM fwd UNION ALL
+         SELECT dst AS src, src AS dst FROM fwd)),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r0 r ON r.node = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nd.node,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r1 r ON r.node = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nd.node,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c2 USING (node)),
+    c3 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS c
+           FROM e JOIN od USING (src) JOIN r2 r ON r.node = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nd.node,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.c, 0) AS rank
+           FROM nodes nd LEFT JOIN c3 USING (node))
+    SELECT node AS word, round(rank, 6) AS rank FROM r3
+    """,
+    doc=(
+        "TextRank keyword centrality (operators/text_analysis."
+        "textrank_keywords, Mihalcea & Tarau 2004): PageRank (3 "
+        "iterations, damping 0.85) over the word co-occurrence graph "
+        "(window 2, undirected) — the unsupervised keyword extractor, "
+        "composing the row-local pair generation with the existing "
+        "pagerank operator. Edge list is vocab-bounded; the corpus is "
+        "scanned once. Oracle: same graph + 3 unrolled power "
+        "iterations, ranks rounded 6 dp."
+    ),
+)
+def q_docs_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import textrank_keywords
+
+    d = read_table(spark, sf_dir, "documents")
+    return textrank_keywords(d, "text", window=2, n_iter=3)
