@@ -247,3 +247,20 @@ def test_textrank_short_and_single_token_docs(spark):
     rows = textrank_keywords(df, "text", window=2, n_iter=2).collect()
     # only the 2-token doc contributes an edge
     assert {r["word"] for r in rows} == {"pair", "word"}
+
+
+def test_hll_intersection_estimate_known_overlap(spark):
+    from ups_crossref_etl_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    # A = 0..999, B = 500..1499: |A∩B| = 500, |A∪B| = 1500
+    rows = [(i, "a") for i in range(1000)] + [
+        (i, "b") for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "v long, g string")
+    est = hll_intersection_estimate(df, "v", "g", "a", "b", lg_k=12).first()
+    assert abs(est["est_a"] - 1000) <= 50
+    assert abs(est["est_b"] - 1000) <= 50
+    assert abs(est["est_union"] - 1500) <= 75
+    assert abs(est["est_intersection"] - 500) <= 100

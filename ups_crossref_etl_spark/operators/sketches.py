@@ -202,3 +202,50 @@ def cms_estimate(
     return hit.groupBy("_v").agg(F.min("_c").alias(out_col)).select(
         F.col("_v").alias(value_col), out_col
     )
+
+
+def hll_intersection_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Estimated distinct-value overlap between two groups by
+    inclusion-exclusion over HLL sketches:
+    ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)`` — the set operation HLL
+    cannot do natively (it only unions), done the standard way. One row:
+    ``(est_a, est_b, est_union, est_intersection)``.
+
+    Error caveat (why the gate is a bound, not a hash): the
+    inclusion-exclusion difference inherits the ABSOLUTE errors of
+    three estimates, so its RELATIVE error scales with
+    ``|A ∪ B| / |A ∩ B|`` — fine for substantially overlapping sets,
+    useless for near-disjoint ones; consumers needing small-overlap
+    precision should use exact semi-join counts instead.
+
+    Scale: two sketch aggregations sharing one scan (conditional agg),
+    KB of state, zero data shuffles beyond the sketch partials.
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    row = df.filter(g.isin([group_a, group_b])).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.when(g == group_a, v), F.lit(lg_k))
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.when(g == group_b, v), F.lit(lg_k))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(v, F.lit(lg_k))
+        ).alias("est_union"),
+    )
+    return row.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+    )

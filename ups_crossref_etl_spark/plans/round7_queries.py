@@ -1806,3 +1806,71 @@ def q_docs_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return textrank_keywords(d, "text", window=2, n_iter=3)
+
+
+# --------------------------------------------------------------------------
+# HLL intersection estimate (bound contract)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_hll_intersection_bound",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    i AS (SELECT count(*) AS n FROM a JOIN b USING (user_id))
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+           CAST(i.n AS BIGINT) AS exact_intersection,
+           TRUE AS a_within_5pct,
+           TRUE AS b_within_5pct,
+           TRUE AS intersection_within_10pct
+    FROM i
+    """,
+    doc=(
+        "Bound contract for HLL inclusion-exclusion intersection "
+        "(operators/sketches.hll_intersection_estimate): distinct "
+        "users with BOTH a click and a purchase, estimated as "
+        "est(A)+est(B)-est(A∪B) from lg_k=12 sketches sharing one "
+        "scan. Pins each single-set estimate within 5% of exact "
+        "(sketch σ≈2.5%) and the intersection within 10% (the "
+        "difference inherits three absolute errors — the documented "
+        "reason this is a bound, not a hash). Exact counts come from "
+        "the semi-join twin on both sides."
+    ),
+)
+def q_events_hll_intersection_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sketches import hll_intersection_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    est = hll_intersection_estimate(
+        ev, "user_id", "event_type", "click", "purchase", lg_k=12
+    ).first()
+
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    inter = a.join(b, "user_id").count()
+    ea, eb = a.count(), b.count()
+    return spark.createDataFrame(
+        [
+            (
+                ea,
+                eb,
+                inter,
+                abs(est["est_a"] - ea) <= 0.05 * ea,
+                abs(est["est_b"] - eb) <= 0.05 * eb,
+                abs(est["est_intersection"] - inter) <= 0.10 * inter,
+            )
+        ],
+        "exact_a long, exact_b long, exact_intersection long, "
+        "a_within_5pct boolean, b_within_5pct boolean, "
+        "intersection_within_10pct boolean",
+    )
