@@ -264,3 +264,37 @@ def test_hll_intersection_estimate_known_overlap(spark):
     assert abs(est["est_b"] - 1000) <= 50
     assert abs(est["est_union"] - 1500) <= 75
     assert abs(est["est_intersection"] - 500) <= 100
+
+
+def test_top_session_paths_hand_case(spark):
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.paths import top_session_paths
+
+    rows = [
+        # user 1: a>b then (gap) c
+        (1, 1, "a", 0), (1, 2, "b", 10), (1, 3, "c", 5000),
+        # user 2: a>b
+        (2, 4, "a", 0), (2, 5, "b", 30),
+        # user 3: truncation: 5 events, cap at 3
+        (3, 6, "x", 0), (3, 7, "y", 1), (3, 8, "z", 2),
+        (3, 9, "q", 3), (3, 10, "r", 4),
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, i, t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+            for u, i, t, s in rows
+        ],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    out = {
+        r["path"]: (r["n_sessions"], r["rank"])
+        for r in top_session_paths(
+            df, "user_id", "ts", "event_type", "event_id",
+            gap_seconds=60, max_events=3, k=10,
+        ).collect()
+    }
+    assert out["a>b"] == (2, 1)
+    assert out["c"][0] == 1
+    assert out["x>y>z"][0] == 1
+    assert "x>y>z>q>r" not in out

@@ -1874,3 +1874,71 @@ def q_events_hll_intersection_bound(
         "a_within_5pct boolean, b_within_5pct boolean, "
         "intersection_within_10pct boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Top session paths (clickstream trajectory mining)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_top_session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id AS u, event_id AS id, event_type AS t, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS ns
+      FROM events),
+    sess AS (
+      SELECT u, id, t, ts,
+             sum(ns) OVER (PARTITION BY u ORDER BY ts, id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    capped AS (
+      SELECT u, sid, t, ts, id,
+             row_number() OVER (PARTITION BY u, sid ORDER BY ts, id) AS rn
+      FROM sess),
+    paths AS (
+      SELECT string_agg(t, '>' ORDER BY ts, id) AS path
+      FROM capped WHERE rn <= 8 GROUP BY u, sid),
+    counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path),
+    ranked AS (
+      SELECT path, n_sessions,
+             CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                  AS BIGINT) AS rank
+      FROM counted)
+    SELECT path, n_sessions, rank FROM ranked WHERE rank <= 20
+    """,
+    doc=(
+        "Top-20 session paths, 30 min gap, first 8 events per session "
+        "(operators/paths.top_session_paths) — whole-trajectory mining "
+        "the transition-matrix marginals can't reconstruct. Sessions "
+        "cut on exact epoch-micros gaps; within-session order "
+        "(ts, event_id) is total; path strings built from sorted "
+        "structs; top-k is a rank over (count DESC, path) — no bare "
+        "LIMIT. One user-window pass + bounded-string session "
+        "aggregate + path-keyed count."
+    ),
+)
+def q_events_top_session_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.paths import top_session_paths
+
+    ev = read_table(spark, sf_dir, "events")
+    return top_session_paths(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        gap_seconds=1800,
+        max_events=8,
+        k=20,
+    )
