@@ -298,3 +298,41 @@ def test_top_session_paths_hand_case(spark):
     assert out["c"][0] == 1
     assert out["x>y>z"][0] == 1
     assert "x>y>z>q>r" not in out
+
+
+def test_quota_allocate_exact_and_fair(spark):
+    from ups_crossref_etl_spark.operators.sampling import quota_allocate
+
+    rows = (
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)] * 1
+    )
+    df = spark.createDataFrame(rows, "g string")
+    for total in (7, 10, 11, 137):
+        out = {r["g"]: r["alloc"] for r in quota_allocate(df, "g", total).collect()}
+        assert sum(out.values()) == total
+        n = {"a": 5, "b": 3, "c": 2, "d": 1}
+        for g, a in out.items():
+            exact = total * n[g] / 11
+            assert abs(a - exact) < 1, (total, g, a, exact)
+
+
+def test_zipf_stats_on_exact_power_law(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        zipf_power_law_stats,
+    )
+
+    # construct counts f(r) = 2^(12-r) -> ln f = ln(2^12) - r ln 2:
+    # log-log is NOT linear, but Hill over a geometric tail is exact:
+    # sum ln(f_i/f_11) = ln2 * sum (11-i) = 55 ln2 -> alpha = 1+10/(55 ln2)
+    import math
+
+    words = []
+    for r in range(1, 13):
+        words += [f"w{r:02d}"] * (2 ** (12 - r))
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    out = zipf_power_law_stats(df, "text", hill_k=10).first()
+    assert out["n_words"] == 12
+    want_alpha = round(1 + 10 / (55 * math.log(2)), 4)
+    assert abs(out["hill_alpha"] - want_alpha) <= 1e-9
+    assert out["zipf_slope"] < 0
+    assert 0 <= out["zipf_r2"] <= 1

@@ -457,3 +457,56 @@ def split_leakage_audit(
             .alias("n_cross"),
         )
     )
+
+
+def quota_allocate(
+    df: DataFrame, group_col: str, total: int
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer budget:
+    ``(group_col, n_rows, alloc)`` with ``Σ alloc == total`` exactly and
+    each allocation within 1 of the exact proportional share — the
+    standard way to turn fractional sampling quotas into integer
+    per-group budgets without drift (naive rounding over- or
+    under-spends; iterative largest-remainder is THE fix, used by
+    electoral apportionment for the same reason).
+
+    All-integer arithmetic (base = (total·n) div N, remainder =
+    (total·n) mod N; leftovers go to the largest remainders, ties
+    broken by group key) — engine-exact, no floats anywhere. One
+    group count + one rank over the GROUP table (group-cardinality-
+    sized). Groups with more rows than their allocation simply sample
+    ``alloc`` downstream (e.g. ``sample_n_per_group``)."""
+    g = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    t = g.agg(F.sum("n_rows").alias("_tot"))
+    q = g.crossJoin(F.broadcast(t)).select(
+        group_col,
+        "n_rows",
+        F.expr(f"({int(total)} * n_rows) div _tot").alias("_base"),
+        ((F.lit(int(total)) * F.col("n_rows")) % F.col("_tot")).alias(
+            "_rem"
+        ),
+    )
+    from pyspark.sql import Window
+
+    leftover = q.agg(
+        (F.lit(int(total)) - F.sum("_base")).alias("_left")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("_rem").desc(), F.col(group_col))
+    )
+    return (
+        q.withColumn("_rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            group_col,
+            "n_rows",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )

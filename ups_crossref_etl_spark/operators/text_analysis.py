@@ -1103,3 +1103,87 @@ def textrank_keywords(
         damping=damping,
         assume_distinct=True,
     ).select(F.col("node").alias("word"), "rank")
+
+
+def zipf_power_law_stats(
+    df: DataFrame, text_col: str, hill_k: int = 10
+) -> DataFrame:
+    """Power-law diagnostics of the corpus word-frequency distribution,
+    one row: ``(n_words, zipf_slope, zipf_r2, hill_alpha)``.
+
+    - ``zipf_slope`` / ``zipf_r2``: OLS of ln(frequency) on ln(rank)
+      over the full vocabulary (rank by count DESC, word ASC — total
+      order). Zipf's law predicts slope ≈ −1; the r² says how
+      power-law-like the corpus is — a fast drift alarm for corpus
+      composition changes (boilerplate floods flatten the tail).
+    - ``hill_alpha``: the Hill estimator over the top ``hill_k``
+      frequencies, ``1 + k / Σ ln(f_(i) / f_(k+1))`` — the standard
+      tail-index MLE, complementing the regression fit.
+
+    Determinism: word counts are exact integers; every ln-term is cast
+    to DECIMAL(38,12) before summation (order-independent); the final
+    expressions are fixed-shape doubles rounded 4 dp. Scale: one
+    corpus token count (the only data-sized shuffle), then vocabulary-
+    sized window + aggregate.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    wc = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = wc.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("w"))),
+    )
+    dec = "decimal(38,12)"
+    lr = F.log(F.col("r").cast("double"))
+    lf = F.log(F.col("f").cast("double"))
+    moments = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lr.cast(dec)).alias("sx"),
+        F.sum(lf.cast(dec)).alias("sy"),
+        F.sum((lr * lf).cast(dec)).alias("sxy"),
+        F.sum((lr * lr).cast(dec)).alias("sxx"),
+        F.sum((lf * lf).cast(dec)).alias("syy"),
+    )
+    kth = ranked.filter(F.col("r") == hill_k + 1).select(
+        F.col("f").alias("_fk")
+    )
+    hill = (
+        ranked.filter(F.col("r") <= hill_k)
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.sum(
+                F.log(F.col("f") / F.col("_fk")).cast(dec)
+            ).alias("_hs"),
+            F.count(F.lit(1)).alias("_hk"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return moments.crossJoin(hill).select(
+        F.col("n").cast("bigint").alias("n_words"),
+        (F.round(cov / dx, 4) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(cov * cov / (dx * dy), 4) + F.lit(0.0)).alias("zipf_r2"),
+        (
+            F.round(
+                F.lit(1.0)
+                + F.col("_hk") / F.col("_hs").cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("hill_alpha"),
+    )

@@ -62,6 +62,8 @@ _ROUND = 7
 #: theil_sen_trend cap parameter). More entries are appended as the round
 #: adds queries.
 _CHANGED_THIS_ROUND = [
+    "q_docs_quota_allocate",
+    "q_docs_zipf_power_law",
     "q_events_top_session_paths",
     "q_events_hll_intersection_bound",
     "q_docs_textrank_keywords",

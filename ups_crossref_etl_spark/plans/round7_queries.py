@@ -1942,3 +1942,104 @@ def q_events_top_session_paths(
         max_events=8,
         k=20,
     )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder quota allocation + Zipf power-law diagnostics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_quota_allocate",
+    """
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM g),
+    q AS (
+      SELECT source, n_rows,
+             (137 * n_rows) // tot AS base,
+             (137 * n_rows) % tot AS rem
+      FROM g CROSS JOIN t),
+    s AS (SELECT 137 - sum(base) AS leftover FROM q),
+    r AS (
+      SELECT source, n_rows, base,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q)
+    SELECT source, n_rows,
+           CAST(base + CASE WHEN rk <= (SELECT leftover FROM s)
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r
+    """,
+    doc=(
+        "Largest-remainder (Hamilton) apportionment of a 137-doc "
+        "sampling budget across sources (operators/sampling."
+        "quota_allocate): Σ alloc == 137 exactly, each group within 1 "
+        "of its proportional share — the integer-quota step stratified "
+        "samplers need (naive rounding drifts). All-integer arithmetic "
+        "(base = div, remainder = mod, leftovers to largest remainders "
+        "with key tiebreak); one group count + one group-table rank."
+    ),
+)
+def q_docs_quota_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import quota_allocate
+
+    d = read_table(spark, sf_dir, "documents")
+    return quota_allocate(d, "source", 137)
+
+
+@register(
+    "q_docs_zipf_power_law",
+    """
+    WITH wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest([x for x in
+              regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF x <> '']) AS w FROM documents)
+      GROUP BY w),
+    ranked AS (
+      SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS r FROM wc),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(38,12))) AS sx,
+             sum(CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(38,12))) AS sy,
+             sum(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+                      AS DECIMAL(38,12))) AS sxy,
+             sum(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                      AS DECIMAL(38,12))) AS sxx,
+             sum(CAST(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+                      AS DECIMAL(38,12))) AS syy
+      FROM ranked),
+    kth AS (SELECT f AS fk FROM ranked WHERE r = 11),
+    hill AS (
+      SELECT sum(CAST(ln(f / fk) AS DECIMAL(38,12))) AS hs,
+             CAST(count(*) AS BIGINT) AS hk
+      FROM ranked CROSS JOIN kth WHERE r <= 10)
+    SELECT n AS n_words,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)), 4) + 0.0 AS zipf_slope,
+           round(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE))), 4) + 0.0 AS zipf_r2,
+           round(1.0 + hk / CAST(hs AS DOUBLE), 4) + 0.0 AS hill_alpha
+    FROM mo CROSS JOIN hill
+    """,
+    doc=(
+        "Corpus power-law diagnostics (operators/text_analysis."
+        "zipf_power_law_stats): OLS slope/r2 of ln(freq) on ln(rank) "
+        "over the vocabulary (Zipf predicts slope ~ -1) plus the Hill "
+        "tail-index MLE over the top-10 frequencies — the fast corpus-"
+        "composition drift alarm. Integer counts; every ln-term "
+        "DECIMAL(38,12)-accumulated; fixed-shape double finishers."
+    ),
+)
+def q_docs_zipf_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import zipf_power_law_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    return zipf_power_law_stats(d, "text", hill_k=10)
