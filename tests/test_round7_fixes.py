@@ -336,3 +336,28 @@ def test_zipf_stats_on_exact_power_law(spark):
     assert abs(out["hill_alpha"] - want_alpha) <= 1e-9
     assert out["zipf_slope"] < 0
     assert 0 <= out["zipf_r2"] <= 1
+
+
+def test_uniform_negative_sampling_contract(spark, sf_dir):
+    from ups_crossref_etl_spark.operators.mining import (
+        uniform_negative_sampling,
+    )
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = uniform_negative_sampling(emb, "vec_id", "label", k=4).collect()
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    per_anchor = {}
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]
+        assert r["neg_label"] != labels[r["anchor_id"]]
+        assert labels[r["neg_id"]] == r["neg_label"]
+        per_anchor.setdefault(r["anchor_id"], []).append(r["slot"])
+    for a, slots in per_anchor.items():
+        assert sorted(slots) == list(range(1, len(slots) + 1))
+        assert len(slots) <= 4
+    # deterministic across invocations
+    again = uniform_negative_sampling(emb, "vec_id", "label", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -182,3 +182,90 @@ def hard_negatives_ivf(
             "cos",
         )
     )
+
+
+def uniform_negative_sampling(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    oversample: int = 3,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: for each anchor row, ``k`` pseudo-random OTHER-label rows
+    — ``(anchor_id, slot, neg_id, neg_label)`` with slot 1..k in draw
+    order. The uniform counterpart to :func:`hard_negative_mining`
+    (similarity-ranked): uniform negatives are the unbiased default;
+    hard negatives are the curriculum upgrade.
+
+    Draws are a pure function of ``(seed, anchor, slot)``: md5 → mod
+    row-count → dense-rank index lookup, the engine-portable recipe of
+    operators/sampling.py — so resampling is exactly reproducible
+    (and oracle-checkable) with no RNG state. Candidates hitting the
+    anchor itself or sharing its label are rejected; ``k + oversample``
+    slots are drawn so k survivors is overwhelmingly likely (fewer
+    survive deterministically on pathological label skew — callers see
+    the shortfall, nothing resamples silently).
+
+    Scale: one dense-rank index over the id table (window over ids —
+    group-table-sized), explode anchors × (k + oversample) slots, ONE
+    index-keyed equi-join to resolve draws, one label anti-filter, one
+    per-anchor window to renumber surviving slots. No similarity
+    computation, no candidate blowup beyond the constant slot factor.
+    """
+    from pyspark.sql import Window
+
+    ids = df.select(
+        F.col(id_col).alias("_nid"), F.col(label_col).alias("_nlabel")
+    ).withColumn(
+        "_idx",
+        F.row_number().over(Window.orderBy("_nid")) - 1,
+    )
+    n = ids.count()
+    slots = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_albl"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(k) + int(oversample)))
+        ).alias("_slot"),
+    ).withColumn(
+        "_idx",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("anchor_id").cast("string"),
+                        F.col("_slot").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n),
+    )
+    joined = (
+        slots.join(ids, "_idx")
+        .filter(
+            (F.col("_nid") != F.col("anchor_id"))
+            & (F.col("_nlabel") != F.col("_albl"))
+        )
+        .withColumn(
+            "slot",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy("_slot")
+            ),
+        )
+        .filter(F.col("slot") <= k)
+    )
+    return joined.select(
+        "anchor_id",
+        F.col("slot").cast("bigint").alias("slot"),
+        F.col("_nid").alias("neg_id"),
+        F.col("_nlabel").alias("neg_label"),
+    )

@@ -62,6 +62,7 @@ _ROUND = 7
 #: theil_sen_trend cap parameter). More entries are appended as the round
 #: adds queries.
 _CHANGED_THIS_ROUND = [
+    "q_emb_negative_sampling",
     "q_docs_quota_allocate",
     "q_docs_zipf_power_law",
     "q_events_top_session_paths",

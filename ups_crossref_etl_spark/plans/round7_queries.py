@@ -2043,3 +2043,54 @@ def q_docs_zipf_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return zipf_power_law_stats(d, "text", hill_k=10)
+
+
+# --------------------------------------------------------------------------
+# Deterministic uniform negative sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_negative_sampling",
+    """
+    WITH ids AS (
+      SELECT vec_id AS nid, label AS nlabel,
+             row_number() OVER (ORDER BY vec_id) - 1 AS idx
+      FROM embeddings),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM ids),
+    slots AS (
+      SELECT e.vec_id AS anchor_id, e.label AS albl, s.slot,
+             CAST('0x' || substr(md5('neg:' || CAST(e.vec_id AS VARCHAR)
+                    || ':' || CAST(s.slot AS VARCHAR)), 1, 8) AS BIGINT)
+               % (SELECT cnt FROM n) AS idx
+      FROM embeddings e,
+           (SELECT unnest(range(1, 9)) AS slot) s),
+    joined AS (
+      SELECT anchor_id, s.slot AS draw_slot, nid, nlabel
+      FROM slots s JOIN ids USING (idx)
+      WHERE nid <> anchor_id AND nlabel <> albl),
+    renum AS (
+      SELECT anchor_id, nid, nlabel,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY draw_slot) AS BIGINT) AS slot
+      FROM joined)
+    SELECT anchor_id, slot, nid AS neg_id, nlabel AS neg_label
+    FROM renum WHERE slot <= 5
+    """,
+    doc=(
+        "Deterministic uniform negative sampling, k=5 per anchor with "
+        "3 oversample slots (operators/mining.uniform_negative_"
+        "sampling): md5(seed:anchor:slot) mod N -> dense-rank index "
+        "lookup, rejecting self and same-label hits — the unbiased "
+        "contrastive-pair generator, exactly reproducible with no RNG "
+        "state (same recipe as the split/sample family). One "
+        "index-keyed equi-join; slot factor bounds the blowup."
+    ),
+)
+def q_emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mining import uniform_negative_sampling
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return uniform_negative_sampling(
+        emb, "vec_id", "label", k=5, oversample=3, seed="neg"
+    )
