@@ -181,6 +181,25 @@ EXTENDED = [
     # round-trip (the sink path, timed end to end including the writes)
     "q_events_theil_sen_capped",
     "q_docs_shards_compaction_identity",
+    # round 7 (wave 2): tokenizer #3 (WordPiece corpus accounting), the
+    # KLL sketch + Poisson bootstrap one-pass statistics, FastSS edit
+    # join, GSP 3-sequences (chained range windows), winnowing overlap,
+    # Apriori triples, Kneser-Ney scoring, TextRank (graph compose),
+    # session-path mining, PCA moments pass, attribution windows,
+    # deterministic negative sampling
+    "q_docs_wordpiece_token_counts",
+    "q_events_kll_quantiles_bound",
+    "q_words_edit_distance_join",
+    "q_events_poisson_bootstrap_ci",
+    "q_events_seq3_support",
+    "q_docs_winnow_overlap_pairs",
+    "q_basket_frequent_triples",
+    "q_docs_kneser_ney_nll",
+    "q_docs_textrank_keywords",
+    "q_events_top_session_paths",
+    "q_emb_pca_bound",
+    "q_events_attribution",
+    "q_emb_negative_sampling",
 ]
 
 

@@ -704,6 +704,82 @@ def main() -> None:
         docs1.count(), docsN.count(),
     )
 
+    # round-7 heavies ----------------------------------------------------
+
+    # seq3: two chained range windows over one per-user sort — the cost
+    # is the sort; replication multiplies users' rows, not window width
+    from ups_crossref_etl_spark.operators.seqmine import sequential_support
+
+    ev1 = read_table(spark, SF_DIR, "events")
+    evN = replicate(ev1, "event_id", n).withColumn(
+        "user_id", F.col("user_id") + (F.col("event_id") % n) * 1_000_000
+    ).localCheckpoint()
+    types = ["click", "error", "purchase", "signup", "view"]
+    probe(
+        "seq3_support",
+        lambda: sequential_support(
+            ev1, "user_id", "event_type", "ts", types, 21600, k=3
+        ).count(),
+        lambda: sequential_support(
+            evN, "user_id", "event_type", "ts", types, 21600, k=3
+        ).count(),
+        ev1.count(), evN.count(),
+    )
+
+    # winnowing overlap: fingerprint density ~1/w; replicated docs share
+    # fingerprints, so the df-cap is what keeps the join fanout bounded —
+    # exactly the property worth measuring under replication
+    from ups_crossref_etl_spark.operators.winnow import winnow_overlap_pairs
+
+    probe(
+        "winnow_overlap",
+        lambda: winnow_overlap_pairs(
+            docs1, "text", "doc_id", min_shared=3, max_df=50
+        ).count(),
+        lambda: winnow_overlap_pairs(
+            docsN, "text", "doc_id", min_shared=3, max_df=50
+        ).count(),
+        docs1.count(), docsN.count(),
+    )
+
+    # wordpiece: segmentation cost is DISTINCT-word-bound (unchanged
+    # under replication); the corpus-sized stages are the word count and
+    # the broadcast join-back
+    from ups_crossref_etl_spark.operators.unigram import word_counts
+    from ups_crossref_etl_spark.operators.wordpiece import (
+        wordpiece_segment_words,
+        wordpiece_vocab,
+    )
+
+    def wp_count(d):
+        wc = word_counts(d).localCheckpoint()
+        v = wordpiece_vocab(wc, max_piece_len=6, min_count=800)
+        return wordpiece_segment_words(wc, v, max_piece_len=6).count()
+
+    probe(
+        "wordpiece_segment",
+        lambda: wp_count(docs1),
+        lambda: wp_count(docsN),
+        docs1.count(), docsN.count(),
+    )
+
+    # Poisson bootstrap: explode(1..B) collapses map-side; shuffle is
+    # B x partitions partials regardless of row count
+    from ups_crossref_etl_spark.operators.bootstrap import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    probe(
+        "poisson_bootstrap",
+        lambda: poisson_bootstrap_mean_ci(
+            ev1, "value", "event_id", n_replicates=51
+        ).count(),
+        lambda: poisson_bootstrap_mean_ci(
+            evN, "value", "event_id", n_replicates=51
+        ).count(),
+        ev1.count(), evN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")
     if only and os.path.exists(out_path):

@@ -55,12 +55,15 @@ _ROUND = 7
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 7 (landing order): the new
-#: Theil-Sen heavy-key-cap contracts and the queries whose operators were
-#: hardened this round (leakage_safe_split component typing, merge_cdc_state
-#: payload tiebreak, mad_outliers NULL handling, skyline NULL/NaN drop,
-#: theil_sen_trend cap parameter). More entries are appended as the round
-#: adds queries.
+#: (first ~50 entries) re-verifies them. Round 7 (newest first): wave 2's
+#: operator families (negative sampling, quota allocation, Zipf/Hill,
+#: session paths, HLL intersection, TextRank, attribution, PCA,
+#: Kneser-Ney, Spearman, Benford, Apriori baskets, winnowing, GSP
+#: sequences, Poisson bootstrap, FastSS edit join, KLL, WordPiece),
+#: then wave 1 (stupid backoff, HyperANF/two-hop, matryoshka, KS/chi2
+#: drift, Mann-Kendall/ACF, Theil-Sen cap, shard compaction) and the
+#: four ADVICE hardenings (leakage_safe_split typing, CDC payload
+#: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
 _CHANGED_THIS_ROUND = [
     "q_emb_negative_sampling",
     "q_docs_quota_allocate",
@@ -105,6 +108,41 @@ _CHANGED_THIS_ROUND = [
 ]
 
 
+
+#: Gated queries never yet sampled by a driver correctness window
+#: (recomputed each round from the union of CORRECTNESS_r{1..N}.json
+#: plus the current round's projected 50-entry window). These sort
+#: directly AFTER _CHANGED_THIS_ROUND so leftover window slots drain
+#: this backlog before the md5 rotation fills the rest — guaranteeing
+#: monotone progress toward full driver coverage instead of relying on
+#: the rotation's expected-case behavior.
+_NEVER_DRIVER_SAMPLED = [
+    "q_stream_trending_topk",
+    "q_docs_approx_bins_bound",
+    "q_orders_table_digest",
+    "q9_product_type_profit",
+    "q_docs_nucleus_select",
+    "q_docs_auc_lang_by_length",
+    "q20_potential_promotion",
+    "q_docs_quantile_normalize",
+    "q16_parts_supplier_counts",
+    "q_docs_pack_bpe_sequences",
+    "q_events_late_arrivals",
+    "q2_min_cost_supplier",
+    "q_media_bmp_features",
+    "q_events_transition_matrix",
+    "q_emb_rp_recall_bound",
+    "q_docs_quantile_normalize_approx_bound",
+    "q_events_mean_shift",
+    "q11_important_stock",
+    "q_docs_bpe_encode",
+    "q_docs_calibration_bins",
+    "q_docs_char_entropy",
+    "q_media_wav_spectrum",
+    "q_media_wav_features",
+    "q_events_interval_union",
+]
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return all.
 
@@ -114,11 +152,14 @@ def load_all() -> dict[str, QuerySpec]:
     this round — registers first so the driver re-verifies it; (b) ALL
     remaining gated entries follow in a round-keyed deterministic rotation,
     sorted by ``md5(f"r{_ROUND}:{name}")``: each round draws a fresh
-    pseudo-random permutation of the full registry, so over successive
-    rounds every gated query cycles through the driver window regardless
-    of which module it lives in or when it was added (the union of r1-r5
-    windows already covers all 148 gated queries; the rotation keeps that
-    property self-maintaining instead of hand-curated). gate=False entries
+    pseudo-random permutation of the full registry — but FIRST the
+    ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
+    changed tier leaves free, so coverage progress is monotone, not
+    probabilistic. Recomputed at round 7: with r7's window (41 changed +
+    9 backlog) 238 of 255 gated queries are driver-covered (union of the
+    r1-r6 CORRECTNESS artifacts plus r7's projected window); the 17
+    remaining backlog entries drain over the next ~2 rounds, every entry
+    meanwhile FULLCHECK-verified locally each round. gate=False entries
     sort after all gated ones — they are never driver-sampled. The full
     battery additionally runs locally per-round via
     tools/check_queries.py --json (committed as FULLCHECK_r{N}.json).
@@ -147,7 +188,11 @@ def load_all() -> dict[str, QuerySpec]:
     head = {n: QUERIES[n] for n in _CHANGED_THIS_ROUND if n in QUERIES}
     rest = sorted(
         (n for n in QUERIES if n not in head),
-        key=lambda n: (not QUERIES[n].gate, _rot(n)),
+        key=lambda n: (
+            not QUERIES[n].gate,
+            n not in _NEVER_DRIVER_SAMPLED,
+            _rot(n),
+        ),
     )
     out = dict(head)
     for n in rest:
