@@ -361,3 +361,25 @@ def test_uniform_negative_sampling_contract(spark, sf_dir):
     # deterministic across invocations
     again = uniform_negative_sampling(emb, "vec_id", "label", k=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_fd_audit_exact_and_violated(spark):
+    from ups_crossref_etl_spark.operators.profile import fd_audit
+
+    rows = [
+        (1, "a", 10), (1, "a", 10), (2, "b", 20), (2, "b", 21),
+        (3, None, 30), (3, "c", 30), (4, "d", None), (4, "d", 40),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v int")
+    out = {
+        (r["lhs"], r["rhs"]): r
+        for r in fd_audit(df, [("k", "s"), ("k", "v")]).collect()
+    }
+    ks = out[("k", "s")]
+    # k=3 maps to {NULL, 'c'} -> violating (NULL is a value)
+    assert ks["n_groups"] == 4 and ks["n_violating"] == 1
+    assert ks["max_rhs_distinct"] == 2
+    kv = out[("k", "v")]
+    # k=2 -> {20,21}, k=4 -> {NULL,40}: 2 violations
+    assert kv["n_violating"] == 2
+    assert kv["violation_rate"] == 0.5

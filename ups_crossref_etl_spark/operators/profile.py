@@ -419,3 +419,56 @@ def merge_profile_sketches(stored: DataFrame, increment: DataFrame) -> DataFrame
         .otherwise(pick("max_str"))
         .alias("max_str"),
     )
+
+
+def fd_audit(
+    df: DataFrame, candidates: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate ``lhs -> rhs``,
+    measure how close the data comes to satisfying it —
+    ``(lhs, rhs, n_groups, n_violating, violation_rate,
+    max_rhs_distinct)``. A group violates when one lhs value maps to
+    more than one distinct rhs value (NULL counts as a value). The
+    data-profiling primitive schema-inference and key-discovery tools
+    are built on: exact FDs (violation_rate = 0) are join-collapse and
+    normalization opportunities; near-FDs localize dirty keys.
+
+    Scale: one groupBy(lhs) with a count_distinct per candidate —
+    independent aggregates unioned, each a single shuffle on its lhs;
+    the per-candidate result is one row. ``violation_rate`` is rounded
+    6 dp from exact integer counts."""
+    outs = []
+    for lhs, rhs in candidates:
+        g = df.groupBy(F.col(lhs)).agg(
+            F.count_distinct(F.col(rhs)).alias("_nd"),
+            F.max(F.col(rhs).isNull().cast("int")).alias("_hn"),
+        )
+        # distinct rhs including NULL-as-a-value
+        nd = F.col("_nd") + F.col("_hn")
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum((nd > 1).cast("long")).cast("bigint").alias(
+                    "n_violating"
+                ),
+                F.max(nd).cast("bigint").alias("max_rhs_distinct"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "n_violating",
+                (
+                    F.round(
+                        F.col("n_violating")
+                        / F.col("n_groups").cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("violation_rate"),
+                "max_rhs_distinct",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2094,3 +2094,75 @@ def q_emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniform_negative_sampling(
         emb, "vec_id", "label", k=5, oversample=3, seed="neg"
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lineitem_fd_audit",
+    """
+    WITH g1 AS (
+      SELECT l_partkey AS k,
+             count(DISTINCT l_suppkey)
+               + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS nd
+      FROM lineitem GROUP BY l_partkey),
+    g2 AS (
+      SELECT l_orderkey AS k,
+             count(DISTINCT l_returnflag)
+               + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nd
+      FROM lineitem GROUP BY l_orderkey),
+    g3 AS (
+      SELECT l_partkey AS k,
+             count(DISTINCT l_extendedprice)
+               + max(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+               AS nd
+      FROM lineitem GROUP BY l_partkey)
+    SELECT 'l_partkey' AS lhs, 'l_suppkey' AS rhs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS violation_rate,
+           CAST(max(nd) AS BIGINT) AS max_rhs_distinct
+    FROM g1
+    UNION ALL
+    SELECT 'l_orderkey', 'l_returnflag', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0,
+           CAST(max(nd) AS BIGINT)
+    FROM g2
+    UNION ALL
+    SELECT 'l_partkey', 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0,
+           CAST(max(nd) AS BIGINT)
+    FROM g3
+    """,
+    doc=(
+        "Functional-dependency audit over lineitem (operators/profile."
+        "fd_audit): violation counts/rates for three candidate FDs "
+        "(partkey->suppkey: violated, parts ship from several "
+        "suppliers; orderkey->returnflag: near-FD; partkey->"
+        "extendedprice: violated, price scales with quantity) — the "
+        "key-discovery/normalization profiling primitive. One "
+        "groupBy(lhs) + count_distinct per candidate, NULL counted as "
+        "a value; exact integer counts, rate rounded 6 dp."
+    ),
+)
+def q_lineitem_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import fd_audit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return fd_audit(
+        li,
+        [
+            ("l_partkey", "l_suppkey"),
+            ("l_orderkey", "l_returnflag"),
+            ("l_partkey", "l_extendedprice"),
+        ],
+    )
