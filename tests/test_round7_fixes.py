@@ -383,3 +383,32 @@ def test_fd_audit_exact_and_violated(spark):
     # k=2 -> {20,21}, k=4 -> {NULL,40}: 2 violations
     assert kv["n_violating"] == 2
     assert kv["violation_rate"] == 0.5
+
+
+def test_mutual_top1_pairs_brute(spark):
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators.similarity import mutual_top1_pairs
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(30, 8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]) for r in mutual_top1_pairs(df).collect()
+    }
+    xd = np.array([np.asarray(x[i], dtype=np.float32) for i in range(30)],
+                  dtype=np.float64)
+    n = xd / np.linalg.norm(xd, axis=1, keepdims=True)
+    cos = np.round(n @ n.T, 4)
+    np.fill_diagonal(cos, -2)
+    # argmax with (cos desc, id asc) tiebreak
+    top = [min(np.flatnonzero(cos[i] == cos[i].max())) for i in range(30)]
+    want = {
+        tuple(sorted((i, top[i])))
+        for i in range(30)
+        if top[top[i]] == i
+    }
+    assert got == want and got  # mutual pairs exist in random data

@@ -764,3 +764,64 @@ def matryoshka_two_stage_topk(
     return brute_force_topk(
         df.join(cand, id_col), query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def mutual_top1_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs where each side is the
+    OTHER's cosine top-1 — ``(id_a, id_b, cos_sim)`` with id_a < id_b.
+    Mutual-NN is the high-precision pair filter semantic-dedup and
+    cross-lingual mining pipelines apply on top of plain kNN (a one-
+    directional top-1 is often an asymmetric hub; mutuality kills
+    hubs). Argmax ties break by (similarity DESC, neighbor id ASC),
+    similarities rounded before ranking — the engine-reproducibility
+    recipe of the sibling exact constructions.
+
+    Exact all-pairs by design: call on a bounded slice (ground-truth /
+    validation usage, like the ``*_exact`` siblings); the scale path
+    composes the IVF/LSH top-k operators with the same mutuality join
+    (an id-keyed self-join on the (id, top1) table — trivially cheap)."""
+    from pyspark.sql import Window
+
+    a = df.select(
+        F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va")
+    )
+    b = df.select(
+        F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb")
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select(
+            "_ia",
+            "_ib",
+            F.round(
+                cosine(F.col("_va"), F.col("_vb")), round_digits
+            ).alias("_cos"),
+        )
+    )
+    top1 = scored.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_ia").orderBy(
+                F.col("_cos").desc(), F.col("_ib")
+            )
+        ),
+    ).filter(F.col("_rn") == 1)
+    fwd = top1.select("_ia", "_ib", "_cos")
+    rev = top1.select(
+        F.col("_ib").alias("_ia"), F.col("_ia").alias("_ib")
+    )
+    return (
+        fwd.join(rev, ["_ia", "_ib"])
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            (F.col("_cos") + F.lit(0.0)).alias("cos_sim"),
+        )
+    )

@@ -2166,3 +2166,51 @@ def q_lineitem_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_partkey", "l_extendedprice"),
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal nearest neighbors (mutual top-1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_mutual_top1_pairs",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings WHERE vec_id < 300),
+    dots AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(sum(a.v * b.v)
+                   / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4)
+               AS cos
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2),
+    top1 AS (
+      SELECT ia, ib, cos,
+             row_number() OVER (PARTITION BY ia
+                                ORDER BY cos DESC, ib) AS rn
+      FROM dots)
+    SELECT f.ia AS id_a, f.ib AS id_b, f.cos + 0.0 AS cos_sim
+    FROM top1 f JOIN top1 r ON f.ia = r.ib AND f.ib = r.ia
+    WHERE f.rn = 1 AND r.rn = 1 AND f.ia < f.ib
+    """,
+    doc=(
+        "Reciprocal nearest neighbors on the bounded slice vec_id < "
+        "300 (operators/similarity.mutual_top1_pairs): pairs that are "
+        "each other's cosine top-1 — the hub-killing precision filter "
+        "semantic-dedup pipelines stack on kNN. Similarities rounded "
+        "4 dp before ranking, (cos DESC, id) tiebreak; oracle is the "
+        "unnest-join all-pairs twin. Sample-bounded exact construction "
+        "by design (the scale path is the same mutuality join over "
+        "IVF/LSH top-1 tables)."
+    ),
+)
+def q_emb_mutual_top1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mutual_top1_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    return mutual_top1_pairs(emb)
