@@ -412,3 +412,57 @@ def test_mutual_top1_pairs_brute(spark):
         if top[top[i]] == i
     }
     assert got == want and got  # mutual pairs exist in random data
+
+
+def test_kaplan_meier_hand_case(spark):
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.survival import kaplan_meier
+
+    # 4 users enter; events at t=1h (u1), t=2h (u2); u3 censored at
+    # horizon 4h; u4 converts OUTSIDE horizon -> censored
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "signup", 0), (1, "purchase", 3700),
+        (2, "signup", 0), (2, "purchase", 7300),
+        (3, "signup", 0),
+        (4, "signup", 0), (4, "purchase", 999999),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, base + dt.timedelta(seconds=s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {
+        r["t"]: r
+        for r in kaplan_meier(
+            df, "user_id", "event_type", "ts",
+            "signup", "purchase", horizon_seconds=4 * 3600,
+        ).collect()
+    }
+    # t=1: n_risk 4, d 1 -> S = 0.75 ; t=2: n_risk 3, d 1 -> S = 0.5
+    assert out[1]["n_risk"] == 4 and out[1]["n_events"] == 1
+    assert abs(out[1]["survival"] - 0.75) < 1e-9
+    assert out[2]["n_risk"] == 3 and abs(out[2]["survival"] - 0.5) < 1e-9
+    assert set(out) == {1, 2}
+
+
+def test_kaplan_meier_all_convert_hits_zero(spark):
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.survival import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, "signup", 0) for u in (1, 2)] + [
+        (1, "purchase", 100), (2, "purchase", 200),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, base + dt.timedelta(seconds=s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = kaplan_meier(
+        df, "user_id", "event_type", "ts",
+        "signup", "purchase", horizon_seconds=3600,
+        bucket_seconds=60,
+    ).collect()
+    last = max(out, key=lambda r: r["t"])
+    assert last["survival"] == 0.0

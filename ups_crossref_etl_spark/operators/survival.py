@@ -1,0 +1,138 @@
+"""Kaplan-Meier survival estimation over event logs.
+
+Extension layer — no counterpart in /root/reference. The product-limit
+estimator (Kaplan & Meier 1958) is the right way to answer "how long
+until conversion/churn" when observation is CENSORED — users who
+haven't converted by the horizon are not failures, they're
+right-censored, and naive conversion-rate-by-bucket silently treats
+them as such. Complements the cohort-retention matrix (which needs
+complete windows) with the statistically-correct incomplete-window
+curve.
+
+    S(t) = Π_{t_i <= t} (1 - d_i / n_i)
+
+over distinct event times t_i, with d_i = events at t_i and n_i =
+subjects still at risk (neither converted nor censored before t_i).
+
+Determinism contract: durations are exact integer time buckets
+(epoch-micros difference, integer-divided) so the (t, d, leaving)
+table is integer-exact; the running product is computed as
+``exp(Σ ln(1 - d/n))`` with each ln-term DECIMAL(38,12)-accumulated
+in time order (a cumulative window sum — order-independent because
+decimal addition is exact), rounded 6 dp; a d == n step forces the
+survival to exactly 0 from that step on (flagged via a cumulative
+zero counter rather than ln(0)).
+
+Scale shape: two user-keyed aggregates (cohort entry, first
+qualifying event), one time-bucket groupBy, then ONE window pass over
+the distinct-time table (bucket-cardinality-sized, not user-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kaplan_meier"]
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    entry_type: str,
+    event_type: str,
+    horizon_seconds: int,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """KM curve for time from first ``entry_type`` to first subsequent
+    ``event_type`` within ``horizon_seconds`` (others censored at the
+    horizon): ``(t, n_risk, n_events, survival)`` — one row per time
+    bucket with at least one event, ``t`` in ``bucket_seconds`` units.
+    """
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        us(ts_col).alias("_us"),
+    )
+    entry = ev.filter(F.col("_t") == entry_type).groupBy("_u").agg(
+        F.min("_us").alias("_st")
+    )
+    first_ev = (
+        ev.filter(F.col("_t") == event_type)
+        .join(entry, "_u")
+        .filter(F.col("_us") > F.col("_st"))
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_pt"), F.min("_st").alias("_st"))
+    )
+    horizon_us = int(horizon_seconds) * 1_000_000
+    bucket_us = int(bucket_seconds) * 1_000_000
+    horizon_bucket = int(horizon_seconds) // int(bucket_seconds)
+
+    durations = (
+        entry.join(first_ev.select("_u", "_pt"), "_u", "left")
+        .select(
+            "_u",
+            F.when(
+                F.col("_pt").isNotNull()
+                & (F.col("_pt") <= F.col("_st") + F.lit(horizon_us)),
+                1,
+            )
+            .otherwise(0)
+            .alias("ev"),
+            F.when(
+                F.col("_pt").isNotNull()
+                & (F.col("_pt") <= F.col("_st") + F.lit(horizon_us)),
+                F.expr(f"(_pt - _st) div {bucket_us}"),
+            )
+            .otherwise(F.lit(horizon_bucket))
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    agg = durations.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("_leaving"),
+    )
+    total = durations.count()
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_risk = F.lit(total) - F.coalesce(
+        F.sum("_leaving").over(w), F.lit(0)
+    )
+    term = F.log(
+        F.lit(1.0) - F.col("n_events") / F.col("n_risk").cast("double")
+    )
+    stepped = agg.withColumn("n_risk", n_risk.cast("bigint")).withColumn(
+        "_dead", (F.col("n_events") == F.col("n_risk")).cast("long")
+    )
+    km = (
+        stepped.withColumn(
+            "_lnsum",
+            F.sum(
+                F.when(F.col("_dead") == 0, term)
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,12)")
+            ).over(wc),
+        )
+        .withColumn("_zeros", F.sum("_dead").over(wc))
+        .filter(F.col("n_events") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            (
+                F.when(F.col("_zeros") > 0, F.lit(0.0)).otherwise(
+                    F.round(
+                        F.exp(F.col("_lnsum").cast("double")), 6
+                    )
+                )
+                + F.lit(0.0)
+            ).alias("survival"),
+        )
+    )
+    return km

@@ -2214,3 +2214,85 @@ def q_emb_mutual_top1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < 300
     )
     return mutual_top1_pairs(emb)
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival (signup -> purchase, censored at 7 days)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_kaplan_meier",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN (pt - st) // 3600000000 ELSE 168 END AS t
+      FROM entry LEFT JOIN fe USING (u)),
+    agg AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM dur GROUP BY t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+    km AS (
+      SELECT t, n_events,
+             (SELECT n FROM tot)
+               - coalesce(sum(leaving)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_risk
+      FROM agg),
+    st AS (
+      SELECT t, n_risk, n_events,
+             sum(CASE WHEN n_events = n_risk
+                      THEN CAST(0.0 AS DECIMAL(38,12))
+                      ELSE CAST(ln(1.0 - n_events
+                                   / CAST(n_risk AS DOUBLE))
+                           AS DECIMAL(38,12)) END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum,
+             sum(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zeros
+      FROM km)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           CASE WHEN zeros > 0 THEN 0.0
+                ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END + 0.0
+             AS survival
+    FROM st WHERE n_events > 0
+    """,
+    doc=(
+        "Kaplan-Meier product-limit curve for time from first signup "
+        "to first purchase, hour buckets, right-censored at 7 days "
+        "(operators/survival.kaplan_meier) — the statistically-correct "
+        "incomplete-window conversion curve (censored users are not "
+        "failures). Integer-exact durations via epoch-micros integer "
+        "division; the running product is exp of a DECIMAL-accumulated "
+        "cumulative ln-sum; a d==n step pins survival to exactly 0. "
+        "Two user-keyed aggregates + one bucket-table window pass."
+    ),
+)
+def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import kaplan_meier
+
+    ev = read_table(spark, sf_dir, "events")
+    return kaplan_meier(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        entry_type="signup",
+        event_type="purchase",
+        horizon_seconds=604800,
+        bucket_seconds=3600,
+    )
