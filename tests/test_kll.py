@@ -67,3 +67,35 @@ def test_kll_build_and_quantiles_df(spark, sf_dir):
         assert _exact_rank_err(vals, est, p) <= 0.05
     # monotone in p
     assert rows[0.25] <= rows[0.5] <= rows[0.75]
+
+
+def test_kll_group_quantiles_exact_regime(spark):
+    from ups_crossref_etl_spark.operators.kll import kll_group_quantiles
+
+    rows = [("g1", float(v)) for v in range(1, 101)] + [
+        ("g2", float(v * 3)) for v in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["g"], r["p"]): r["est"]
+        for r in kll_group_quantiles(df, "g", "v", [0.25, 0.5, 0.75], k=200).collect()
+    }
+    import math
+
+    for g, vals in (("g1", list(range(1, 101))), ("g2", [v * 3 for v in range(1, 8)])):
+        s = sorted(vals)
+        for p in (0.25, 0.5, 0.75):
+            want = float(s[math.ceil(p * len(s)) - 1])
+            assert out[(g, p)] == want, (g, p)
+
+
+def test_kll_group_quantiles_compacted_within_bound(spark):
+    from ups_crossref_etl_spark.operators.kll import kll_group_quantiles
+
+    vals = [float((i * 37) % 5000) for i in range(5000)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = {
+        r["p"]: r["est"]
+        for r in kll_group_quantiles(df, "g", "v", [0.5], k=64).collect()
+    }
+    assert _exact_rank_err(vals, out[0.5], 0.5) <= 0.13

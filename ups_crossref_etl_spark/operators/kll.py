@@ -52,7 +52,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["KLLSketch", "kll_build", "kll_quantiles"]
+__all__ = [
+    "KLLSketch",
+    "kll_build",
+    "kll_quantiles",
+    "kll_group_quantiles",
+]
 
 
 class KLLSketch:
@@ -179,3 +184,58 @@ def kll_quantiles(
         [StructField("p", DoubleType()), StructField("est", DoubleType())]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def kll_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[float],
+    k: int = 200,
+) -> DataFrame:
+    """Per-group sketch quantiles: ``(group_col, p, est)`` for each
+    probability — the grouped-percentile primitive (billions of keys ×
+    a fixed-size sketch each, where an exact per-group sort is the
+    thing being avoided). One ``applyInPandas`` pass; per-group state
+    is the O(k·log(n/k)) sketch.
+
+    Exactness regimes: a group with n <= k rows never compacts, so its
+    estimate IS the exact order statistic at rank ceil(p·n) — which is
+    what the gate query pins hash-exactly; the compaction regime's
+    error is pinned by ``q_events_kll_quantiles_bound``. (No sorting
+    needed for determinism in the exact regime — an uncompacted sketch
+    is arrival-order-free by construction.)"""
+    ps = [float(p) for p in probs]
+    kk = int(k)
+    out_schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("p", DoubleType()),
+            StructField("est", DoubleType()),
+        ]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k=kk)
+        vals = pdf["v"].dropna()
+        if not len(vals):
+            return pd.DataFrame({"g": [], "p": [], "est": []})
+        sk.update_many(vals.to_numpy())
+        g = pdf["g"].iloc[0]
+        return pd.DataFrame(
+            {
+                "g": [g] * len(ps),
+                "p": ps,
+                "est": [float(sk.quantile(p)) for p in ps],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("g")
+        .applyInPandas(per_group, schema=out_schema)
+        .select(F.col("g").alias(group_col), "p", "est")
+    )

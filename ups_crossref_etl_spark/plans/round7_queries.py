@@ -2296,3 +2296,45 @@ def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         horizon_seconds=604800,
         bucket_seconds=3600,
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped KLL quantiles (exact regime, hash-pinned)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_kll_group_quantiles",
+    """
+    WITH n AS (SELECT source, count(*) AS cnt FROM documents
+               GROUP BY source),
+    r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars) AS rk
+      FROM documents),
+    p AS (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+    SELECT r.source, p.p + 0.0 AS p, CAST(r.n_chars AS DOUBLE) AS est
+    FROM r JOIN n USING (source) CROSS JOIN p
+    WHERE r.rk = CAST(ceil(p.p * n.cnt) AS BIGINT)
+    """,
+    doc=(
+        "Per-source n_chars quartiles from grouped KLL sketches "
+        "(operators/kll.kll_group_quantiles, k=200) — the grouped-"
+        "percentile primitive at 100 TB (a fixed-size sketch per key "
+        "instead of per-group sorts). At sf0.01 every source group has "
+        "n <= k, so the sketch never compacts and its estimate IS the "
+        "exact order statistic at rank ceil(p*n) — hash-pinned here; "
+        "the compaction regime's rank error is bound-pinned by "
+        "q_events_kll_quantiles_bound."
+    ),
+)
+def q_docs_kll_group_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.kll import kll_group_quantiles
+
+    d = read_table(spark, sf_dir, "documents")
+    return kll_group_quantiles(
+        d, "source", "n_chars", [0.25, 0.5, 0.75], k=200
+    )
