@@ -466,3 +466,21 @@ def test_kaplan_meier_all_convert_hits_zero(spark):
     ).collect()
     last = max(out, key=lambda r: r["t"])
     assert last["survival"] == 0.0
+
+
+def test_abc_classification_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.stats import abc_classification
+
+    # values 50, 30, 15, 5 -> cum shares 0.5, 0.8, 0.95, 1.0
+    rows = [("k1", 50.0), ("k2", 30.0), ("k3", 15.0), ("k4", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {
+        r["k"]: (r["cum_share"], r["abc_class"])
+        for r in abc_classification(df, "k", F.col("v")).collect()
+    }
+    assert out["k1"] == (0.5, "A")
+    assert out["k2"] == (0.8, "A")
+    assert out["k3"] == (0.95, "B")
+    assert out["k4"] == (1.0, "C")

@@ -44,6 +44,8 @@ __all__ = [
     "loo_target_encode",
     "ks_drift",
     "chisq_drift",
+    "spearman_corr",
+    "abc_classification",
 ]
 
 _DEC = "decimal(38,12)"
@@ -415,5 +417,53 @@ def spearman_corr(
             F.col("_g").alias(group_col),
             F.col("n").cast("bigint").alias("n"),
             (F.round(rho, round_digits) + F.lit(0.0)).alias("rho"),
+        )
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_expr,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto contribution analysis: rank keys by total value,
+    classify into A (keys covering the first ``a_share`` of cumulative
+    value), B (up to ``b_share``), C (the tail) —
+    ``(key, value, cum_share, abc_class)``. The inventory/revenue
+    80-15-5 classification; in pipeline terms: which sources/domains
+    carry the corpus, which are the long tail.
+
+    Determinism: per-key values accumulate as DECIMAL(18,6) and round
+    to 2 dp (the money recipe, plans/money.py); the cumulative share
+    is a window sum of exact decimals divided once in double, rounded
+    6 dp; ordering is (value DESC, key ASC) — total. One key-keyed
+    aggregate + one window pass over the KEY table (key-cardinality-
+    sized, not fact-sized)."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(F.col(key_col)).agg(
+        F.round(F.sum(value_expr.cast("decimal(18,6)")), 2).alias("_v")
+    )
+    w = Window.orderBy(F.col("_v").desc(), F.col(key_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_key.agg(F.sum("_v").alias("_tot"))
+    cs = F.round(
+        F.sum("_v").over(w).cast("double") / F.col("_tot").cast("double"),
+        6,
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("cum_share", cs + F.lit(0.0))
+        .select(
+            key_col,
+            F.col("_v").cast("double").alias("value"),
+            "cum_share",
+            F.when(F.col("cum_share") <= a_share, "A")
+            .when(F.col("cum_share") <= b_share, "B")
+            .otherwise("C")
+            .alias("abc_class"),
         )
     )

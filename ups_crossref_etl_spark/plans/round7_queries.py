@@ -2338,3 +2338,52 @@ def q_docs_kll_group_quantiles(
     return kll_group_quantiles(
         d, "source", "n_chars", [0.25, 0.5, 0.75], k=200
     )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto contribution analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_part_abc_classification",
+    """
+    WITH pk AS (
+      SELECT l_partkey,
+             round(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))), 2) AS v
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT sum(v) AS tot FROM pk),
+    c AS (
+      SELECT l_partkey, v,
+             round(CAST(sum(v) OVER (ORDER BY v DESC, l_partkey
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST((SELECT tot FROM t) AS DOUBLE), 6) + 0.0
+               AS cum_share
+      FROM pk)
+    SELECT l_partkey, CAST(v AS DOUBLE) AS value, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    doc=(
+        "ABC/Pareto classification of parts by discounted revenue "
+        "(operators/stats.abc_classification, 80/95 cut points) — the "
+        "contribution analysis that answers 'which keys carry the "
+        "corpus, which are tail'. Money-exact per-key sums "
+        "(DECIMAL(18,6) accumulate, 2 dp), cumulative share over a "
+        "total (value DESC, key) order, one key-table window pass."
+    ),
+)
+def q_part_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.stats import abc_classification
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return abc_classification(
+        li,
+        "l_partkey",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    )
