@@ -484,3 +484,61 @@ def test_abc_classification_hand_case(spark):
     assert out["k2"] == (0.8, "A")
     assert out["k3"] == (0.95, "B")
     assert out["k4"] == (1.0, "C")
+
+
+def test_best_entropy_split_separable(spark):
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.evaluation import (
+        best_entropy_split,
+    )
+
+    # perfectly separable at x <= 5
+    rows = [(float(x), 1) for x in range(1, 6)] + [
+        (float(x), 0) for x in range(6, 11)
+    ]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = best_entropy_split(df, "x", F.col("y") == 1).first()
+    assert out["threshold"] == 5.0
+    import math
+
+    assert abs(out["gain"] - round(math.log(2), 6)) < 1e-9
+    assert out["n_left"] == 5 and out["pos_left"] == 5
+    assert out["n_right"] == 5 and out["pos_right"] == 0
+
+
+def test_best_entropy_split_matches_brute(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.evaluation import (
+        best_entropy_split,
+    )
+
+    rows = [(1.0, 1), (1.0, 0), (2.0, 1), (3.0, 0), (3.0, 0),
+            (4.0, 1), (5.0, 0), (6.0, 1), (6.0, 1)]
+    df = spark.createDataFrame(rows, "x double, y int")
+
+    def H(p, n):
+        if n == 0 or p in (0, n):
+            return 0.0
+        q = p / n
+        return -q * math.log(q) - (1 - q) * math.log(1 - q)
+
+    xs = sorted({r[0] for r in rows})
+    tn, tp = len(rows), sum(r[1] for r in rows)
+    best = None
+    for t in xs:
+        nl = sum(1 for r in rows if r[0] <= t)
+        pl = sum(r[1] for r in rows if r[0] <= t)
+        nr, pr = tn - nl, tp - pl
+        if nr == 0:
+            continue
+        gain = round(
+            H(tp, tn) - nl / tn * H(pl, nl) - nr / tn * H(pr, nr), 6
+        )
+        if best is None or gain > best[1]:
+            best = (t, gain)
+    out = best_entropy_split(df, "x", F.col("y") == 1).first()
+    assert (out["threshold"], out["gain"]) == best

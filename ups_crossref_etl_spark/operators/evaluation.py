@@ -235,3 +235,84 @@ def ranking_metrics(
         F.round(F.col("_best_rr") / 1_000_000.0, round_digits).alias("mrr"),
         F.round(F.col("_dcg") / ideal.cast("double"), round_digits).alias("ndcg"),
     )
+
+
+def best_entropy_split(
+    df: DataFrame, feature_col: str, label_expr, round_digits: int = 6
+) -> DataFrame:
+    """Optimal 1-D decision stump: the threshold t maximizing
+    information gain of the split ``feature <= t`` for a binary label —
+    one row ``(threshold, gain, n_left, pos_left, n_right, pos_right)``.
+    The primitive inside tree learners and the quick "is this feature
+    predictive at all" screen for quality-filter features.
+
+    Candidate thresholds are the distinct feature values (the optimal
+    split lies on one); gains come from ONE cumulative window over the
+    distinct-value table: per-value (n, positives) counts, running
+    left-side totals, right = total - left. Entropies are double
+    expressions over exact integer counts (0·ln 0 handled as 0); the
+    gain is rounded before the argmax and ties break on the smaller
+    threshold — the engine-reproducible argmax recipe.
+
+    Scale: one groupBy(feature) over the data (the only fact-sized
+    shuffle) + one window/aggregate over the DISTINCT-value table.
+    """
+    from pyspark.sql import Window
+
+    per_v = (
+        df.select(
+            F.col(feature_col).alias("_x"),
+            label_expr.cast("int").alias("_y"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_x")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").alias("_p"),
+        )
+    )
+    w = Window.orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_v.agg(
+        F.sum("_n").alias("_tn"), F.sum("_p").alias("_tp")
+    )
+    cum = (
+        per_v.withColumn("_nl", F.sum("_n").over(w))
+        .withColumn("_pl", F.sum("_p").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_nr", F.col("_tn") - F.col("_nl"))
+        .withColumn("_pr", F.col("_tp") - F.col("_pl"))
+        .filter(F.col("_nr") > 0)
+    )
+
+    def h(pos, n):
+        p = pos.cast("double") / n.cast("double")
+        t1 = F.when((p > 0), -p * F.log(p)).otherwise(F.lit(0.0))
+        t2 = F.when((p < 1), -(1 - p) * F.log(1 - p)).otherwise(
+            F.lit(0.0)
+        )
+        return t1 + t2
+
+    gain = (
+        h(F.col("_tp"), F.col("_tn"))
+        - (F.col("_nl").cast("double") / F.col("_tn").cast("double"))
+        * h(F.col("_pl"), F.col("_nl"))
+        - (F.col("_nr").cast("double") / F.col("_tn").cast("double"))
+        * h(F.col("_pr"), F.col("_nr"))
+    )
+    scored = cum.withColumn("gain", F.round(gain, round_digits) + F.lit(0.0))
+    best = scored.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("gain").desc(), F.col("_x"))
+        ),
+    ).filter(F.col("_rk") == 1)
+    return best.select(
+        F.col("_x").alias("threshold"),
+        "gain",
+        F.col("_nl").cast("bigint").alias("n_left"),
+        F.col("_pl").cast("bigint").alias("pos_left"),
+        F.col("_nr").cast("bigint").alias("n_right"),
+        F.col("_pr").cast("bigint").alias("pos_right"),
+    )

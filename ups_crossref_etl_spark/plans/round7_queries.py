@@ -2387,3 +2387,69 @@ def q_part_abc_classification(
         "l_partkey",
         F.col("l_extendedprice") * (1 - F.col("l_discount")),
     )
+
+
+# --------------------------------------------------------------------------
+# Optimal entropy split (decision stump)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_best_entropy_split",
+    """
+    WITH pv AS (
+      SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS p
+      FROM documents
+      WHERE n_chars IS NOT NULL
+      GROUP BY n_chars),
+    t AS (SELECT sum(n) AS tn, sum(p) AS tp FROM pv),
+    cum AS (
+      SELECT x,
+             sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS nl,
+             sum(p) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS pl,
+             (SELECT tn FROM t) AS tn, (SELECT tp FROM t) AS tp
+      FROM pv),
+    g AS (
+      SELECT x, nl, pl, tn - nl AS nr, tp - pl AS pr, tn, tp
+      FROM cum WHERE tn - nl > 0),
+    sc AS (
+      SELECT x, nl, pl, nr, pr,
+             round(
+               (CASE WHEN tp > 0 THEN -(CAST(tp AS DOUBLE)/CAST(tn AS DOUBLE)) * ln(CAST(tp AS DOUBLE)/CAST(tn AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN tp < tn THEN -(1 - CAST(tp AS DOUBLE)/CAST(tn AS DOUBLE)) * ln(1 - CAST(tp AS DOUBLE)/CAST(tn AS DOUBLE)) ELSE 0.0 END)
+               - (CAST(nl AS DOUBLE)/CAST(tn AS DOUBLE)) *
+                 (CASE WHEN pl > 0 THEN -(CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE)) * ln(CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN pl < nl THEN -(1 - CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE)) * ln(1 - CAST(pl AS DOUBLE)/CAST(nl AS DOUBLE)) ELSE 0.0 END)
+               - (CAST(nr AS DOUBLE)/CAST(tn AS DOUBLE)) *
+                 (CASE WHEN pr > 0 THEN -(CAST(pr AS DOUBLE)/CAST(nr AS DOUBLE)) * ln(CAST(pr AS DOUBLE)/CAST(nr AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN pr < nr THEN -(1 - CAST(pr AS DOUBLE)/CAST(nr AS DOUBLE)) * ln(1 - CAST(pr AS DOUBLE)/CAST(nr AS DOUBLE)) ELSE 0.0 END)
+             , 6) + 0.0 AS gain
+      FROM g),
+    rk AS (
+      SELECT x, gain, nl, pl, nr, pr,
+             row_number() OVER (ORDER BY gain DESC, x) AS r
+      FROM sc)
+    SELECT x AS threshold, gain,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right
+    FROM rk WHERE r = 1
+    """,
+    doc=(
+        "Optimal entropy decision stump on n_chars predicting "
+        "lang='en' (operators/evaluation.best_entropy_split): the "
+        "max-information-gain threshold from ONE cumulative window "
+        "over the distinct-value table — the tree-learner primitive "
+        "and feature-predictiveness screen. Exact integer counts, "
+        "mirrored double entropy expressions (0 ln 0 = 0), gain "
+        "rounded 6 dp before the (gain DESC, threshold) argmax."
+    ),
+)
+def q_docs_best_entropy_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.evaluation import best_entropy_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return best_entropy_split(d, "n_chars", F.col("lang") == "en")
