@@ -542,3 +542,55 @@ def test_best_entropy_split_matches_brute(spark):
             best = (t, gain)
     out = best_entropy_split(df, "x", F.col("y") == 1).first()
     assert (out["threshold"], out["gain"]) == best
+
+
+def test_ht_estimate_unbiased_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.sampling import ht_estimate
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out = {
+        r["source"]: r
+        for r in ht_estimate(
+            d, "source", "doc_id", "n_chars",
+            rates={"src0": 0.2}, default_rate=0.5,
+        ).collect()
+    }
+    true = {
+        r["source"]: (r["n"], r["s"])
+        for r in d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    for src, r in out.items():
+        n_true, s_true = true[src]
+        # HT is an estimate: within a loose factor on small strata, and
+        # n_hat = n_sampled / rate exactly
+        rate = 0.2 if src == "src0" else 0.5
+        assert abs(r["n_hat"] - r["n_sampled"] / rate) < 1e-6
+        assert r["n_sampled"] <= n_true
+        assert r["value_hat"] > 0
+
+
+def test_ht_estimate_rate_one_is_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.sampling import ht_estimate
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out = {r["source"]: r for r in ht_estimate(
+        d, "source", "doc_id", "n_chars", rates={}, default_rate=1.0
+    ).collect()}
+    true = {
+        r["source"]: (r["n"], r["s"])
+        for r in d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    for src, (n_true, s_true) in true.items():
+        assert out[src]["n_sampled"] == n_true
+        assert out[src]["n_hat"] == float(n_true)
+        assert out[src]["value_hat"] == float(s_true)

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
 from ups_crossref_etl_spark.operators.quality import BENFORD_P, benford_audit
 from ups_crossref_etl_spark.operators.stats import spearman_corr
 

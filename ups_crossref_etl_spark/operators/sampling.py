@@ -510,3 +510,60 @@ def quota_allocate(
             .alias("alloc"),
         )
     )
+
+
+def ht_estimate(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    value_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "strat",
+) -> DataFrame:
+    """Horvitz-Thompson estimation from the deterministic stratified
+    sample: per stratum, ``(n_sampled, n_hat, value_hat)`` where each
+    sampled row is inverse-probability-weighted by its stratum's
+    inclusion rate — the estimator that makes downsampled-corpus
+    statistics unbiased for the FULL corpus (compute on the 1% junk
+    sample, report full-corpus token counts). Uses exactly
+    :func:`stratified_sample`'s md5 rule, so estimates are pure
+    functions of (seed, keys) — reproducible and oracle-checkable.
+
+    Exactness: weights are rationals 10000/cutoff from the same
+    driver-side integer cutoffs the sampler inlines; ``n_hat`` is
+    ``n_sampled * 10000 / cutoff`` and ``value_hat`` accumulates
+    DECIMAL(38,12)-cast ``value * 10000 / cutoff`` terms — order-free;
+    both rounded 4 dp / 2 dp. One sampled-side groupBy(stratum)."""
+    sampled = stratified_sample(
+        df, stratum_col, key_col, rates, default_rate, seed=seed
+    )
+    cutoff = None
+    for s, r in rates.items():
+        lit = F.lit(int(round(float(r) * 10_000)))
+        clause = F.when(F.col(stratum_col) == F.lit(s), lit)
+        cutoff = clause if cutoff is None else cutoff.when(
+            F.col(stratum_col) == F.lit(s), lit
+        )
+    default_lit = F.lit(int(round(float(default_rate) * 10_000)))
+    cutoff = default_lit if cutoff is None else cutoff.otherwise(default_lit)
+    w = F.lit(10_000).cast("double") / cutoff.cast("double")
+    return (
+        sampled.groupBy(F.col(stratum_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.round(F.sum(w.cast("decimal(38,12)")), 4)
+            .cast("double")
+            .alias("n_hat"),
+            F.round(
+                F.sum(
+                    (F.col(value_col).cast("double") * w).cast(
+                        "decimal(38,12)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("value_hat"),
+        )
+    )

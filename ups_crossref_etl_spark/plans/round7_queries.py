@@ -2453,3 +2453,56 @@ def q_docs_best_entropy_split(
 
     d = read_table(spark, sf_dir, "documents")
     return best_entropy_split(d, "n_chars", F.col("lang") == "en")
+
+
+# --------------------------------------------------------------------------
+# Horvitz-Thompson estimation from the stratified sample
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_ht_estimate",
+    """
+    WITH s AS (
+      SELECT source, n_chars,
+             CASE WHEN source = 'src0' THEN 2000
+                  WHEN source = 'src1' THEN 5000
+                  ELSE 7500 END AS cutoff
+      FROM documents
+      WHERE CAST('0x' || substr(md5('strat-' || CAST(doc_id AS VARCHAR)),
+                                1, 8) AS BIGINT) % 10000
+            < CASE WHEN source = 'src0' THEN 2000
+                   WHEN source = 'src1' THEN 5000
+                   ELSE 7500 END)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(round(sum(CAST(10000.0 / cutoff AS DECIMAL(38,12))), 4)
+                AS DOUBLE) AS n_hat,
+           CAST(round(sum(CAST(n_chars * (10000.0 / cutoff)
+                               AS DECIMAL(38,12))), 2) AS DOUBLE)
+             AS value_hat
+    FROM s GROUP BY source
+    """,
+    doc=(
+        "Horvitz-Thompson full-corpus estimates from the deterministic "
+        "stratified sample (operators/sampling.ht_estimate; rates "
+        "src0=0.2, src1=0.5, default 0.75): inverse-probability-"
+        "weighted row and n_chars totals per source — the unbiased "
+        "downsampled-corpus accounting move. Weights are exact "
+        "rationals from the sampler's own integer cutoffs; weighted "
+        "sums DECIMAL-accumulated; the sample membership is the same "
+        "md5 rule both engines replicate bit-for-bit."
+    ),
+)
+def q_docs_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import ht_estimate
+
+    d = read_table(spark, sf_dir, "documents")
+    return ht_estimate(
+        d,
+        "source",
+        "doc_id",
+        "n_chars",
+        rates={"src0": 0.2, "src1": 0.5},
+        default_rate=0.75,
+    )
