@@ -125,3 +125,56 @@ def test_acf_white_noise_near_zero(spark):
     out = acf(spark.createDataFrame(rows), "k", "ts", "v", max_lag=3).collect()
     for r in out:
         assert abs(r["acf_val"]) < 0.45
+
+
+def test_holt_linear_hand_recursion(spark):
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.timeseries import (
+        holt_linear_smoothing,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ys = [10.0, 12.0, 13.0, 17.0, 16.0]
+    rows = [
+        (1, i, base + dt.timedelta(hours=i), y) for i, y in enumerate(ys)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = holt_linear_smoothing(
+        df, "user_id", "ts", "value", "event_id", alpha=0.5, beta=0.25
+    ).first()
+    l, b = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        prev = l
+        l = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (l - prev) + 0.75 * b
+    assert out["n_points"] == 5
+    assert out["level"] == round(l, 4)
+    assert out["trend"] == round(b, 6)
+    assert out["forecast_1"] == round(l + b, 4)
+
+
+def test_holt_linear_tracks_ramp(spark):
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.timeseries import (
+        holt_linear_smoothing,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + dt.timedelta(hours=i), float(5 + 2 * i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = holt_linear_smoothing(
+        df, "user_id", "ts", "value", "event_id"
+    ).first()
+    # on a pure linear ramp Holt converges to the true slope and the
+    # forecast extrapolates one step ahead
+    assert abs(out["trend"] - 2.0) < 0.05
+    assert abs(out["forecast_1"] - (5 + 2 * 40)) < 0.5

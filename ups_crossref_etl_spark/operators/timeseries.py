@@ -849,3 +849,102 @@ def acf(
             ).alias("acf_val"),
         )
     )
+
+
+def holt_linear_smoothing(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    min_points: int = 3,
+) -> DataFrame:
+    """Holt's double exponential smoothing per key (level + trend; the
+    non-seasonal core of Holt-Winters): the standard short-horizon
+    forecaster one notch up from :func:`windowed_ewma` (which has no
+    trend state and lags ramps). Returns per key
+    ``(key, n_points, level, trend, forecast_1)`` — the final smoothed
+    level/trend and the one-step-ahead forecast ``level + trend``.
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l_1 = y_1, b_1 = y_2 − y_1 (standard), observations in
+    strict (ts, id) order.
+
+    Determinism: the recursion runs in scalar IEEE doubles with a fixed
+    expression shape, so an engine replaying the identical update order
+    (the oracle's recursive CTE) reproduces it bit-for-bit; outputs are
+    rounded (level/forecast 4 dp, trend 6 dp).
+
+    Scale shape: inherently sequential IN t but embarrassingly parallel
+    ACROSS keys — one ``applyInPandas`` over key groups (per-key state
+    is two floats; group size = series length, the same per-key bound
+    Theil-Sen documents, with resampling as the documented cap for
+    pathological keys). NULL values are skipped (carried over, the
+    standard treatment).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    a = float(alpha)
+    b = float(beta)
+    out_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("n_points", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast_1", DoubleType()),
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_us", "_id"])
+        ys = [float(v) for v in pdf["_v"] if v is not None and v == v]
+        if len(ys) < min_points:
+            return pd.DataFrame(
+                {"k": [], "n_points": [], "level": [], "trend": [],
+                 "forecast_1": []}
+            )
+        level = ys[0]
+        trend = ys[1] - ys[0]
+        for y in ys[1:]:
+            prev = level
+            level = a * y + (1.0 - a) * (level + trend)
+            trend = b * (level - prev) + (1.0 - b) * trend
+        return pd.DataFrame(
+            {
+                "k": [str(pdf["_k"].iloc[0])],
+                "n_points": [len(ys)],
+                "level": [round(level, 4) + 0.0],
+                "trend": [round(trend, 6) + 0.0],
+                "forecast_1": [round(level + trend, 4) + 0.0],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("_k"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+            F.col(id_col).alias("_id"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("_k")
+        .applyInPandas(smooth, schema=out_schema)
+        .select(
+            F.col("k").alias(key_col),
+            "n_points",
+            "level",
+            "trend",
+            "forecast_1",
+        )
+    )

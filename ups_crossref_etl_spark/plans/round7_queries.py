@@ -2506,3 +2506,61 @@ def q_docs_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"src0": 0.2, "src1": 0.5},
         default_rate=0.75,
     )
+
+
+# --------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend forecast)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_holt_forecast",
+    """
+    WITH RECURSIVE ser AS (
+      SELECT user_id AS u, value AS y,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE value IS NOT NULL),
+    rec(u, n, step, l, b) AS (
+      SELECT s1.u, s1.n, 1, s1.y, s2.y - s1.y
+      FROM ser s1 JOIN ser s2 ON s1.u = s2.u AND s2.rn = 2
+      WHERE s1.rn = 1 AND s1.n >= 3
+      UNION ALL
+      SELECT r.u, r.n, r.step + 1,
+             0.5 * s.y + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM rec r JOIN ser s ON s.u = r.u AND s.rn = r.step + 1
+      WHERE r.step < r.n)
+    SELECT u AS user_id, CAST(n AS BIGINT) AS n_points,
+           round(l, 4) + 0.0 AS level,
+           round(b, 6) + 0.0 AS trend,
+           round(l + b, 4) + 0.0 AS forecast_1
+    FROM rec WHERE step = n
+    """,
+    doc=(
+        "Holt double exponential smoothing per user (operators/"
+        "timeseries.holt_linear_smoothing, alpha 0.5, beta 0.25, "
+        "l1=y1, b1=y2-y1): final level/trend state and the one-step "
+        "forecast — the trend-aware forecaster one notch up from EWMA. "
+        "Sequential in t, parallel across keys (applyInPandas, two "
+        "floats of state per key); the oracle replays the IDENTICAL "
+        "IEEE update expressions as a recursive CTE, so the recursion "
+        "is bit-exact, rounded only at output."
+    ),
+)
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_linear_smoothing
+
+    ev = read_table(spark, sf_dir, "events")
+    out = holt_linear_smoothing(
+        ev, "user_id", "ts", "value", "event_id", alpha=0.5, beta=0.25
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_points",
+        "level",
+        "trend",
+        "forecast_1",
+    )
