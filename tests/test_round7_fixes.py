@@ -594,3 +594,50 @@ def test_ht_estimate_rate_one_is_exact(spark, sf_dir):
         assert out[src]["n_sampled"] == n_true
         assert out[src]["n_hat"] == float(n_true)
         assert out[src]["value_hat"] == float(s_true)
+
+
+def test_cuped_reduces_variance_when_correlated(spark):
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.experiment import cuped_readout
+
+    base = dt.datetime(2024, 1, 1)
+    cut = dt.datetime(2024, 1, 16)
+    rows = []
+    # user-level latent scale makes pre and post strongly correlated
+    for u in range(1, 201):
+        scale = 10.0 + (u * 7 % 50)
+        rows.append((u, base + dt.timedelta(hours=u), scale))
+        rows.append((u, cut + dt.timedelta(hours=u), scale + (u % 3)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = cuped_readout(
+        df, "user_id", "ts", "value", "2024-01-16 00:00:00"
+    ).first()
+    assert out["n_users"] == 200
+    assert out["n_a"] + out["n_b"] == 200
+    assert out["var_reduction"] > 0.5  # strong pre/post correlation
+    # adjusted diff stays close to the raw diff (unbiasedness, roughly)
+    assert abs(out["diff_cuped"] - out["diff_raw"]) < 5.0
+
+
+def test_cuped_no_pre_signal_changes_nothing_much(spark):
+    import datetime as dt
+
+    from ups_crossref_etl_spark.operators.experiment import cuped_readout
+
+    cut = dt.datetime(2024, 1, 16)
+    rows = []
+    for u in range(1, 101):
+        # pre is a constant: var(X) within users is 0 across users? no -
+        # make pre UNcorrelated with post instead
+        rows.append((u, dt.datetime(2024, 1, 2), float((u * 13) % 7)))
+        rows.append((u, cut, float((u * 29) % 11)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = cuped_readout(
+        df, "user_id", "ts", "value", "2024-01-16 00:00:00"
+    ).first()
+    assert out["var_reduction"] < 0.2

@@ -1,0 +1,166 @@
+"""CUPED — variance-reduced experiment readouts.
+
+Extension layer — no counterpart in /root/reference. CUPED (Deng,
+Xu, Kohavi & Walker 2013, "Improving the Sensitivity of Online
+Controlled Experiments by Utilizing Pre-Experiment Data") is the
+standard industrial upgrade to the plain A/B difference-of-means
+(``q_events_ab_readout``): regress out each user's PRE-period metric
+X from their experiment-period metric Y,
+
+    Y* = Y − θ·(X − E[X]),   θ = cov(X, Y) / var(X),
+
+which leaves the treatment-effect estimate unbiased (assignment is
+independent of X) while shrinking its variance by the squared X-Y
+correlation — often 30-50 % smaller confidence intervals for free.
+
+Determinism contract: per-user X/Y are DECIMAL-exact sums of
+nano-unit integers; θ comes from the five pooled sufficient statistics
+(the groupwise_trend recipe — decimal sums, one double expression);
+the adjusted means/variances accumulate each user's Y* term as
+DECIMAL(38,12) before the per-arm aggregate. Output rounded.
+
+Scale shape: one user-keyed aggregate over the events (the only
+fact-sized shuffle), one 1-row pooled-moments aggregate, one map-side
+Y* computation, one 2-key arm aggregate. Assignment is the md5 hash
+bucket (operators/sampling.hash_bucket) — reproducible and
+join-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+__all__ = ["cuped_readout"]
+
+_DEC = "decimal(38,12)"
+
+
+def cuped_readout(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+    seed: str = "ab",
+) -> DataFrame:
+    """One-row CUPED readout: users are hash-assigned to arms A/B;
+    X = user's value sum strictly before ``split_ts`` (ISO string),
+    Y = sum at/after it (missing periods count 0 — every user with any
+    event participates). Returns ``(n_users, n_a, n_b, theta,
+    diff_raw, diff_cuped, var_reduction)`` where the diffs are B−A
+    mean differences and ``var_reduction = 1 − var(Y*)/var(Y)``
+    (pooled)."""
+    ev = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.round(F.col(value_col).cast("double") * 1e9)
+        .cast("bigint")
+        .alias("_vn"),
+    )
+    cut = F.lit(split_ts).cast("timestamp_ntz")
+    per_user = ev.groupBy("_u").agg(
+        F.sum(F.when(F.col("_ts") < cut, F.col("_vn")).otherwise(0)).alias(
+            "_xn"
+        ),
+        F.sum(
+            F.when(F.col("_ts") >= cut, F.col("_vn")).otherwise(0)
+        ).alias("_yn"),
+    )
+    arms = per_user.withColumn(
+        "_arm", hash_bucket(F.col("_u"), seed, 2)
+    )
+    # nano-unit moments are INTEGERS: scale-0 decimals keep 38 integer
+    # digits (a (38,12) product leaves only 14 and overflows on xn*yn)
+    _D0 = "decimal(38,0)"
+    mo = arms.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_xn").cast(_D0)).alias("_sx"),
+        F.sum(F.col("_yn").cast(_D0)).alias("_sy"),
+        F.sum(F.col("_xn").cast(_D0) * F.col("_yn").cast(_D0)).alias(
+            "_sxy"
+        ),
+        F.sum(F.col("_xn").cast(_D0) * F.col("_xn").cast(_D0)).alias(
+            "_sxx"
+        ),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    mo = mo.select(
+        "_n",
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("_theta"),
+        (sx / n).alias("_mx"),
+    )
+    adj = arms.crossJoin(F.broadcast(mo)).select(
+        "_arm",
+        (F.col("_yn").cast("double") / 1e9).alias("_y"),
+        (
+            (
+                F.col("_yn").cast("double")
+                - F.col("_theta")
+                * (F.col("_xn").cast("double") - F.col("_mx"))
+            )
+            / 1e9
+        ).alias("_ystar"),
+        "_theta",
+    )
+    agg = adj.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.max("_theta").alias("_th"),
+        *[
+            F.sum(
+                F.when(F.col("_arm") == arm, col).otherwise(F.lit(0.0)).cast(_DEC)
+            ).alias(f"_s{name}{arm}")
+            for arm in (0, 1)
+            for name, col in (("y", F.col("_y")), ("z", F.col("_ystar")))
+        ],
+        F.sum(F.col("_y").cast(_DEC)).alias("_ty"),
+        F.sum((F.col("_y") * F.col("_y")).cast(_DEC)).alias("_tyy"),
+        F.sum(F.col("_ystar").cast(_DEC)).alias("_tz"),
+        F.sum((F.col("_ystar") * F.col("_ystar")).cast(_DEC)).alias("_tzz"),
+    )
+    nu = F.col("n_users").cast("double")
+    var_y = (
+        F.col("_tyy").cast("double")
+        - F.col("_ty").cast("double") * F.col("_ty").cast("double") / nu
+    )
+    var_z = (
+        F.col("_tzz").cast("double")
+        - F.col("_tz").cast("double") * F.col("_tz").cast("double") / nu
+    )
+    return agg.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        (F.round(F.col("_th") / 1.0, 6) + F.lit(0.0)).alias("theta"),
+        (
+            F.round(
+                F.col("_sy1").cast("double") / F.col("n_b")
+                - F.col("_sy0").cast("double") / F.col("n_a"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("diff_raw"),
+        (
+            F.round(
+                F.col("_sz1").cast("double") / F.col("n_b")
+                - F.col("_sz0").cast("double") / F.col("n_a"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("diff_cuped"),
+        (F.round(F.lit(1.0) - var_z / var_y, 4) + F.lit(0.0)).alias(
+            "var_reduction"
+        ),
+    )

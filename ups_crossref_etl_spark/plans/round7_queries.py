@@ -2564,3 +2564,101 @@ def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend",
         "forecast_1",
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cuped_readout",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, ts, CAST(round(value * 1e9) AS BIGINT) AS vn
+      FROM events WHERE value IS NOT NULL),
+    pu AS (
+      SELECT u,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN vn ELSE 0 END) AS BIGINT) AS xn,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN vn ELSE 0 END) AS BIGINT) AS yn
+      FROM ev GROUP BY u),
+    arms AS (
+      SELECT u, xn, yn,
+             CAST('0x' || substr(md5('ab-' || CAST(u AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2 AS arm
+      FROM pu),
+    mo AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(xn AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yn AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(xn AS DECIMAL(38,0))
+                      * CAST(yn AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(xn AS DECIMAL(38,0))
+                      * CAST(xn AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM arms),
+    th AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+             sx / n AS mx
+      FROM mo),
+    adj AS (
+      SELECT arm,
+             CAST(yn AS DOUBLE) / 1e9 AS y,
+             (CAST(yn AS DOUBLE)
+              - theta * (CAST(xn AS DOUBLE) - mx)) / 1e9 AS ystar,
+             theta
+      FROM arms CROSS JOIN th),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             max(theta) AS th,
+             sum(CAST(CASE WHEN arm = 0 THEN y ELSE 0.0 END
+                      AS DECIMAL(38,12))) AS sy0,
+             sum(CAST(CASE WHEN arm = 1 THEN y ELSE 0.0 END
+                      AS DECIMAL(38,12))) AS sy1,
+             sum(CAST(CASE WHEN arm = 0 THEN ystar ELSE 0.0 END
+                      AS DECIMAL(38,12))) AS sz0,
+             sum(CAST(CASE WHEN arm = 1 THEN ystar ELSE 0.0 END
+                      AS DECIMAL(38,12))) AS sz1,
+             sum(CAST(y AS DECIMAL(38,12))) AS ty,
+             sum(CAST(y * y AS DECIMAL(38,12))) AS tyy,
+             sum(CAST(ystar AS DECIMAL(38,12))) AS tz,
+             sum(CAST(ystar * ystar AS DECIMAL(38,12))) AS tzz
+      FROM adj)
+    SELECT n_users, n_a, n_b,
+           round(th / 1.0, 6) + 0.0 AS theta,
+           round(CAST(sy1 AS DOUBLE) / n_b
+                 - CAST(sy0 AS DOUBLE) / n_a, 4) + 0.0 AS diff_raw,
+           round(CAST(sz1 AS DOUBLE) / n_b
+                 - CAST(sz0 AS DOUBLE) / n_a, 4) + 0.0 AS diff_cuped,
+           round(1.0 - (CAST(tzz AS DOUBLE)
+                        - CAST(tz AS DOUBLE) * CAST(tz AS DOUBLE)
+                          / CAST(n_users AS DOUBLE))
+                     / (CAST(tyy AS DOUBLE)
+                        - CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE)
+                          / CAST(n_users AS DOUBLE)), 4) + 0.0
+             AS var_reduction
+    FROM agg
+    """,
+    doc=(
+        "CUPED variance-reduced A/B readout (operators/experiment."
+        "cuped_readout, Deng/Xu/Kohavi/Walker 2013): md5 hash arms, "
+        "X = pre-2024-01-16 per-user value sum, Y = post; "
+        "Y* = Y - theta(X - E[X]) with theta from pooled decimal-exact "
+        "moments — unbiased diff, variance shrunk by the X-Y "
+        "correlation. Raw vs adjusted B-A diffs plus the realized "
+        "variance-reduction ratio; one user-keyed aggregate, one "
+        "1-row moment pass, one 2-key arm aggregate."
+    ),
+)
+def q_events_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import cuped_readout
+
+    ev = read_table(spark, sf_dir, "events")
+    return cuped_readout(
+        ev, "user_id", "ts", "value", "2024-01-16 00:00:00", seed="ab"
+    )
