@@ -641,3 +641,23 @@ def test_cuped_no_pre_signal_changes_nothing_much(spark):
         df, "user_id", "ts", "value", "2024-01-16 00:00:00"
     ).first()
     assert out["var_reduction"] < 0.2
+
+
+def test_rfm_segments_contract(spark, sf_dir):
+    from ups_crossref_etl_spark.operators.stats import rfm_segments
+    from ups_crossref_etl_spark.sources.lake import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    out = rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice")
+    rows = out.collect()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert len(rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["rfm_segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        assert r["recency_days"] >= 0
+    # someone is most recent: recency 0 exists and gets r_score 5
+    best = [r for r in rows if r["recency_days"] == 0]
+    assert best and all(r["r_score"] == 5 for r in best[:1])

@@ -46,6 +46,7 @@ __all__ = [
     "chisq_drift",
     "spearman_corr",
     "abc_classification",
+    "rfm_segments",
 ]
 
 _DEC = "decimal(38,12)"
@@ -466,4 +467,63 @@ def abc_classification(
             .otherwise("C")
             .alias("abc_class"),
         )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per key, Recency (days since last order,
+    anchored at the data's max date so the result is a pure function
+    of the input), Frequency (order count), Monetary (money-exact
+    amount sum) — each scored 1..n_tiles by ntile with 5 = best, and
+    the three digits concatenated into the classic segment label
+    ('555' = recent+frequent+big): ``(key, recency_days, frequency,
+    monetary, r_score, f_score, m_score, rfm_segment)``.
+
+    Determinism: every ntile orders by (metric, key) — a total order,
+    so bucket boundaries are engine-identical; recency is an exact
+    integer day difference; monetary uses the DECIMAL money recipe.
+    One key aggregate + three window passes over the KEY table."""
+    from pyspark.sql import Window
+
+    per_key = orders.groupBy(F.col(key_col)).agg(
+        F.max(F.col(ts_col)).alias("_last"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum(F.col(amount_col).cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    anchor = per_key.agg(F.max("_last").alias("_anchor"))
+    base = per_key.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.col("_anchor"), F.col("_last")).cast("bigint"),
+    )
+    r = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col(key_col))
+    )
+    f = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("frequency").desc(), F.col(key_col))
+    )
+    m = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("monetary").desc(), F.col(key_col))
+    )
+    scored = base.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(n_tiles + 1) - r).cast("bigint").alias("r_score"),
+        (F.lit(n_tiles + 1) - f).cast("bigint").alias("f_score"),
+        (F.lit(n_tiles + 1) - m).cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
     )

@@ -65,6 +65,7 @@ _ROUND = 7
 #: four ADVICE hardenings (leakage_safe_split typing, CDC payload
 #: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
 _CHANGED_THIS_ROUND = [
+    "q_customer_rfm_segments",
     "q_events_cuped_readout",
     "q_events_holt_forecast",
     "q_docs_ht_estimate",

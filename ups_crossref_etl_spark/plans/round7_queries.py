@@ -2662,3 +2662,56 @@ def q_events_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_readout(
         ev, "user_id", "ts", "value", "2024-01-16 00:00:00", seed="ab"
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_customer_rfm_segments",
+    """
+    WITH pk AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_d,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    a AS (SELECT max(last_d) AS anchor FROM pk),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', last_d, (SELECT anchor FROM a))
+                  AS BIGINT) AS recency_days,
+             frequency, monetary
+      FROM pk),
+    sc AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CAST(6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)
+                  AS BIGINT) AS r_score,
+             CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                  AS BIGINT) AS f_score,
+             CAST(6 - ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                  AS BIGINT) AS m_score
+      FROM base)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm_segment
+    FROM sc
+    """,
+    doc=(
+        "RFM customer segmentation over orders (operators/stats."
+        "rfm_segments): recency anchored at the data's max order date "
+        "(exact integer days), frequency, money-exact monetary, each "
+        "ntile(5)-scored with total (metric, key) orderings so bucket "
+        "boundaries are engine-identical; classic '555' segment "
+        "labels. One key aggregate + three key-table window passes."
+    ),
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import rfm_segments
+
+    o = read_table(spark, sf_dir, "orders")
+    return rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice")
