@@ -200,6 +200,25 @@ EXTENDED = [
     "q_emb_pca_bound",
     "q_events_attribution",
     "q_emb_negative_sampling",
+    # round 7 (wave 3): rank statistics (tau-b pairwise self-join, RBO),
+    # concentration/uncertainty (Gini window pass, jackknife, md5
+    # permutation replicates), scorer lift deciles, n-gram novelty
+    # (lead-window gram scan + hash-keyed anti-membership), cosine
+    # stride-pair histogram, seasonal decomposition
+    "q_events_kendall_tau",
+    "q_orders_gini_by_nation",
+    "q_docs_rbo_rankings",
+    "q_lineitem_jackknife_ratio",
+    "q_events_permutation_test",
+    "q_emb_lift_deciles",
+    "q_docs_ngram_novelty",
+    "q_emb_cosine_histogram",
+    "q_events_seasonal_decompose",
+    # round 7 (wave 4): stateless decayed scoring, contingency
+    # association (MI/NMI/chi2/V), volume-weighted median
+    "q_events_decayed_user_score",
+    "q_events_type_hour_association",
+    "q_lineitem_weighted_median_price",
 ]
 
 

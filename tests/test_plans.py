@@ -1073,3 +1073,41 @@ def test_filterspec_predicates_push_to_scan(spark, sf_dir):
     plan = _plan(q)
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "o_totalprice" in pushed and "IsNotNull" in pushed
+
+
+def test_ngram_novelty_equijoin_no_text_shuffle(spark, sf_dir):
+    """Novelty candidate membership must be a hash-keyed equi-join
+    (never cartesian), and the exchanges must carry gram HASHES, not
+    the text column."""
+    from ups_crossref_etl_spark.operators.text_analysis import ngram_novelty
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "is_ref", F.col("doc_id") % 5 == 0
+    )
+    plan = _plan(ngram_novelty(d, "text", "doc_id", "is_ref", k=3))
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_kendall_tau_key_equijoin(spark, sf_dir):
+    """The tau-b pairwise stage must join on the KEY (equi-join with the
+    rn inequality as a post-filter), never a cartesian product."""
+    from ups_crossref_etl_spark.operators.stats import kendall_tau
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    plan = _plan(kendall_tau(e, "user_id", "ts", "value"))
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_histogram_stride_equijoin(spark, sf_dir):
+    """Stride pairing must be an id equi-join per offset — an all-pairs
+    product would be quadratic in the corpus."""
+    from ups_crossref_etl_spark.operators.similarity import cosine_pair_histogram
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = _plan(cosine_pair_histogram(emb, "vec_id", "embedding"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,331 @@
+"""Unit tests for the round-7 wave-3 operators: Kendall tau-b, Gini,
+jackknife SE, permutation test, lift table, RBO, n-gram novelty,
+cosine pair histogram, seasonal decomposition."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ups_crossref_etl_spark.operators.evaluation import (
+    lift_table,
+    rank_biased_overlap,
+)
+from ups_crossref_etl_spark.operators.experiment import permutation_test
+from ups_crossref_etl_spark.operators.similarity import cosine_pair_histogram
+from ups_crossref_etl_spark.operators.stats import (
+    gini_coefficient,
+    jackknife_ratio_se,
+    kendall_tau,
+)
+from ups_crossref_etl_spark.operators.text_analysis import ngram_novelty
+from ups_crossref_etl_spark.operators.timeseries import seasonal_decompose
+
+
+# ------------------------------------------------------------------ kendall
+
+
+def test_kendall_perfect_monotone(spark):
+    rows = [("g", i, float(i) ** 3) for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = kendall_tau(df, "g", "x", "y").first()
+    assert out["tau_b"] == 1.0
+    assert out["concordant"] == 28 and out["discordant"] == 0
+
+
+def test_kendall_reversed(spark):
+    rows = [("g", i, float(-i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    assert kendall_tau(df, "g", "x", "y").first()["tau_b"] == -1.0
+
+
+def test_kendall_ties_manual_parity(spark):
+    # scipy.stats.kendalltau(x, y, variant='b') == 0.5443310539518174
+    xs = [1, 2, 2, 3, 4, 5]
+    ys = [1.0, 3.0, 2.0, 2.0, 4.0, 4.0]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y double"
+    )
+    out = kendall_tau(df, "g", "x", "y").first()
+    n = len(xs)
+    c = d = n1 = n2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            sy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            if sx == 0:
+                n1 += 1
+            if sy == 0:
+                n2 += 1
+            if sx != 0 and sy != 0:
+                if sx == sy:
+                    c += 1
+                else:
+                    d += 1
+    n0 = n * (n - 1) // 2
+    tau = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert out["concordant"] == c and out["discordant"] == d
+    assert abs(out["tau_b"] - round(tau, 6)) < 1e-12
+
+
+def test_kendall_cap_bounds_pairs(spark):
+    rows = [("g", i, float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = kendall_tau(df, "g", "x", "y", max_points_per_key=10).first()
+    # stride = ceil(100/10) = 10 -> exactly 10 points kept
+    assert out["n_points"] == 10
+    # deterministic: same call twice gives identical tau
+    out2 = kendall_tau(df, "g", "x", "y", max_points_per_key=10).first()
+    assert out["tau_b"] == out2["tau_b"]
+
+
+# -------------------------------------------------------------------- gini
+
+
+def test_gini_equal_is_zero(spark):
+    df = spark.createDataFrame(
+        [("g", i, 100) for i in range(10)], "g string, id long, v long"
+    )
+    assert gini_coefficient(df, "g", "v", "id").first()["gini"] == 0.0
+
+
+def test_gini_hand_case(spark):
+    # values 0, v -> G = 2*(1*0 + 2*v)/(2*v) ... = 0.5 (max for n=2)
+    df = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, 500)], "g string, id long, v long"
+    )
+    out = gini_coefficient(df, "g", "v", "id").first()
+    assert out["gini"] == 0.5 and out["total"] == 500 and out["n"] == 2
+
+
+def test_gini_zero_total_guard(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, 0)], "g string, id long, v long"
+    )
+    assert gini_coefficient(df, "g", "v", "id").first()["gini"] == 0.0
+
+
+# --------------------------------------------------------------- jackknife
+
+
+def test_jackknife_manual_parity(spark):
+    data = [("a", 10.0, 2.0), ("a", 20.0, 3.0), ("b", 5.0, 1.0),
+            ("c", 40.0, 10.0), ("c", 10.0, 4.0)]
+    df = spark.createDataFrame(data, "g string, num double, den double")
+    out = jackknife_ratio_se(df, "g", "num", "den").first()
+    sums = {}
+    for g, n, d in data:
+        sn, sd = sums.get(g, (0.0, 0.0))
+        sums[g] = (sn + n, sd + d)
+    tn = sum(v[0] for v in sums.values())
+    td = sum(v[1] for v in sums.values())
+    thetas = [
+        round((tn - sn) / (td - sd) * 1e9) / 1e9 for sn, sd in sums.values()
+    ]
+    g = len(thetas)
+    mean = sum(thetas) / g
+    se = math.sqrt((g - 1) / g * sum((t - mean) ** 2 for t in thetas))
+    assert out["n_groups"] == g
+    assert abs(out["theta_hat"] - round(tn / td, 6)) < 1e-12
+    assert abs(out["jackknife_se"] - se) < 1e-5
+
+
+# ------------------------------------------------------------- permutation
+
+
+def test_permutation_obvious_difference(spark):
+    rows = [(i, "a", 100.0) for i in range(40)] + [
+        (i + 1000, "b", 1.0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = permutation_test(df, "id", "grp", "v", "a", "b", 100).first()
+    assert out["n_a"] == 40 and out["n_b"] == 40
+    assert out["t_obs"] == 99.0
+    assert out["p_value"] <= 0.05  # relabeling can't reproduce a 99-gap
+
+
+def test_permutation_deterministic(spark):
+    rows = [(i, "a" if i % 2 else "b", float(i % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    r1 = permutation_test(df, "id", "grp", "v", "a", "b", 50).first()
+    r2 = permutation_test(df, "id", "grp", "v", "a", "b", 50).first()
+    assert r1 == r2
+    assert 0.0 < r1["p_value"] <= 1.0
+
+
+# -------------------------------------------------------------------- lift
+
+
+def test_lift_perfect_scorer(spark):
+    # 100 rows, top-20 scores are exactly the positives
+    rows = [(i, float(1000 - i), 1 if i < 20 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    out = {r["tile"]: r for r in lift_table(df, "s", "y", "id", 10).collect()}
+    assert out[1]["n_pos"] == 10 and out[2]["n_pos"] == 10
+    assert out[2]["capture"] == 1.0  # all positives inside top 2 deciles
+    assert out[1]["lift"] == 5.0  # precision 1.0 over base rate 0.2
+    assert out[10]["lift"] == 1.0 and out[10]["cum_n"] == 100
+
+
+# --------------------------------------------------------------------- rbo
+
+
+def test_rbo_identical_and_disjoint(spark):
+    a = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(i + 100, i + 1) for i in range(50)], "id long, rank long"
+    )
+    same = rank_biased_overlap(a, a, "id", "rank", 50, 0.9).first()
+    # identical truncated lists: RBO_d = 1 - p^d
+    assert abs(same["rbo"] - (1 - 0.9**50)) < 1e-5
+    assert same["n_overlap"] == 50
+    disj = rank_biased_overlap(a, b, "id", "rank", 50, 0.9).first()
+    assert disj["rbo"] == 0.0 and disj["n_overlap"] == 0
+
+
+# ----------------------------------------------------------------- novelty
+
+
+def test_ngram_novelty_extremes(spark):
+    rows = [
+        (0, "alpha beta gamma delta", True),
+        (1, "alpha beta gamma delta", False),  # identical to ref -> 0.0
+        (2, "zip zap zop quux quark", False),  # fully novel -> 1.0
+        (3, "hi", False),  # short doc: one full-text gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_ref boolean")
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(df, "text", "doc_id", "is_ref", k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty"] == 0.0 and out[1]["n_grams"] == 2
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["n_grams"] == 1 and out[3]["novelty"] == 1.0
+
+
+# --------------------------------------------------------------- cosine hist
+
+
+def test_cosine_histogram_extremes(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]),      # cos(1,2) = 1 -> bin 19
+        (3, [0.0, 1.0]), (4, [0.0, -1.0]),     # cos(3,4) = -1 -> bin 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_pair_histogram(df, "vec_id", "embedding", offsets=[1], n_bins=20)
+    got = {(r["bin"]): r["n_pairs"] for r in out.collect()}
+    assert got[19] >= 1 and got[0] >= 1
+    assert sum(got.values()) == 3  # pairs (1,2) (2,3) (3,4)
+
+
+# ---------------------------------------------------------------- seasonal
+
+
+def test_seasonal_constant_series_is_flat(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(t0 + timedelta(hours=h), 10.0) for h in range(24 * 5)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = seasonal_decompose(df, "ts", "v", period=24, ma_window=25).collect()
+    assert len(out) == 24
+    assert all(r["seasonal_idx"] == 0.0 for r in out)
+
+
+def test_seasonal_detects_hot_phase(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # hour 0 of each day is 10x hotter
+    rows = [
+        (t0 + timedelta(hours=h), 100.0 if h % 24 == 0 else 10.0)
+        for h in range(24 * 10)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["phase"]: r["seasonal_idx"] for r in
+           seasonal_decompose(df, "ts", "v", period=24, ma_window=25).collect()}
+    assert out[0] == max(out.values()) and out[0] > 50
+    assert all(v < 0 for p, v in out.items() if p not in (0, 12))
+
+
+# ------------------------------------------------------------- decayed score
+
+
+def test_decayed_score_halving(spark):
+    from datetime import datetime
+
+    from ups_crossref_etl_spark.operators.timeseries import decayed_score
+
+    anchor = 1706745600  # 2024-02-01 00:00:00 UTC
+    rows = [
+        ("u", datetime(2024, 2, 1, 0, 0, 0), 8.0),    # dt=0    -> 8
+        ("u", datetime(2024, 1, 31, 0, 0, 0), 8.0),   # dt=24h  -> 4
+        ("u", datetime(2024, 1, 30, 0, 0, 0), 8.0),   # dt=48h  -> 2
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = decayed_score(df, "k", "ts", "v", 24.0, anchor).first()
+    assert out["n_events"] == 3 and out["decayed_score"] == 14.0
+
+
+# -------------------------------------------------------------- association
+
+
+def test_association_independent_and_identical(spark):
+    from ups_crossref_etl_spark.operators.association import (
+        categorical_association,
+    )
+
+    # perfectly independent 2x2 with equal margins: MI = 0, chi2 = 0
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = categorical_association(df, "a", "b").first()
+    assert out["mi"] == 0.0 and out["chi2"] == 0.0
+    assert out["nmi"] == 0.0 and out["cramers_v"] == 0.0
+    # identical columns: MI = H(A), NMI = 1, V = 1
+    rows2 = [("x", "x"), ("y", "y"), ("z", "z")] * 10
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    o2 = categorical_association(df2, "a", "b").first()
+    import math
+
+    assert abs(o2["mi"] - math.log(3)) < 1e-5
+    assert o2["nmi"] == 1.0 and o2["cramers_v"] == 1.0
+    assert o2["h_a"] == o2["h_b"]
+
+
+def test_association_null_level(spark):
+    from ups_crossref_etl_spark.operators.association import (
+        categorical_association,
+    )
+
+    rows = [("x", "p"), (None, "q"), ("x", None), (None, None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = categorical_association(df, "a", "b").first()
+    assert out["n_rows"] == 4 and out["n_cells"] == 4  # NULL is a level
+
+
+# ----------------------------------------------------------- weighted median
+
+
+def test_weighted_median_mass_pull(spark):
+    from ups_crossref_etl_spark.operators.association import weighted_median
+
+    # plain median of values is 3; weight pulls it to 1
+    rows = [("g", 1, 1, 10), ("g", 2, 2, 1), ("g", 3, 3, 1),
+            ("g", 4, 4, 1), ("g", 5, 5, 1)]
+    df = spark.createDataFrame(rows, "g string, id long, v long, w long")
+    out = weighted_median(df, "g", "v", "w", "id").first()
+    assert out["weighted_median"] == 1 and out["total_weight"] == 14
+    assert out["n"] == 5
+
+
+def test_weighted_median_even_split_lower(spark):
+    from ups_crossref_etl_spark.operators.association import weighted_median
+
+    # W = 4, first row reaches 2*2 >= 4 -> lower median = 10
+    rows = [("g", 1, 10, 2), ("g", 2, 20, 2)]
+    df = spark.createDataFrame(rows, "g string, id long, v long, w long")
+    assert weighted_median(df, "g", "v", "w", "id").first()[
+        "weighted_median"
+    ] == 10

@@ -316,3 +316,130 @@ def best_entropy_split(
         F.col("_nr").cast("bigint").alias("n_right"),
         F.col("_pr").cast("bigint").alias("pos_right"),
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Cumulative-gains / lift table: score-ordered deciles with
+    ``(tile, n, n_pos, cum_n, cum_pos, capture, lift)``.
+
+    The model-triage companion to ``binary_auc``: AUC says whether the
+    scorer ranks well overall; the lift table says what happens if you
+    only KEEP the top 10/20/...% — exactly the question a quality-filter
+    threshold decision needs. Tiles come from ``ntile(n)`` over the
+    total order (score DESC, id) so assignment is deterministic under
+    ties; every output is a ratio of exact integer counts (capture =
+    share of all positives recovered by tile ≤ t; lift = tile-cumulative
+    precision over base rate), rounded 6 dp. Shape: one window pass to
+    tile (the only corpus-sized sort), one count aggregate per tile,
+    then n-row window cumsums — identical scale behavior to
+    ``rfm_segments``' ntile scoring.
+    """
+    tiled = df.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+        .alias("tile"),
+    )
+    per = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+    )
+    wc = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        F.col("tile").cast("bigint").alias("tile"),
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        (
+            F.round(
+                F.sum("n_pos").over(wc).cast("double")
+                / F.sum("n_pos").over(wt).cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("capture"),
+        (
+            F.round(
+                (
+                    F.sum("n_pos").over(wc).cast("double")
+                    / F.sum("n").over(wc).cast("double")
+                )
+                / (
+                    F.sum("n_pos").over(wt).cast("double")
+                    / F.sum("n").over(wt).cast("double")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("lift"),
+    )
+
+
+def rank_biased_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    rank_col: str,
+    depth: int,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) between two
+    top-``depth`` rankings: one row ``(depth, n_overlap, rbo)``.
+
+    The ranking-drift metric for "did the new scorer / index / embedding
+    reorder what we surface": top-weighted (rank 1 disagreements cost
+    more than rank 50), well-defined on non-conjoint lists. Identity
+    used: RBO_d = (1−p)·Σ_{k≤d} p^{k−1}·|A_k ∩ B_k|/k; an id appearing
+    at ranks (ra, rb) joins every prefix k ≥ max(ra, rb), so its total
+    contribution is the suffix weight W_m = Σ_{k=m..d} p^{k−1}/k — built
+    once as a ``depth``-row weight table (sequence + one window suffix
+    cumsum), broadcast-joined to the id overlap. Weights are quantized
+    to 12-dp BIGINT picos before the final sum so the cross-engine
+    accumulation is exact integer addition; the result rounds 6 dp.
+    Inputs are top-depth lists (≤ depth rows each) — the corpus-sized
+    work is whatever TakeOrdered produced them.
+    """
+    spark = ranked_a.sparkSession
+    ks = spark.range(1, depth + 1).select(F.col("id").alias("k"))
+    wsuf = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    weights = ks.select(
+        "k",
+        F.sum(F.pow(F.lit(float(p)), F.col("k") - 1) / F.col("k"))
+        .over(wsuf)
+        .alias("_w"),
+    ).select("k", F.round(F.col("_w") * 1e12).cast("bigint").alias("_w_pico"))
+    a = ranked_a.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_ra")
+    ).filter(F.col("_ra") <= depth)
+    b = ranked_b.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_rb")
+    ).filter(F.col("_rb") <= depth)
+    m = a.join(b, "_id").select(
+        F.greatest(F.col("_ra"), F.col("_rb")).cast("bigint").alias("k")
+    )
+    contrib = m.join(F.broadcast(weights), "k")
+    return contrib.agg(
+        F.lit(depth).cast("bigint").alias("depth"),
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        (
+            F.round(
+                F.lit(1.0 - float(p))
+                * F.coalesce(F.sum("_w_pico"), F.lit(0)).cast("double")
+                / 1e12,
+                6,
+            )
+            + 0.0
+        ).alias("rbo"),
+    )

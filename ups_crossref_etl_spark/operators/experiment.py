@@ -164,3 +164,116 @@ def cuped_readout(
             "var_reduction"
         ),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_permutations: int = 200,
+    seed: str = "perm",
+) -> DataFrame:
+    """Hash-randomization test for a difference in means: one row
+    ``(n_a, n_b, t_obs, n_extreme, p_value)``.
+
+    The nonparametric significance readout that needs no normality
+    assumption: re-assign every row's arm by an md5 coin b = 1..B and
+    ask how often the random relabeling produces |mean_A − mean_B| at
+    least as large as observed — p = (1 + #extreme) / (B + 1), the
+    standard add-one Monte-Carlo estimator (Phipson & Smyth 2010).
+    Relabeling is Bernoulli(1/2) per row keyed by
+    md5(seed:id:replicate) — the same reproducible-coin recipe as
+    ``bootstrap.poisson_bootstrap_means``, so the whole test is
+    hash-exact across engines. Values lift to BIGINT nanos; every
+    replicate mean is a ratio of exact integer sums rounded 6 dp, and
+    the comparison happens on the rounded values on both sides.
+
+    Scale shape: the replicate table is rows × B produced by one
+    explode (map-only, no shuffle of text or arrays — just (b, coin,
+    nano) triples), then ONE B-keyed aggregate with map-side combine.
+    B is a constant (200), so the shuffle carries ≤ B·partitions
+    pre-aggregated rows. The observed statistic is a 2-group aggregate
+    of the same nano column.
+    """
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(id_col).cast("string").alias("_id"),
+        (F.col(group_col) == F.lit(group_a)).alias("_is_a"),
+        F.round(F.col(value_col).cast("double") * 1e9)
+        .cast("bigint")
+        .alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    obs = base.agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        (
+            F.round(
+                F.sum(F.when(F.col("_is_a"), F.col("_v"))).cast("double")
+                / F.sum(F.when(F.col("_is_a"), 1)).cast("double")
+                / 1e9
+                - F.sum(F.when(~F.col("_is_a"), F.col("_v"))).cast("double")
+                / F.sum(F.when(~F.col("_is_a"), 1)).cast("double")
+                / 1e9,
+                6,
+            )
+            + 0.0
+        ).alias("t_obs"),
+    )
+    reps = base.withColumn(
+        "_b", F.explode(F.sequence(F.lit(1), F.lit(int(n_permutations))))
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("_id"), F.col("_b"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 2
+        == 0
+    )
+    t_b = (
+        reps.select("_b", coin.alias("_ca"), "_v")
+        .groupBy("_b")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.when(F.col("_ca"), F.col("_v"))).cast("double")
+                    / F.sum(F.when(F.col("_ca"), 1)).cast("double")
+                    / 1e9
+                    - F.sum(F.when(~F.col("_ca"), F.col("_v"))).cast("double")
+                    / F.sum(F.when(~F.col("_ca"), 1)).cast("double")
+                    / 1e9,
+                    6,
+                )
+                + 0.0
+            ).alias("_t")
+        )
+    )
+    extreme = t_b.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(F.abs(F.col("_t")) >= F.abs(F.col("t_obs")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    return obs.crossJoin(F.broadcast(extreme)).select(
+        "n_a",
+        "n_b",
+        "t_obs",
+        "n_extreme",
+        (
+            F.round(
+                (1 + F.col("n_extreme")).cast("double")
+                / F.lit(float(n_permutations + 1)),
+                6,
+            )
+            + 0.0
+        ).alias("p_value"),
+    )

@@ -825,3 +825,57 @@ def mutual_top1_pairs(
             (F.col("_cos") + F.lit(0.0)).alias("cos_sim"),
         )
     )
+
+
+def cosine_pair_histogram(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    offsets: list[int] = (1, 37),
+    n_bins: int = 20,
+) -> DataFrame:
+    """Embedding-geometry audit: histogram of pairwise cosines over a
+    DETERMINISTIC stride-pair sample — ``(pair_offset, bin, lo, n_pairs)``.
+
+    The cheap structural health check run before trusting any
+    cosine-thresholded pipeline stage (SemDeDup radii, ANN recall,
+    hard-negative margins): a healthy high-dimensional embedding space
+    concentrates random-pair cosines near 0 — a histogram lump near 1
+    means collapsed embeddings, and a shifted mode means an un-centered
+    space (the thing ``standardize_embeddings`` fixes). Sampling is the
+    id-stride rule (pair each vector with id + offset per offset) — an
+    equi-join per offset, NEVER an all-pairs product, and reproducible
+    bit-for-bit unlike rand() sampling. Cosines round to 6 dp before
+    binning into ``n_bins`` equal bins over [−1, 1] (bin = floor((c+1)/w)
+    clamped), so the bin decision compares identical rounded doubles on
+    both engines; ``lo`` is the bin's lower edge, 2 dp.
+    """
+    pairs = None
+    left = emb.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    right = emb.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    for off in offsets:
+        p = left.join(
+            right, F.col("_idb") == F.col("_ida") + F.lit(int(off))
+        ).select(F.lit(int(off)).alias("pair_offset"), "_va", "_vb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    width = 2.0 / n_bins
+    c = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor((c + 1.0) / F.lit(width)).cast("int"),
+    ).cast("bigint")
+    return (
+        pairs.select("pair_offset", b.alias("bin"))
+        .groupBy("pair_offset", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            F.col("pair_offset").cast("bigint").alias("pair_offset"),
+            "bin",
+            (F.round(F.col("bin") * F.lit(width) - 1.0, 2) + 0.0).alias("lo"),
+            "n_pairs",
+        )
+    )

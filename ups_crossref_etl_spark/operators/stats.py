@@ -527,3 +527,215 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    max_points_per_key: int | None = None,
+) -> DataFrame:
+    """Per-key Kendall tau-b between ``x_col`` and ``y_col``:
+    ``(key, n_points, concordant, discordant, tau_b)``.
+
+    The rank correlation that, unlike Spearman (``spearman_corr``),
+    handles ties exactly: tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2))
+    with n0 = all pairs, n1/n2 = x-tied / y-tied pairs. Pairs are
+    enumerated ONCE via a row_number over (x, y) and a rn_b > rn_a
+    self-join on the key — the same key-clustered quadratic shape as
+    ``timeseries.theil_sen_trend``, and with the same measured escape
+    hatch: ``max_points_per_key`` applies the identical deterministic
+    stride rule (keep every ceil(n/cap)-th row of the sorted history),
+    bounding any hot key at ~cap²/2 pairs. C, D, n1, n2 are exact
+    integer counts, so tau_b is one double expression over integers,
+    rounded 6 dp — hash-exact across engines.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.dates import epoch_seconds
+
+    x_raw = F.col(x_col)
+    if dict(df.dtypes).get(x_col, "").startswith("timestamp"):
+        x_raw = epoch_seconds(x_raw)  # NTZ-safe; bare cast("long") is an analysis error
+    pts = df.select(
+        F.col(key_col).alias("_k"),
+        x_raw.cast("bigint").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    w = Window.partitionBy("_k").orderBy("_x", "_y")
+    pts = pts.select(
+        "_k", "_x", "_y",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_k")).alias("_nk"),
+    )
+    if max_points_per_key is not None:
+        stride = F.ceil(F.col("_nk") / F.lit(int(max_points_per_key))).cast(
+            "bigint"
+        )
+        pts = pts.filter((F.col("_rn") - 1) % stride == 0)
+        pts = pts.select(
+            "_k", "_x", "_y",
+            F.row_number().over(w).alias("_rn"),
+        )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._k") == F.col("b._k")) & (F.col("b._rn") > F.col("a._rn")),
+    ).select(
+        F.col("a._k").alias("_k"),
+        (F.col("b._x") > F.col("a._x")).alias("_xgt"),
+        (F.col("b._x") == F.col("a._x")).alias("_xeq"),
+        F.signum(F.col("b._y") - F.col("a._y")).alias("_sy"),
+    )
+    agg = pairs.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n0"),
+        F.sum(F.when(F.col("_xgt") & (F.col("_sy") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(F.col("_xgt") & (F.col("_sy") < 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when(F.col("_xeq"), 1).otherwise(0)).cast("bigint").alias("_n1"),
+        F.sum(F.when(F.col("_sy") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_n2"),
+    )
+    n_pts = pts.groupBy("_k").agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    denom = F.sqrt(
+        (F.col("_n0") - F.col("_n1")).cast("double")
+        * (F.col("_n0") - F.col("_n2")).cast("double")
+    )
+    return (
+        agg.join(n_pts, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_points",
+            "concordant",
+            "discordant",
+            (
+                F.round(
+                    (F.col("concordant") - F.col("discordant")).cast("double")
+                    / denom,
+                    6,
+                )
+                + 0.0
+            ).alias("tau_b"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame, group_col: str, value_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Per-group Gini concentration of a non-negative BIGINT measure:
+    ``(group, n, total, gini)``.
+
+    The corpus-curation diagnostic for "how skewed is this corpus
+    toward a few heavy sources/customers/domains" — the numeric twin of
+    ``zipf_power_law_stats``. Uses the sorted-rank closed form
+    G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n over values sorted ASCENDING with
+    a total-order tiebreak, so the rank weights are unambiguous; all
+    accumulators are exact BIGINT products, the final expression is one
+    double over integers, rounded 6 dp. ONE per-group window sort plus
+    one aggregate — same shuffle budget as any ntile scoring pass.
+    Callers pass the measure pre-scaled to integer units (cents,
+    bytes); groups with total = 0 return gini = 0.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("bigint").alias("_v"),
+        F.row_number().over(w).cast("bigint").alias("_i"),
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_v").alias("total"),
+        (
+            F.round(
+                F.when(
+                    F.sum("_v") > 0,
+                    (2.0 * F.sum(F.col("_i") * F.col("_v")))
+                    / (
+                        F.count(F.lit(1)).cast("double")
+                        * F.sum("_v").cast("double")
+                    )
+                    - (F.count(F.lit(1)) + 1).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("gini"),
+    )
+
+
+def jackknife_ratio_se(
+    df: DataFrame, group_col: str, num_col: str, den_col: str
+) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for a ratio-of-sums
+    statistic: one row ``(n_groups, theta_hat, jackknife_se)``.
+
+    The standard uncertainty recipe when rows are dependent within
+    natural clusters (a supplier's lineitems, a domain's documents):
+    leave each whole group out, recompute θ₍ᵢ₎ = (S_num − sᵢ)/(S_den − tᵢ),
+    and se² = (g−1)/g · Σ(θ₍ᵢ₎ − θ̄)². Shape is two cheap aggregates —
+    per-group DECIMAL sums (one shuffle, map-side combinable) and a
+    single-row total broadcast back — so it distributes to any number
+    of rows; the θ₍ᵢ₎ column is g rows. Determinism: group sums are
+    exact DECIMAL; each θ₍ᵢ₎ is rounded to 9 dp and lifted to BIGINT
+    nanos, so the variance accumulates in exact integers and the final
+    se is one double expression, rounded 6 dp.
+    """
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(num_col).cast("decimal(28,6)")).alias("_sn"),
+        F.sum(F.col(den_col).cast("decimal(28,6)")).alias("_sd"),
+    )
+    tot = per.agg(
+        F.sum("_sn").alias("_tn"),
+        F.sum("_sd").alias("_td"),
+        F.count(F.lit(1)).cast("bigint").alias("_g"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "_g",
+        "_tn",
+        "_td",
+        F.round(
+            (F.col("_tn") - F.col("_sn")).cast("double")
+            / (F.col("_td") - F.col("_sd")).cast("double")
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("_th_nano"),
+    )
+    th38 = F.col("_th_nano").cast("decimal(38,0)")
+    return loo.groupBy("_g", "_tn", "_td").agg(
+        F.sum("_th_nano").alias("_s1"),
+        F.sum(th38 * th38).alias("_s2"),  # nano² overflows BIGINT; 38-digit decimal holds it
+    ).select(
+        F.col("_g").alias("n_groups"),
+        (
+            F.round(F.col("_tn").cast("double") / F.col("_td").cast("double"), 6)
+            + 0.0
+        ).alias("theta_hat"),
+        (
+            F.round(
+                F.sqrt(
+                    ((F.col("_g") - 1).cast("double") / F.col("_g").cast("double"))
+                    * (
+                        F.col("_s2").cast("double")
+                        - F.col("_s1").cast("double")
+                        * F.col("_s1").cast("double")
+                        / F.col("_g").cast("double")
+                    )
+                )
+                / 1e9,
+                6,
+            )
+            + 0.0
+        ).alias("jackknife_se"),
+    )

@@ -1187,3 +1187,89 @@ def zipf_power_law_stats(
             + F.lit(0.0)
         ).alias("hill_alpha"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference partition:
+    ``(id, n_grams, n_novel, novelty)`` for every NON-reference doc,
+    where novelty = fraction of the doc's DISTINCT word k-grams that
+    appear in NO reference document.
+
+    The decontamination / freshness diagnostic that complements
+    ``membership.bloom_decontam``: the Bloom path answers "is this doc
+    suspicious" with a membership bit; this one measures HOW MUCH of a
+    doc is recycled from a reference corpus (benchmark suites, an
+    earlier crawl) — the score n-gram-overlap decontamination pipelines
+    threshold on (e.g. the 13-gram rule of GPT-3's appendix; k is a
+    parameter here).
+
+    Shape is the dedup scan discipline: posexplode tokens → lead()
+    window rebuilds k-gram adjacency (no per-row array blowup, one
+    doc-keyed window shuffle), md5-40-bit gram hashes (engine-
+    reproducible; swap xxhash64 at production scale for 64-bit head-
+    room), DISTINCT (id, hash), then ONE hash-keyed left join against
+    the distinct reference hash set — text itself never shuffles.
+    Documents shorter than k tokens contribute one gram of their full
+    text (``dedup.shingles`` convention), so nothing drops. Ratios are
+    exact small-integer fractions rounded 4 dp.
+    """
+    from pyspark.sql import Window
+
+    from . import dedup
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(ref_col).cast("boolean").alias("_ref"),
+        F.posexplode(dedup._tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    wn = Window.partitionBy("_id")
+    leads = [F.lead("_tok", i).over(w).alias(f"_t{i}") for i in range(1, k)]
+    rows = toks.select(
+        "_id", "_ref", "_pos", "_tok", *leads,
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    keep = F.col(f"_t{k - 1}").isNotNull() | (
+        (F.col("_pos") == 0) & (F.col("_n") < k)
+    )
+    # concat_ws skips NULL leads, so the pos-0 row of a short doc joins
+    # exactly its n < k tokens — the full-text gram.
+    gram = F.concat_ws(" ", "_tok", *[f"_t{i}" for i in range(1, k)])
+    gh = (
+        rows.filter(keep)
+        .select(
+            "_id",
+            "_ref",
+            F.conv(F.substring(F.md5(gram), 1, 10), 16, 10)
+            .cast("bigint")
+            .alias("_h"),
+        )
+        .distinct()
+    )
+    ref = gh.filter(F.col("_ref")).select("_h").distinct()
+    ev = gh.filter(~F.col("_ref")).select("_id", "_h")
+    joined = ev.join(
+        ref.withColumn("_seen", F.lit(1)), "_h", "left"
+    )
+    return joined.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        (
+            F.round(
+                F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            )
+            + 0.0
+        ).alias("novelty"),
+    ).withColumnRenamed("_id", id_col)

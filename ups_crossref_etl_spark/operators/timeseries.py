@@ -948,3 +948,118 @@ def holt_linear_smoothing(
             "forecast_1",
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    ma_window: int = 25,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly total
+    series: per phase-of-period row ``(phase, n_obs, seasonal_idx)``.
+
+    The moving-average decomposition behind every "is Tuesday 3 pm
+    always like this" question: bucket to hours, detrend with a
+    centered ``ma_window``-point moving average (odd window, FULL
+    windows only — partial edges would bias the trend), then average
+    the detrended residual by phase = hour-of-period. Complements
+    ``seasonal_baseline_backtest`` (which scores forecasts) by
+    exposing the seasonal component itself.
+
+    Determinism is the integer-micros trick used across this module:
+    hourly sums accumulate as BIGINT micros; the detrended value is
+    kept as the EXACT integer ``w·y − Σwindow`` (avoiding the division
+    by w entirely), and only the final per-phase average divides —
+    one double expression over exact integer sums, rounded. Shape: one
+    hour-keyed aggregate over the facts (the only fact-sized shuffle),
+    one ``ma_window``-frame window over the hourly series (series-
+    sized, thousands of rows), one ``period``-keyed aggregate.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.dates import epoch_seconds
+
+    assert ma_window % 2 == 1, "centered MA needs an odd window"
+    half = ma_window // 2
+    hourly = (
+        df.select(
+            (F.floor(epoch_seconds(F.col(ts_col)) / 3600))
+            .cast("bigint")
+            .alias("_h"),
+            F.round(F.col(value_col).cast("double") * 1e6)
+            .cast("bigint")
+            .alias("_v"),
+        )
+        .groupBy("_h")
+        .agg(F.sum("_v").alias("_y"))
+    )
+    w = Window.orderBy("_h").rowsBetween(-half, half)
+    detr = hourly.select(
+        (F.col("_h") % period).alias("phase"),
+        F.when(
+            F.count(F.lit(1)).over(w) == ma_window,
+            F.lit(ma_window) * F.col("_y") - F.sum("_y").over(w),
+        ).alias("_d"),
+    ).filter(F.col("_d").isNotNull())
+    return detr.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        (
+            F.round(
+                F.sum("_d").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(ma_window))
+                / 1e6,
+                round_digits,
+            )
+            + 0.0
+        ).alias("seasonal_idx"),
+    )
+
+
+def decayed_score(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_hours: float = 24.0,
+    anchor_epoch: int | None = None,
+) -> DataFrame:
+    """Per-key exponentially time-decayed score at an anchor instant:
+    ``(key, n_events, decayed_score)`` with score = Σ value·2^(−Δt/h),
+    Δt = anchor − event time, h = the half-life.
+
+    The recency-weighted engagement/trust signal behind "hot sources",
+    freshness-aware sampling weights, and decayed reputation — a
+    STATELESS one-pass alternative to row-ordered EWMA
+    (``windowed_ewma``): no window, no per-key sort, just a map-side
+    term and ONE key-clustered aggregate, so it distributes like a
+    plain groupBy at any key cardinality and any history length.
+
+    Determinism: each row's term value·2^(−Δt/h) is one double
+    expression on integer inputs, quantized to BIGINT picos BEFORE the
+    sum — the aggregate is exact integer addition (order-independent
+    across engines/partitions), and the final score is one rounded
+    division. ``anchor_epoch`` must be supplied by the caller for
+    reproducible runs (defaulting to max(ts) would add a scan).
+    """
+    from ..functions.dates import epoch_seconds
+
+    assert anchor_epoch is not None, "pass an explicit anchor for reproducibility"
+    dt = F.lit(int(anchor_epoch)) - epoch_seconds(F.col(ts_col))
+    term = F.col(value_col).cast("double") * F.pow(
+        F.lit(2.0), -(dt.cast("double") / F.lit(float(half_life_hours) * 3600.0))
+    )
+    pico = F.round(term * 1e12).cast("bigint")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.round(F.sum(pico).cast("double") / 1e12, 6) + 0.0).alias(
+                "decayed_score"
+            ),
+        )
+    )

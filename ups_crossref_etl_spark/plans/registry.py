@@ -55,7 +55,10 @@ _ROUND = 7
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 7 (newest first): wave 2's
+#: (first ~50 entries) re-verifies them. Round 7 (newest first): wave 3's
+#: rank/uncertainty statistics (Kendall tau-b, Gini, RBO, jackknife SE,
+#: permutation test, lift deciles, n-gram novelty, cosine histogram,
+#: seasonal decomposition), then wave 2's
 #: operator families (negative sampling, quota allocation, Zipf/Hill,
 #: session paths, HLL intersection, TextRank, attribution, PCA,
 #: Kneser-Ney, Spearman, Benford, Apriori baskets, winnowing, GSP
@@ -65,6 +68,18 @@ _ROUND = 7
 #: four ADVICE hardenings (leakage_safe_split typing, CDC payload
 #: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
 _CHANGED_THIS_ROUND = [
+    "q_events_decayed_user_score",
+    "q_events_type_hour_association",
+    "q_lineitem_weighted_median_price",
+    "q_events_kendall_tau",
+    "q_orders_gini_by_nation",
+    "q_docs_rbo_rankings",
+    "q_lineitem_jackknife_ratio",
+    "q_events_permutation_test",
+    "q_emb_lift_deciles",
+    "q_docs_ngram_novelty",
+    "q_emb_cosine_histogram",
+    "q_events_seasonal_decompose",
     "q_customer_rfm_segments",
     "q_events_cuped_readout",
     "q_events_holt_forecast",
@@ -165,10 +180,12 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed at round 7: with r7's window (41 changed +
-    9 backlog) 238 of 255 gated queries are driver-covered (union of the
-    r1-r6 CORRECTNESS artifacts plus r7's projected window); the 17
-    remaining backlog entries drain over the next ~2 rounds, every entry
+    probabilistic. Recomputed after r7 wave 3: ``_CHANGED_THIS_ROUND``
+    alone now holds 59 genuinely-new-or-modified entries, so the 50-slot
+    window is fully consumed by it and 244 of 274 gated queries are
+    driver-covered (union of the r1-r6 CORRECTNESS artifacts plus r7's
+    projected window); the 30-entry remainder (9 changed-tier overflow +
+    the standing backlog) drains over the next ~2 rounds, every entry
     meanwhile FULLCHECK-verified locally each round. gate=False entries
     sort after all gated ones — they are never driver-sampled. The full
     battery additionally runs locally per-round via
@@ -177,6 +194,7 @@ def load_all() -> dict[str, QuerySpec]:
     import hashlib
 
     from . import round7_queries  # noqa: F401
+    from . import round7b_queries  # noqa: F401
     from . import round6_queries  # noqa: F401
     from . import round6b_queries  # noqa: F401
     from . import round6c_queries  # noqa: F401

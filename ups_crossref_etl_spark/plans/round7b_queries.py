@@ -1,0 +1,738 @@
+"""Round-7 wave-3 query registrations.
+
+New operator families this wave (each the Spark-first expression of a
+standard corpus/metric tool, each with an exact DuckDB oracle twin):
+
+- rank statistics: per-key Kendall tau-b (tie-exact, with the Theil-Sen
+  stride cap for hot keys), truncated rank-biased overlap between two
+  top-k rankings;
+- concentration / uncertainty: per-group Gini coefficient,
+  delete-one-group jackknife SE for ratio-of-sums, md5-randomization
+  permutation test;
+- scorer triage: cumulative-gains / lift deciles;
+- corpus audits: per-doc n-gram novelty vs a reference partition,
+  embedding cosine histogram over deterministic stride pairs,
+  classical seasonal decomposition of the hourly series.
+
+Determinism: every query follows the registry contract — exact integer
+/ DECIMAL accumulation wherever a sum crosses engines, doubles only in
+final one-shot expressions, ROUND + 0.0 on every float output, total-
+order tiebreaks on every rank/ntile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.lake import read_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Kendall tau-b per key
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_kendall_tau",
+    """
+    WITH pts AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT k, x, y,
+             row_number() OVER (PARTITION BY k ORDER BY x, y) AS rn
+      FROM pts),
+    pairs AS (
+      SELECT a.k, (b.x > a.x) AS xgt, (b.x = a.x) AS xeq,
+             sign(b.y - a.y) AS sy
+      FROM r a JOIN r b ON a.k = b.k AND b.rn > a.rn),
+    agg AS (
+      SELECT k, count(*) AS n0,
+             sum(CASE WHEN xgt AND sy > 0 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN xgt AND sy < 0 THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN xeq THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS n2
+      FROM pairs GROUP BY k),
+    np AS (SELECT k, count(*) AS n_points FROM r GROUP BY k)
+    SELECT agg.k AS user_id,
+           CAST(np.n_points AS BIGINT) AS n_points,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           round(CAST(c - d AS DOUBLE)
+                 / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)),
+                 6) + 0.0 AS tau_b
+    FROM agg JOIN np ON agg.k = np.k
+    """,
+    doc=(
+        "Per-user Kendall tau-b of value vs time (operators/stats."
+        "kendall_tau): the tie-exact rank correlation — tau_b = (C-D)/"
+        "sqrt((n0-n1)(n0-n2)) with x-tied and y-tied pair counts from "
+        "ONE rn_b > rn_a self-join per key (pairs enumerated once via a "
+        "row_number over (x, y), so tied rows classify symmetrically and "
+        "the result is permutation-independent). Same key-clustered "
+        "quadratic shape as Theil-Sen, with the same stride cap available "
+        "for hot keys (pytest-pinned); all counts are exact integers, "
+        "tau_b is one double expression rounded 6 dp."
+    ),
+)
+def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import kendall_tau
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return kendall_tau(e, "user_id", "ts", "value")
+
+
+# --------------------------------------------------------------------------
+# Gini concentration per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_gini_by_nation",
+    """
+    WITH pc AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+             CAST(sum(CAST(o.o_totalprice * 100 AS BIGINT)) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT nk, v,
+             row_number() OVER (PARTITION BY nk ORDER BY v, ck) AS i
+      FROM pc)
+    SELECT nk AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS total,
+           round((2.0 * CAST(sum(i * v) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(sum(v) AS DOUBLE))
+                 - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                 6) + 0.0 AS gini
+    FROM r GROUP BY nk
+    """,
+    doc=(
+        "Per-nation Gini concentration of customer lifetime spend "
+        "(operators/stats.gini_coefficient): the sorted-rank closed form "
+        "G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over cent-exact BIGINT "
+        "spend, ranks from one per-group window with a (value, custkey) "
+        "total-order tiebreak. The corpus-skew diagnostic ('is 90% of "
+        "this source's volume three customers/domains') as one window + "
+        "one aggregate — the same shuffle budget as any ntile pass."
+    ),
+)
+def q_orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import gini_coefficient
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return gini_coefficient(per, "c_nationkey", "cents", "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between two rankings
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_rbo_rankings",
+    """
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             len([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                  IF x <> '']) AS n_words
+      FROM documents),
+    ra AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+      FROM base QUALIFY r <= 50),
+    rb AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_words DESC, doc_id) AS r
+      FROM base QUALIFY r <= 50),
+    ks AS (SELECT CAST(unnest(range(1, 51)) AS BIGINT) AS k),
+    w AS (
+      SELECT k,
+             CAST(round(sum(pow(0.9, k - 1) / k)
+                        OVER (ORDER BY k DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) * 1e12) AS BIGINT) AS pico
+      FROM ks),
+    m AS (
+      SELECT greatest(ra.r, rb.r) AS k
+      FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+    s AS (
+      SELECT count(*) AS n_overlap, sum(w.pico) AS sp
+      FROM m JOIN w ON m.k = w.k)
+    SELECT CAST(50 AS BIGINT) AS depth,
+           CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+           round((1.0 - 0.9) * CAST(COALESCE(sp, 0) AS DOUBLE) / 1e12, 6)
+             + 0.0 AS rbo
+    FROM s
+    """,
+    doc=(
+        "Truncated rank-biased overlap at depth 50, p=0.9 (operators/"
+        "evaluation.rank_biased_overlap, Webber et al. 2010) between the "
+        "by-chars and by-words document rankings: the top-weighted "
+        "ranking-drift metric for scorer / index swaps. Uses the suffix-"
+        "weight identity (an id at ranks ra, rb contributes "
+        "W_max(ra,rb) = sum_{k>=m} p^{k-1}/k), the weight table built by "
+        "one 50-row suffix window cumsum and quantized to BIGINT picos "
+        "so the cross-engine accumulation is exact integer addition."
+    ),
+)
+def q_docs_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..operators.evaluation import rank_biased_overlap
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(dedup._tokens(F.col("text"))).alias("n_words"),
+    )
+    wa = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wb = Window.orderBy(F.col("n_words").desc(), F.col("doc_id").asc())
+    ra = base.select("doc_id", F.row_number().over(wa).alias("rank")).filter(
+        F.col("rank") <= 50
+    )
+    rb = base.select("doc_id", F.row_number().over(wb).alias("rank")).filter(
+        F.col("rank") <= 50
+    )
+    return rank_biased_overlap(ra, rb, "doc_id", "rank", depth=50, p=0.9)
+
+
+# --------------------------------------------------------------------------
+# Jackknife ratio SE
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lineitem_jackknife_ratio",
+    """
+    WITH per AS (
+      SELECT l_suppkey AS g,
+             sum(l_extendedprice * (1 - l_discount)) AS sn,
+             sum(l_quantity) AS sd
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(sn) AS tn, sum(sd) AS td, count(*) AS ng FROM per),
+    loo AS (
+      SELECT t.ng, t.tn, t.td,
+             CAST(round(CAST(t.tn - p.sn AS DOUBLE)
+                        / CAST(t.td - p.sd AS DOUBLE) * 1e9) AS BIGINT) AS th
+      FROM per p CROSS JOIN tot t),
+    s AS (
+      SELECT ng, tn, td, sum(th) AS s1,
+             sum(CAST(th AS HUGEINT) * th) AS s2
+      FROM loo GROUP BY 1, 2, 3)
+    SELECT CAST(ng AS BIGINT) AS n_groups,
+           round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6) + 0.0
+             AS theta_hat,
+           round(sqrt((CAST(ng - 1 AS DOUBLE) / CAST(ng AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(ng AS DOUBLE)))
+                 / 1e9, 6) + 0.0 AS jackknife_se
+    FROM s
+    """,
+    doc=(
+        "Delete-one-SUPPLIER jackknife standard error for revenue-per-"
+        "unit (operators/stats.jackknife_ratio_se): the cluster-robust "
+        "uncertainty readout for ratio-of-sums statistics — leave each "
+        "whole group out, theta_(i) from exact DECIMAL group sums, "
+        "se^2 = (g-1)/g * sum(theta_(i) - mean)^2 accumulated as BIGINT "
+        "nanos (squares in 38-digit decimal / HUGEINT — nano^2 overflows "
+        "int64). Two aggregates + one broadcast total: distributes to "
+        "any row count; the per-group table is g rows."
+    ),
+)
+def q_lineitem_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import jackknife_ratio_se
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("revenue"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return jackknife_ratio_se(li, "l_suppkey", "revenue", "qty")
+
+
+# --------------------------------------------------------------------------
+# Permutation (hash-randomization) test
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_permutation_test",
+    """
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS id,
+             event_type = 'click' AS isa,
+             CAST(round(CAST(value AS DOUBLE) * 1e9) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             round(CAST(sum(CASE WHEN isa THEN v END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN isa THEN 1 END) AS DOUBLE) / 1e9
+                   - CAST(sum(CASE WHEN NOT isa THEN v END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN NOT isa THEN 1 END) AS DOUBLE) / 1e9,
+                   6) + 0.0 AS t_obs
+      FROM base),
+    reps AS (
+      SELECT bs.b, base.v,
+             CAST('0x' || substr(md5('perm:' || base.id || ':'
+                                     || CAST(bs.b AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2 = 0 AS ca
+      FROM base CROSS JOIN (SELECT unnest(range(1, 201)) AS b) bs),
+    tb AS (
+      SELECT b,
+             round(CAST(sum(CASE WHEN ca THEN v END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN ca THEN 1 END) AS DOUBLE) / 1e9
+                   - CAST(sum(CASE WHEN NOT ca THEN v END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN NOT ca THEN 1 END) AS DOUBLE) / 1e9,
+                   6) + 0.0 AS t
+      FROM reps GROUP BY b),
+    ex AS (
+      SELECT CAST(count(*) FILTER (
+               WHERE abs(t) >= abs((SELECT t_obs FROM obs))) AS BIGINT)
+               AS n_extreme
+      FROM tb)
+    SELECT obs.n_a, obs.n_b, obs.t_obs, ex.n_extreme,
+           round(CAST(1 + ex.n_extreme AS DOUBLE) / 201.0, 6) + 0.0
+             AS p_value
+    FROM obs CROSS JOIN ex
+    """,
+    doc=(
+        "md5-randomization test for the click-vs-view mean-value gap "
+        "(operators/experiment.permutation_test, B=200): relabel every "
+        "row per replicate by the md5(seed:id:b) coin — the same "
+        "reproducible-coin recipe as the Poisson bootstrap — and report "
+        "the add-one Monte-Carlo p-value (Phipson & Smyth 2010). Values "
+        "lift to BIGINT nanos so every replicate mean is exact-integer "
+        "arithmetic until one rounded division; the replicate table is "
+        "one explode + ONE B-keyed map-side-combinable aggregate."
+    ),
+)
+def q_events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import permutation_test
+
+    e = read_table(spark, sf_dir, "events")
+    return permutation_test(
+        e, "event_id", "event_type", "value", "click", "view",
+        n_permutations=200, seed="perm",
+    )
+
+
+# --------------------------------------------------------------------------
+# Lift / cumulative-gains deciles
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_lift_deciles",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding[1] AS s,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    t AS (SELECT y, ntile(10) OVER (ORDER BY s DESC, vec_id) AS tile FROM b),
+    per AS (SELECT tile, count(*) AS n, sum(y) AS np FROM t GROUP BY tile),
+    c AS (
+      SELECT tile, n, np,
+             sum(n) OVER (ORDER BY tile
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cn,
+             sum(np) OVER (ORDER BY tile
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cp,
+             sum(np) OVER () AS tp,
+             sum(n) OVER () AS tn
+      FROM per)
+    SELECT CAST(tile AS BIGINT) AS tile,
+           CAST(n AS BIGINT) AS n,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(cn AS BIGINT) AS cum_n,
+           CAST(cp AS BIGINT) AS cum_pos,
+           round(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6) + 0.0
+             AS capture,
+           round((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                 / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) + 0.0
+             AS lift
+    FROM c
+    """,
+    doc=(
+        "Cumulative-gains / lift deciles for the first-coordinate scorer "
+        "against the label>=5 target (operators/evaluation.lift_table): "
+        "the keep-the-top-X% triage readout a quality-filter threshold "
+        "decision needs — capture (share of positives recovered) and "
+        "lift (cumulative precision over base rate) per ntile(10) tile "
+        "with a (score DESC, id) total-order tiebreak; every output a "
+        "ratio of exact integer counts rounded 6 dp."
+    ),
+)
+def q_emb_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import lift_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    return lift_table(emb, "score", "y", "vec_id", n_tiles=10)
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty vs reference partition
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, doc_id % 5 = 0 AS is_ref,
+             [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+')
+              IF x <> ''] AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id, is_ref,
+             array_to_string(list_slice(tk, i, i + 2), ' ') AS g
+      FROM (SELECT doc_id, is_ref, tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM toks WHERE len(tk) >= 3)
+      UNION ALL
+      SELECT doc_id, is_ref, array_to_string(tk, ' ') AS g
+      FROM toks WHERE len(tk) < 3),
+    gh AS (
+      SELECT DISTINCT doc_id, is_ref,
+             CAST('0x' || substr(md5(g), 1, 10) AS BIGINT) AS h
+      FROM grams),
+    ref AS (SELECT DISTINCT h FROM gh WHERE is_ref),
+    ev AS (SELECT doc_id, h FROM gh WHERE NOT is_ref)
+    SELECT ev.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) + 0.0
+             AS novelty
+    FROM ev LEFT JOIN ref ON ev.h = ref.h
+    GROUP BY ev.doc_id
+    """,
+    doc=(
+        "Per-document 3-gram novelty against the doc_id%5=0 reference "
+        "partition (operators/text_analysis.ngram_novelty): the HOW-MUCH-"
+        "recycled score n-gram decontamination pipelines threshold on "
+        "(GPT-3 appendix's 13-gram rule, k parameterized), complementing "
+        "bloom_decontam's yes/no membership bit. Scan shape is the dedup "
+        "discipline — posexplode + lead() window gram assembly (no "
+        "per-row array blowup), md5-40-bit gram hashes, one hash-keyed "
+        "left join against the distinct reference set; text never "
+        "shuffles. Short docs contribute one full-text gram, nothing "
+        "drops."
+    ),
+)
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import ngram_novelty
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "is_ref", F.col("doc_id") % 5 == 0
+    )
+    return ngram_novelty(d, "text", "doc_id", "is_ref", k=3)
+
+
+# --------------------------------------------------------------------------
+# Cosine pair histogram
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_cosine_histogram",
+    """
+    WITH pairs AS (
+      SELECT o.off AS po, a.vec_id AS ia,
+             a.embedding AS va, b.embedding AS vb
+      FROM (SELECT unnest([1, 37]) AS off) o
+      CROSS JOIN embeddings a
+      JOIN embeddings b ON b.vec_id = a.vec_id + o.off),
+    dots AS (
+      SELECT po, ia, sum(av * bv) AS d,
+             sum(av * av) AS na, sum(bv * bv) AS nb
+      FROM (SELECT po, ia, unnest(va)::DOUBLE AS av,
+                   unnest(vb)::DOUBLE AS bv
+            FROM pairs) z
+      GROUP BY 1, 2),
+    binned AS (
+      SELECT po,
+             least(19, CAST(floor((round(d / (sqrt(na) * sqrt(nb)), 6)
+                                   + 1.0) / 0.1) AS INT)) AS bin
+      FROM dots)
+    SELECT CAST(po AS BIGINT) AS pair_offset,
+           CAST(bin AS BIGINT) AS bin,
+           round(CAST(bin AS DOUBLE) * 0.1 - 1.0, 2) + 0.0 AS lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM binned GROUP BY po, bin
+    """,
+    doc=(
+        "Embedding-geometry audit (operators/similarity."
+        "cosine_pair_histogram): 20-bin histogram of pairwise cosines "
+        "over the deterministic id-stride pair sample (offsets 1 and 37) "
+        "— the collapsed-embeddings / un-centered-space health check run "
+        "before trusting any cosine-thresholded stage (SemDeDup radii, "
+        "ANN recall, hard-negative margins). Stride pairing is an "
+        "equi-join per offset (never an all-pairs product) and "
+        "reproducible unlike rand() sampling; cosines round 6 dp BEFORE "
+        "binning so the bin decision compares identical doubles."
+    ),
+)
+def q_emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pair_histogram
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_pair_histogram(
+        emb, "vec_id", "embedding", offsets=[1, 37], n_bins=20
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_seasonal_decompose",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+             sum(CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT)) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    detr AS (
+      SELECT h % 24 AS phase,
+             CASE WHEN count(*) OVER w = 25
+                  THEN 25 * y - sum(y) OVER w END AS d
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 25.0 / 1e6, 4) + 0.0 AS seasonal_idx
+    FROM detr WHERE d IS NOT NULL GROUP BY 1
+    """,
+    doc=(
+        "Classical additive seasonal decomposition of the hourly value "
+        "series (operators/timeseries.seasonal_decompose, period 24, "
+        "centered 25-point MA, full windows only): the seasonal "
+        "component itself, complementing seasonal_baseline_backtest's "
+        "forecast scoring. Integer-micros discipline throughout — the "
+        "detrended value is kept as the EXACT integer 25*y - sum(window) "
+        "(no division until the final per-phase average), so the gate is "
+        "hash-exact. One fact-sized hour aggregate, one series-sized "
+        "window, one 24-key aggregate."
+    ),
+)
+def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import seasonal_decompose
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return seasonal_decompose(e, "ts", "value", period=24, ma_window=25)
+
+
+# --------------------------------------------------------------------------
+# Time-decayed score
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_decayed_user_score",
+    """
+    WITH t AS (
+      SELECT user_id,
+             CAST(round(CAST(value AS DOUBLE)
+                        * pow(2.0, -((1706745600 - floor(epoch(ts)))
+                                     / 86400.0))
+                        * 1e12) AS BIGINT) AS p
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(p) AS DOUBLE) / 1e12, 6) + 0.0 AS decayed_score
+    FROM t GROUP BY user_id
+    """,
+    doc=(
+        "Per-user exponentially time-decayed engagement score at a "
+        "pinned anchor (operators/timeseries.decayed_score, 24 h "
+        "half-life): the recency-weighted hot-source / reputation "
+        "signal as ONE stateless map + key aggregate — no window, no "
+        "per-key sort, unlike row-ordered EWMA. Each row's "
+        "value*2^(-dt/h) term quantizes to BIGINT picos before the sum, "
+        "so accumulation is order-independent exact integer addition."
+    ),
+)
+def q_events_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import decayed_score
+
+    e = read_table(spark, sf_dir, "events")
+    # anchor: 2024-02-01 00:00:00 UTC, just past the events' time span
+    return decayed_score(
+        e, "user_id", "ts", "value",
+        half_life_hours=24.0, anchor_epoch=1706745600,
+    )
+
+
+# --------------------------------------------------------------------------
+# Categorical association (MI / NMI / chi2 / Cramer's V)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_type_hour_association",
+    """
+    WITH base AS (
+      SELECT event_type AS a,
+             CAST(CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 24
+                  AS VARCHAR) AS b
+      FROM events),
+    cells AS (SELECT a, b, count(*) AS nab FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, sum(nab) AS na FROM cells GROUP BY 1),
+    mb AS (SELECT b, sum(nab) AS nb FROM cells GROUP BY 1),
+    tot AS (
+      SELECT sum(nab) AS n, count(*) AS ncells,
+             count(DISTINCT a) AS r, count(DISTINCT b) AS c
+      FROM cells),
+    terms AS (
+      SELECT CAST(round((CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(n AS DOUBLE) * CAST(nab AS DOUBLE)
+                             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                        * 1e12) AS BIGINT) AS mip,
+             CAST(round(CAST(nab AS DOUBLE) * CAST(nab AS DOUBLE)
+                        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * 1e12) AS BIGINT) AS chip
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot),
+    sa AS (
+      SELECT sum(CAST(round(-(CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                            * 1e12) AS BIGINT)) AS sha
+      FROM ma CROSS JOIN tot),
+    sb AS (
+      SELECT sum(CAST(round(-(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                            * 1e12) AS BIGINT)) AS shb
+      FROM mb CROSS JOIN tot),
+    acc AS (SELECT sum(mip) AS smi, sum(chip) AS schi FROM terms)
+    SELECT CAST(tot.n AS BIGINT) AS n_rows,
+           CAST(tot.ncells AS BIGINT) AS n_cells,
+           round(CAST(acc.smi AS DOUBLE) / 1e12, 6) + 0.0 AS mi,
+           round(CAST(sa.sha AS DOUBLE) / 1e12, 6) + 0.0 AS h_a,
+           round(CAST(sb.shb AS DOUBLE) / 1e12, 6) + 0.0 AS h_b,
+           round(CASE WHEN sa.sha > 0 AND sb.shb > 0 THEN
+                   (CAST(acc.smi AS DOUBLE) / 1e12)
+                   / sqrt((CAST(sa.sha AS DOUBLE) / 1e12)
+                          * (CAST(sb.shb AS DOUBLE) / 1e12))
+                 ELSE 0.0 END, 6) + 0.0 AS nmi,
+           round(greatest(CAST(acc.schi AS DOUBLE) / 1e12
+                          - CAST(tot.n AS DOUBLE), CAST(0 AS DOUBLE)), 6)
+             + 0.0 AS chi2,
+           round(CASE WHEN least(tot.r - 1, tot.c - 1) > 0 THEN
+                   sqrt(greatest(CAST(acc.schi AS DOUBLE) / 1e12
+                                 - CAST(tot.n AS DOUBLE), CAST(0 AS DOUBLE))
+                        / (CAST(tot.n AS DOUBLE)
+                           * CAST(least(tot.r - 1, tot.c - 1) AS DOUBLE)))
+                 ELSE 0.0 END, 6) + 0.0 AS cramers_v
+    FROM tot CROSS JOIN acc CROSS JOIN sa CROSS JOIN sb
+    """,
+    doc=(
+        "Association profile between event_type and hour-of-day "
+        "(operators/association.categorical_association): mutual "
+        "information (nats) with entropies and NMI, plus Pearson chi2 "
+        "and Cramer's V — 'is this column safe as a stratification / "
+        "mixing key' from ONE contingency aggregate. Every per-cell "
+        "term quantizes to BIGINT picos before its sum (exact cross-"
+        "engine accumulation); margins broadcast back to cells."
+    ),
+)
+def q_events_type_hour_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.dates import epoch_seconds
+    from ..operators.association import categorical_association
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.floor(epoch_seconds(F.col("ts")) / 3600)).cast("bigint") % 24
+        ).alias("hod"),
+    )
+    return categorical_association(e, "event_type", "hod")
+
+
+# --------------------------------------------------------------------------
+# Weighted median
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lineitem_weighted_median_price",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS g,
+             CAST(l_extendedprice * 100 AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey * 10 + l_linenumber AS tb
+      FROM lineitem),
+    c AS (
+      SELECT g, v,
+             sum(w) OVER (PARTITION BY g ORDER BY v, tb
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY g) AS tw
+      FROM b),
+    m AS (
+      SELECT g, min(v) AS weighted_median, max(tw) AS total_weight
+      FROM c WHERE 2 * cw >= tw GROUP BY g),
+    n AS (SELECT g, count(*) AS n FROM b GROUP BY g)
+    SELECT m.g AS l_returnflag,
+           CAST(n.n AS BIGINT) AS n,
+           CAST(m.total_weight AS BIGINT) AS total_weight,
+           CAST(m.weighted_median AS BIGINT) AS weighted_median
+    FROM m JOIN n ON m.g = n.g
+    """,
+    doc=(
+        "Quantity-weighted LOWER median of the extended price per return flag (operators/association.weighted_median): the volume-"
+        "weighted 'typical' price a plain median misstates when rows "
+        "carry unequal mass. Lower-median semantics pick an ACTUAL data "
+        "value (smallest v with 2*cumweight >= total) — no "
+        "interpolation, so the gate is exact with zero float caveats: "
+        "BIGINT cent values, BIGINT cumulative weights, one per-group "
+        "window + one aggregate."
+    ),
+)
+def q_lineitem_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.association import weighted_median
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+    )
+    return weighted_median(li, "l_returnflag", "cents", "qty", "tb")
