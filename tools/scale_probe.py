@@ -780,6 +780,64 @@ def main() -> None:
         ev1.count(), evN.count(),
     )
 
+    # round-7 wave 3/4 heavies -------------------------------------------
+
+    # kendall (capped): the stride cap bounds per-key pairs at ~cap^2/2,
+    # so replicated KEYS (more users, same history depth) must scale
+    # linearly — the exact property the cap exists to guarantee
+    from ups_crossref_etl_spark.operators.stats import kendall_tau
+
+    evK = replicate(ev1, "event_id", n).withColumn(
+        "user_id", F.col("user_id") + (F.col("event_id") % n) * 1_000_000
+    ).localCheckpoint()
+    probe(
+        "kendall_tau_capped",
+        lambda: kendall_tau(
+            ev1.filter(F.col("value").isNotNull()),
+            "user_id", "ts", "value", max_points_per_key=40,
+        ).count(),
+        lambda: kendall_tau(
+            evK.filter(F.col("value").isNotNull()),
+            "user_id", "ts", "value", max_points_per_key=40,
+        ).count(),
+        ev1.count(), evK.count(),
+    )
+
+    # novelty: the gram scan is map-sided; the hash join fans out only on
+    # shared grams, and dialect replication (disjoint token suffixes)
+    # keeps the ref-set hit rate constant — measuring the join, not a
+    # quadratic blowup of planted duplicates
+    from ups_crossref_etl_spark.operators.text_analysis import ngram_novelty
+
+    probe(
+        "ngram_novelty",
+        lambda: ngram_novelty(
+            docs1.withColumn("is_ref", F.col("doc_id") % 5 == 0),
+            "text", "doc_id", "is_ref", k=3,
+        ).count(),
+        lambda: ngram_novelty(
+            docsN_dialect.withColumn("is_ref", F.col("doc_id") % 5 == 0),
+            "text", "doc_id", "is_ref", k=3,
+        ).count(),
+        docs1.count(), docsN_dialect.count(),
+    )
+
+    # permutation test: rows x B explode into ONE B-keyed map-side-
+    # combinable aggregate — the shuffle carries <= B*partitions rows
+    # regardless of input size
+    from ups_crossref_etl_spark.operators.experiment import permutation_test
+
+    probe(
+        "permutation_test",
+        lambda: permutation_test(
+            ev1, "event_id", "event_type", "value", "click", "view", 100
+        ).count(),
+        lambda: permutation_test(
+            evN, "event_id", "event_type", "value", "click", "view", 100
+        ).count(),
+        ev1.count(), evN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")
     if only and os.path.exists(out_path):
