@@ -219,6 +219,17 @@ EXTENDED = [
     "q_events_decayed_user_score",
     "q_events_type_hour_association",
     "q_lineitem_weighted_median_price",
+    # round 7 (wave 5): PAVA-as-minimax isotonic calibration, exact AP,
+    # Fisher separability audit, Nelson-Aalen hazard
+    "q_emb_isotonic_calibration",
+    "q_emb_average_precision",
+    "q_emb_separability",
+    "q_events_nelson_aalen",
+    # round 7 (wave 6): vocab richness spectrum, QQ decile table,
+    # inter-event burstiness fingerprint
+    "q_docs_vocab_richness",
+    "q_events_qq_click_view",
+    "q_events_user_burstiness",
 ]
 
 

@@ -329,3 +329,175 @@ def test_weighted_median_even_split_lower(spark):
     assert weighted_median(df, "g", "v", "w", "id").first()[
         "weighted_median"
     ] == 10
+
+
+# ---------------------------------------------------------------- isotonic
+
+
+def test_isotonic_pools_violators(spark):
+    from ups_crossref_etl_spark.operators.evaluation import isotonic_calibrate
+
+    # 3 bins x 10 rows; rates in score order: 0.2, 0.6, 0.4 -> PAVA pools
+    # the last two to 0.5
+    rows = []
+    i = 0
+    for b, rate in [(0, 0.2), (1, 0.6), (2, 0.4)]:
+        for j in range(10):
+            rows.append((i, float(b * 10 + j), 1 if j < rate * 10 else 0))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    out = {r["bin"]: r for r in
+           isotonic_calibrate(df, "s", "y", "id", n_bins=3).collect()}
+    assert out[1]["fitted"] == 0.2
+    assert out[2]["fitted"] == 0.5 and out[3]["fitted"] == 0.5
+    # monotone non-decreasing in score order
+    fits = [out[b]["fitted"] for b in sorted(out)]
+    assert fits == sorted(fits)
+
+
+def test_isotonic_identity_when_monotone(spark):
+    from ups_crossref_etl_spark.operators.evaluation import isotonic_calibrate
+
+    rows = []
+    i = 0
+    for b, rate in [(0, 0.1), (1, 0.5), (2, 0.9)]:
+        for j in range(10):
+            rows.append((i, float(b * 10 + j), 1 if j < rate * 10 else 0))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    for r in isotonic_calibrate(df, "s", "y", "id", n_bins=3).collect():
+        assert r["fitted"] == r["rate"]
+
+
+# --------------------------------------------------------------------- ap
+
+
+def test_average_precision_extremes(spark):
+    from ups_crossref_etl_spark.operators.evaluation import average_precision
+
+    # perfect ranking: all positives first -> AP = 1
+    rows = [(i, float(100 - i), 1 if i < 5 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    assert average_precision(df, "s", "y", "id").first()["ap"] == 1.0
+    # worst ranking: positives last -> AP = small, computed by hand
+    rows2 = [(i, float(100 - i), 1 if i >= 15 else 0) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "id long, s double, y int")
+    expect = sum((k + 1) / (15 + k + 1) for k in range(5)) / 5
+    got = average_precision(df2, "s", "y", "id").first()["ap"]
+    assert abs(got - expect) < 1e-6
+
+
+# ------------------------------------------------------------ separability
+
+
+def test_separability_clustered_vs_shuffled(spark):
+    from ups_crossref_etl_spark.operators.similarity import (
+        embedding_separability,
+    )
+
+    rows = []
+    for i in range(40):
+        base = 1.0 if i % 2 == 0 else -1.0
+        jit = (i % 5) * 0.01
+        rows.append((i, i % 2, [base + jit, -base + jit]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    tight = embedding_separability(df, "embedding", "label").first()
+    assert tight["n_vecs"] == 40 and tight["n_labels"] == 2
+    assert tight["fisher_ratio"] > 100  # clusters far apart, tiny within
+    # random labels on the same vectors: between collapses
+    df2 = df.withColumn("label", (F.col("vec_id") % 4 < 2).cast("long"))
+    loose = embedding_separability(df2, "embedding", "label").first()
+    assert loose["fisher_ratio"] < tight["fisher_ratio"] / 10
+
+
+# ------------------------------------------------------------ nelson-aalen
+
+
+def test_nelson_aalen_hand_case(spark):
+    from datetime import datetime, timedelta
+
+    from ups_crossref_etl_spark.operators.survival import nelson_aalen
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 4 users sign up at t0; users 0,1 purchase after 1h, user 2 after 2h,
+    # user 3 never (censored at horizon)
+    for u in range(4):
+        rows.append((u, "signup", t0))
+    rows += [
+        (0, "purchase", t0 + timedelta(hours=1, minutes=10)),
+        (1, "purchase", t0 + timedelta(hours=1, minutes=20)),
+        (2, "purchase", t0 + timedelta(hours=2, minutes=30)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["t"]: r for r in nelson_aalen(
+        df, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=7 * 24 * 3600, bucket_seconds=3600,
+    ).collect()}
+    # t=1: 2 events of 4 at risk -> H = 0.5 ; t=2: 1 of 2 -> H = 1.0
+    assert out[1]["n_risk"] == 4 and out[1]["n_events"] == 2
+    assert out[1]["cum_hazard"] == 0.5
+    assert out[2]["n_risk"] == 2 and out[2]["cum_hazard"] == 1.0
+
+
+# ------------------------------------------------------------ vocab richness
+
+
+def test_vocab_richness_hand_case(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import vocab_richness
+
+    # tokens: a a a b b c d -> N=7, D=4, f1=2 (c,d), f2=1 (b)
+    df = spark.createDataFrame([("a a a b b c d",)], "text string")
+    out = vocab_richness(df, "text").first()
+    assert out["n_tokens"] == 7 and out["n_distinct"] == 4
+    assert out["f1"] == 2 and out["f2"] == 1
+    assert out["chao1"] == 4.5  # 4 + 2*1/(2*2)
+    import math
+
+    assert math.isclose(out["coverage"], 1 - 2 / 7, abs_tol=1e-6)
+
+
+# --------------------------------------------------------------------- qq
+
+
+def test_qq_table_shifted_distribution(spark):
+    from ups_crossref_etl_spark.operators.stats import qq_table
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(i + 10)) for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = qq_table(df, "g", "v", "a", "b", n_quantiles=10).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["diff"] == 10.0  # constant shift at every decile
+        assert r["value_a"] == float(r["q"] * 10)  # decile of 1..100
+
+
+# -------------------------------------------------------------- burstiness
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    from datetime import datetime, timedelta
+
+    from ups_crossref_etl_spark.operators.timeseries import interevent_stats
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("reg", t0 + timedelta(seconds=60 * i), i) for i in range(20)]
+    # bursty: 10 events in one second, then a huge gap, repeated
+    k = 0
+    for burst in range(4):
+        for j in range(5):
+            rows.append(
+                ("bur", t0 + timedelta(seconds=burst * 10000 + j), 100 + k)
+            )
+            k += 1
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    out = {r["k"]: r for r in
+           interevent_stats(df, "k", "ts", "id").collect()}
+    assert out["reg"]["burstiness"] == -1.0  # zero variance pulse
+    assert out["reg"]["mean_gap_s"] == 60.0 and out["reg"]["cv"] == 0.0
+    assert out["bur"]["burstiness"] > 0.3  # heavy-tailed gaps (0.395 here)

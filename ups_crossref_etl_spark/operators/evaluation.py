@@ -443,3 +443,133 @@ def rank_biased_overlap(
             + 0.0
         ).alias("rbo"),
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (PAVA) calibration over score bins: ``(bin, n, n_pos,
+    rate, fitted)`` with ``fitted`` the monotone non-decreasing (in
+    score order) least-squares fit to the per-bin positive rates.
+
+    The calibration step after ``calibration_bins`` DIAGNOSES
+    miscalibration: pool-adjacent-violators is the classic monotone
+    regression, but the textbook algorithm is a sequential stack scan —
+    useless as a distributed primitive. This uses the minimax identity
+    instead (Robertson/Wright/Dykstra 1988):
+
+        fitted_i = max_{j <= i} min_{k >= i} mean(y[j..k])
+
+    which is pure dataflow: bins come from one ntile pass over (score
+    DESC... no — ASC, id) order, prefix sums turn mean(j..k) into a
+    ratio of exact integer differences, one (j, k) pair table over the
+    BIN table (n_bins^2 rows — model-sized, nothing to do with corpus
+    size), a per-j running min over k DESC, and a per-i max. Every
+    mean is one double division of exact integers and min/max are
+    order-independent, so the result is hash-exact with no quantization
+    at all. The corpus-sized work is exactly one ntile window + one
+    bin aggregate; everything after is n_bins^2.
+    """
+    tiled = df.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.ntile(n_bins)
+        .over(Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc()))
+        .alias("bin"),
+    )
+    per = tiled.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per.select(
+        "bin", "n", "n_pos",
+        F.sum("n").over(wc).alias("_cn"),
+        F.sum("n_pos").over(wc).alias("_cp"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("_j"),
+        (F.col("_cn") - F.col("n")).alias("_cnj"),  # prefix before j
+        (F.col("_cp") - F.col("n_pos")).alias("_cpj"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("_k"),
+        F.col("_cn").alias("_cnk"),
+        F.col("_cp").alias("_cpk"),
+    )
+    pairs = lo.join(hi, F.col("_k") >= F.col("_j")).select(
+        "_j", "_k",
+        (
+            (F.col("_cpk") - F.col("_cpj")).cast("double")
+            / (F.col("_cnk") - F.col("_cnj")).cast("double")
+        ).alias("_avg"),
+    )
+    wmin = (
+        Window.partitionBy("_j")
+        .orderBy(F.col("_k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = pairs.select(
+        "_j", F.col("_k").alias("bin"), F.min("_avg").over(wmin).alias("_m")
+    )
+    fitted = (
+        m.filter(F.col("_j") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(F.max("_m").alias("_fit"))
+    )
+    return per.join(fitted, "bin").select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n",
+        "n_pos",
+        (
+            F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6)
+            + 0.0
+        ).alias("rate"),
+        (F.round(F.col("_fit"), 6) + 0.0).alias("fitted"),
+    )
+
+
+def average_precision(
+    df: DataFrame, score_col: str, label_col: str, id_col: str
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve by
+    the step interpolation): one row ``(n, n_pos, ap)`` with
+    AP = (1/P) * sum over positives of precision@rank(positive), ranks
+    from the (score DESC, id) total order.
+
+    The class-imbalance-honest companion to ``binary_auc``: AUC stays
+    high when positives are rare and the ranker is mediocre; AP does
+    not. Each positive's precision@rank is a ratio of exact integers
+    quantized to BIGINT picos before the sum (exact cross-engine
+    accumulation), divided once by P. One window pass in score order +
+    one aggregate.
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = df.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.row_number().over(w).alias("_r"),
+        F.sum(F.col(label_col).cast("int")).over(wc).alias("_cp"),
+    )
+    term = F.when(
+        F.col("_y") == 1,
+        F.round(
+            F.col("_cp").cast("double") / F.col("_r").cast("double") * 1e12
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        (
+            F.round(
+                F.sum(term).cast("double")
+                / 1e12
+                / F.sum("_y").cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("ap"),
+    )

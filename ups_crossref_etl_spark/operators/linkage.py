@@ -124,3 +124,49 @@ def fuzzy_dedup_groups(
             ),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate
+    pairs = rows within ``window`` positions of each other in the
+    ``key_col`` sort order — ``(id_a, id_b, rank_distance)`` with
+    id_a < id_b position-wise.
+
+    The classic entity-resolution blocking alternative to token/LSH
+    blocking (``fuzzy_match_pairs``): where token blocking needs a
+    shared rare token, the sorted window catches near-misses whose
+    leading characters agree (typos later in the string), at a
+    guaranteed candidate budget of n*window pairs — LINEAR in the
+    table, by construction, no skew cliff. One global sort + ``window``
+    lead() columns; at cluster scale the sort is a range partition
+    (Spark's sort-based shuffle), and multi-pass variants just re-run
+    with a different key expression. Ties in ``key_col`` order break by
+    ``id_col``, so the pair set is deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
+    ).withColumn("_rn", F.row_number().over(w))
+    leads = base.select(
+        "_id", "_rn",
+        *[
+            F.lead("_id", i).over(W.orderBy("_rn")).alias(f"_l{i}")
+            for i in range(1, window + 1)
+        ],
+    )
+    out = None
+    for i in range(1, window + 1):
+        p = leads.filter(F.col(f"_l{i}").isNotNull()).select(
+            F.col("_id").alias("id_a"),
+            F.col(f"_l{i}").alias("id_b"),
+            F.lit(i).cast("bigint").alias("rank_distance"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out

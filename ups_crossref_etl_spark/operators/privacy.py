@@ -93,3 +93,52 @@ def pseudonymize(
             c, F.when(F.col(c).isNull() & F.lit(keep_null), F.lit(None)).otherwise(h)
         )
     return out
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Laplace-mechanism count release SIMULATION: per-group counts plus
+    Laplace(1/epsilon) noise drawn from a SEEDED md5 uniform —
+    ``(group, noisy_count)``.
+
+    The testing harness for a DP release pipeline: downstream jobs
+    (budget accounting, utility dashboards, suppression rules) can be
+    integration-tested end-to-end against reproducible noise. THE SEEDED
+    DRAW IS NOT DIFFERENTIALLY PRIVATE — determinism is exactly what the
+    DP guarantee forbids; production swaps the hash for a calibrated
+    secure RNG and this function says so loudly rather than pretending.
+    Noise via inverse CDF: u = hash/2^32 - 0.5, noise =
+    -(1/eps)*sign(u)*ln(1-2|u|); one group aggregate, one map-side
+    expression, rounded 6 dp. True counts are deliberately NOT in the
+    output schema (a release pipeline must not carry them forward).
+    """
+    b = 1.0 / float(epsilon)
+    counts = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(group_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    noise = -F.lit(b) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    return counts.select(
+        F.col(group_col),
+        (F.round(F.col("_n") + noise, 6) + 0.0).alias("noisy_count"),
+    )

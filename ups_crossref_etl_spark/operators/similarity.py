@@ -879,3 +879,78 @@ def cosine_pair_histogram(
             "n_pairs",
         )
     )
+
+
+def embedding_separability(
+    emb: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Fisher-style class-separability audit of a labeled embedding
+    space: one row ``(n_vecs, n_labels, within_var, between_var,
+    fisher_ratio)``.
+
+    The go/no-go check before trusting labels (cluster ids, sources,
+    quality tiers) as a blocking/stratification key over embeddings:
+    between-class scatter B = sum_l (n_l/N)*||c_l - g||^2 over class
+    centroids c_l and global mean g, within-class scatter W = the
+    label-weighted mean squared distance to the own centroid; a ratio
+    B/W near 0 means the labels are noise in this space.
+
+    Everything reduces to per-(label, dim) sufficient statistics
+    (n, sum v, sum v^2) via the variance identity — ONE posexplode +
+    aggregate over the corpus (shuffle carries labels x dims rows,
+    never vectors), then label-table-sized arithmetic. Coordinates are
+    quantized to BIGINT micros on ingest so all three sums are exact
+    integers; W and B are single double expressions over them,
+    rounded 6 dp.
+    """
+    rows = emb.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("_i", "_v"),
+    ).select(
+        "_l", "_i",
+        F.round(F.col("_v").cast("double") * 1e6).cast("bigint").alias("_m"),
+    )
+    per = rows.groupBy("_l", "_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_m").alias("_s1"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_s2"),
+    )
+    glob = per.groupBy("_i").agg(
+        F.sum("_n").alias("_gn"), F.sum("_s1").alias("_gs1")
+    )
+    j = per.join(glob, "_i")
+    # per-(label, dim): within SS = s2 - s1^2/n; between SS = n*(c - g)^2
+    within = F.col("_s2").cast("double") - F.col("_s1").cast("double") * F.col(
+        "_s1"
+    ).cast("double") / F.col("_n").cast("double")
+    cdiff = F.col("_s1").cast("double") / F.col("_n").cast("double") - F.col(
+        "_gs1"
+    ).cast("double") / F.col("_gn").cast("double")
+    between = F.col("_n").cast("double") * cdiff * cdiff
+    acc = j.agg(
+        F.sum(F.round(within).cast("bigint")).alias("_w"),
+        F.sum(F.round(between).cast("bigint")).alias("_b"),
+        F.max("_gn").alias("_nv"),
+        (F.countDistinct("_l")).cast("bigint").alias("n_labels"),
+    )
+    nv = F.col("_nv").cast("double")
+    return acc.select(
+        F.col("_nv").cast("bigint").alias("n_vecs"),
+        "n_labels",
+        (F.round(F.col("_w").cast("double") / nv / 1e12, 6) + 0.0).alias(
+            "within_var"
+        ),
+        (F.round(F.col("_b").cast("double") / nv / 1e12, 6) + 0.0).alias(
+            "between_var"
+        ),
+        (
+            F.round(
+                F.when(
+                    F.col("_w") > 0,
+                    F.col("_b").cast("double") / F.col("_w").cast("double"),
+                ),  # degenerate zero-within space: NULL, not a fake 0
+                6,
+            )
+            + 0.0
+        ).alias("fisher_ratio"),
+    )

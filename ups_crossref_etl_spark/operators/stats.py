@@ -739,3 +739,61 @@ def jackknife_ratio_se(
             + 0.0
         ).alias("jackknife_se"),
     )
+
+
+def qq_table(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_quantiles: int = 10,
+) -> DataFrame:
+    """Quantile-quantile comparison of a value between two groups:
+    one row per interior quantile ``(q, value_a, value_b, diff)`` with
+    the LOWER empirical quantile (value at rank ceil(q*n/Q) — an actual
+    data value, no interpolation).
+
+    The distribution-shape companion to the KS gate (``ks_drift`` gives
+    one max-gap number; the QQ table shows WHERE the distributions
+    diverge — tails vs body). Rank selection is exact integer
+    arithmetic over one per-group sort window, so the gate needs no
+    float caveat at all; ``diff`` is one rounded subtraction. Two
+    window passes clustered on the group key.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("double").alias("_v")
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    ranked = base.select(
+        "_g", "_v",
+        F.row_number().over(w).cast("bigint").alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).cast("bigint").alias("_n"),
+    )
+    spark = df.sparkSession
+    qs = spark.range(1, n_quantiles).select(F.col("id").alias("q"))
+    picked = ranked.join(
+        F.broadcast(qs),
+        F.col("_r")
+        == F.floor(
+            (F.col("q") * F.col("_n") + F.lit(n_quantiles - 1))
+            / F.lit(n_quantiles)
+        ),
+    )
+    a = picked.filter(F.col("_g") == group_a).select(
+        "q", F.col("_v").alias("value_a")
+    )
+    b = picked.filter(F.col("_g") == group_b).select(
+        "q", F.col("_v").alias("value_b")
+    )
+    return a.join(b, "q").select(
+        F.col("q").cast("bigint").alias("q"),
+        "value_a",
+        "value_b",
+        (F.round(F.col("value_b") - F.col("value_a"), 6) + 0.0).alias("diff"),
+    )

@@ -33,10 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier"]
+__all__ = ["kaplan_meier", "nelson_aalen", "duration_table"]
 
 
-def kaplan_meier(
+def duration_table(
     events: DataFrame,
     user_col: str,
     type_col: str,
@@ -46,11 +46,11 @@ def kaplan_meier(
     horizon_seconds: int,
     bucket_seconds: int = 3600,
 ) -> DataFrame:
-    """KM curve for time from first ``entry_type`` to first subsequent
-    ``event_type`` within ``horizon_seconds`` (others censored at the
-    horizon): ``(t, n_risk, n_events, survival)`` — one row per time
-    bucket with at least one event, ``t`` in ``bucket_seconds`` units.
-    """
+    """Per-subject ``(ev, t)`` durations — time from first ``entry_type``
+    to first subsequent ``event_type`` in ``bucket_seconds`` units,
+    censored at the horizon (``ev`` = 0, ``t`` = horizon bucket). The
+    shared front half of every survival estimator here: two user-keyed
+    aggregates, exact integer buckets."""
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     ev = events.select(
         F.col(user_col).alias("_u"),
@@ -91,6 +91,41 @@ def kaplan_meier(
             .cast("bigint")
             .alias("t"),
         )
+    )
+    return durations
+
+
+def _risk_table(durations: DataFrame):
+    """(t, n_events, n_risk) with the strictly-before leaving window —
+    the shared middle of KM and Nelson-Aalen."""
+    agg = durations.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("_leaving"),
+    )
+    total = durations.count()
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    n_risk = F.lit(total) - F.coalesce(F.sum("_leaving").over(w), F.lit(0))
+    return agg.withColumn("n_risk", n_risk.cast("bigint"))
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    entry_type: str,
+    event_type: str,
+    horizon_seconds: int,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """KM curve for time from first ``entry_type`` to first subsequent
+    ``event_type`` within ``horizon_seconds`` (others censored at the
+    horizon): ``(t, n_risk, n_events, survival)`` — one row per time
+    bucket with at least one event, ``t`` in ``bucket_seconds`` units.
+    """
+    durations = duration_table(
+        events, user_col, type_col, ts_col,
+        entry_type, event_type, horizon_seconds, bucket_seconds,
     )
     agg = durations.groupBy("t").agg(
         F.sum("ev").cast("bigint").alias("n_events"),
@@ -136,3 +171,52 @@ def kaplan_meier(
         )
     )
     return km
+
+
+def nelson_aalen(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    entry_type: str,
+    event_type: str,
+    horizon_seconds: int,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve H(t) = sum_{t_i <= t} d_i/n_i
+    over the same censored duration table as :func:`kaplan_meier`:
+    ``(t, n_risk, n_events, cum_hazard)`` — one row per event bucket.
+
+    The hazard-scale companion to KM (Nelson 1972, Aalen 1978): additive
+    rather than multiplicative, so it stays finite and informative when a
+    bucket exhausts the risk set, and its slope reads directly as the
+    event intensity ("purchases per at-risk user-hour"). Each d/n term
+    is one double ratio of exact integers, accumulated by a cumulative
+    window sum in time order as DECIMAL(38,12) (exact addition, same
+    recipe as KM's log-sum), rounded 6 dp. Shape: the duration table's
+    two user-keyed aggregates, one bucket groupBy, ONE window pass over
+    the bucket-cardinality table.
+    """
+    durations = duration_table(
+        events, user_col, type_col, ts_col,
+        entry_type, event_type, horizon_seconds, bucket_seconds,
+    )
+    risk = _risk_table(durations)
+    wc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = (
+        F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    ).cast("decimal(38,12)")
+    return (
+        risk.withColumn("_h", F.sum(term).over(wc))
+        .filter(F.col("n_events") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            (F.round(F.col("_h").cast("double"), 6) + 0.0).alias(
+                "cum_hazard"
+            ),
+        )
+    )

@@ -1273,3 +1273,59 @@ def ngram_novelty(
             + 0.0
         ).alias("novelty"),
     ).withColumnRenamed("_id", id_col)
+
+
+def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus vocabulary-richness estimates from the token frequency
+    spectrum, one row: ``(n_tokens, n_distinct, f1, f2, chao1,
+    coverage)``.
+
+    The "how much vocabulary have we NOT seen yet" readout that sizes
+    tokenizer vocab budgets and tells a crawler whether another batch of
+    the same source still adds words: bias-corrected Chao1 richness
+    D + f1*(f1-1)/(2*(f2+1)) (Chao 1984) from the singleton/doubleton
+    counts, and Good-Turing coverage 1 - f1/N (the probability the NEXT
+    token is a known word). Shape: one token-keyed count aggregate (the
+    dedup-discipline shuffle — tokens, never documents), then a 4-number
+    reduction over the count table. Everything is exact integers until
+    two final rounded divisions.
+    """
+    from . import dedup
+
+    toks = df.select(
+        F.explode(dedup._tokens(F.col(text_col))).alias("_t")
+    )
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    return counts.agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    ).select(
+        "n_tokens",
+        "n_distinct",
+        "f1",
+        "f2",
+        (
+            F.round(
+                F.col("n_distinct").cast("double")
+                + F.col("f1").cast("double")
+                * (F.col("f1") - 1).cast("double")
+                / (2.0 * (F.col("f2") + 1).cast("double")),
+                4,
+            )
+            + 0.0
+        ).alias("chao1"),
+        (
+            F.round(
+                1.0
+                - F.col("f1").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("coverage"),
+    )

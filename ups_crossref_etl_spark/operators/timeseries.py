@@ -1063,3 +1063,62 @@ def decayed_score(
             ),
         )
     )
+
+
+def interevent_stats(
+    df: DataFrame, key_col: str, ts_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Per-key inter-event-gap statistics: ``(key, n_gaps, mean_gap_s,
+    cv, burstiness)`` with burstiness B = (sigma - mu)/(sigma + mu)
+    (Goh & Barabasi 2008) — B near -1 is a regular pulse, near 0 a
+    Poisson process, toward +1 a bursty heavy-tailed stream.
+
+    The traffic-shape fingerprint behind bot detection, session-gap
+    tuning, and rate-limit budgeting. Gaps come from one lag() over the
+    per-key time sort (tiebreak makes equal timestamps deterministic)
+    in exact integer seconds; mean and variance derive from the exact
+    sums (n, sum g, sum g^2) — one window pass + one key aggregate, both
+    clustered on the key. Keys with fewer than 2 events drop (no gap);
+    a zero-mean (all simultaneous) key reports NULL cv/burstiness.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.dates import epoch_seconds
+
+    w = Window.partitionBy(key_col).orderBy(
+        epoch_seconds(F.col(ts_col)), F.col(tiebreak_col)
+    )
+    gaps = df.select(
+        F.col(key_col),
+        (
+            epoch_seconds(F.col(ts_col))
+            - F.lag(epoch_seconds(F.col(ts_col))).over(w)
+        )
+        .cast("bigint")
+        .alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("_g").alias("_s1"),
+        F.sum(F.col("_g") * F.col("_g")).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("_s1").cast("double") / n
+    var = F.greatest(
+        F.col("_s2").cast("double") / n - mu * mu, F.lit(0.0)
+    )
+    sd = F.sqrt(var)
+    return agg.select(
+        F.col(key_col),
+        "n_gaps",
+        (F.round(mu, 6) + 0.0).alias("mean_gap_s"),
+        (
+            F.round(F.when(F.col("_s1") > 0, sd / mu), 6) + 0.0
+        ).alias("cv"),
+        (
+            F.round(
+                F.when(F.col("_s1") > 0, (sd - mu) / (sd + mu)), 6
+            )
+            + 0.0
+        ).alias("burstiness"),
+    )

@@ -68,6 +68,13 @@ _ROUND = 7
 #: four ADVICE hardenings (leakage_safe_split typing, CDC payload
 #: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
 _CHANGED_THIS_ROUND = [
+    "q_docs_vocab_richness",
+    "q_events_qq_click_view",
+    "q_events_user_burstiness",
+    "q_emb_isotonic_calibration",
+    "q_emb_average_precision",
+    "q_emb_separability",
+    "q_events_nelson_aalen",
     "q_events_decayed_user_score",
     "q_events_type_hour_association",
     "q_lineitem_weighted_median_price",
@@ -180,11 +187,11 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed after r7 wave 3: ``_CHANGED_THIS_ROUND``
-    alone now holds 59 genuinely-new-or-modified entries, so the 50-slot
-    window is fully consumed by it and 244 of 274 gated queries are
+    probabilistic. Recomputed after r7 wave 6: ``_CHANGED_THIS_ROUND``
+    alone now holds 69 genuinely-new-or-modified entries, so the 50-slot
+    window is fully consumed by it and 244 of 284 gated queries are
     driver-covered (union of the r1-r6 CORRECTNESS artifacts plus r7's
-    projected window); the 30-entry remainder (9 changed-tier overflow +
+    projected window); the 40-entry remainder (19 changed-tier overflow +
     the standing backlog) drains over the next ~2 rounds, every entry
     meanwhile FULLCHECK-verified locally each round. gate=False entries
     sort after all gated ones — they are never driver-sampled. The full

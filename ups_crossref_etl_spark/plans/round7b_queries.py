@@ -736,3 +736,392 @@ def q_lineitem_weighted_median_price(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
     )
     return weighted_median(li, "l_returnflag", "cents", "qty", "tb")
+
+
+# --------------------------------------------------------------------------
+# Isotonic (PAVA) calibration via the minimax identity
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_isotonic_calibration",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding[1] AS s,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    t AS (SELECT y, ntile(20) OVER (ORDER BY s ASC, vec_id ASC) AS bin
+          FROM b),
+    per AS (SELECT bin, count(*) AS n, sum(y) AS np FROM t GROUP BY bin),
+    pre AS (
+      SELECT bin, n, np,
+             sum(n) OVER wo AS cn, sum(np) OVER wo AS cp
+      FROM per
+      WINDOW wo AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)),
+    pairs AS (
+      SELECT lo.bin AS j, hi.bin AS k,
+             CAST(hi.cp - (lo.cp - lo.np) AS DOUBLE)
+               / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avgjk
+      FROM pre lo JOIN pre hi ON hi.bin >= lo.bin),
+    m AS (
+      SELECT j, k AS bin,
+             min(avgjk) OVER (PARTITION BY j ORDER BY k DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS mjk
+      FROM pairs),
+    fit AS (SELECT bin, max(mjk) AS f FROM m GROUP BY bin)
+    SELECT CAST(per.bin AS BIGINT) AS bin,
+           CAST(per.n AS BIGINT) AS n,
+           CAST(per.np AS BIGINT) AS n_pos,
+           round(CAST(per.np AS DOUBLE) / CAST(per.n AS DOUBLE), 6) + 0.0
+             AS rate,
+           round(fit.f, 6) + 0.0 AS fitted
+    FROM per JOIN fit ON per.bin = fit.bin
+    """,
+    doc=(
+        "Isotonic (PAVA) calibration of the first-coordinate scorer over "
+        "20 score bins (operators/evaluation.isotonic_calibrate): the "
+        "textbook pool-adjacent-violators stack scan is sequential, so "
+        "this uses the minimax identity fitted_i = max_{j<=i} min_{k>=i} "
+        "mean(y[j..k]) instead — prefix sums make every interval mean a "
+        "ratio of exact integers, a bins^2 pair table + per-j running "
+        "min + per-i max finish it. Hash-exact with NO quantization: "
+        "min/max over identical doubles are order-independent. The "
+        "corpus-sized work is one ntile window; the minimax is "
+        "model-sized."
+    ),
+)
+def q_emb_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import isotonic_calibrate
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    return isotonic_calibrate(emb, "score", "y", "vec_id", n_bins=20)
+
+
+# --------------------------------------------------------------------------
+# Average precision
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_average_precision",
+    """
+    WITH r AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+             row_number() OVER wo AS rk,
+             sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) OVER
+               (ORDER BY embedding[1] DESC, vec_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+      FROM embeddings
+      WINDOW wo AS (ORDER BY embedding[1] DESC, vec_id ASC))
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(CASE WHEN y = 1 THEN
+                            CAST(round(CAST(cp AS DOUBLE)
+                                       / CAST(rk AS DOUBLE) * 1e12)
+                                 AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)
+                 / 1e12 / CAST(sum(y) AS DOUBLE), 6) + 0.0 AS ap
+    FROM r
+    """,
+    doc=(
+        "Exact average precision of the first-coordinate scorer "
+        "(operators/evaluation.average_precision): AP = mean over "
+        "positives of precision@rank under the (score DESC, id) total "
+        "order — the class-imbalance-honest companion to binary_auc. "
+        "Each precision@rank is a ratio of exact integers quantized to "
+        "BIGINT picos before the sum; one window pass + one aggregate."
+    ),
+)
+def q_emb_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import average_precision
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    return average_precision(emb, "score", "y", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding class separability
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_separability",
+    """
+    WITH rows_ AS (
+      SELECT l, i, CAST(round(v * 1e6) AS BIGINT) AS m
+      FROM (SELECT label AS l, unnest(embedding)::DOUBLE AS v,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings) z),
+    per AS (
+      SELECT l, i, count(*) AS n, sum(m) AS s1, sum(m * m) AS s2
+      FROM rows_ GROUP BY 1, 2),
+    gtot AS (SELECT i, sum(n) AS gn, sum(s1) AS gs1 FROM per GROUP BY i),
+    j AS (SELECT per.*, gtot.gn, gtot.gs1
+          FROM per JOIN gtot ON per.i = gtot.i),
+    acc AS (
+      SELECT sum(CAST(round(CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n AS DOUBLE)) AS BIGINT)) AS w,
+             sum(CAST(round(CAST(n AS DOUBLE)
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                               - CAST(gs1 AS DOUBLE) / CAST(gn AS DOUBLE))
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                               - CAST(gs1 AS DOUBLE) / CAST(gn AS DOUBLE)))
+                      AS BIGINT)) AS b,
+             max(gn) AS nv, count(DISTINCT l) AS nl
+      FROM j)
+    SELECT CAST(nv AS BIGINT) AS n_vecs,
+           CAST(nl AS BIGINT) AS n_labels,
+           round(CAST(w AS DOUBLE) / CAST(nv AS DOUBLE) / 1e12, 6) + 0.0
+             AS within_var,
+           round(CAST(b AS DOUBLE) / CAST(nv AS DOUBLE) / 1e12, 6) + 0.0
+             AS between_var,
+           round(CASE WHEN w > 0 THEN CAST(b AS DOUBLE) / CAST(w AS DOUBLE)
+                 END, 6) + 0.0 AS fisher_ratio
+    FROM acc
+    """,
+    doc=(
+        "Fisher-style separability audit of the labeled embedding space "
+        "(operators/similarity.embedding_separability): between-class vs "
+        "within-class scatter and their ratio, from per-(label, dim) "
+        "sufficient statistics (n, sum, sum-of-squares) — ONE posexplode "
+        "+ aggregate over the corpus; the shuffle carries labels x dims "
+        "rows, never vectors. Coordinates quantize to BIGINT micros on "
+        "ingest so the sums are exact; the go/no-go check before using "
+        "labels as a blocking or stratification key."
+    ),
+)
+def q_emb_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_separability
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_separability(emb, "embedding", "label")
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_nelson_aalen",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN (pt - st) // 3600000000 ELSE 168 END AS t
+      FROM entry LEFT JOIN fe USING (u)),
+    agg AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM dur GROUP BY t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+    risk AS (
+      SELECT t, n_events,
+             (SELECT n FROM tot)
+               - coalesce(sum(leaving)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_risk
+      FROM agg),
+    na AS (
+      SELECT t, n_risk, n_events,
+             sum(CAST(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                      AS DECIMAL(38,12)))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h
+      FROM risk)
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(CAST(h AS DOUBLE), 6) + 0.0 AS cum_hazard
+    FROM na WHERE n_events > 0
+    """,
+    doc=(
+        "Nelson-Aalen cumulative hazard for signup-to-purchase within a "
+        "7-day horizon (operators/survival.nelson_aalen): the additive "
+        "hazard-scale companion to the Kaplan-Meier gate over the SAME "
+        "censored duration table (shared duration_table helper) — its "
+        "slope reads directly as event intensity and it stays finite "
+        "when a bucket exhausts the risk set. Each d/n term is one "
+        "double ratio of exact integers accumulated as DECIMAL(38,12) "
+        "in time order; two user-keyed aggregates + one bucket-table "
+        "window."
+    ),
+)
+def q_events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import nelson_aalen
+
+    ev = read_table(spark, sf_dir, "events")
+    return nelson_aalen(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        entry_type="signup",
+        event_type="purchase",
+        horizon_seconds=604800,
+        bucket_seconds=3600,
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary richness (Chao1 + Good-Turing coverage)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_vocab_richness",
+    """
+    WITH toks AS (
+      SELECT unnest([x for x in
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS t
+      FROM documents),
+    c AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    a AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM c)
+    SELECT n_tokens, n_distinct, f1, f2,
+           round(CAST(n_distinct AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+                   / (2.0 * CAST(f2 + 1 AS DOUBLE)), 4) + 0.0 AS chao1,
+           round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             + 0.0 AS coverage
+    FROM a
+    """,
+    doc=(
+        "Vocabulary-richness estimates from the token frequency spectrum "
+        "(operators/text_analysis.vocab_richness): bias-corrected Chao1 "
+        "unseen-species richness D + f1(f1-1)/(2(f2+1)) and Good-Turing "
+        "coverage 1 - f1/N — the 'does another crawl batch of this "
+        "source still add vocabulary' readout that sizes tokenizer "
+        "budgets. One token-keyed count aggregate + a 4-number "
+        "reduction; exact integers until two rounded divisions."
+    ),
+)
+def q_docs_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import vocab_richness
+
+    return vocab_richness(read_table(spark, sf_dir, "documents"), "text")
+
+
+# --------------------------------------------------------------------------
+# QQ decile table between two groups
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_qq_click_view",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+    r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM base),
+    qs AS (SELECT unnest(range(1, 10)) AS q),
+    p AS (SELECT q, g, v FROM r JOIN qs ON rk = (q * n + 9) // 10)
+    SELECT CAST(a.q AS BIGINT) AS q,
+           a.v AS value_a,
+           b.v AS value_b,
+           round(b.v - a.v, 6) + 0.0 AS diff
+    FROM (SELECT q, v FROM p WHERE g = 'click') a
+    JOIN (SELECT q, v FROM p WHERE g = 'view') b ON a.q = b.q
+    """,
+    doc=(
+        "Quantile-quantile decile table of value for click vs view "
+        "(operators/stats.qq_table): the distribution-SHAPE companion to "
+        "the one-number KS gate — shows WHERE two distributions diverge "
+        "(tails vs body). Lower empirical quantiles (value at rank "
+        "ceil(q*n/10)) are actual data values selected by exact integer "
+        "rank arithmetic over one per-group sort window — no "
+        "interpolation, no float caveat."
+    ),
+)
+def q_events_qq_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import qq_table
+
+    e = read_table(spark, sf_dir, "events")
+    return qq_table(e, "event_type", "value", "click", "view", n_quantiles=10)
+
+
+# --------------------------------------------------------------------------
+# Inter-event burstiness per user
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_user_burstiness",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id
+      FROM events),
+    g AS (
+      SELECT user_id,
+             s - lag(s) OVER (PARTITION BY user_id
+                              ORDER BY s, event_id) AS gap
+      FROM o),
+    a AS (
+      SELECT user_id, count(*) AS n, sum(gap) AS s1,
+             sum(gap * gap) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+    b AS (
+      SELECT user_id, n, s1,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+                           CAST(0 AS DOUBLE))) AS sd
+      FROM a)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           round(mu, 6) + 0.0 AS mean_gap_s,
+           round(CASE WHEN s1 > 0 THEN sd / mu END, 6) + 0.0 AS cv,
+           round(CASE WHEN s1 > 0 THEN (sd - mu) / (sd + mu) END, 6)
+             + 0.0 AS burstiness
+    FROM b
+    """,
+    doc=(
+        "Per-user inter-event-gap fingerprint (operators/timeseries."
+        "interevent_stats): mean gap, coefficient of variation, and the "
+        "Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) — regular "
+        "pulse at -1, Poisson at 0, bursty heavy tail toward +1; the "
+        "traffic-shape signal behind bot detection and session-gap "
+        "tuning. Gaps from one lag() over the per-key time sort in "
+        "exact integer seconds; moments from exact sums (n, sum, "
+        "sum-of-squares) — one window + one aggregate."
+    ),
+)
+def q_events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interevent_stats
+
+    e = read_table(spark, sf_dir, "events")
+    return interevent_stats(e, "user_id", "ts", "event_id")
