@@ -230,6 +230,11 @@ EXTENDED = [
     "q_docs_vocab_richness",
     "q_events_qq_click_view",
     "q_events_user_burstiness",
+    # round 7 (wave 7): sorted-neighborhood ER blocking, seeded-Laplace
+    # DP release simulation, Procrustes embedding alignment
+    "q_part_sorted_neighborhood",
+    "q_events_dp_noisy_counts",
+    "q_emb_procrustes_bound",
 ]
 
 

@@ -501,3 +501,80 @@ def test_burstiness_regular_vs_bursty(spark):
     assert out["reg"]["burstiness"] == -1.0  # zero variance pulse
     assert out["reg"]["mean_gap_s"] == 60.0 and out["reg"]["cv"] == 0.0
     assert out["bur"]["burstiness"] > 0.3  # heavy-tailed gaps (0.395 here)
+
+
+# ------------------------------------------------- sorted neighborhood
+
+
+def test_sorted_neighborhood_budget_and_catch(spark):
+    from ups_crossref_etl_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(1, "smith john"), (2, "smith jon"), (3, "smith johnn"),
+            (4, "zzz far away"), (5, "aaa start")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = sorted_neighborhood_pairs(df, "name", "id", window=2).collect()
+    # budget: at most n*window pairs
+    assert len(pairs) <= 5 * 2
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the three smith variants sort adjacently -> all caught within w=2
+    assert (2, 1) in got or (1, 2) in got
+    assert (1, 3) in got or (3, 1) in got
+
+
+# --------------------------------------------------------------- dp noise
+
+
+def test_dp_noisy_counts_reproducible_and_noisy(spark):
+    from ups_crossref_etl_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(f"g{i % 3}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string")
+    a = {r["g"]: r["noisy_count"] for r in
+         dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    b = {r["g"]: r["noisy_count"] for r in
+         dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    assert a == b  # seeded -> reproducible
+    # noise is present but Laplace(1)-scale: within +-40 of 100 w.h.p.
+    for v in a.values():
+        assert v != 100.0 and abs(v - 100.0) < 40
+    c = {r["g"]: r["noisy_count"] for r in
+         dp_noisy_counts(df, "g", epsilon=1.0, seed="other").collect()}
+    assert c != a  # different seed -> different draw
+    # true counts must NOT appear in the schema
+    assert dp_noisy_counts(df, "g").columns == ["g", "noisy_count"]
+
+
+# -------------------------------------------------------------- procrustes
+
+
+def test_procrustes_recovers_rotation(spark):
+    import numpy as np
+
+    from ups_crossref_etl_spark.operators.pca import (
+        procrustes_apply,
+        procrustes_fit,
+    )
+
+    rng = [
+        [((i * 37 + j * 11) % 19 - 9) / 7.0 for j in range(6)]
+        for i in range(50)
+    ]
+    # y = x @ P for a known permutation-with-signs P, plus a shift
+    perm = [3, 0, 5, 1, 4, 2]
+    signs = [1, -1, 1, 1, -1, 1]
+    ys = [
+        [signs[k] * row[perm[k]] + 0.25 for k in range(6)] for row in rng
+    ]
+    df = spark.createDataFrame(
+        [(i, rng[i], ys[i]) for i in range(50)],
+        "id long, x array<double>, y array<double>",
+    )
+    m = procrustes_fit(df, "x", "y")
+    assert m.n == 50
+    # rotation is orthogonal
+    assert np.allclose(m.rotation @ m.rotation.T, np.eye(6), atol=1e-8)
+    out = procrustes_apply(df, m, "x", "a").collect()
+    for r in out:
+        assert max(abs(p - q) for p, q in zip(r["a"], r["y"])) < 1e-8

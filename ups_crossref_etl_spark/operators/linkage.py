@@ -150,10 +150,11 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.col(key_col).asc(), F.col(id_col).asc())
     base = df.select(
         F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
-    ).withColumn("_rn", F.row_number().over(w))
+    )
+    w = W.orderBy(F.col("_k").asc(), F.col("_id").asc())
+    base = base.withColumn("_rn", F.row_number().over(w))
     leads = base.select(
         "_id", "_rn",
         *[

@@ -136,3 +136,98 @@ def pca_transform(
         return pd.Series(list(p))
 
     return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+class ProcrustesModel(NamedTuple):
+    rotation: np.ndarray   # (d, d) orthogonal
+    mean_x: np.ndarray     # (d,)
+    mean_y: np.ndarray     # (d,)
+    n: int
+
+
+def procrustes_fit(
+    df: DataFrame, x_col: str, y_col: str
+) -> ProcrustesModel:
+    """Orthogonal Procrustes alignment between two embedding versions
+    living on the same rows: the rotation R = U V^T (from the SVD of the
+    centered cross-covariance X^T Y) minimizing ||(X - mx) R - (Y - my)||_F
+    (Schonemann 1966).
+
+    THE embedding-migration primitive: after re-training or upgrading an
+    encoder, old and new vectors disagree by (approximately) a rotation;
+    aligning the old index instead of re-embedding the corpus turns a
+    full re-encode into one map pass. Same scale recipe as
+    :func:`pca_fit` — a mapInPandas moments pass whose output is bounded
+    by partition count (each part ships n, two d-sums and one d*d
+    cross-product), a driver-side d*d SVD (model-sized), and the
+    rotation rides back in a task closure.
+    """
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("sx", ArrayType(DoubleType())),
+            StructField("sy", ArrayType(DoubleType())),
+            StructField("m", ArrayType(DoubleType())),
+        ]
+    )
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        sx = sy = m = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["x"]])
+            y = np.array([np.asarray(v, dtype=np.float64) for v in pdf["y"]])
+            n += x.shape[0]
+            sx = x.sum(axis=0) if sx is None else sx + x.sum(axis=0)
+            sy = y.sum(axis=0) if sy is None else sy + y.sum(axis=0)
+            g = x.T @ y
+            m = g if m is None else m + g
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "sx": [sx.tolist()],
+                    "sy": [sy.tolist()],
+                    "m": [m.ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .mapInPandas(moments, schema=schema)
+        .collect()  # bounded: <= numPartitions rows of (d^2 + 2d + 1)
+    )
+    if not parts:
+        raise ValueError("no vector pairs to align")
+    n = sum(r["n"] for r in parts)
+    sx = np.sum([np.array(r["sx"]) for r in parts], axis=0)
+    sy = np.sum([np.array(r["sy"]) for r in parts], axis=0)
+    d = sx.shape[0]
+    m = np.sum([np.array(r["m"]).reshape(d, d) for r in parts], axis=0)
+    mx, my = sx / n, sy / n
+    cross = m - np.outer(mx, sy)  # sum (x - mx)^T y  == X^T Y - mx sy^T
+    u, _, vt = np.linalg.svd(cross)
+    r = u @ vt
+    return ProcrustesModel(rotation=r, mean_x=mx, mean_y=my, n=int(n))
+
+
+def procrustes_apply(
+    df: DataFrame, model: ProcrustesModel, x_col: str, out_col: str = "aligned"
+) -> DataFrame:
+    """Append ``out_col`` = (x - mean_x) @ R + mean_y — the aligned
+    vector in the target space. Map-only; the (d, d) rotation rides in
+    the task closure."""
+    r = model.rotation.copy()
+    mx = model.mean_x.copy()
+    my = model.mean_y.copy()
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def align(vs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        out = (x - mx) @ r + my
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, align(F.col(x_col)))

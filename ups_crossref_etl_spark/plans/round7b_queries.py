@@ -1125,3 +1125,170 @@ def q_events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return interevent_stats(e, "user_id", "ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_part_sorted_neighborhood",
+    """
+    WITH b AS (
+      SELECT p_partkey AS id, p_name AS k,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part),
+    l AS (
+      SELECT id, k, rn,
+             lead(id, 1) OVER w AS l1, lead(k, 1) OVER w AS k1,
+             lead(id, 2) OVER w AS l2, lead(k, 2) OVER w AS k2,
+             lead(id, 3) OVER w AS l3, lead(k, 3) OVER w AS k3
+      FROM b WINDOW w AS (ORDER BY rn)),
+    pairs AS (
+      SELECT id AS id_a, l1 AS id_b, CAST(1 AS BIGINT) AS rank_distance,
+             levenshtein(k, k1) AS dist
+      FROM l WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT id, l2, CAST(2 AS BIGINT), levenshtein(k, k2)
+      FROM l WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT id, l3, CAST(3 AS BIGINT), levenshtein(k, k3)
+      FROM l WHERE l3 IS NOT NULL)
+    SELECT id_a, id_b, rank_distance, CAST(dist AS BIGINT) AS dist
+    FROM pairs WHERE dist <= 12
+    """,
+    doc=(
+        "Sorted-neighborhood entity-resolution blocking over part names "
+        "(operators/linkage.sorted_neighborhood_pairs, Hernandez-Stolfo "
+        "1995, window 3) with a Levenshtein verify on the candidates: "
+        "the blocking alternative to token/LSH joins whose candidate "
+        "budget is GUARANTEED linear (n*window pairs) with no skew "
+        "cliff — one global sort (range-partitioned at scale) + window "
+        "leads. Candidates at rank distance 1-3 whose edit distance "
+        "clears 12 survive; both engines share one Levenshtein "
+        "definition, so the gate is exact."
+    ),
+)
+def q_part_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import sorted_neighborhood_pairs
+
+    p = read_table(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(p, "p_name", "p_partkey", window=3)
+    names = p.select(
+        F.col("p_partkey").alias("_pk"), F.col("p_name").alias("_nm")
+    )
+    return (
+        pairs.join(names.withColumnRenamed("_pk", "id_a"), "id_a")
+        .withColumnRenamed("_nm", "_na")
+        .join(
+            names.withColumnRenamed("_pk", "id_b").withColumnRenamed(
+                "_nm", "_nb"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "rank_distance",
+            F.levenshtein(F.col("_na"), F.col("_nb"))
+            .cast("bigint")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 12)
+    )
+
+
+# --------------------------------------------------------------------------
+# DP-release simulation (seeded Laplace counts)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_dp_noisy_counts",
+    """
+    WITH c AS (SELECT event_type, count(*) AS n FROM events
+               GROUP BY event_type),
+    u AS (
+      SELECT event_type, n,
+             CAST('0x' || substr(md5('dp:' || event_type), 1, 8) AS BIGINT)
+               / 4294967296.0 - 0.5 AS u
+      FROM c)
+    SELECT event_type,
+           round(n + (-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u))), 6) + 0.0
+             AS noisy_count
+    FROM u
+    """,
+    doc=(
+        "Laplace-mechanism count release SIMULATION over event types "
+        "(operators/privacy.dp_noisy_counts, epsilon=1): inverse-CDF "
+        "Laplace noise from a SEEDED md5 uniform so DP release pipelines "
+        "(budget accounting, suppression rules) can be integration-"
+        "tested against reproducible noise. The seeded draw is "
+        "explicitly NOT differentially private (determinism is what the "
+        "guarantee forbids) — production swaps in a secure RNG; the "
+        "operator and true counts never co-travel in the output schema."
+    ),
+)
+def q_events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import dp_noisy_counts
+
+    e = read_table(spark, sf_dir, "events")
+    return dp_noisy_counts(e, "event_type", epsilon=1.0, seed="dp")
+
+
+# --------------------------------------------------------------------------
+# Procrustes embedding alignment (invariant-pinned)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_procrustes_bound",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(64 AS BIGINT) AS dim,
+           true AS aligned_within_tol
+    FROM embeddings
+    """,
+    doc=(
+        "Invariant-pinned contract for orthogonal Procrustes alignment "
+        "(operators/pca.procrustes_fit/apply, Schonemann 1966) — the "
+        "embedding-migration primitive that aligns an old index to a "
+        "re-trained encoder with one rotation instead of a corpus "
+        "re-embed. The gate constructs the target space as a KNOWN "
+        "orthogonal transform (coordinate reversal + alternating sign "
+        "flips) of the real embeddings, fits the rotation from the "
+        "distributed cross-covariance moments pass (output bounded by "
+        "partition count, SVD is driver-side on the 64x64 model), "
+        "applies it map-only, and asserts the mean squared alignment "
+        "residual is below 1e-9 — i.e. the fit RECOVERED the transform. "
+        "Oracle pins (n, dim, verdict); the verdict is computed, not "
+        "assumed."
+    ),
+)
+def q_emb_procrustes_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import procrustes_apply, procrustes_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    # known orthogonal transform: reverse coordinates, flip every other sign
+    y = F.transform(
+        F.reverse(x),
+        lambda v, i: v.cast("double")
+        * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+    pairs = emb.select("vec_id", x.alias("x"), y.alias("y"))
+    model = procrustes_fit(pairs, "x", "y")
+    aligned = procrustes_apply(pairs, model, "x", out_col="a")
+    sq = F.aggregate(
+        F.zip_with("a", "y", lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return aligned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.lit(64).cast("bigint").alias("dim"),
+        ((F.sum(sq) / F.count(F.lit(1)) / 64.0) <= F.lit(1e-9)).alias(
+            "aligned_within_tol"
+        ),
+    )
