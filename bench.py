@@ -235,6 +235,10 @@ EXTENDED = [
     "q_part_sorted_neighborhood",
     "q_events_dp_noisy_counts",
     "q_emb_procrustes_bound",
+    # round 7 (wave 8): DiD readout, Mann-Whitney U, conformal intervals
+    "q_events_did_readout",
+    "q_events_mann_whitney",
+    "q_events_conformal_interval",
 ]
 
 

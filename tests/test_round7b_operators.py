@@ -1,6 +1,6 @@
-"""Unit tests for the round-7 wave-3 operators: Kendall tau-b, Gini,
-jackknife SE, permutation test, lift table, RBO, n-gram novelty,
-cosine pair histogram, seasonal decomposition."""
+"""Unit tests for the round-7 wave 3-8 operators: rank statistics,
+uncertainty readouts, calibration/AP, corpus audits, ER blocking,
+Procrustes, DP simulation, survival, conformal intervals."""
 
 from __future__ import annotations
 
@@ -578,3 +578,90 @@ def test_procrustes_recovers_rotation(spark):
     out = procrustes_apply(df, m, "x", "a").collect()
     for r in out:
         assert max(abs(p - q) for p, q in zip(r["a"], r["y"])) < 1e-8
+
+
+# --------------------------------------------------------------------- did
+
+
+def test_did_nets_out_preexisting_gap(spark):
+    from datetime import datetime
+
+    from ups_crossref_etl_spark.operators.experiment import did_readout
+    from ups_crossref_etl_spark.operators.sampling import hash_bucket
+
+    pre = datetime(2024, 1, 10)
+    post = datetime(2024, 1, 20)
+    # find which arm each user lands in, then build values so that arm B
+    # carries a constant +5 level in BOTH periods and a true +2 lift post
+    probe = spark.createDataFrame([(u,) for u in range(40)], "u long")
+    arms = {
+        r["u"]: r["bucket"]
+        for r in probe.select(
+            "u", hash_bucket(F.col("u"), "ab", 2)
+        ).collect()
+    }
+    rows = []
+    for u in range(40):
+        lvl = 5.0 if arms[u] == 1 else 0.0
+        lift = 2.0 if arms[u] == 1 else 0.0
+        rows.append((u, pre, 10.0 + lvl))
+        rows.append((u, post, 10.0 + lvl + lift))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = did_readout(
+        df, "user_id", "ts", "value", split_ts="2024-01-16 00:00:00"
+    ).first()
+    assert out["n_users"] == 40
+    # plain post diff would read ~7; DiD reads exactly the 2.0 lift
+    assert out["did"] == 2.0
+    assert out["post_b"] - out["post_a"] == 7.0
+
+
+# ------------------------------------------------------------ mann-whitney
+
+
+def test_mann_whitney_scipy_parity(spark):
+    from ups_crossref_etl_spark.operators.stats import mann_whitney
+
+    xs = [1.0, 2.0, 2.0, 4.0, 9.0]   # group a
+    ys = [2.0, 3.0, 5.0, 5.0, 6.0, 8.0]  # group b
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney(df, "g", "v", "a", "b").first()
+    # manual tie-aware U: count wins + half-ties over cross pairs
+    u = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in xs for y in ys
+    )
+    assert out["u_a"] == u
+    assert out["n_a"] == 5 and out["n_b"] == 6
+    # cliff's delta from the same U
+    assert abs(out["cliffs_delta"] - (2 * u / 30 - 1)) < 1e-6
+
+
+def test_mann_whitney_shifted_distribution_sign(spark):
+    from ups_crossref_etl_spark.operators.stats import mann_whitney
+
+    rows = [("a", float(i)) for i in range(50)] + [
+        ("b", float(i + 30)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney(df, "g", "v", "a", "b").first()
+    assert out["z"] < -3  # a is stochastically smaller
+    assert out["cliffs_delta"] < -0.5
+
+
+# --------------------------------------------------------------- conformal
+
+
+def test_conformal_coverage_guarantee(spark):
+    from ups_crossref_etl_spark.operators.evaluation import conformal_interval
+
+    rows = [
+        (i, "g" + str(i % 3), float((i * 37) % 100)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = conformal_interval(df, "g", "v", "id", alpha=0.1).first()
+    assert out["n_cal"] + out["n_eval"] == 2000
+    assert out["target"] == 0.9
+    # exchangeable data: coverage concentrates near/above 1 - alpha
+    assert out["coverage"] >= 0.85
+    assert out["q_hat"] > 0

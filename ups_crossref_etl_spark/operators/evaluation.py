@@ -573,3 +573,98 @@ def average_precision(
             + 0.0
         ).alias("ap"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    seed: str = "conf",
+) -> DataFrame:
+    """Split-conformal prediction interval audit, one row: ``(n_cal,
+    n_eval, q_hat, coverage, target)``.
+
+    The distribution-free uncertainty recipe (Vovk et al.; Lei et al.
+    2018): hash-split rows into calibration/evaluation halves, predict
+    with a simple per-group mean fit on CALIBRATION only, take q_hat =
+    the ceil((n_cal + 1)(1 - alpha))-th smallest absolute calibration
+    residual, and measure what fraction of EVALUATION rows land within
+    +-q_hat — finite-sample guaranteed >= 1 - alpha in expectation for
+    exchangeable data, no matter how bad the model. Everything is
+    gate-exact: the md5 split is the ``hash_bucket`` recipe,
+    predictions round 6 dp before residuals so both engines subtract
+    identical doubles, q_hat is an ACTUAL residual selected by integer
+    rank arithmetic, and coverage is a ratio of counts. Two group-keyed
+    aggregates + one rank window over calibration residuals.
+    """
+    from ..operators.sampling import hash_bucket
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+        hash_bucket(F.col(id_col), seed, 2).alias("_split"),
+    )
+    cal = base.filter(F.col("_split") == 0)
+    ev = base.filter(F.col("_split") == 1)
+    model = cal.groupBy("_g").agg(
+        (
+            F.round(
+                F.sum(F.round(F.col("_v") * 1e9).cast("bigint")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1e9,
+                6,
+            )
+            + 0.0
+        ).alias("_pred")
+    )
+    res = cal.join(F.broadcast(model), "_g").select(
+        F.abs(F.col("_v") - F.col("_pred")).alias("_r")
+    )
+    wr = Window.orderBy("_r")
+    ranked = res.select(
+        "_r",
+        F.row_number().over(wr).cast("bigint").alias("_rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("_n"),
+    )
+    # rank = min(n, ceil((n + 1) * (1 - alpha)))
+    target_rank = F.least(
+        F.col("_n"),
+        F.ceil((F.col("_n") + 1) * F.lit(1.0 - float(alpha))).cast("bigint"),
+    )
+    qhat = ranked.filter(F.col("_rk") == target_rank).select(
+        F.col("_r").alias("_qhat"), F.col("_n").alias("n_cal")
+    )
+    scored = (
+        ev.join(F.broadcast(model), "_g")
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "n_cal",
+            "_qhat",
+            (F.abs(F.col("_v") - F.col("_pred")) <= F.col("_qhat")).alias(
+                "_in"
+            ),
+        )
+    )
+    return scored.groupBy("n_cal", "_qhat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        (
+            F.round(
+                F.sum(F.when(F.col("_in"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("coverage"),
+    ).select(
+        "n_cal",
+        "n_eval",
+        (F.round(F.col("_qhat"), 6) + 0.0).alias("q_hat"),
+        "coverage",
+        F.lit(round(1.0 - float(alpha), 6)).alias("target"),
+    )

@@ -277,3 +277,69 @@ def permutation_test(
             + 0.0
         ).alias("p_value"),
     )
+
+
+def did_readout(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+    seed: str = "ab",
+) -> DataFrame:
+    """One-row difference-in-differences readout over hash-assigned
+    arms: ``(n_users, n_a, n_b, pre_a, pre_b, post_a, post_b, did)``
+    with did = (post_b - pre_b) - (post_a - pre_a) on per-user period
+    means.
+
+    The parallel-trends estimator that survives a level difference
+    between arms existing BEFORE the change — where the plain post-
+    period diff (``q_events_ab_readout``) would book a pre-existing gap
+    as treatment effect, DiD nets it out against the pre-period gap.
+    Same determinism recipe as :func:`cuped_readout`: per-user BIGINT
+    nano sums (one user-keyed aggregate), md5 arm assignment
+    (``sampling.hash_bucket``), then a 2-row arm aggregate; every mean
+    is a ratio of exact integers and the final estimate is one rounded
+    expression.
+    """
+    ev = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.round(F.col(value_col).cast("double") * 1e9)
+        .cast("bigint")
+        .alias("_vn"),
+    )
+    cut = F.lit(split_ts).cast("timestamp_ntz")
+    per_user = ev.groupBy("_u").agg(
+        F.sum(F.when(F.col("_ts") < cut, F.col("_vn")).otherwise(0)).alias("_xn"),
+        F.sum(F.when(F.col("_ts") >= cut, F.col("_vn")).otherwise(0)).alias("_yn"),
+    )
+    arms = per_user.withColumn("_arm", hash_bucket(F.col("_u"), seed, 2))
+    per_arm = arms.groupBy("_arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_xn").alias("_sx"),
+        F.sum("_yn").alias("_sy"),
+    )
+    a = per_arm.filter(F.col("_arm") == 0).select(
+        F.col("_n").alias("n_a"), F.col("_sx").alias("_sxa"),
+        F.col("_sy").alias("_sya"),
+    )
+    b = per_arm.filter(F.col("_arm") == 1).select(
+        F.col("_n").alias("n_b"), F.col("_sx").alias("_sxb"),
+        F.col("_sy").alias("_syb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    pre_a = F.col("_sxa").cast("double") / F.col("n_a").cast("double") / 1e9
+    pre_b = F.col("_sxb").cast("double") / F.col("n_b").cast("double") / 1e9
+    post_a = F.col("_sya").cast("double") / F.col("n_a").cast("double") / 1e9
+    post_b = F.col("_syb").cast("double") / F.col("n_b").cast("double") / 1e9
+    return j.select(
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_users"),
+        "n_a",
+        "n_b",
+        (F.round(pre_a, 6) + 0.0).alias("pre_a"),
+        (F.round(pre_b, 6) + 0.0).alias("pre_b"),
+        (F.round(post_a, 6) + 0.0).alias("post_a"),
+        (F.round(post_b, 6) + 0.0).alias("post_b"),
+        (F.round((post_b - pre_b) - (post_a - pre_a), 6) + 0.0).alias("did"),
+    )

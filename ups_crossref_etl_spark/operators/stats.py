@@ -797,3 +797,73 @@ def qq_table(
         "value_b",
         (F.round(F.col("value_b") - F.col("value_a"), 6) + 0.0).alias("diff"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups, one row:
+    ``(n_a, n_b, u_a, z, cliffs_delta)`` — the tie-corrected normal
+    approximation z and the Cliff's delta effect size 2U/(na*nb) - 1.
+
+    The nonparametric two-sample location test (the distribution-free
+    sibling of the t-test, and the analytic complement to
+    ``experiment.permutation_test``'s Monte-Carlo p): U_a counts, over
+    all cross pairs, how often an A value beats a B value (ties half).
+    Midranks come from the ``binary_auc`` scale trick — aggregate per
+    DISTINCT value first (the only corpus-sized shuffle), then one
+    cumulative window over the distinct-value table; per-value midranks
+    are exact halves, so their sums are exact in doubles (no rounding
+    below 2^52) and order-independent. The tie correction term
+    sum(t^3 - t) is an exact integer aggregate.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).alias("_isa"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per_v = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t"),
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).cast("bigint").alias("_ta"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "_v", "_t", "_ta",
+        (
+            F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("double")
+            + (F.col("_t") + 1).cast("double") / 2.0
+        ).alias("_midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("_ta").cast("bigint").alias("n_a"),
+        (F.sum("_t") - F.sum("_ta")).cast("bigint").alias("n_b"),
+        F.sum(F.col("_ta") * F.col("_midrank")).alias("_ra"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias(
+            "_ties"
+        ),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("_ra") - na * (na + 1.0) / 2.0
+    sigma = F.sqrt(
+        (na * nb / 12.0)
+        * ((n + 1.0) - F.col("_ties").cast("double") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.round(u_a, 2) + 0.0).alias("u_a"),
+        (F.round((u_a - na * nb / 2.0) / sigma, 6) + 0.0).alias("z"),
+        (F.round(2.0 * u_a / (na * nb) - 1.0, 6) + 0.0).alias(
+            "cliffs_delta"
+        ),
+    )

@@ -1,18 +1,25 @@
-"""Round-7 wave-3 query registrations.
+"""Round-7 wave 3-8 query registrations.
 
-New operator families this wave (each the Spark-first expression of a
-standard corpus/metric tool, each with an exact DuckDB oracle twin):
+New operator families (each the Spark-first expression of a standard
+corpus/metric tool, each with an exact DuckDB oracle twin):
 
 - rank statistics: per-key Kendall tau-b (tie-exact, with the Theil-Sen
-  stride cap for hot keys), truncated rank-biased overlap between two
-  top-k rankings;
+  stride cap for hot keys), truncated rank-biased overlap, Mann-Whitney
+  U with Cliff's delta;
 - concentration / uncertainty: per-group Gini coefficient,
-  delete-one-group jackknife SE for ratio-of-sums, md5-randomization
-  permutation test;
-- scorer triage: cumulative-gains / lift deciles;
+  delete-one-group jackknife SE, md5-randomization permutation test,
+  split-conformal prediction intervals, difference-in-differences;
+- scorer triage: cumulative-gains / lift deciles, exact average
+  precision, PAVA-as-minimax isotonic calibration;
 - corpus audits: per-doc n-gram novelty vs a reference partition,
-  embedding cosine histogram over deterministic stride pairs,
-  classical seasonal decomposition of the hourly series.
+  embedding cosine histogram over deterministic stride pairs, Chao1 +
+  Good-Turing vocabulary richness, classical seasonal decomposition,
+  inter-event burstiness, QQ decile tables, MI/chi2 association,
+  Gini/weighted-median/decayed-score aggregates;
+- entity resolution / embeddings / privacy / survival: sorted-
+  neighborhood blocking, Procrustes alignment (invariant-pinned),
+  seeded-Laplace DP release simulation, Nelson-Aalen hazard,
+  Fisher separability.
 
 Determinism: every query follows the registry contract — exact integer
 / DECIMAL accumulation wherever a sum crosses engines, doubles only in
@@ -1291,4 +1298,199 @@ def q_emb_procrustes_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum(sq) / F.count(F.lit(1)) / 64.0) <= F.lit(1e-9)).alias(
             "aligned_within_tol"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_did_readout",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, ts,
+             CAST(round(CAST(value AS DOUBLE) * 1e9) AS BIGINT) AS vn
+      FROM events WHERE value IS NOT NULL),
+    pu AS (
+      SELECT u,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN vn ELSE 0 END) AS xn,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN vn ELSE 0 END) AS yn
+      FROM ev GROUP BY u),
+    arms AS (
+      SELECT u, xn, yn,
+             CAST('0x' || substr(md5('ab-' || CAST(u AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2 AS arm
+      FROM pu),
+    pa AS (SELECT arm, count(*) AS n, sum(xn) AS sx, sum(yn) AS sy
+           FROM arms GROUP BY arm),
+    a AS (SELECT n AS n_a, sx AS sxa, sy AS sya FROM pa WHERE arm = 0),
+    b AS (SELECT n AS n_b, sx AS sxb, sy AS syb FROM pa WHERE arm = 1)
+    SELECT CAST(a.n_a + b.n_b AS BIGINT) AS n_users,
+           CAST(a.n_a AS BIGINT) AS n_a,
+           CAST(b.n_b AS BIGINT) AS n_b,
+           round(CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e9, 6) + 0.0
+             AS pre_a,
+           round(CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9, 6) + 0.0
+             AS pre_b,
+           round(CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e9, 6) + 0.0
+             AS post_a,
+           round(CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9, 6) + 0.0
+             AS post_b,
+           round((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9
+                  - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9)
+                 - (CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e9
+                    - CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e9),
+                 6) + 0.0 AS did
+    FROM a CROSS JOIN b
+    """,
+    doc=(
+        "Difference-in-differences readout over md5 hash-assigned arms "
+        "with a mid-span period split (operators/experiment.did_readout): "
+        "the parallel-trends estimator that nets a pre-existing arm gap "
+        "out of the post-period difference — where the plain A/B diff "
+        "books it as treatment effect. Per-user BIGINT nano sums, one "
+        "2-row arm aggregate; every mean is a ratio of exact integers."
+    ),
+)
+def q_events_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import did_readout
+
+    e = read_table(spark, sf_dir, "events")
+    return did_readout(
+        e, "user_id", "ts", "value", split_ts="2024-01-16 00:00:00"
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_mann_whitney",
+    """
+    WITH base AS (
+      SELECT event_type = 'click' AS isa, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+    pv AS (
+      SELECT v, count(*) AS t,
+             sum(CASE WHEN isa THEN 1 ELSE 0 END) AS ta
+      FROM base GROUP BY v),
+    r AS (
+      SELECT v, t, ta,
+             CAST(coalesce(sum(t) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS DOUBLE)
+               + CAST(t + 1 AS DOUBLE) / 2.0 AS midrank
+      FROM pv),
+    g AS (
+      SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+             CAST(sum(t) - sum(ta) AS BIGINT) AS n_b,
+             sum(ta * midrank) AS ra,
+             sum(t * t * t - t) AS ties
+      FROM r),
+    d AS (
+      SELECT n_a, n_b, ra, ties,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0
+               AS ua
+      FROM g)
+    SELECT n_a, n_b,
+           round(ua, 2) + 0.0 AS u_a,
+           round((ua - na * nb / 2.0)
+                 / sqrt((na * nb / 12.0)
+                        * ((na + nb + 1.0)
+                           - CAST(ties AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1.0)))), 6) + 0.0
+             AS z,
+           round(2.0 * ua / (na * nb) - 1.0, 6) + 0.0 AS cliffs_delta
+    FROM d
+    """,
+    doc=(
+        "Mann-Whitney U rank-sum test, click vs view (operators/stats."
+        "mann_whitney): the distribution-free two-sample location test "
+        "with tie-corrected normal z and Cliff's delta effect size — the "
+        "analytic complement to the Monte-Carlo permutation gate. "
+        "Midranks via the binary_auc scale trick (distinct-value "
+        "aggregate + ONE cumulative window over the distinct table); "
+        "midranks are exact halves so their sums are exact and "
+        "order-independent, and the tie term sum(t^3 - t) is an exact "
+        "integer."
+    ),
+)
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mann_whitney
+
+    e = read_table(spark, sf_dir, "events")
+    return mann_whitney(e, "event_type", "value", "click", "view")
+
+
+# --------------------------------------------------------------------------
+# Split-conformal interval audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_conformal_interval",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+             CAST('0x' || substr(md5('conf-' || CAST(event_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 2 AS split
+      FROM events WHERE value IS NOT NULL),
+    model AS (
+      SELECT g,
+             round(CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 1e9, 6) + 0.0 AS pred
+      FROM base WHERE split = 0 GROUP BY g),
+    res AS (
+      SELECT abs(b.v - m.pred) AS r
+      FROM base b JOIN model m ON b.g = m.g WHERE b.split = 0),
+    rk AS (
+      SELECT r, row_number() OVER (ORDER BY r) AS rk,
+             count(*) OVER () AS n
+      FROM res),
+    q AS (
+      SELECT r AS qhat, n AS n_cal FROM rk
+      WHERE rk = least(n, CAST(ceil((n + 1) * CAST(0.9 AS DOUBLE))
+                               AS BIGINT))),
+    sc AS (
+      SELECT q.n_cal, q.qhat,
+             abs(b.v - m.pred) <= q.qhat AS inn
+      FROM base b JOIN model m ON b.g = m.g CROSS JOIN q
+      WHERE b.split = 1)
+    SELECT CAST(n_cal AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(qhat, 6) + 0.0 AS q_hat,
+           round(CAST(sum(CASE WHEN inn THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS coverage,
+           CAST(0.9 AS DOUBLE) AS target
+    FROM sc GROUP BY n_cal, qhat
+    """,
+    doc=(
+        "Split-conformal prediction-interval audit at alpha=0.1 "
+        "(operators/evaluation.conformal_interval, Vovk / Lei et al.): "
+        "md5-split calibration/evaluation halves, per-type mean "
+        "predictor fit on calibration only, q_hat = the "
+        "ceil((n+1)(1-alpha))-th smallest absolute calibration residual "
+        "(an ACTUAL residual selected by exact integer rank), and the "
+        "measured evaluation coverage — the finite-sample-guaranteed "
+        "uncertainty wrapper that needs no model assumptions. "
+        "Predictions round 6 dp before residuals so both engines "
+        "subtract identical doubles; the ceil argument is forced to "
+        "DOUBLE on both sides (a decimal 0.9 would ceil differently on "
+        "exact-integer products)."
+    ),
+)
+def q_events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import conformal_interval
+
+    e = read_table(spark, sf_dir, "events")
+    return conformal_interval(
+        e, "event_type", "value", "event_id", alpha=0.1, seed="conf"
     )
