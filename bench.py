@@ -239,6 +239,9 @@ EXTENDED = [
     "q_events_did_readout",
     "q_events_mann_whitney",
     "q_events_conformal_interval",
+    # round 7 (wave 9): interleaved epoch order, JSONL export round-trip
+    "q_docs_training_order",
+    "q_docs_jsonl_roundtrip",
 ]
 
 

@@ -665,3 +665,29 @@ def test_conformal_coverage_guarantee(spark):
     # exchangeable data: coverage concentrates near/above 1 - alpha
     assert out["coverage"] >= 0.85
     assert out["q_hat"] > 0
+
+
+# --------------------------------------------------------------- interleave
+
+
+def test_interleaved_order_round_robin(spark):
+    from ups_crossref_etl_spark.operators.corpus import interleaved_order
+
+    rows = [(i, "dom" + str(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = interleaved_order(df, "id", "dom").collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, 41))
+    # round-robin: every consecutive block of 4 positions holds 4 domains
+    by_pos = {r["pos"]: r["dom"] for r in out}
+    for block in range(10):
+        doms = {by_pos[block * 4 + i] for i in range(1, 5)}
+        assert len(doms) == 4
+    # deterministic under re-run; different seed reshuffles
+    again = interleaved_order(df, "id", "dom").collect()
+    assert {(r["id"], r["pos"]) for r in again} == {
+        (r["id"], r["pos"]) for r in out
+    }
+    other = interleaved_order(df, "id", "dom", seed="epoch2").collect()
+    assert {(r["id"], r["pos"]) for r in other} != {
+        (r["id"], r["pos"]) for r in out
+    }

@@ -179,3 +179,44 @@ def quantile_normalize_approx(
             (F.round(F.percent_rank().over(w_g) * grid) + 1).cast("int"),
         ).alias("norm_value"),
     )
+
+
+def interleaved_order(
+    df: DataFrame, id_col: str, domain_col: str, seed: str = "epoch1"
+) -> DataFrame:
+    """Deterministic domain-interleaved training order: ``(id, domain,
+    pos)`` where pos is the global dataloader position.
+
+    The epoch-shuffle primitive: rows are ranked WITHIN their domain by
+    an md5 draw (reshuffle by changing ``seed`` per epoch — no RNG
+    state, resumable from any position), then domains are round-robin
+    interleaved (all rank-1 docs across domains, then rank-2, ...), so
+    a sequential reader sees every domain continuously instead of a
+    domain-sorted corpus that catastrophically orders training. Two
+    window passes: one per-domain rank (domain-keyed shuffle), one
+    global position by (rank, domain, id) — at cluster scale the
+    second is a range partition by the same triple, the standard
+    total-order sort shape. Everything is integer arithmetic on md5
+    draws: bit-for-bit reproducible across engines and runs.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "-"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wd = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
+    ranked = df.select(
+        F.col(id_col), F.col(domain_col), F.row_number().over(wd).alias("_r")
+    )
+    wg = Window.orderBy(F.col("_r"), F.col(domain_col), F.col(id_col))
+    return ranked.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.row_number().over(wg).cast("bigint").alias("pos"),
+    )

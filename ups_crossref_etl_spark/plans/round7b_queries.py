@@ -1494,3 +1494,156 @@ def q_events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_interval(
         e, "event_type", "value", "event_id", alpha=0.1, seed="conf"
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-interleaved training order
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_training_order",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('epoch1-'
+                              || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+                        doc_id) AS rr
+      FROM documents),
+    p AS (
+      SELECT source,
+             row_number() OVER (ORDER BY rr, source, doc_id) AS pos
+      FROM r)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             + 0.0 AS mean_pos,
+           CAST(min(pos) AS BIGINT) AS min_pos,
+           CAST(max(pos) AS BIGINT) AS max_pos
+    FROM p GROUP BY source
+    """,
+    doc=(
+        "Deterministic domain-interleaved epoch order (operators/corpus."
+        "interleaved_order): per-domain md5 rank, then round-robin "
+        "interleave — a sequential dataloader sees every source "
+        "continuously instead of a domain-sorted corpus that "
+        "catastrophically orders training; reshuffling is a seed change, "
+        "no RNG state, resumable anywhere. The gate pins the per-source "
+        "position summary: near-equal mean positions and interleaved "
+        "min/max PROVE the balance, and the md5 ranks make it hash-exact."
+    ),
+)
+def q_docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import interleaved_order
+
+    d = read_table(spark, sf_dir, "documents")
+    order = interleaved_order(d, "doc_id", "source", seed="epoch1")
+    return order.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.round(
+                F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            )
+            + 0.0
+        ).alias("mean_pos"),
+        F.min("pos").cast("bigint").alias("min_pos"),
+        F.max("pos").cast("bigint").alias("max_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSONL export round-trip identity
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_jsonl_roundtrip",
+    """
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' ||
+               coalesce(lang, '<NULL>') || '|' ||
+               coalesce(source, '<NULL>') || '|' ||
+               coalesce(CAST(n_chars AS VARCHAR), '<NULL>') || '|' ||
+               md5(text)), 1, 15) AS BIGINT) AS h
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS digest,
+           TRUE AS layout_matches_assignment
+    FROM h
+    """,
+    doc=(
+        "JSON-Lines export round-trip identity (sources/sinks."
+        "write_jsonl_shards): export the corpus as 16 hash-assigned "
+        "JSONL shard directories (the interchange format LLM dataloaders "
+        "consume), re-read the text lines through spark.read.json with "
+        "the source schema, and re-derive an order-insensitive content "
+        "digest INCLUDING an md5 of the full text — the oracle computes "
+        "the same digest straight from the source table, so a hash match "
+        "proves JSON encode/decode lost nothing (escapes, unicode, "
+        "nulls) row for row. layout_matches_assignment pins every "
+        "re-read row to the shard directory its key hashes to."
+    ),
+)
+def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import hash_bucket
+    from ..sources.sinks import write_jsonl_shards
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_gate_")
+    path = f"{tmp}/jsonl"
+    try:
+        write_jsonl_shards(docs, path, "doc_id", num_shards=16)
+        reread = spark.read.schema(docs.schema).json(path)
+        n_misplaced = (
+            reread.withColumn(
+                "_expect", hash_bucket(F.col("doc_id"), "shard", 16)
+            )
+            .filter(F.col("shard").cast("long") != F.col("_expect"))
+            .count()
+        )
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("doc_id").cast("string"),
+                        F.coalesce(F.col("lang"), F.lit("<NULL>")),
+                        F.coalesce(F.col("source"), F.lit("<NULL>")),
+                        F.coalesce(
+                            F.col("n_chars").cast("string"), F.lit("<NULL>")
+                        ),
+                        F.md5(F.col("text")),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        out = (
+            reread.select(row_h.alias("_h"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr("bit_xor(_h)").cast("bigint").alias("digest"),
+            )
+            .select(
+                "n_rows",
+                "digest",
+                F.lit(n_misplaced == 0).alias("layout_matches_assignment"),
+            )
+        )
+        out = out.cache()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
