@@ -95,6 +95,13 @@ def poisson_bootstrap_means(
         .cast("bigint")
         .alias("_v_nano"),
     )
+    # the replicate explode multiplies rows x B BEFORE any shuffle — if the
+    # scan arrived as 1-2 parquet splits (typical at small file sizes) the
+    # whole md5-per-replicate stage would run near-serial; spread the BASE
+    # first (cheap: pre-explode row count) so the x B work uses every core
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     reps = base.withColumn(
         "b", F.explode(F.sequence(F.lit(1), F.lit(int(n_replicates))))
     )

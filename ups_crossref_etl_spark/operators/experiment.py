@@ -221,7 +221,11 @@ def permutation_test(
             + 0.0
         ).alias("t_obs"),
     )
-    reps = base.withColumn(
+    # spread the base before the x B explode: a 1-split scan would run the
+    # md5-per-replicate stage near-serial (same fix as poisson_bootstrap)
+    reps = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).withColumn(
         "_b", F.explode(F.sequence(F.lit(1), F.lit(int(n_permutations))))
     )
     coin = (
