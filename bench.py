@@ -242,6 +242,10 @@ EXTENDED = [
     # round 7 (wave 9): interleaved epoch order, JSONL export round-trip
     "q_docs_training_order",
     "q_docs_jsonl_roundtrip",
+    # round 7 (wave 10): HITS nano-quantized power iteration, global
+    # clustering coefficient
+    "q_graph_hits",
+    "q_graph_clustering_coefficient",
 ]
 
 

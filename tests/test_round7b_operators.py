@@ -691,3 +691,50 @@ def test_interleaved_order_round_robin(spark):
     assert {(r["id"], r["pos"]) for r in other} != {
         (r["id"], r["pos"]) for r in out
     }
+
+
+# -------------------------------------------------------------------- hits
+
+
+def test_hits_star_graph(spark):
+    from ups_crossref_etl_spark.operators.pagerank import hits
+
+    # star: 1..4 all point at 5 -> 5 is the sole authority, 1..4 equal hubs
+    edges = spark.createDataFrame(
+        [(i, 5) for i in range(1, 5)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits(edges, n_iter=2).collect()}
+    assert out[5]["authority"] == 1.0 and out[5]["hub"] == 0.0
+    for i in range(1, 5):
+        assert out[i]["authority"] == 0.0
+        assert out[i]["hub"] == 0.25
+
+
+def test_hits_deterministic(spark):
+    from ups_crossref_etl_spark.operators.pagerank import hits
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 11) for i in range(30) if i != (i * 7) % 11],
+        "src long, dst long",
+    )
+    r1 = sorted(map(tuple, hits(edges, n_iter=3).collect()))
+    r2 = sorted(map(tuple, hits(edges, n_iter=3).collect()))
+    assert r1 == r2
+
+
+# ---------------------------------------------------------- clustering coef
+
+
+def test_clustering_coefficient_triangle_vs_path(spark):
+    from ups_crossref_etl_spark.operators.graph import clustering_coefficient
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    out = clustering_coefficient(tri).first()
+    assert out["n_triangles"] == 1 and out["n_wedges"] == 3
+    assert out["global_cc"] == 1.0
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    p = clustering_coefficient(path).first()
+    assert p["n_triangles"] == 0 and p["global_cc"] == 0.0
+    assert p["n_wedges"] == 1

@@ -387,3 +387,61 @@ def hyper_anf(edges: DataFrame, hops: int = 2, lg_k: int = 12) -> DataFrame:
         "node",
         F.hll_sketch_estimate("sk").cast("long").alias("est_reach"),
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient summary, one row: ``(n_nodes,
+    n_edges, n_triangles, n_wedges, global_cc)`` with global_cc =
+    3*triangles / wedges (the transitivity ratio).
+
+    The one-number cohesion diagnostic read before trusting
+    community-detection output: random graphs sit near deg/n, social/
+    co-occurrence graphs sit orders of magnitude higher. Reuses
+    :func:`triangle_count`'s oriented two-join (never a cross product);
+    wedges come from ONE degree aggregate over the canonical undirected
+    edge set — sum of deg*(deg-1)/2 in exact integers, so the gate has
+    a single rounded division.
+    """
+    ori = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    tri = triangle_count(ori.select(F.col("lo").alias("src"), F.col("hi").alias("dst")))
+    deg = (
+        ori.select(F.col("lo").alias("node"))
+        .unionByName(ori.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum(F.col("_d") * (F.col("_d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = ori.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        summary.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (
+                F.round(
+                    F.when(
+                        F.col("n_wedges") > 0,
+                        3.0
+                        * F.col("n_triangles").cast("double")
+                        / F.col("n_wedges").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
+                + 0.0
+            ).alias("global_cc"),
+        )
+    )

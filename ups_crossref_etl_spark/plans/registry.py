@@ -68,6 +68,9 @@ _ROUND = 7
 #: four ADVICE hardenings (leakage_safe_split typing, CDC payload
 #: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
 _CHANGED_THIS_ROUND = [
+    "q_graph_hits",
+    "q_graph_clustering_coefficient",
+    "q_events_poisson_bootstrap_ci",
     "q_docs_training_order",
     "q_docs_jsonl_roundtrip",
     "q_events_did_readout",
@@ -195,11 +198,11 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed after r7 wave 9: ``_CHANGED_THIS_ROUND``
-    alone now holds 77 genuinely-new-or-modified entries, so the 50-slot
-    window is fully consumed by it and 244 of 292 gated queries are
+    probabilistic. Recomputed after r7 wave 10: ``_CHANGED_THIS_ROUND``
+    alone now holds 80 genuinely-new-or-modified entries, so the 50-slot
+    window is fully consumed by it and 244 of 294 gated queries are
     driver-covered (union of the r1-r6 CORRECTNESS artifacts plus r7's
-    projected window); the 48-entry remainder (27 changed-tier overflow +
+    projected window); the 50-entry remainder (30 changed-tier overflow +
     the standing backlog) drains over the next ~3 rounds, every entry
     meanwhile FULLCHECK-verified locally each round. gate=False entries
     sort after all gated ones — they are never driver-sampled. The full

@@ -1647,3 +1647,158 @@ def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities (nano-quantized power iteration)
+# --------------------------------------------------------------------------
+
+_COORDER_EDGES = """
+    pe AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey < b.l_suppkey),
+    nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) z)
+"""
+
+
+@register(
+    "q_graph_hits",
+    f"""
+    WITH {_COORDER_EDGES},
+    h1r AS (SELECT src AS node, sum(CAST(1000000000 AS BIGINT)) AS hr
+            FROM e GROUP BY src),
+    h1t AS (SELECT sum(hr) AS t FROM h1r),
+    h1 AS (
+      SELECT n.node,
+             CASE WHEN t.t > 0 THEN
+               CAST(round(CAST(coalesce(hr, 0) AS DOUBLE)
+                          / CAST(t.t AS DOUBLE) * 1e9) AS BIGINT)
+             ELSE 0 END AS h
+      FROM nodes n LEFT JOIN h1r ON n.node = h1r.node CROSS JOIN h1t t),
+    a1r AS (SELECT e.dst AS node, sum(h1.h) AS ar
+            FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+    a1t AS (SELECT sum(ar) AS t FROM a1r),
+    a1 AS (
+      SELECT n.node,
+             CASE WHEN t.t > 0 THEN
+               CAST(round(CAST(coalesce(ar, 0) AS DOUBLE)
+                          / CAST(t.t AS DOUBLE) * 1e9) AS BIGINT)
+             ELSE 0 END AS a
+      FROM nodes n LEFT JOIN a1r ON n.node = a1r.node CROSS JOIN a1t t),
+    h2r AS (SELECT e.src AS node, sum(a1.a) AS hr
+            FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+    h2t AS (SELECT sum(hr) AS t FROM h2r),
+    h2 AS (
+      SELECT n.node,
+             CASE WHEN t.t > 0 THEN
+               CAST(round(CAST(coalesce(hr, 0) AS DOUBLE)
+                          / CAST(t.t AS DOUBLE) * 1e9) AS BIGINT)
+             ELSE 0 END AS h
+      FROM nodes n LEFT JOIN h2r ON n.node = h2r.node CROSS JOIN h2t t),
+    a2r AS (SELECT e.dst AS node, sum(h2.h) AS ar
+            FROM e JOIN h2 ON e.src = h2.node GROUP BY e.dst),
+    a2t AS (SELECT sum(ar) AS t FROM a2r),
+    a2 AS (
+      SELECT n.node,
+             CASE WHEN t.t > 0 THEN
+               CAST(round(CAST(coalesce(ar, 0) AS DOUBLE)
+                          / CAST(t.t AS DOUBLE) * 1e9) AS BIGINT)
+             ELSE 0 END AS a
+      FROM nodes n LEFT JOIN a2r ON n.node = a2r.node CROSS JOIN a2t t)
+    SELECT n.node AS node,
+           round(coalesce(h2.h, 0) / 1e9, 6) + 0.0 AS hub,
+           round(coalesce(a2.a, 0) / 1e9, 6) + 0.0 AS authority
+    FROM nodes n
+    LEFT JOIN h2 ON n.node = h2.node
+    LEFT JOIN a2 ON n.node = a2.node
+    """,
+    doc=(
+        "Two-iteration HITS hubs/authorities over the directed supplier "
+        "co-order graph (operators/pagerank.hits, Kleinberg 1999): the "
+        "link-analysis complement to PageRank's single score. The score "
+        "vector lives as BIGINT probability nanos between half-steps — "
+        "neighbor sums and L1 normalizers are exact integer aggregates, "
+        "so the power iteration is bit-reproducible and the oracle can "
+        "unroll it CTE for CTE; a float-state iteration would drift at "
+        "the ulp level in every normalizer and be un-gateable."
+    ),
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import hits
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_suppkey").distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return hits(e, n_iter=2)
+
+
+# --------------------------------------------------------------------------
+# Global clustering coefficient
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_clustering_coefficient",
+    f"""
+    WITH {_COORDER_EDGES},
+    eo AS (SELECT src AS lo, dst AS hi FROM e),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM eo e1 JOIN eo e2 ON e1.hi = e2.lo
+      JOIN eo e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+    deg AS (
+      SELECT node, count(*) AS d FROM
+        (SELECT lo AS node FROM eo UNION ALL SELECT hi FROM eo) z
+      GROUP BY node),
+    s AS (SELECT count(*) AS n_nodes, sum(d * (d - 1)) // 2 AS n_wedges
+          FROM deg),
+    ne AS (SELECT count(*) AS n_edges FROM eo)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           round(CASE WHEN n_wedges > 0 THEN
+                   3.0 * CAST(n_triangles AS DOUBLE)
+                   / CAST(n_wedges AS DOUBLE)
+                 ELSE 0.0 END, 6) + 0.0 AS global_cc
+    FROM s CROSS JOIN ne CROSS JOIN tri
+    """,
+    doc=(
+        "Global clustering coefficient of the supplier co-order graph "
+        "(operators/graph.clustering_coefficient): transitivity "
+        "3*triangles/wedges — the one-number cohesion check run before "
+        "trusting community detection (random graphs sit near deg/n; "
+        "co-occurrence graphs far above). Triangles reuse the oriented "
+        "two-join (no cross product); wedges are one exact-integer "
+        "degree aggregate; a single rounded division finishes it."
+    ),
+)
+def q_graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import clustering_coefficient
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_suppkey").distinct()
+    e = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return clustering_coefficient(e)
