@@ -246,6 +246,10 @@ EXTENDED = [
     # clustering coefficient
     "q_graph_hits",
     "q_graph_clustering_coefficient",
+    # round 7 (wave 11): generic grouped OLS (elasticity), zlib
+    # compressibility contrast
+    "q_part_price_elasticity",
+    "q_docs_compression_contrast",
 ]
 
 

@@ -738,3 +738,52 @@ def test_clustering_coefficient_triangle_vs_path(spark):
     p = clustering_coefficient(path).first()
     assert p["n_triangles"] == 0 and p["global_cc"] == 0.0
     assert p["n_wedges"] == 1
+
+
+# ------------------------------------------------------------------ ols_xy
+
+
+def test_ols_xy_exact_line(spark):
+    from ups_crossref_etl_spark.operators.stats import ols_xy
+
+    rows = [("g", float(x), 3.0 * x + 2.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = ols_xy(df, "g", "x", "y").first()
+    assert out["slope"] == 3.0 and out["intercept"] == 2.0
+    assert out["r2"] == 1.0 and out["n_points"] == 10
+
+
+def test_ols_xy_drops_degenerate(spark):
+    from ups_crossref_etl_spark.operators.stats import ols_xy
+
+    rows = [("g", 1.0, float(y)) for y in range(5)]  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    assert ols_xy(df, "g", "x", "y").count() == 0
+
+
+# ------------------------------------------------------------- compression
+
+
+def test_compression_ratio_orders_repetition(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "brick", "crane", "delta", "ember", "frost", "gleam"]
+    prose = " ".join(rng.choice(words) + str(rng.randint(0, 999))
+                     for _ in range(400))
+    rows = [(1, "spam ham jam " * 300), (2, prose)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           compression_ratio(df, "text", "doc_id").collect()}
+    assert out[1]["ratio"] < out[2]["ratio"]
+    assert out[1]["ratio"] < 0.05  # pure repetition deflates to ~nothing
+    for r in out.values():
+        assert r["n_compressed"] < r["n_bytes"]
+    # deterministic across runs (zlib level pinned)
+    again = {r["doc_id"]: r["ratio"] for r in
+             compression_ratio(df, "text", "doc_id").collect()}
+    assert again == {k: v["ratio"] for k, v in out.items()}

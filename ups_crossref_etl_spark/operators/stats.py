@@ -867,3 +867,63 @@ def mann_whitney(
             "cliffs_delta"
         ),
     )
+
+
+def ols_xy(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group OLS of y on x for ARBITRARY numeric columns:
+    ``(group, n_points, slope, intercept, r2)`` — the generic sibling of
+    ``timeseries.groupwise_trend`` (which fixes x = time).
+
+    The regression-as-sums trick: quantize both variables to integer
+    micro-units, accumulate the five sufficient statistics in ONE
+    map-side-combinable aggregate per group (the only shuffle), and
+    derive slope/intercept/r2 as single double expressions over exact
+    integers — engine-parity holds because both sides cast the same
+    exact sums to double before the same expression tree. Groups with
+    fewer than 2 points or zero x-variance drop (slope undefined).
+    Powers log-log elasticities, calibration slopes, any per-segment
+    fit — over a billion groups it stays exactly one shuffle.
+    """
+    x = F.round(F.col(x_col).cast("double") * scale).cast("bigint")
+    y = F.round(F.col(y_col).cast("double") * scale).cast("bigint")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    agg = base.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n_points").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return (
+        agg.filter((F.col("n_points") >= 2) & (dx > 0))
+        .select(
+            F.col(group_col),
+            "n_points",
+            (F.round(cov / dx, 6) + 0.0).alias("slope"),
+            (
+                F.round((sy - cov / dx * sx) / n / F.lit(float(scale)), 6)
+                + 0.0
+            ).alias("intercept"),
+            F.when(dy > 0, F.round((cov * cov) / (dx * dy), 4) + 0.0).alias(
+                "r2"
+            ),
+        )
+    )

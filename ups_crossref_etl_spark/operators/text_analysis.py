@@ -1329,3 +1329,56 @@ def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
             + 0.0
         ).alias("coverage"),
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document zlib compressibility: ``(id, n_bytes, n_compressed,
+    ratio)`` with ratio = compressed/raw bytes, 6 dp.
+
+    The one-number boilerplate/spam detector deflate gives you for
+    free: templated or repetitive pages compress far below prose
+    (ratios < 0.2 vs ~0.4-0.7 for natural text), so thresholding the
+    ratio is a cheap high-recall first-pass quality filter — the same
+    signal family as ``self_repetition``, but sensitive to LONG-range
+    repetition n-gram counters miss. One Arrow-batched map-only pass
+    (zlib level pinned to 6 so output bytes are deterministic for a
+    given zlib build); no shuffle touches text. Not SQL-expressible —
+    DuckDB has no deflate — so the driver gate pins ORDERING invariants
+    (q_docs_compression_contrast) rather than byte counts, and pytest
+    covers the exact per-doc path.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def comp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            raw, com = [], []
+            for t in b["_text"]:
+                data = str(t).encode("utf-8")
+                raw.append(len(data))
+                com.append(len(zlib.compress(data, 6)))
+            yield pd.DataFrame(
+                {"_id": b["_id"], "n_bytes": raw, "n_compressed": com}
+            )
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(comp, schema="_id long, n_bytes long, n_compressed long")
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_bytes",
+        "n_compressed",
+        (
+            F.round(
+                F.when(
+                    F.col("n_bytes") > 0,
+                    F.col("n_compressed").cast("double")
+                    / F.col("n_bytes").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("ratio"),
+    )

@@ -55,10 +55,16 @@ _ROUND = 7
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 7 (newest first): wave 3's
+#: (first ~50 entries) re-verifies them. Round 7 (newest first): waves
+#: 4-11 (elasticity OLS, compression contrast, HITS, clustering
+#: coefficient, epoch order, JSONL round-trip, DiD, Mann-Whitney,
+#: conformal, sorted-neighborhood, DP simulation, Procrustes, vocab
+#: richness, QQ, burstiness, isotonic, AP, separability, Nelson-Aalen,
+#: decayed score, association, weighted median), wave 3's
 #: rank/uncertainty statistics (Kendall tau-b, Gini, RBO, jackknife SE,
 #: permutation test, lift deciles, n-gram novelty, cosine histogram,
-#: seasonal decomposition), then wave 2's
+#: seasonal decomposition; poisson_bootstrap_ci and permutation_test
+#: replans via the pre-explode repartition), then wave 2's
 #: operator families (negative sampling, quota allocation, Zipf/Hill,
 #: session paths, HLL intersection, TextRank, attribution, PCA,
 #: Kneser-Ney, Spearman, Benford, Apriori baskets, winnowing, GSP
@@ -68,9 +74,10 @@ _ROUND = 7
 #: four ADVICE hardenings (leakage_safe_split typing, CDC payload
 #: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
 _CHANGED_THIS_ROUND = [
+    "q_part_price_elasticity",
+    "q_docs_compression_contrast",
     "q_graph_hits",
     "q_graph_clustering_coefficient",
-    "q_events_poisson_bootstrap_ci",
     "q_docs_training_order",
     "q_docs_jsonl_roundtrip",
     "q_events_did_readout",
@@ -198,11 +205,11 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed after r7 wave 10: ``_CHANGED_THIS_ROUND``
-    alone now holds 80 genuinely-new-or-modified entries, so the 50-slot
-    window is fully consumed by it and 244 of 294 gated queries are
+    probabilistic. Recomputed after r7 wave 11: ``_CHANGED_THIS_ROUND``
+    alone now holds 82 genuinely-new-or-modified entries, so the 50-slot
+    window is fully consumed by it and 244 of 296 gated queries are
     driver-covered (union of the r1-r6 CORRECTNESS artifacts plus r7's
-    projected window); the 50-entry remainder (30 changed-tier overflow +
+    projected window); the 52-entry remainder (32 changed-tier overflow +
     the standing backlog) drains over the next ~3 rounds, every entry
     meanwhile FULLCHECK-verified locally each round. gate=False entries
     sort after all gated ones — they are never driver-sampled. The full

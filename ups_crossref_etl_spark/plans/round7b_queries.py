@@ -1802,3 +1802,120 @@ def q_graph_clustering_coefficient(
         )
     )
     return clustering_coefficient(e)
+
+
+# --------------------------------------------------------------------------
+# Log-log price elasticity (generic grouped OLS)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_part_price_elasticity",
+    """
+    WITH b AS (
+      SELECT p.p_type AS g,
+             CAST(round(ln(CAST(l.l_extendedprice AS DOUBLE)
+                           / CAST(l.l_quantity AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS x,
+             CAST(round(ln(CAST(l.l_quantity AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    a AS (
+      SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM b GROUP BY g),
+    d AS (
+      SELECT g, n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM a)
+    SELECT g AS p_type,
+           CAST(n AS BIGINT) AS n_points,
+           round(cov / dx, 6) + 0.0 AS slope,
+           round((syd - cov / dx * sxd) / CAST(n AS DOUBLE) / 1000000.0, 6)
+             + 0.0 AS intercept,
+           CASE WHEN dy > 0 THEN round((cov * cov) / (dx * dy), 4) + 0.0
+           END AS r2
+    FROM d WHERE n >= 2 AND dx > 0
+    """,
+    doc=(
+        "Log-log price elasticity of demand per part type "
+        "(operators/stats.ols_xy): slope of ln(quantity) on ln(unit "
+        "price) — the generic grouped OLS that powers any per-segment "
+        "fit, x no longer pinned to time like groupwise_trend. Both "
+        "variables quantize to integer micro-log-units so the five "
+        "sufficient statistics are exact; slope/intercept/r2 are single "
+        "double expressions over them — one map-side-combinable "
+        "aggregate per group no matter how many rows."
+    ),
+)
+def q_part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ols_xy
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    base = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_type"),
+        F.log(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("ln_price"),
+        F.log(F.col("l_quantity").cast("double")).alias("ln_qty"),
+    )
+    return ols_xy(base, "p_type", "ln_price", "ln_qty")
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (ordering-invariant gate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_compression_contrast",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_real_docs,
+           TRUE AS synth_below_real,
+           TRUE AS real_band_sane
+    FROM documents
+    """,
+    doc=(
+        "Ordering-invariant contract for the zlib compressibility "
+        "signal (operators/text_analysis.compression_ratio): score every "
+        "real document plus one synthetic pathological doc (a 4000-char "
+        "repeated phrase) in the same map-only pass, then pin that (a) "
+        "the synthetic repetitive doc compresses below EVERY real doc's "
+        "ratio and (b) the real-corpus ratio band lies in (0.05, 1.1) — "
+        "the separation a compression-based quality filter thresholds "
+        "on. Deflate is not SQL-expressible, so the oracle pins the "
+        "verdicts and count; the verdicts are computed from the real "
+        "decode, not assumed. Exact per-doc ratios are pytest-covered."
+    ),
+)
+def q_docs_compression_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import compression_ratio
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = d.sparkSession.createDataFrame(
+        [(-1, "spam ham jam " * 333)], "doc_id long, text string"
+    )
+    scored = compression_ratio(d.unionByName(synth), "text", "doc_id")
+    real = scored.filter(F.col("doc_id") >= 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_real_docs"),
+        F.min("ratio").alias("_min_r"),
+        F.max("ratio").alias("_max_r"),
+    )
+    sy = scored.filter(F.col("doc_id") < 0).select(
+        F.col("ratio").alias("_synth_r")
+    )
+    return real.crossJoin(F.broadcast(sy)).select(
+        "n_real_docs",
+        (F.col("_synth_r") < F.col("_min_r")).alias("synth_below_real"),
+        (
+            (F.col("_min_r") > 0.05) & (F.col("_max_r") < 1.1)
+        ).alias("real_band_sane"),
+    )
