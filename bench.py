@@ -250,6 +250,9 @@ EXTENDED = [
     # compressibility contrast
     "q_part_price_elasticity",
     "q_docs_compression_contrast",
+    # round 7 (wave 12): trimmed mean, per-key KS screen + BH FDR
+    "q_events_trimmed_mean",
+    "q_events_user_drift_fdr",
 ]
 
 

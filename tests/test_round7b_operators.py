@@ -787,3 +787,55 @@ def test_compression_ratio_orders_repetition(spark):
     again = {r["doc_id"]: r["ratio"] for r in
              compression_ratio(df, "text", "doc_id").collect()}
     assert again == {k: v["ratio"] for k, v in out.items()}
+
+
+# ------------------------------------------------------------ trimmed mean
+
+
+def test_trimmed_mean_drops_outliers(spark):
+    from ups_crossref_etl_spark.operators.stats import trimmed_mean
+
+    vals = [1000.0] + [float(i) for i in range(10, 19)]  # one huge outlier
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = trimmed_mean(df, "g", "v", trim_frac=0.1).first()
+    # n=10, k=1: drop min (10) and max (1000) -> mean of 11..18 = 14.5
+    assert out["n"] == 10 and out["n_used"] == 8
+    assert out["trimmed_mean"] == 14.5
+
+
+# ------------------------------------------------------------- ks two-sample
+
+
+def test_ks_two_sample_identical_and_shifted(spark):
+    from ups_crossref_etl_spark.operators.stats import ks_two_sample_by_key
+
+    same = [("k", True, float(i % 10)) for i in range(50)] + [
+        ("k", False, float(i % 10)) for i in range(50)
+    ]
+    df = spark.createDataFrame(same, "k string, f boolean, v double")
+    out = ks_two_sample_by_key(df, "k", "f", "v").first()
+    assert out["ks_d"] == 0.0 and out["p_value"] == 1.0
+    shifted = [("k", True, float(i)) for i in range(50)] + [
+        ("k", False, float(i + 45)) for i in range(50)
+    ]
+    df2 = spark.createDataFrame(shifted, "k string, f boolean, v double")
+    o2 = ks_two_sample_by_key(df2, "k", "f", "v").first()
+    assert o2["ks_d"] == 0.9 and o2["p_value"] < 1e-6
+
+
+# ---------------------------------------------------------------------- bh
+
+
+def test_bh_fdr_stepup_rule(spark):
+    from ups_crossref_etl_spark.operators.stats import bh_fdr
+
+    # classic example: m=5, q=0.25; p=(.01,.04,.1,.12,.9)
+    # thresholds: .05,.10,.15,.20,.25 -> largest k with p<=thr is k=4
+    rows = [("a", 0.01), ("b", 0.04), ("c", 0.1), ("d", 0.12), ("e", 0.9)]
+    df = spark.createDataFrame(rows, "k string, p double")
+    out = {r["k"]: r for r in bh_fdr(df, "k", "p", q=0.25).collect()}
+    assert [out[k]["rejected"] for k in "abcd"] == [True] * 4
+    assert out["e"]["rejected"] is False
+    # note c (p=.1 > its own threshold .15? no: .1 <= .15 ok) and d pull
+    # in everything below rank 4 even though nothing changes for e
+    assert out["d"]["p_rank"] == 4 and out["d"]["n_tests"] == 5

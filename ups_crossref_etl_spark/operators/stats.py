@@ -927,3 +927,182 @@ def ols_xy(
             ),
         )
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Per-group symmetric trimmed mean: ``(group, n, n_used,
+    trimmed_mean)`` — drop the lowest and highest floor(n*trim_frac)
+    values by exact rank, average the middle.
+
+    The robust location estimate between the mean (breakdown 0) and the
+    median (throws away all magnitude information): the right summary
+    for heavy-tailed latency/value columns where a handful of outliers
+    move the mean but the bulk shape matters. Exact integer rank bounds
+    over one per-group sort window; kept values accumulate as BIGINT
+    nanos so the average is a single rounded division — no float
+    accumulation, no interpolation.
+    """
+    from pyspark.sql import Window
+
+    k = F.floor(F.col("_n") * F.lit(float(trim_frac))).cast("bigint")
+    # row_number among TIED values is arbitrary, but ties share one _vn,
+    # so the kept multiset (hence the sum) is partitioning-invariant
+    w = Window.partitionBy(group_col).orderBy(F.col("_vn"))
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.round(F.col(value_col).cast("double") * 1e9)
+            .cast("bigint")
+            .alias("_vn"),
+        )
+        .withColumn(
+            "_n",
+            F.count(F.lit(1)).over(Window.partitionBy(group_col)),
+        )
+        .withColumn("_r", F.row_number().over(w))
+    )
+    kept = base.filter(
+        (F.col("_r") > k) & (F.col("_r") <= F.col("_n") - k)
+    )
+    return kept.groupBy(group_col).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        (
+            F.round(
+                F.sum("_vn").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1e9,
+                6,
+            )
+            + 0.0
+        ).alias("trimmed_mean"),
+    )
+
+
+def ks_two_sample_by_key(
+    df: DataFrame,
+    key_col: str,
+    flag_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key two-sample Kolmogorov-Smirnov distance between the rows
+    where ``flag_col`` is true and those where it is false:
+    ``(key, n_a, n_b, ks_d, p_value)`` with the asymptotic tail bound
+    p = min(1, 2*exp(-2*D^2*n_a*n_b/(n_a+n_b))).
+
+    The per-key drift screen run over MANY keys at once (every user /
+    domain / shard) — feed the p-values to :func:`bh_fdr` for
+    multiplicity control instead of eyeballing 10k raw tests. Tie-safe:
+    counts aggregate per DISTINCT (key, value) first, so the empirical
+    CDFs step after all tied rows — one grouped aggregate plus one
+    key-clustered cumulative window over the distinct-value table; D is
+    a max of exact rational differences evaluated in double (identical
+    operands on both engines), p one rounded expression.
+    """
+    from pyspark.sql import Window
+
+    per_v = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("_k"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .agg(
+            F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_c1"),
+            F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+            .cast("bigint")
+            .alias("_c2"),
+        )
+    )
+    w = Window.partitionBy("_k").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wk = Window.partitionBy("_k")
+    cum = per_v.select(
+        "_k",
+        F.sum("_c1").over(w).alias("_f1"),
+        F.sum("_c2").over(w).alias("_f2"),
+        F.sum("_c1").over(wk).alias("_n1"),
+        F.sum("_c2").over(wk).alias("_n2"),
+    )
+    d = (
+        cum.filter((F.col("_n1") > 0) & (F.col("_n2") > 0))
+        .groupBy("_k", "_n1", "_n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("_f1").cast("double") / F.col("_n1").cast("double")
+                    - F.col("_f2").cast("double") / F.col("_n2").cast("double")
+                )
+            ).alias("_d")
+        )
+    )
+    na = F.col("_n1").cast("double")
+    nb = F.col("_n2").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-2.0 * F.col("_d") * F.col("_d") * na * nb / (na + nb)),
+    )
+    return d.select(
+        F.col("_k").alias(key_col),
+        F.col("_n1").cast("bigint").alias("n_a"),
+        F.col("_n2").cast("bigint").alias("n_b"),
+        (F.round(F.col("_d"), 6) + 0.0).alias("ks_d"),
+        (F.round(p, 6) + 0.0).alias("p_value"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame, key_col: str, p_col: str, q: float = 0.05
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a battery of tests:
+    ``(key, p, p_rank, n_tests, threshold, rejected)``.
+
+    THE multiplicity correction for key-level screening — running 10k
+    per-key drift tests at alpha=.05 would flag ~500 false keys; BH
+    guarantees the expected false-discovery FRACTION stays <= q.
+    Step-up rule: sort p ascending, find the largest k with
+    p_(k) <= k/m * q, reject ranks 1..k. Implemented as one sort window
+    (rank + tiebreak on the key so ties are deterministic) and one
+    running suffix max (rejected iff ANY rank >= own rank satisfies the
+    inequality — the step-up look-ahead as a window, no loop).
+    Thresholds k/m*q are exact rationals evaluated identically on both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    ranked = df.select(
+        F.col(key_col),
+        F.col(p_col).cast("double").alias("p"),
+        F.row_number().over(w).cast("bigint").alias("p_rank"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n_tests"),
+    )
+    thresh = (
+        F.col("p_rank").cast("double")
+        / F.col("n_tests").cast("double")
+        * F.lit(float(q))
+    )
+    ok = (F.col("p") <= thresh).cast("int")
+    wsuf = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ranked.select(
+        key_col,
+        "p",
+        "p_rank",
+        "n_tests",
+        (F.round(thresh, 6) + 0.0).alias("threshold"),
+        (F.max(ok).over(wsuf) == 1).alias("rejected"),
+    )

@@ -56,7 +56,8 @@ _ROUND = 7
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
 #: (first ~50 entries) re-verifies them. Round 7 (newest first): waves
-#: 4-11 (elasticity OLS, compression contrast, HITS, clustering
+#: 4-12 (trimmed mean, KS+BH FDR screen, elasticity OLS, compression
+#: contrast, HITS, clustering
 #: coefficient, epoch order, JSONL round-trip, DiD, Mann-Whitney,
 #: conformal, sorted-neighborhood, DP simulation, Procrustes, vocab
 #: richness, QQ, burstiness, isotonic, AP, separability, Nelson-Aalen,
@@ -74,6 +75,8 @@ _ROUND = 7
 #: four ADVICE hardenings (leakage_safe_split typing, CDC payload
 #: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
 _CHANGED_THIS_ROUND = [
+    "q_events_trimmed_mean",
+    "q_events_user_drift_fdr",
     "q_part_price_elasticity",
     "q_docs_compression_contrast",
     "q_graph_hits",
@@ -205,11 +208,11 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed after r7 wave 11: ``_CHANGED_THIS_ROUND``
-    alone now holds 82 genuinely-new-or-modified entries, so the 50-slot
-    window is fully consumed by it and 244 of 296 gated queries are
+    probabilistic. Recomputed after r7 wave 12: ``_CHANGED_THIS_ROUND``
+    alone now holds 83 genuinely-new-or-modified entries, so the 50-slot
+    window is fully consumed by it and 244 of 298 gated queries are
     driver-covered (union of the r1-r6 CORRECTNESS artifacts plus r7's
-    projected window); the 52-entry remainder (32 changed-tier overflow +
+    projected window); the 54-entry remainder (33 changed-tier overflow +
     the standing backlog) drains over the next ~3 rounds, every entry
     meanwhile FULLCHECK-verified locally each round. gate=False entries
     sort after all gated ones — they are never driver-sampled. The full

@@ -1919,3 +1919,138 @@ def q_docs_compression_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_min_r") > 0.05) & (F.col("_max_r") < 1.1)
         ).alias("real_band_sane"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trimmed mean
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_trimmed_mean",
+    """
+    WITH b AS (
+      SELECT event_type AS g,
+             CAST(round(CAST(value AS DOUBLE) * 1e9) AS BIGINT) AS vn
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT g, vn,
+             row_number() OVER (PARTITION BY g ORDER BY vn) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM b),
+    kept AS (
+      SELECT g, vn, n FROM r
+      WHERE r > CAST(floor(n * CAST(0.1 AS DOUBLE)) AS BIGINT)
+        AND r <= n - CAST(floor(n * CAST(0.1 AS DOUBLE)) AS BIGINT))
+    SELECT g AS event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_used,
+           round(CAST(sum(vn) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e9,
+                 6) + 0.0 AS trimmed_mean
+    FROM kept GROUP BY g
+    """,
+    doc=(
+        "10%-symmetric trimmed mean of value per event type "
+        "(operators/stats.trimmed_mean): the robust location estimate "
+        "between mean (breakdown 0) and median (discards magnitude) for "
+        "heavy-tailed columns. Exact integer rank bounds over one "
+        "per-group sort window; kept values sum as BIGINT nanos — ties "
+        "at the cut share a value, so the kept multiset (and the gate) "
+        "is partitioning-invariant with no tiebreak column needed."
+    ),
+)
+def q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import trimmed_mean
+
+    e = read_table(spark, sf_dir, "events")
+    return trimmed_mean(e, "event_type", "value", trim_frac=0.1)
+
+
+# --------------------------------------------------------------------------
+# Per-user KS drift screen with BH FDR control
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_user_drift_fdr",
+    """
+    WITH b AS (
+      SELECT user_id AS k,
+             ts < TIMESTAMP '2024-01-16 00:00:00' AS f,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    pv AS (
+      SELECT k, v,
+             sum(CASE WHEN f THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN f THEN 0 ELSE 1 END) AS c2
+      FROM b GROUP BY k, v),
+    cum AS (
+      SELECT k,
+             sum(c1) OVER (PARTITION BY k ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS f1,
+             sum(c2) OVER (PARTITION BY k ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS f2,
+             sum(c1) OVER (PARTITION BY k) AS n1,
+             sum(c2) OVER (PARTITION BY k) AS n2
+      FROM pv),
+    d AS (
+      SELECT k, n1, n2,
+             max(abs(CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS dd
+      FROM cum WHERE n1 > 0 AND n2 > 0 GROUP BY k, n1, n2),
+    ks AS (
+      SELECT k,
+             round(least(CAST(1 AS DOUBLE),
+                         2.0 * exp(-2.0 * dd * dd
+                                   * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                   / (CAST(n1 AS DOUBLE)
+                                      + CAST(n2 AS DOUBLE)))), 6) + 0.0 AS p
+      FROM d),
+    r AS (
+      SELECT k, p, row_number() OVER (ORDER BY p, k) AS pr,
+             count(*) OVER () AS m
+      FROM ks),
+    fin AS (
+      SELECT k, p, pr, m,
+             CAST(pr AS DOUBLE) / CAST(m AS DOUBLE) * CAST(0.05 AS DOUBLE)
+               AS th,
+             CASE WHEN p <= CAST(pr AS DOUBLE) / CAST(m AS DOUBLE)
+                           * CAST(0.05 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS ok
+      FROM r)
+    SELECT k AS user_id, p,
+           CAST(pr AS BIGINT) AS p_rank,
+           CAST(m AS BIGINT) AS n_tests,
+           round(th, 6) + 0.0 AS threshold,
+           max(ok) OVER (ORDER BY pr DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) = 1 AS rejected
+    FROM fin
+    """,
+    doc=(
+        "Per-user first-half vs second-half KS drift screen with "
+        "Benjamini-Hochberg FDR control at q=0.05 (operators/stats."
+        "ks_two_sample_by_key + bh_fdr): run one distribution test per "
+        "key over ALL keys at once (tie-safe CDF steps from a "
+        "distinct-value aggregate + one key-clustered cumulative "
+        "window), convert to asymptotic tail p-values, then the BH "
+        "step-up rule as a sort window + a suffix-max look-ahead — the "
+        "multiplicity control that keeps 10k key-level screens from "
+        "flagging ~500 false keys at raw alpha."
+    ),
+)
+def q_events_user_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import bh_fdr, ks_two_sample_by_key
+
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "is_early",
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+        )
+    )
+    ks = ks_two_sample_by_key(e, "user_id", "is_early", "value")
+    return bh_fdr(ks, "user_id", "p_value", q=0.05)
