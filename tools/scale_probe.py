@@ -838,6 +838,72 @@ def main() -> None:
         ev1.count(), evN.count(),
     )
 
+    # round-7 wave 7-10 heavies ------------------------------------------
+
+    # sorted-neighborhood: candidate budget is n*window BY CONSTRUCTION;
+    # the cost is the global sort (range partition at scale) — replicated
+    # parts get per-salt name suffixes so the sort key space grows too
+    from ups_crossref_etl_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    part1 = read_table(spark, SF_DIR, "part")
+    partN = (
+        part1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            (F.col("p_partkey") * n + F.col("_salt")).alias("p_partkey"),
+            F.concat_ws(
+                " ", F.col("p_name"), F.col("_salt").cast("string")
+            ).alias("p_name"),
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "sorted_neighborhood",
+        lambda: sorted_neighborhood_pairs(
+            part1, "p_name", "p_partkey", window=3
+        ).count(),
+        lambda: sorted_neighborhood_pairs(
+            partN, "p_name", "p_partkey", window=3
+        ).count(),
+        part1.count(), partN.count(),
+    )
+
+    # interleaved epoch order: per-domain rank + one global total-order
+    # window — the range-partitionable sort shape every epoch shuffle pays
+    from ups_crossref_etl_spark.operators.corpus import interleaved_order
+
+    probe(
+        "interleaved_order",
+        lambda: interleaved_order(docs1, "doc_id", "source").count(),
+        lambda: interleaved_order(docsN, "doc_id", "source").count(),
+        docs1.count(), docsN.count(),
+    )
+
+    # HITS: per half-step one node-keyed aggregate + broadcast normalize;
+    # co-order edges replicate via re-keyed orders
+    from ups_crossref_etl_spark.operators.pagerank import hits as hits_op
+
+    def coorder(li):
+        pe = li.select("l_orderkey", "l_suppkey").distinct()
+        return (
+            pe.alias("a").join(pe.alias("b"), "l_orderkey")
+            .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            .select(
+                F.col("a.l_suppkey").alias("src"),
+                F.col("b.l_suppkey").alias("dst"),
+            )
+        )
+
+    probe(
+        "hits_2iter",
+        lambda: hits_op(coorder(li1), n_iter=2).count(),
+        lambda: hits_op(coorder(liN), n_iter=2).count(),
+        li1.count(), liN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")
     if only and os.path.exists(out_path):
