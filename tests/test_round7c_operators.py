@@ -1,0 +1,220 @@
+"""Unit tests for the round-7 wave-13 operators: Adamic-Adar link
+prediction and Cohen's kappa inter-rater agreement."""
+
+from __future__ import annotations
+
+import math
+
+from ups_crossref_etl_spark.operators.agreement import cohens_kappa
+from ups_crossref_etl_spark.operators.graph import adamic_adar
+
+
+# -------------------------------------------------------------- adamic-adar
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_adamic_adar_path_graph(spark):
+    """Path 1-2-3: the only candidate is (1,3) via center 2 (deg 2)."""
+    out = adamic_adar(_edges(spark, [(1, 2), (2, 3)]), top_n=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.v, r.common_neighbors) == (1, 3, 1)
+    expected = round(round(1e9 / math.log(2.0)) / 1e9, 6)
+    assert abs(r.aa_score - expected) < 1e-9
+
+
+def test_adamic_adar_excludes_real_edges_and_sums_centers(spark):
+    """Square 1-2-3-4-1 plus chord 1-3: (2,4) shares centers 1 and 3,
+    but center degrees differ (1 and 3 have deg 3), and every real edge
+    is excluded from the output."""
+    g = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    out = adamic_adar(_edges(spark, g), top_n=10).collect()
+    pairs = {(r.u, r.v) for r in out}
+    assert pairs == {(2, 4)}
+    r = out[0]
+    assert r.common_neighbors == 2
+    expected = round(2 * round(1e9 / math.log(3.0)) / 1e9, 6)
+    assert abs(r.aa_score - expected) < 1e-9
+
+
+def test_adamic_adar_max_degree_cap_drops_hub_centers(spark):
+    """With max_degree=2 a star hub (deg 3) contributes no wedges."""
+    star = [(0, 1), (0, 2), (0, 3)]
+    assert adamic_adar(_edges(spark, star), top_n=10).count() == 3
+    assert (
+        adamic_adar(_edges(spark, star), top_n=10, max_degree=2).count() == 0
+    )
+
+
+def test_adamic_adar_no_cartesian(spark):
+    df = adamic_adar(_edges(spark, [(1, 2), (2, 3), (3, 4)]), top_n=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------- kappa
+
+
+def test_kappa_textbook_two_class(spark):
+    """Classic 2x2: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no.
+    po = 0.7, pe = 0.5*0.6 + 0.5*0.4 = 0.5, kappa = 0.4."""
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert (r.n, r.agree, r.n_categories) == (50, 35, 2)
+    assert abs(r.po - 0.7) < 1e-9
+    assert abs(r.pe - 0.5) < 1e-9
+    assert abs(r.kappa - 0.4) < 1e-9
+
+
+def test_kappa_null_rows_excluded(spark):
+    rows = [("y", "y"), ("y", None), (None, "n"), ("n", "n")]
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r.n == 2 and r.agree == 2
+
+
+def test_kappa_degenerate_constant_raters(spark):
+    """Both raters constant and equal: pe = 1, convention kappa = 1."""
+    rows = [("k", "k")] * 7
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r.pe == 1.0 and r.kappa == 1.0
+
+
+def test_kappa_disjoint_label_sets(spark):
+    """Raters that never use a shared label: agree = 0, pe = 0,
+    kappa = po - 0 / 1 = 0; n_categories counts the union."""
+    rows = [("a", "x"), ("b", "y"), ("a", "y")]
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert (r.agree, r.pe, r.kappa, r.n_categories) == (0, 0.0, 0.0, 4)
+
+
+# -------------------------------------------------------------- modularity
+
+
+def test_modularity_two_cliques(spark):
+    """Two triangles joined by one bridge edge, communities = cliques:
+    m=7, intra=6, degrees 7 per side: Q = 6/7 - 2*(7/14)^2 = 5/14."""
+    from ups_crossref_etl_spark.operators.graph import modularity
+
+    edges = _edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+    )
+    assign = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b")],
+        "node bigint, community string",
+    )
+    r = modularity(edges, assign).collect()[0]
+    assert (r.n_communities, r.n_edges) == (2, 7)
+    assert abs(r.modularity - round(6 / 7 - 2 * (7 / 14) ** 2, 6)) < 1e-9
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: Q = m/m - (2m/2m)^2 = 0."""
+    from ups_crossref_etl_spark.operators.graph import modularity
+
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    assign = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], "node bigint, community string"
+    )
+    r = modularity(edges, assign).collect()[0]
+    assert r.modularity == 0.0 and r.n_edges == 2
+
+
+def test_modularity_empty_assignment(spark):
+    from ups_crossref_etl_spark.operators.graph import modularity
+
+    edges = _edges(spark, [(1, 2)])
+    assign = spark.createDataFrame([], "node bigint, community string")
+    r = modularity(edges, assign).collect()[0]
+    assert (r.n_communities, r.n_edges, r.modularity) == (0, 0, 0.0)
+
+
+# ------------------------------------------------- classification report
+
+
+def test_classification_report_textbook(spark):
+    """gold=[a,a,a,b,b], pred=[a,a,b,b,b]: P(a)=1, R(a)=2/3,
+    P(b)=2/3, R(b)=1, f1 both 0.8; macro p = r = 5/6, macro f1 = 0.8."""
+    from ups_crossref_etl_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")]
+    out = {
+        r.label: r
+        for r in classification_report(
+            spark.createDataFrame(rows, "g string, p string"), "g", "p"
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "__macro__"}
+    assert out["a"].precision == 1.0
+    assert abs(out["a"].recall - 0.666667) < 1e-9
+    assert abs(out["b"].precision - 0.666667) < 1e-9
+    assert out["b"].recall == 1.0
+    assert abs(out["a"].f1 - 0.8) < 1e-9
+    assert abs(out["__macro__"].precision - 0.833333) < 1e-6
+    assert abs(out["__macro__"].f1 - 0.8) < 1e-6
+    assert out["__macro__"].n_gold == 5 and out["__macro__"].tp == 4
+
+
+def test_classification_report_never_predicted_label(spark):
+    """A gold label the model never predicts: precision 0 (sklearn
+    zero_division=0), recall 0, present in the table."""
+    from ups_crossref_etl_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    rows = [("a", "b"), ("a", "b"), ("b", "b")]
+    out = {
+        r.label: r
+        for r in classification_report(
+            spark.createDataFrame(rows, "g string, p string"), "g", "p"
+        ).collect()
+    }
+    assert out["a"].n_pred == 0
+    assert out["a"].precision == 0.0 and out["a"].f1 == 0.0
+
+
+# ------------------------------------------------------------ readability
+
+
+def test_flesch_readability_counts(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        flesch_readability,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "zzz"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in flesch_readability(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    expected = round(206.835 - 1.015 * 6 / 2 - 84.6 * 6 / 6, 4)
+    assert abs(r1.flesch - expected) < 1e-9
+    # vowel-free text: 0 syllables, still scored (words > 0)
+    assert out[2].n_syllables == 0 and out[2].flesch is not None
+
+
+def test_flesch_readability_no_words_null_score(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        flesch_readability,
+    )
+
+    df = spark.createDataFrame([(1, "123 456 ...")], "doc_id bigint, text string")
+    r = flesch_readability(df, "doc_id", "text").collect()[0]
+    assert r.n_words == 0 and r.flesch is None

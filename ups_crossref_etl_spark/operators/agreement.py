@@ -1,0 +1,94 @@
+"""Inter-rater agreement: Cohen's kappa over two labeling columns.
+
+A training-data pipeline that mixes labelers — two heuristic quality
+gates, a model judge vs. a rule, an old vs. new classifier version —
+needs to know whether they AGREE beyond chance before either label is
+trusted as ground truth. Raw percent agreement is inflated whenever the
+label distribution is skewed (two raters that both say "keep" 95% of
+the time agree 90.25% by luck alone); Cohen's kappa (Cohen 1960)
+subtracts exactly that chance floor: ``kappa = (po - pe) / (1 - pe)``
+with ``po`` the observed agreement and ``pe`` the agreement expected
+from the two raters' marginal label distributions.
+
+Reference parity note: no counterpart in /root/reference — labeling-
+audit extension surface, same family as operators/evaluation.py.
+
+Scale shape: one groupBy over the (label_a, label_b) confusion cell —
+cardinality = |labels|², tiny regardless of corpus size — then
+label-keyed marginal aggregates over that cell table. The corpus is
+scanned once; everything after the first aggregate is
+confusion-matrix-sized. Every count is an exact BIGINT; ``po``, ``pe``
+and ``kappa`` are one-shot double expressions over those integers, so
+the result is bit-reproducible and gateable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cohens_kappa"]
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two label columns on the same rows.
+
+    Rows where either label is NULL are excluded (an unrated item says
+    nothing about agreement). Returns ONE row:
+    ``(n, n_categories, agree, po, pe, kappa)`` — counts exact BIGINT,
+    ratios rounded to 6 dp. Degenerate case ``pe = 1`` (both raters
+    constant and equal) reports ``kappa = 1.0`` when ``po = 1`` else
+    ``0.0``; the standard convention for a chance-saturated table.
+
+    Multi-class by construction: categories are the union of distinct
+    labels either rater used; ``pe`` only receives mass from labels
+    BOTH raters used (the inner marginal join — a label one rater never
+    emits has zero chance-agreement mass, as in the textbook formula).
+    """
+    pairs = df.select(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    tot = cells.agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ma = cells.groupBy("_a").agg(F.sum("_c").alias("_ma"))
+    mb = cells.groupBy("_b").agg(F.sum("_c").alias("_mb"))
+    # chance mass: sum over labels both raters used of marg_a * marg_b
+    pe_num = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(
+            F.coalesce(F.sum(F.col("_ma") * F.col("_mb")), F.lit(0))
+            .cast("bigint")
+            .alias("pe_num")
+        )
+    )
+    ncat = (
+        pairs.select(F.col("_a").alias("_l"))
+        .union(pairs.select(F.col("_b").alias("_l")))
+        .agg(F.countDistinct("_l").cast("bigint").alias("n_categories"))
+    )
+    n = F.col("n").cast("double")
+    po = F.col("agree") / n
+    pe = F.col("pe_num") / (n * n)
+    kappa = F.when(
+        pe >= 1.0, F.when(po >= 1.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    ).otherwise((po - pe) / (F.lit(1.0) - pe))
+    return (
+        tot.crossJoin(pe_num)
+        .crossJoin(ncat)
+        .select(
+            "n",
+            "n_categories",
+            "agree",
+            (F.round(po, 6) + 0.0).alias("po"),
+            (F.round(pe, 6) + 0.0).alias("pe"),
+            (F.round(kappa, 6) + 0.0).alias("kappa"),
+        )
+    )

@@ -668,3 +668,95 @@ def conformal_interval(
         "coverage",
         F.lit(round(1.0 - float(alpha), 6)).alias("target"),
     )
+
+
+def classification_report(
+    df: DataFrame, gold_col: str, pred_col: str
+) -> DataFrame:
+    """Multi-class precision / recall / F1 per label, plus a
+    ``__macro__`` summary row — the standard triage table for any
+    (gold, predicted) label pair in the pipeline (langid vs gold
+    language, rule rater vs model judge, old vs new classifier).
+
+    Rows where either label is NULL are excluded. Output: one row per
+    label in the union of gold/pred label sets plus the macro row,
+    columns ``(label, n_gold, n_pred, tp, precision, recall, f1)``
+    ordered by label (macro row sorts under its dunder name).
+    Zero-denominator conventions: precision = 0 when the label is never
+    predicted, recall = 0 when it never occurs in gold, f1 = 0 when
+    p + r = 0 — sklearn's ``zero_division=0``. Macro = unweighted mean
+    over labels of the per-label values quantized to integer NANOS (so
+    the cross-label sum is exact in any order), rounded once at the end
+    (6 dp) — not a mean of 6-dp-rounded numbers.
+
+    Scale shape: one corpus scan to the |labels|² confusion-cell
+    aggregate; everything downstream is confusion-matrix-sized. Counts
+    stay exact BIGINT; ratios are one-shot double expressions, so the
+    table is bit-reproducible cross-engine.
+    """
+    pairs = df.select(
+        F.col(gold_col).cast("string").alias("_g"),
+        F.col(pred_col).cast("string").alias("_p"),
+    ).filter(F.col("_g").isNotNull() & F.col("_p").isNotNull())
+    cells = pairs.groupBy("_g", "_p").agg(F.count(F.lit(1)).alias("_c"))
+    labels = (
+        cells.select(F.col("_g").alias("label"))
+        .unionByName(cells.select(F.col("_p").alias("label")))
+        .distinct()
+    )
+    gold = cells.groupBy(F.col("_g").alias("label")).agg(
+        F.sum("_c").cast("bigint").alias("n_gold")
+    )
+    pred = cells.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_c").cast("bigint").alias("n_pred")
+    )
+    tp = (
+        cells.filter(F.col("_g") == F.col("_p"))
+        .select(F.col("_g").alias("label"), F.col("_c").alias("tp"))
+    )
+    per = (
+        labels.join(gold, "label", "left")
+        .join(pred, "label", "left")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    p = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred").cast("double")
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("n_gold") > 0, F.col("tp") / F.col("n_gold").cast("double")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0.0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0))
+    # per-label ratios quantized to integer nanos BEFORE the macro mean:
+    # summing raw doubles across labels is partition-order-dependent at
+    # the ulp level; integer nanos sum exactly in any order.
+    scored = per.select(
+        "label", "n_gold", "n_pred", "tp",
+        F.round(p * 1e9).cast("bigint").alias("_p"),
+        F.round(r * 1e9).cast("bigint").alias("_r"),
+        F.round(f1 * 1e9).cast("bigint").alias("_f"),
+    )
+    macro = scored.agg(
+        F.lit("__macro__").alias("label"),
+        F.sum("n_gold").cast("bigint").alias("n_gold"),
+        F.sum("n_pred").cast("bigint").alias("n_pred"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.avg("_p").alias("_p"),
+        F.avg("_r").alias("_r"),
+        F.avg("_f").alias("_f"),
+    )
+    return (
+        scored.unionByName(macro)
+        .select(
+            "label", "n_gold", "n_pred", "tp",
+            (F.round(F.col("_p") / 1e9, 6) + 0.0).alias("precision"),
+            (F.round(F.col("_r") / 1e9, 6) + 0.0).alias("recall"),
+            (F.round(F.col("_f") / 1e9, 6) + 0.0).alias("f1"),
+        )
+        .orderBy("label")
+    )

@@ -445,3 +445,163 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_n: int = 50,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction over an undirected graph: score every NON-edge
+    pair that shares at least one neighbor by the Adamic–Adar index
+    ``sum over common neighbors v of 1 / ln(deg(v))`` (Adamic & Adar
+    2003) — the classic "which co-occurrence is about to happen"
+    ranking (recommender candidates, entity-merge suggestions, missing
+    citation checks). Returns the ``top_n`` candidate pairs:
+    ``(u, v, common_neighbors, aa_score)`` ordered by (score DESC, u,
+    v) with a full tiebreak.
+
+    Plan shape: canonicalize edges → degree aggregate (node-keyed) →
+    wedge self-join on the CENTER node (every pair of neighbors of v is
+    a candidate, weighted by v's degree) → pair-keyed sum → anti-join
+    against the real edge set → TakeOrdered top-n. The wedge join is
+    the same oriented-neighbor shape as :func:`triangle_count` — work
+    is ``sum deg(v)²``, never a cross product.
+
+    Scale: ``sum deg(v)²`` is dominated by hub nodes, and hubs are
+    exactly the neighbors Adamic–Adar down-weights (1/ln d → 0), so
+    ``max_degree`` drops centers above a degree cap BEFORE the wedge
+    join — the standard truncation (it bounds per-center fanout while
+    discarding only the near-zero-weight contributions). At 100 TB run
+    with a cap (e.g. 10_000); the exact gate query runs uncapped on a
+    bounded subgraph.
+
+    Determinism: per-center weight is quantized to integer nanos
+    ``round(1e9 / ln(deg))`` BEFORE the pair-keyed sum, so the score
+    aggregation is exact integer arithmetic (order-independent) and the
+    oracle can reproduce it bit-for-bit; ``aa_score`` = nanos / 1e9
+    rounded to 6 dp.
+    """
+    ori = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    und = ori.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionByName(
+        ori.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    centers = deg.filter(F.col("_d") > 1)
+    if max_degree is not None:
+        centers = centers.filter(F.col("_d") <= max_degree)
+    w_nanos = F.round(1e9 / F.log(F.col("_d").cast("double"))).cast("bigint")
+    weighted = und.join(centers, "node").select(
+        "node", "nbr", w_nanos.alias("_w")
+    )
+    pairs = (
+        weighted.alias("a")
+        .join(weighted.alias("b"), "node")
+        .filter(F.col("a.nbr") < F.col("b.nbr"))
+        .select(
+            F.col("a.nbr").alias("u"),
+            F.col("b.nbr").alias("v"),
+            F.col("a._w").alias("_w"),
+        )
+    )
+    scored = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum("_w").cast("bigint").alias("_nanos"),
+    )
+    non_edges = scored.join(
+        ori,
+        (scored["u"] == ori["lo"]) & (scored["v"] == ori["hi"]),
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(F.col("_nanos").desc(), "u", "v")
+        .limit(top_n)
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            (F.round(F.col("_nanos") / 1e9, 6) + 0.0).alias("aa_score"),
+        )
+    )
+
+
+def modularity(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Newman modularity ``Q`` of a node partition over an undirected
+    graph: ``Q = sum over communities c of (e_c/m - (d_c/(2m))^2)``
+    with ``m`` = edge count, ``e_c`` = edges with both endpoints in
+    ``c``, ``d_c`` = total degree of ``c`` (Newman & Girvan 2004).
+    The standard "is this clustering better than random?" audit for
+    the output of :func:`label_propagation` / louvain-style passes —
+    or for any EXTERNAL partition (domain, nation, topic) you suspect
+    explains the graph's wiring.
+
+    ``assign`` is ``(node, community)``; unassigned endpoints drop the
+    edge from ``e_c`` but keep degree mass out of every community
+    (strict: both tables are inner-joined, so partial assignments
+    compute modularity of the ASSIGNED subgraph — pass a total
+    assignment for the textbook number).
+
+    Returns ONE row: ``(n_communities, n_edges, modularity)``.
+
+    Plan shape: canonical-dedup the edges (one shuffle), two
+    node-keyed joins against the assignment (broadcastable when the
+    assignment is a dimension), then two community-keyed aggregates
+    whose outputs are community-count-sized. ``e_c``/``d_c``/``m``
+    stay exact BIGINTs; ``Q`` is a one-shot double over integers, so
+    the result is bit-reproducible cross-engine.
+    """
+    a = assign.select(
+        F.col(assign.columns[0]).alias("_n"),
+        F.col(assign.columns[1]).alias("_c"),
+    ).distinct()
+    ori = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+    )
+    lab = (
+        ori.join(a.withColumnRenamed("_n", "lo").withColumnRenamed("_c", "_cl"), "lo")
+        .join(a.withColumnRenamed("_n", "hi").withColumnRenamed("_c", "_ch"), "hi")
+    )
+    m = lab.count()
+    if m == 0:
+        return ori.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("n_communities"),
+            F.lit(0).cast("bigint").alias("n_edges"),
+            F.lit(0.0).alias("modularity"),
+        )
+    intra = lab.filter(F.col("_cl") == F.col("_ch")).groupBy(
+        F.col("_cl").alias("_c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_ec"))
+    deg = (
+        lab.select(F.col("_cl").alias("_c"))
+        .unionByName(lab.select(F.col("_ch").alias("_c")))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_dc"))
+    )
+    per_c = deg.join(intra, "_c", "left").select(
+        "_c",
+        F.coalesce("_ec", F.lit(0)).alias("_ec"),
+        "_dc",
+    )
+    q = (
+        F.sum(F.col("_ec").cast("double")) / F.lit(float(m))
+        - F.sum(F.col("_dc").cast("double") * F.col("_dc"))
+        / F.lit(4.0 * m * m)
+    )
+    return per_c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.lit(m).cast("bigint").alias("n_edges"),
+        (F.round(q, 6) + 0.0).alias("modularity"),
+    )

@@ -1382,3 +1382,46 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             + 0.0
         ).alias("ratio"),
     )
+
+
+def flesch_readability(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948): ``206.835 -
+    1.015 * words/sentences - 84.6 * syllables/words`` — the classic
+    instruction-manual readability gate, here used as a corpus quality
+    feature (very low scores flag run-on machine text; implausibly
+    high ones flag word-salad with tiny words).
+
+    Counting heuristics, chosen to be exactly reproducible in any
+    RE2/PCRE engine (no dictionary, no hyphenation table):
+    words = runs of ASCII letters; sentences = runs of ``[.!?]``
+    (min 1 once any word exists); syllables = vowel-group runs
+    ``[aeiouy]+`` over the lowercased text (the standard
+    vowel-cluster approximation; a vowel-free token counts 0).
+
+    Output: ``(id, n_words, n_sentences, n_syllables, flesch)``;
+    ``flesch`` is NULL when the text has no words, else a one-shot
+    double over the three exact integer counts, rounded 4 dp. Pure
+    row-local whole-stage-codegen expressions — one map-only scan, no
+    shuffle, no Python.
+    """
+    words = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syll = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * words.cast("double") / sents.cast("double")
+        - F.lit(84.6) * syll.cast("double") / words.cast("double")
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        words.cast("bigint").alias("n_words"),
+        sents.cast("bigint").alias("n_sentences"),
+        syll.cast("bigint").alias("n_syllables"),
+        F.when(
+            words > 0, F.round(score, 4) + 0.0
+        ).alias("flesch"),
+    )

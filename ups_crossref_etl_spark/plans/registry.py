@@ -55,7 +55,8 @@ _ROUND = 7
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 7 (newest first): waves
+#: (first ~50 entries) re-verifies them. Round 7 (newest first): wave
+#: 13 (Adamic-Adar link prediction, Cohen's kappa rater agreement), waves
 #: 4-12 (trimmed mean, KS+BH FDR screen, elasticity OLS, compression
 #: contrast, HITS, clustering
 #: coefficient, epoch order, JSONL round-trip, DiD, Mann-Whitney,
@@ -75,6 +76,11 @@ _ROUND = 7
 #: four ADVICE hardenings (leakage_safe_split typing, CDC payload
 #: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
 _CHANGED_THIS_ROUND = [
+    "q_graph_adamic_adar",
+    "q_docs_rater_kappa",
+    "q_graph_modularity",
+    "q_docs_lang_report",
+    "q_docs_readability",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",
@@ -223,6 +229,7 @@ def load_all() -> dict[str, QuerySpec]:
 
     from . import round7_queries  # noqa: F401
     from . import round7b_queries  # noqa: F401
+    from . import round7c_queries  # noqa: F401
     from . import round6_queries  # noqa: F401
     from . import round6b_queries  # noqa: F401
     from . import round6c_queries  # noqa: F401

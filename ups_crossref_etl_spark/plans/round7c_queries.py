@@ -1,0 +1,410 @@
+"""Round-7 wave 13+ query registrations.
+
+Continues the round-7 extension surface (see ``round7_queries`` /
+``round7b_queries``). Families added here:
+
+- link prediction: Adamic-Adar index over the part co-order graph —
+  the classic "which co-occurrence is about to happen" ranking
+  (recommender candidates, entity-merge suggestions);
+- labeling audits: Cohen's kappa between two quality raters — the
+  chance-corrected agreement a pipeline needs before trusting either
+  labeler as ground truth — and a multi-class classification report
+  (per-label precision/recall/F1 + macro) of the heuristic language ID
+  against the gold lang column;
+- graph partition audit: Newman modularity of the supplier co-order
+  graph under the nation partition;
+- corpus quality: Flesch reading-ease from exactly-reproducible regex
+  counts.
+
+Determinism: same registry contract as every wave — exact integer /
+nano-quantized accumulation wherever a sum crosses engines, doubles
+only in final one-shot expressions, ROUND + 0.0 on float outputs,
+total-order tiebreaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import read_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction over the part co-order graph
+# --------------------------------------------------------------------------
+
+_PART_COORDER_EDGES = """
+    pe AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey)
+"""
+
+
+@register(
+    "q_graph_adamic_adar",
+    f"""
+    WITH {_PART_COORDER_EDGES},
+    und AS (SELECT lo AS node, hi AS nbr FROM e
+            UNION ALL SELECT hi AS node, lo AS nbr FROM e),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    w AS (
+      SELECT u.node, u.nbr,
+             CAST(round(1e9 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS wn
+      FROM und u JOIN deg ON u.node = deg.node
+      WHERE d > 1),
+    pairs AS (
+      SELECT a.nbr AS u, b.nbr AS v, a.wn
+      FROM w a JOIN w b ON a.node = b.node
+      WHERE a.nbr < b.nbr),
+    scored AS (
+      SELECT u, v,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(wn) AS BIGINT) AS nanos
+      FROM pairs GROUP BY u, v),
+    ne AS (
+      SELECT s.* FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.lo = s.u AND e.hi = s.v))
+    SELECT u, v, common_neighbors,
+           round(nanos / 1e9, 6) + 0.0 AS aa_score
+    FROM ne ORDER BY nanos DESC, u, v LIMIT 50
+    """,
+    doc=(
+        "Adamic-Adar link prediction (operators/graph.adamic_adar) over "
+        "the part co-order graph: score every NON-edge pair sharing a "
+        "neighbor by sum(1/ln(deg(common neighbor))) and return the top "
+        "50 — the classic 'which co-occurrence is about to happen' "
+        "ranking. Candidates come from a wedge self-join on the CENTER "
+        "node (work = sum deg^2, never a cross product); per-center "
+        "weights are quantized to integer nanos BEFORE the pair-keyed "
+        "sum so the score aggregate is exact integer arithmetic both "
+        "engines reproduce bit-for-bit. At 100 TB the max_degree cap "
+        "drops hub centers whose 1/ln(d) weight is near zero anyway; "
+        "the gate runs uncapped on the bounded co-order graph."
+    ),
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import adamic_adar
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return adamic_adar(edges, top_n=50)
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa between two document-quality raters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_rater_kappa",
+    """
+    WITH lab AS (
+      SELECT
+        CASE WHEN n_chars >= 400 THEN 'long'
+             WHEN n_chars >= 150 THEN 'med'
+             ELSE 'short' END AS a,
+        CASE WHEN length(text) - length(replace(text, 'e', '')) >= 40
+               THEN 'long'
+             WHEN length(text) - length(replace(text, 'e', '')) >= 15
+               THEN 'med'
+             ELSE 'short' END AS b
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    cells AS (SELECT a, b, count(*) AS c FROM lab GROUP BY a, b),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM cells),
+    ma AS (SELECT a, sum(c) AS m FROM cells GROUP BY a),
+    mb AS (SELECT b, sum(c) AS m FROM cells GROUP BY b),
+    pen AS (
+      SELECT CAST(coalesce(sum(ma.m * mb.m), 0) AS BIGINT) AS pe_num
+      FROM ma JOIN mb ON ma.a = mb.b),
+    nc AS (
+      SELECT CAST(count(DISTINCT l) AS BIGINT) AS n_categories FROM
+        (SELECT a AS l FROM lab UNION ALL SELECT b FROM lab) z)
+    SELECT n, n_categories, agree,
+           round(CAST(agree AS DOUBLE) / n, 6) + 0.0 AS po,
+           round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+             + 0.0 AS pe,
+           round(
+             CASE WHEN CAST(pe_num AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * n) >= 1.0
+                  THEN CASE WHEN CAST(agree AS DOUBLE) / n >= 1.0
+                            THEN 1.0 ELSE 0.0 END
+                  ELSE (CAST(agree AS DOUBLE) / n
+                        - CAST(pe_num AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n))
+                       / (1.0 - CAST(pe_num AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * n))
+             END, 6) + 0.0 AS kappa
+    FROM tot CROSS JOIN pen CROSS JOIN nc
+    """,
+    doc=(
+        "Cohen's kappa (operators/agreement.cohens_kappa) between two "
+        "document-quality raters — a char-length gate vs an e-count "
+        "length proxy, each bucketing short/med/long: the chance- "
+        "corrected agreement a labeling pipeline needs before trusting "
+        "either heuristic as ground truth (raw agreement is inflated "
+        "whenever the label marginals are skewed). One corpus scan to "
+        "the |labels|^2 confusion-cell table, then everything is "
+        "confusion-matrix-sized; counts are exact BIGINT so po/pe/kappa "
+        "are one-shot double expressions both engines agree on."
+    ),
+)
+def q_docs_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agreement import cohens_kappa
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    e_cnt = F.length("text") - F.length(F.regexp_replace("text", "e", ""))
+    lab = d.select(
+        F.when(F.col("n_chars") >= 400, "long")
+        .when(F.col("n_chars") >= 150, "med")
+        .otherwise("short")
+        .alias("rater_a"),
+        F.when(e_cnt >= 40, "long")
+        .when(e_cnt >= 15, "med")
+        .otherwise("short")
+        .alias("rater_b"),
+    )
+    return cohens_kappa(lab, "rater_a", "rater_b")
+
+
+# --------------------------------------------------------------------------
+# Modularity of the supplier co-order graph under the nation partition
+# --------------------------------------------------------------------------
+
+_SUPP_COORDER_EDGES = """
+    pe AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+      FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey < b.l_suppkey)
+"""
+
+
+@register(
+    "q_graph_modularity",
+    f"""
+    WITH {_SUPP_COORDER_EDGES},
+    asg AS (SELECT s_suppkey AS n, s_nationkey AS c FROM supplier),
+    lab AS (
+      SELECT al.c AS cl, ah.c AS ch
+      FROM e JOIN asg al ON e.lo = al.n JOIN asg ah ON e.hi = ah.n),
+    m AS (SELECT count(*) AS m FROM lab),
+    intra AS (
+      SELECT cl AS c, count(*) AS ec FROM lab WHERE cl = ch GROUP BY cl),
+    deg AS (
+      SELECT c, count(*) AS dc FROM
+        (SELECT cl AS c FROM lab UNION ALL SELECT ch FROM lab) z
+      GROUP BY c),
+    per AS (
+      SELECT deg.c, coalesce(ec, 0) AS ec, dc
+      FROM deg LEFT JOIN intra ON deg.c = intra.c)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(m.m AS BIGINT) AS n_edges,
+           round(sum(CAST(ec AS DOUBLE)) / CAST(m.m AS DOUBLE)
+                 - sum(CAST(dc AS DOUBLE) * CAST(dc AS DOUBLE))
+                   / (CAST(4 AS DOUBLE) * m.m * m.m), 6) + 0.0
+             AS modularity
+    FROM per CROSS JOIN m GROUP BY m.m
+    """,
+    doc=(
+        "Newman modularity (operators/graph.modularity) of the supplier "
+        "co-order graph under the supplier-nation partition: the 'is "
+        "this clustering better than random wiring?' audit for LPA/"
+        "community output — or, as here, for an EXTERNAL partition you "
+        "suspect explains the graph. e_c/d_c/m stay exact BIGINTs "
+        "(edge-keyed joins against a broadcastable assignment dim, then "
+        "community-sized aggregates); Q is one one-shot double, so both "
+        "engines agree bit-for-bit."
+    ),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import modularity
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_suppkey").distinct()
+    edges = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    assign = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return modularity(edges, assign)
+
+
+# --------------------------------------------------------------------------
+# Language-ID classification report (heuristic pred vs gold lang)
+# --------------------------------------------------------------------------
+
+
+def _lang_hits_sql() -> str:
+    from ..operators.text_analysis import LANG_MARKERS, _marker_pattern
+
+    cols = ",\n             ".join(
+        f"len(regexp_extract_all(lower(text), "
+        f"'{_marker_pattern(LANG_MARKERS[lg])}')) AS h_{lg}"
+        for lg in LANG_MARKERS
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN h_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    hits AS (
+      SELECT lang AS g,
+             {cols}
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    pairs AS (SELECT g, {pred} AS p FROM hits)"""
+
+
+@register(
+    "q_docs_lang_report",
+    f"""
+    WITH {_lang_hits_sql()},
+    cells AS (SELECT g, p, count(*) AS c FROM pairs GROUP BY g, p),
+    labs AS (
+      SELECT DISTINCT label FROM
+        (SELECT g AS label FROM cells UNION ALL SELECT p FROM cells) z),
+    gold AS (SELECT g AS label, sum(c) AS n_gold FROM cells GROUP BY g),
+    pred AS (SELECT p AS label, sum(c) AS n_pred FROM cells GROUP BY p),
+    tp AS (SELECT g AS label, c AS tp FROM cells WHERE g = p),
+    per AS (
+      SELECT labs.label,
+             CAST(coalesce(n_gold, 0) AS BIGINT) AS n_gold,
+             CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+             CAST(coalesce(tp, 0) AS BIGINT) AS tp
+      FROM labs LEFT JOIN gold ON labs.label = gold.label
+      LEFT JOIN pred ON labs.label = pred.label
+      LEFT JOIN tp ON labs.label = tp.label),
+    nano AS (
+      SELECT label, n_gold, n_pred, tp,
+             CAST(round(CASE WHEN n_pred > 0
+                  THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END * 1e9)
+               AS BIGINT) AS pn,
+             CAST(round(CASE WHEN n_gold > 0
+                  THEN CAST(tp AS DOUBLE) / n_gold ELSE 0.0 END * 1e9)
+               AS BIGINT) AS rn,
+             CAST(round(CASE WHEN (CASE WHEN n_pred > 0
+                        THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END
+                      + CASE WHEN n_gold > 0
+                        THEN CAST(tp AS DOUBLE) / n_gold ELSE 0.0 END) > 0
+                  THEN CAST(2 AS DOUBLE)
+                       * (CASE WHEN n_pred > 0
+                          THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)
+                       * (CASE WHEN n_gold > 0
+                          THEN CAST(tp AS DOUBLE) / n_gold ELSE 0.0 END)
+                       / (CASE WHEN n_pred > 0
+                          THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END
+                          + CASE WHEN n_gold > 0
+                            THEN CAST(tp AS DOUBLE) / n_gold ELSE 0.0 END)
+                  ELSE 0.0 END * 1e9) AS BIGINT) AS fn
+      FROM per),
+    unioned AS (
+      SELECT label, n_gold, n_pred, tp,
+             CAST(pn AS DOUBLE) AS pn, CAST(rn AS DOUBLE) AS rn,
+             CAST(fn AS DOUBLE) AS fn
+      FROM nano
+      UNION ALL
+      SELECT '__macro__',
+             CAST(sum(n_gold) AS BIGINT), CAST(sum(n_pred) AS BIGINT),
+             CAST(sum(tp) AS BIGINT),
+             avg(CAST(pn AS DOUBLE)), avg(CAST(rn AS DOUBLE)),
+             avg(CAST(fn AS DOUBLE))
+      FROM nano)
+    SELECT label, n_gold, n_pred, tp,
+           round(pn / 1e9, 6) + 0.0 AS precision,
+           round(rn / 1e9, 6) + 0.0 AS recall,
+           round(fn / 1e9, 6) + 0.0 AS f1
+    FROM unioned ORDER BY label
+    """,
+    doc=(
+        "Multi-class classification report (operators/evaluation."
+        "classification_report) of the heuristic stopword-marker "
+        "language ID (text_analysis.detect_language) against the gold "
+        "lang column: per-language precision/recall/F1 plus a "
+        "__macro__ row — the scorer-triage table every labeling "
+        "pipeline reads before trusting a classifier. One corpus scan "
+        "to the confusion-cell aggregate; per-label ratios quantized "
+        "to integer nanos before the macro mean so the cross-label "
+        "average is order-exact on both engines."
+    ),
+)
+def q_docs_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import classification_report
+    from ..operators.text_analysis import detect_language
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    labeled = d.select(
+        F.col("lang").alias("gold"),
+        detect_language(F.col("text")).alias("pred"),
+    )
+    return classification_report(labeled, "gold", "pred")
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease per document
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_readability",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE) * n_words / n_sentences
+                   - CAST(84.6 AS DOUBLE) * n_syllables / n_words, 4)
+             + 0.0
+           END AS flesch
+    FROM f
+    """,
+    doc=(
+        "Flesch reading-ease per document (operators/text_analysis."
+        "flesch_readability): the classic readability score as a corpus "
+        "quality feature, computed from three exactly-reproducible "
+        "regex counts (letter runs, [.!?] runs, vowel-group runs). "
+        "Pure row-local whole-stage-codegen expressions — one map-only "
+        "scan, no shuffle, no Python; the score is a one-shot double "
+        "over exact integers, identical cross-engine."
+    ),
+)
+def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import flesch_readability
+
+    d = read_table(spark, sf_dir, "documents")
+    return flesch_readability(d, "doc_id", "text")
