@@ -218,3 +218,98 @@ def test_flesch_readability_no_words_null_score(spark):
     df = spark.createDataFrame([(1, "123 456 ...")], "doc_id bigint, text string")
     r = flesch_readability(df, "doc_id", "text").collect()[0]
     assert r.n_words == 0 and r.flesch is None
+
+
+# -------------------------------------------------------------------- ece
+
+
+def test_ece_perfectly_calibrated_bins(spark):
+    """Two bins where mean score equals pos rate exactly: ECE = 0.
+    Scores 0.0 x2 (0 positives) and 1.0 x2 (2 positives)."""
+    from ups_crossref_etl_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    rows = [(1, 0.0, 0), (2, 0.0, 0), (3, 1.0, 1), (4, 1.0, 1)]
+    r = expected_calibration_error(
+        spark.createDataFrame(rows, "id bigint, s double, y int"),
+        "s", "y", "id", n_bins=2,
+    ).collect()[0]
+    assert (r.n, r.n_bins) == (4, 2)
+    assert r.ece == 0.0 and r.max_ce == 0.0
+
+
+def test_ece_known_gap(spark):
+    """One bin, scores all 0.5, half positive -> gap 0; flip to all
+    positive -> gap 0.5 and ece 0.5."""
+    from ups_crossref_etl_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    rows = [(1, 0.5, 1), (2, 0.5, 1)]
+    r = expected_calibration_error(
+        spark.createDataFrame(rows, "id bigint, s double, y int"),
+        "s", "y", "id", n_bins=1,
+    ).collect()[0]
+    assert abs(r.ece - 0.5) < 1e-9 and abs(r.max_ce - 0.5) < 1e-9
+
+
+# ----------------------------------------------------------------- woe/iv
+
+
+def test_woe_iv_hand_computed(spark):
+    """Bucket x: 3 pos 1 neg; bucket y: 1 pos 3 neg; k=2, tp=tn=4.
+    ps_x = 3.5/5, ns_x = 1.5/5 -> woe_x = ln(7/3)."""
+    import math
+
+    from ups_crossref_etl_spark.operators.stats import woe_iv
+
+    rows = [("x", 1)] * 3 + [("x", 0)] + [("y", 1)] + [("y", 0)] * 3
+    out = {
+        r.bucket: r
+        for r in woe_iv(
+            spark.createDataFrame(rows, "b string, y int"), "b", "y"
+        ).collect()
+    }
+    wx = math.log((3.5 / 5) / (1.5 / 5))
+    assert abs(out["x"].woe - round(wx, 6)) < 1e-9
+    assert abs(out["x"].iv_contrib - round((3.5 / 5 - 1.5 / 5) * wx, 6)) < 1e-9
+    assert abs(out["y"].woe + round(wx, 6)) < 1e-9  # symmetric
+    assert out["x"].n == 4 and out["x"].n_pos == 3 and out["x"].n_neg == 1
+
+
+def test_woe_iv_single_class_bucket_finite(spark):
+    from ups_crossref_etl_spark.operators.stats import woe_iv
+
+    rows = [("a", 1), ("a", 1), ("b", 0)]
+    out = woe_iv(
+        spark.createDataFrame(rows, "b string, y int"), "b", "y"
+    ).collect()
+    assert all(r.woe is not None and abs(r.woe) < 100 for r in out)
+
+
+# ------------------------------------------------------- blocking quality
+
+
+def test_blocking_quality_counts(spark):
+    """4 records -> 6 possible; candidates {(1,2),(3,4)}; truth
+    {(1,2),(2,3)} -> covered 1, RR = 1 - 2/6, PC = 0.5."""
+    from ups_crossref_etl_spark.operators.linkage import blocking_quality
+
+    cand = spark.createDataFrame([(2, 1), (3, 4)], "a bigint, b bigint")
+    truth = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    r = blocking_quality(cand, truth, n_records=4).collect()[0]
+    assert (r.n_possible, r.n_candidates, r.n_truth, r.n_truth_covered) == (
+        6, 2, 2, 1,
+    )
+    assert abs(r.reduction_ratio - round(1 - 2 / 6, 6)) < 1e-9
+    assert r.pair_completeness == 0.5
+
+
+def test_blocking_quality_empty_truth_pc_one(spark):
+    from ups_crossref_etl_spark.operators.linkage import blocking_quality
+
+    cand = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    truth = spark.createDataFrame([], "a bigint, b bigint")
+    r = blocking_quality(cand, truth, n_records=3).collect()[0]
+    assert r.n_truth == 0 and r.pair_completeness == 1.0

@@ -760,3 +760,64 @@ def classification_report(
         )
         .orderBy("label")
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error (Naeini et al. 2015): bin rows into
+    ``n_bins`` equal-count score bins and average ``|observed positive
+    rate - mean score|`` weighted by bin size — the single-number
+    summary of the reliability diagram (:func:`calibration_bins`),
+    plus the worst-bin gap (``max_ce``). AUC can be high while the
+    scorer's probabilities are junk; ECE is the number that says so.
+
+    Returns ONE row ``(n, n_bins, ece, max_ce)``.
+
+    Determinism: the ntile window orders by ``(score, id)`` — a total
+    order, so tied scores land in the same bin on every engine; scores
+    are quantized to integer MICROS before the per-bin sum (exact in
+    any order) and each bin's |gap| is quantized to integer NANOS
+    before the size-weighted cross-bin sum, so both aggregates are
+    exact integer arithmetic. Only the final /N division is floating.
+
+    Scale: same shape note as :func:`calibration_bins` — the exact
+    global ntile is the gate reference; at corpus scale swap in
+    percentile-cutoff bin assignment, same output contract.
+    """
+    w = Window.orderBy(F.col("_s").asc(), F.col("_id").asc())
+    binned = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("bin", F.ntile(n_bins).over(w))
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.round(F.col("_s") * 1e6).cast("bigint")).alias("_sq"),
+        F.sum("_y").cast("bigint").alias("_pos"),
+    )
+    gap_nanos = F.round(
+        F.abs(
+            F.col("_pos") / F.col("_n").cast("double")
+            - F.col("_sq") / (F.col("_n").cast("double") * 1e6)
+        )
+        * 1e9
+    ).cast("bigint")
+    terms = per.select("_n", gap_nanos.alias("_g"))
+    return terms.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (
+            F.round(
+                F.sum(F.col("_n") * F.col("_g"))
+                / (F.sum("_n").cast("double") * 1e9),
+                6,
+            )
+            + 0.0
+        ).alias("ece"),
+        (F.round(F.max("_g") / 1e9, 6) + 0.0).alias("max_ce"),
+    )

@@ -81,6 +81,9 @@ _CHANGED_THIS_ROUND = [
     "q_graph_modularity",
     "q_docs_lang_report",
     "q_docs_readability",
+    "q_docs_ece",
+    "q_orders_woe_iv",
+    "q_part_blocking_quality",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",

@@ -24,7 +24,7 @@ total-order tiebreaks on every top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.lake import read_table
@@ -408,3 +408,206 @@ def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return flesch_readability(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Expected calibration error of a rank-score vs is-English
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_ece",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             percent_rank() OVER (ORDER BY n_chars, doc_id) AS sc
+      FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+    b AS (
+      SELECT y, CAST(round(sc * 1e6) AS BIGINT) AS sq,
+             ntile(10) OVER (ORDER BY sc, doc_id) AS bin
+      FROM s),
+    per AS (
+      SELECT bin, count(*) AS n, sum(sq) AS sq, sum(y) AS pos
+      FROM b GROUP BY bin),
+    g AS (
+      SELECT n,
+             CAST(round(abs(CAST(pos AS DOUBLE) / n
+                            - CAST(sq AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * 1e6)) * 1e9)
+               AS BIGINT) AS gn
+      FROM per)
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(n * gn) / (CAST(sum(n) AS DOUBLE) * 1e9), 6) + 0.0
+             AS ece,
+           round(max(gn) / 1e9, 6) + 0.0 AS max_ce
+    FROM g
+    """,
+    doc=(
+        "Expected Calibration Error (operators/evaluation."
+        "expected_calibration_error) of the length-rank score "
+        "(percent_rank of n_chars — a [0,1] 'probability' proxy) "
+        "predicting is-English: 10 equal-count bins over a (score, id) "
+        "total order, ECE = size-weighted mean |pos_rate - mean_score| "
+        "plus the worst-bin gap. Scores quantize to integer micros and "
+        "bin gaps to integer nanos before every cross-row sum, so both "
+        "engines do exact integer arithmetic until the final division."
+    ),
+)
+def q_docs_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import expected_calibration_error
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    w = Window.orderBy("n_chars", "doc_id")
+    scored = d.select(
+        "doc_id",
+        F.percent_rank().over(w).alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return expected_calibration_error(
+        scored, "score", "is_en", "doc_id", n_bins=10
+    )
+
+
+# --------------------------------------------------------------------------
+# WOE / Information Value: order priority vs finished status
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_woe_iv",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+    per AS (
+      SELECT bucket, count(*) AS n, sum(y) AS np,
+             count(*) - sum(y) AS nn
+      FROM base GROUP BY bucket),
+    tot AS (
+      SELECT sum(np) AS tp, sum(nn) AS tn, count(*) AS k FROM per)
+    SELECT bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           round(ln(((CAST(np AS DOUBLE) + 0.5)
+                     / (CAST(tp AS DOUBLE) + 0.5 * k))
+                    / ((CAST(nn AS DOUBLE) + 0.5)
+                       / (CAST(tn AS DOUBLE) + 0.5 * k))), 6) + 0.0
+             AS woe,
+           round(((CAST(np AS DOUBLE) + 0.5)
+                  / (CAST(tp AS DOUBLE) + 0.5 * k)
+                  - (CAST(nn AS DOUBLE) + 0.5)
+                    / (CAST(tn AS DOUBLE) + 0.5 * k))
+                 * ln(((CAST(np AS DOUBLE) + 0.5)
+                       / (CAST(tp AS DOUBLE) + 0.5 * k))
+                      / ((CAST(nn AS DOUBLE) + 0.5)
+                         / (CAST(tn AS DOUBLE) + 0.5 * k))), 6) + 0.0
+             AS iv_contrib
+    FROM per CROSS JOIN tot ORDER BY bucket
+    """,
+    doc=(
+        "Weight of Evidence / Information Value (operators/stats.woe_iv) "
+        "of order priority predicting finished status — the classic "
+        "credit-scoring feature screen as one bucket-keyed aggregate. "
+        "Laplace 0.5 smoothing keeps single-class buckets finite; counts "
+        "stay exact BIGINT and woe/iv_contrib are one-shot double "
+        "expressions over them, identical cross-engine."
+    ),
+)
+def q_orders_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import woe_iv
+
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    labeled = o.select(
+        "o_orderpriority", (F.col("o_orderstatus") == "F").alias("is_f")
+    )
+    return woe_iv(labeled, "o_orderpriority", "is_f")
+
+
+# --------------------------------------------------------------------------
+# Blocking-quality audit: sorted-neighborhood vs bounded edit-distance truth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_part_blocking_quality",
+    """
+    WITH s AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey <= 400),
+    nrec AS (SELECT count(*) AS n FROM s),
+    r AS (
+      SELECT p_partkey,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM s),
+    cand AS (
+      SELECT DISTINCT least(a.p_partkey, b.p_partkey) AS u,
+             greatest(a.p_partkey, b.p_partkey) AS v
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3),
+    truth AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM s a JOIN s b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 10),
+    agg AS (
+      SELECT
+        (SELECT n * (n - 1) // 2 FROM nrec) AS n_possible,
+        (SELECT count(*) FROM cand) AS n_candidates,
+        (SELECT count(*) FROM truth) AS n_truth,
+        (SELECT count(*) FROM truth t
+         WHERE EXISTS (SELECT 1 FROM cand
+                       WHERE cand.u = t.u AND cand.v = t.v))
+          AS n_truth_covered)
+    SELECT CAST(n_possible AS BIGINT) AS n_possible,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_truth_covered AS BIGINT) AS n_truth_covered,
+           round(CAST(1 AS DOUBLE)
+                 - n_candidates / CAST(n_possible AS DOUBLE), 6) + 0.0
+             AS reduction_ratio,
+           round(CASE WHEN n_truth > 0
+                 THEN n_truth_covered / CAST(n_truth AS DOUBLE)
+                 ELSE 1.0 END, 6) + 0.0 AS pair_completeness
+    FROM agg
+    """,
+    doc=(
+        "Blocking-stage audit (operators/linkage.blocking_quality) of "
+        "sorted-neighborhood blocking (window=3 over p_name) against a "
+        "BOUNDED brute-force edit-distance<=10 ground truth (p_partkey "
+        "<= 400, so the quadratic truth join is a deliberately bounded "
+        "contract construction — the same pattern as every *_bound "
+        "query): reduction ratio says how much pair work the blocker "
+        "saved, pair completeness says how many true matches survive "
+        "it. The operational path is candidate-set-sized (two dedup "
+        "aggregates + one pair-keyed semi-join); only the truth side is "
+        "quadratic, and only on the bounded slice."
+    ),
+)
+def q_part_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import blocking_quality, sorted_neighborhood_pairs
+
+    s = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 400)
+        .select("p_partkey", "p_name")
+    )
+    n = s.count()  # bounded slice size — driver-side model state
+    cand = sorted_neighborhood_pairs(s, "p_name", "p_partkey", window=3)
+    a = s.select(F.col("p_partkey").alias("_ia"), F.col("p_name").alias("_na"))
+    b = s.select(F.col("p_partkey").alias("_ib"), F.col("p_name").alias("_nb"))
+    truth = (
+        a.join(b, F.col("_ia") < F.col("_ib"))
+        .filter(F.levenshtein(F.col("_na"), F.col("_nb")) <= 10)
+        .select(F.col("_ia").alias("u"), F.col("_ib").alias("v"))
+    )
+    return blocking_quality(
+        cand.select("id_a", "id_b"), truth, n_records=n
+    )
