@@ -313,3 +313,129 @@ def test_blocking_quality_empty_truth_pc_one(spark):
     truth = spark.createDataFrame([], "a bigint, b bigint")
     r = blocking_quality(cand, truth, n_records=3).collect()[0]
     assert r.n_truth == 0 and r.pair_completeness == 1.0
+
+
+# ------------------------------------------------------------------ anova
+
+
+def test_anova_hand_computed(spark):
+    """Groups a=[1,2,3], b=[4,5,6]: means 2 and 5, grand 3.5.
+    SSB = 3*(2-3.5)^2 + 3*(5-3.5)^2 = 13.5; SSW = 2+2 = 4.
+    F = (13.5/1)/(4/4) = 13.5."""
+    from ups_crossref_etl_spark.operators.stats import anova_oneway
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    r = anova_oneway(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert (r.n_groups, r.n, r.df_between, r.df_within) == (2, 6, 1, 4)
+    assert abs(r.ss_between - 13.5) < 1e-6
+    assert abs(r.ss_within - 4.0) < 1e-6
+    assert abs(r.f_stat - 13.5) < 1e-5
+
+
+def test_anova_degenerate_cases(spark):
+    from ups_crossref_etl_spark.operators.stats import anova_oneway
+
+    one_group = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    assert anova_oneway(one_group, "g", "v").collect()[0].f_stat is None
+    # zero within-group variance
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    assert anova_oneway(const, "g", "v").collect()[0].f_stat is None
+
+
+# -------------------------------------------------------------- diversity
+
+
+def test_diversity_uniform_vs_constant(spark):
+    """4 distinct tokens once each: shannon = ln 4, simpson = 1/4,
+    hill1 = 4, inv_simpson = 4. One token 4x: all concentration."""
+    import math
+
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        diversity_indices,
+    )
+
+    df = spark.createDataFrame(
+        [("u", "aa bb cc dd"), ("k", "zz zz zz zz")],
+        "source string, text string",
+    )
+    out = {r.grp: r for r in diversity_indices(df, "source", "text").collect()}
+    u = out["u"]
+    assert u.n_tokens == 4 and u.n_distinct == 4
+    assert abs(u.shannon - round(math.log(4), 6)) < 1e-9
+    assert abs(u.simpson - 0.25) < 1e-9
+    assert abs(u.hill1 - 4.0) < 1e-5
+    assert abs(u.inv_simpson - 4.0) < 1e-9
+    k = out["k"]
+    assert k.n_tokens == 4 and k.n_distinct == 1
+    assert k.shannon == 0.0 and k.simpson == 1.0 and k.hill1 == 1.0
+
+
+# ------------------------------------------------------------------- rmst
+
+
+def _ts(s):
+    from datetime import datetime
+
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+def test_rmst_hand_computed(spark):
+    """2 users sign up at t0; one purchases after 2h (bucket 2), one
+    never. KM: S = 0.5 at t=2. tau = 5 buckets.
+    RMST = 1.0*2 + 0.5*(5-2) = 3.5 buckets."""
+    from ups_crossref_etl_spark.operators.survival import rmst
+
+    rows = [
+        (1, "signup", _ts("2024-01-01 00:00:00")),
+        (2, "signup", _ts("2024-01-01 00:00:00")),
+        (1, "purchase", _ts("2024-01-01 02:30:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    r = rmst(
+        df, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=5 * 3600, bucket_seconds=3600,
+    ).collect()[0]
+    assert r.horizon_buckets == 5 and r.n_event_times == 1
+    assert abs(r.rmst_buckets - 3.5) < 1e-9
+    assert abs(r.rmst_seconds - 3.5 * 3600) < 1e-6
+
+
+def test_rmst_no_events_equals_horizon(spark):
+    from ups_crossref_etl_spark.operators.survival import rmst
+
+    rows = [(1, "signup", _ts("2024-01-01 00:00:00"))]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    r = rmst(
+        df, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=4 * 3600, bucket_seconds=3600,
+    ).collect()[0]
+    assert r.rmst_buckets == 4.0 and r.n_event_times == 0
+
+
+# --------------------------------------------------------- funnel latency
+
+
+def test_funnel_latency_percentiles(spark):
+    """Three users complete a->b in 10s, 20s, 40s: p50 = 20s exactly;
+    p90 interpolates between 20 and 40 at 0.8 -> 36s."""
+    from ups_crossref_etl_spark.operators.funnel import funnel_latency
+
+    rows = []
+    for u, gap in [(1, 10), (2, 20), (3, 40)]:
+        rows.append((u, "a", _ts("2024-01-01 00:00:00")))
+        rows.append((u, "b", _ts(f"2024-01-01 00:00:{gap:02d}")))
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    r = funnel_latency(df, "user_id", "event_type", "ts", ["a", "b"]).collect()[0]
+    assert (r.step_idx, r.from_step, r.to_step, r.n_users) == (1, "a", "b", 3)
+    assert abs(r.p50_seconds - 20.0) < 1e-9
+    assert abs(r.p90_seconds - 36.0) < 1e-9

@@ -98,3 +98,53 @@ def funnel_counts(
         counts.select(F.explode(rows).alias("r"))
         .select("r.step_idx", "r.step", "r.n_users")
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+    max_span_seconds: int | None = None,
+) -> DataFrame:
+    """Time-to-convert between consecutive funnel steps: for every
+    user whose chain reached step i+1 (:func:`funnel_users`
+    semantics), the step latency ``t_{i+1} - t_i`` — reported as
+    ``(step_idx, from_step, to_step, n_users, p50_seconds,
+    p90_seconds)``. The counts answer "where do users drop off";
+    this answers "where do they stall".
+
+    Determinism: latencies convert to exact integer MICROSECONDS per
+    user before the exact interpolated percentile (``F.percentile`` —
+    even-count midpoints are then exact halves on every engine, the
+    q_percentiles convention), divided back to seconds and rounded
+    6 dp. Shape: the per-user funnel table (k user-keyed aggregates)
+    then one tiny percentile aggregate per step pair.
+    """
+    per_user = funnel_users(
+        events, user_col, type_col, ts_col, steps, max_span_seconds
+    )
+    out = None
+    for i in range(1, len(steps)):
+        a, b = f"t{i}", f"t{i + 1}"
+        lat = per_user.filter(F.col(b).isNotNull()).select(
+            (
+                F.unix_micros(F.col(b).cast("timestamp"))
+                - F.unix_micros(F.col(a).cast("timestamp"))
+            ).alias("_us")
+        )
+        row = lat.agg(
+            F.lit(i).cast("bigint").alias("step_idx"),
+            F.lit(steps[i - 1]).alias("from_step"),
+            F.lit(steps[i]).alias("to_step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (
+                F.round(F.percentile("_us", F.lit(0.5)) / 1e6, 6) + 0.0
+            ).alias("p50_seconds"),
+            (
+                F.round(F.percentile("_us", F.lit(0.9)) / 1e6, 6) + 0.0
+            ).alias("p90_seconds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1154,3 +1154,71 @@ def woe_iv(df: DataFrame, bucket_col: str, label_col: str) -> DataFrame:
         (F.round(woe, 6) + 0.0).alias("woe"),
         (F.round((ps - ns) * woe, 6) + 0.0).alias("iv_contrib"),
     ).orderBy("bucket")
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA: does the group mean differ across levels more
+    than within-group noise explains? Returns ONE row ``(n_groups, n,
+    df_between, df_within, ss_between, ss_within, f_stat)`` — the
+    omnibus complement to the pairwise tests here (Mann-Whitney,
+    permutation): one screen across ALL levels at once instead of
+    k(k-1)/2 pairwise comparisons.
+
+    NULL group/value rows are excluded. ``f_stat`` is NULL when the
+    design is degenerate (fewer than 2 groups, no within-group df, or
+    zero within-group variance).
+
+    Determinism: per-group ``(n, sum v, sum v^2)`` accumulate in
+    DECIMAL(38,12) (exact, order-free — the corr_matrix convention);
+    each group's ``S_g^2/n_g`` between-groups term quantizes to
+    integer MICROS before the cross-group sum, so both engines add
+    exact integers; SS/F are one-shot double expressions at the end.
+    Shape: one corpus scan to a group-keyed aggregate, then
+    group-count-sized math.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_v").cast(_DEC)).alias("_s"),
+        F.sum(
+            (F.col("_v").cast(_DEC) * F.col("_v").cast(_DEC)).cast(_DEC)
+        ).alias("_q"),
+    )
+    term_micros = F.round(
+        F.col("_s").cast("double")
+        * F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+        * 1e6
+    ).cast("bigint")
+    tot = per.select("_n", "_s", "_q", term_micros.alias("_tm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_s").alias("_st"),
+        F.sum("_q").alias("_qt"),
+        F.sum("_tm").alias("_a"),
+    )
+    a = F.col("_a") / 1e6
+    ssb = a - F.col("_st").cast("double") * F.col("_st").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ssw = F.col("_qt").cast("double") - a
+    dfb = F.col("n_groups") - 1
+    dfw = F.col("n") - F.col("n_groups")
+    f = F.when(
+        (dfb > 0) & (dfw > 0) & (ssw > 0.0),
+        (ssb / dfb.cast("double")) / (ssw / dfw.cast("double")),
+    )
+    return tot.select(
+        "n_groups",
+        "n",
+        dfb.cast("bigint").alias("df_between"),
+        dfw.cast("bigint").alias("df_within"),
+        (F.round(ssb, 4) + 0.0).alias("ss_between"),
+        (F.round(ssw, 4) + 0.0).alias("ss_within"),
+        (F.round(f, 6) + 0.0).alias("f_stat"),
+    )

@@ -220,3 +220,63 @@ def nelson_aalen(
             ),
         )
     )
+
+
+def rmst(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    entry_type: str,
+    event_type: str,
+    horizon_seconds: int,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Restricted Mean Survival Time (Royston & Parmar 2013): the area
+    under the :func:`kaplan_meier` curve up to the horizon — "average
+    event-free time in the first tau", the single-number survival
+    summary that stays valid when hazards cross (where a median or a
+    hazard ratio misleads).
+
+    Returns ONE row ``(horizon_buckets, n_event_times, rmst_buckets,
+    rmst_seconds)``; with no events at all the curve is flat 1 and
+    RMST = tau.
+
+    Determinism: the KM step integral is ``sum S(t_prev) * (t - t_prev)
+    + S(t_last) * (tau - t_last)``; survival values (already 6-dp) are
+    quantized to integer MICROS and widths are integer buckets, so the
+    area accumulates as exact integer products — one lag window over
+    the event-time table (bucket-count-sized, tiny) and one aggregate.
+    """
+    km = kaplan_meier(
+        events, user_col, type_col, ts_col,
+        entry_type, event_type, horizon_seconds, bucket_seconds,
+    )
+    tau = horizon_seconds // bucket_seconds
+    w = Window.orderBy("t")
+    stepped = km.select(
+        "t", F.round(F.col("survival") * 1e6).cast("bigint").alias("_s")
+    )
+    lagged = stepped.withColumn(
+        "_pt", F.lag("t", 1, 0).over(w)
+    ).withColumn("_ps", F.lag("_s", 1, 1_000_000).over(w))
+    agg = lagged.agg(
+        F.coalesce(
+            F.sum(F.col("_ps") * (F.col("t") - F.col("_pt"))), F.lit(0)
+        ).alias("_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.coalesce(F.max(F.struct("t", "_s")), F.struct(
+            F.lit(0).cast("bigint").alias("t"),
+            F.lit(1_000_000).cast("bigint").alias("_s"),
+        )).alias("_last"),
+    )
+    rb = (
+        F.col("_a")
+        + F.col("_last._s") * (F.lit(tau) - F.col("_last.t"))
+    ) / 1e6
+    return agg.select(
+        F.lit(tau).cast("bigint").alias("horizon_buckets"),
+        "n_event_times",
+        (F.round(rb, 6) + 0.0).alias("rmst_buckets"),
+        (F.round(rb * bucket_seconds, 2) + 0.0).alias("rmst_seconds"),
+    )

@@ -84,6 +84,10 @@ _CHANGED_THIS_ROUND = [
     "q_docs_ece",
     "q_orders_woe_iv",
     "q_part_blocking_quality",
+    "q_events_anova_value_by_type",
+    "q_docs_diversity",
+    "q_events_rmst",
+    "q_events_funnel_latency",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",

@@ -14,7 +14,15 @@ Continues the round-7 extension surface (see ``round7_queries`` /
 - graph partition audit: Newman modularity of the supplier co-order
   graph under the nation partition;
 - corpus quality: Flesch reading-ease from exactly-reproducible regex
-  counts.
+  counts; token-diversity indices (Shannon / Simpson / Hill numbers)
+  per source;
+- scorer/feature triage: expected calibration error, WOE/Information
+  Value, one-way ANOVA omnibus screen;
+- entity resolution: blocking-quality audit (reduction ratio + pair
+  completeness) of sorted-neighborhood blocking vs a bounded
+  edit-distance ground truth;
+- product analytics: restricted mean survival time (area under the
+  Kaplan-Meier curve) and funnel step-latency percentiles.
 
 Determinism: same registry contract as every wave — exact integer /
 nano-quantized accumulation wherever a sum crosses engines, doubles
@@ -610,4 +618,283 @@ def q_part_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return blocking_quality(
         cand.select("id_a", "id_b"), truth, n_records=n
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA: event value across event types
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_anova_value_by_type",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    per AS (
+      SELECT g, count(*) AS n,
+             sum(CAST(v AS DECIMAL(38,12))) AS s,
+             sum(CAST(CAST(v AS DECIMAL(38,12))
+                      * CAST(v AS DECIMAL(38,12))
+                 AS DECIMAL(38,12))) AS q
+      FROM base GROUP BY g),
+    t AS (
+      SELECT count(*) AS k, sum(n) AS n,
+             sum(s) AS st, sum(q) AS qt,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / n * 1e6) AS BIGINT)) AS a
+      FROM per)
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round(a / 1e6 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                 / CAST(n AS DOUBLE), 4) + 0.0 AS ss_between,
+           round(CAST(qt AS DOUBLE) - a / 1e6, 4) + 0.0 AS ss_within,
+           CASE WHEN k > 1 AND n > k
+                     AND CAST(qt AS DOUBLE) - a / 1e6 > 0 THEN
+             round(((a / 1e6 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                   / ((CAST(qt AS DOUBLE) - a / 1e6)
+                      / CAST(n - k AS DOUBLE)), 6) + 0.0
+           END AS f_stat
+    FROM t
+    """,
+    doc=(
+        "One-way ANOVA (operators/stats.anova_oneway) of event value "
+        "across the five event types — the omnibus 'any level differ?' "
+        "screen before pairwise tests. Per-group moments accumulate in "
+        "DECIMAL(38,12) (exact, order-free), the between-groups "
+        "S_g^2/n_g terms quantize to integer micros before the "
+        "cross-group sum, and SS/F are one-shot doubles — "
+        "engine-identical."
+    ),
+)
+def q_events_anova_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.stats import anova_oneway
+
+    e = read_table(spark, sf_dir, "events")
+    return anova_oneway(e, "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Token diversity indices per source
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_diversity",
+    """
+    WITH toks AS (
+      SELECT source AS grp,
+             unnest([x for x in
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS t
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+    c AS (SELECT grp, t, count(*) AS c FROM toks GROUP BY grp, t),
+    per AS (
+      SELECT grp,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * c) AS BIGINT) AS c2,
+             sum(CAST(round(CAST(c AS DOUBLE)
+                            * ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+               AS cl
+      FROM c GROUP BY grp)
+    SELECT grp, n_tokens, n_distinct,
+           round(ln(CAST(n_tokens AS DOUBLE))
+                 - cl / 1e6 / CAST(n_tokens AS DOUBLE), 6) + 0.0
+             AS shannon,
+           round(CAST(c2 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+                 6) + 0.0 AS simpson,
+           round(exp(ln(CAST(n_tokens AS DOUBLE))
+                     - cl / 1e6 / CAST(n_tokens AS DOUBLE)), 6) + 0.0
+             AS hill1,
+           round(CAST(1 AS DOUBLE)
+                 / (CAST(c2 AS DOUBLE)
+                    / (CAST(n_tokens AS DOUBLE)
+                       * CAST(n_tokens AS DOUBLE))), 6) + 0.0
+             AS inv_simpson
+    FROM per ORDER BY grp
+    """,
+    doc=(
+        "Token-diversity indices per source (operators/text_analysis."
+        "diversity_indices): Shannon entropy via the exact identity "
+        "H = ln N - (1/N) sum c ln c with per-token c*ln(c) quantized "
+        "to integer micros, Simpson concentration as an exact BIGINT "
+        "sum-of-squares, plus the Hill-number effective vocabularies — "
+        "the repetitiveness screen a corpus mixer reads next to volume. "
+        "Explode -> one (group, token) aggregate -> group reduce; the "
+        "shuffle carries counts, never text."
+    ),
+)
+def q_docs_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import diversity_indices
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    return diversity_indices(d, "source", "text")
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time (area under the KM curve)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_rmst",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN (pt - st) // 3600000000 ELSE 168 END AS t
+      FROM entry LEFT JOIN fe USING (u)),
+    agg AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM dur GROUP BY t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+    km AS (
+      SELECT t, n_events,
+             (SELECT n FROM tot)
+               - coalesce(sum(leaving)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_risk
+      FROM agg),
+    st AS (
+      SELECT t, n_risk, n_events,
+             sum(CASE WHEN n_events = n_risk
+                      THEN CAST(0.0 AS DECIMAL(38,12))
+                      ELSE CAST(ln(1.0 - n_events
+                                   / CAST(n_risk AS DOUBLE))
+                           AS DECIMAL(38,12)) END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum,
+             sum(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zeros
+      FROM km),
+    curve AS (
+      SELECT t,
+             CAST(round((CASE WHEN zeros > 0 THEN 0.0
+                  ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END)
+                  * 1e6) AS BIGINT) AS s
+      FROM st WHERE n_events > 0),
+    lg AS (
+      SELECT t, s,
+             coalesce(lag(t) OVER (ORDER BY t), 0) AS pt,
+             coalesce(lag(s) OVER (ORDER BY t), 1000000) AS ps
+      FROM curve),
+    area AS (
+      SELECT coalesce(sum(ps * (t - pt)), 0) AS a,
+             count(*) AS n_event_times,
+             coalesce(max(t), 0) AS lt
+      FROM lg),
+    lasts AS (
+      SELECT coalesce(
+        (SELECT s FROM curve
+         WHERE t = (SELECT max(t) FROM curve)), 1000000) AS lsv)
+    SELECT CAST(168 AS BIGINT) AS horizon_buckets,
+           CAST(n_event_times AS BIGINT) AS n_event_times,
+           round((a + lsv * (168 - lt)) / 1e6, 6) + 0.0 AS rmst_buckets,
+           round((a + lsv * (168 - lt)) / 1e6 * 3600, 2) + 0.0
+             AS rmst_seconds
+    FROM area CROSS JOIN lasts
+    """,
+    doc=(
+        "Restricted mean survival time (operators/survival.rmst): the "
+        "area under the signup->purchase Kaplan-Meier curve up to the "
+        "7-day horizon — average event-free hours in week one, the "
+        "survival summary that stays valid when hazards cross. The "
+        "step integral accumulates as exact integer products "
+        "(micro-quantized survival x integer bucket widths) over the "
+        "tiny event-time table; the oracle extends the KM oracle with "
+        "the identical lag-window integral."
+    ),
+)
+def q_events_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import rmst
+
+    ev = read_table(spark, sf_dir, "events")
+    return rmst(
+        ev, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=604800, bucket_seconds=3600,
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel step latency percentiles
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_funnel_latency",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, s1.t1, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+      GROUP BY e.user_id, s1.t1),
+    s3 AS (
+      SELECT e.user_id, s2.t2, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t1 + INTERVAL 86400 SECOND
+      GROUP BY e.user_id, s2.t2),
+    l1 AS (SELECT epoch_us(t2) - epoch_us(t1) AS us FROM s2),
+    l2 AS (SELECT epoch_us(t3) - epoch_us(t2) AS us FROM s3)
+    SELECT CAST(1 AS BIGINT) AS step_idx,
+           'signup' AS from_step, 'view' AS to_step,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(CAST(us AS DOUBLE), 0.5) / 1e6, 6) + 0.0
+             AS p50_seconds,
+           round(quantile_cont(CAST(us AS DOUBLE), 0.9) / 1e6, 6) + 0.0
+             AS p90_seconds
+    FROM l1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'view', 'purchase',
+           CAST(count(*) AS BIGINT),
+           round(quantile_cont(CAST(us AS DOUBLE), 0.5) / 1e6, 6) + 0.0,
+           round(quantile_cont(CAST(us AS DOUBLE), 0.9) / 1e6, 6) + 0.0
+    FROM l2
+    """,
+    doc=(
+        "Funnel step-latency percentiles (operators/funnel."
+        "funnel_latency) for signup -> view -> purchase within 24h of "
+        "signup: where funnel_counts says users DROP, this says where "
+        "they STALL (median and p90 seconds between consecutive "
+        "steps). Latencies convert to exact integer microseconds "
+        "before the exact interpolated percentile, so even-count "
+        "midpoints are exact halves on both engines."
+    ),
+)
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_latency
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_latency(
+        e, "user_id", "event_type", "ts",
+        ["signup", "view", "purchase"], max_span_seconds=86400,
     )
