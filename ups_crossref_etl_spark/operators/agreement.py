@@ -49,7 +49,13 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.col(a_col).cast("string").alias("_a"),
         F.col(b_col).cast("string").alias("_b"),
     ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-    cells = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    # the confusion-cell table is |labels|^2-sized and fans out into four
+    # downstream aggregates — checkpoint it so the corpus scans once
+    cells = (
+        pairs.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
     tot = cells.agg(
         F.sum("_c").cast("bigint").alias("n"),
         F.sum(
@@ -70,8 +76,8 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         )
     )
     ncat = (
-        pairs.select(F.col("_a").alias("_l"))
-        .union(pairs.select(F.col("_b").alias("_l")))
+        cells.select(F.col("_a").alias("_l"))
+        .union(cells.select(F.col("_b").alias("_l")))
         .agg(F.countDistinct("_l").cast("bigint").alias("n_categories"))
     )
     n = F.col("n").cast("double")

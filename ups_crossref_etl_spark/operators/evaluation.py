@@ -698,7 +698,13 @@ def classification_report(
         F.col(gold_col).cast("string").alias("_g"),
         F.col(pred_col).cast("string").alias("_p"),
     ).filter(F.col("_g").isNotNull() & F.col("_p").isNotNull())
-    cells = pairs.groupBy("_g", "_p").agg(F.count(F.lit(1)).alias("_c"))
+    # confusion cells fan out into four downstream aggregates —
+    # checkpoint the |labels|^2-sized table so the corpus scans once
+    cells = (
+        pairs.groupBy("_g", "_p")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
     labels = (
         cells.select(F.col("_g").alias("label"))
         .unionByName(cells.select(F.col("_p").alias("label")))

@@ -570,9 +570,13 @@ def modularity(edges: DataFrame, assign: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # the labeled edge list feeds m / intra / degree — checkpoint so the
+    # (possibly expensive) edge construction and joins run once
     lab = (
         ori.join(a.withColumnRenamed("_n", "lo").withColumnRenamed("_c", "_cl"), "lo")
         .join(a.withColumnRenamed("_n", "hi").withColumnRenamed("_c", "_ch"), "hi")
+        .select("_cl", "_ch")
+        .localCheckpoint()
     )
     m = lab.count()
     if m == 0:
