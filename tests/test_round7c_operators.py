@@ -439,3 +439,102 @@ def test_funnel_latency_percentiles(spark):
     assert (r.step_idx, r.from_step, r.to_step, r.n_users) == (1, "a", "b", 3)
     assert abs(r.p50_seconds - 20.0) < 1e-9
     assert abs(r.p90_seconds - 36.0) < 1e-9
+
+
+# ------------------------------------------------------------ item cosine
+
+
+def test_item_cosine_hand_computed(spark):
+    """Users 1,2 both take items (10,20); user 3 takes (10,30).
+    n_10=3, n_20=2, n_30=1. co(10,20)=2 -> cos = 2/sqrt(6);
+    co(10,30)=1 -> cos = 1/sqrt(3); co(20,30)=0 (absent)."""
+    import math
+
+    from ups_crossref_etl_spark.operators.recsys import (
+        item_cosine_similarity,
+    )
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)]
+    out = item_cosine_similarity(
+        spark.createDataFrame(rows, "u bigint, i bigint"), "u", "i", top_n=10
+    ).collect()
+    by_pair = {(r.item_a, r.item_b): r for r in out}
+    assert set(by_pair) == {(10, 20), (10, 30)}
+    r = by_pair[(10, 20)]
+    assert (r.n_a, r.n_b, r.cooccurrence) == (3, 2, 2)
+    assert abs(r.cosine - round(round(2 / math.sqrt(6) * 1e9) / 1e9, 6)) < 1e-9
+    # ordering: higher cosine first
+    assert out[0].item_b == 20
+
+
+def test_item_cosine_max_user_items_drops_power_user(spark):
+    from ups_crossref_etl_spark.operators.recsys import (
+        item_cosine_similarity,
+    )
+
+    rows = [(1, i) for i in range(10)] + [(2, 1), (2, 2)]
+    out = item_cosine_similarity(
+        spark.createDataFrame(rows, "u bigint, i bigint"),
+        "u", "i", top_n=100, max_user_items=5,
+    ).collect()
+    # only user 2 survives -> single pair (1,2), degrees recomputed on
+    # the surviving interactions only
+    assert len(out) == 1
+    assert (out[0].item_a, out[0].item_b, out[0].n_a, out[0].n_b) == (1, 2, 1, 1)
+
+
+def test_item_cosine_dedups_interactions(spark):
+    from ups_crossref_etl_spark.operators.recsys import (
+        item_cosine_similarity,
+    )
+
+    rows = [(1, 10), (1, 10), (1, 20)]  # duplicate interaction
+    out = item_cosine_similarity(
+        spark.createDataFrame(rows, "u bigint, i bigint"), "u", "i", top_n=10
+    ).collect()
+    assert out[0].cooccurrence == 1 and out[0].n_a == 1
+
+
+# ---------------------------------------------------------- source overlap
+
+
+def test_source_token_overlap_exact_sets(spark):
+    """A={a,b,c}, B={b,c,d}: jaccard 2/4, containment 2/3."""
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        source_token_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "a b c"), ("B", "b c d"), ("C", "zz")],
+        "source string, text string",
+    )
+    out = source_token_overlap(df, "source", "text").collect()
+    pairs = {(r.src_a, r.src_b): r for r in out}
+    assert set(pairs) == {("A", "B")}  # C shares nothing
+    r = pairs[("A", "B")]
+    assert (r.n_a, r.n_b, r.n_common) == (3, 3, 2)
+    assert abs(r.jaccard - 0.5) < 1e-9
+    assert abs(r.containment - round(2 / 3, 6)) < 1e-9
+
+
+# ------------------------------------------------------------------- mode
+
+
+def test_mode_by_tiebreak_smallest_value(spark):
+    from ups_crossref_etl_spark.operators.stats import mode_by
+
+    rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")]
+    r = mode_by(
+        spark.createDataFrame(rows, "grp string, v string"), "grp", "v"
+    ).collect()[0]
+    assert (r.mode, r.n) == ("a", 2)  # tie between a and b -> smallest
+
+
+def test_mode_by_excludes_nulls(spark):
+    from ups_crossref_etl_spark.operators.stats import mode_by
+
+    rows = [("g", None), ("g", None), ("g", "x")]
+    r = mode_by(
+        spark.createDataFrame(rows, "grp string, v string"), "grp", "v"
+    ).collect()[0]
+    assert (r.mode, r.n) == ("x", 1)

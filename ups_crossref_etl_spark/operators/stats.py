@@ -1222,3 +1222,31 @@ def anova_oneway(
         (F.round(ssw, 4) + 0.0).alias("ss_within"),
         (F.round(f, 6) + 0.0).alias("f_stat"),
     )
+
+
+def mode_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Most frequent value per group with a deterministic tiebreak
+    (highest count, then smallest value) — the categorical "typical
+    value" aggregate SQL's MODE() leaves tie-undefined. Returns
+    ``(group, mode, n)`` ordered by group; NULL values are excluded
+    (a missing value is not a candidate mode).
+
+    Shape: one (group, value) count aggregate (map-side combinable),
+    then a group-keyed struct-min argmax — two shuffles total, no
+    window over raw rows.
+    """
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("_v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    best = counts.groupBy("grp").agg(
+        F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("_v"))).alias("_b")
+    )
+    return best.select(
+        "grp",
+        F.col("_b._v").alias("mode"),
+        (-F.col("_b._nc")).cast("bigint").alias("n"),
+    ).orderBy("grp")

@@ -1483,3 +1483,88 @@ def diversity_indices(
         (F.round(F.exp(shannon), 6) + 0.0).alias("hill1"),
         (F.round(F.lit(1.0) / simpson, 6) + 0.0).alias("inv_simpson"),
     ).orderBy("grp")
+
+
+def source_token_overlap(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups (sources, domains,
+    snapshots): exact Jaccard and containment of the distinct-token
+    sets — the corpus-mixing diagnostic that says "these two sources
+    are near-copies" (high containment) or "genuinely complementary"
+    (low Jaccard) BEFORE tokens are spent training on both.
+
+    Tokens are lowercased ``[^a-z0-9]+``-split words (the corpus
+    convention). Returns ``(src_a, src_b, n_a, n_b, n_common,
+    jaccard, containment)`` for every group pair (a < b) sharing at
+    least one token, ordered by (src_a, src_b); containment =
+    intersection / min(|A|, |B|).
+
+    Scale shape: one (group, token) distinct aggregate, then a
+    TOKEN-keyed self-join — per-token work is (groups containing
+    it)^2, bounded by the group count squared, never corpus-sized;
+    set sizes are a group-keyed aggregate broadcast back onto the
+    pair table. All counts exact BIGINT; the two ratios are one-shot
+    doubles.
+    """
+    toks = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("_t"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds sizes AND the pair join
+    )
+    sizes = toks.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "_t")
+        .filter(F.col("a._g") < F.col("b._g"))
+        .groupBy(
+            F.col("a._g").alias("src_a"), F.col("b._g").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_g").alias("src_a"), F.col("_n").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("_g").alias("src_b"), F.col("_n").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                        "double"
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+            (
+                F.round(
+                    F.col("n_common")
+                    / F.least("n_a", "n_b").cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )

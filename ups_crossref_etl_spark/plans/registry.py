@@ -55,8 +55,11 @@ _ROUND = 7
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 7 (newest first): wave
-#: 13 (Adamic-Adar link prediction, Cohen's kappa rater agreement), waves
+#: (first ~50 entries) re-verifies them. Round 7 (newest first): waves
+#: 13-16 (Adamic-Adar, Cohen's kappa, modularity, langid classification
+#: report, Flesch readability, ECE, WOE/IV, blocking-quality audit,
+#: one-way ANOVA, diversity indices, RMST, funnel latency, item-item
+#: cosine, source vocabulary overlap, grouped mode), waves
 #: 4-12 (trimmed mean, KS+BH FDR screen, elasticity OLS, compression
 #: contrast, HITS, clustering
 #: coefficient, epoch order, JSONL round-trip, DiD, Mann-Whitney,
@@ -88,6 +91,9 @@ _CHANGED_THIS_ROUND = [
     "q_docs_diversity",
     "q_events_rmst",
     "q_events_funnel_latency",
+    "q_part_item_cosine",
+    "q_docs_source_overlap",
+    "q_orders_mode_priority",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",

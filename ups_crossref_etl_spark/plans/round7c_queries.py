@@ -898,3 +898,150 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "event_type", "ts",
         ["signup", "view", "purchase"], max_span_seconds=86400,
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering over customer part purchases
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_part_item_cosine",
+    """
+    WITH inter AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deg AS (SELECT i, count(*) AS n FROM inter GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, count(*) AS co
+      FROM inter a JOIN inter b ON a.u = b.u
+      WHERE a.i < b.i
+      GROUP BY a.i, b.i
+      HAVING count(*) >= 2),
+    scored AS (
+      SELECT item_a, item_b,
+             CAST(da.n AS BIGINT) AS n_a,
+             CAST(db.n AS BIGINT) AS n_b,
+             CAST(co AS BIGINT) AS cooccurrence,
+             CAST(round(co / sqrt(CAST(da.n AS DOUBLE) * db.n) * 1e9)
+               AS BIGINT) AS nanos
+      FROM pairs
+      JOIN deg da ON pairs.item_a = da.i
+      JOIN deg db ON pairs.item_b = db.i)
+    SELECT item_a, item_b, n_a, n_b, cooccurrence,
+           round(nanos / 1e9, 6) + 0.0 AS cosine
+    FROM scored ORDER BY nanos DESC, item_a, item_b LIMIT 50
+    """,
+    doc=(
+        "Item-item collaborative filtering (operators/recsys."
+        "item_cosine_similarity): top-50 part pairs by binary cosine "
+        "co(i,j)/sqrt(n_i*n_j) over distinct customer-part purchases, "
+        "min co-occurrence 2 — 'customers who bought X also bought Y'. "
+        "The pair join is USER-keyed (work = sum per-user items^2, "
+        "never a cross product) with a max_user_items escape hatch for "
+        "power users at 100 TB; scores quantize to integer nanos so "
+        "the top-50 set is engine-exact."
+    ),
+)
+def q_part_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recsys import item_cosine_similarity
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    inter = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select("o_custkey", "l_partkey")
+    return item_cosine_similarity(
+        inter, "o_custkey", "l_partkey", top_n=50, min_cooccurrence=2
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise source vocabulary overlap
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_source_overlap",
+    """
+    WITH toks AS (
+      SELECT DISTINCT source AS g,
+             unnest([x for x in
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS t
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+    sizes AS (SELECT g, count(*) AS n FROM toks GROUP BY g),
+    inter AS (
+      SELECT a.g AS src_a, b.g AS src_b, count(*) AS n_common
+      FROM toks a JOIN toks b ON a.t = b.t
+      WHERE a.g < b.g
+      GROUP BY a.g, b.g)
+    SELECT src_a, src_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(n_common
+                 / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) + 0.0
+             AS jaccard,
+           round(n_common / CAST(least(sa.n, sb.n) AS DOUBLE), 6) + 0.0
+             AS containment
+    FROM inter
+    JOIN sizes sa ON inter.src_a = sa.g
+    JOIN sizes sb ON inter.src_b = sb.g
+    ORDER BY src_a, src_b
+    """,
+    doc=(
+        "Pairwise source vocabulary overlap (operators/text_analysis."
+        "source_token_overlap): exact Jaccard + containment of the "
+        "distinct-token sets for every source pair — the corpus-mixing "
+        "diagnostic that flags near-copy sources (high containment) "
+        "before training on both. Token-keyed self-join: per-token work "
+        "is (groups containing it)^2, bounded by the source count, "
+        "never corpus-sized."
+    ),
+)
+def q_docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import source_token_overlap
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    return source_token_overlap(d, "source", "text")
+
+
+# --------------------------------------------------------------------------
+# Deterministic grouped mode
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_mode_priority",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus AS grp, o_orderpriority AS v, count(*) AS c
+      FROM orders WHERE o_orderpriority IS NOT NULL
+      GROUP BY o_orderstatus, o_orderpriority),
+    ranked AS (
+      SELECT grp, v, c,
+             row_number() OVER (PARTITION BY grp ORDER BY c DESC, v) AS rn
+      FROM counts)
+    SELECT grp, v AS mode, CAST(c AS BIGINT) AS n
+    FROM ranked WHERE rn = 1 ORDER BY grp
+    """,
+    doc=(
+        "Deterministic grouped mode (operators/stats.mode_by): most "
+        "frequent order priority per order status with a total tiebreak "
+        "(count DESC, value ASC) — the categorical typical-value "
+        "aggregate SQL's MODE() leaves tie-undefined. One count "
+        "aggregate + one struct-min argmax; no window over raw rows."
+    ),
+)
+def q_orders_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mode_by
+
+    o = read_table(spark, sf_dir, "orders")
+    return mode_by(o, "o_orderstatus", "o_orderpriority")
