@@ -538,3 +538,129 @@ def test_mode_by_excludes_nulls(spark):
         spark.createDataFrame(rows, "grp string, v string"), "grp", "v"
     ).collect()[0]
     assert (r.mode, r.n) == ("x", 1)
+
+
+# ------------------------------------------------------------------- twap
+
+
+def test_twap_locf_hand_computed(spark):
+    """Obs: v=10 at t=0s, v=20 at t=10s, end=20s.
+    Area = 10*10 + 20*10 = 300, span 20 -> twap 15.
+    Plain AVG would say 15 too; add v=100 at t=19s:
+    area = 10*10 + 20*9 + 100*1 = 380 -> twap 19, AVG says 43.3."""
+    from ups_crossref_etl_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 10.0),
+        (1, _ts("2024-01-01 00:00:10"), 20.0),
+        (2, _ts("2024-01-01 00:00:00"), 10.0),
+        (2, _ts("2024-01-01 00:00:10"), 20.0),
+        (2, _ts("2024-01-01 00:00:19"), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, v double")
+    out = {
+        r.key: r
+        for r in time_weighted_average(
+            df, "user_id", "ts", "v", end_ts="2024-01-01 00:00:20"
+        ).collect()
+    }
+    assert out[1].n_obs == 2 and out[1].span_us == 20_000_000
+    assert abs(out[1].twap - 15.0) < 1e-9
+    assert abs(out[2].twap - 19.0) < 1e-9
+
+
+def test_twap_excludes_after_end_and_nulls(spark):
+    from ups_crossref_etl_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 5.0),
+        (1, _ts("2024-01-01 00:00:30"), 99.0),  # after end
+        (1, _ts("2024-01-01 00:00:05"), None),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, v double")
+    r = time_weighted_average(
+        df, "user_id", "ts", "v", end_ts="2024-01-01 00:00:10"
+    ).collect()[0]
+    assert r.n_obs == 1 and abs(r.twap - 5.0) < 1e-9
+
+
+# ---------------------------------------------------------- script profile
+
+
+def test_script_profile_real_scripts(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world 123"),
+            (2, "привет мир"),
+            (3, "你好世界"),
+            (4, "مرحبا بالعالم"),
+            (5, "... 42 !!"),
+            (6, "mixé café"),  # accented latin counts as latin
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in script_profile(df, "doc_id", "text").collect()}
+    assert out[1].script == "latin" and out[1].n_latin == 10
+    assert out[1].n_digit == 3
+    assert out[2].script == "cyrillic" and out[2].n_cyrillic == 9
+    assert out[3].script == "han" and out[3].n_han == 4
+    assert out[4].script == "arabic"
+    assert out[5].script == "none"
+    assert out[6].script == "latin" and out[6].n_latin == 8
+
+
+def test_script_profile_tie_prefers_latin(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import script_profile
+
+    df = spark.createDataFrame([(1, "ab мы")], "doc_id bigint, text string")
+    r = script_profile(df, "doc_id", "text").collect()[0]
+    assert r.n_latin == 2 and r.n_cyrillic == 2 and r.script == "latin"
+
+
+# ---------------------------------------------------------- davies-bouldin
+
+
+def test_davies_bouldin_hand_computed(spark):
+    """Two 1-d clusters: A = {0, 2} (c=1, s=1), B = {10, 12} (c=11,
+    s=1): DB = (s_a+s_b)/d = 2/10 = 0.2 for both -> index 0.2."""
+    from ups_crossref_etl_spark.operators.similarity import davies_bouldin
+
+    rows = [
+        ("a", [0.0]), ("a", [2.0]), ("b", [10.0]), ("b", [12.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    r = davies_bouldin(df, "embedding", "label").collect()[0]
+    assert (r.n_vecs, r.n_clusters) == (4, 2)
+    assert abs(r.db_index - 0.2) < 1e-6
+
+
+def test_davies_bouldin_picks_worst_neighbor(spark):
+    """Three clusters at 0, 1, 100 (all scatter 0.5 via {x-0.5, x+0.5}):
+    for the far cluster the worst neighbor is the nearest one; the two
+    near clusters pick each other (ratio 1/1), so
+    DB = (1 + 1 + 1/99) / 3."""
+    from ups_crossref_etl_spark.operators.similarity import davies_bouldin
+
+    rows = []
+    for lbl, c in [("a", 0.0), ("b", 1.0), ("c", 100.0)]:
+        rows += [(lbl, [c - 0.5]), (lbl, [c + 0.5])]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    r = davies_bouldin(df, "embedding", "label").collect()[0]
+    expected = (1.0 + 1.0 + 1.0 / 99.0) / 3.0
+    assert abs(r.db_index - expected) < 1e-5
+
+
+def test_davies_bouldin_single_cluster_null(spark):
+    from ups_crossref_etl_spark.operators.similarity import davies_bouldin
+
+    df = spark.createDataFrame(
+        [("a", [1.0]), ("a", [2.0])], "label string, embedding array<double>"
+    )
+    r = davies_bouldin(df, "embedding", "label").collect()[0]
+    assert r.db_index is None

@@ -904,6 +904,52 @@ def main() -> None:
         li1.count(), liN.count(),
     )
 
+    # round 7 wave 13+: Adamic-Adar link prediction — wedge join work is
+    # sum deg(center)^2; liN re-keys orders, so the co-order graph grows
+    # as N disjoint copies (more parts, same per-order degree: the
+    # realistic corpus-growth shape for the wedge join)
+    from ups_crossref_etl_spark.operators.graph import adamic_adar
+
+    def part_coorder(li):
+        pe = li.select("l_orderkey", "l_partkey").distinct()
+        return (
+            pe.alias("a").join(pe.alias("b"), "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+        )
+
+    probe(
+        "adamic_adar",
+        lambda: adamic_adar(part_coorder(li1), top_n=50).count(),
+        lambda: adamic_adar(part_coorder(liN), top_n=50).count(),
+        li1.count(), liN.count(),
+    )
+
+    # item-item cosine: user-keyed pair join, work = sum per-user
+    # items^2; replicated orders = N x users with the same per-user
+    # basket size (the growth that must stay linear)
+    from ups_crossref_etl_spark.operators.recsys import item_cosine_similarity
+
+    def interactions(li):
+        # l_orderkey is re-keyed by replicate(), so order IS the user here
+        return li.select(
+            F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+
+    probe(
+        "item_cosine",
+        lambda: item_cosine_similarity(
+            interactions(li1), "u", "i", top_n=50, min_cooccurrence=2
+        ).count(),
+        lambda: item_cosine_similarity(
+            interactions(liN), "u", "i", top_n=50, min_cooccurrence=2
+        ).count(),
+        li1.count(), liN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")
     if only and os.path.exists(out_path):

@@ -954,3 +954,115 @@ def embedding_separability(
             + 0.0
         ).alias("fisher_ratio"),
     )
+
+
+def davies_bouldin(
+    emb: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Davies-Bouldin cluster-quality index (Davies & Bouldin 1979) of
+    a labeled embedding space: ``DB = (1/k) sum_i max_{j!=i}
+    (s_i + s_j) / d(c_i, c_j)`` with ``s_i`` the RMS distance of
+    cluster i's points to their centroid and ``d`` the centroid
+    Euclidean distance — lower is better-separated. The standard
+    internal validation for k-means/SemDeDup cluster assignments
+    (no ground truth needed), complementing the Fisher ratio
+    (:func:`embedding_separability`): DB penalizes the WORST
+    neighboring cluster per cluster, not the average.
+
+    Returns ONE row ``(n_vecs, n_clusters, db_index)``; NULL when
+    fewer than 2 clusters.
+
+    Determinism and shape: everything reduces to per-(label, dim)
+    sufficient statistics (n, sum, sum-of-squares) over micro-quantized
+    coordinates — ONE posexplode + aggregate over the corpus, exactly
+    the separability shape; the pairwise centroid join after it is
+    labels^2 x dims-sized (tiny). Per-dim scatter and distance terms
+    quantize to integer units before their cross-dim sums, and the
+    final max/mean run over a k^2 table of exact integers with one-shot
+    double math, so the index is engine-exact.
+    """
+    rows = emb.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("_i", "_v"),
+    ).select(
+        "_l", "_i",
+        F.round(F.col("_v").cast("double") * 1e6).cast("bigint").alias("_m"),
+    )
+    per = (
+        rows.groupBy("_l", "_i")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_m").cast("bigint").alias("_s1"),
+            F.sum(F.col("_m") * F.col("_m")).cast("bigint").alias("_s2"),
+        )
+        .localCheckpoint()  # feeds scatter AND the pairwise centroid join
+    )
+    # per-cluster scatter^2 in micro^2 units: sum over dims of
+    # (s2/n - (s1/n)^2), each dim's term rounded to an exact integer
+    dim_var = F.round(
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1") / F.col("_n")
+    ).cast("bigint")
+    scat = per.select("_l", "_n", dim_var.alias("_dv")).groupBy("_l").agg(
+        F.max("_n").cast("bigint").alias("_n"),
+        F.sum("_dv").cast("bigint").alias("_v2"),
+    )
+    # pairwise centroid distance^2 in micro^2: per-dim (c_a - c_b)^2
+    # rounded to an exact integer before the cross-dim sum
+    a = per.select(
+        F.col("_l").alias("_la"), "_i",
+        (F.col("_s1").cast("double") / F.col("_n")).alias("_ca"),
+    )
+    b = per.select(
+        F.col("_l").alias("_lb"), "_i",
+        (F.col("_s1").cast("double") / F.col("_n")).alias("_cb"),
+    )
+    d2 = (
+        a.join(b, "_i")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            "_la", "_lb",
+            F.round((F.col("_ca") - F.col("_cb"))
+                    * (F.col("_ca") - F.col("_cb"))).cast("bigint").alias("_t"),
+        )
+        .groupBy("_la", "_lb")
+        .agg(F.sum("_t").cast("bigint").alias("_d2"))
+    )
+    sa = scat.select(
+        F.col("_l").alias("_la"),
+        (F.sqrt(F.col("_v2") / F.col("_n").cast("double"))).alias("_sa"),
+        F.col("_n").alias("_na"),
+    )
+    sb = scat.select(
+        F.col("_l").alias("_lb"),
+        (F.sqrt(F.col("_v2") / F.col("_n").cast("double"))).alias("_sb"),
+    )
+    # per-pair ratio in integer nanos -> max per cluster is exact;
+    # coincident centroids (d2 = 0, ratio undefined/infinite) are
+    # excluded from the max rather than overflowing the cast
+    ratio_nanos = F.round(
+        (F.col("_sa") + F.col("_sb")) / F.sqrt(F.col("_d2").cast("double"))
+        * 1e9
+    ).cast("bigint")
+    worst = (
+        d2.filter(F.col("_d2") > 0)
+        .join(sa, "_la")
+        .join(sb, "_lb")
+        .select("_la", "_na", ratio_nanos.alias("_r"))
+        .groupBy("_la")
+        .agg(F.max("_na").alias("_na"), F.max("_r").alias("_w"))
+    )
+    return worst.agg(
+        F.sum("_na").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) > 1,
+                    F.avg(F.col("_w").cast("double")) / 1e9,
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("db_index"),
+    )

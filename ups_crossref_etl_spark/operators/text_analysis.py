@@ -1568,3 +1568,54 @@ def source_token_overlap(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+#: codepoint ranges shared by the Spark expression and the SQL oracle —
+#: literal characters (not \\u escapes) so Java regex and RE2 parse the
+#: same class
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "[A-Za-zÀ-ÖØ-öø-ÿ]",  # Latin-1 letters; excludes × ÷
+    "cyrillic": "[Ѐ-ӿ]",
+    "han": "[一-鿿]",
+    "arabic": "[؀-ۿ]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document writing-script profile: codepoint counts for the
+    major script blocks (Latin incl. Latin-1 letters, Cyrillic, Han,
+    Arabic, ASCII digits) and the dominant script by count — the
+    multilingual complement to stopword language-ID (`detect_language`
+    separates en/es/de/fr; this separates ALPHABETS, the first routing
+    decision in a multilingual corpus, and catches mixed-script
+    spam/mojibake rows where no single script dominates).
+
+    Ties break by the fixed order latin > cyrillic > han > arabic;
+    a document with zero script characters reports ``'none'``.
+    Output ``(id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+    script)``; rows with NULL text are excluded. Pure row-local
+    regexp_count expressions — map-only, no shuffle, no Python.
+    """
+    scripts = ["latin", "cyrillic", "han", "arabic"]
+    counts = {
+        s: F.regexp_count(F.col(text_col), F.lit(SCRIPT_RANGES[s]))
+        for s in scripts
+    }
+    best = F.greatest(*counts.values())
+    label = F.lit("none")
+    for s in reversed(scripts):  # earlier scripts win ties -> apply last
+        label = F.when((counts[s] == best) & (best > 0), F.lit(s)).otherwise(
+            label
+        )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        counts["latin"].cast("bigint").alias("n_latin"),
+        counts["cyrillic"].cast("bigint").alias("n_cyrillic"),
+        counts["han"].cast("bigint").alias("n_han"),
+        counts["arabic"].cast("bigint").alias("n_arabic"),
+        F.regexp_count(F.col(text_col), F.lit(SCRIPT_RANGES["digit"]))
+        .cast("bigint")
+        .alias("n_digit"),
+        label.alias("script"),
+    )

@@ -1122,3 +1122,66 @@ def interevent_stats(
             + 0.0
         ).alias("burstiness"),
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    end_ts: str,
+) -> DataFrame:
+    """Time-weighted average per key over irregularly-sampled
+    observations (TWAP): last-observation-carried-forward from each
+    sample to the next, integrated from the key's FIRST observation to
+    ``end_ts`` — the correct "average price/level over the window"
+    when sampling is irregular (a plain AVG over-weights bursty
+    periods; financial TWAP, telemetry gauges, inventory levels).
+
+    Observations at/after ``end_ts`` (an ISO timestamp string, same
+    wall-clock semantics as the data) and NULL values are excluded.
+    Returns ``(key, n_obs, span_us, twap)`` per key with >= 1
+    observation; a zero-length span (single observation exactly at the
+    window end) reports that observation's value.
+
+    Determinism: values quantize to integer 1e-4 units and durations
+    are exact integer MICROSECONDS; each segment's value x duration
+    product accumulates in DECIMAL(38,0) (exact in any order), with
+    one final double division. Shape: one key-clustered lead() window
+    + one key aggregate — the same single shuffle any per-key
+    sessionization pays.
+    """
+    end_us = F.unix_micros(F.lit(end_ts).cast("timestamp"))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        F.round(F.col(value_col).cast("double") * 1e4)
+        .cast("bigint")
+        .alias("_vq"),
+    ).filter(
+        F.col("_vq").isNotNull() & (F.col("_t") <= end_us)
+    )
+    w = Window.partitionBy("key").orderBy("_t", "_vq")
+    seg = base.withColumn(
+        "_tn", F.coalesce(F.lead("_t").over(w), end_us)
+    ).withColumn("_dur", F.col("_tn") - F.col("_t"))
+    agg = seg.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(
+            (F.col("_vq").cast("decimal(38,0)") * F.col("_dur")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_area"),
+        F.sum("_dur").cast("bigint").alias("span_us"),
+        F.max(F.struct("_t", "_vq")).alias("_last"),
+    )
+    twap = F.when(
+        F.col("span_us") > 0,
+        F.col("_area").cast("double") / 1e4 / F.col("span_us").cast("double"),
+    ).otherwise(F.col("_last._vq") / 1e4)
+    return agg.select(
+        "key",
+        "n_obs",
+        "span_us",
+        (F.round(twap, 6) + 0.0).alias("twap"),
+    )

@@ -94,6 +94,9 @@ _CHANGED_THIS_ROUND = [
     "q_part_item_cosine",
     "q_docs_source_overlap",
     "q_orders_mode_priority",
+    "q_events_twap",
+    "q_docs_script_profile",
+    "q_emb_davies_bouldin",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",

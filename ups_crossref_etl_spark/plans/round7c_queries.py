@@ -1045,3 +1045,174 @@ def q_orders_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     return mode_by(o, "o_orderstatus", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average value per user (TWAP)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_twap",
+    """
+    WITH base AS (
+      SELECT user_id AS key, epoch_us(ts) AS t,
+             CAST(round(CAST(value AS DOUBLE) * 1e4) AS BIGINT) AS vq
+      FROM events
+      WHERE value IS NOT NULL
+        AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-02-01 00:00:00')),
+    seg AS (
+      SELECT key, vq,
+             coalesce(lead(t) OVER (PARTITION BY key ORDER BY t, vq),
+                      epoch_us(TIMESTAMP '2024-02-01 00:00:00')) - t
+               AS dur
+      FROM base),
+    agg AS (
+      SELECT key, count(*) AS n_obs,
+             sum(CAST(vq AS HUGEINT) * dur) AS area,
+             sum(dur) AS span_us
+      FROM seg GROUP BY key)
+    SELECT key, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(span_us AS BIGINT) AS span_us,
+           round(CAST(area AS DOUBLE) / 1e4
+                 / CAST(span_us AS DOUBLE), 6) + 0.0 AS twap
+    FROM agg
+    """,
+    doc=(
+        "Time-weighted average event value per user (operators/"
+        "timeseries.time_weighted_average): last-observation-carried-"
+        "forward integral from each user's first observation to the "
+        "window end — the correct 'average level over the window' for "
+        "irregular sampling, where a plain AVG over-weights bursty "
+        "periods. Values quantize to 1e-4 units, durations are exact "
+        "integer microseconds, and segment products accumulate in "
+        "DECIMAL(38,0)/HUGEINT — one key-clustered lead() window + one "
+        "key aggregate."
+    ),
+)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import time_weighted_average
+
+    e = read_table(spark, sf_dir, "events")
+    return time_weighted_average(
+        e, "user_id", "ts", "value", end_ts="2024-02-01 00:00:00"
+    )
+
+
+# --------------------------------------------------------------------------
+# Writing-script profile per document
+# --------------------------------------------------------------------------
+
+
+def _script_oracle_sql() -> str:
+    from ..operators.text_analysis import SCRIPT_RANGES
+
+    # strip the python-side comment; keep the literal class only
+    rng = {k: v.split("  #")[0] for k, v in SCRIPT_RANGES.items()}
+    cols = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(text, '{rng[s]}')) AS BIGINT)"
+        f" AS n_{s}"
+        for s in ["latin", "cyrillic", "han", "arabic", "digit"]
+    )
+    scripts = ["latin", "cyrillic", "han", "arabic"]
+    best = "greatest(" + ", ".join(f"n_{s}" for s in scripts) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN n_{s} = {best} AND {best} > 0 THEN '{s}'" for s in scripts
+    ) + " ELSE 'none' END"
+    return f"""
+    WITH c AS (
+      SELECT doc_id, {cols}
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+           {pred} AS script
+    FROM c"""
+
+
+@register(
+    "q_docs_script_profile",
+    _script_oracle_sql(),
+    doc=(
+        "Per-document writing-script profile (operators/text_analysis."
+        "script_profile): codepoint counts for the major script blocks "
+        "(Latin letters, Cyrillic, Han, Arabic, digits) and the "
+        "dominant script — the alphabet-level routing decision that "
+        "precedes stopword language-ID in a multilingual corpus, and "
+        "the mixed-script mojibake catcher. Pure row-local "
+        "regexp_count — map-only, no shuffle, no Python; the class "
+        "patterns are literal shared codepoint ranges so Java regex "
+        "and RE2 parse identically."
+    ),
+)
+def q_docs_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import script_profile
+
+    d = read_table(spark, sf_dir, "documents")
+    return script_profile(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Davies-Bouldin index of the labeled embedding space
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_davies_bouldin",
+    """
+    WITH rows_ AS (
+      SELECT l, i, CAST(round(v * 1e6) AS BIGINT) AS m
+      FROM (SELECT label AS l, unnest(embedding)::DOUBLE AS v,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings) z),
+    per AS (
+      SELECT l, i, count(*) AS n, sum(m) AS s1, sum(m * m) AS s2
+      FROM rows_ GROUP BY l, i),
+    scat AS (
+      SELECT l, max(n) AS n,
+             sum(CAST(round(CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * s1 / n) AS BIGINT))
+               AS v2
+      FROM per GROUP BY l),
+    d2 AS (
+      SELECT a.l AS la, b.l AS lb,
+             sum(CAST(round((CAST(a.s1 AS DOUBLE) / a.n
+                             - CAST(b.s1 AS DOUBLE) / b.n)
+                            * (CAST(a.s1 AS DOUBLE) / a.n
+                               - CAST(b.s1 AS DOUBLE) / b.n))
+                 AS BIGINT)) AS d2
+      FROM per a JOIN per b ON a.i = b.i AND a.l <> b.l
+      GROUP BY a.l, b.l),
+    worst AS (
+      SELECT d2.la, max(sa.n) AS na,
+             max(CAST(round((sqrt(CAST(sa.v2 AS DOUBLE) / sa.n)
+                             + sqrt(CAST(sb.v2 AS DOUBLE) / sb.n))
+                            / sqrt(CAST(d2.d2 AS DOUBLE)) * 1e9)
+                 AS BIGINT)) AS w
+      FROM d2
+      JOIN scat sa ON d2.la = sa.l
+      JOIN scat sb ON d2.lb = sb.l
+      WHERE d2.d2 > 0
+      GROUP BY d2.la)
+    SELECT CAST(sum(na) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           round(CASE WHEN count(*) > 1
+                 THEN avg(CAST(w AS DOUBLE)) / 1e9 END, 6) + 0.0
+             AS db_index
+    FROM worst
+    """,
+    doc=(
+        "Davies-Bouldin index (operators/similarity.davies_bouldin) of "
+        "the labeled embedding space: per-cluster RMS scatter and "
+        "pairwise centroid distances from per-(label, dim) sufficient "
+        "statistics over micro-quantized coordinates (ONE posexplode + "
+        "aggregate, the separability shape), then a labels^2-sized "
+        "worst-neighbor max with nano-quantized ratios — the internal "
+        "cluster-quality validation that penalizes the worst "
+        "neighboring cluster, complementing the Fisher ratio's "
+        "average-case view."
+    ),
+)
+def q_emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import davies_bouldin
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return davies_bouldin(emb, "embedding", "label")
