@@ -253,6 +253,32 @@ EXTENDED = [
     # round 7 (wave 12): trimmed mean, per-key KS screen + BH FDR
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
+    # round 7 (waves 13-18): link prediction wedge join, rater kappa,
+    # modularity, langid report, readability, ECE, WOE/IV, blocking
+    # audit, ANOVA, diversity, RMST, funnel latency, item-item cosine,
+    # source overlap, grouped mode, TWAP, script profile,
+    # Davies-Bouldin, winsorized mean, rate ratio, sequence gaps
+    "q_graph_adamic_adar",
+    "q_docs_rater_kappa",
+    "q_graph_modularity",
+    "q_docs_lang_report",
+    "q_docs_readability",
+    "q_docs_ece",
+    "q_orders_woe_iv",
+    "q_part_blocking_quality",
+    "q_events_anova_value_by_type",
+    "q_docs_diversity",
+    "q_events_rmst",
+    "q_events_funnel_latency",
+    "q_part_item_cosine",
+    "q_docs_source_overlap",
+    "q_orders_mode_priority",
+    "q_events_twap",
+    "q_docs_script_profile",
+    "q_emb_davies_bouldin",
+    "q_lineitem_winsorized_price",
+    "q_events_error_rate_ratio",
+    "q_orders_sequence_gaps",
 ]
 
 

@@ -664,3 +664,184 @@ def test_davies_bouldin_single_cluster_null(spark):
     )
     r = davies_bouldin(df, "embedding", "label").collect()[0]
     assert r.db_index is None
+
+
+# ------------------------------------------------------------- winsorized
+
+
+def test_winsorized_mean_clamps_tails(spark):
+    """Values 1..10 with an outlier 1000 replacing 10; winsorizing at
+    10/90 clamps it to the 90th percentile instead of dropping it."""
+    from ups_crossref_etl_spark.operators.stats import winsorized_mean
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v double"
+    )
+    r = winsorized_mean(df, "grp", "v", lower=0.1, upper=0.9).collect()[0]
+    # cuts: quantile_cont(0.1) = 1.9, (0.9) = 107.8 over these values
+    assert r.n == 10
+    assert r.n_clamped_low == 1 and r.n_clamped_high == 1
+    clamped = [max(min(v, r.hi_cut), r.lo_cut) for v in vals]
+    assert abs(r.winsorized_mean - round(sum(clamped) / 10, 6)) < 1e-6
+
+
+# ------------------------------------------------------------- rate ratio
+
+
+def test_rate_ratio_hand_computed(spark):
+    """a: 10 rows 2 events (0.2); b: 20 rows 8 events (0.4): RR 2.0,
+    CI exp(ln 2 +- z sqrt(1/2 + 1/8))."""
+    import math
+
+    from ups_crossref_etl_spark.operators.experiment import rate_ratio
+
+    rows = [("a", 1)] * 2 + [("a", 0)] * 8 + [("b", 1)] * 8 + [("b", 0)] * 12
+    r = rate_ratio(
+        spark.createDataFrame(rows, "g string, y int"), "g", "y"
+    ).collect()[0]
+    assert (r.group_a, r.group_b, r.n_a, r.n_b) == ("a", "b", 10, 20)
+    assert (r.events_a, r.events_b) == (2, 8)
+    assert abs(r.rate_ratio - 2.0) < 1e-9
+    se = math.sqrt(1 / 2 + 1 / 8)
+    assert abs(r.ci_lo - round(math.exp(math.log(2) - 1.959964 * se), 6)) < 1e-9
+    assert abs(r.ci_hi - round(math.exp(math.log(2) + 1.959964 * se), 6)) < 1e-9
+
+
+def test_rate_ratio_zero_events_null_ci(spark):
+    from ups_crossref_etl_spark.operators.experiment import rate_ratio
+
+    rows = [("a", 0)] * 5 + [("b", 1)] * 5
+    r = rate_ratio(
+        spark.createDataFrame(rows, "g string, y int"), "g", "y"
+    ).collect()[0]
+    assert r.rate_ratio is None and r.ci_lo is None
+
+
+def test_rate_ratio_requires_two_groups(spark):
+    from ups_crossref_etl_spark.operators.experiment import rate_ratio
+
+    rows = [("a", 1)] * 3
+    assert (
+        rate_ratio(
+            spark.createDataFrame(rows, "g string, y int"), "g", "y"
+        ).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------- sequence gaps
+
+
+def test_sequence_gaps_finds_holes(spark):
+    from ups_crossref_etl_spark.operators.quality import sequence_gaps
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (5,), (6,), (10,), (2,), (None,)], "id bigint"
+    )
+    out = sequence_gaps(df, "id").collect()
+    assert [(r.gap_start, r.gap_end, r.gap_len) for r in out] == [
+        (3, 4, 2),
+        (7, 9, 3),
+    ]
+
+
+def test_sequence_gaps_dense_is_empty(spark):
+    from ups_crossref_etl_spark.operators.quality import sequence_gaps
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "id bigint")
+    assert sequence_gaps(df, "id").count() == 0
+
+
+# ---------------------------------------------------------------- welch t
+
+
+def test_welch_t_hand_computed(spark):
+    """a=[1,2,3] (mean 2, var 1), b=[4,6,8,10] (mean 7, var 20/3):
+    se2 = 1/3 + 5/3 = 2, t = 5/sqrt(2),
+    df = 4 / ((1/9)/2 + (25/9)/3)."""
+    import math
+
+    from ups_crossref_etl_spark.operators.stats import welch_t
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 6.0), ("b", 8.0), ("b", 10.0)]
+    r = welch_t(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert (r.group_a, r.group_b, r.n_a, r.n_b) == ("a", "b", 3, 4)
+    assert abs(r.mean_a - 2.0) < 1e-9 and abs(r.mean_b - 7.0) < 1e-9
+    assert abs(r.var_a - 1.0) < 1e-6
+    assert abs(r.var_b - round(20 / 3, 6)) < 1e-6
+    sa2, sb2 = 1 / 3, (20 / 3) / 4
+    t = 5 / math.sqrt(sa2 + sb2)
+    dfw = (sa2 + sb2) ** 2 / (sa2**2 / 2 + sb2**2 / 3)
+    assert abs(r.t_stat - round(t, 6)) < 1e-5
+    assert abs(r.df_welch - round(dfw, 4)) < 1e-3
+
+
+def test_welch_t_degenerate_null(spark):
+    from ups_crossref_etl_spark.operators.stats import welch_t
+
+    rows = [("a", 1.0), ("b", 2.0), ("b", 3.0)]  # group a has n=1
+    r = welch_t(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert r.t_stat is None and r.df_welch is None
+
+
+# ---------------------------------------------------------------- mcnemar
+
+
+def test_mcnemar_hand_computed(spark):
+    """b=6 (a pos, b not), c=2: chi2 = 16/8 = 2."""
+    from ups_crossref_etl_spark.operators.agreement import mcnemar
+
+    rows = (
+        [("p", "p")] * 10 + [("p", "o")] * 6 + [("o", "p")] * 2
+        + [("o", "o")] * 5
+    )
+    r = mcnemar(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b", "p"
+    ).collect()[0]
+    assert (r.n, r.n_pos_a, r.n_pos_b) == (23, 16, 12)
+    assert (r.b_discordant, r.c_discordant) == (6, 2)
+    assert abs(r.chi2 - 2.0) < 1e-9
+
+
+def test_mcnemar_no_disagreement_null(spark):
+    from ups_crossref_etl_spark.operators.agreement import mcnemar
+
+    rows = [("p", "p"), ("o", "o")]
+    r = mcnemar(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b", "p"
+    ).collect()[0]
+    assert r.chi2 is None
+
+
+# --------------------------------------------------------- hashed features
+
+
+def test_hashed_features_deterministic_and_counts(spark):
+    import hashlib
+
+    from ups_crossref_etl_spark.operators.features import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "spark spark join"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in hashed_features(df, "doc_id", "text", dim=8).collect()}
+    assert set(out) == {1, 2}  # NULL text excluded, empty text kept
+    r1 = out[1]
+    assert r1.n_tokens == 3 and r1.n_nonzero in (1, 2)
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+
+    expect = {}
+    for tok in ["spark", "spark", "join"]:
+        expect[bucket(tok)] = expect.get(bucket(tok), 0) + 1
+    expected_str = ",".join(f"{b}:{c}" for b, c in sorted(expect.items()))
+    assert r1.features == expected_str
+    assert out[2].n_tokens == 0 and out[2].features == ""

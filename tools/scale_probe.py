@@ -905,49 +905,70 @@ def main() -> None:
     )
 
     # round 7 wave 13+: Adamic-Adar link prediction — wedge join work is
-    # sum deg(center)^2; liN re-keys orders, so the co-order graph grows
-    # as N disjoint copies (more parts, same per-order degree: the
-    # realistic corpus-growth shape for the wedge join)
+    # sum deg(center)^2. Edges replicate as N DISJOINT graph copies
+    # (both endpoints re-keyed per salt, the pagerank pattern): node
+    # count grows N x with per-node degree constant — the corpus-growth
+    # shape. Re-keying only one side would DENSIFY the fixed part set
+    # instead (degree grows N x, wedge work N^2 x), a different probe.
     from ups_crossref_etl_spark.operators.graph import adamic_adar
 
-    def part_coorder(li):
-        pe = li.select("l_orderkey", "l_partkey").distinct()
+    def graph_copies(edges, n):
         return (
-            pe.alias("a").join(pe.alias("b"), "l_orderkey")
-            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .select(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
+            edges.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
             )
+            .select(
+                (F.col("src") * n + F.col("_salt")).alias("src"),
+                (F.col("dst") * n + F.col("_salt")).alias("dst"),
+            )
+            .localCheckpoint()
         )
 
+    pe_aa = li1.select("l_orderkey", "l_partkey").distinct()
+    aa_e1 = (
+        pe_aa.alias("a").join(pe_aa.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    aa_eN = graph_copies(aa_e1, n)
     probe(
         "adamic_adar",
-        lambda: adamic_adar(part_coorder(li1), top_n=50).count(),
-        lambda: adamic_adar(part_coorder(liN), top_n=50).count(),
-        li1.count(), liN.count(),
+        lambda: adamic_adar(aa_e1, top_n=50).count(),
+        lambda: adamic_adar(aa_eN, top_n=50).count(),
+        aa_e1.count(), aa_eN.count(),
     )
 
     # item-item cosine: user-keyed pair join, work = sum per-user
-    # items^2; replicated orders = N x users with the same per-user
-    # basket size (the growth that must stay linear)
+    # items^2; both user and item re-key per salt -> N disjoint copies
+    # (more users AND more items, per-user basket size constant)
     from ups_crossref_etl_spark.operators.recsys import item_cosine_similarity
 
-    def interactions(li):
-        # l_orderkey is re-keyed by replicate(), so order IS the user here
-        return li.select(
-            F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("i")
+    ic_1 = li1.select(
+        F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("i")
+    ).localCheckpoint()
+    ic_N = (
+        ic_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
         )
-
+        .select(
+            (F.col("u") * n + F.col("_salt")).alias("u"),
+            (F.col("i") * n + F.col("_salt")).alias("i"),
+        )
+        .localCheckpoint()
+    )
     probe(
         "item_cosine",
         lambda: item_cosine_similarity(
-            interactions(li1), "u", "i", top_n=50, min_cooccurrence=2
+            ic_1, "u", "i", top_n=50, min_cooccurrence=2
         ).count(),
         lambda: item_cosine_similarity(
-            interactions(liN), "u", "i", top_n=50, min_cooccurrence=2
+            ic_N, "u", "i", top_n=50, min_cooccurrence=2
         ).count(),
-        li1.count(), liN.count(),
+        ic_1.count(), ic_N.count(),
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -98,3 +98,49 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             (F.round(kappa, 6) + 0.0).alias("kappa"),
         )
     )
+
+
+def mcnemar(
+    df: DataFrame, a_col: str, b_col: str, positive: str
+) -> DataFrame:
+    """McNemar's test for paired binary raters (McNemar 1947): given
+    two labelers on the SAME rows, is the disagreement symmetric, or
+    is one systematically stricter? :func:`cohens_kappa` says how much
+    they agree; this says which way they disagree — the statistic is
+    computed only from the discordant cells ``b`` (A positive, B not)
+    and ``c`` (A not, B positive): ``chi2 = (b - c)^2 / (b + c)``
+    (without continuity correction — the exact cross-engine form).
+
+    Labels are binarized by equality to ``positive`` (cast to string);
+    NULL-labeled rows are excluded. Returns ONE row ``(n, n_pos_a,
+    n_pos_b, b_discordant, c_discordant, chi2)``; chi2 NULL when there
+    is no disagreement at all (b + c = 0).
+
+    Shape: one corpus scan to four exact BIGINT cells; chi2 is a
+    one-shot double.
+    """
+    pos = F.lit(positive)
+    pairs = df.select(
+        (F.col(a_col).cast("string") == pos).alias("_pa"),
+        (F.col(b_col).cast("string") == pos).alias("_pb"),
+    ).filter(F.col("_pa").isNotNull() & F.col("_pb").isNotNull())
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_pa").cast("long")).cast("bigint").alias("n_pos_a"),
+        F.sum(F.col("_pb").cast("long")).cast("bigint").alias("n_pos_b"),
+        F.sum((F.col("_pa") & ~F.col("_pb")).cast("long"))
+        .cast("bigint")
+        .alias("b_discordant"),
+        F.sum((~F.col("_pa") & F.col("_pb")).cast("long"))
+        .cast("bigint")
+        .alias("c_discordant"),
+    )
+    b, c = F.col("b_discordant"), F.col("c_discordant")
+    chi2 = F.when(
+        b + c > 0,
+        (b - c).cast("double") * (b - c) / (b + c).cast("double"),
+    )
+    return agg.select(
+        "n", "n_pos_a", "n_pos_b", "b_discordant", "c_discordant",
+        (F.round(chi2, 6) + 0.0).alias("chi2"),
+    )

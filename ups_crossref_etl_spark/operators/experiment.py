@@ -347,3 +347,68 @@ def did_readout(
         (F.round(post_b, 6) + 0.0).alias("post_b"),
         (F.round((post_b - pre_b) - (post_a - pre_a), 6) + 0.0).alias("did"),
     )
+
+
+def rate_ratio(
+    df: DataFrame,
+    group_col: str,
+    is_event_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Poisson rate ratio between exactly two cohorts: events per
+    exposure row in each group, their ratio, and the standard
+    log-scale Wald interval ``exp(ln RR +- z * sqrt(1/e_a + 1/e_b))``
+    — the incident-rate readout (error rates, crash rates, defect
+    rates) where a difference-in-means test is the wrong shape.
+
+    ``group_col`` must take exactly 2 values (checked); rows are
+    exposure units, ``is_event_col`` boolean/0-1 marks events. Groups
+    order lexicographically: RR = rate(group_b) / rate(group_a) — the
+    later-sorting group is the "treatment". Returns ONE row
+    ``(group_a, group_b, n_a, n_b, events_a, events_b, rate_a,
+    rate_b, rate_ratio, ci_lo, ci_hi)``; the ratio and CI are NULL
+    when either side has zero events (log undefined).
+
+    All counts exact BIGINT from one group aggregate; ratio/CI are
+    one-shot double expressions. The z default is the 97.5% normal
+    quantile to 6 dp — a fixed literal both engines share.
+    """
+    per = (
+        df.select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.col(is_event_col).cast("int").alias("_y"),
+        )
+        .filter(F.col("_g").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_y").cast("bigint").alias("_e"),
+        )
+    )
+    wide = per.agg(
+        F.min("_g").alias("group_a"),
+        F.max("_g").alias("group_b"),
+        F.count(F.lit(1)).alias("_k"),
+        F.min(F.struct("_g", "_n", "_e")).alias("_a"),
+        F.max(F.struct("_g", "_n", "_e")).alias("_b"),
+    ).filter(F.col("_k") == 2)
+    na, ea = F.col("_a._n"), F.col("_a._e")
+    nb, eb = F.col("_b._n"), F.col("_b._e")
+    ra = ea / na.cast("double")
+    rb = eb / nb.cast("double")
+    ok = (ea > 0) & (eb > 0)
+    lnrr = F.log(rb / ra)
+    se = F.sqrt(1.0 / ea.cast("double") + 1.0 / eb.cast("double"))
+    return wide.select(
+        "group_a",
+        "group_b",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        ea.alias("events_a"),
+        eb.alias("events_b"),
+        (F.round(ra, 6) + 0.0).alias("rate_a"),
+        (F.round(rb, 6) + 0.0).alias("rate_b"),
+        (F.round(F.when(ok, rb / ra), 6) + 0.0).alias("rate_ratio"),
+        (F.round(F.when(ok, F.exp(lnrr - z * se)), 6) + 0.0).alias("ci_lo"),
+        (F.round(F.when(ok, F.exp(lnrr + z * se)), 6) + 0.0).alias("ci_hi"),
+    )

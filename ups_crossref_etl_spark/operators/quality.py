@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -209,4 +209,36 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("chi2_term"),
         )
+    )
+
+
+def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
+    """Missing ranges in an integer key sequence — the completeness
+    audit for "ids should be dense" tables (batch counters, page
+    numbers, partition indexes): each output row is one HOLE
+    ``(gap_start, gap_end, gap_len)`` between consecutive present ids,
+    ordered by gap_start. Duplicates and NULLs are ignored; a table
+    with no holes returns 0 rows.
+
+    Classic gaps-and-islands: one distinct + one lag() window over the
+    distinct-id table (NOT the raw rows — dedup first so the window is
+    id-cardinality-sized), all integer arithmetic.
+    """
+    ids = (
+        df.select(F.col(id_col).cast("bigint").alias("_id"))
+        .filter(F.col("_id").isNotNull())
+        .distinct()
+    )
+    w = Window.orderBy("_id")
+    lagged = ids.withColumn("_prev", F.lag("_id").over(w))
+    return (
+        lagged.filter(
+            F.col("_prev").isNotNull() & (F.col("_id") - F.col("_prev") > 1)
+        )
+        .select(
+            (F.col("_prev") + 1).cast("bigint").alias("gap_start"),
+            (F.col("_id") - 1).cast("bigint").alias("gap_end"),
+            (F.col("_id") - F.col("_prev") - 1).cast("bigint").alias("gap_len"),
+        )
+        .orderBy("gap_start")
     )

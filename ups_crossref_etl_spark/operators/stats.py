@@ -1250,3 +1250,136 @@ def mode_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.col("_b._v").alias("mode"),
         (-F.col("_b._nc")).cast("bigint").alias("n"),
     ).orderBy("grp")
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Winsorized mean per group: values below the ``lower`` quantile
+    are CLAMPED up to it and values above ``upper`` clamped down
+    (:func:`trimmed_mean`'s sibling — trimming drops the tails,
+    winsorizing keeps the rows but caps their influence, the right
+    call when the tails are real-but-noisy rather than junk).
+
+    Returns ``(group, n, n_clamped_low, n_clamped_high, lo_cut,
+    hi_cut, winsorized_mean)`` per group, ordered by group; NULL
+    values excluded. Cuts are the exact interpolated quantiles
+    (``F.percentile`` — the q_percentiles convention).
+
+    Determinism: values and cuts quantize to integer 1e-4 units; the
+    clamped sum is an exact BIGINT aggregate with one final division.
+    Shape: one group-keyed percentile aggregate (broadcast back as
+    two per-group columns via an equi-join) + one group aggregate.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col).cast("double") * 1e4)
+        .cast("bigint")
+        .alias("_vq"),
+    ).filter(F.col("_vq").isNotNull())
+    cuts = base.groupBy("grp").agg(
+        F.round(F.percentile("_vq", F.lit(float(lower))))
+        .cast("bigint")
+        .alias("_lo"),
+        F.round(F.percentile("_vq", F.lit(float(upper))))
+        .cast("bigint")
+        .alias("_hi"),
+    )
+    j = base.join(cuts, "grp")
+    clamped = F.greatest(F.least(F.col("_vq"), F.col("_hi")), F.col("_lo"))
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("_vq") < F.col("_lo")).cast("long"))
+            .cast("bigint")
+            .alias("n_clamped_low"),
+            F.sum((F.col("_vq") > F.col("_hi")).cast("long"))
+            .cast("bigint")
+            .alias("n_clamped_high"),
+            (F.round(F.max("_lo") / 1e4, 4) + 0.0).alias("lo_cut"),
+            (F.round(F.max("_hi") / 1e4, 4) + 0.0).alias("hi_cut"),
+            (
+                F.round(
+                    F.sum(clamped) / F.count(F.lit(1)).cast("double") / 1e4,
+                    6,
+                )
+                + 0.0
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("grp")
+    )
+
+
+def welch_t(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Welch's unequal-variance t readout between exactly two groups:
+    means, sample variances, the t statistic, and the
+    Welch-Satterthwaite degrees of freedom — the parametric complement
+    to :func:`anova_oneway` (k groups) and the Mann-Whitney rank test
+    (distribution-free): the default two-sample mean comparison when
+    variances differ.
+
+    Groups order lexicographically; ``t`` is mean_b - mean_a over the
+    pooled-unequal SE (positive = later-sorting group higher). Returns
+    ONE row ``(group_a, group_b, n_a, n_b, mean_a, mean_b, var_a,
+    var_b, t_stat, df_welch)``; t/df NULL when either group has < 2
+    rows or both variances are 0.
+
+    Determinism: per-group (n, sum, sum-of-squares) accumulate in
+    DECIMAL(38,12) (exact, order-free — the corr_matrix convention);
+    every output is a one-shot double over those exact moments.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_v").cast(_DEC)).alias("_s"),
+        F.sum(
+            (F.col("_v").cast(_DEC) * F.col("_v").cast(_DEC)).cast(_DEC)
+        ).alias("_q"),
+    )
+    wide = per.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.min(F.struct("_g", "_n", "_s", "_q")).alias("_a"),
+        F.max(F.struct("_g", "_n", "_s", "_q")).alias("_b"),
+    ).filter(F.col("_k") == 2)
+
+    def moments(side):
+        n = F.col(f"_{side}._n")
+        s = F.col(f"_{side}._s").cast("double")
+        q = F.col(f"_{side}._q").cast("double")
+        mean = s / n.cast("double")
+        # sample variance via the sum-of-squares identity
+        var = F.when(
+            n > 1, (q - s * s / n.cast("double")) / (n - 1).cast("double")
+        )
+        return n, mean, var
+
+    na, ma, va = moments("a")
+    nb, mb, vb = moments("b")
+    sea2 = va / na.cast("double")
+    seb2 = vb / nb.cast("double")
+    ok = (na > 1) & (nb > 1) & (sea2 + seb2 > 0.0)
+    t = (mb - ma) / F.sqrt(sea2 + seb2)
+    dfw = (sea2 + seb2) * (sea2 + seb2) / (
+        sea2 * sea2 / (na - 1).cast("double")
+        + seb2 * seb2 / (nb - 1).cast("double")
+    )
+    return wide.select(
+        F.col("_a._g").alias("group_a"),
+        F.col("_b._g").alias("group_b"),
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        (F.round(ma, 6) + 0.0).alias("mean_a"),
+        (F.round(mb, 6) + 0.0).alias("mean_b"),
+        (F.round(va, 6) + 0.0).alias("var_a"),
+        (F.round(vb, 6) + 0.0).alias("var_b"),
+        (F.round(F.when(ok, t), 6) + 0.0).alias("t_stat"),
+        (F.round(F.when(ok, dfw), 4) + 0.0).alias("df_welch"),
+    )

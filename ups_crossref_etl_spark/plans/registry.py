@@ -97,6 +97,12 @@ _CHANGED_THIS_ROUND = [
     "q_events_twap",
     "q_docs_script_profile",
     "q_emb_davies_bouldin",
+    "q_lineitem_winsorized_price",
+    "q_events_error_rate_ratio",
+    "q_orders_sequence_gaps",
+    "q_events_welch_value",
+    "q_docs_rater_mcnemar",
+    "q_docs_hashed_features",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",

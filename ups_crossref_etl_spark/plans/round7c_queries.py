@@ -22,7 +22,18 @@ Continues the round-7 extension surface (see ``round7_queries`` /
   completeness) of sorted-neighborhood blocking vs a bounded
   edit-distance ground truth;
 - product analytics: restricted mean survival time (area under the
-  Kaplan-Meier curve) and funnel step-latency percentiles.
+  Kaplan-Meier curve), funnel step-latency percentiles, item-item
+  collaborative-filtering cosine, time-weighted average (TWAP), and a
+  Poisson rate-ratio readout with log-Wald interval;
+- corpus mixing / routing: pairwise source vocabulary overlap
+  (Jaccard + containment), per-document writing-script profile;
+- robust/cluster statistics: winsorized mean, deterministic grouped
+  mode, Davies-Bouldin cluster-quality index;
+- data quality: key-sequence gap audit (gaps-and-islands over ids);
+- two-sample inference: Welch's unequal-variance t readout, McNemar
+  paired-rater asymmetry;
+- training prep: hashing-trick bag-of-words featurizer (md5_60
+  buckets, vocabulary-free).
 
 Determinism: same registry contract as every wave — exact integer /
 nano-quantized accumulation wherever a sum crosses engines, doubles
@@ -1216,3 +1227,345 @@ def q_emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return davies_bouldin(emb, "embedding", "label")
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean price per return flag
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lineitem_winsorized_price",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e4) AS BIGINT)
+               AS vq
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    cuts AS (
+      SELECT grp,
+             CAST(round(quantile_cont(CAST(vq AS DOUBLE), 0.05))
+               AS BIGINT) AS lo,
+             CAST(round(quantile_cont(CAST(vq AS DOUBLE), 0.95))
+               AS BIGINT) AS hi
+      FROM base GROUP BY grp)
+    SELECT base.grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN vq < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(sum(CASE WHEN vq > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           round(max(lo) / 1e4, 4) + 0.0 AS lo_cut,
+           round(max(hi) / 1e4, 4) + 0.0 AS hi_cut,
+           round(sum(greatest(least(vq, hi), lo))
+                 / CAST(count(*) AS DOUBLE) / 1e4, 6) + 0.0
+             AS winsorized_mean
+    FROM base JOIN cuts ON base.grp = cuts.grp
+    GROUP BY base.grp ORDER BY base.grp
+    """,
+    doc=(
+        "Winsorized mean price per return flag (operators/stats."
+        "winsorized_mean, 5%/95% cuts): the trimmed mean's sibling — "
+        "tails are CLAMPED to the quantile cuts instead of dropped, "
+        "the right robust mean when tails are real-but-noisy. Values "
+        "and cuts quantize to 1e-4 units so the clamped sum is an "
+        "exact BIGINT; one percentile aggregate + one group aggregate."
+    ),
+)
+def q_lineitem_winsorized_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.stats import winsorized_mean
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return winsorized_mean(
+        li, "l_returnflag", "l_extendedprice", lower=0.05, upper=0.95
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson rate ratio: error rate, even vs odd user cohort
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_error_rate_ratio",
+    """
+    WITH base AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events),
+    per AS (SELECT g, count(*) AS n, sum(y) AS e FROM base GROUP BY g),
+    a AS (SELECT * FROM per ORDER BY g LIMIT 1),
+    b AS (SELECT * FROM per ORDER BY g DESC LIMIT 1)
+    SELECT a.g AS group_a, b.g AS group_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.e AS BIGINT) AS events_a,
+           CAST(b.e AS BIGINT) AS events_b,
+           round(CAST(a.e AS DOUBLE) / a.n, 6) + 0.0 AS rate_a,
+           round(CAST(b.e AS DOUBLE) / b.n, 6) + 0.0 AS rate_b,
+           round(CASE WHEN a.e > 0 AND b.e > 0 THEN
+                 (CAST(b.e AS DOUBLE) / b.n)
+                 / (CAST(a.e AS DOUBLE) / a.n) END, 6) + 0.0
+             AS rate_ratio,
+           round(CASE WHEN a.e > 0 AND b.e > 0 THEN
+                 exp(ln((CAST(b.e AS DOUBLE) / b.n)
+                        / (CAST(a.e AS DOUBLE) / a.n))
+                     - CAST(1.959964 AS DOUBLE)
+                       * sqrt(CAST(1 AS DOUBLE) / a.e
+                              + CAST(1 AS DOUBLE) / b.e)) END, 6) + 0.0
+             AS ci_lo,
+           round(CASE WHEN a.e > 0 AND b.e > 0 THEN
+                 exp(ln((CAST(b.e AS DOUBLE) / b.n)
+                        / (CAST(a.e AS DOUBLE) / a.n))
+                     + CAST(1.959964 AS DOUBLE)
+                       * sqrt(CAST(1 AS DOUBLE) / a.e
+                              + CAST(1 AS DOUBLE) / b.e)) END, 6) + 0.0
+             AS ci_hi
+    FROM a CROSS JOIN b
+    """,
+    doc=(
+        "Poisson rate ratio (operators/experiment.rate_ratio) of the "
+        "error-event rate between even and odd user cohorts with the "
+        "log-scale Wald 95% interval — the incident-rate readout where "
+        "a difference-in-means test is the wrong shape. Counts exact "
+        "BIGINT from one group aggregate; ratio/CI one-shot doubles "
+        "with the z quantile pinned as a shared 6-dp literal."
+    ),
+)
+def q_events_error_rate_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.experiment import rate_ratio
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("cohort"),
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    return rate_ratio(e, "cohort", "is_error")
+
+
+# --------------------------------------------------------------------------
+# Key-sequence gap audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_sequence_gaps",
+    """
+    WITH ids AS (
+      SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS id
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_orderkey % 7 <> 0),
+    l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+    SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(id - 1 AS BIGINT) AS gap_end,
+           CAST(id - prev - 1 AS BIGINT) AS gap_len
+    FROM l WHERE prev IS NOT NULL AND id - prev > 1
+    ORDER BY gap_start
+    """,
+    doc=(
+        "Key-sequence gap audit (operators/quality.sequence_gaps) over "
+        "order keys with every 7th key dropped (this testdata's keys "
+        "are dense, so the filter synthesizes a real hole "
+        "distribution): every missing id range as (gap_start, gap_end, "
+        "gap_len) — the completeness check for ids that should be "
+        "dense (batch counters, partition indexes). Distinct first, "
+        "then ONE lag window over the id-cardinality table — never "
+        "the raw rows."
+    ),
+)
+def q_orders_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import sequence_gaps
+
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 != 0
+    )
+    return sequence_gaps(o, "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Welch's t: event value, even vs odd user cohort
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_welch_value",
+    """
+    WITH base AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    per AS (
+      SELECT g, count(*) AS n,
+             sum(CAST(v AS DECIMAL(38,12))) AS s,
+             sum(CAST(CAST(v AS DECIMAL(38,12))
+                      * CAST(v AS DECIMAL(38,12))
+                 AS DECIMAL(38,12))) AS q
+      FROM base GROUP BY g),
+    a AS (SELECT * FROM per ORDER BY g LIMIT 1),
+    b AS (SELECT * FROM per ORDER BY g DESC LIMIT 1),
+    m AS (
+      SELECT a.g AS ga, b.g AS gb,
+             CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+             CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+             CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+             (CAST(a.q AS DOUBLE)
+              - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+                / CAST(a.n AS DOUBLE)) / CAST(a.n - 1 AS DOUBLE) AS va,
+             (CAST(b.q AS DOUBLE)
+              - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+                / CAST(b.n AS DOUBLE)) / CAST(b.n - 1 AS DOUBLE) AS vb
+      FROM a CROSS JOIN b),
+    e AS (
+      SELECT m.*, va / CAST(na AS DOUBLE) AS sa2,
+             vb / CAST(nb AS DOUBLE) AS sb2
+      FROM m)
+    SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+           round(ma, 6) + 0.0 AS mean_a,
+           round(mb, 6) + 0.0 AS mean_b,
+           round(va, 6) + 0.0 AS var_a,
+           round(vb, 6) + 0.0 AS var_b,
+           round(CASE WHEN na > 1 AND nb > 1 AND sa2 + sb2 > 0 THEN
+                 (mb - ma) / sqrt(sa2 + sb2) END, 6) + 0.0 AS t_stat,
+           round(CASE WHEN na > 1 AND nb > 1 AND sa2 + sb2 > 0 THEN
+                 (sa2 + sb2) * (sa2 + sb2)
+                 / (sa2 * sa2 / CAST(na - 1 AS DOUBLE)
+                    + sb2 * sb2 / CAST(nb - 1 AS DOUBLE)) END, 4) + 0.0
+             AS df_welch
+    FROM e
+    """,
+    doc=(
+        "Welch's unequal-variance t readout (operators/stats.welch_t) "
+        "of event value between even and odd user cohorts: means, "
+        "sample variances, t, and Welch-Satterthwaite df — the default "
+        "parametric two-sample comparison, complementing Mann-Whitney "
+        "(rank) and ANOVA (k-group). Per-group moments accumulate in "
+        "DECIMAL(38,12); every output is a one-shot double over exact "
+        "moments."
+    ),
+)
+def q_events_welch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import welch_t
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("cohort"),
+        "value",
+    )
+    return welch_t(e, "cohort", "value")
+
+
+# --------------------------------------------------------------------------
+# McNemar asymmetry between the two document-quality raters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_rater_mcnemar",
+    """
+    WITH lab AS (
+      SELECT (n_chars >= 400) AS pa,
+             (length(text) - length(replace(text, 'e', '')) >= 40) AS pb
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_a,
+           CAST(sum(CASE WHEN pb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_b,
+           CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT)
+             AS b_discordant,
+           CAST(sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_discordant,
+           round(CASE WHEN sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                         + sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)
+                         > 0 THEN
+             CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                  - sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             * (sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                - sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END))
+             / CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)
+               AS DOUBLE) END, 6) + 0.0 AS chi2
+    FROM lab
+    """,
+    doc=(
+        "McNemar's paired-rater asymmetry test (operators/agreement."
+        "mcnemar) between the long-document raters from the kappa gate "
+        "(char-length >= 400 vs e-count >= 40): kappa says how much "
+        "they agree, this says which one is systematically stricter — "
+        "chi2 = (b-c)^2/(b+c) over the two discordant cells only. One "
+        "corpus scan to four exact BIGINT cells; chi2 one-shot double."
+    ),
+)
+def q_docs_rater_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agreement import mcnemar
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    e_cnt = F.length("text") - F.length(F.regexp_replace("text", "e", ""))
+    lab = d.select(
+        F.when(F.col("n_chars") >= 400, "long").otherwise("other")
+        .alias("rater_a"),
+        F.when(e_cnt >= 40, "long").otherwise("other").alias("rater_b"),
+    )
+    return mcnemar(lab, "rater_a", "rater_b", positive="long")
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick bag-of-words features
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_hashed_features",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    toks AS (
+      SELECT doc_id,
+             unnest([x for x in
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+')
+                     IF x <> '']) AS t
+      FROM d),
+    b AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 16
+               AS BIGINT) AS bkt
+      FROM toks),
+    per AS (SELECT doc_id, bkt, count(*) AS c FROM b
+            GROUP BY doc_id, bkt),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_nonzero,
+             string_agg(bkt || ':' || c, ',' ORDER BY bkt) AS features
+      FROM per GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_nonzero, 0) AS n_nonzero,
+           coalesce(features, '') AS features
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    doc=(
+        "Hashing-trick bag-of-words featurizer (operators/features."
+        "hashed_features, dim=16): tokens map to md5_60(token) % dim "
+        "buckets — stateless, vocabulary-free featurization (no fitted "
+        "dictionary, nothing grows with the corpus), the default text "
+        "vectorizer at scale. Explode -> (id, bucket) count -> per-id "
+        "sorted sparse-vector string; the shuffle carries (id, bucket) "
+        "pairs, never text. md5_60 keeps the bucket assignment "
+        "bit-reproducible cross-engine."
+    ),
+)
+def q_docs_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import hashed_features
+
+    d = read_table(spark, sf_dir, "documents")
+    return hashed_features(d, "doc_id", "text", dim=16)
