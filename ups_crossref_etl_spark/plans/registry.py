@@ -56,10 +56,12 @@ _ROUND = 7
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
 #: (first ~50 entries) re-verifies them. Round 7 (newest first): waves
-#: 13-16 (Adamic-Adar, Cohen's kappa, modularity, langid classification
+#: 13-20 (Adamic-Adar, Cohen's kappa, modularity, langid classification
 #: report, Flesch readability, ECE, WOE/IV, blocking-quality audit,
 #: one-way ANOVA, diversity indices, RMST, funnel latency, item-item
-#: cosine, source vocabulary overlap, grouped mode), waves
+#: cosine, source vocabulary overlap, grouped mode, TWAP, script
+#: profile, Davies-Bouldin, winsorized mean, rate ratio, sequence gaps,
+#: Welch t, McNemar, hashed features, ORC round-trip), waves
 #: 4-12 (trimmed mean, KS+BH FDR screen, elasticity OLS, compression
 #: contrast, HITS, clustering
 #: coefficient, epoch order, JSONL round-trip, DiD, Mann-Whitney,
@@ -103,6 +105,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_welch_value",
     "q_docs_rater_mcnemar",
     "q_docs_hashed_features",
+    "q_docs_orc_roundtrip",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",
@@ -236,12 +239,12 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed after r7 wave 12: ``_CHANGED_THIS_ROUND``
-    alone now holds 83 genuinely-new-or-modified entries, so the 50-slot
-    window is fully consumed by it and 244 of 298 gated queries are
-    driver-covered (union of the r1-r6 CORRECTNESS artifacts plus r7's
-    projected window); the 54-entry remainder (33 changed-tier overflow +
-    the standing backlog) drains over the next ~3 rounds, every entry
+    probabilistic. Recomputed after r7 wave 20: the registry holds 333
+    entries (323 gated, every one with an oracle); ``_CHANGED_THIS_ROUND``
+    alone now holds 108 genuinely-new-or-modified entries, so the 50-slot
+    window is fully consumed by its head (the 25 wave-13-20 additions plus
+    the most recent earlier-wave entries); the changed-tier overflow and
+    the 24-entry backlog drain over the next ~4 rounds, every entry
     meanwhile FULLCHECK-verified locally each round. gate=False entries
     sort after all gated ones — they are never driver-sampled. The full
     battery additionally runs locally per-round via

@@ -1569,3 +1569,68 @@ def q_docs_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return hashed_features(d, "doc_id", "text", dim=16)
+
+
+# --------------------------------------------------------------------------
+# ORC format round-trip identity
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_orc_roundtrip",
+    """
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' ||
+               coalesce(lang, '<NULL>') || '|' ||
+               coalesce(source, '<NULL>') || '|' ||
+               coalesce(CAST(n_chars AS VARCHAR), '<NULL>') || '|' ||
+               md5(text)), 1, 15) AS BIGINT) AS h
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS digest
+    FROM h
+    """,
+    doc=(
+        "ORC format round-trip identity: write the corpus as "
+        "source-partitioned ORC (Spark's second native columnar "
+        "format — zlib-compressed, predicate-pushdown-capable, the "
+        "Hive-ecosystem interchange), re-read it, and re-derive the "
+        "order-insensitive content digest including an md5 of the full "
+        "text. The oracle computes the same digest straight from the "
+        "source parquet, so a hash match proves the ORC encode/decode "
+        "(and the hive partition-column round-trip, which re-types "
+        "partition values) lost nothing."
+    ),
+)
+def q_docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_gate_")
+    path = f"{tmp}/orc"
+    try:
+        docs.coalesce(4).write.mode("overwrite").partitionBy("source").orc(
+            path
+        )
+        reread = spark.read.orc(path)
+        row_str = F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("lang"), F.lit("<NULL>")),
+            F.coalesce(F.col("source").cast("string"), F.lit("<NULL>")),
+            F.coalesce(F.col("n_chars").cast("string"), F.lit("<NULL>")),
+            F.md5("text"),
+        )
+        h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+        out = reread.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor(h).alias("digest"),
+        )
+        rows = out.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
