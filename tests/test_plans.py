@@ -1111,3 +1111,101 @@ def test_cosine_histogram_stride_equijoin(spark, sf_dir):
     plan = _plan(cosine_pair_histogram(emb, "vec_id", "embedding"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_item_cosine_user_equijoin_no_cartesian(spark, sf_dir):
+    """Item-item CF candidates come from a USER-keyed equi-join of the
+    interaction table with itself — never an all-pairs product — and
+    the item-degree joins attach by item key."""
+    from ups_crossref_etl_spark.operators.recsys import item_cosine_similarity
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("i")
+    )
+    plan = _plan(item_cosine_similarity(li, "u", "i", top_n=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adamic_adar_wedge_equijoin_no_cartesian(spark, sf_dir):
+    """Link-prediction candidates come from the center-node wedge
+    equi-join; the real-edge exclusion is an anti-join on the pair key."""
+    from ups_crossref_etl_spark.operators.graph import adamic_adar
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    plan = _plan(adamic_adar(edges, top_n=10))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan  # top-n never a global sort
+
+
+def test_diversity_shuffle_carries_counts_not_text(spark, sf_dir):
+    """Token-diversity aggregates shuffle (group, token) count rows;
+    the text column must not survive past the explode projection."""
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        diversity_indices,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    df = diversity_indices(d, "source", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the exchange inputs carry grp/_t/_c projections only
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_token_equijoin(spark, sf_dir):
+    """Source-overlap pairs come from a token-keyed equi-join of the
+    distinct (group, token) table with itself."""
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        source_token_overlap,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(source_token_overlap(d, "source", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hashed_features_no_text_in_shuffle(spark, sf_dir):
+    """The hashing-trick featurizer shuffles (id, bucket) pairs; text
+    must be consumed map-side by the explode."""
+    from ups_crossref_etl_spark.operators.features import hashed_features
+
+    d = read_table(spark, sf_dir, "documents")
+    df = hashed_features(d, "doc_id", "text", dim=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
+
+
+def test_script_profile_map_only(spark, sf_dir):
+    """Script profiling is pure row-local regexp_count: no Exchange in
+    the plan at all."""
+    from ups_crossref_etl_spark.operators.text_analysis import script_profile
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(script_profile(d, "doc_id", "text"))
+    assert "Exchange" not in plan
+
+
+def test_flesch_readability_map_only(spark, sf_dir):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        flesch_readability,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = _plan(flesch_readability(d, "doc_id", "text"))
+    assert "Exchange" not in plan
