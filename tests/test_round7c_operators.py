@@ -845,3 +845,66 @@ def test_hashed_features_deterministic_and_counts(spark):
     expected_str = ",".join(f"{b}:{c}" for b, c in sorted(expect.items()))
     assert r1.features == expected_str
     assert out[2].n_tokens == 0 and out[2].features == ""
+
+
+# -------------------------------------------------- closure / SCC
+
+
+def test_transitive_closure_chain_and_cycle(spark):
+    from ups_crossref_etl_spark.operators.graph import transitive_closure
+
+    # chain 1->2->3 plus cycle 10<->11
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (11, 10)])
+    pairs = {
+        (r.src, r.dst) for r in transitive_closure(e, max_iter=10).collect()
+    }
+    assert pairs == {
+        (1, 2), (2, 3), (1, 3),
+        (10, 11), (11, 10), (10, 10), (11, 11),
+    }
+
+
+def test_transitive_closure_strict_raises_on_max_iter(spark):
+    import pytest
+
+    from ups_crossref_etl_spark.operators.graph import transitive_closure
+
+    chain = _edges(spark, [(i, i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        transitive_closure(chain, max_iter=2, strict=True)
+
+
+def test_scc_counterexample_graph(spark):
+    """{2->1, 3->1, 2->3}: min-forward/min-backward labels tie nodes 2
+    and 3, but true SCCs are all singletons — the operator must get
+    this right."""
+    from ups_crossref_etl_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    e = _edges(spark, [(2, 1), (3, 1), (2, 3)])
+    out = {r.node: r.scc_id for r in strongly_connected_components(e).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_scc_cycle_plus_tail(spark):
+    """1->2->3->1 cycle with tail 3->4: cycle shares an id, tail is a
+    singleton."""
+    from ups_crossref_etl_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    out = {r.node: r.scc_id for r in strongly_connected_components(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_scc_two_cycles_bridged(spark):
+    """Two 2-cycles joined by a one-way bridge stay separate SCCs."""
+    from ups_crossref_etl_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)])
+    out = {r.node: r.scc_id for r in strongly_connected_components(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3}

@@ -106,6 +106,8 @@ _CHANGED_THIS_ROUND = [
     "q_docs_rater_mcnemar",
     "q_docs_hashed_features",
     "q_docs_orc_roundtrip",
+    "q_graph_transitive_closure",
+    "q_graph_scc",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",

@@ -33,7 +33,11 @@ Continues the round-7 extension surface (see ``round7_queries`` /
 - two-sample inference: Welch's unequal-variance t readout, McNemar
   paired-rater asymmetry;
 - training prep: hashing-trick bag-of-words featurizer (md5_60
-  buckets, vocabulary-free).
+  buckets, vocabulary-free);
+- recursive graph primitives: transitive closure to the fixpoint
+  (semi-naive datalog) and strongly connected components built on it,
+  both gated against recursive-CTE oracles on bounded functional
+  graphs.
 
 Determinism: same registry contract as every wave — exact integer /
 nano-quantized accumulation wherever a sum crosses engines, doubles
@@ -1634,3 +1638,122 @@ def q_docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Transitive closure (semi-naive datalog) + strongly connected components
+# --------------------------------------------------------------------------
+
+_SCC_EDGES_SQL = """
+    base AS (SELECT doc_id AS n FROM documents WHERE doc_id < 200),
+    e AS (
+      SELECT n AS src, (n * 31 + 7) % 200 AS dst FROM base
+      WHERE (n * 31 + 7) % 200 <> n
+      UNION
+      SELECT n, (n * 17 + 3) % 200 FROM base
+      WHERE (n * 17 + 3) % 200 <> n)
+"""
+
+
+@register(
+    "q_graph_transitive_closure",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS n FROM documents WHERE doc_id < 60),
+    e AS (
+      SELECT n AS src, (n * 31 + 7) % 60 AS dst FROM base
+      WHERE (n * 31 + 7) % 60 <> n),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+    FROM reach
+    """,
+    doc=(
+        "Transitive closure to the FIXPOINT (operators/graph."
+        "transitive_closure): all directed-reachability pairs of a "
+        "bounded functional graph (each doc id < 60 points at "
+        "(31n+7) mod 60) via semi-naive datalog iteration — each round "
+        "joins only the NEW pairs against the edge list, so work per "
+        "round is |delta| x out-degree and rounds = longest shortest "
+        "path; strict=True raises rather than silently truncating. The "
+        "recursive-CTE primitive Spark SQL lacks; the oracle IS the "
+        "recursive CTE. Bounded-subgraph by contract (closure is "
+        "O(n^2) worst case)."
+    ),
+)
+def q_graph_transitive_closure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import transitive_closure
+
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("n"))
+    )
+    edges = base.select(
+        F.col("n").alias("src"),
+        ((F.col("n") * 31 + 7) % 60).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    clo = transitive_closure(edges, max_iter=80)
+    return clo.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    )
+
+
+@register(
+    "q_graph_scc",
+    f"""
+    WITH RECURSIVE {_SCC_EDGES_SQL},
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+    nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) z),
+    mutual AS (
+      SELECT r.src, r.dst FROM reach r
+      JOIN reach r2 ON r.src = r2.dst AND r.dst = r2.src),
+    best AS (SELECT src AS node, min(dst) AS m FROM mutual GROUP BY src)
+    SELECT CAST(nodes.node AS BIGINT) AS node,
+           CAST(least(nodes.node, coalesce(m, nodes.node)) AS BIGINT)
+             AS scc_id
+    FROM nodes LEFT JOIN best ON nodes.node = best.node
+    """,
+    doc=(
+        "Strongly connected components (operators/graph."
+        "strongly_connected_components) of a bounded two-out-degree "
+        "functional graph over doc ids (< 200): scc_id = min node id "
+        "among mutually-reachable nodes, built on the transitive-"
+        "closure fixpoint (closure ∩ transposed closure, then a "
+        "node-keyed min). Weaker (min-forward, min-backward) labels "
+        "are provably insufficient — {{2->1, 3->1, 2->3}} gives nodes "
+        "2 and 3 identical label pairs in different components — which "
+        "is why the operator pays for the closure. The oracle computes "
+        "the same mutual-reach grouping from a recursive CTE."
+    ),
+)
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import strongly_connected_components
+
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("n"))
+    )
+    e1 = base.select(
+        F.col("n").alias("src"), ((F.col("n") * 31 + 7) % 200).alias("dst")
+    )
+    e2 = base.select(
+        F.col("n").alias("src"), ((F.col("n") * 17 + 3) % 200).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    out = strongly_connected_components(edges, max_iter=80)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("scc_id").cast("bigint").alias("scc_id"),
+    )
