@@ -615,10 +615,11 @@ def transitive_closure(
     edges: DataFrame, max_iter: int = 20, strict: bool = True
 ) -> DataFrame:
     """Reachability closure of a directed graph — all pairs ``(src,
-    dst)`` with a directed path (length >= 1) — by SEMI-NAIVE datalog
-    iteration: each round joins only the NEW pairs (the delta) against
-    the edge list, unions, dedups, and localCheckpoints; rounds =
-    longest shortest-path, work per round = |delta| x out-degree.
+    dst)`` with a directed path (length >= 1) — by PATH DOUBLING:
+    each round self-joins the current closure on the midpoint node,
+    doubling the maximum covered path length, so rounds =
+    ceil(log2(longest shortest-path)) instead of the semi-naive
+    one-hop-per-round (a 60-node cycle closes in 6 rounds, not 59).
     The recursive-CTE primitive (org charts, dependency graphs, SCC
     support) that Spark SQL lacks natively.
 
@@ -627,7 +628,9 @@ def transitive_closure(
     not a raw 100 TB edge list; the gate uses a bounded functional
     graph). ``strict=True`` raises if ``max_iter`` rounds don't reach
     the fixpoint — silently truncated reachability is a wrong answer,
-    not an approximation.
+    not an approximation. Fixpoint detection compares exact pair
+    counts between rounds (the closure only grows, so equal counts
+    mean converged).
     """
     e = (
         edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -636,33 +639,33 @@ def transitive_closure(
         .localCheckpoint()
     )
     closure = e
-    delta = e
-    for _ in range(max_iter):
-        # fresh column names each round: delta/closure/e share attribute
-        # lineage, and a USING-style self-anti-join on colliding ids
-        # trips Spark's resolver ("key not found: src#N")
+    n_prev = closure.count()
+    for i in range(max_iter):
+        # fresh column names each round: the two join sides share
+        # attribute lineage, and a USING-style self-join on colliding
+        # ids trips Spark's resolver ("key not found: src#N")
         grown = (
-            delta.alias("d")
-            .join(e.alias("e"), F.col("d.dst") == F.col("e.src"))
+            closure.alias("a")
+            .join(
+                closure.alias("b"), F.col("a.dst") == F.col("b.src")
+            )
             .select(
-                F.col("d.src").alias("_gs"), F.col("e.dst").alias("_gd")
+                F.col("a.src").alias("_gs"), F.col("b.dst").alias("_gd")
+            )
+            .unionByName(
+                closure.select(
+                    F.col("src").alias("_gs"), F.col("dst").alias("_gd")
+                )
             )
             .distinct()
-        )
-        delta = (
-            grown.join(
-                closure,
-                (F.col("_gs") == closure["src"])
-                & (F.col("_gd") == closure["dst"]),
-                "left_anti",
-            )
             .select(F.col("_gs").alias("src"), F.col("_gd").alias("dst"))
             .localCheckpoint()
         )
-        if delta.limit(1).count() == 0:
+        n_now = grown.count()
+        if n_now == n_prev:
             return closure
-        closure = closure.unionByName(delta).localCheckpoint()
-    if strict and delta.limit(1).count() > 0:
+        closure, n_prev = grown, n_now
+    if strict:
         raise RuntimeError(
             f"transitive_closure: no fixpoint after {max_iter} rounds"
         )
