@@ -159,3 +159,115 @@ def test_merge_cdc_state_batch_order_invariant_property(spark, changes, rnd):
     # DISTINCT rows tie exactly on (k, seq, op) — then either image is a
     # legitimate winner, so compare the (k, op, seq) state
     assert a == b
+
+
+# ---------------------------------------------------- round-7 wave 13-20
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("xyz")),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_kappa_symmetric_in_raters(spark, pairs):
+    """Cohen's kappa is symmetric: swapping the two raters changes
+    po/pe/kappa not at all (the confusion matrix transposes)."""
+    from ups_crossref_etl_spark.operators.agreement import cohens_kappa
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r1 = cohens_kappa(df, "a", "b").collect()[0]
+    r2 = cohens_kappa(df, "b", "a").collect()[0]
+    assert (r1.po, r1.pe, r1.kappa, r1.n) == (r2.po, r2.pe, r2.kappa, r2.n)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_sequence_gaps_account_for_full_range(spark, ids):
+    """sum(gap_len) == (max - min + 1) - n_distinct: the holes plus the
+    present ids tile the id range exactly."""
+    from ups_crossref_etl_spark.operators.quality import sequence_gaps
+
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    gaps = sequence_gaps(df, "id").collect()
+    total_gap = sum(r.gap_len for r in gaps)
+    span = max(ids) - min(ids) + 1
+    assert total_gap == span - len(set(ids))
+    # every reported hole is truly absent
+    present = set(ids)
+    for r in gaps:
+        assert r.gap_len == r.gap_end - r.gap_start + 1
+        assert all(x not in present for x in range(r.gap_start, r.gap_end + 1))
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_winsorized_mean_within_cut_bounds(spark, vals):
+    """The winsorized mean lies within [lo_cut, hi_cut] and the clamp
+    counts match a driver-side replay."""
+    from ups_crossref_etl_spark.operators.stats import winsorized_mean
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    r = winsorized_mean(df, "g", "v", lower=0.1, upper=0.9).collect()[0]
+    assert r.lo_cut - 1e-4 <= r.winsorized_mean <= r.hi_cut + 1e-4
+    q = [round(v * 1e4) for v in vals]
+    assert r.n_clamped_low == sum(1 for x in q if x < round(r.lo_cut * 1e4))
+    assert r.n_clamped_high == sum(1 for x in q if x > round(r.hi_cut * 1e4))
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scc_ids_are_canonical_members(spark, raw_edges):
+    """Every scc_id is the minimum member of its component, components
+    partition the node set, and nodes in the same component mutually
+    reach each other (checked against a driver-side Tarjan-free
+    floyd-warshall replay)."""
+    from ups_crossref_etl_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r.node: r.scc_id for r in strongly_connected_components(df).collect()}
+    nodes = sorted({n for e in edges for n in e})
+    assert sorted(out) == nodes
+    # driver-side reachability replay
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            for n in nodes:
+                if a in reach[n] and b not in reach[n]:
+                    reach[n].add(b)
+                    changed = True
+    for u in nodes:
+        comp = {v for v in nodes if v in reach[u] and u in reach[v]}
+        assert out[u] == min(comp)

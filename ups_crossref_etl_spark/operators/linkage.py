@@ -223,8 +223,11 @@ def blocking_quality(
             "n_truth_covered",
             (
                 F.round(
-                    F.lit(1.0)
-                    - F.col("n_candidates") / F.lit(float(possible)),
+                    F.when(
+                        F.lit(possible) > 0,
+                        F.lit(1.0)
+                        - F.col("n_candidates") / F.lit(float(possible)),
+                    ).otherwise(F.lit(1.0)),  # < 2 records: no pair work
                     6,
                 )
                 + 0.0
