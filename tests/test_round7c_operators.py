@@ -908,3 +908,41 @@ def test_scc_two_cycles_bridged(spark):
     e = _edges(spark, [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)])
     out = {r.node: r.scc_id for r in strongly_connected_components(e).collect()}
     assert out == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+# ------------------------------------------------------- label spreading
+
+
+def test_spread_labels_nearest_seed_wins(spark):
+    """Path 1-2-3-4-5 with seeds {1:'a', 5:'b'}: 2->a (dist 1),
+    4->b (dist 1), 3 ties at dist 2 -> min label 'a'."""
+    from ups_crossref_etl_spark.operators.graph import spread_labels
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame(
+        [(1, "a"), (5, "b")], "node bigint, label string"
+    )
+    out = {r.node: (r.label, r.dist) for r in spread_labels(e, seeds).collect()}
+    assert out == {
+        1: ("a", 0), 2: ("a", 1), 3: ("a", 2), 4: ("b", 1), 5: ("b", 0),
+    }
+
+
+def test_spread_labels_unreachable_absent(spark):
+    from ups_crossref_etl_spark.operators.graph import spread_labels
+
+    e = _edges(spark, [(1, 2), (10, 11)])  # two components, one seeded
+    seeds = spark.createDataFrame([(1, "x")], "node bigint, label string")
+    out = {r.node for r in spread_labels(e, seeds).collect()}
+    assert out == {1, 2}
+
+
+def test_spread_labels_strict_raises(spark):
+    import pytest
+
+    from ups_crossref_etl_spark.operators.graph import spread_labels
+
+    chain = _edges(spark, [(i, i + 1) for i in range(6)])
+    seeds = spark.createDataFrame([(0, "s")], "node bigint, label string")
+    with pytest.raises(RuntimeError, match="still spreading"):
+        spread_labels(chain, seeds, max_iter=2, strict=True)

@@ -711,3 +711,97 @@ def strongly_connected_components(
             "scc_id"
         ),
     )
+
+
+def spread_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 15,
+    strict: bool = True,
+) -> DataFrame:
+    """Semi-supervised label spreading by multi-source BFS: every node
+    takes the label of its NEAREST seed (undirected hop distance), ties
+    broken by the lexicographically smallest label — the
+    weak-supervision primitive that turns a few hand-labeled documents
+    plus a similarity/co-occurrence graph into corpus-wide labels
+    (label a handful of spam clusters, propagate to the rest; seed
+    known domains, label the near-dup neighborhoods).
+
+    ``seeds`` is ``(node, label)``; a node with multiple seed rows
+    keeps the smallest label at distance 0. Returns ``(node, label,
+    dist)`` for every node REACHED from a seed (unreachable nodes are
+    absent — absence is the honest answer, not a default label).
+
+    Plan shape: per round one node-keyed join of the frontier state
+    against the symmetric edge list + one min-struct aggregate — the
+    connected-components shape with a (dist, label) payload; rounds =
+    eccentricity of the seed set (bounded by graph diameter), each
+    localCheckpointed; convergence detected by a limit(1) changed
+    probe, ``strict=True`` raising on ``max_iter`` exhaustion (a
+    silently half-spread labeling would poison downstream training).
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    state = (
+        seeds.select(
+            F.col(seeds.columns[0]).alias("node"),
+            F.struct(
+                F.lit(0).cast("bigint").alias("dist"),
+                F.col(seeds.columns[1]).cast("string").alias("label"),
+            ).alias("_s"),
+        )
+        .groupBy("node")
+        .agg(F.min("_s").alias("_s"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        pushed = (
+            sym.join(state.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.struct(
+                    (F.col("_s.dist") + 1).alias("dist"),
+                    F.col("_s.label").alias("label"),
+                ).alias("_s"),
+            )
+        )
+        merged = (
+            state.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("_s").alias("_s"))
+            .localCheckpoint()
+        )
+        changed = (
+            merged.alias("m")
+            .join(state.alias("s"), "node", "left")
+            .filter(
+                F.col("s._s").isNull() | (F.col("m._s") != F.col("s._s"))
+            )
+            .limit(1)
+            .count()
+        )
+        state = merged
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        msg = (
+            f"spread_labels hit max_iter={max_iter} with labels still "
+            "spreading — raise max_iter (need >= seed-set eccentricity)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return state.select(
+        "node",
+        F.col("_s.label").alias("label"),
+        F.col("_s.dist").alias("dist"),
+    )

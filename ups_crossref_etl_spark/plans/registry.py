@@ -108,6 +108,7 @@ _CHANGED_THIS_ROUND = [
     "q_docs_orc_roundtrip",
     "q_graph_transitive_closure",
     "q_graph_scc",
+    "q_graph_spread_labels",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",

@@ -35,9 +35,10 @@ Continues the round-7 extension surface (see ``round7_queries`` /
 - training prep: hashing-trick bag-of-words featurizer (md5_60
   buckets, vocabulary-free);
 - recursive graph primitives: transitive closure to the fixpoint
-  (path-doubling self-joins) and strongly connected components built
-  on it, both gated against recursive-CTE oracles on bounded
-  functional graphs.
+  (path-doubling self-joins), strongly connected components built on
+  it, and seeded label spreading (multi-source BFS weak supervision),
+  all gated against recursive-CTE oracles on bounded functional
+  graphs.
 
 Determinism: same registry contract as every wave — exact integer /
 nano-quantized accumulation wherever a sum crosses engines, doubles
@@ -1756,4 +1757,74 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("scc_id").cast("bigint").alias("scc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seeded label spreading (multi-source BFS)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_spread_labels",
+    f"""
+    WITH RECURSIVE {_SCC_EDGES_SQL},
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    seeds AS (
+      SELECT doc_id AS node, min(lang) AS label
+      FROM documents WHERE doc_id < 10 AND lang IS NOT NULL
+      GROUP BY doc_id),
+    walk(node, dist, label) AS (
+      SELECT node, 0, label FROM seeds
+      UNION
+      SELECT sym.dst, w.dist + 1, w.label
+      FROM walk w JOIN sym ON w.node = sym.src
+      WHERE w.dist < 40),
+    mind AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+    fin AS (
+      SELECT w.node, w.dist, min(w.label) AS label
+      FROM walk w JOIN mind ON w.node = mind.node AND w.dist = mind.dist
+      GROUP BY w.node, w.dist)
+    SELECT CAST(node AS BIGINT) AS node, label,
+           CAST(dist AS BIGINT) AS dist
+    FROM fin
+    """,
+    doc=(
+        "Seeded label spreading (operators/graph.spread_labels) over "
+        "the bounded two-out-degree functional graph: ten seed "
+        "documents carry their gold lang, every reachable node takes "
+        "the label of its NEAREST seed (undirected hops, ties -> "
+        "smallest label) — the weak-supervision primitive that turns a "
+        "few hand labels plus a similarity graph into corpus-wide "
+        "labels. Multi-source BFS as Bellman-Ford with a (dist, label) "
+        "struct-min per round (the connected-components shape with a "
+        "payload); strict convergence, unreachable nodes honestly "
+        "absent. The oracle replays the same frontier as a recursive "
+        "CTE and takes min label at min dist."
+    ),
+)
+def q_graph_spread_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import spread_labels
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("n")
+    )
+    e1 = base.select(
+        F.col("n").alias("src"), ((F.col("n") * 31 + 7) % 200).alias("dst")
+    )
+    e2 = base.select(
+        F.col("n").alias("src"), ((F.col("n") * 17 + 3) % 200).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    seeds = (
+        docs.filter((F.col("doc_id") < 10) & F.col("lang").isNotNull())
+        .groupBy(F.col("doc_id").alias("node"))
+        .agg(F.min("lang").alias("label"))
+    )
+    out = spread_labels(edges, seeds, max_iter=40)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        "label",
+        F.col("dist").cast("bigint").alias("dist"),
     )
