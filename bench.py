@@ -279,6 +279,17 @@ EXTENDED = [
     "q_lineitem_winsorized_price",
     "q_events_error_rate_ratio",
     "q_orders_sequence_gaps",
+    # round 7 (waves 19-21): Welch t, McNemar, hashed features, ORC
+    # round-trip (timed end to end including the write), recursive
+    # graph primitives (bounded-subgraph contract: cost is
+    # sf-independent by construction), label spreading
+    "q_events_welch_value",
+    "q_docs_rater_mcnemar",
+    "q_docs_hashed_features",
+    "q_docs_orc_roundtrip",
+    "q_graph_transitive_closure",
+    "q_graph_scc",
+    "q_graph_spread_labels",
 ]
 
 
