@@ -946,3 +946,46 @@ def test_spread_labels_strict_raises(spark):
     seeds = spark.createDataFrame([(0, "s")], "node bigint, label string")
     with pytest.raises(RuntimeError, match="still spreading"):
         spread_labels(chain, seeds, max_iter=2, strict=True)
+
+
+# ----------------------------------------------------------------- ktruss
+
+
+def test_ktruss_triangle_with_tail(spark):
+    """Triangle 1-2-3 plus pendant edge 3-4: 3-truss = the triangle
+    (each edge in 1 triangle), pendant dropped."""
+    from ups_crossref_etl_spark.operators.graph import ktruss
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    out = {(r.lo, r.hi): r.support for r in ktruss(e, k=3).collect()}
+    assert out == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+
+
+def test_ktruss_cascading_peel(spark):
+    """Two triangles sharing edge 2-3 plus a 4th vertex closing K4 on
+    {1,2,3,4}: k=4 keeps K4 (every edge in 2 triangles); adding a
+    lone triangle {10,11,12} it gets peeled at k=4 (support 1)."""
+    from ups_crossref_etl_spark.operators.graph import ktruss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    lone = [(10, 11), (11, 12), (10, 12)]
+    e = _edges(spark, k4 + lone)
+    out = {(r.lo, r.hi) for r in ktruss(e, k=4).collect()}
+    assert out == set(k4)
+    sup = {(r.lo, r.hi): r.support for r in ktruss(e, k=4).collect()}
+    assert all(v == 2 for v in sup.values())
+
+
+def test_ktruss_k2_keeps_triangle_free_edges(spark):
+    from ups_crossref_etl_spark.operators.graph import ktruss
+
+    e = _edges(spark, [(1, 2), (3, 4)])
+    out = {(r.lo, r.hi): r.support for r in ktruss(e, k=2).collect()}
+    assert out == {(1, 2): 0, (3, 4): 0}
+
+
+def test_ktruss_empty_result(spark):
+    from ups_crossref_etl_spark.operators.graph import ktruss
+
+    e = _edges(spark, [(1, 2), (2, 3)])  # no triangles at all
+    assert ktruss(e, k=3).count() == 0

@@ -805,3 +805,82 @@ def spread_labels(
         F.col("_s.label").alias("label"),
         F.col("_s.dist").alias("dist"),
     )
+
+
+def ktruss(
+    edges: DataFrame, k: int = 4, max_iter: int = 40, strict: bool = True
+) -> DataFrame:
+    """k-truss decomposition membership (Cohen 2008): the maximal
+    subgraph where every EDGE sits in at least ``k - 2`` triangles
+    within the subgraph — the edge-level analog of :func:`kcore`
+    (a k-core keeps well-connected NODES; a k-truss keeps edges with
+    strong triangle reinforcement, the standard cohesive-community
+    and spam-link filter: an edge with no triangle support is a weak
+    tie however high its endpoints' degrees). Returns the surviving
+    canonical edges ``(lo, hi, support)`` with their support inside
+    the final truss.
+
+    Peel: compute per-edge triangle support (the oriented two-join
+    from :func:`triangle_count`, each triangle crediting its three
+    edges), drop edges under ``k - 2``, repeat to the fixpoint —
+    dropping an edge removes its triangles, which can push OTHER
+    edges under the threshold. Each round is two node-keyed equi-joins
+    + one edge-keyed count (never a cross product), localCheckpointed;
+    rounds = peel depth. ``strict=True`` raises on ``max_iter``
+    exhaustion — a half-peeled truss is simply wrong.
+    """
+    ori = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = ori.count()
+    for _ in range(max_iter):
+        e1 = ori.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        tri = (
+            e1.join(
+                ori.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+                "b",
+            )
+            .join(
+                ori.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+                ["a", "c"],
+            )
+        )
+        sup = (
+            tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+            .unionByName(
+                tri.select(F.col("b").alias("lo"), F.col("c").alias("hi"))
+            )
+            .unionByName(
+                tri.select(F.col("a").alias("lo"), F.col("c").alias("hi"))
+            )
+            .groupBy("lo", "hi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+        surv = (
+            ori.join(sup, ["lo", "hi"], "left")
+            .select(
+                "lo",
+                "hi",
+                F.coalesce("support", F.lit(0)).cast("bigint").alias(
+                    "support"
+                ),  # triangle-free edges survive a k<=2 truss
+            )
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint()
+        )
+        n_now = surv.count()
+        if n_now == n_prev:
+            return surv.select("lo", "hi", "support")
+        ori = surv.select("lo", "hi").localCheckpoint()
+        n_prev = n_now
+        if n_now == 0:
+            return surv.select("lo", "hi", "support")
+    if strict:
+        raise RuntimeError(f"ktruss: no fixpoint after {max_iter} rounds")
+    return surv.select("lo", "hi", "support")

@@ -109,6 +109,7 @@ _CHANGED_THIS_ROUND = [
     "q_graph_transitive_closure",
     "q_graph_scc",
     "q_graph_spread_labels",
+    "q_graph_ktruss",
     "q_events_trimmed_mean",
     "q_events_user_drift_fdr",
     "q_part_price_elasticity",

@@ -38,7 +38,8 @@ Continues the round-7 extension surface (see ``round7_queries`` /
   (path-doubling self-joins), strongly connected components built on
   it, and seeded label spreading (multi-source BFS weak supervision),
   all gated against recursive-CTE oracles on bounded functional
-  graphs.
+  graphs; k-truss edge-cohesion peel gated against an unrolled
+  materialized-CTE oracle.
 
 Determinism: same registry contract as every wave — exact integer /
 nano-quantized accumulation wherever a sum crosses engines, doubles
@@ -1827,4 +1828,80 @@ def q_graph_spread_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         "label",
         F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-truss decomposition of the part co-order graph
+# --------------------------------------------------------------------------
+
+
+def _ktruss_oracle_sql(k: int, n_rounds: int) -> str:
+    parts = [
+        """t0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey)"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"""tr{r} AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM t{r} e1 JOIN t{r} e2 ON e1.hi = e2.lo
+  JOIN t{r} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+sup{r} AS (
+  SELECT lo, hi, count(*) AS c FROM
+    (SELECT a AS lo, b AS hi FROM tr{r}
+     UNION ALL SELECT b, c FROM tr{r}
+     UNION ALL SELECT a, c FROM tr{r}) z
+  GROUP BY lo, hi),
+t{r + 1} AS MATERIALIZED (
+  SELECT t.lo, t.hi, coalesce(s.c, 0) AS support
+  FROM t{r} t LEFT JOIN sup{r} s ON t.lo = s.lo AND t.hi = s.hi
+  WHERE coalesce(s.c, 0) >= {k - 2})"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "q_graph_ktruss",
+    "WITH " + _ktruss_oracle_sql(10, 10) + """
+    SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+           CAST(support AS BIGINT) AS support
+    FROM t10
+    """,
+    doc=(
+        "k-truss decomposition (operators/graph.ktruss, k=10) of the "
+        "part co-order graph: peel edges with in-subgraph triangle "
+        "support < 8 to a fixpoint — the edge-level cohesion filter "
+        "(a k-core keeps well-connected nodes; a k-truss keeps edges "
+        "with triangle reinforcement, dropping weak ties between hub "
+        "nodes). Each Spark round is the oriented two-join triangle "
+        "enumeration + one edge-keyed count, lineage truncated; "
+        "strict=True raises on max_iter. Oracle unrolls 10 peel "
+        "rounds — measured fixpoint depth 8, and the peel is "
+        "idempotent at the fixpoint, so over-unrolling is exact."
+    ),
+)
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import ktruss
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pe = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        pe.alias("a")
+        .join(pe.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    out = ktruss(edges, k=10, max_iter=40)
+    return out.select(
+        F.col("lo").cast("bigint").alias("lo"),
+        F.col("hi").cast("bigint").alias("hi"),
+        F.col("support").cast("bigint").alias("support"),
     )
