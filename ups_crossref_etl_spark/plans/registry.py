@@ -243,8 +243,8 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed after r7 wave 20: the registry holds 336
-    entries (326 gated, every one with an oracle); ``_CHANGED_THIS_ROUND``
+    probabilistic. Recomputed after r7 wave 20: the registry holds 337
+    entries (327 gated, every one with an oracle); ``_CHANGED_THIS_ROUND``
     alone now holds 108 genuinely-new-or-modified entries, so the 50-slot
     window is fully consumed by its head (the 25 wave-13-20 additions plus
     the most recent earlier-wave entries); the changed-tier overflow and
