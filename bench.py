@@ -23,6 +23,12 @@ outgrew that window):
    capture is guaranteed to retain whole — with the totals
    (``value`` = all-query total, ``core_total`` = frozen-tier total) and
    the per-query map restricted to the core tier.
+
+Both lines carry ``sentinel_pre``/``sentinel_post`` (round 8): a fixed
+CPU-bound probe timed before and after the battery, so a run captured
+under neighbor contention (BENCH_r07's core tier read ~2x its quiet
+re-run) is self-evident from the artifact — quiet baseline ~1.2 s; a
+sentinel at 2-3x that means the per-query numbers are inflated by load.
 """
 
 from __future__ import annotations
@@ -290,6 +296,11 @@ EXTENDED = [
     "q_graph_transitive_closure",
     "q_graph_scc",
     "q_graph_spread_labels",
+    # round 8: the Adamic-Adar degree-cap contract pair (bounded-subgraph
+    # exact twin + top-50 cap-agreement bound) — q_graph_adamic_adar
+    # itself is now the CAPPED operational path
+    "q_graph_adamic_adar_exact",
+    "q_graph_adamic_adar_cap_agreement",
 ]
 
 
@@ -348,6 +359,23 @@ def _best_of(run, n: int = 2) -> float:
     return round(best, 3)
 
 
+def _sentinel(spark) -> float:
+    """Contention sentinel: a fixed CPU-bound probe (sum of a constant
+    arithmetic map over 400M ids across 32 tasks) whose quiet-box time
+    is stable (~1.2 s here). Timed before AND after the battery and
+    recorded in the JSON so a contention-inflated run is self-evident:
+    BENCH_r07's committed core tier read ~2x its quiet re-run (q1 10.2 s
+    vs 2.9 s) with no way to tell from the artifact alone. If
+    sentinel_pre/post markedly exceed the committed quiet baseline, the
+    per-query numbers are inflated by neighbors, not regressions."""
+    return _best_of(
+        lambda: spark.range(0, 400_000_000, 1, 32)
+        .selectExpr("sum(id * 2654435761 % 1000000007) AS s")
+        .collect(),
+        n=1,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -356,6 +384,7 @@ def main() -> None:
 
     # warmup: JVM/codegen/parquet-footer caches
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
+    sentinel_pre = _sentinel(spark)
 
     # One broken query must never zero the whole artifact (BENCH_r04 was
     # rc=1/no-data because a single NTZ cast threw): record the error per
@@ -373,6 +402,8 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["q_join_bucketed_demo"] = str(ex).split("\n")[0][:200]
 
+    sentinel_post = _sentinel(spark)
+
     core_names = set(CORE) | {"q_join_unbucketed_smj", "q_join_bucketed_noshuffle"}
     core_times = {n: times[n] for n in times if n in core_names}
     full = {
@@ -380,6 +411,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "sentinel_pre": sentinel_pre,
+        "sentinel_post": sentinel_post,
         "sf": sf,
     }
     if errors:
@@ -402,6 +435,8 @@ def main() -> None:
         "core_total": round(sum(core_times.values()), 3),
         "n_queries": len(times),
         "n_errors": len(errors),
+        "sentinel_pre": sentinel_pre,
+        "sentinel_post": sentinel_post,
         "sf": sf,
     }
     line = json.dumps(compact)

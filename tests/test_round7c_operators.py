@@ -989,3 +989,47 @@ def test_ktruss_empty_result(spark):
 
     e = _edges(spark, [(1, 2), (2, 3)])  # no triangles at all
     assert ktruss(e, k=3).count() == 0
+
+
+def test_ktruss_rejects_nonpositive_max_iter(spark):
+    """max_iter < 1 must raise up-front (ADVICE r7: it previously fell
+    through the loop and raised UnboundLocalError on ``surv``)."""
+    import pytest
+
+    from ups_crossref_etl_spark.operators.graph import ktruss
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    with pytest.raises(ValueError, match="max_iter"):
+        ktruss(e, k=3, max_iter=0)
+
+
+# -------------------------------------------------- dense triangle count
+
+
+def test_triangle_count_dense_matches_sparse(spark):
+    """Dense bitset path and sparse degree-oriented wedge join agree on
+    a graph mixing a clique, a pendant, and an isolated triangle."""
+    from ups_crossref_etl_spark.operators.graph import (
+        triangle_count,
+        triangle_count_dense,
+    )
+
+    # K5 on 1-5 (10 triangles) + pendant 6 + triangle 7-8-9
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    e = _edges(spark, k5 + [(5, 6), (7, 8), (8, 9), (7, 9)])
+    assert triangle_count(e).first()["n_triangles"] == 11
+    assert triangle_count_dense(e).first()["n_triangles"] == 11
+    # auto-dispatch picks dense under the bound, sparse above it —
+    # both exact, same answer
+    assert triangle_count(e, dense_max_nodes=16).first()["n_triangles"] == 11
+    assert triangle_count(e, dense_max_nodes=3).first()["n_triangles"] == 11
+
+
+def test_triangle_count_dense_node_bound_raises(spark):
+    import pytest
+
+    from ups_crossref_etl_spark.operators.graph import triangle_count_dense
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    with pytest.raises(ValueError, match="max_nodes"):
+        triangle_count_dense(e, max_nodes=3)

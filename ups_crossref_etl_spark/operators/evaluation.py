@@ -86,6 +86,7 @@ def calibration_bins(
     id_col: str,
     n_bins: int = 10,
     round_digits: int = 4,
+    mode: str = "exact",
 ) -> DataFrame:
     """Reliability-diagram bins: rows ranked by score into ``n_bins``
     equal-count bins (ntile over the (score, …) total order), per bin
@@ -94,18 +95,33 @@ def calibration_bins(
     pos_rate tracking mean_score bin by bin; AUC (``binary_auc``) can
     be high while calibration is junk, which is why both ship.
 
-    One global ntile window + one groupBy. The ntile window orders ALL
-    rows — at corpus scale swap the window for percentile-cutoff
-    assignment (``percentile_approx`` on the score → codegen bin
-    lookup), same output contract; the window form is the exact gate
-    reference. Scores must be quantized/integer so bin boundaries are
+    ``mode="exact"`` (default): one global ntile window + one groupBy —
+    the hash-exact gate reference; the ntile window orders ALL rows, so
+    it is for bounded/gate inputs only. ``mode="approx"``: the 100 TB
+    path — :func:`approx_bin_assign` turns one single-pass
+    ``percentile_approx`` into plan-literal cutoffs and a codegen
+    comparison chain (zero extra shuffles, no global sort); bins are
+    approximately equal-count and the contract is pinned by the
+    ``q_docs_calibration_approx_bound`` gate rather than hash equality.
+    Scores must be quantized/integer so exact-mode bin boundaries are
     engine-deterministic (the repo's scorers all are).
+
+    Rows with a NULL score or label are dropped up-front in both modes
+    (a NULL label would deflate pos_rate — counted in ``n`` but skipped
+    by ``sum``; a NULL score would sort into bin 1 silently).
     """
-    w = Window.orderBy(score_col)
-    binned = df.select(
+    base = df.select(
         F.col(score_col).cast("double").alias("_s"),
         F.col(label_col).cast("int").alias("_y"),
-    ).withColumn("bin", F.ntile(n_bins).over(w.orderBy("_s")))
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    if mode == "approx":
+        binned = approx_bin_assign(base, "_s", n_bins=n_bins)
+    elif mode == "exact":
+        binned = base.withColumn(
+            "bin", F.ntile(n_bins).over(Window.orderBy("_s"))
+        )
+    else:
+        raise ValueError(f"calibration_bins: unknown mode {mode!r}")
     return (
         binned.groupBy("bin")
         .agg(
@@ -774,6 +790,7 @@ def expected_calibration_error(
     label_col: str,
     id_col: str,
     n_bins: int = 10,
+    mode: str = "exact",
 ) -> DataFrame:
     """Expected Calibration Error (Naeini et al. 2015): bin rows into
     ``n_bins`` equal-count score bins and average ``|observed positive
@@ -791,16 +808,37 @@ def expected_calibration_error(
     before the size-weighted cross-bin sum, so both aggregates are
     exact integer arithmetic. Only the final /N division is floating.
 
-    Scale: same shape note as :func:`calibration_bins` — the exact
-    global ntile is the gate reference; at corpus scale swap in
-    percentile-cutoff bin assignment, same output contract.
+    Rows with a NULL score, label, or id are dropped up-front (repo
+    convention — a NULL label is counted by ``count`` but skipped by
+    ``sum``, silently deflating the bin's positive rate, and a NULL
+    score would sort into bin 1; state, don't guess).
+
+    Scale: ``mode="exact"`` (default) is the hash-exact gate reference
+    — a global ntile, bounded/gate inputs only. ``mode="approx"`` is
+    the 100 TB path: :func:`approx_bin_assign` percentile-cutoff bins
+    (one pass + codegen lookup, no global sort); its agreement with
+    exact ECE is pinned by the ``q_docs_ece_approx_bound`` gate.
     """
-    w = Window.orderBy(F.col("_s").asc(), F.col("_id").asc())
-    binned = df.select(
+    base = df.select(
         F.col(score_col).cast("double").alias("_s"),
         F.col(label_col).cast("int").alias("_y"),
         F.col(id_col).alias("_id"),
-    ).withColumn("bin", F.ntile(n_bins).over(w))
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_id").isNotNull()
+    )
+    if mode == "approx":
+        binned = approx_bin_assign(base, "_s", n_bins=n_bins)
+    elif mode == "exact":
+        binned = base.withColumn(
+            "bin",
+            F.ntile(n_bins).over(
+                Window.orderBy(F.col("_s").asc(), F.col("_id").asc())
+            ),
+        )
+    else:
+        raise ValueError(f"expected_calibration_error: unknown mode {mode!r}")
     per = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.sum(F.round(F.col("_s") * 1e6).cast("bigint")).alias("_sq"),

@@ -51,108 +51,90 @@ def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
 
 
 #: Current build round — keys the deterministic rotation in ``load_all``.
-_ROUND = 7
+_ROUND = 8
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 7 (newest first): waves
-#: 13-20 (Adamic-Adar, Cohen's kappa, modularity, langid classification
-#: report, Flesch readability, ECE, WOE/IV, blocking-quality audit,
-#: one-way ANOVA, diversity indices, RMST, funnel latency, item-item
-#: cosine, source vocabulary overlap, grouped mode, TWAP, script
-#: profile, Davies-Bouldin, winsorized mean, rate ratio, sequence gaps,
-#: Welch t, McNemar, hashed features, ORC round-trip), waves
-#: 4-12 (trimmed mean, KS+BH FDR screen, elasticity OLS, compression
-#: contrast, HITS, clustering
-#: coefficient, epoch order, JSONL round-trip, DiD, Mann-Whitney,
-#: conformal, sorted-neighborhood, DP simulation, Procrustes, vocab
-#: richness, QQ, burstiness, isotonic, AP, separability, Nelson-Aalen,
-#: decayed score, association, weighted median), wave 3's
-#: rank/uncertainty statistics (Kendall tau-b, Gini, RBO, jackknife SE,
-#: permutation test, lift deciles, n-gram novelty, cosine histogram,
-#: seasonal decomposition; poisson_bootstrap_ci and permutation_test
-#: replans via the pre-explode repartition), then wave 2's
-#: operator families (negative sampling, quota allocation, Zipf/Hill,
-#: session paths, HLL intersection, TextRank, attribution, PCA,
-#: Kneser-Ney, Spearman, Benford, Apriori baskets, winnowing, GSP
-#: sequences, Poisson bootstrap, FastSS edit join, KLL, WordPiece),
-#: then wave 1 (stupid backoff, HyperANF/two-hop, matryoshka, KS/chi2
-#: drift, Mann-Kendall/ACF, Theil-Sen cap, shard compaction) and the
-#: four ADVICE hardenings (leakage_safe_split typing, CDC payload
-#: tiebreak, mad_outliers NULLs, skyline NULL/NaN drop).
+#: (first ~50 entries) re-verifies them. Round 8 (genuinely changed ONLY
+#: — the r7 list front-loaded ~108 entries and starved the backlog; this
+#: round's list is exactly the new-or-modified set): the Adamic-Adar
+#: degree-cap rework (capped operational gate + bounded-subgraph exact
+#: twin + top-50 cap-agreement bound), the dense bitset triangle path
+#: behind clustering_coefficient, ktruss on the degree-oriented support
+#: join + max_iter guard, the percentile-cutoff ECE path + bound gate
+#: and the ECE/calibration NULL-filter hardening, rbo's distributed
+#: top-50 (orderBy+limit replacing the global row_number window), and
+#: the ADVICE NULL-convention fixes (ORC digest, rate ratio,
+#: Davies-Bouldin degenerate clusters).
 _CHANGED_THIS_ROUND = [
+    "q_docs_ece_approx_bound",
     "q_graph_adamic_adar",
-    "q_docs_rater_kappa",
-    "q_graph_modularity",
-    "q_docs_lang_report",
-    "q_docs_readability",
-    "q_docs_ece",
-    "q_orders_woe_iv",
-    "q_part_blocking_quality",
-    "q_events_anova_value_by_type",
-    "q_docs_diversity",
-    "q_events_rmst",
-    "q_events_funnel_latency",
-    "q_part_item_cosine",
-    "q_docs_source_overlap",
-    "q_orders_mode_priority",
-    "q_events_twap",
-    "q_docs_script_profile",
-    "q_emb_davies_bouldin",
-    "q_lineitem_winsorized_price",
-    "q_events_error_rate_ratio",
-    "q_orders_sequence_gaps",
-    "q_events_welch_value",
-    "q_docs_rater_mcnemar",
-    "q_docs_hashed_features",
-    "q_docs_orc_roundtrip",
-    "q_graph_transitive_closure",
-    "q_graph_scc",
-    "q_graph_spread_labels",
-    "q_graph_ktruss",
-    "q_events_trimmed_mean",
-    "q_events_user_drift_fdr",
-    "q_part_price_elasticity",
-    "q_docs_compression_contrast",
-    "q_graph_hits",
+    "q_graph_adamic_adar_exact",
+    "q_graph_adamic_adar_cap_agreement",
     "q_graph_clustering_coefficient",
-    "q_docs_training_order",
-    "q_docs_jsonl_roundtrip",
-    "q_events_did_readout",
-    "q_events_mann_whitney",
-    "q_events_conformal_interval",
-    "q_part_sorted_neighborhood",
-    "q_events_dp_noisy_counts",
-    "q_emb_procrustes_bound",
-    "q_docs_vocab_richness",
-    "q_events_qq_click_view",
-    "q_events_user_burstiness",
-    "q_emb_isotonic_calibration",
-    "q_emb_average_precision",
-    "q_emb_separability",
-    "q_events_nelson_aalen",
-    "q_events_decayed_user_score",
-    "q_events_type_hour_association",
-    "q_lineitem_weighted_median_price",
-    "q_events_kendall_tau",
-    "q_orders_gini_by_nation",
+    "q_graph_ktruss",
     "q_docs_rbo_rankings",
-    "q_lineitem_jackknife_ratio",
-    "q_events_permutation_test",
-    "q_emb_lift_deciles",
-    "q_docs_ngram_novelty",
-    "q_emb_cosine_histogram",
-    "q_events_seasonal_decompose",
-    "q_customer_rfm_segments",
-    "q_events_cuped_readout",
-    "q_events_holt_forecast",
-    "q_docs_ht_estimate",
-    "q_docs_best_entropy_split",
-    "q_part_abc_classification",
-    "q_docs_kll_group_quantiles",
-    "q_events_kaplan_meier",
-    "q_emb_mutual_top1_pairs",
-    "q_lineitem_fd_audit",
+    "q_docs_ece",
+    "q_docs_calibration_bins",
+    "q_docs_orc_roundtrip",
+    "q_events_error_rate_ratio",
+    "q_emb_davies_bouldin",
+]
+
+
+
+#: Gated queries never yet sampled by a driver correctness window
+#: (recomputed each round from the union of CORRECTNESS_r{1..N}.json
+#: plus the current round's projected 50-entry window). These sort
+#: directly AFTER _CHANGED_THIS_ROUND so leftover window slots drain
+#: this backlog before the md5 rotation fills the rest — guaranteeing
+#: monotone progress toward full driver coverage instead of relying on
+#: the rotation's expected-case behavior.
+#: Recomputed for r8 from the union of CORRECTNESS_r{1..7}.json (252
+#: distinct names ever sampled) against the gated registry: 82 gated
+#: entries have never been driver-sampled (mostly the deep tail of r7's
+#: oversized changed-list). Ordered oldest-wave-first so the longest-
+#: waiting entries drain first into the ~38 window slots the r8 changed
+#: tier leaves free.
+_NEVER_DRIVER_SAMPLED = [
+    "q_stream_trending_topk",
+    "q_docs_approx_bins_bound",
+    "q_orders_table_digest",
+    "q9_product_type_profit",
+    "q_docs_nucleus_select",
+    "q_docs_auc_lang_by_length",
+    "q20_potential_promotion",
+    "q_docs_quantile_normalize",
+    "q16_parts_supplier_counts",
+    "q_docs_pack_bpe_sequences",
+    "q_events_late_arrivals",
+    "q2_min_cost_supplier",
+    "q_media_bmp_features",
+    "q_events_transition_matrix",
+    "q_emb_rp_recall_bound",
+    "q_docs_quantile_normalize_approx_bound",
+    "q_events_mean_shift",
+    "q11_important_stock",
+    "q_docs_bpe_encode",
+    "q_docs_char_entropy",
+    "q_media_wav_spectrum",
+    "q_media_wav_features",
+    "q_events_interval_union",
+    "q_media_image_neardup",
+    "q_events_ab_readout",
+    "q_docs_profile_drift",
+    "q_docs_stupid_backoff_nll",
+    "q_graph_two_hop_reach",
+    "q_graph_hyperanf_bound",
+    "q_emb_matryoshka_prefix",
+    "q_emb_matryoshka_recall_bound",
+    "q_events_ks_drift",
+    "q_events_chisq_drift",
+    "q_events_mann_kendall",
+    "q_events_acf",
+    "q_events_theil_sen_capped",
+    "q_docs_shards_compaction_identity",
+    "q_events_theil_sen_cap_agreement",
     "q_emb_negative_sampling",
     "q_docs_quota_allocate",
     "q_docs_zipf_power_law",
@@ -175,60 +157,27 @@ _CHANGED_THIS_ROUND = [
     "q_events_kll_quantiles_bound",
     "q_docs_wordpiece_segment",
     "q_docs_wordpiece_token_counts",
-    "q_docs_stupid_backoff_nll",
-    "q_graph_two_hop_reach",
-    "q_graph_hyperanf_bound",
-    "q_emb_matryoshka_prefix",
-    "q_emb_matryoshka_recall_bound",
-    "q_events_ks_drift",
-    "q_events_chisq_drift",
-    "q_events_mann_kendall",
-    "q_events_acf",
-    "q_events_theil_sen_capped",
-    "q_docs_shards_compaction_identity",
-    "q_events_theil_sen_cap_agreement",
-    "q_events_theil_sen",
-    "q_docs_leakage_safe_split",
-    "q_docs_split_leakage_audit",
-    "q_stream_cdc_apply",
-    "q_events_mad_outliers",
-    "q_part_skyline",
-]
-
-
-
-#: Gated queries never yet sampled by a driver correctness window
-#: (recomputed each round from the union of CORRECTNESS_r{1..N}.json
-#: plus the current round's projected 50-entry window). These sort
-#: directly AFTER _CHANGED_THIS_ROUND so leftover window slots drain
-#: this backlog before the md5 rotation fills the rest — guaranteeing
-#: monotone progress toward full driver coverage instead of relying on
-#: the rotation's expected-case behavior.
-_NEVER_DRIVER_SAMPLED = [
-    "q_stream_trending_topk",
-    "q_docs_approx_bins_bound",
-    "q_orders_table_digest",
-    "q9_product_type_profit",
-    "q_docs_nucleus_select",
-    "q_docs_auc_lang_by_length",
-    "q20_potential_promotion",
-    "q_docs_quantile_normalize",
-    "q16_parts_supplier_counts",
-    "q_docs_pack_bpe_sequences",
-    "q_events_late_arrivals",
-    "q2_min_cost_supplier",
-    "q_media_bmp_features",
-    "q_events_transition_matrix",
-    "q_emb_rp_recall_bound",
-    "q_docs_quantile_normalize_approx_bound",
-    "q_events_mean_shift",
-    "q11_important_stock",
-    "q_docs_bpe_encode",
-    "q_docs_calibration_bins",
-    "q_docs_char_entropy",
-    "q_media_wav_spectrum",
-    "q_media_wav_features",
-    "q_events_interval_union",
+    "q_events_kendall_tau",
+    "q_orders_gini_by_nation",
+    "q_lineitem_jackknife_ratio",
+    "q_events_permutation_test",
+    "q_emb_lift_deciles",
+    "q_docs_ngram_novelty",
+    "q_emb_cosine_histogram",
+    "q_events_seasonal_decompose",
+    "q_events_decayed_user_score",
+    "q_events_type_hour_association",
+    "q_lineitem_weighted_median_price",
+    "q_customer_rfm_segments",
+    "q_events_cuped_readout",
+    "q_events_holt_forecast",
+    "q_docs_ht_estimate",
+    "q_docs_best_entropy_split",
+    "q_part_abc_classification",
+    "q_docs_kll_group_quantiles",
+    "q_events_kaplan_meier",
+    "q_emb_mutual_top1_pairs",
+    "q_lineitem_fd_audit",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
@@ -243,19 +192,19 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed after r7 wave 20: the registry holds 337
-    entries (327 gated, every one with an oracle); ``_CHANGED_THIS_ROUND``
-    alone now holds 108 genuinely-new-or-modified entries, so the 50-slot
-    window is fully consumed by its head (the 25 wave-13-20 additions plus
-    the most recent earlier-wave entries); the changed-tier overflow and
-    the 24-entry backlog drain over the next ~4 rounds, every entry
-    meanwhile FULLCHECK-verified locally each round. gate=False entries
-    sort after all gated ones — they are never driver-sampled. The full
-    battery additionally runs locally per-round via
-    tools/check_queries.py --json (committed as FULLCHECK_r{N}.json).
+    probabilistic. Recomputed for r8: ``_CHANGED_THIS_ROUND`` lists ONLY
+    the genuinely new-or-modified entries (the r7 verdict flagged the
+    previous 108-entry list as starving the backlog), so the ~50-slot
+    window re-verifies every change and then drains ~38 of the 82
+    never-sampled backlog entries; every entry is meanwhile
+    FULLCHECK-verified locally each round. gate=False entries sort after
+    all gated ones — they are never driver-sampled. The full battery
+    additionally runs locally per-round via tools/check_queries.py
+    --json (committed as FULLCHECK_r{N}.json).
     """
     import hashlib
 
+    from . import round8_queries  # noqa: F401
     from . import round7_queries  # noqa: F401
     from . import round7b_queries  # noqa: F401
     from . import round7c_queries  # noqa: F401

@@ -210,13 +210,23 @@ def q_docs_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(dedup._tokens(F.col("text"))).alias("n_words"),
     )
-    wa = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    wb = Window.orderBy(F.col("n_words").desc(), F.col("doc_id").asc())
-    ra = base.select("doc_id", F.row_number().over(wa).alias("rank")).filter(
-        F.col("rank") <= 50
+    # Top-50 via orderBy().limit() — a distributed TakeOrdered — with the
+    # rank window applied AFTER the limit, over 50 rows only. A global
+    # row_number() window over the full table would move every document
+    # to one partition (the r7 scale-killer finding); this shape keeps
+    # the full-table work distributed and only the bounded 50-row rank
+    # assignment single-partition.
+    oa = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ob = [F.col("n_words").desc(), F.col("doc_id").asc()]
+    ra = (
+        base.orderBy(*oa)
+        .limit(50)
+        .select("doc_id", F.row_number().over(Window.orderBy(*oa)).alias("rank"))
     )
-    rb = base.select("doc_id", F.row_number().over(wb).alias("rank")).filter(
-        F.col("rank") <= 50
+    rb = (
+        base.orderBy(*ob)
+        .limit(50)
+        .select("doc_id", F.row_number().over(Window.orderBy(*ob)).alias("rank"))
     )
     return rank_biased_overlap(ra, rb, "doc_id", "rank", depth=50, p=0.9)
 
@@ -1801,7 +1811,15 @@ def q_graph_clustering_coefficient(
             F.col("b.l_suppkey").alias("dst"),
         )
     )
-    return clustering_coefficient(e)
+    # The supplier co-order graph is a bounded near-clique (suppliers are
+    # a dimension; 1000 nodes / 91% density at sf0.1, 124M triangles) —
+    # the node-count preflight dispatches it to the dense bitset path,
+    # which streams 57 MB of adjacency ANDs instead of shuffling 137M
+    # wedge rows (orientation cannot help a clique: wedge counts are
+    # orientation-invariant there, measured ±0.1%). A sparse/power-law
+    # graph over the same operator falls through to the degree-oriented
+    # wedge join automatically.
+    return clustering_coefficient(e, dense_max_nodes=16384)
 
 
 # --------------------------------------------------------------------------
