@@ -969,8 +969,12 @@ def davies_bouldin(
     (:func:`embedding_separability`): DB penalizes the WORST
     neighboring cluster per cluster, not the average.
 
-    Returns ONE row ``(n_vecs, n_clusters, db_index)``; NULL when
-    fewer than 2 clusters.
+    Returns ONE row ``(n_vecs, n_clusters, db_index)`` with the counts
+    over ALL clusters; ``db_index`` is NULL when fewer than 2 clusters
+    OR when any cluster's centroid coincides with every other centroid
+    (d²=0 pairs make its worst-pair ratio mathematically infinite —
+    averaging the surviving clusters would silently under-report, so
+    the degenerate case surfaces as NULL instead).
 
     Determinism and shape: everything reduces to per-(label, dim)
     sufficient statistics (n, sum, sum-of-squares) over micro-quantized
@@ -1052,17 +1056,35 @@ def davies_bouldin(
         .groupBy("_la")
         .agg(F.max("_na").alias("_na"), F.max("_r").alias("_w"))
     )
-    return worst.agg(
-        F.sum("_na").cast("bigint").alias("n_vecs"),
+    # totals over ALL clusters, not just those surviving the d2>0 filter:
+    # a cluster whose centroid coincides with every other centroid has a
+    # mathematically INFINITE worst-pair ratio — averaging over the
+    # survivors would silently under-report the index (ADVICE r7), so
+    # n_vecs/n_clusters report the true totals and db_index is NULL
+    # whenever any cluster lost all its pairs to the filter.
+    totals = scat.agg(
+        F.sum("_n").cast("bigint").alias("n_vecs"),
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
-        (
-            F.round(
-                F.when(
-                    F.count(F.lit(1)) > 1,
-                    F.avg(F.col("_w").cast("double")) / 1e9,
-                ),
-                6,
-            )
-            + 0.0
-        ).alias("db_index"),
+    )
+    surv = worst.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k_surv"),
+        F.avg(F.col("_w").cast("double")).alias("_mean_w"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(surv))
+        .select(
+            "n_vecs",
+            "n_clusters",
+            (
+                F.round(
+                    F.when(
+                        (F.col("n_clusters") > 1)
+                        & (F.col("_k_surv") == F.col("n_clusters")),
+                        F.col("_mean_w") / 1e9,
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("db_index"),
+        )
     )

@@ -1315,13 +1315,20 @@ def q_docs_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN scat sa ON d2.la = sa.l
       JOIN scat sb ON d2.lb = sb.l
       WHERE d2.d2 > 0
-      GROUP BY d2.la)
-    SELECT CAST(sum(na) AS BIGINT) AS n_vecs,
-           CAST(count(*) AS BIGINT) AS n_clusters,
-           round(CASE WHEN count(*) > 1
-                 THEN avg(CAST(w AS DOUBLE)) / 1e9 END, 6) + 0.0
-             AS db_index
-    FROM worst
+      GROUP BY d2.la),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+             CAST(count(*) AS BIGINT) AS n_clusters
+      FROM scat),
+    sv AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_surv,
+             avg(CAST(w AS DOUBLE)) AS mean_w
+      FROM worst)
+    SELECT tot.n_vecs, tot.n_clusters,
+           round(CASE WHEN tot.n_clusters > 1
+                       AND sv.k_surv = tot.n_clusters
+                 THEN sv.mean_w / 1e9 END, 6) + 0.0 AS db_index
+    FROM tot CROSS JOIN sv
     """,
     doc=(
         "Davies-Bouldin index (operators/similarity.davies_bouldin) of "
@@ -1455,7 +1462,13 @@ def q_events_error_rate_ratio(
         F.when(F.col("user_id") % 2 == 0, "even")
         .otherwise("odd")
         .alias("cohort"),
-        (F.col("event_type") == "error").alias("is_error"),
+        # coalesce to False so a NULL event_type counts as a ZERO-EVENT
+        # exposure row on both engines (the oracle's CASE ... ELSE 0
+        # does the same); without it the operator's NULL-drop convention
+        # would silently shrink n_a/n_b relative to the oracle (ADVICE r7)
+        F.coalesce(F.col("event_type") == "error", F.lit(False)).alias(
+            "is_error"
+        ),
     )
     return rate_ratio(e, "cohort", "is_error")
 
@@ -1698,7 +1711,7 @@ def q_docs_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(lang, '<NULL>') || '|' ||
                coalesce(source, '<NULL>') || '|' ||
                coalesce(CAST(n_chars AS VARCHAR), '<NULL>') || '|' ||
-               md5(text)), 1, 15) AS BIGINT) AS h
+               coalesce(md5(text), '<NULL>')), 1, 15) AS BIGINT) AS h
       FROM documents)
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(bit_xor(h) AS BIGINT) AS digest
@@ -1736,7 +1749,11 @@ def q_docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("lang"), F.lit("<NULL>")),
             F.coalesce(F.col("source").cast("string"), F.lit("<NULL>")),
             F.coalesce(F.col("n_chars").cast("string"), F.lit("<NULL>")),
-            F.md5("text"),
+            # coalesce BOTH engines' text hash: Spark's concat_ws silently
+            # drops a NULL component while DuckDB's '||' nulls the whole
+            # row hash and bit_xor then skips it — a NULL-text document
+            # would silently diverge the digests (ADVICE r7)
+            F.coalesce(F.md5("text"), F.lit("<NULL>")),
         )
         h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
         out = reread.agg(
