@@ -1315,6 +1315,146 @@ def winsorized_mean(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H rank test across k groups, one row: ``(n, k,
+    h, h_corrected)`` — the k-sample generalization of
+    :func:`mann_whitney` (distribution-free one-way "ANOVA on ranks"),
+    with the tie-corrected statistic ``H / (1 - sum(t^3 - t) /
+    (N^3 - N))``.
+
+    Scale shape (the ``binary_auc`` / ``mann_whitney`` trick): the only
+    corpus-sized shuffle is the aggregate to DISTINCT values — per
+    value a total count and per-(value, group) counts — then ONE
+    cumulative window over the distinct-value table assigns exact
+    midranks, and a value-keyed join + group-keyed sum produces the
+    per-group rank sums. No global per-row ranking window ever runs.
+
+    Determinism: midranks are exact halves (k + (t+1)/2), so their
+    count-weighted sums are exact in doubles below 2^52 and
+    order-independent; the tie term is an exact BIGINT aggregate; H is
+    a one-shot double expression, rounded 6 dp.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    per_v = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t")
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    midranks = per_v.select(
+        "_v",
+        "_t",
+        (
+            F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("double")
+            + (F.col("_t") + 1).cast("double") / 2.0
+        ).alias("_midrank"),
+    )
+    per_vg = base.groupBy("_v", "_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    per_g = (
+        per_vg.join(midranks.select("_v", "_midrank"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("bigint").alias("_n"),
+            F.sum(F.col("_c") * F.col("_midrank")).alias("_r"),
+        )
+    )
+    ties = midranks.agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("bigint")
+        .alias("_ties")
+    )
+    # each group's R^2/n term rounds to BIGINT before the k-row sum, so
+    # no double accumulation order can differ cross-engine
+    agg = per_g.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                F.col("_r") * F.col("_r") / F.col("_n").cast("double")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("_rr"),
+    ).crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1.0)) * F.col("_rr") - 3.0 * (nn + 1.0)
+    corr = 1.0 - F.col("_ties").cast("double") / (nn * nn * nn - nn)
+    ok = (F.col("n") > 1) & (F.col("k") > 1)
+    return agg.select(
+        "n",
+        "k",
+        (F.round(F.when(ok, h), 6) + 0.0).alias("h"),
+        (
+            F.round(F.when(ok & (corr > 0.0), h / corr), 6) + 0.0
+        ).alias("h_corrected"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame, score_col: str, flag_col: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary outcome's rate
+    monotonically associated with an ORDINAL exposure score? One row:
+    ``(n, n_pos, k_levels, z_trend)`` with
+
+    ``z = sum(w_i * (r_i - n_i * pbar)) / sqrt(pbar * (1 - pbar) *
+    (sum(w_i^2 n_i) - (sum(w_i n_i))^2 / N))``
+
+    over exposure levels i with score w_i, level size n_i, level
+    positives r_i, and overall rate pbar — the dose-response
+    complement to :func:`woe_iv` (which ignores level ORDER) and the
+    2xk refinement of a chi-square independence test (which spends
+    k-1 df where the trend test spends 1).
+
+    Plan shape: one level-keyed aggregate (level count is tiny), then
+    a single-row reduction — every sum over exact BIGINT counts, the z
+    a one-shot double, rounded 6 dp. NULL z when the variance term is
+    0 (all one level, or rate 0/1 everywhere).
+    """
+    base = df.select(
+        F.col(score_col).cast("double").alias("_w"),
+        F.when(F.col(flag_col).cast("boolean"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("_y"),
+    ).filter(F.col("_w").isNotNull())
+    per = base.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_y").cast("bigint").alias("_r"),
+    )
+    agg = per.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_r").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("k_levels"),
+        F.sum(F.col("_w") * F.col("_r").cast("double")).alias("_wr"),
+        F.sum(F.col("_w") * F.col("_n").cast("double")).alias("_wn"),
+        F.sum(F.col("_w") * F.col("_w") * F.col("_n").cast("double")).alias(
+            "_wwn"
+        ),
+    )
+    nn = F.col("n").cast("double")
+    pbar = F.col("n_pos").cast("double") / nn
+    num = F.col("_wr") - pbar * F.col("_wn")
+    var = pbar * (1.0 - pbar) * (
+        F.col("_wwn") - F.col("_wn") * F.col("_wn") / nn
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        "k_levels",
+        (
+            F.round(F.when(var > 0.0, num / F.sqrt(var)), 6) + 0.0
+        ).alias("z_trend"),
+    )
+
+
 def welch_t(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Welch's unequal-variance t readout between exactly two groups:
     means, sample variances, the t statistic, and the
