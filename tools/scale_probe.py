@@ -971,6 +971,42 @@ def main() -> None:
         ic_1.count(), ic_N.count(),
     )
 
+    # round 8: the wedge family (VERDICT r7 item 6) — capped Adamic-Adar
+    # (the benched operational path), degree-oriented clustering
+    # coefficient, and k-truss, all on the same N-disjoint-copy co-order
+    # graph: node count grows N x at constant per-node degree, so wedge
+    # work (sum out-deg^2) must grow ~linearly
+    from ups_crossref_etl_spark.operators.graph import (
+        clustering_coefficient,
+        ktruss,
+        neighbor_jaccard,
+    )
+
+    probe(
+        "adamic_adar_capped",
+        lambda: adamic_adar(aa_e1, top_n=50, max_degree=90).count(),
+        lambda: adamic_adar(aa_eN, top_n=50, max_degree=90).count(),
+        aa_e1.count(), aa_eN.count(),
+    )
+    probe(
+        "clustering_coefficient",
+        lambda: clustering_coefficient(aa_e1).count(),
+        lambda: clustering_coefficient(aa_eN).count(),
+        aa_e1.count(), aa_eN.count(),
+    )
+    probe(
+        "ktruss",
+        lambda: ktruss(aa_e1, k=4).count(),
+        lambda: ktruss(aa_eN, k=4).count(),
+        aa_e1.count(), aa_eN.count(),
+    )
+    probe(
+        "neighbor_jaccard_capped",
+        lambda: neighbor_jaccard(aa_e1, top_n=50, max_degree=90).count(),
+        lambda: neighbor_jaccard(aa_eN, top_n=50, max_degree=90).count(),
+        aa_e1.count(), aa_eN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")
     if only and os.path.exists(out_path):

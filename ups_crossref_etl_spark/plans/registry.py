@@ -67,6 +67,14 @@ _ROUND = 8
 #: the ADVICE NULL-convention fixes (ORC digest, rate ratio,
 #: Davies-Bouldin degenerate clusters).
 _CHANGED_THIS_ROUND = [
+    # round-8 wave 2: new operators
+    "q_graph_closeness",
+    "q_graph_neighbor_jaccard",
+    "q_graph_neighbor_jaccard_exact",
+    "q_lineitem_kruskal_wallis",
+    "q_orders_trend_test",
+    "q_emb_dbscan",
+    # round-8 wave 1: r7-verdict reworks
     "q_docs_ece_approx_bound",
     "q_graph_adamic_adar",
     "q_graph_adamic_adar_exact",
