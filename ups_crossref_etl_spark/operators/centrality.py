@@ -178,3 +178,39 @@ def closeness_centrality(
             F.round(F.coalesce(F.col("_hn"), F.lit(0)) / 1e9, 6) + 0.0
         ).alias("harmonic"),
     )
+
+
+def eccentricity(
+    edges: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Per-node eccentricity (max hop distance to any reachable node)
+    of a bounded graph, plus the graph's diameter/radius derived from
+    it downstream: ``(node, n_reached, eccentricity)`` — eccentricity
+    0 for isolated nodes (nothing reachable). The "how deep does this
+    component go" profile that sizes BFS-style passes (label
+    spreading, closure) before running them.
+
+    Built on :func:`hop_distances` (min-plus path doubling), so it
+    inherits the bounded-subgraph contract; the reduction is one
+    node-keyed max aggregate.
+    """
+    dist = hop_distances(
+        edges, directed=directed, max_rounds=max_rounds, strict=True
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    per = dist.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_r"),
+        F.max("dist").cast("bigint").alias("_e"),
+    )
+    return nodes.join(per, "node", "left").select(
+        "node",
+        F.coalesce("_r", F.lit(0)).cast("bigint").alias("n_reached"),
+        F.coalesce("_e", F.lit(0)).cast("bigint").alias("eccentricity"),
+    )

@@ -865,3 +865,105 @@ def expected_calibration_error(
         ).alias("ece"),
         (F.round(F.max("_g") / 1e9, 6) + 0.0).alias("max_ce"),
     )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    pair_id_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N (Lin 2004) between a candidate and a reference text per
+    pair: clipped n-gram overlap with ``recall = sum_g min(c_cand(g),
+    c_ref(g)) / sum_g c_ref(g)``, plus the symmetric precision and F1
+    — the n-gram eval metric for summarization/generation quality, and
+    at corpus scale the cheap "did the rewrite keep the content?"
+    audit for augmentation / decontamination passes (compare original
+    vs transformed documents pairwise).
+
+    Returns one row per pair: ``(pair_id, n_ref_grams, n_cand_grams,
+    n_clipped, rouge_recall, rouge_precision, rouge_f1)``. Pairs whose
+    reference has < n tokens get 0-gram counts and NULL metrics (the
+    honest value — there is nothing to recall).
+
+    Plan shape: both sides explode to (pair, gram) counts (two linear
+    passes, token-keyed aggregates), then ONE (pair, gram) equi-join
+    computes the clipped minima and a pair-keyed sum reduces — never a
+    text-by-text nested loop, and shuffles carry grams + counts, not
+    documents. Metrics are ratios of exact BIGINTs, one-shot doubles
+    rounded 6 dp (cross-engine exact).
+    """
+
+    def grams(col: str, alias: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(col)), r"[^a-z0-9]+"), lambda t: t != ""
+        )
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return (
+            pairs.select(F.col(pair_id_col).alias("_pid"), g.alias("_g"))
+            .select("_pid", F.explode_outer("_g").alias("gram"))
+            .groupBy("_pid", "gram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    cg = grams(cand_col, "_cc")
+    rg = grams(ref_col, "_cr")
+    # full outer on (pair, gram): clipped = min(c_cand, c_ref) -> only
+    # the inner part contributes, but the outer sides carry the totals
+    j = cg.join(rg, ["_pid", "gram"], "full_outer")
+    # NULL-gram rows from explode_outer (short texts) contribute gram
+    # NULL with count >= 1 — strip them from the totals
+    per = (
+        j.filter(F.col("gram").isNotNull())
+        .groupBy("_pid")
+        .agg(
+            F.sum(F.coalesce(F.col("_cr"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_ref_grams"),
+            F.sum(F.coalesce(F.col("_cc"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_cand_grams"),
+            F.sum(
+                F.when(
+                    F.col("_cc").isNotNull() & F.col("_cr").isNotNull(),
+                    F.least("_cc", "_cr"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
+    all_pids = pairs.select(F.col(pair_id_col).alias("_pid")).distinct()
+    per = all_pids.join(per, "_pid", "left").select(
+        "_pid",
+        F.coalesce("n_ref_grams", F.lit(0)).cast("bigint").alias("n_ref_grams"),
+        F.coalesce("n_cand_grams", F.lit(0))
+        .cast("bigint")
+        .alias("n_cand_grams"),
+        F.coalesce("n_clipped", F.lit(0)).cast("bigint").alias("n_clipped"),
+    )
+    rec = F.when(
+        F.col("n_ref_grams") > 0,
+        F.col("n_clipped") / F.col("n_ref_grams").cast("double"),
+    )
+    prec = F.when(
+        F.col("n_cand_grams") > 0,
+        F.col("n_clipped") / F.col("n_cand_grams").cast("double"),
+    )
+    f1 = F.when(
+        rec.isNotNull() & prec.isNotNull() & ((rec + prec) > 0.0),
+        2.0 * rec * prec / (rec + prec),
+    )
+    return per.select(
+        F.col("_pid").alias(pair_id_col),
+        "n_ref_grams",
+        "n_cand_grams",
+        "n_clipped",
+        (F.round(rec, 6) + 0.0).alias("rouge_recall"),
+        (F.round(prec, 6) + 0.0).alias("rouge_precision"),
+        (F.round(f1, 6) + 0.0).alias("rouge_f1"),
+    )

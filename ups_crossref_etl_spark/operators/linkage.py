@@ -245,3 +245,79 @@ def blocking_quality(
             ).alias("pair_completeness"),
         )
     )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    label_col: str,
+    field_cols: list[str],
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Fellegi-Sunter (1969) match/unmatch weight estimation from a
+    labeled candidate-pair table: for each comparison field, the
+    conditional agreement probabilities ``m = P(agree | match)`` and
+    ``u = P(agree | non-match)`` and the log-likelihood-ratio weights
+    ``w_agree = log2(m/u)`` / ``w_disagree = log2((1-m)/(1-u))`` — the
+    classic probabilistic record-linkage scoring model (a pair's match
+    score is the sum of its fields' weights), and the principled
+    replacement for hand-tuned fuzzy-match thresholds once ANY labeled
+    sample exists (a clerical-review slice, a known-duplicate seed
+    set).
+
+    ``pairs`` has one row per candidate pair with boolean
+    ``field_cols`` (did the field agree?) and a boolean ``label_col``
+    (is the pair a true match?). Returns one row per field:
+    ``(field, n_match, n_unmatch, m_prob, u_prob, w_agree,
+    w_disagree)``.
+
+    Probabilities are add-``smoothing`` Laplace-smoothed
+    (``(agree + s) / (n + 2s)``) so zero-agreement fields get finite
+    weights; every count is an exact BIGINT aggregate and each output
+    is a one-shot double (rounded 6 dp) — cross-engine reproducible.
+
+    Plan shape: one melt (explode of a literal field-name/value struct
+    array, width = #fields) then one (field)-keyed aggregate — linear
+    in pairs, aggregate output has #fields rows. Candidate generation
+    is upstream (``sorted_neighborhood_pairs``, ``fuzzy_match_pairs``,
+    LSH) — this operator never joins.
+    """
+    melted = pairs.select(
+        F.col(label_col).cast("boolean").alias("_m"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col(c).cast("boolean").alias("_a"),
+                    )
+                    for c in field_cols
+                ]
+            )
+        ).alias("_f"),
+    ).select("_m", F.col("_f.field").alias("field"), F.col("_f._a").alias("_a"))
+    per = melted.groupBy("field").agg(
+        F.sum(F.when(F.col("_m"), 1).otherwise(0)).cast("bigint").alias("n_match"),
+        F.sum(F.when(~F.col("_m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatch"),
+        F.sum(F.when(F.col("_m") & F.col("_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_am"),
+        F.sum(F.when(~F.col("_m") & F.col("_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_au"),
+    )
+    s = float(smoothing)
+    m_prob = (F.col("_am") + s) / (F.col("n_match").cast("double") + 2 * s)
+    u_prob = (F.col("_au") + s) / (F.col("n_unmatch").cast("double") + 2 * s)
+    return per.select(
+        "field",
+        "n_match",
+        "n_unmatch",
+        (F.round(m_prob, 6) + 0.0).alias("m_prob"),
+        (F.round(u_prob, 6) + 0.0).alias("u_prob"),
+        (F.round(F.log2(m_prob / u_prob), 6) + 0.0).alias("w_agree"),
+        (
+            F.round(F.log2((1.0 - m_prob) / (1.0 - u_prob)), 6) + 0.0
+        ).alias("w_disagree"),
+    )

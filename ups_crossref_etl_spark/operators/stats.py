@@ -1523,3 +1523,38 @@ def welch_t(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         (F.round(F.when(ok, t), 6) + 0.0).alias("t_stat"),
         (F.round(F.when(ok, dfw), 4) + 0.0).alias("df_welch"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with group MEDIAN centers):
+    do the k groups have equal SPREAD? Runs a one-way ANOVA on the
+    absolute deviations ``z = |v - median(group)|`` — the
+    heteroscedasticity screen that should PRECEDE a plain ANOVA (whose
+    equal-variance assumption it checks), robust to non-normality
+    where the original mean-centered Levene is not.
+
+    Returns ONE row ``(n_groups, n, df_between, df_within, f_stat)``
+    (NULL f when degenerate — the :func:`anova_oneway` conventions).
+
+    Shape: one grouped exact-percentile aggregate for the medians
+    (group-count-sized; the 100 TB swap-in is ``approx_percentile``,
+    same contract as ``mad_outliers``), one broadcastable join back,
+    then the :func:`anova_oneway` moment machinery on ``z`` (exact
+    DECIMAL sums, micro-quantized between-group terms).
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    med = base.groupBy("_g").agg(
+        F.percentile("_v", F.lit(0.5)).alias("_m")
+    )
+    z = base.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_m")).alias("_z")
+    )
+    out = anova_oneway(z, "_g", "_z")
+    return out.select(
+        "n_groups", "n", "df_between", "df_within", "f_stat"
+    )

@@ -1185,3 +1185,126 @@ def time_weighted_average(
         "span_us",
         (F.round(twap, 6) + 0.0).alias("twap"),
     )
+
+
+def cusum_flags(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    slack: float = 0.5,
+    threshold: float = 4.0,
+    max_points_per_key: int = 512,
+) -> DataFrame:
+    """Per-key two-sided CUSUM drift detection (Page 1954): standardize
+    each key's series against its OWN mean/std, run the cumulative-sum
+    recursions ``S+ = max(0, S+ + z - slack)`` / ``S- = max(0, S- - z -
+    slack)``, and flag keys whose max excursion crosses ``threshold``
+    (in σ units) — the classic sequential changepoint detector, the
+    sustained-shift complement to :func:`mean_shift_scores` (single
+    split point) and ``rolling_zscore_outliers`` (pointwise spikes):
+    CUSUM accumulates many small same-direction deviations a pointwise
+    z never sees.
+
+    Returns one row per key: ``(key, n_points, max_cusum_pos,
+    max_cusum_neg, drifted)``; keys with < 2 points or zero variance
+    report 0 excursions (no evidence, not NULL-poisoned).
+
+    Scale shape: per-key DECIMAL moment sums (exact, order-free) and a
+    ``collect_list`` of (ts, id, value) structs happen in ONE key-keyed
+    aggregate; the CUSUM fold runs inside ``F.aggregate`` over the
+    ``array_sort``-ed struct array — row-local, codegen'd, no Python.
+    The recursion is inherently sequential per key, so per-key history
+    is the memory bound: ``max_points_per_key`` truncates to the
+    EARLIEST points by (ts, id) (deterministic; the kendall_tau cap
+    convention). At 100 TB: millions of keys fold in parallel, each
+    bounded; an unbounded-history key needs the streaming CUSUM shape
+    (applyInPandasWithState) instead.
+
+    Determinism: the fold order is pinned by ``array_sort`` on (ts,
+    id); mean/std come from exact DECIMAL sums; every fold step is the
+    same IEEE double expression a SQL oracle replays in the same order
+    — outputs round 6 dp.
+    """
+    dec = "decimal(38,12)"
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_i"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_k").isNotNull() & F.col("_v").isNotNull())
+    # cap BEFORE the moments so the standardization and the fold see the
+    # same points (a per-key window — partitioned, scale-safe)
+    wk = Window.partitionBy("_k").orderBy("_t", "_i")
+    capped = base.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= max_points_per_key
+    )
+    per = capped.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_v").cast(dec)).alias("_s"),
+        F.sum((F.col("_v").cast(dec) * F.col("_v").cast(dec)).cast(dec)).alias(
+            "_q"
+        ),
+        F.array_sort(F.collect_list(F.struct("_t", "_i", "_v"))).alias(
+            "_pts"
+        ),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = F.when(
+        F.col("_n") > 1,
+        (F.col("_q").cast("double") - F.col("_s").cast("double") * F.col("_s").cast("double") / n)
+        / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    k = float(slack)
+    state0 = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0.0).alias("mp"),
+        F.lit(0.0).alias("mn"),
+    )
+
+    def step(acc, p):
+        z = (p["_v"] - F.col("_mean")) / F.col("_sd")
+        sp = F.greatest(F.lit(0.0), acc["sp"] + z - F.lit(k))
+        sn = F.greatest(F.lit(0.0), acc["sn"] - z - F.lit(k))
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["mp"], sp).alias("mp"),
+            F.greatest(acc["mn"], sn).alias("mn"),
+        )
+
+    folded = per.select(
+        "_k",
+        "_n",
+        mean.alias("_mean"),
+        sd.alias("_sd"),
+        "_pts",
+    ).select(
+        "_k",
+        "_n",
+        F.when(
+            (F.col("_n") > 1) & (F.col("_sd") > 0.0),
+            F.aggregate(F.col("_pts"), state0, step),
+        ).alias("_st"),
+    )
+    return folded.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").alias("n_points"),
+        (
+            F.round(F.coalesce(F.col("_st.mp"), F.lit(0.0)), 6) + 0.0
+        ).alias("max_cusum_pos"),
+        (
+            F.round(F.coalesce(F.col("_st.mn"), F.lit(0.0)), 6) + 0.0
+        ).alias("max_cusum_neg"),
+        (
+            F.coalesce(
+                F.greatest(F.col("_st.mp"), F.col("_st.mn"))
+                > F.lit(float(threshold)),
+                F.lit(False),
+            )
+        ).alias("drifted"),
+    )

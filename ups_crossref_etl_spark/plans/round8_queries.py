@@ -581,3 +581,300 @@ def q_emb_dbscan_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("role_match_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage weights from labeled candidate pairs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_part_fs_weights",
+    """
+    WITH s AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part),
+    pr AS (
+      SELECT split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+               AS m,
+             a.p_brand = b.p_brand AS f_brand,
+             a.p_type = b.p_type AS f_type,
+             a.p_size = b.p_size AS f_size,
+             floor(a.p_retailprice / 100.0)
+               = floor(b.p_retailprice / 100.0) AS f_price
+      FROM s a JOIN s b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+    melted AS (
+      SELECT 'brand' AS field, m, f_brand AS a FROM pr
+      UNION ALL SELECT 'type', m, f_type FROM pr
+      UNION ALL SELECT 'size', m, f_size FROM pr
+      UNION ALL SELECT 'price_band', m, f_price FROM pr),
+    per AS (
+      SELECT field,
+             CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+             CAST(sum(CASE WHEN m THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_unmatch,
+             sum(CASE WHEN m AND a THEN 1 ELSE 0 END) AS am,
+             sum(CASE WHEN NOT m AND a THEN 1 ELSE 0 END) AS au
+      FROM melted GROUP BY field)
+    SELECT field, n_match, n_unmatch,
+           round((am + 0.5) / (CAST(n_match AS DOUBLE) + 1.0), 6) + 0.0
+             AS m_prob,
+           round((au + 0.5) / (CAST(n_unmatch AS DOUBLE) + 1.0), 6) + 0.0
+             AS u_prob,
+           round(log2(((am + 0.5) / (CAST(n_match AS DOUBLE) + 1.0))
+                      / ((au + 0.5) / (CAST(n_unmatch AS DOUBLE) + 1.0))),
+                 6) + 0.0 AS w_agree,
+           round(log2((1.0 - (am + 0.5) / (CAST(n_match AS DOUBLE) + 1.0))
+                      / (1.0 - (au + 0.5)
+                               / (CAST(n_unmatch AS DOUBLE) + 1.0))),
+                 6) + 0.0 AS w_disagree
+    FROM per
+    """,
+    doc=(
+        "Fellegi-Sunter match/unmatch weights (operators/linkage."
+        "fellegi_sunter_weights) estimated from sorted-neighborhood "
+        "candidate pairs over part (window 3 on (p_name, p_partkey)): "
+        "per comparison field (brand, type, size, price band) the "
+        "agreement probabilities m = P(agree|match) / u = "
+        "P(agree|non-match) under the head-token-of-name truth label, "
+        "and the log2 likelihood-ratio weights a probabilistic linker "
+        "sums per pair — the principled replacement for hand-tuned "
+        "fuzzy thresholds once any labeled slice exists. Counts are "
+        "exact BIGINTs from ONE melt + field-keyed aggregate (linear "
+        "in pairs, no joins inside the operator); probabilities are "
+        "add-0.5 smoothed; weights are one-shot doubles both engines "
+        "reproduce. Candidate generation is the n*window-bounded "
+        "sorted-neighborhood operator already gated by "
+        "q_part_sorted_neighborhood."
+    ),
+)
+def q_part_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import (
+        fellegi_sunter_weights,
+        sorted_neighborhood_pairs,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    cand = sorted_neighborhood_pairs(part, "p_name", "p_partkey", window=3)
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("_na"),
+        F.col("p_brand").alias("_ba"),
+        F.col("p_type").alias("_ta"),
+        F.col("p_size").alias("_sa"),
+        F.col("p_retailprice").alias("_pa"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("_nb"),
+        F.col("p_brand").alias("_bb"),
+        F.col("p_type").alias("_tb"),
+        F.col("p_size").alias("_sb"),
+        F.col("p_retailprice").alias("_pb"),
+    )
+    labeled = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            (
+                F.split(F.col("_na"), " ").getItem(0)
+                == F.split(F.col("_nb"), " ").getItem(0)
+            ).alias("is_match"),
+            (F.col("_ba") == F.col("_bb")).alias("brand"),
+            (F.col("_ta") == F.col("_tb")).alias("type"),
+            (F.col("_sa") == F.col("_sb")).alias("size"),
+            (
+                F.floor(F.col("_pa") / 100.0)
+                == F.floor(F.col("_pb") / 100.0)
+            ).alias("price_band"),
+        )
+    )
+    return fellegi_sunter_weights(
+        labeled, "is_match", ["brand", "type", "size", "price_band"]
+    )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-2 between consecutive documents (clipped n-gram overlap)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_rouge_bigram",
+    """
+    WITH p AS (
+      SELECT a.doc_id AS pid, a.text AS cand, b.text AS ref
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+    ctoks AS (
+      SELECT pid, list_filter(string_split_regex(lower(cand),
+               '[^a-z0-9]+'), x -> x <> '') AS t FROM p),
+    rtoks AS (
+      SELECT pid, list_filter(string_split_regex(lower(ref),
+               '[^a-z0-9]+'), x -> x <> '') AS t FROM p),
+    cg AS (
+      SELECT pid, t[i] || ' ' || t[i+1] AS gram,
+             CAST(count(*) AS BIGINT) AS cc
+      FROM ctoks, unnest(range(1, len(t))) AS u(i)
+      GROUP BY pid, gram),
+    rg AS (
+      SELECT pid, t[i] || ' ' || t[i+1] AS gram,
+             CAST(count(*) AS BIGINT) AS cr
+      FROM rtoks, unnest(range(1, len(t))) AS u(i)
+      GROUP BY pid, gram),
+    j AS (
+      SELECT coalesce(cg.pid, rg.pid) AS pid,
+             coalesce(cc, 0) AS cc, coalesce(cr, 0) AS cr,
+             CASE WHEN cc IS NOT NULL AND cr IS NOT NULL
+                  THEN least(cc, cr) ELSE 0 END AS clip
+      FROM cg FULL OUTER JOIN rg
+        ON cg.pid = rg.pid AND cg.gram = rg.gram),
+    per AS (
+      SELECT pid, CAST(sum(cr) AS BIGINT) AS n_ref_grams,
+             CAST(sum(cc) AS BIGINT) AS n_cand_grams,
+             CAST(sum(clip) AS BIGINT) AS n_clipped
+      FROM j GROUP BY pid)
+    SELECT p.pid AS doc_id,
+           coalesce(n_ref_grams, 0) AS n_ref_grams,
+           coalesce(n_cand_grams, 0) AS n_cand_grams,
+           coalesce(n_clipped, 0) AS n_clipped,
+           round(CASE WHEN coalesce(n_ref_grams, 0) > 0 THEN
+             n_clipped / CAST(n_ref_grams AS DOUBLE) END, 6) + 0.0
+             AS rouge_recall,
+           round(CASE WHEN coalesce(n_cand_grams, 0) > 0 THEN
+             n_clipped / CAST(n_cand_grams AS DOUBLE) END, 6) + 0.0
+             AS rouge_precision,
+           round(CASE WHEN coalesce(n_ref_grams, 0) > 0
+                       AND coalesce(n_cand_grams, 0) > 0
+                       AND (n_clipped / CAST(n_ref_grams AS DOUBLE)
+                            + n_clipped / CAST(n_cand_grams AS DOUBLE))
+                           > 0.0
+             THEN 2.0 * (n_clipped / CAST(n_ref_grams AS DOUBLE))
+                      * (n_clipped / CAST(n_cand_grams AS DOUBLE))
+                  / (n_clipped / CAST(n_ref_grams AS DOUBLE)
+                     + n_clipped / CAST(n_cand_grams AS DOUBLE))
+             END, 6) + 0.0 AS rouge_f1
+    FROM p LEFT JOIN per ON p.pid = per.pid
+    """,
+    doc=(
+        "ROUGE-2 (operators/evaluation.rouge_n, clipped bigram overlap "
+        "— Lin 2004) between every document and its doc_id+1 neighbor: "
+        "recall / precision / F1 from exact clipped-count BIGINTs. The "
+        "generation-eval metric doubling as a corpus audit (did a "
+        "rewrite/augmentation pass keep the content?). Plan: two "
+        "linear gram-count aggregates + ONE (pair, gram)-keyed full "
+        "outer join + pair-keyed sums — never a text-by-text nested "
+        "loop; shuffles carry grams and counts, not documents. "
+        "Metrics are one-shot doubles over exact integers."
+    ),
+)
+def q_docs_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import rouge_n
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            F.col("b.doc_id") == F.col("a.doc_id") + 1,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.text").alias("cand"),
+            F.col("b.text").alias("ref"),
+        )
+    )
+    return rouge_n(pairs, "doc_id", "cand", "ref", n=2)
+
+
+# --------------------------------------------------------------------------
+# Per-user CUSUM drift detection (sequential changepoint)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cusum",
+    """
+    WITH RECURSIVE b AS (
+      SELECT user_id AS k, ts, event_id AS i, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    r AS (
+      SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY ts, i) AS rn
+      FROM b),
+    cp AS (SELECT * FROM r WHERE rn <= 512),
+    m AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(sum(CAST(CAST(v AS DECIMAL(38,12))
+                           * CAST(v AS DECIMAL(38,12))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS q
+      FROM cp GROUP BY k),
+    ms AS (
+      SELECT k, n, s / n AS mean,
+             sqrt(greatest((q - s * s / n) / (n - 1.0), 0.0)) AS sd
+      FROM m WHERE n > 1),
+    act AS (SELECT k, n, mean, sd FROM ms WHERE sd > 0.0),
+    cus(k, rn, sp, sn, mp, mn) AS (
+      SELECT cp.k, cp.rn,
+             greatest(0.0, (cp.v - act.mean) / act.sd - 0.5),
+             greatest(0.0, -((cp.v - act.mean) / act.sd) - 0.5),
+             greatest(0.0, (cp.v - act.mean) / act.sd - 0.5),
+             greatest(0.0, -((cp.v - act.mean) / act.sd) - 0.5)
+      FROM cp JOIN act ON cp.k = act.k WHERE cp.rn = 1
+      UNION ALL
+      SELECT c.k, cp.rn,
+             greatest(0.0, c.sp + (cp.v - act.mean) / act.sd - 0.5),
+             greatest(0.0, c.sn - (cp.v - act.mean) / act.sd - 0.5),
+             greatest(c.mp,
+               greatest(0.0, c.sp + (cp.v - act.mean) / act.sd - 0.5)),
+             greatest(c.mn,
+               greatest(0.0, c.sn - (cp.v - act.mean) / act.sd - 0.5))
+      FROM cus c
+      JOIN cp ON cp.k = c.k AND cp.rn = c.rn + 1
+      JOIN act ON act.k = c.k),
+    fin AS (
+      SELECT cus.k, mp, mn
+      FROM cus JOIN act ON cus.k = act.k WHERE cus.rn = act.n)
+    SELECT m.k AS user_id, m.n AS n_points,
+           round(coalesce(mp, 0.0), 6) + 0.0 AS max_cusum_pos,
+           round(coalesce(mn, 0.0), 6) + 0.0 AS max_cusum_neg,
+           coalesce(greatest(mp, mn) > 4.0, FALSE) AS drifted
+    FROM m LEFT JOIN fin ON m.k = fin.k
+    """,
+    doc=(
+        "Per-user two-sided CUSUM drift flags (operators/timeseries."
+        "cusum_flags, Page 1954): standardize each user's value series "
+        "against its own exact-DECIMAL mean/std, run S+ = max(0, S+ + "
+        "z - 0.5) / S- = max(0, S- - z - 0.5) in (ts, event_id) order, "
+        "flag max excursion > 4 sigma. The sequential-changepoint "
+        "complement to mean_shift (single split) and rolling z-scores "
+        "(pointwise): CUSUM accumulates small sustained shifts. The "
+        "recursion folds inside ONE F.aggregate over the array_sort-ed "
+        "per-key struct array (row-local, codegen, capped at 512 "
+        "points by a per-key window — the kendall_tau cap convention); "
+        "the oracle replays the identical IEEE fold via recursive CTE. "
+        "Keys with < 2 points or zero variance report 0 excursions."
+    ),
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_flags
+
+    ev = read_table(spark, sf_dir, "events")
+    out = cusum_flags(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        slack=0.5,
+        threshold=4.0,
+        max_points_per_key=512,
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_points",
+        "max_cusum_pos",
+        "max_cusum_neg",
+        "drifted",
+    )
