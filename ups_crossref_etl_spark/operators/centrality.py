@@ -40,9 +40,11 @@ def hop_distances(
     length <= 2^r is found — a 60-cycle closes in 6 rounds, not 59.
 
     ``directed=False`` symmetrizes the edge list first (undirected
-    distance). Self-distances are excluded (a node is not "1 hop from
-    itself" unless the graph has a cycle through it — and then the
-    honest cycle length is reported).
+    distance). Self-pairs are ALWAYS excluded — both the initial edge
+    filter and the min-plus join drop ``src == dst``, so a cycle
+    through a node never emits a self-distance. That is the contract
+    the closeness / harmonic / eccentricity consumers assume (a node's
+    own row must not contribute to its distance sum).
 
     Plan shape per round: one midpoint-keyed self-join + one pair-keyed
     min aggregate, localCheckpointed to cut the lineage (the same

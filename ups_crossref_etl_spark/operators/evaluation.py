@@ -899,10 +899,17 @@ def rouge_n(
         toks = F.filter(
             F.split(F.lower(F.col(col)), r"[^a-z0-9]+"), lambda t: t != ""
         )
-        g = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+        # Guard short texts: sequence(1, 0) is DESCENDING in Spark
+        # ([1, 0]) and slice(toks, 0, n) throws INVALID_PARAMETER_VALUE,
+        # so a text with < n tokens must short-circuit to an empty gram
+        # array (0 grams -> NULL metrics downstream).
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         return (
             pairs.select(F.col(pair_id_col).alias("_pid"), g.alias("_g"))
             .select("_pid", F.explode_outer("_g").alias("gram"))

@@ -35,7 +35,7 @@ misspelled tokens matters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -142,35 +142,80 @@ def sorted_neighborhood_pairs(
     shared rare token, the sorted window catches near-misses whose
     leading characters agree (typos later in the string), at a
     guaranteed candidate budget of n*window pairs — LINEAR in the
-    table, by construction, no skew cliff. One global sort + ``window``
-    lead() columns; at cluster scale the sort is a range partition
-    (Spark's sort-based shuffle), and multi-pass variants just re-run
-    with a different key expression. Ties in ``key_col`` order break by
-    ``id_col``, so the pair set is deterministic.
-    """
-    from pyspark.sql import Window as W
+    table, by construction, no skew cliff. Ties in ``key_col`` order
+    break by ``id_col``, so the pair set is deterministic.
 
+    Scale design (no global single-partition sort): the total order is
+    materialized as ``repartitionByRange`` on ``(key, id)`` +
+    per-partition ``row_number`` + per-partition count offsets (one
+    bounded driver collect of <= num_partitions rows), which is how a
+    distributed dense rank is built without an unpartitioned
+    ``WindowExec``. Pairs then come from a BANDED equi-join on
+    ``floor((rank-1)/window)``: any pair within ``window`` rank
+    distance lands in the same or adjacent band (each right row is
+    emitted to its own band and the one below, a fixed 2x blowup), so
+    the join is a plain shuffle-hash/SMJ on the band key — no global
+    window, no cartesian, and the plan survives any table size.
+    """
     base = df.select(
         F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
     )
-    w = W.orderBy(F.col("_k").asc(), F.col("_id").asc())
-    base = base.withColumn("_rn", F.row_number().over(w))
-    leads = base.select(
-        "_id", "_rn",
-        *[
-            F.lead("_id", i).over(W.orderBy("_rn")).alias(f"_l{i}")
-            for i in range(1, window + 1)
-        ],
-    )
-    out = None
-    for i in range(1, window + 1):
-        p = leads.filter(F.col(f"_l{i}").isNotNull()).select(
-            F.col("_id").alias("id_a"),
-            F.col(f"_l{i}").alias("id_b"),
-            F.lit(i).cast("bigint").alias("rank_distance"),
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = 32
+    ranked = (
+        base.repartitionByRange(
+            n_parts, F.col("_k").asc(), F.col("_id").asc()
         )
-        out = p if out is None else out.unionByName(p)
-    return out
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(
+                    F.col("_k").asc(), F.col("_id").asc()
+                )
+            ),
+        )
+        .persist()
+    )
+    # Bounded driver state: one row per range partition. Offsets turn
+    # per-partition ranks into the exact global rank (range partitioning
+    # on the unique (_k, _id) key is order-preserving across partitions).
+    counts = ranked.groupBy("_pid").agg(F.max("_lrn").alias("_cnt")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((int(r["_pid"]), acc))
+        acc += int(r["_cnt"])
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off bigint"
+    )
+    g = ranked.join(F.broadcast(off_df), "_pid").select(
+        "_id", (F.col("_lrn") + F.col("_off")).cast("bigint").alias("_rn")
+    )
+    band = F.floor((F.col("_rn") - F.lit(1)) / F.lit(window))
+    left = g.select("_id", "_rn", band.alias("_band"))
+    right = g.select(
+        F.col("_id").alias("_idb"),
+        F.col("_rn").alias("_rnb"),
+        F.explode(F.array(band, band - F.lit(1))).alias("_band"),
+    )
+    return (
+        left.join(right, "_band")
+        .filter(
+            (F.col("_rnb") > F.col("_rn"))
+            & (F.col("_rnb") <= F.col("_rn") + window)
+        )
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            (F.col("_rnb") - F.col("_rn")).cast("bigint").alias(
+                "rank_distance"
+            ),
+        )
+    )
 
 
 def blocking_quality(
