@@ -1,0 +1,93 @@
+"""Round-process invariants on the query registry (r8 verdict asks #3/#6).
+
+These tests make the per-round discipline mechanical instead of manual:
+
+1. Every gated query with NO committed verification evidence (not present
+   in any committed ``CORRECTNESS_r*.json`` driver window nor any
+   ``FULLCHECK_r*.json`` full-battery artifact) must be listed in
+   ``_CHANGED_THIS_ROUND`` — i.e., brand-new queries cannot bypass the
+   driver's priority correctness window the way r8's cusum/fs_weights/
+   rouge_bigram did.
+2. The count-bearing artifacts (COVERAGE.md, README.md) must agree with
+   the live registry size — they shipped stale two rounds running.
+3. Hygiene: the changed list and the never-sampled backlog only name
+   real registry entries, and the backlog names only gated ones.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from ups_crossref_etl_spark.plans.registry import (
+        _CHANGED_THIS_ROUND,
+        _NEVER_DRIVER_SAMPLED,
+        load_all,
+    )
+
+    return load_all(), list(_CHANGED_THIS_ROUND), list(_NEVER_DRIVER_SAMPLED)
+
+
+def _committed_evidence_names() -> set[str]:
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        names |= set(json.load(open(path)).keys())
+    for path in glob.glob(os.path.join(ROOT, "FULLCHECK_r*.json")):
+        data = json.load(open(path))
+        names |= set(data.get("queries", {}).keys())
+    return names
+
+
+def test_new_queries_are_in_changed_list(registry):
+    specs, changed, _ = registry
+    gated = {n for n, s in specs.items() if s.gate}
+    evidence = _committed_evidence_names()
+    unverified = gated - evidence
+    missing = sorted(unverified - set(changed))
+    assert not missing, (
+        "gated queries with zero committed verification evidence must be "
+        f"in _CHANGED_THIS_ROUND so the driver window samples them: {missing}"
+    )
+
+
+def test_coverage_md_count_matches_registry(registry):
+    specs, _, _ = registry
+    first = open(os.path.join(ROOT, "COVERAGE.md")).read().split("\n\n")[1]
+    m = re.search(r"^(\d+) registry queries", first)
+    assert m, "COVERAGE.md must open with '<N> registry queries'"
+    assert int(m.group(1)) == len(specs), (
+        f"COVERAGE.md says {m.group(1)} queries but the registry has "
+        f"{len(specs)} — rerun tools/dump_coverage.py"
+    )
+
+
+def test_readme_count_matches_registry(registry):
+    specs, _, _ = registry
+    text = open(os.path.join(ROOT, "README.md")).read()
+    m = re.search(r"registry \((\d+) queries", text)
+    assert m, "README.md must state the registry query count"
+    assert int(m.group(1)) == len(specs), (
+        f"README.md says {m.group(1)} queries but the registry has "
+        f"{len(specs)} — update the README count"
+    )
+
+
+def test_changed_and_backlog_name_real_entries(registry):
+    specs, changed, never = registry
+    gated = {n for n, s in specs.items() if s.gate}
+    assert not set(changed) - set(specs), "changed list names unknown queries"
+    assert not set(never) - gated, (
+        "never-sampled backlog must name gated registry entries only"
+    )
+    assert not set(changed) & set(never), (
+        "a query in _CHANGED_THIS_ROUND must be dropped from the backlog"
+    )

@@ -412,3 +412,92 @@ def rate_ratio(
         (F.round(F.when(ok, F.exp(lnrr - z * se)), 6) + 0.0).alias("ci_lo"),
         (F.round(F.when(ok, F.exp(lnrr + z * se)), 6) + 0.0).alias("ci_hi"),
     )
+
+
+def sprt_decision(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    success_col: str,
+    p0: float = 0.1,
+    p1: float = 0.2,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Per-key Wald Sequential Probability Ratio Test (Wald 1945) over
+    a time-ordered Bernoulli stream: accumulate the log-likelihood
+    ratio ``LLR_t = sum_s [ x_s*ln(p1/p0) + (1-x_s)*ln((1-p1)/(1-p0)) ]``
+    and stop at the FIRST crossing of the Wald boundaries
+    ``A = ln((1-beta)/alpha)`` (accept H1: rate is p1) or
+    ``B = ln(beta/(1-alpha))`` (accept H0: rate is p0) — the sequential
+    test that reads out an experiment/canary the moment the evidence
+    suffices instead of at a fixed horizon, with guaranteed error rates.
+
+    Returns one row per key: ``(key, n_obs, n_success, decision,
+    decided_at_n, llr_final)`` — ``decision`` is 'accept_h1' /
+    'accept_h0' / 'continue' (no crossing within the observed stream),
+    ``decided_at_n`` the 1-based observation index of the first
+    crossing (NULL when 'continue'), ``llr_final`` the full-stream LLR.
+
+    Scale shape: one per-key ranking window + one per-key running sum
+    (both ``partitionBy(key)``) + one key-keyed reduction; no global
+    windows, no driver state. Determinism: the two per-observation LLR
+    terms and both boundaries are quantized to integer NANOS in Python
+    (the same literals reach Spark and the SQL oracle), so every
+    cumulative comparison is exact BIGINT arithmetic; llr_final rounds
+    6 dp.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    w_succ = int(round(math.log(p1 / p0) * 1e9))
+    w_fail = int(round(math.log((1.0 - p1) / (1.0 - p0)) * 1e9))
+    a_n = int(round(math.log((1.0 - beta) / alpha) * 1e9))
+    b_n = int(round(math.log(beta / (1.0 - alpha)) * 1e9))
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_i"),
+        F.col(success_col).cast("boolean").alias("_x"),
+    ).filter(F.col("_k").isNotNull() & F.col("_x").isNotNull())
+    wk = Window.partitionBy("_k").orderBy("_t", "_i")
+    wcum = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = base.select(
+        "_k",
+        F.col("_x"),
+        F.row_number().over(wk).alias("_rn"),
+        F.sum(
+            F.when(F.col("_x"), F.lit(w_succ)).otherwise(F.lit(w_fail))
+        )
+        .over(wcum)
+        .alias("_llr"),
+    )
+    crossed = F.when(F.col("_llr") >= a_n, F.lit(1)).when(
+        F.col("_llr") <= b_n, F.lit(-1)
+    )
+    per = cum.groupBy(F.col("_k").alias(key_col)).agg(
+        F.max("_rn").cast("bigint").alias("n_obs"),
+        F.sum(F.when(F.col("_x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_success"),
+        F.min(F.when(crossed.isNotNull(), F.col("_rn")))
+        .cast("bigint")
+        .alias("decided_at_n"),
+        F.min_by(crossed, F.when(crossed.isNotNull(), F.col("_rn"))).alias(
+            "_dir"
+        ),
+        F.max_by(F.col("_llr"), F.col("_rn")).alias("_llr_last"),
+    )
+    return per.select(
+        key_col,
+        "n_obs",
+        "n_success",
+        F.when(F.col("decided_at_n").isNull(), F.lit("continue"))
+        .when(F.col("_dir") == 1, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        "decided_at_n",
+        (F.round(F.col("_llr_last") / 1e9, 6) + 0.0).alias("llr_final"),
+    )

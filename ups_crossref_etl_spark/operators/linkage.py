@@ -366,3 +366,97 @@ def fellegi_sunter_weights(
             F.round(F.log2((1.0 - m_prob) / (1.0 - u_prob)), 6) + 0.0
         ).alias("w_disagree"),
     )
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler (boost threshold 0.7, prefix <= 4,
+    scaling 0.1), matching DuckDB's ``jaro_winkler_similarity``
+    conventions exactly: either side empty -> 0.0, equal -> 1.0."""
+    if not s1 or not s2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    match1 = [False] * l1
+    match2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not match2[j] and s2[j] == c:
+                match1[i] = True
+                match2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if match1[i]:
+            while not match2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        jaro += p * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_pairs(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    out_col: str = "jw",
+) -> DataFrame:
+    """Append a Jaro-Winkler similarity column to a candidate-pair
+    table — the string-comparison kernel of probabilistic record
+    linkage (feeds :func:`fellegi_sunter_weights` agreement flags via
+    a threshold, or ranks :func:`sorted_neighborhood_pairs` candidates
+    for human review). JW is position-imperative (match windows +
+    transposition walk), genuinely outside relational algebra, so this
+    is the sanctioned Python slow path: ONE Arrow-vectorized
+    ``pandas_udf`` applied to an already-blocked pair table — the
+    n*window candidate set, never the n^2 cross product. Semantics
+    match DuckDB's ``jaro_winkler_similarity`` bit-for-bit (standard
+    Winkler: boost only when jaro > 0.7, prefix capped at 4, scaling
+    0.1; empty side -> 0.0) so the oracle can gate it exactly;
+    consumers round before hashing.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # NOTE: no parameter annotations — this module uses
+    # `from __future__ import annotations`, which stringifies hints and
+    # breaks pandas_udf's signature inspection; the returnType argument
+    # alone selects the Arrow-vectorized SERIES path.
+    @pandas_udf(DoubleType())
+    def _jw_udf(a, b):
+        return pd.Series(
+            [
+                _jaro_winkler_py(x, y)
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    return pairs.withColumn(out_col, _jw_udf(F.col(left_col), F.col(right_col)))

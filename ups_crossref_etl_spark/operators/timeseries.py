@@ -1308,3 +1308,235 @@ def cusum_flags(
             )
         ).alias("drifted"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key Ljung-Box portmanteau statistic (Ljung & Box 1978):
+    ``Q = n(n+2) * sum_{L=1..h} r_L^2 / (n-L)`` over the first ``h``
+    sample autocorrelations — the "is this series white noise at all?"
+    pre-test a pipeline runs before fitting any seasonal/AR model to
+    per-entity telemetry (compare Q to a chi-square(h) critical value
+    downstream; the engine emits the exact statistic, not a p-value,
+    because neither Spark nor the SQL oracle has an inverse chi-square).
+
+    Returns one row per key: ``(key, n_points, n_lags, q_stat)`` —
+    ``n_lags`` is the number of lags actually available (short series
+    have fewer than ``max_lag``), keys with zero variance are dropped
+    (ACF undefined, inherited from :func:`acf`).
+
+    Built directly on :func:`acf` (one ranking window + one bounded
+    range self-join, no global state), then a key-keyed reduction.
+    Determinism: each ``r_L`` is the 4-dp cross-engine-exact ACF value;
+    each summand ``r_L^2/(n-L)`` is quantized to integer picos BEFORE
+    the per-key sum (order-free integer accumulation on both engines);
+    the final Q is one double expression rounded 4 dp.
+    """
+    r = acf(df, key_col, ts_col, value_col, max_lag=max_lag, round_digits=4)
+    term = F.round(
+        (F.col("acf_val") * F.col("acf_val"))
+        / (F.col("n_points") - F.col("lag")).cast("double")
+        * F.lit(1e12)
+    ).cast("bigint")
+    return (
+        r.filter(F.col("lag") < F.col("n_points"))
+        .groupBy(F.col(key_col))
+        .agg(
+            F.max("n_points").cast("bigint").alias("n_points"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+            F.sum(term).alias("_sp"),
+        )
+        .select(
+            key_col,
+            "n_points",
+            "n_lags",
+            (
+                F.round(
+                    F.col("n_points").cast("double")
+                    * (F.col("n_points") + 2).cast("double")
+                    * (F.col("_sp").cast("double") / F.lit(1e12)),
+                    4,
+                )
+                + 0.0
+            ).alias("q_stat"),
+        )
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    delta: float = 0.05,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key Page-Hinkley drift test (Page 1954 / Mouss et al. 2004):
+    with the RUNNING mean ``m_t = avg(x_1..x_t)``, accumulate
+    ``U_t = sum_{s<=t} (x_s - m_s - delta)`` and monitor the excursion
+    ``PH_t = U_t - min_{s<=t} U_s``; an upward level shift makes recent
+    terms positive and PH grows past ``threshold``. The online-drift
+    sibling of :func:`cusum_flags`: CUSUM standardizes against the
+    GLOBAL key mean (needs the whole history's moments), Page-Hinkley
+    self-normalizes against the running mean — the shape you can also
+    run incrementally.
+
+    Returns one row per key: ``(key, n_points, ph_max, drifted,
+    first_cross_n)`` — ``first_cross_n`` is the 1-based observation
+    index of the first threshold crossing (NULL if none).
+
+    Scale shape: three per-key windows (running sum, running min,
+    running max — all ``partitionBy(key)``, never global) over the
+    (ts, id)-ranked series; no driver state, no fold, no cap needed
+    because windows stream within a partition. Determinism: values
+    quantize to integer micros, the running-mean subtraction is ONE
+    double division of exact integers rounded back to integer nanos
+    per term, so every cumulative quantity both engines compare is an
+    exact BIGINT; ph_max rounds 6 dp.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_i"),
+        F.round(F.col(value_col).cast("double") * 1e6).cast("bigint").alias(
+            "_vu"
+        ),
+    ).filter(F.col("_k").isNotNull() & F.col("_vu").isNotNull())
+    wk = Window.partitionBy("_k").orderBy("_t", "_i")
+    wcum = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = base.select(
+        "_k",
+        "_vu",
+        F.row_number().over(wk).alias("_rn"),
+        F.sum("_vu").over(wcum).alias("_su"),
+    )
+    # after ranking, (_k, _rn) IS the order — later windows key on it
+    wrn = Window.partitionBy("_k").orderBy("_rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # term_n (nanos) = x_t - m_t - delta, m_t = running mean of exact micros
+    term = F.round(
+        F.col("_vu").cast("double") * 1e3
+        - F.col("_su").cast("double") * 1e3 / F.col("_rn").cast("double")
+        - F.lit(float(delta) * 1e9)
+    ).cast("bigint")
+    cum = ranked.select(
+        "_k",
+        "_rn",
+        F.sum(term).over(wrn).alias("_u"),
+    )
+    ph = cum.select(
+        "_k",
+        "_rn",
+        (F.col("_u") - F.min("_u").over(wrn)).alias("_ph"),
+    )
+    thr = int(round(float(threshold) * 1e9))
+    return ph.groupBy(F.col("_k").alias(key_col)).agg(
+        F.max("_rn").cast("bigint").alias("n_points"),
+        (F.round(F.max("_ph") / 1e9, 6) + 0.0).alias("ph_max"),
+        (F.max("_ph") > thr).alias("drifted"),
+        F.min(F.when(F.col("_ph") > thr, F.col("_rn")))
+        .cast("bigint")
+        .alias("first_cross_n"),
+    )
+
+
+def best_sse_split(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    min_segment: int = 2,
+) -> DataFrame:
+    """Per-key single best changepoint by SSE reduction (the first step
+    of binary segmentation, Scott & Knott 1974): over the time-ordered
+    series, pick the split position ``i`` (left = first i points) that
+    maximizes the between-segment gain ``G(i) = SL^2/i + SR^2/(n-i) -
+    S^2/n`` — algebraically the drop in total squared error when one
+    mean becomes two. The offline "WHERE did the regime change"
+    complement to the sequential detectors (:func:`cusum_flags`,
+    :func:`page_hinkley` say *whether/when detected*; this says the
+    least-squares best split).
+
+    Returns one row per key with ``n >= 2*min_segment`` points:
+    ``(key, n_points, split_pos, mean_left, mean_right, gain)`` —
+    ``split_pos`` is 1-based (left segment = rows 1..split_pos), ties
+    on gain break to the SMALLEST split (deterministic).
+
+    Scale shape: one per-key ranking window + one per-key running sum
+    (both ``partitionBy(key)``), then a per-key argmax via
+    ``row_number`` over (gain desc, pos asc) — every stage is keyed,
+    nothing global, no self-join (the candidate set IS the point set).
+    Determinism: values quantize to integer micros so SL/SR/S are exact
+    BIGINTs; G is the same IEEE double expression of those integers on
+    both engines; means and gain round 6 dp.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_i"),
+        F.round(F.col(value_col).cast("double") * 1e6).cast("bigint").alias(
+            "_vu"
+        ),
+    ).filter(F.col("_k").isNotNull() & F.col("_vu").isNotNull())
+    wk = Window.partitionBy("_k").orderBy("_t", "_i")
+    wcum = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("_k")
+    ranked = base.select(
+        "_k",
+        F.row_number().over(wk).alias("_rn"),
+        F.sum("_vu").over(wcum).alias("_sl"),
+    ).select(
+        "_k",
+        "_rn",
+        "_sl",
+        F.max("_rn").over(wall).alias("_n"),
+        F.max("_sl").over(wall).alias("_s"),
+    )
+    cand = ranked.filter(
+        (F.col("_n") >= 2 * min_segment)
+        & (F.col("_rn") >= min_segment)
+        & (F.col("_rn") <= F.col("_n") - min_segment)
+    )
+    i = F.col("_rn").cast("double")
+    n = F.col("_n").cast("double")
+    sl = F.col("_sl").cast("double")
+    sr = (F.col("_s") - F.col("_sl")).cast("double")
+    s = F.col("_s").cast("double")
+    gain = (
+        sl * sl / i + sr * sr / (n - i) - s * s / n
+    ) / F.lit(1e12)  # micros^2 -> value units^2
+    scored = cand.select(
+        "_k", "_rn", "_n", "_sl", "_s", gain.alias("_g")
+    ).withColumn(
+        "_pick",
+        F.row_number().over(
+            Window.partitionBy("_k").orderBy(
+                F.col("_g").desc(), F.col("_rn").asc()
+            )
+        ),
+    )
+    return scored.filter(F.col("_pick") == 1).select(
+        F.col("_k").alias(key_col),
+        F.col("_n").cast("bigint").alias("n_points"),
+        F.col("_rn").cast("bigint").alias("split_pos"),
+        (
+            F.round(F.col("_sl") / (F.col("_rn") * F.lit(1e6)), 6) + 0.0
+        ).alias("mean_left"),
+        (
+            F.round(
+                (F.col("_s") - F.col("_sl"))
+                / ((F.col("_n") - F.col("_rn")) * F.lit(1e6)),
+                6,
+            )
+            + 0.0
+        ).alias("mean_right"),
+        (F.round(F.col("_g"), 6) + 0.0).alias("gain"),
+    )

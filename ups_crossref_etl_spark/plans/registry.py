@@ -51,42 +51,35 @@ def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
 
 
 #: Current build round — keys the deterministic rotation in ``load_all``.
-_ROUND = 8
+_ROUND = 9
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 8 (genuinely changed ONLY
-#: — the r7 list front-loaded ~108 entries and starved the backlog; this
-#: round's list is exactly the new-or-modified set): the Adamic-Adar
-#: degree-cap rework (capped operational gate + bounded-subgraph exact
-#: twin + top-50 cap-agreement bound), the dense bitset triangle path
-#: behind clustering_coefficient, ktruss on the degree-oriented support
-#: join + max_iter guard, the percentile-cutoff ECE path + bound gate
-#: and the ECE/calibration NULL-filter hardening, rbo's distributed
-#: top-50 (orderBy+limit replacing the global row_number window), and
-#: the ADVICE NULL-convention fixes (ORC digest, rate ratio,
-#: Davies-Bouldin degenerate clusters).
+#: (first ~50 entries) re-verifies them. Round 9: the six new operators
+#: (eccentricity gate, Ljung-Box, Page-Hinkley, best-SSE changepoint,
+#: Wald SPRT, Jaro-Winkler linkage), the rouge_n short-text crash fix,
+#: the sorted-neighborhood scale rewrite (plus its FS-weights consumer),
+#: and the three r8 queries that shipped with zero committed evidence.
+#: COMPLETENESS IS TESTED: tests/test_registry_policy.py fails if any
+#: gated query lacking committed verification evidence (CORRECTNESS_r*/
+#: FULLCHECK_r* union) is missing from this list.
 _CHANGED_THIS_ROUND = [
-    # round-8 wave 2: new operators
-    "q_graph_closeness",
-    "q_graph_neighbor_jaccard",
-    "q_graph_neighbor_jaccard_exact",
-    "q_lineitem_kruskal_wallis",
-    "q_orders_trend_test",
-    "q_emb_dbscan",
-    # round-8 wave 1: r7-verdict reworks
-    "q_docs_ece_approx_bound",
-    "q_graph_adamic_adar",
-    "q_graph_adamic_adar_exact",
-    "q_graph_adamic_adar_cap_agreement",
-    "q_graph_clustering_coefficient",
-    "q_graph_ktruss",
-    "q_docs_rbo_rankings",
-    "q_docs_ece",
-    "q_docs_calibration_bins",
-    "q_docs_orc_roundtrip",
-    "q_events_error_rate_ratio",
-    "q_emb_davies_bouldin",
+    # round-9 new operators (each with a fresh DuckDB oracle)
+    "q_graph_eccentricity",
+    "q_events_ljung_box",
+    "q_events_page_hinkley",
+    "q_events_best_sse_split",
+    "q_events_sprt",
+    "q_part_jw_topk",
+    # round-9 operator fixes: rouge_n short-text guard; sorted-
+    # neighborhood rewritten to range-partition + banded equi-join
+    "q_docs_rouge_bigram",
+    "q_part_sorted_neighborhood",
+    "q_part_fs_weights",
+    # r8 additions the r8 window never sampled (zero committed driver
+    # evidence — the r8 verdict's finding #3); cusum is unchanged code
+    # but rides along so the driver finally sees it
+    "q_events_cusum",
 ]
 
 
@@ -98,28 +91,20 @@ _CHANGED_THIS_ROUND = [
 #: this backlog before the md5 rotation fills the rest — guaranteeing
 #: monotone progress toward full driver coverage instead of relying on
 #: the rotation's expected-case behavior.
-#: Recomputed for r8 from the union of CORRECTNESS_r{1..7}.json (252
-#: distinct names ever sampled) against the gated registry: 82 gated
-#: entries have never been driver-sampled (mostly the deep tail of r7's
-#: oversized changed-list). Ordered oldest-wave-first so the longest-
-#: waiting entries drain first into the ~38 window slots the r8 changed
-#: tier leaves free.
+#: Recomputed for r9 from the union of CORRECTNESS_r{1..8}.json (295
+#: distinct names ever sampled) against the gated registry: 49 gated
+#: entries remain never-driver-sampled (3 more — cusum / fs_weights /
+#: rouge_bigram — moved into the changed tier above). Ordered
+#: oldest-wave-first so the longest-waiting entries drain first into
+#: the ~40 window slots the lean r9 changed tier leaves free.
 _NEVER_DRIVER_SAMPLED = [
-    "q_stream_trending_topk",
-    "q_docs_approx_bins_bound",
     "q_orders_table_digest",
     "q9_product_type_profit",
-    "q_docs_nucleus_select",
     "q_docs_auc_lang_by_length",
-    "q20_potential_promotion",
-    "q_docs_quantile_normalize",
     "q16_parts_supplier_counts",
-    "q_docs_pack_bpe_sequences",
-    "q_events_late_arrivals",
     "q2_min_cost_supplier",
     "q_media_bmp_features",
     "q_events_transition_matrix",
-    "q_emb_rp_recall_bound",
     "q_docs_quantile_normalize_approx_bound",
     "q_events_mean_shift",
     "q11_important_stock",
@@ -130,62 +115,38 @@ _NEVER_DRIVER_SAMPLED = [
     "q_events_interval_union",
     "q_media_image_neardup",
     "q_events_ab_readout",
-    "q_docs_profile_drift",
     "q_docs_stupid_backoff_nll",
     "q_graph_two_hop_reach",
     "q_graph_hyperanf_bound",
-    "q_emb_matryoshka_prefix",
-    "q_emb_matryoshka_recall_bound",
-    "q_events_ks_drift",
     "q_events_chisq_drift",
-    "q_events_mann_kendall",
-    "q_events_acf",
     "q_events_theil_sen_capped",
-    "q_docs_shards_compaction_identity",
-    "q_events_theil_sen_cap_agreement",
-    "q_emb_negative_sampling",
     "q_docs_quota_allocate",
-    "q_docs_zipf_power_law",
-    "q_events_top_session_paths",
     "q_events_hll_intersection_bound",
-    "q_docs_textrank_keywords",
     "q_events_attribution",
-    "q_emb_pca_bound",
     "q_docs_kneser_ney_nll",
     "q_events_spearman_value_time",
     "q_lineitem_benford_audit",
     "q_basket_frequent_pairs",
     "q_basket_frequent_triples",
     "q_docs_winnow_fingerprints",
-    "q_docs_winnow_overlap_pairs",
     "q_events_seq2_support",
-    "q_events_seq3_support",
     "q_events_poisson_bootstrap_ci",
     "q_words_edit_distance_join",
     "q_events_kll_quantiles_bound",
     "q_docs_wordpiece_segment",
-    "q_docs_wordpiece_token_counts",
-    "q_events_kendall_tau",
     "q_orders_gini_by_nation",
     "q_lineitem_jackknife_ratio",
-    "q_events_permutation_test",
     "q_emb_lift_deciles",
-    "q_docs_ngram_novelty",
-    "q_emb_cosine_histogram",
-    "q_events_seasonal_decompose",
     "q_events_decayed_user_score",
     "q_events_type_hour_association",
-    "q_lineitem_weighted_median_price",
     "q_customer_rfm_segments",
     "q_events_cuped_readout",
     "q_events_holt_forecast",
     "q_docs_ht_estimate",
     "q_docs_best_entropy_split",
-    "q_part_abc_classification",
     "q_docs_kll_group_quantiles",
     "q_events_kaplan_meier",
     "q_emb_mutual_top1_pairs",
-    "q_lineitem_fd_audit",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
@@ -200,18 +161,20 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed for r8: ``_CHANGED_THIS_ROUND`` lists ONLY
-    the genuinely new-or-modified entries (the r7 verdict flagged the
-    previous 108-entry list as starving the backlog), so the ~50-slot
-    window re-verifies every change and then drains ~38 of the 82
-    never-sampled backlog entries; every entry is meanwhile
-    FULLCHECK-verified locally each round. gate=False entries sort after
-    all gated ones — they are never driver-sampled. The full battery
-    additionally runs locally per-round via tools/check_queries.py
-    --json (committed as FULLCHECK_r{N}.json).
+    probabilistic. Recomputed for r9: ``_CHANGED_THIS_ROUND`` lists the
+    genuinely new-or-modified entries plus the three r8 orphans the r8
+    window never saw, so the ~50-slot window re-verifies every change
+    and then drains ~40 of the 49 never-sampled backlog entries; every
+    entry is meanwhile FULLCHECK-verified locally each round (committed
+    as FULLCHECK_r{N}.json — MANDATORY per round, after the last
+    registry change; r8 skipped it and got flagged). gate=False entries
+    sort after all gated ones — they are never driver-sampled.
+    tests/test_registry_policy.py enforces the changed-list and
+    artifact-count invariants.
     """
     import hashlib
 
+    from . import round9_queries  # noqa: F401
     from . import round8_queries  # noqa: F401
     from . import round7_queries  # noqa: F401
     from . import round7b_queries  # noqa: F401

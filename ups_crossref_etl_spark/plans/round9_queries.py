@@ -1,0 +1,453 @@
+"""Round-9 query registrations.
+
+Opens with the r8 verdict's asks: the eccentricity operator gets its
+recursive-CTE oracle gate (it was the one r8 operator with zero
+verification), and the round's new operators — Ljung-Box, Page-Hinkley,
+best-SSE changepoint, Wald SPRT, Jaro-Winkler linkage — each land with
+an exact DuckDB oracle.
+
+Every gated entry pairs the Spark program with a DuckDB oracle; column
+aliases match exactly (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import read_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Eccentricity (min-plus path doubling, bounded graph) — closes r8 gap
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_eccentricity",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS n FROM documents WHERE doc_id < 80),
+    e0 AS (
+      SELECT n AS src, (n * 31 + 7) % 80 AS dst FROM base
+      WHERE (n * 31 + 7) % 80 <> n
+      UNION
+      SELECT n AS src, (n * 17 + 3) % 80 AS dst FROM base
+      WHERE (n * 17 + 3) % 80 <> n),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    walk(src, node, d) AS (
+      SELECT src, dst, 1 FROM sym
+      UNION
+      SELECT w.src, s.dst, w.d + 1
+      FROM walk w JOIN sym s ON w.node = s.src
+      WHERE w.d < 30),
+    mind AS (
+      SELECT src, node, min(d) AS d FROM walk
+      WHERE src <> node GROUP BY src, node),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    per AS (
+      SELECT src AS node, count(*) AS r, max(d) AS e
+      FROM mind GROUP BY src)
+    SELECT CAST(nodes.node AS BIGINT) AS node,
+           CAST(coalesce(r, 0) AS BIGINT) AS n_reached,
+           CAST(coalesce(e, 0) AS BIGINT) AS eccentricity
+    FROM nodes LEFT JOIN per ON nodes.node = per.node
+    """,
+    doc=(
+        "Per-node eccentricity (operators/centrality.eccentricity — max "
+        "hop distance to any reachable node, the diameter/radius "
+        "profile) of the same bounded 80-node two-out-degree functional "
+        "graph q_graph_closeness uses, undirected: all-pairs distances "
+        "via min-plus path doubling (hop_distances), then ONE node-keyed "
+        "max aggregate. Closes the r8 verdict's 'eccentricity has no "
+        "gate and no test' gap with the recursive-CTE BFS oracle. "
+        "Bounded-subgraph contract as closeness: all-pairs state is "
+        "O(reach^2), corpus-scale eccentricity goes through hyper_anf."
+    ),
+)
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.centrality import eccentricity
+
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(F.col("doc_id").alias("n"))
+    )
+    e1 = base.select(
+        F.col("n").alias("src"), ((F.col("n") * 31 + 7) % 80).alias("dst")
+    )
+    e2 = base.select(
+        F.col("n").alias("src"), ((F.col("n") * 17 + 3) % 80).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    out = eccentricity(edges, directed=False, max_rounds=12)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        "n_reached",
+        "eccentricity",
+    )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box white-noise portmanteau (built on acf)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_ljung_box",
+    """
+    WITH pts AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    ranked AS (
+      SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn
+      FROM pts),
+    st AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean
+      FROM ranked GROUP BY k),
+    c AS (
+      SELECT r.k, r.rn, (r.v - st.mean) AS cv
+      FROM ranked r JOIN st ON r.k = st.k),
+    den AS (
+      SELECT k, sum(CAST(cv * cv AS DECIMAL(38,12))) AS den
+      FROM c GROUP BY k),
+    num AS (
+      SELECT a.k, b.rn - a.rn AS lag,
+             sum(CAST(a.cv * b.cv AS DECIMAL(38,12))) AS num
+      FROM c a JOIN c b ON a.k = b.k AND b.rn > a.rn AND b.rn - a.rn <= 3
+      GROUP BY a.k, b.rn - a.rn),
+    r AS (
+      SELECT num.k, lag, st.n,
+             round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0
+               AS acf_val
+      FROM num JOIN den ON num.k = den.k JOIN st ON num.k = st.k
+      WHERE den > 0 AND lag < st.n),
+    terms AS (
+      SELECT k, n,
+             CAST(round(acf_val * acf_val / CAST(n - lag AS DOUBLE) * 1e12)
+               AS BIGINT) AS tp
+      FROM r)
+    SELECT k AS user_id,
+           CAST(max(n) AS BIGINT) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_lags,
+           round(CAST(max(n) AS DOUBLE) * (max(n) + 2)
+                 * (CAST(sum(tp) AS DOUBLE) / 1e12), 4) + 0.0 AS q_stat
+    FROM terms GROUP BY k
+    """,
+    doc=(
+        "Per-user Ljung-Box portmanteau Q = n(n+2) * sum r_L^2/(n-L) "
+        "over lags 1-3 (operators/timeseries.ljung_box, built on acf's "
+        "ranking window + bounded range self-join): the 'is this series "
+        "white noise at all?' pre-test before fitting seasonal/AR "
+        "models to per-entity telemetry. Determinism: each r_L is the "
+        "4-dp cross-engine ACF value, each summand quantizes to integer "
+        "picos before the key-keyed sum, Q is one double expression "
+        "rounded 4 dp. No global state — everything is user-keyed."
+    ),
+)
+def q_events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ljung_box
+
+    ev = read_table(spark, sf_dir, "events")
+    return ljung_box(ev, "user_id", "ts", "value", max_lag=3)
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley sequential drift (running-mean CUSUM variant)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_page_hinkley",
+    """
+    WITH base AS (
+      SELECT user_id AS k, ts, event_id,
+             CAST(round(value * 1e6) AS BIGINT) AS vu
+      FROM events WHERE value IS NOT NULL),
+    ranked AS (
+      SELECT k, vu,
+             row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+               AS rn,
+             CAST(sum(vu) OVER (PARTITION BY k ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS su
+      FROM base),
+    terms AS (
+      SELECT k, rn,
+             CAST(round(CAST(vu AS DOUBLE) * 1e3
+                        - CAST(su AS DOUBLE) * 1e3 / rn
+                        - 50000000) AS BIGINT) AS tn
+      FROM ranked),
+    cum AS (
+      SELECT k, rn,
+             CAST(sum(tn) OVER (PARTITION BY k ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS u
+      FROM terms),
+    ph AS (
+      SELECT k, rn,
+             u - min(u) OVER (PARTITION BY k ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phv
+      FROM cum)
+    SELECT k AS user_id,
+           CAST(max(rn) AS BIGINT) AS n_points,
+           round(CAST(max(phv) AS DOUBLE) / 1e9, 6) + 0.0 AS ph_max,
+           max(phv) > 2000000000 AS drifted,
+           CAST(min(CASE WHEN phv > 2000000000 THEN rn END) AS BIGINT)
+             AS first_cross_n
+    FROM ph GROUP BY k
+    """,
+    doc=(
+        "Per-user Page-Hinkley drift test (operators/timeseries."
+        "page_hinkley, delta=0.05, threshold=2.0): accumulate "
+        "x_t - running_mean_t - delta and monitor the excursion above "
+        "the running minimum — the self-normalizing online sibling of "
+        "cusum_flags (which standardizes against the key's GLOBAL "
+        "moments). Three per-key windows (running sum/min/max), never "
+        "global; values quantize to micros and each term to nanos so "
+        "every cumulative comparison is exact BIGINT on both engines."
+    ),
+)
+def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import page_hinkley
+
+    ev = read_table(spark, sf_dir, "events")
+    return page_hinkley(
+        ev, "user_id", "ts", "event_id", "value", delta=0.05, threshold=2.0
+    )
+
+
+# --------------------------------------------------------------------------
+# Best single SSE changepoint (binary segmentation step 1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_best_sse_split",
+    """
+    WITH base AS (
+      SELECT user_id AS k, ts, event_id,
+             CAST(round(value * 1e6) AS BIGINT) AS vu
+      FROM events WHERE value IS NOT NULL),
+    ranked AS (
+      SELECT k,
+             row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+               AS rn,
+             CAST(sum(vu) OVER (PARTITION BY k ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sl
+      FROM base),
+    tot AS (
+      SELECT k, rn, sl,
+             max(rn) OVER (PARTITION BY k) AS n,
+             max(sl) OVER (PARTITION BY k) AS s
+      FROM ranked),
+    cand AS (
+      SELECT k, rn, n, sl, s,
+             (CAST(sl AS DOUBLE) * sl / rn
+              + CAST(s - sl AS DOUBLE) * (s - sl) / (n - rn)
+              - CAST(s AS DOUBLE) * s / n) / 1e12 AS g
+      FROM tot
+      WHERE n >= 4 AND rn >= 2 AND rn <= n - 2),
+    pick AS (
+      SELECT k, rn, n, sl, s, g,
+             row_number() OVER (PARTITION BY k ORDER BY g DESC, rn ASC)
+               AS pk
+      FROM cand)
+    SELECT k AS user_id,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(rn AS BIGINT) AS split_pos,
+           round(CAST(sl AS DOUBLE) / (rn * 1e6), 6) + 0.0 AS mean_left,
+           round(CAST(s - sl AS DOUBLE) / ((n - rn) * 1e6), 6) + 0.0
+             AS mean_right,
+           round(g, 6) + 0.0 AS gain
+    FROM pick WHERE pk = 1
+    """,
+    doc=(
+        "Per-user best single changepoint by SSE reduction (operators/"
+        "timeseries.best_sse_split, min_segment=2): the first step of "
+        "binary segmentation — argmax over split positions of "
+        "SL^2/i + SR^2/(n-i) - S^2/n, the least-squares 'WHERE did the "
+        "regime change' complement to the sequential detectors (CUSUM/"
+        "Page-Hinkley say whether). One per-key ranking window + one "
+        "per-key running sum + a per-key argmax row_number — every "
+        "stage keyed, no self-join, no global window. Values quantize "
+        "to micros so all sums are exact BIGINTs; the gain is the same "
+        "IEEE double expression of those integers on both engines; "
+        "ties break to the smallest split."
+    ),
+)
+def q_events_best_sse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import best_sse_split
+
+    ev = read_table(spark, sf_dir, "events")
+    return best_sse_split(
+        ev, "user_id", "ts", "event_id", "value", min_segment=2
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT sequential decision per event type
+# --------------------------------------------------------------------------
+
+
+def _sprt_consts(p0: float, p1: float, alpha: float, beta: float):
+    import math
+
+    return (
+        int(round(math.log(p1 / p0) * 1e9)),
+        int(round(math.log((1.0 - p1) / (1.0 - p0)) * 1e9)),
+        int(round(math.log((1.0 - beta) / alpha) * 1e9)),
+        int(round(math.log(beta / (1.0 - alpha)) * 1e9)),
+    )
+
+
+_W_SUCC, _W_FAIL, _A_N, _B_N = _sprt_consts(0.3, 0.4, 0.05, 0.2)
+
+
+@register(
+    "q_events_sprt",
+    f"""
+    WITH base AS (
+      SELECT event_type AS k, ts, event_id, value > 50 AS x
+      FROM events WHERE value IS NOT NULL),
+    cum AS (
+      SELECT k, x,
+             row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+               AS rn,
+             CAST(sum(CASE WHEN x THEN {_W_SUCC} ELSE {_W_FAIL} END)
+               OVER (PARTITION BY k ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS llr
+      FROM base),
+    marked AS (
+      SELECT k, x, rn, llr,
+             CASE WHEN llr >= {_A_N} THEN 1
+                  WHEN llr <= {_B_N} THEN -1 END AS crossed
+      FROM cum),
+    agg AS (
+      SELECT k,
+             CAST(max(rn) AS BIGINT) AS n_obs,
+             CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_success,
+             CAST(min(CASE WHEN crossed IS NOT NULL THEN rn END) AS BIGINT)
+               AS decided_at_n,
+             min_by(crossed, CASE WHEN crossed IS NOT NULL THEN rn END)
+               AS dir,
+             max_by(llr, rn) AS llr_last
+      FROM marked GROUP BY k)
+    SELECT k AS event_type, n_obs, n_success,
+           CASE WHEN decided_at_n IS NULL THEN 'continue'
+                WHEN dir = 1 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           decided_at_n,
+           round(CAST(llr_last AS DOUBLE) / 1e9, 6) + 0.0 AS llr_final
+    FROM agg
+    """,
+    doc=(
+        "Per-event-type Wald SPRT (operators/experiment.sprt_decision, "
+        "H0 p=0.3 vs H1 p=0.4 on the Bernoulli stream value>50, "
+        "alpha=0.05, beta=0.2): cumulative log-likelihood ratio over "
+        "the time-ordered observations, stopping at the first Wald "
+        "boundary crossing — the sequential experiment/canary readout "
+        "that stops the moment evidence suffices. One per-key ranking "
+        "window + running sum + key-keyed reduction; the two LLR terms "
+        "and both boundaries are nano-quantized Python literals shared "
+        "verbatim with the oracle, so every comparison is exact BIGINT."
+    ),
+)
+def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import sprt_decision
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "_succ", F.col("value") > 50
+    )
+    return sprt_decision(
+        ev,
+        "event_type",
+        "ts",
+        "event_id",
+        "_succ",
+        p0=0.3,
+        p1=0.4,
+        alpha=0.05,
+        beta=0.2,
+    )
+
+
+# --------------------------------------------------------------------------
+# Jaro-Winkler over sorted-neighborhood candidates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_part_jw_topk",
+    """
+    WITH ranked AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part),
+    pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             CAST(b.rn - a.rn AS BIGINT) AS rank_distance,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM ranked a JOIN ranked b
+        ON b.rn > a.rn AND b.rn - a.rn <= 2),
+    scored AS (
+      SELECT id_a, id_b, rank_distance,
+             round(jaro_winkler_similarity(name_a, name_b), 6) + 0.0 AS jw
+      FROM pairs)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           rank_distance, jw
+    FROM scored
+    ORDER BY jw DESC, id_a, id_b
+    LIMIT 50
+    """,
+    doc=(
+        "Jaro-Winkler similarity over sorted-neighborhood candidate "
+        "pairs of part names, top-50 by (jw desc, ids) (operators/"
+        "linkage.jaro_winkler_pairs on linkage.sorted_neighborhood_"
+        "pairs, window=2): the probabilistic-record-linkage string "
+        "kernel on an already-blocked LINEAR candidate set (n*window "
+        "pairs, never n^2). JW's match-window + transposition walk is "
+        "position-imperative — genuinely outside relational algebra — "
+        "so it runs as ONE Arrow-vectorized pandas_udf whose semantics "
+        "match DuckDB's jaro_winkler_similarity bit-for-bit (boost "
+        "only when jaro > 0.7, prefix cap 4, scaling 0.1, empty -> 0); "
+        "the blocked pair generation is the banded equi-join with no "
+        "global window. Values round 6 dp before the hash."
+    ),
+)
+def q_part_jw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import jaro_winkler_pairs, sorted_neighborhood_pairs
+
+    part = read_table(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(part, "p_name", "p_partkey", window=2)
+    names = part.select(
+        F.col("p_partkey").alias("_nk"), F.col("p_name").alias("_nm")
+    )
+    with_names = (
+        pairs.join(names, pairs["id_a"] == names["_nk"])
+        .select("id_a", "id_b", "rank_distance", F.col("_nm").alias("name_a"))
+        .join(
+            names.select(
+                F.col("_nk").alias("_nk2"), F.col("_nm").alias("name_b")
+            ),
+            F.col("id_b") == F.col("_nk2"),
+        )
+        .select("id_a", "id_b", "rank_distance", "name_a", "name_b")
+    )
+    scored = jaro_winkler_pairs(with_names, "name_a", "name_b", out_col="_jw")
+    return (
+        scored.select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "rank_distance",
+            (F.round(F.col("_jw"), 6) + 0.0).alias("jw"),
+        )
+        .orderBy(F.col("jw").desc(), "id_a", "id_b")
+        .limit(50)
+    )
