@@ -275,3 +275,68 @@ def test_sorted_neighborhood_matches_bruteforce(spark):
             if i + d < len(order)
         }
         assert got == expected
+
+
+# --------------------------------------------------------------------------
+# als_factorize
+# --------------------------------------------------------------------------
+
+
+def test_als_recovers_low_rank_structure(spark):
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.factorization import (
+        als_factorize,
+        als_rmse,
+    )
+
+    rows = []
+    for u in range(30):
+        for i in range(20):
+            if (u * 7 + i * 3) % 4 == 0:
+                r = (1 + u % 3) * (1 + i % 2) + 0.1 * ((u + i) % 5)
+                rows.append((u, i, float(r)))
+    df = spark.createDataFrame(rows, ["u", "i", "r"])
+    uf, vf = als_factorize(df, "u", "i", "r", rank=4, reg=0.05, iterations=4)
+    rmse = als_rmse(df, "u", "i", "r", uf, vf)
+    gm = df.select(F.avg("r")).collect()[0][0]
+    base = df.select(
+        F.sqrt(F.avg((F.col("r") - gm) * (F.col("r") - gm)))
+    ).collect()[0][0]
+    # near-low-rank data: ALS should cut the baseline error in half+
+    assert rmse < base * 0.5
+    # factor tables cover every entity, rank-sized vectors
+    assert uf.count() == 30 and vf.count() == 20
+    assert len(uf.first()["factors"]) == 4
+
+
+def test_als_more_iterations_do_not_hurt(spark):
+    from ups_crossref_etl_spark.operators.factorization import (
+        als_factorize,
+        als_rmse,
+    )
+
+    rows = [
+        (u, i, float(1 + (u * i) % 7))
+        for u in range(15)
+        for i in range(10)
+        if (u + i) % 3 == 0
+    ]
+    df = spark.createDataFrame(rows, ["u", "i", "r"])
+    rmses = []
+    for iters in (1, 3):
+        uf, vf = als_factorize(
+            df, "u", "i", "r", rank=3, reg=0.1, iterations=iters
+        )
+        rmses.append(als_rmse(df, "u", "i", "r", uf, vf))
+    assert rmses[1] <= rmses[0] * 1.001  # descent (tiny ulp slack)
+
+
+def test_als_validates_params(spark):
+    from ups_crossref_etl_spark.operators.factorization import als_factorize
+
+    df = spark.createDataFrame([(1, 1, 1.0)], ["u", "i", "r"])
+    with pytest.raises(ValueError):
+        als_factorize(df, "u", "i", "r", rank=0)
+    with pytest.raises(ValueError):
+        als_factorize(df, "u", "i", "r", iterations=0)

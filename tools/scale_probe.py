@@ -64,6 +64,7 @@ def main() -> None:
         t_small, _ = timed(small_fn)
         t_big, _ = timed(big_fn)
         results["probes"][name] = {
+            "replication": n,
             "rows_1x": small_rows,
             "rows_Nx": big_rows,
             "sec_1x": t_small,

@@ -131,6 +131,16 @@ def dbscan(
     else:
         from .similarity import band_signatures_udf
 
+        # validate dim against the data BEFORE building the plane
+        # matrix: a mismatch otherwise surfaces as an opaque matmul
+        # shape error inside the executor (ADVICE r8)
+        first = base.select(F.size("_v").alias("_d")).limit(1).collect()
+        if first and first[0]["_d"] != dim:
+            raise ValueError(
+                f"dbscan(mode='lsh'): dim={dim} does not match the "
+                f"embedding column's actual dimension {first[0]['_d']} — "
+                "pass dim=<actual> (the plane matrix is built from it)"
+            )
         sig_udf = band_signatures_udf(dim, bands, planes_per_band)
         sigs = base.select(
             "_id", "_q", sig_udf(F.col("_v")).alias("_sigs")

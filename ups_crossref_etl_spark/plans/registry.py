@@ -71,6 +71,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_best_sse_split",
     "q_events_sprt",
     "q_part_jw_topk",
+    "q_part_als_bound",
     # round-9 operator fixes: rouge_n short-text guard; sorted-
     # neighborhood rewritten to range-partition + banded equi-join
     "q_docs_rouge_bigram",

@@ -451,3 +451,133 @@ def q_part_jw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jw").desc(), "id_a", "id_b")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# ALS matrix factorization: baseline-beating bound + operational factors
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_part_als_bound",
+    """
+    WITH r AS (
+      SELECT l_suppkey AS u, l_partkey AS i,
+             CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(38,12)))
+                             / count(*) AS DOUBLE) * 1e6) AS BIGINT) AS ru
+      FROM lineitem GROUP BY l_suppkey, l_partkey),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ru) AS BIGINT) AS s1,
+             sum(CAST(ru AS DECIMAL(38,0)) * ru) AS s2
+      FROM r)
+    SELECT n AS n_ratings,
+           round(sqrt(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / 1e6, 6) + 0.0 AS rmse_baseline,
+           TRUE AS model_beats_baseline,
+           TRUE AS rmse_valid
+    FROM s
+    """,
+    doc=(
+        "Quality contract for ALS matrix factorization (operators/"
+        "factorization.als_factorize, rank=4, reg=0.05, 2 iterations, "
+        "weighted-lambda Zhou et al. 2008) on the supplier x part "
+        "avg-quantity matrix: the trained model's RMSE must beat the "
+        "global-mean baseline predictor. The gate hashes the EXACT side "
+        "(rating count + baseline RMSE from integer-micro sufficient "
+        "statistics, DECIMAL(38,0) for the square sum so nothing "
+        "overflows) plus boolean verdicts — the factors themselves are "
+        "iterative float state whose ulp wiggle is not hashable, the "
+        "repo's standard *_bound pattern for non-SQL-expressible "
+        "training loops. Scale shape per half-step: one equi-join on "
+        "the fixed side + ONE map-side-combined aggregate carrying "
+        "rank^2+rank doubles per entity + an Arrow-vectorized rank x "
+        "rank solve; driver holds zero data."
+    ),
+)
+def q_part_als_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.factorization import als_factorize, als_rmse
+
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,12)"
+    ratings = (
+        li.groupBy(
+            F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("l_quantity").cast(dec)).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("ru")
+        )
+        .withColumn("r", F.col("ru") / 1e6)
+    )
+    ratings = ratings.localCheckpoint()
+    uf, itf = als_factorize(
+        ratings, "u", "i", "r", rank=4, reg=0.05, iterations=2
+    )
+    rmse_model = als_rmse(ratings, "u", "i", "r", uf, itf)
+    stats = ratings.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+        F.sum("ru").cast("bigint").alias("_s1"),
+        F.sum(F.col("ru").cast("decimal(38,0)") * F.col("ru")).alias("_s2"),
+    )
+    n = F.col("n_ratings").cast("double")
+    rmse_b = (
+        F.round(
+            F.sqrt(
+                F.col("_s2").cast("double") / n
+                - (F.col("_s1").cast("double") / n)
+                * (F.col("_s1").cast("double") / n)
+            )
+            / 1e6,
+            6,
+        )
+        + 0.0
+    )
+    return stats.select(
+        "n_ratings",
+        rmse_b.alias("rmse_baseline"),
+        (F.lit(float(rmse_model)) < rmse_b).alias("model_beats_baseline"),
+        F.lit(rmse_model >= 0.0 and rmse_model == rmse_model).alias(
+            "rmse_valid"
+        ),
+    )
+
+
+@register(
+    "q_part_als_factors",
+    None,
+    doc=(
+        "Operational ALS output (operators/factorization.als_factorize): "
+        "the item-factor table for the supplier x part matrix, rank 4 — "
+        "iterative float state (hash-seeded init, ulp-order accumulation) "
+        "so it carries no SQL oracle; its quality is pinned by the "
+        "oracle-checked q_part_als_bound contract plus pytest descent "
+        "assertions. gate=False: bench/plan surface only."
+    ),
+    gate=False,
+)
+def q_part_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.factorization import als_factorize
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ratings = li.groupBy(
+        F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("i")
+    ).agg(F.avg("l_quantity").alias("r"))
+    _, itf = als_factorize(
+        ratings, "u", "i", "r", rank=4, reg=0.05, iterations=2
+    )
+    return itf.select(
+        F.col("i").alias("item"),
+        F.round(F.element_at("factors", 1), 6).alias("f0"),
+        F.round(F.element_at("factors", 2), 6).alias("f1"),
+        F.round(F.element_at("factors", 3), 6).alias("f2"),
+        F.round(F.element_at("factors", 4), 6).alias("f3"),
+    ).orderBy("item")
