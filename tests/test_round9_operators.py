@@ -340,3 +340,43 @@ def test_als_validates_params(spark):
         als_factorize(df, "u", "i", "r", rank=0)
     with pytest.raises(ValueError):
         als_factorize(df, "u", "i", "r", iterations=0)
+
+
+# --------------------------------------------------------------------------
+# logreg_irls
+# --------------------------------------------------------------------------
+
+
+def test_logreg_recovers_planted_weights(spark):
+    from ups_crossref_etl_spark.operators.classifier import (
+        logreg_irls,
+        logreg_score,
+    )
+    from ups_crossref_etl_spark.operators.evaluation import binary_auc
+
+    rng = random.Random(5)
+    rows = []
+    for _ in range(400):
+        x1, x2 = rng.uniform(-2, 2), rng.uniform(-2, 2)
+        p = 1.0 / (1.0 + math.exp(-(1.5 * x1 - 2.0 * x2 + 0.3)))
+        rows.append(([x1, x2], rng.random() < p))
+    df = spark.createDataFrame(rows, "features array<double>, label boolean")
+    model = logreg_irls(df, "features", "label", dim=2, reg=1e-3, iterations=8)
+    w = model["weights"]
+    # signs and rough magnitudes of the planted (0.3, 1.5, -2.0)
+    assert w[1] > 0.8 and w[2] < -1.2
+    # loss path non-increasing by construction
+    lp = model["loss_path"]
+    assert all(lp[i + 1] <= lp[i] for i in range(len(lp) - 1))
+    assert model["iterations_run"] >= 2
+    scored = logreg_score(df, "features", w)
+    auc = binary_auc(scored, "score", "label").collect()[0]["auc"]
+    assert auc > 0.85
+
+
+def test_logreg_validates_params(spark):
+    from ups_crossref_etl_spark.operators.classifier import logreg_irls
+
+    df = spark.createDataFrame([([1.0], True)], "features array<double>, label boolean")
+    with pytest.raises(ValueError):
+        logreg_irls(df, "features", "label", dim=0)

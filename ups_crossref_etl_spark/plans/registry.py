@@ -72,6 +72,7 @@ _CHANGED_THIS_ROUND = [
     "q_events_sprt",
     "q_part_jw_topk",
     "q_part_als_bound",
+    "q_docs_quality_classifier_bound",
     # round-9 operator fixes: rouge_n short-text guard; sorted-
     # neighborhood rewritten to range-partition + banded equi-join
     "q_docs_rouge_bigram",
