@@ -380,3 +380,57 @@ def test_logreg_validates_params(spark):
     df = spark.createDataFrame([([1.0], True)], "features array<double>, label boolean")
     with pytest.raises(ValueError):
         logreg_irls(df, "features", "label", dim=0)
+
+
+# --------------------------------------------------------------------------
+# codegree_pairs / rectangle_count
+# --------------------------------------------------------------------------
+
+
+def test_rectangle_count_square_and_k4(spark):
+    from ups_crossref_etl_spark.operators.graph import rectangle_count
+
+    # a single 4-cycle 1-2-3-4-1: exactly one rectangle
+    square = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    r = rectangle_count(square).collect()[0]
+    assert r.n_rectangles == 1 and r.sum_diag_squares == 2
+    # K4: 3 distinct 4-cycles
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        ["src", "dst"],
+    )
+    r = rectangle_count(k4).collect()[0]
+    assert r.n_rectangles == 3
+    # capped run reports the raw diagonal census, NULL rectangles
+    r = rectangle_count(k4, max_center_degree=2).collect()[0]
+    assert r.n_rectangles is None
+
+
+def test_codegree_pairs_values(spark):
+    from ups_crossref_etl_spark.operators.graph import codegree_pairs
+
+    # star 0-{1,2,3}: every leaf pair has codegree 1 (the hub)
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    out = {(r.u, r.v): r.codeg for r in codegree_pairs(star).collect()}
+    assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+# --------------------------------------------------------------------------
+# betweenness_pairs
+# --------------------------------------------------------------------------
+
+
+def test_betweenness_pairs_on_path(spark):
+    from ups_crossref_etl_spark.operators.centrality import betweenness_pairs
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    out = {
+        r.node: r.n_through_pairs
+        for r in betweenness_pairs(path, directed=False).collect()
+    }
+    # classic Freeman betweenness on a path (unique geodesics)
+    assert out == {1: 0, 2: 3, 3: 4, 4: 3, 5: 0}

@@ -216,3 +216,74 @@ def eccentricity(
         F.coalesce("_r", F.lit(0)).cast("bigint").alias("n_reached"),
         F.coalesce("_e", F.lit(0)).cast("bigint").alias("eccentricity"),
     )
+
+
+def betweenness_pairs(
+    edges: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Shortest-path coverage centrality per node of a bounded graph:
+    ``(node, n_through_pairs)`` = the number of unordered node pairs
+    ``(s, t)`` (both distinct from ``node``) with ``node`` on AT LEAST
+    one shortest s-t path, i.e. ``d(s,v) + d(v,t) = d(s,t)``.
+
+    On graphs whose shortest paths are UNIQUE (trees, in particular)
+    this IS classic Freeman betweenness (every covered pair contributes
+    its full unit); on graphs with multiple geodesics it is the
+    well-defined upper variant sometimes called stress-coverage — each
+    pair counts 0/1 instead of the fractional sigma_st(v)/sigma_st.
+    The docstring states this honestly because the gate runs on a tree
+    where both notions coincide exactly.
+
+    Plan shape: :func:`hop_distances` (min-plus doubling, bounded
+    subgraph contract), then ONE midpoint-keyed self-join of the
+    distance table with itself (s→v ⋈ v→t) and ONE pair-keyed
+    equi-join against d(s,t) to test the geodesic identity — all
+    equi-joins on O(reach²) state, the same budget as the distance
+    table itself. Counts are exact BIGINTs.
+    """
+    dist = hop_distances(
+        edges, directed=directed, max_rounds=max_rounds, strict=True
+    ).localCheckpoint()
+    through = (
+        dist.alias("a")
+        .join(
+            dist.alias("b"),
+            F.col("a.dst") == F.col("b.src"),
+        )
+        .filter(F.col("a.src") != F.col("b.dst"))
+        .select(
+            F.col("a.src").alias("s"),
+            F.col("a.dst").alias("v"),
+            F.col("b.dst").alias("t"),
+            (F.col("a.dist") + F.col("b.dist")).alias("_dsum"),
+        )
+        .filter(F.col("s") < F.col("t"))  # unordered pairs once
+    )
+    hits = (
+        through.join(
+            dist.select(
+                F.col("src").alias("s"),
+                F.col("dst").alias("t"),
+                F.col("dist").alias("_dst"),
+            ),
+            ["s", "t"],
+        )
+        .filter(F.col("_dsum") == F.col("_dst"))
+        .select("v", "s", "t")
+        .distinct()  # a pair counts once however many midpoints match per v
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    per = hits.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    return nodes.join(per, "node", "left").select(
+        "node",
+        F.coalesce("_c", F.lit(0)).cast("bigint").alias("n_through_pairs"),
+    )

@@ -1147,3 +1147,81 @@ def ktruss(
     if strict:
         raise RuntimeError(f"ktruss: no fixpoint after {max_iter} rounds")
     return surv.select("lo", "hi", "support")
+
+
+def codegree_pairs(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Codegree table ``(u, v, codeg)`` for every unordered node pair
+    with at least one common neighbor — the wedge-count primitive under
+    neighborhood link prediction (:func:`neighbor_jaccard` scores it),
+    rectangle counting (:func:`rectangle_count` squares it), and
+    co-citation / co-occurrence analyses.
+
+    Wedges are generated at their CENTER (pairs of the center's
+    neighbors), so work is Σ deg(center)² — the same hub cliff as
+    Adamic-Adar, governed by the same contract: ``max_center_degree``
+    drops high-degree wedge centers (a deterministic function of exact
+    degrees, so results stay hash-exact for a fixed cap); the uncapped
+    exact semantics run on bounded subgraphs (the AA/NJ capped + exact
+    twin pattern). Plan: one symmetrized degree aggregate, one
+    center-keyed self-join, one pair-keyed count — equi-joins only.
+    """
+    canon = _canonical_edges(edges)
+    und = canon.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).unionByName(
+        canon.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    centers = deg.filter(F.col("_d") > 1)
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("_d") <= max_center_degree)
+    wi = und.join(centers.select("node"), "node")
+    pairs = (
+        wi.alias("a")
+        .join(wi.alias("b"), "node")
+        .filter(F.col("a.nbr") < F.col("b.nbr"))
+        .select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+    )
+    return pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("codeg")
+    )
+
+
+def rectangle_count(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Global 4-cycle (rectangle) census: ONE row ``(n_codeg_pairs,
+    sum_diag_squares, n_rectangles)`` where ``sum_diag_squares =
+    Σ_{u<v} C(codeg(u,v), 2)`` counts squares once per DIAGONAL pair.
+    Every rectangle has exactly two diagonals, so uncapped
+    ``n_rectangles = sum_diag_squares / 2`` (emitted; NULL when a
+    center cap is set, because capping can drop one diagonal's wedges
+    and break the exactly-twice invariant — the capped run reports the
+    raw diagonal census instead, the honest number).
+
+    Rectangles are the bipartite-cohesion signal triangles can't see
+    (author-paper, user-item, doc-token graphs are triangle-free but
+    rectangle-rich) — the basis of the butterfly/k-bitruss literature
+    (Sanei-Mehri et al. 2018). Scale contract inherits
+    :func:`codegree_pairs`: capped wedge centers operationally, exact
+    twin on bounded subgraphs.
+    """
+    cd = codegree_pairs(edges, max_center_degree=max_center_degree)
+    agg = cd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_codeg_pairs"),
+        F.sum(F.col("codeg") * (F.col("codeg") - 1) / 2)
+        .cast("bigint")
+        .alias("sum_diag_squares"),
+    )
+    n_rect = (
+        F.lit(None).cast("bigint")
+        if max_center_degree is not None
+        else (F.col("sum_diag_squares") / 2).cast("bigint")
+    )
+    return agg.select(
+        "n_codeg_pairs",
+        F.coalesce("sum_diag_squares", F.lit(0)).alias("sum_diag_squares"),
+        n_rect.alias("n_rectangles"),
+    )

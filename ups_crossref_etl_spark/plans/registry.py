@@ -73,6 +73,9 @@ _CHANGED_THIS_ROUND = [
     "q_part_jw_topk",
     "q_part_als_bound",
     "q_docs_quality_classifier_bound",
+    "q_graph_rectangles",
+    "q_graph_rectangles_exact",
+    "q_graph_tree_betweenness",
     # round-9 operator fixes: rouge_n short-text guard; sorted-
     # neighborhood rewritten to range-partition + banded equi-join
     "q_docs_rouge_bigram",

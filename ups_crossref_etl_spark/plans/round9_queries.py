@@ -660,3 +660,160 @@ def q_docs_quality_classifier_bound(
         F.lit(bool(auc > 0.6)).alias("auc_beats_chance"),
         F.lit(bool(model["iterations_run"] >= 1)).alias("converged_steps"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rectangle (4-cycle) census: capped operational + bounded exact twin
+# --------------------------------------------------------------------------
+
+
+def _rect_sql(where: str, cap: int | None) -> str:
+    """Rectangle-census oracle, parameterized like _nj_sql: a lineitem
+    row filter for the bounded exact twin and a center degree cap for
+    the operational gate. n_rectangles = sum_diag_squares/2 only when
+    uncapped (capping can break the two-diagonals invariant)."""
+    capf = f"AND d <= {cap}" if cap is not None else ""
+    rect = (
+        "CAST(NULL AS BIGINT)"
+        if cap is not None
+        else "CAST(coalesce(sum(CAST(codeg * (codeg - 1) / 2 AS BIGINT)), 0) / 2 AS BIGINT)"
+    )
+    return f"""
+    WITH pe AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem {where}),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    und AS (SELECT lo AS node, hi AS nbr FROM e
+            UNION ALL SELECT hi AS node, lo AS nbr FROM e),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    wi AS (
+      SELECT u.node, u.nbr FROM und u JOIN deg ON u.node = deg.node
+      WHERE d > 1 {capf}),
+    pairs AS (
+      SELECT a.nbr AS u, b.nbr AS v
+      FROM wi a JOIN wi b ON a.node = b.node
+      WHERE a.nbr < b.nbr),
+    inter AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS codeg
+      FROM pairs GROUP BY u, v)
+    SELECT CAST(count(*) AS BIGINT) AS n_codeg_pairs,
+           CAST(coalesce(sum(CAST(codeg * (codeg - 1) / 2 AS BIGINT)), 0)
+             AS BIGINT) AS sum_diag_squares,
+           {rect} AS n_rectangles
+    FROM inter
+    """
+
+
+@register(
+    "q_graph_rectangles",
+    _rect_sql("", 90),
+    doc=(
+        "Rectangle (4-cycle) census of the part co-order graph, "
+        "OPERATIONAL degree-capped path (operators/graph."
+        "rectangle_count on codegree_pairs, centers capped at degree "
+        "<= 90 — the same wedge skeleton, cap rationale and hash-exact "
+        "determinism as q_graph_adamic_adar/neighbor_jaccard): "
+        "sum_diag_squares = sum over codegree pairs of C(codeg, 2) "
+        "counts each square once per diagonal; the capped run reports "
+        "the raw diagonal census (n_rectangles NULL) because capping "
+        "can drop one diagonal's wedges and break the exactly-twice "
+        "invariant — the honest number. Rectangles are the bipartite "
+        "cohesion signal triangle metrics can't see (butterfly "
+        "counting, Sanei-Mehri et al. 2018). Uncapped semantics gated "
+        "by q_graph_rectangles_exact."
+    ),
+)
+def q_graph_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import rectangle_count
+    from .round7c_queries import _part_coorder_edges
+
+    edges = _part_coorder_edges(spark, sf_dir)
+    return rectangle_count(edges, max_center_degree=90)
+
+
+@register(
+    "q_graph_rectangles_exact",
+    _rect_sql("WHERE l_partkey <= 400", None),
+    doc=(
+        "UNCAPPED rectangle census on the bounded partkey <= 400 "
+        "co-order subgraph (wedge work bounded by construction at any "
+        "scale factor): n_rectangles = sum_diag_squares / 2 exactly "
+        "(every 4-cycle has two diagonals) — the exact-semantics twin "
+        "of the capped operational q_graph_rectangles, completing the "
+        "AA/NJ contract-pair pattern for the wedge family."
+    ),
+)
+def q_graph_rectangles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import rectangle_count
+    from .round7c_queries import _part_coorder_edges
+
+    edges = _part_coorder_edges(spark, sf_dir, part_bound=400)
+    return rectangle_count(edges)
+
+
+# --------------------------------------------------------------------------
+# Betweenness on a tree (unique geodesics -> exact Freeman betweenness)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_tree_betweenness",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS n FROM documents WHERE doc_id >= 1 AND doc_id < 80),
+    e0 AS (
+      SELECT n AS src, CAST(floor((n - 1) / 2.0) AS BIGINT) AS dst
+      FROM base),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    walk(src, node, d) AS (
+      SELECT src, dst, 1 FROM sym
+      UNION
+      SELECT w.src, s.dst, w.d + 1
+      FROM walk w JOIN sym s ON w.node = s.src
+      WHERE w.d < 30),
+    mind AS (
+      SELECT src, node, min(d) AS d FROM walk
+      WHERE src <> node GROUP BY src, node),
+    hits AS (
+      SELECT DISTINCT a.src AS s, b.node AS t, a.node AS v
+      FROM mind a
+      JOIN mind b ON a.node = b.src
+      JOIN mind st ON st.src = a.src AND st.node = b.node
+      WHERE a.src < b.node AND a.d + b.d = st.d),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    per AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS c
+            FROM hits GROUP BY v)
+    SELECT CAST(nodes.node AS BIGINT) AS node,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_through_pairs
+    FROM nodes LEFT JOIN per ON nodes.node = per.node
+    """,
+    doc=(
+        "Exact Freeman betweenness on the 80-node binary-heap tree "
+        "over doc ids (edges n -> (n-1)/2, undirected) via operators/"
+        "centrality.betweenness_pairs: count unordered pairs (s, t) "
+        "with d(s,v) + d(v,t) = d(s,t). On a TREE geodesics are unique "
+        "so pair-coverage IS classic betweenness (on general graphs "
+        "the operator is the documented 0/1 stress-coverage variant). "
+        "Plan: min-plus all-pairs distances + one midpoint-keyed "
+        "self-join + one pair-keyed geodesic-identity join — all "
+        "equi-joins over the O(reach^2) bounded-subgraph budget. The "
+        "oracle replays the identity on a recursive-CTE BFS."
+    ),
+)
+def q_graph_tree_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.centrality import betweenness_pairs
+
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") < 80))
+        .select(F.col("doc_id").alias("n"))
+    )
+    edges = base.select(
+        F.col("n").alias("src"),
+        F.floor((F.col("n") - 1) / 2).cast("bigint").alias("dst"),
+    )
+    out = betweenness_pairs(edges, directed=False, max_rounds=12)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"), "n_through_pairs"
+    )
