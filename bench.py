@@ -301,6 +301,20 @@ EXTENDED = [
     # itself is now the CAPPED operational path
     "q_graph_adamic_adar_exact",
     "q_graph_adamic_adar_cap_agreement",
+    # round 9: sequential stats (per-key windows), the wedge-family
+    # rectangle census (capped path), distance-centrality gates, the
+    # Jaro-Winkler pandas_udf over banded sorted-neighborhood pairs,
+    # and the two iterative-training bound gates (ALS, IRLS logistic)
+    "q_events_ljung_box",
+    "q_events_page_hinkley",
+    "q_events_best_sse_split",
+    "q_events_sprt",
+    "q_part_jw_topk",
+    "q_part_als_bound",
+    "q_docs_quality_classifier_bound",
+    "q_graph_rectangles",
+    "q_graph_eccentricity",
+    "q_graph_tree_betweenness",
 ]
 
 
