@@ -76,6 +76,7 @@ _CHANGED_THIS_ROUND = [
     "q_graph_rectangles",
     "q_graph_rectangles_exact",
     "q_graph_tree_betweenness",
+    "q_docs_rouge_short_ref",
     # round-9 operator fixes: rouge_n short-text guard; sorted-
     # neighborhood rewritten to range-partition + banded equi-join
     "q_docs_rouge_bigram",

@@ -817,3 +817,88 @@ def q_graph_tree_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("bigint").alias("node"), "n_through_pairs"
     )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-2 short-reference regression gate (the r8 crash class, gated)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_rouge_short_ref",
+    """
+    WITH p AS (
+      SELECT doc_id AS pid,
+             text AS cand,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 5 END AS k
+      FROM documents),
+    ctoks AS (SELECT pid, t FROM p),
+    rtoks AS (SELECT pid, list_slice(t, 1, k) AS t FROM p),
+    cg AS (
+      SELECT pid, t[i] || ' ' || t[i+1] AS gram,
+             CAST(count(*) AS BIGINT) AS cc
+      FROM ctoks, unnest(range(1, len(t))) AS u(i)
+      GROUP BY pid, gram),
+    rg AS (
+      SELECT pid, t[i] || ' ' || t[i+1] AS gram,
+             CAST(count(*) AS BIGINT) AS cr
+      FROM rtoks, unnest(range(1, len(t))) AS u(i)
+      GROUP BY pid, gram),
+    j AS (
+      SELECT coalesce(cg.pid, rg.pid) AS pid,
+             coalesce(cc, 0) AS cc, coalesce(cr, 0) AS cr,
+             CASE WHEN cc IS NOT NULL AND cr IS NOT NULL
+                  THEN least(cc, cr) ELSE 0 END AS clip
+      FROM cg FULL OUTER JOIN rg
+        ON cg.pid = rg.pid AND cg.gram = rg.gram),
+    per AS (
+      SELECT pid, CAST(sum(cr) AS BIGINT) AS n_ref_grams,
+             CAST(sum(cc) AS BIGINT) AS n_cand_grams,
+             CAST(sum(clip) AS BIGINT) AS n_clipped
+      FROM j GROUP BY pid)
+    SELECT p.pid AS doc_id,
+           coalesce(n_ref_grams, 0) AS n_ref_grams,
+           coalesce(n_cand_grams, 0) AS n_cand_grams,
+           coalesce(n_clipped, 0) AS n_clipped,
+           round(CASE WHEN coalesce(n_ref_grams, 0) > 0 THEN
+             n_clipped / CAST(n_ref_grams AS DOUBLE) END, 6) + 0.0
+             AS rouge_recall
+    FROM p LEFT JOIN per ON p.pid = per.pid
+    """,
+    doc=(
+        "ROUGE-2 short-reference REGRESSION gate (operators/evaluation."
+        "rouge_n): every document scored against a truncated reference "
+        "— its own first token when doc_id %% 3 = 0 (ZERO bigrams "
+        "possible), first five tokens otherwise — so a third of the "
+        "pairs exercise the < n-token guard the r8-committed red test "
+        "exposed (Spark's sequence(1, 0) is descending and slice(toks, "
+        "0, n) throws; the fixed operator short-circuits to an empty "
+        "gram array -> 0 grams, NULL recall, the honest value). "
+        "Sf-independent by construction: the short-ref class exists at "
+        "every scale factor, so the crash class can never again pass "
+        "the gate by data luck."
+    ),
+)
+def q_docs_rouge_short_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import rouge_n
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    k = F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(5))
+    pairs = d.select(
+        "doc_id",
+        F.col("text").alias("cand"),
+        F.array_join(F.slice(toks, 1, k), " ").alias("ref"),
+    )
+    out = rouge_n(pairs, "doc_id", "cand", "ref", n=2)
+    return out.select(
+        "doc_id",
+        "n_ref_grams",
+        "n_cand_grams",
+        "n_clipped",
+        "rouge_recall",
+    )
