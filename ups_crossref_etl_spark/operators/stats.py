@@ -1558,3 +1558,45 @@ def brown_forsythe(
     return out.select(
         "n_groups", "n", "df_between", "df_within", "f_stat"
     )
+
+
+def percent_rank_unique(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    out_col: str = "score",
+) -> DataFrame:
+    """Distributed ``percent_rank() OVER (ORDER BY value, id)`` for a
+    UNIQUE (value, id) key — without the global per-row ranking window
+    (`WindowExec: No Partition Defined` moves the whole table to one
+    partition). Same decomposition as :func:`kruskal_wallis`'s
+    midranks: per-value counts, a cumulative window over the BOUNDED
+    distinct-value table for offsets, then a value-PARTITIONED
+    row_number for the within-value position; ``(rank - 1) / (n - 1)``
+    reproduces percent_rank bit-for-bit (n > 1; single-row input
+    scores 0.0 like percent_rank does).
+
+    Appends ``out_col`` (double); other columns pass through.
+    """
+    from pyspark.sql import Window
+
+    per_v = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t")
+    )
+    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_v.select(
+        "_v", F.coalesce(F.sum("_t").over(wv), F.lit(0)).alias("_off")
+    )
+    n = df.count()
+    wr = Window.partitionBy(value_col).orderBy(id_col)
+    denom = float(n - 1) if n > 1 else 1.0
+    return (
+        df.join(offs, df[value_col] == offs["_v"])
+        .withColumn("_r", F.row_number().over(wr))
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.col("_r") - F.lit(1)).cast("double")
+            / F.lit(denom),
+        )
+        .drop("_v", "_off", "_r")
+    )

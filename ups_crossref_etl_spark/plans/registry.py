@@ -78,7 +78,11 @@ _CHANGED_THIS_ROUND = [
     "q_graph_tree_betweenness",
     "q_docs_rouge_short_ref",
     # round-9 operator fixes: rouge_n short-text guard; sorted-
-    # neighborhood rewritten to range-partition + banded equi-join
+    # neighborhood rewritten to range-partition + banded equi-join;
+    # ECE gates rescored via the distributed percent_rank (no global
+    # per-row WindowExec — r8 verdict minor #4)
+    "q_docs_ece",
+    "q_docs_ece_approx_bound",
     "q_docs_rouge_bigram",
     "q_part_sorted_neighborhood",
     "q_part_fs_weights",

@@ -75,11 +75,13 @@ def q_docs_ece_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").filter(
         F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
     )
-    w = Window.orderBy("n_chars", "doc_id")
-    scored = d.select(
-        "doc_id",
-        F.percent_rank().over(w).alias("score"),
-        (F.col("lang") == "en").alias("is_en"),
+    # distributed percent_rank — same values as the global window, no
+    # single-partition WindowExec (r8 verdict #4; see stats.
+    # percent_rank_unique)
+    from ..operators.stats import percent_rank_unique
+
+    scored = percent_rank_unique(d, "n_chars", "doc_id", out_col="score").select(
+        "doc_id", "score", (F.col("lang") == "en").alias("is_en")
     )
     exact = expected_calibration_error(
         scored, "score", "is_en", "doc_id", n_bins=10, mode="exact"
