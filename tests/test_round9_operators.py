@@ -434,3 +434,31 @@ def test_betweenness_pairs_on_path(spark):
     }
     # classic Freeman betweenness on a path (unique geodesics)
     assert out == {1: 0, 2: 3, 3: 4, 4: 3, 5: 0}
+
+
+# --------------------------------------------------------------------------
+# percent_rank_unique == percent_rank() OVER (ORDER BY value, id)
+# --------------------------------------------------------------------------
+
+
+def test_percent_rank_unique_matches_builtin(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.stats import percent_rank_unique
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 20)) for i in range(157)]  # heavy ties
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r.id: r.score
+        for r in percent_rank_unique(df, "v", "id", out_col="score").collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: r.pr
+        for r in df.select(
+            "id", F.percent_rank().over(w).alias("pr")
+        ).collect()
+    }
+    assert got == want  # bit-for-bit, not approx

@@ -55,11 +55,14 @@ _ROUND = 9
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 9: the six new operators
-#: (eccentricity gate, Ljung-Box, Page-Hinkley, best-SSE changepoint,
-#: Wald SPRT, Jaro-Winkler linkage), the rouge_n short-text crash fix,
-#: the sorted-neighborhood scale rewrite (plus its FS-weights consumer),
-#: and the three r8 queries that shipped with zero committed evidence.
+#: (first ~50 entries) re-verifies them. Round 9: the twelve new
+#: entries (eccentricity gate, Ljung-Box, Page-Hinkley, best-SSE
+#: changepoint, Wald SPRT, Jaro-Winkler linkage, ALS bound, IRLS
+#: logistic-classifier bound, rectangle census capped+exact, tree
+#: betweenness, rouge short-ref regression gate), the rouge_n
+#: short-text crash fix, the sorted-neighborhood scale rewrite (plus
+#: its FS-weights consumer), the ECE percent_rank rewire, and the
+#: three r8 queries that shipped with zero committed evidence.
 #: COMPLETENESS IS TESTED: tests/test_registry_policy.py fails if any
 #: gated query lacking committed verification evidence (CORRECTNESS_r*/
 #: FULLCHECK_r* union) is missing from this list.
