@@ -462,3 +462,57 @@ def test_percent_rank_unique_matches_builtin(spark):
         ).collect()
     }
     assert got == want  # bit-for-bit, not approx
+
+
+def test_sprt_continue_when_evidence_insufficient(spark):
+    from ups_crossref_etl_spark.operators.experiment import sprt_decision
+
+    t0 = dt.datetime(2026, 1, 1)
+    # 4 observations alternating: LLR oscillates inside the boundaries
+    rows = [("k", t0 + dt.timedelta(minutes=i), i, i % 2 == 0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "succ"])
+    r = sprt_decision(
+        df, "k", "ts", "eid", "succ", p0=0.3, p1=0.4, alpha=0.05, beta=0.2
+    ).collect()[0]
+    assert r.decision == "continue"
+    assert r.decided_at_n is None
+    assert r.n_obs == 4 and r.n_success == 2
+
+
+def test_page_hinkley_ignores_null_values(spark):
+    from ups_crossref_etl_spark.operators.timeseries import page_hinkley
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=0), 0, 10.0),
+        (1, t0 + dt.timedelta(minutes=1), 1, None),
+        (1, t0 + dt.timedelta(minutes=2), 2, 10.2),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, value double")
+    r = page_hinkley(df, "k", "ts", "eid", "value").collect()[0]
+    assert r.n_points == 2  # NULL row excluded, not poisoned
+
+
+def test_jaro_winkler_handles_unicode(spark):
+    import duckdb
+
+    from ups_crossref_etl_spark.operators.linkage import _jaro_winkler_py
+
+    con = duckdb.connect()
+    cases = [("café", "cafe"), ("Müller", "Mueller"), ("北京", "北京大学")]
+    for a, b in cases:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler_py(a, b) == pytest.approx(want, abs=1e-12), (a, b)
+
+
+def test_best_sse_split_tie_breaks_to_smallest(spark):
+    from ups_crossref_etl_spark.operators.timeseries import best_sse_split
+
+    t0 = dt.datetime(2026, 1, 1)
+    # constant series: every split has gain 0 -> smallest valid split wins
+    rows = [(1, t0 + dt.timedelta(minutes=i), i, 7.0) for i in range(6)]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "value"])
+    r = best_sse_split(df, "k", "ts", "eid", "value", min_segment=2).collect()[0]
+    assert r.split_pos == 2 and r.gain == 0.0

@@ -371,11 +371,16 @@ def fellegi_sunter_weights(
 def _jaro_winkler_py(s1: str, s2: str) -> float:
     """Standard Jaro-Winkler (boost threshold 0.7, prefix <= 4,
     scaling 0.1), matching DuckDB's ``jaro_winkler_similarity``
-    conventions exactly: either side empty -> 0.0, equal -> 1.0."""
+    conventions exactly: either side empty -> 0.0, equal -> 1.0, and —
+    like DuckDB — computed over UTF-8 BYTES, not code points (a
+    multi-byte character counts as several units; verified against
+    DuckDB on non-ASCII inputs in tests)."""
     if not s1 or not s2:
         return 0.0
     if s1 == s2:
         return 1.0
+    s1 = s1.encode("utf-8")
+    s2 = s2.encode("utf-8")
     l1, l2 = len(s1), len(s2)
     window = max(l1, l2) // 2 - 1
     if window < 0:
