@@ -81,6 +81,40 @@ def test_readme_count_matches_registry(registry):
     )
 
 
+def test_fullcheck_current_round_covers_gated_registry(registry):
+    """r9 verdict #8 — the missing half of the invariant: the CURRENT
+    round's committed FULLCHECK artifact must name every gated registry
+    entry, so a query registered after the final FULLCHECK refresh can't
+    ship without full-battery evidence (the historical-artifact check in
+    test_new_queries_are_in_changed_list accepts any old round's file).
+    Workflow consequence: refresh FULLCHECK_r{N}.json AFTER the last
+    registry change of the round (tools/check_queries.py <sf_dir>
+    --json FULLCHECK_r{N}.json).
+    """
+    from ups_crossref_etl_spark.plans.registry import _ROUND
+
+    specs, _, _ = registry
+    gated = {n for n, s in specs.items() if s.gate}
+    path = os.path.join(ROOT, f"FULLCHECK_r{_ROUND:02d}.json")
+    assert os.path.exists(path), (
+        f"FULLCHECK_r{_ROUND:02d}.json is missing — the full battery must "
+        "be run and committed every round, after the last registry change"
+    )
+    data = json.load(open(path))
+    names = set(data.get("queries", {}).keys())
+    missing = sorted(gated - names)
+    assert not missing, (
+        "gated queries absent from the current round's FULLCHECK artifact "
+        f"(registered after the last refresh?): {missing}"
+    )
+    red = sorted(
+        n
+        for n in gated
+        if data["queries"].get(n, {}).get("status") != "pass"
+    )
+    assert not red, f"gated queries not passing in FULLCHECK: {red}"
+
+
 def test_changed_and_backlog_name_real_entries(registry):
     specs, changed, never = registry
     gated = {n for n, s in specs.items() if s.gate}

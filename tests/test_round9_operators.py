@@ -150,6 +150,31 @@ def test_best_sse_split_finds_step(spark):
     assert row.gain == pytest.approx(240.0, abs=1e-4)
 
 
+def test_best_sse_split_negative_tail(spark):
+    """Regression (r10): S must be the TRUE total, not max prefix sum.
+
+    Series 10,10,10, -5,-5,-5 — the prefix sum peaks at 30 after row 3
+    and then falls to 15. The old ``max(_sl)`` total would claim S=30,
+    corrupting mean_right (-5 -> 0) and gain. Correct split: pos 3,
+    means 10 / -5, gain = 3*3/6 * (10 - (-5))^2 = 337.5.
+    """
+    from ups_crossref_etl_spark.operators.timeseries import best_sse_split
+
+    t0 = dt.datetime(2026, 1, 1)
+    vals = [10.0, 10.0, 10.0, -5.0, -5.0, -5.0]
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "value"])
+    r = best_sse_split(df, "k", "ts", "eid", "value", min_segment=2).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.split_pos == 3
+    assert row.mean_left == pytest.approx(10.0)
+    assert row.mean_right == pytest.approx(-5.0)
+    assert row.gain == pytest.approx(337.5, abs=1e-4)
+
+
 def test_best_sse_split_short_series_dropped(spark):
     from ups_crossref_etl_spark.operators.timeseries import best_sse_split
 
@@ -330,6 +355,27 @@ def test_als_more_iterations_do_not_hurt(spark):
         )
         rmses.append(als_rmse(df, "u", "i", "r", uf, vf))
     assert rmses[1] <= rmses[0] * 1.001  # descent (tiny ulp slack)
+
+
+def test_als_init_handles_string_and_negative_keys(spark):
+    """Regression (r10): the init hash must not cast the key to bigint —
+    string keys cast to NULL (all-NULL factor arrays, silently) and
+    negative keys escaped the documented [0, scale) range via %."""
+    from ups_crossref_etl_spark.operators.factorization import _init_factors
+
+    ents = spark.createDataFrame(
+        [("user_a",), ("user_b",), ("-9",)], ["k"]
+    ).union(spark.createDataFrame([("éclair",)], ["k"]))
+    out = _init_factors(ents, "k", rank=4, scale=0.1).collect()
+    assert len(out) == 4
+    for row in out:
+        assert row._fac is not None and len(row._fac) == 4
+        for x in row._fac:
+            assert x is not None and 0.0 <= x < 0.1
+    neg = spark.createDataFrame([(-5,), (-7,), (3,)], ["k"])
+    for row in _init_factors(neg, "k", rank=3, scale=0.1).collect():
+        for x in row._fac:
+            assert x is not None and 0.0 <= x < 0.1
 
 
 def test_als_validates_params(spark):

@@ -60,9 +60,11 @@ def logreg_score(df: DataFrame, features_col: str, w: list[float],
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 
-def _sufficient_stats(df, features_col, label_col, w, d):
-    """One aggregate returning (H flat d+1 x d+1 with ridge added later,
-    g vector, loss, n): X includes the implicit intercept column."""
+def _sufficient_stats_df(df, features_col, label_col, w, d):
+    """The LAZY one-aggregate DataFrame behind :func:`_sufficient_stats`
+    — split out so tools/dump_plans.py can pin the per-Newton-step plan
+    (one scan + one map-side-combined aggregate carrying d²+d doubles)
+    without executing a training run."""
     z = _dot_w(F.col(features_col), w)
     mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     r = mu * (F.lit(1.0) - mu)
@@ -86,7 +88,13 @@ def _sufficient_stats(df, features_col, label_col, w, d):
     )
     aggs.append(F.sum(loss).alias("_loss"))
     aggs.append(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    return df.agg(*aggs).collect()[0]
+    return df.agg(*aggs)
+
+
+def _sufficient_stats(df, features_col, label_col, w, d):
+    """One aggregate returning (H flat d+1 x d+1 with ridge added later,
+    g vector, loss, n): X includes the implicit intercept column."""
+    return _sufficient_stats_df(df, features_col, label_col, w, d).collect()[0]
 
 
 def logreg_irls(

@@ -54,12 +54,15 @@ __all__ = ["als_factorize", "als_rmse", "predict_ratings"]
 def _init_factors(
     entities: DataFrame, key_col: str, rank: int, scale: float = 0.1
 ) -> DataFrame:
-    """Deterministic pseudo-random init in [0, scale): Knuth
-    multiplicative hash of (entity, component) — no RNG, identical on
-    every run and partitioning."""
+    """Deterministic pseudo-random init in [0, scale): xxhash64 of
+    (entity, component) — no RNG, identical on every run and
+    partitioning. xxhash64 (not a bigint cast) so STRING keys hash
+    rather than casting to NULL (all-NULL factors, silently), and
+    ``pmod`` keeps negative hash values inside the documented
+    [0, scale) range."""
     comps = [
         (
-            ((F.col(key_col).cast("bigint") * 2654435761 + j * 40503) % 1000003)
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(1000003))
             / 1000003.0
             * scale
         ).alias(f"_f{j}")

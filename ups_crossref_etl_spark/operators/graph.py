@@ -582,6 +582,12 @@ def clustering_coefficient(
     path (:func:`triangle_count_dense`) — on the 1000-node 91%-dense
     supplier co-order graph that swaps 137M shuffled wedge rows for a
     57 MB streamed AND+popcount.
+
+    Scale contract: this UNCAPPED path measured slope 1.65 at 10× on
+    the dense part co-order graph (SCALE_PROBE.json) — for dense
+    co-occurrence graphs too large for ``dense_max_nodes`` use
+    :func:`transitivity_summary` with ``max_center_degree``, whose
+    capped+exact+cap-agreement gate triple pins the truncation cost.
     """
     ori = _canonical_edges(edges).localCheckpoint()
     tri = triangle_count(
@@ -620,6 +626,78 @@ def clustering_coefficient(
                 + 0.0
             ).alias("global_cc"),
         )
+    )
+
+
+def transitivity_summary(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Transitivity as closed-wedges / wedges with CAPPABLE wedge
+    centers — the scale path for dense co-occurrence graphs where
+    :func:`clustering_coefficient`'s uncapped wedge join shuffles
+    O(Σ deg²) rows (measured 1.65 slope at 10× on the part co-order
+    graph, SCALE_PROBE.json). One row ``(n_centers, n_wedges,
+    n_closed_wedges, transitivity)``.
+
+    A wedge is an (a, v, b) path counted at its CENTER v; it is closed
+    iff (a, b) is an edge. Uncapped, every triangle closes exactly
+    three wedges (one per vertex), so ``transitivity ==
+    clustering_coefficient().global_cc`` — that identity is what lets
+    the bounded-subgraph exact gate pin the capped operational path.
+    With ``max_center_degree`` set, wedges AND closed wedges restrict
+    to centers with ``deg <= cap``: the hub centers that dominate
+    Σ deg² (quadratic fanout each) are dropped symmetrically from
+    numerator and denominator, so the ratio remains an unbiased
+    transitivity-over-kept-centers (the same truncation contract as
+    :func:`adamic_adar` / :func:`neighbor_jaccard`; accuracy cost is
+    MEASURED by the cap-agreement gate, not asserted).
+
+    Plan: degree aggregate → capped centers (deterministic function of
+    exact degrees, hash-exact) → wedge self-join on the center (work =
+    Σ deg² over KEPT centers) → left-semi against the canonical edge
+    set → two global counts. No cross product, no per-row window.
+    """
+    ori = _canonical_edges(edges).localCheckpoint()
+    und = ori.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionByName(
+        ori.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    centers = deg.filter(F.col("_d") > 1)
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("_d") <= max_center_degree)
+    wedge_agg = centers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_centers"),
+        F.coalesce(F.sum(F.expr("_d * (_d - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    w = und.join(centers.select("node"), "node")
+    pairs = (
+        w.alias("a")
+        .join(w.alias("b"), "node")
+        .filter(F.col("a.nbr") < F.col("b.nbr"))
+        .select(F.col("a.nbr").alias("_u"), F.col("b.nbr").alias("_v"))
+    )
+    closed = pairs.join(
+        ori,
+        (pairs["_u"] == ori["lo"]) & (pairs["_v"] == ori["hi"]),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_closed_wedges"))
+    return wedge_agg.crossJoin(F.broadcast(closed)).select(
+        "n_centers",
+        "n_wedges",
+        "n_closed_wedges",
+        (
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.col("n_closed_wedges").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("transitivity"),
     )
 
 
@@ -1209,16 +1287,24 @@ def rectangle_count(
     twin on bounded subgraphs.
     """
     cd = codegree_pairs(edges, max_center_degree=max_center_degree)
+    # per-term BIGINT before the sum (codeg*(codeg-1) is always even, so
+    # the integer division is exact): summing doubles then casting loses
+    # exactness above 2^53 total on large graphs — and the DuckDB oracle
+    # sums per-term BIGINTs, so the gate would diverge exactly there.
     agg = cd.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_codeg_pairs"),
-        F.sum(F.col("codeg") * (F.col("codeg") - 1) / 2)
+        F.sum(
+            F.expr(
+                "CAST(codeg AS BIGINT) * (CAST(codeg AS BIGINT) - 1) div 2"
+            )
+        )
         .cast("bigint")
         .alias("sum_diag_squares"),
     )
     n_rect = (
         F.lit(None).cast("bigint")
         if max_center_degree is not None
-        else (F.col("sum_diag_squares") / 2).cast("bigint")
+        else F.expr("sum_diag_squares div 2").cast("bigint")
     )
     return agg.select(
         "n_codeg_pairs",

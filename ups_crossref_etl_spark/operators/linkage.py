@@ -165,6 +165,12 @@ def sorted_neighborhood_pairs(
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n_parts = 32
+    # localCheckpoint (not persist): pins the materialization the offsets
+    # were collected from — a persist could be evicted and silently
+    # recomputed with DIFFERENT range boundaries (RangePartitioner
+    # re-samples), invalidating the collected offsets; it also leaked
+    # (no unpersist) across repeated calls. Checkpoint blocks are freed
+    # when the DataFrame is GC'd, and a lost block fails loudly.
     ranked = (
         base.repartitionByRange(
             n_parts, F.col("_k").asc(), F.col("_id").asc()
@@ -178,7 +184,7 @@ def sorted_neighborhood_pairs(
                 )
             ),
         )
-        .persist()
+        .localCheckpoint()
     )
     # Bounded driver state: one row per range partition. Offsets turn
     # per-partition ranks into the exact global rank (range partitioning

@@ -1560,6 +1560,54 @@ def brown_forsythe(
     )
 
 
+def _ranged_exclusive_cumsum(
+    per_v: DataFrame, order_col: str, weight_col: str, out_col: str
+) -> DataFrame:
+    """Exclusive prefix sum of ``weight_col`` in ``order_col`` order with
+    NO unpartitioned WindowExec: ``repartitionByRange`` on the (distinct)
+    order key + per-partition running sums + one <= num_partitions-row
+    driver collect of partition totals folded back as broadcast offsets —
+    the same distributed-total-order construction as
+    ``linkage.sorted_neighborhood_pairs``. The input is localCheckpointed
+    so the collected offsets can never drift from a re-sampled
+    RangePartitioner on recompute. Requires ``order_col`` values distinct.
+    """
+    from pyspark.sql import Window
+
+    spark = per_v.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = 32
+    ranked = (
+        per_v.repartitionByRange(n_parts, F.col(order_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lsum",
+            F.sum(weight_col).over(
+                Window.partitionBy("_pid")
+                .orderBy(F.col(order_col).asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .localCheckpoint()
+    )
+    totals = ranked.groupBy("_pid").agg(F.max("_lsum").alias("_tot")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((int(r["_pid"]), acc))
+        acc += int(r["_tot"])
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _poff bigint")
+    return ranked.join(F.broadcast(off_df), "_pid").select(
+        order_col,
+        weight_col,
+        (F.col("_poff") + F.col("_lsum") - F.col(weight_col))
+        .cast("bigint")
+        .alias(out_col),
+    )
+
+
 def percent_rank_unique(
     df: DataFrame,
     value_col: str,
@@ -1570,11 +1618,13 @@ def percent_rank_unique(
     UNIQUE (value, id) key — without the global per-row ranking window
     (`WindowExec: No Partition Defined` moves the whole table to one
     partition). Same decomposition as :func:`kruskal_wallis`'s
-    midranks: per-value counts, a cumulative window over the BOUNDED
-    distinct-value table for offsets, then a value-PARTITIONED
-    row_number for the within-value position; ``(rank - 1) / (n - 1)``
-    reproduces percent_rank bit-for-bit (n > 1; single-row input
-    scores 0.0 like percent_rank does).
+    midranks: per-value counts, a RANGE-PARTITIONED exclusive prefix
+    sum over the distinct-value table for offsets (so a near-unique /
+    continuous value column — where the distinct table is table-sized —
+    never degenerates to a single-partition window either), then a
+    value-PARTITIONED row_number for the within-value position;
+    ``(rank - 1) / (n - 1)`` reproduces percent_rank bit-for-bit
+    (n > 1; single-row input scores 0.0 like percent_rank does).
 
     Appends ``out_col`` (double); other columns pass through.
     """
@@ -1583,9 +1633,8 @@ def percent_rank_unique(
     per_v = df.groupBy(F.col(value_col).alias("_v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_t")
     )
-    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    offs = per_v.select(
-        "_v", F.coalesce(F.sum("_t").over(wv), F.lit(0)).alias("_off")
+    offs = _ranged_exclusive_cumsum(per_v, "_v", "_t", "_off").select(
+        "_v", "_off"
     )
     n = df.count()
     wr = Window.partitionBy(value_col).orderBy(id_col)

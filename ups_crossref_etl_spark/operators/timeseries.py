@@ -1489,16 +1489,16 @@ def best_sse_split(
     wk = Window.partitionBy("_k").orderBy("_t", "_i")
     wcum = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wall = Window.partitionBy("_k")
+    # _s must be the TRUE per-key total sum(_vu) — NOT max(_sl), which
+    # equals the total only when every prefix sum is <= the final one
+    # (i.e. nonnegative tails). With negative values after the prefix-sum
+    # peak, max(_sl) overstates S and silently corrupts mean_right/gain.
     ranked = base.select(
         "_k",
         F.row_number().over(wk).alias("_rn"),
         F.sum("_vu").over(wcum).alias("_sl"),
-    ).select(
-        "_k",
-        "_rn",
-        "_sl",
-        F.max("_rn").over(wall).alias("_n"),
-        F.max("_sl").over(wall).alias("_s"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.sum("_vu").over(wall).alias("_s"),
     )
     cand = ranked.filter(
         (F.col("_n") >= 2 * min_segment)

@@ -51,48 +51,41 @@ def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
 
 
 #: Current build round — keys the deterministic rotation in ``load_all``.
-_ROUND = 9
+_ROUND = 10
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 9: the twelve new
-#: entries (eccentricity gate, Ljung-Box, Page-Hinkley, best-SSE
-#: changepoint, Wald SPRT, Jaro-Winkler linkage, ALS bound, IRLS
-#: logistic-classifier bound, rectangle census capped+exact, tree
-#: betweenness, rouge short-ref regression gate), the rouge_n
-#: short-text crash fix, the sorted-neighborhood scale rewrite (plus
-#: its FS-weights consumer), the ECE percent_rank rewire, and the
-#: three r8 queries that shipped with zero committed evidence.
+#: (first ~50 entries) re-verifies them. Round 10: the transitivity
+#: capped+exact+cap-agreement triple (the r9 verdict's #1 ask), plus
+#: every query touched by the ADVICE.md fixes (best-SSE total-sum bug,
+#: rectangle BIGINT terms, ALS init hash, percent_rank distributed
+#: cumsum).
 #: COMPLETENESS IS TESTED: tests/test_registry_policy.py fails if any
 #: gated query lacking committed verification evidence (CORRECTNESS_r*/
 #: FULLCHECK_r* union) is missing from this list.
 _CHANGED_THIS_ROUND = [
-    # round-9 new operators (each with a fresh DuckDB oracle)
-    "q_graph_eccentricity",
-    "q_events_ljung_box",
-    "q_events_page_hinkley",
+    # round-10 new operators: transitivity with capped wedge centers —
+    # the r9 verdict's #1 ask (clustering_coefficient's uncapped wedge
+    # path measured slope 1.65 at 10x) gets the Adamic-Adar
+    # capped+exact+cap-agreement triple
+    "q_graph_transitivity",
+    "q_graph_transitivity_exact",
+    "q_graph_transitivity_cap_agreement",
+    # round-10 fixes (ADVICE.md): best_sse_split's per-key total was
+    # max(prefix sum) — wrong for series with negative values after the
+    # peak — now the true sum on BOTH engines; rectangle census sums
+    # per-term BIGINTs (exact above 2^53) instead of casting a double
+    # sum; ALS init hashes keys via xxhash64+pmod (string keys no
+    # longer NULL out, negative keys stay in [0, scale))
     "q_events_best_sse_split",
-    "q_events_sprt",
-    "q_part_jw_topk",
-    "q_part_als_bound",
-    "q_docs_quality_classifier_bound",
     "q_graph_rectangles",
     "q_graph_rectangles_exact",
-    "q_graph_tree_betweenness",
-    "q_docs_rouge_short_ref",
-    # round-9 operator fixes: rouge_n short-text guard; sorted-
-    # neighborhood rewritten to range-partition + banded equi-join;
-    # ECE gates rescored via the distributed percent_rank (no global
-    # per-row WindowExec — r8 verdict minor #4)
+    "q_part_als_bound",
+    # percent_rank_unique's distinct-value cumsum is now range-
+    # partitioned (no single-partition window on near-unique columns);
+    # its consumers re-verify
     "q_docs_ece",
     "q_docs_ece_approx_bound",
-    "q_docs_rouge_bigram",
-    "q_part_sorted_neighborhood",
-    "q_part_fs_weights",
-    # r8 additions the r8 window never sampled (zero committed driver
-    # evidence — the r8 verdict's finding #3); cusum is unchanged code
-    # but rides along so the driver finally sees it
-    "q_events_cusum",
 ]
 
 
@@ -104,62 +97,29 @@ _CHANGED_THIS_ROUND = [
 #: this backlog before the md5 rotation fills the rest — guaranteeing
 #: monotone progress toward full driver coverage instead of relying on
 #: the rotation's expected-case behavior.
-#: Recomputed for r9 from the union of CORRECTNESS_r{1..8}.json (295
-#: distinct names ever sampled) against the gated registry: 49 gated
-#: entries remain never-driver-sampled (3 more — cusum / fs_weights /
-#: rouge_bigram — moved into the changed tier above). Ordered
-#: oldest-wave-first so the longest-waiting entries drain first into
-#: the ~40 window slots the lean r9 changed tier leaves free.
+#: Recomputed for r10 from the union of CORRECTNESS_r{1..9}.json (342
+#: distinct names ever sampled) against the gated registry: 17 gated
+#: entries remain never-driver-sampled. The lean r10 changed tier
+#: (~10 entries) leaves ~40 window slots, so this round drains the
+#: backlog to ZERO.
 _NEVER_DRIVER_SAMPLED = [
-    "q_orders_table_digest",
-    "q9_product_type_profit",
-    "q_docs_auc_lang_by_length",
-    "q16_parts_supplier_counts",
     "q2_min_cost_supplier",
-    "q_media_bmp_features",
-    "q_events_transition_matrix",
-    "q_docs_quantile_normalize_approx_bound",
-    "q_events_mean_shift",
-    "q11_important_stock",
-    "q_docs_bpe_encode",
-    "q_docs_char_entropy",
-    "q_media_wav_spectrum",
-    "q_media_wav_features",
-    "q_events_interval_union",
-    "q_media_image_neardup",
-    "q_events_ab_readout",
-    "q_docs_stupid_backoff_nll",
-    "q_graph_two_hop_reach",
-    "q_graph_hyperanf_bound",
-    "q_events_chisq_drift",
-    "q_events_theil_sen_capped",
-    "q_docs_quota_allocate",
-    "q_events_hll_intersection_bound",
-    "q_events_attribution",
-    "q_docs_kneser_ney_nll",
-    "q_events_spearman_value_time",
-    "q_lineitem_benford_audit",
-    "q_basket_frequent_pairs",
     "q_basket_frequent_triples",
-    "q_docs_winnow_fingerprints",
-    "q_events_seq2_support",
-    "q_events_poisson_bootstrap_ci",
-    "q_words_edit_distance_join",
-    "q_events_kll_quantiles_bound",
-    "q_docs_wordpiece_segment",
-    "q_orders_gini_by_nation",
-    "q_lineitem_jackknife_ratio",
-    "q_emb_lift_deciles",
-    "q_events_decayed_user_score",
-    "q_events_type_hour_association",
-    "q_customer_rfm_segments",
-    "q_events_cuped_readout",
-    "q_events_holt_forecast",
+    "q_docs_bpe_encode",
     "q_docs_ht_estimate",
-    "q_docs_best_entropy_split",
-    "q_docs_kll_group_quantiles",
-    "q_events_kaplan_meier",
-    "q_emb_mutual_top1_pairs",
+    "q_docs_winnow_fingerprints",
+    "q_docs_wordpiece_segment",
+    "q_events_ab_readout",
+    "q_events_decayed_user_score",
+    "q_events_interval_union",
+    "q_events_mean_shift",
+    "q_events_poisson_bootstrap_ci",
+    "q_events_theil_sen_capped",
+    "q_events_transition_matrix",
+    "q_events_type_hour_association",
+    "q_lineitem_jackknife_ratio",
+    "q_media_wav_spectrum",
+    "q_words_edit_distance_join",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
@@ -174,10 +134,10 @@ def load_all() -> dict[str, QuerySpec]:
     pseudo-random permutation of the full registry — but FIRST the
     ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
     changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed for r9: ``_CHANGED_THIS_ROUND`` lists the
-    genuinely new-or-modified entries plus the three r8 orphans the r8
-    window never saw, so the ~50-slot window re-verifies every change
-    and then drains ~40 of the 49 never-sampled backlog entries; every
+    probabilistic. Recomputed for r10: ``_CHANGED_THIS_ROUND`` lists the
+    genuinely new-or-modified entries; the ~50-slot window re-verifies
+    every change and then drains the ENTIRE 17-entry never-sampled
+    backlog (changed + backlog < 50 this round); every
     entry is meanwhile FULLCHECK-verified locally each round (committed
     as FULLCHECK_r{N}.json — MANDATORY per round, after the last
     registry change; r8 skipped it and got flagged). gate=False entries
@@ -187,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     import hashlib
 
+    from . import round10_queries  # noqa: F401
     from . import round9_queries  # noqa: F401
     from . import round8_queries  # noqa: F401
     from . import round7_queries  # noqa: F401

@@ -233,7 +233,7 @@ def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 1e6) AS BIGINT) AS vu
       FROM events WHERE value IS NOT NULL),
     ranked AS (
-      SELECT k,
+      SELECT k, vu,
              row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
                AS rn,
              CAST(sum(vu) OVER (PARTITION BY k ORDER BY ts, event_id
@@ -241,9 +241,11 @@ def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS sl
       FROM base),
     tot AS (
+      -- s = TRUE total sum (not max prefix sum): correct for series
+      -- with negative values after the prefix-sum peak
       SELECT k, rn, sl,
-             max(rn) OVER (PARTITION BY k) AS n,
-             max(sl) OVER (PARTITION BY k) AS s
+             count(*) OVER (PARTITION BY k) AS n,
+             CAST(sum(vu) OVER (PARTITION BY k) AS BIGINT) AS s
       FROM ranked),
     cand AS (
       SELECT k, rn, n, sl, s,
