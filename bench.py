@@ -325,9 +325,13 @@ EXTENDED = [
     "q_graph_eccentricity",
     "q_graph_tree_betweenness",
     # round 10: capped-center transitivity (the scale fix for the
-    # uncapped clustering_coefficient wedge path) + its exact twin
+    # uncapped clustering_coefficient wedge path) + its exact twin,
+    # the W1/KS/CvM drift pass, and the outer watermarked stream join
     "q_graph_transitivity",
     "q_graph_transitivity_exact",
+    "q_events_wasserstein_drift",
+    "q_stream_interval_join_outer",
+    "q_events_logrank",
 ]
 
 

@@ -74,3 +74,96 @@ def test_transitivity_no_wedges_is_zero(spark):
 
     r = transitivity_summary(_edges(spark, [(1, 2), (3, 4)])).collect()[0]
     assert r.n_wedges == 0 and r.transitivity == 0.0
+
+
+# --------------------------------------------------------------------------
+# distribution_distance (Wasserstein-1 / KS / Cramér-von Mises)
+# --------------------------------------------------------------------------
+
+
+def _dd(spark, a_vals, b_vals):
+    from ups_crossref_etl_spark.operators.stats import distribution_distance
+
+    rows = [("a", float(v)) for v in a_vals] + [("b", float(v)) for v in b_vals]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    return distribution_distance(df, "g", "v", "a", "b").collect()[0]
+
+
+def test_distribution_distance_identical_is_zero(spark):
+    r = _dd(spark, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0])
+    assert r.w1_distance == 0.0
+    assert r.ks_stat == 0.0
+    assert r.cvm_stat == 0.0
+    assert r.n_a == 3 and r.n_b == 3 and r.n_values == 3
+
+
+def test_distribution_distance_point_mass_shift(spark):
+    # A = delta at 0, B = delta at 2: W1 = |0-2| = 2, KS = 1,
+    # CvM = 1^2 * (1/2) + 0 = 0.5 (pooled weights at v=0: c=1 of n=2)
+    r = _dd(spark, [0.0], [2.0])
+    assert r.w1_distance == pytest.approx(2.0, abs=1e-6)
+    assert r.ks_stat == 1.0
+    assert r.cvm_stat == pytest.approx(0.5, abs=1e-6)
+
+
+def test_distribution_distance_uniform_shift(spark):
+    # A = {0, 1}, B = {1, 2}: mass 1/2 moves distance 1 twice over the
+    # CDF integral -> W1 = 1.0; sup gap = 1/2
+    r = _dd(spark, [0.0, 1.0], [1.0, 2.0])
+    assert r.w1_distance == pytest.approx(1.0, abs=1e-6)
+    assert r.ks_stat == pytest.approx(0.5, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# logrank_test
+# --------------------------------------------------------------------------
+
+
+def test_logrank_hand_computed(spark):
+    """A: events at t=1,2; B: events at t=2,3.
+    t=1: n=(2,2), d_a=1 -> E_a=0.5,   V=0.25
+    t=2: n=(1,2), d=2   -> E_a=2/3,   V=2/9
+    t=3: n=(0,1) -> dropped (n<=1)
+    O_a=2, E_a=7/6, V=0.25+2/9 -> chi2=(5/6)^2/(17/36)=1.470588
+    """
+    from ups_crossref_etl_spark.operators.survival import logrank_test
+
+    rows = [("a", 1, 1), ("a", 1, 2), ("b", 1, 2), ("b", 1, 3)]
+    df = spark.createDataFrame(rows, ["g", "ev", "t"])
+    r = logrank_test(df, "g", "a", "b").collect()[0]
+    assert r.n_a == 2 and r.n_b == 2
+    assert r.events_a == 2 and r.events_b == 2
+    assert r.expected_a == pytest.approx(7 / 6, abs=1e-6)
+    assert r.chi2 == pytest.approx(1.470588, abs=1e-5)
+
+
+def test_logrank_identical_groups_is_zeroish(spark):
+    from ups_crossref_etl_spark.operators.survival import logrank_test
+
+    rows = [(g, ev, t) for g in ("a", "b")
+            for ev, t in [(1, 1), (1, 3), (0, 5), (1, 5), (0, 8)]]
+    df = spark.createDataFrame(rows, ["g", "ev", "t"])
+    r = logrank_test(df, "g", "a", "b").collect()[0]
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+
+
+def test_logrank_no_events_null_chi2(spark):
+    from ups_crossref_etl_spark.operators.survival import logrank_test
+
+    rows = [("a", 0, 5), ("b", 0, 5)]
+    df = spark.createDataFrame(rows, ["g", "ev", "t"])
+    r = logrank_test(df, "g", "a", "b").collect()[0]
+    assert r.chi2 is None
+
+
+def test_distribution_distance_scipy_parity(spark):
+    try:
+        from scipy.stats import wasserstein_distance
+    except ImportError:
+        pytest.skip("scipy unavailable")
+    a = [0.5, 1.25, 1.25, 7.0, 3.5, 2.25]
+    b = [0.25, 1.25, 4.0, 4.0, 9.5]
+    r = _dd(spark, a, b)
+    assert r.w1_distance == pytest.approx(
+        wasserstein_distance(a, b), abs=1e-5
+    )

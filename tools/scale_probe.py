@@ -1008,6 +1008,89 @@ def main() -> None:
         aa_e1.count(), aa_eN.count(),
     )
 
+    # round 10: the CAPPED transitivity path (the scale fix for the
+    # 1.65-slope uncapped clustering_coefficient above) — same
+    # N-disjoint-copy co-order graph, wedge work bounded at
+    # sum deg^2 over centers with d <= 90, must come back ~linear
+    from ups_crossref_etl_spark.operators.graph import transitivity_summary
+
+    probe(
+        "transitivity_capped",
+        lambda: transitivity_summary(aa_e1, max_center_degree=90).count(),
+        lambda: transitivity_summary(aa_eN, max_center_degree=90).count(),
+        aa_e1.count(), aa_eN.count(),
+    )
+
+    # round 10 (r9 verdict #7): the two iterative trainers — their
+    # per-iteration "one join + one bounded-width aggregate" claims are
+    # plan-verified but were never measured. Ratings replicate as N
+    # disjoint copies (users AND items re-keyed, the item_cosine
+    # pattern): entity count grows N x at constant per-entity degree.
+    from ups_crossref_etl_spark.operators.factorization import als_factorize
+
+    r_1 = (
+        li1.groupBy(
+            F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.avg("l_quantity").alias("r"))
+        .localCheckpoint()
+    )
+    r_N = (
+        r_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            (F.col("u") * n + F.col("_salt")).alias("u"),
+            (F.col("i") * n + F.col("_salt")).alias("i"),
+            "r",
+        )
+        .localCheckpoint()
+    )
+
+    def als_run(rt):
+        uf, itf = als_factorize(rt, "u", "i", "r", rank=4, reg=0.05,
+                                iterations=2)
+        return uf.count() + itf.count()
+
+    probe(
+        "als_bound",
+        lambda: als_run(r_1),
+        lambda: als_run(r_N),
+        r_1.count(), r_N.count(),
+    )
+
+    from ups_crossref_etl_spark.operators.classifier import logreg_irls
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    def feats_of(d):
+        qf = quality_features(F.col("text"))
+        return d.filter(
+            F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+        ).select(
+            F.array(
+                qf["n_tokens"].cast("double") / 100.0,
+                F.coalesce(qf["mean_token_len"], F.lit(0.0)) / 10.0,
+                F.coalesce(qf["punct_ratio"], F.lit(0.0)),
+                F.coalesce(qf["digit_ratio"], F.lit(0.0)),
+                F.coalesce(qf["upper_ratio"], F.lit(0.0)),
+                F.coalesce(qf["stopword_ratio"], F.lit(0.0)),
+            ).alias("features"),
+            (F.col("n_chars") > 290).alias("label"),
+        ).localCheckpoint()
+
+    qf_1 = feats_of(docs1)
+    qf_N = feats_of(docsN)
+    probe(
+        "quality_classifier",
+        lambda: logreg_irls(qf_1, "features", "label", dim=6, reg=1e-3,
+                            iterations=8)["iterations_run"],
+        lambda: logreg_irls(qf_N, "features", "label", dim=6, reg=1e-3,
+                            iterations=8)["iterations_run"],
+        qf_1.count(), qf_N.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")
     if only and os.path.exists(out_path):

@@ -1561,50 +1561,65 @@ def brown_forsythe(
 
 
 def _ranged_exclusive_cumsum(
-    per_v: DataFrame, order_col: str, weight_col: str, out_col: str
+    per_v: DataFrame,
+    order_col: str,
+    weight_col: str | list[str],
+    out_col: str | list[str],
 ) -> DataFrame:
-    """Exclusive prefix sum of ``weight_col`` in ``order_col`` order with
-    NO unpartitioned WindowExec: ``repartitionByRange`` on the (distinct)
-    order key + per-partition running sums + one <= num_partitions-row
-    driver collect of partition totals folded back as broadcast offsets —
-    the same distributed-total-order construction as
-    ``linkage.sorted_neighborhood_pairs``. The input is localCheckpointed
-    so the collected offsets can never drift from a re-sampled
-    RangePartitioner on recompute. Requires ``order_col`` values distinct.
+    """Exclusive prefix sum(s) of ``weight_col`` in ``order_col`` order
+    with NO unpartitioned WindowExec: ``repartitionByRange`` on the
+    (distinct) order key + per-partition running sums + one
+    <= num_partitions-row driver collect of partition totals folded back
+    as broadcast offsets — the same distributed-total-order construction
+    as ``linkage.sorted_neighborhood_pairs``. The input is
+    localCheckpointed so the collected offsets can never drift from a
+    re-sampled RangePartitioner on recompute. Requires ``order_col``
+    values distinct. Accepts parallel lists of weight/out columns (all
+    prefix sums share the single range pass).
     """
     from pyspark.sql import Window
 
+    wcols = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(wcols) == len(ocols)
     spark = per_v.sparkSession
     try:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n_parts = 32
-    ranked = (
-        per_v.repartitionByRange(n_parts, F.col(order_col).asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lsum",
-            F.sum(weight_col).over(
-                Window.partitionBy("_pid")
-                .orderBy(F.col(order_col).asc())
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .localCheckpoint()
+    wrun = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    totals = ranked.groupBy("_pid").agg(F.max("_lsum").alias("_tot")).collect()
-    acc = 0
+    ranked = per_v.repartitionByRange(
+        n_parts, F.col(order_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    for w in wcols:
+        ranked = ranked.withColumn(f"_lsum_{w}", F.sum(w).over(wrun))
+    ranked = ranked.localCheckpoint()
+    totals = ranked.groupBy("_pid").agg(
+        *[F.max(f"_lsum_{w}").alias(f"_tot_{w}") for w in wcols]
+    ).collect()
+    acc = {w: 0 for w in wcols}
     offsets = []
     for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((int(r["_pid"]), acc))
-        acc += int(r["_tot"])
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _poff bigint")
+        offsets.append((int(r["_pid"]), *[acc[w] for w in wcols]))
+        for w in wcols:
+            acc[w] += int(r[f"_tot_{w}"])
+    schema = "_pid int, " + ", ".join(f"_poff_{w} bigint" for w in wcols)
+    off_df = spark.createDataFrame(
+        offsets or [tuple([0] + [0] * len(wcols))], schema
+    )
     return ranked.join(F.broadcast(off_df), "_pid").select(
         order_col,
-        weight_col,
-        (F.col("_poff") + F.col("_lsum") - F.col(weight_col))
-        .cast("bigint")
-        .alias(out_col),
+        *wcols,
+        *[
+            (F.col(f"_poff_{w}") + F.col(f"_lsum_{w}") - F.col(w))
+            .cast("bigint")
+            .alias(o)
+            for w, o in zip(wcols, ocols)
+        ],
     )
 
 
@@ -1648,4 +1663,117 @@ def percent_rank_unique(
             / F.lit(denom),
         )
         .drop("_v", "_off", "_r")
+    )
+
+
+def distribution_distance(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Three two-sample distribution distances between ``group_a`` and
+    ``group_b``'s empirical value distributions, ONE row: ``(n_a, n_b,
+    n_values, w1_distance, ks_stat, cvm_stat)``.
+
+    - ``w1_distance``: 1-D Wasserstein (earth mover's) distance
+      ``∫|F_a(v) - F_b(v)| dv`` — the magnitude-aware drift number PSI
+      and KS can't give (it reports HOW FAR mass moved in value units,
+      not just that it moved). The 1-D closed form over the pooled
+      distinct values (Ramdas et al. 2017).
+    - ``ks_stat``: Kolmogorov-Smirnov ``sup|F_a - F_b|``.
+    - ``cvm_stat``: Cramér-von Mises criterion in its pooled-weight form
+      ``Σ_v (F_a(v) - F_b(v))² · (c_a(v)+c_b(v)) / (n_a+n_b)`` —
+      integral of the squared CDF gap against the pooled empirical
+      measure, the tail-sensitive companion to KS's single sup.
+
+    Scale shape: one groupBy to per-value counts, ONE range-partitioned
+    prefix-sum pass for both groups' CDFs (``_ranged_exclusive_cumsum``
+    — no unpartitioned window even when the value column is continuous
+    and the distinct table is data-sized), then an equi-self-join on
+    global rank (rank+1 = rank) for the consecutive-value gaps the W1
+    integral needs — lead() without a global window. Determinism:
+    values quantize to integer micros; every per-value term quantizes
+    to integer picos BEFORE its sum so cross-engine accumulation order
+    can't wiggle a hash; final stats round 6 dp.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.round(F.col(value_col).cast("double") * 1e6)
+        .cast("bigint")
+        .alias("_vu"),
+    ).filter(F.col("_g").isin(group_a, group_b) & F.col("_vu").isNotNull())
+    per_v = base.groupBy("_vu").agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_ca"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_cb"),
+    ).withColumn("_one", F.lit(1).cast("bigint"))
+    ranked = _ranged_exclusive_cumsum(
+        per_v, "_vu", ["_one", "_ca", "_cb"], ["_rn0", "_xa", "_xb"]
+    )
+    tot = per_v.agg(
+        F.sum("_ca").cast("bigint").alias("_na"),
+        F.sum("_cb").cast("bigint").alias("_nb"),
+        F.count(F.lit(1)).cast("bigint").alias("_nv"),
+    )
+    cur = ranked.select(
+        F.col("_rn0").alias("_rn"),
+        "_vu",
+        "_ca",
+        "_cb",
+        (F.col("_xa") + F.col("_ca")).alias("_ia"),
+        (F.col("_xb") + F.col("_cb")).alias("_ib"),
+    )
+    nxt = ranked.select(
+        (F.col("_rn0") - F.lit(1)).alias("_rn"), F.col("_vu").alias("_vnext")
+    )
+    joined = cur.join(nxt, "_rn", "left").crossJoin(F.broadcast(tot))
+    fa = F.col("_ia").cast("double") / F.col("_na").cast("double")
+    fb = F.col("_ib").cast("double") / F.col("_nb").cast("double")
+    diff = fa - fb
+    gap = (F.col("_vnext") - F.col("_vu")).cast("double") / F.lit(1e6)
+    w1_t = F.round(F.abs(diff) * gap * F.lit(1e12)).cast("bigint")
+    ks_t = F.round(F.abs(diff) * F.lit(1e12)).cast("bigint")
+    cvm_t = F.round(
+        diff * diff * (F.col("_ca") + F.col("_cb")).cast("double") * F.lit(1e12)
+    ).cast("bigint")
+    agg = joined.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max("_nv").alias("n_values"),
+        F.sum(F.when(F.col("_vnext").isNotNull(), w1_t)).alias("_w1p"),
+        F.max(ks_t).alias("_ksp"),
+        F.sum(cvm_t).alias("_cvmp"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        (
+            F.round(
+                F.when(ok, F.coalesce(F.col("_w1p"), F.lit(0)) / F.lit(1e12)),
+                6,
+            )
+            + 0.0
+        ).alias("w1_distance"),
+        (F.round(F.when(ok, F.col("_ksp") / F.lit(1e12)), 6) + 0.0).alias(
+            "ks_stat"
+        ),
+        (
+            F.round(
+                F.when(
+                    ok,
+                    F.col("_cvmp")
+                    / (F.col("n_a") + F.col("n_b")).cast("double")
+                    / F.lit(1e12),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("cvm_stat"),
     )

@@ -280,3 +280,120 @@ def rmst(
         (F.round(rb, 6) + 0.0).alias("rmst_buckets"),
         (F.round(rb * bucket_seconds, 2) + 0.0).alias("rmst_seconds"),
     )
+
+
+def logrank_test(
+    durations: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    event_col: str = "ev",
+    time_col: str = "t",
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) over a subject-level
+    duration table ``(group, ev, t)`` (``ev`` 1 = event, 0 = censored;
+    ``t`` integer time buckets, the :func:`duration_table` output
+    shape): does group A's survival curve differ from group B's? ONE
+    row ``(n_a, n_b, events_a, events_b, expected_a, chi2)``.
+
+    At each pooled event time: ``E_a = d · n_a/n`` (expected group-A
+    events under H0) and hypergeometric variance
+    ``V = d · (n_a/n)(n_b/n)(n-d)/(n-1)``; the statistic is
+    ``chi2 = (O_a - ΣE_a)² / ΣV`` (1 df). The inference companion to
+    :func:`kaplan_meier` (the curve), :func:`nelson_aalen` (the
+    hazard) and :func:`rmst` (the summary) — the test that says
+    whether two conversion/churn curves genuinely differ.
+
+    Shape: one (t)-keyed wide aggregate over the duration table, then
+    at-risk counts via a cumulative window over the BUCKET table
+    (bounded at horizon/bucket rows by construction — the
+    ``_risk_table`` contract), one final reduction. Determinism: E and
+    V are per-bucket doubles of exact integers, quantized to integer
+    nanos BEFORE their sums; NULL chi2 when ΣV = 0 (no comparable
+    event times).
+    """
+    base = durations.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(event_col).cast("int").alias("_e"),
+        F.col(time_col).cast("bigint").alias("_t"),
+    ).filter(F.col("_g").isin(group_a, group_b) & F.col("_t").isNotNull())
+    per_t = base.groupBy("_t").agg(
+        F.sum(F.when(F.col("_g") == group_a, F.col("_e")).otherwise(0))
+        .cast("bigint")
+        .alias("_da"),
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_la"),
+        F.sum(F.when(F.col("_g") == group_b, F.col("_e")).otherwise(0))
+        .cast("bigint")
+        .alias("_db"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_lb"),
+    )
+    tot = base.groupBy().agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_na_tot"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nb_tot"),
+    )
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        "_da",
+        "_db",
+        (
+            F.col("_na_tot") - F.coalesce(F.sum("_la").over(w), F.lit(0))
+        ).alias("_nra"),
+        (
+            F.col("_nb_tot") - F.coalesce(F.sum("_lb").over(w), F.lit(0))
+        ).alias("_nrb"),
+        "_na_tot",
+        "_nb_tot",
+    )
+    d = F.col("_da") + F.col("_db")
+    n = F.col("_nra") + F.col("_nrb")
+    ea = d.cast("double") * F.col("_nra").cast("double") / n.cast("double")
+    v = (
+        d.cast("double")
+        * (F.col("_nra").cast("double") / n.cast("double"))
+        * (F.col("_nrb").cast("double") / n.cast("double"))
+        * ((n - d).cast("double") / (n - 1).cast("double"))
+    )
+    # all pooled event times count toward O and E; the hypergeometric
+    # variance term is defined only when both groups can still compete
+    # (n > 1) — at n = 1 the time contributes O - E = 0 and V = 0, the
+    # standard convention (lifelines/survdiff agree)
+    terms = risk.filter((d > 0) & (n >= 1)).select(
+        "_da",
+        "_na_tot",
+        "_nb_tot",
+        F.round(ea * F.lit(1e9)).cast("bigint").alias("_ean"),
+        F.when(n > 1, F.round(v * F.lit(1e9)).cast("bigint"))
+        .otherwise(F.lit(0))
+        .alias("_vn"),
+        F.col("_db").alias("_dbv"),
+    )
+    agg = terms.agg(
+        F.max("_na_tot").alias("n_a"),
+        F.max("_nb_tot").alias("n_b"),
+        F.sum("_da").cast("bigint").alias("events_a"),
+        F.sum("_dbv").cast("bigint").alias("events_b"),
+        F.sum("_ean").alias("_easum"),
+        F.sum("_vn").alias("_vsum"),
+    )
+    ea_d = F.col("_easum").cast("double") / F.lit(1e9)
+    num = F.col("events_a").cast("double") - ea_d
+    vv = F.col("_vsum").cast("double") / F.lit(1e9)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        (F.round(ea_d, 6) + 0.0).alias("expected_a"),
+        (
+            F.round(F.when(F.col("_vsum") > 0, num * num / vv), 6) + 0.0
+        ).alias("chi2"),
+    )

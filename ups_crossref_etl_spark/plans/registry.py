@@ -71,6 +71,15 @@ _CHANGED_THIS_ROUND = [
     "q_graph_transitivity",
     "q_graph_transitivity_exact",
     "q_graph_transitivity_cap_agreement",
+    # round-10 new operators: two-sample distribution distances (W1 /
+    # KS / CvM over a range-partitioned CDF pass) and the left-outer
+    # watermarked stream-stream interval join (NULL emission gated by
+    # the min-of-both-sides watermark, mirrored exactly in the oracle)
+    "q_events_wasserstein_drift",
+    "q_stream_interval_join_outer",
+    # the log-rank test completing the survival family (curve/hazard/
+    # summary -> inference)
+    "q_events_logrank",
     # round-10 fixes (ADVICE.md): best_sse_split's per-key total was
     # max(prefix sum) — wrong for series with negative values after the
     # peak — now the true sum on BOTH engines; rectangle census sums

@@ -187,3 +187,253 @@ def q_graph_transitivity_cap_agreement(
             <= 0.05
         ).alias("agree_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample distribution distances: Wasserstein-1 + KS + Cramér-von Mises
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_wasserstein_drift",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(round(value * 1e6) AS BIGINT) AS vu
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+    per_v AS (
+      SELECT vu,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM base GROUP BY vu),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS nv
+      FROM per_v),
+    ranked AS (
+      SELECT vu, ca, cb,
+             CAST(sum(ca) OVER (ORDER BY vu
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ia,
+             CAST(sum(cb) OVER (ORDER BY vu
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ib,
+             lead(vu) OVER (ORDER BY vu) AS vnext
+      FROM per_v),
+    terms AS (
+      SELECT
+        CASE WHEN vnext IS NOT NULL THEN
+          CAST(round(abs(CAST(ia AS DOUBLE) / na - CAST(ib AS DOUBLE) / nb)
+               * (CAST(vnext - vu AS DOUBLE) / 1e6) * 1e12) AS BIGINT)
+        ELSE NULL END AS w1t,
+        CAST(round(abs(CAST(ia AS DOUBLE) / na - CAST(ib AS DOUBLE) / nb)
+             * 1e12) AS BIGINT) AS kst,
+        CAST(round((CAST(ia AS DOUBLE) / na - CAST(ib AS DOUBLE) / nb)
+             * (CAST(ia AS DOUBLE) / na - CAST(ib AS DOUBLE) / nb)
+             * CAST(ca + cb AS DOUBLE) * 1e12) AS BIGINT) AS cvmt
+      FROM ranked CROSS JOIN tot)
+    SELECT na AS n_a, nb AS n_b, nv AS n_values,
+           round(CAST(coalesce(sum(w1t), 0) AS DOUBLE) / 1e12, 6) + 0.0
+             AS w1_distance,
+           round(CAST(max(kst) AS DOUBLE) / 1e12, 6) + 0.0 AS ks_stat,
+           round(CAST(sum(cvmt) AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                 / 1e12, 6) + 0.0 AS cvm_stat
+    FROM terms CROSS JOIN tot GROUP BY na, nb, nv
+    """,
+    doc=(
+        "Two-sample distribution drift between click and view event "
+        "values (operators/stats.distribution_distance): 1-D "
+        "Wasserstein (the magnitude-aware 'how far did mass move' "
+        "number PSI/KS can't give), Kolmogorov-Smirnov sup-gap, and "
+        "the Cramér-von Mises pooled squared-gap criterion — all three "
+        "from ONE per-value count pass + ONE range-partitioned "
+        "prefix-sum (no unpartitioned window even on continuous "
+        "columns where the distinct-value table is data-sized) + a "
+        "rank+1 equi-self-join standing in for lead(). Every per-value "
+        "term quantizes to integer picos before its sum, so the "
+        "cross-engine aggregate is exact."
+    ),
+)
+def q_events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import distribution_distance
+
+    ev = read_table(spark, sf_dir, "events")
+    return distribution_distance(ev, "event_type", "value", "click", "view")
+
+
+# --------------------------------------------------------------------------
+# Streaming LEFT OUTER interval join: watermark-gated NULL emission
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_interval_join_outer",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM e), (SELECT max(ts) FROM p))
+             - INTERVAL 30 MINUTE AS w),
+    matched AS (
+      SELECT e.event_id AS l_event, p.event_id AS r_event, e.user_id
+      FROM e JOIN p ON e.user_id = p.user_id
+       AND epoch(p.ts) BETWEEN epoch(e.ts) - 600 AND epoch(e.ts) + 600),
+    unmatched AS (
+      SELECT e.event_id AS l_event, CAST(NULL AS BIGINT) AS r_event,
+             e.user_id
+      FROM e CROSS JOIN wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = e.user_id
+                AND epoch(p.ts) BETWEEN epoch(e.ts) - 600
+                                    AND epoch(e.ts) + 600)
+        AND e.ts + INTERVAL 600 SECOND < wm.w)
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    doc=(
+        "STREAMING left-outer stream-stream interval join (streaming/"
+        "events.stream_stream_interval_join_outer): errors joined to "
+        "purchases within +-10 min, with unmatched errors EMITTING a "
+        "NULL-purchase row once the watermark proves no match can "
+        "arrive — the alerting shape an inner join structurally cannot "
+        "produce, and the semantics that force REAL watermarks (outer "
+        "results trail the stream by the watermark; a row whose window "
+        "the final watermark never passed is withheld, which the "
+        "oracle mirrors with the min-of-both-sides global watermark "
+        "rule: emitted iff l_ts + 600 s < min(max_l_ts, max_r_ts) - "
+        "30 min). Matched pairs are oracle-identical to "
+        "q_stream_interval_join; the NULL tail pins eviction."
+    ),
+)
+def q_stream_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming import events as se
+    from .streaming_queries import _run
+
+    ev = se.stream_events(spark, sf_dir)
+    return _run(
+        se.stream_stream_interval_join_outer(
+            ev, se.stream_events(spark, sf_dir)
+        ),
+        mode="append",
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: do the even/odd user cohorts convert differently?
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_logrank",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN u % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN (pt - st) // 3600000000 ELSE 168 END AS t
+      FROM entry LEFT JOIN fe USING (u)),
+    per_t AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(CASE WHEN g = 'even' THEN ev ELSE 0 END) AS BIGINT)
+               AS da,
+             CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT)
+               AS la,
+             CAST(sum(CASE WHEN g = 'odd' THEN ev ELSE 0 END) AS BIGINT)
+               AS db,
+             CAST(sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS BIGINT)
+               AS lb
+      FROM dur GROUP BY t),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na_tot,
+             CAST(sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb_tot
+      FROM dur),
+    risk AS (
+      SELECT t, da, db, na_tot, nb_tot,
+             na_tot - coalesce(sum(la) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nra,
+             nb_tot - coalesce(sum(lb) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nrb
+      FROM per_t CROSS JOIN tot),
+    terms AS (
+      SELECT da, db, na_tot, nb_tot,
+             CAST(round(CAST(da + db AS DOUBLE) * nra / (nra + nrb)
+                  * 1e9) AS BIGINT) AS ean,
+             CASE WHEN nra + nrb > 1 THEN
+               CAST(round(CAST(da + db AS DOUBLE)
+                    * (CAST(nra AS DOUBLE) / (nra + nrb))
+                    * (CAST(nrb AS DOUBLE) / (nra + nrb))
+                    * (CAST(nra + nrb - da - db AS DOUBLE)
+                       / (nra + nrb - 1)) * 1e9) AS BIGINT)
+             ELSE 0 END AS vn
+      FROM risk
+      WHERE da + db > 0 AND nra + nrb >= 1)
+    SELECT max(na_tot) AS n_a, max(nb_tot) AS n_b,
+           CAST(sum(da) AS BIGINT) AS events_a,
+           CAST(sum(db) AS BIGINT) AS events_b,
+           round(CAST(sum(ean) AS DOUBLE) / 1e9, 6) + 0.0 AS expected_a,
+           round(CASE WHEN sum(vn) > 0 THEN
+                   (CAST(sum(da) AS DOUBLE)
+                    - CAST(sum(ean) AS DOUBLE) / 1e9)
+                   * (CAST(sum(da) AS DOUBLE)
+                      - CAST(sum(ean) AS DOUBLE) / 1e9)
+                   / (CAST(sum(vn) AS DOUBLE) / 1e9)
+                 END, 6) + 0.0 AS chi2
+    FROM terms
+    """,
+    doc=(
+        "Two-sample log-rank test (operators/survival.logrank_test) "
+        "on signup->purchase conversion, even vs odd user cohorts, "
+        "hour buckets censored at 7 days: at each pooled event time "
+        "E_a = d*n_a/n and the hypergeometric variance accumulate "
+        "(nano-quantized before the sums), chi2 = (O_a - E_a)^2 / V — "
+        "the inference companion to q_events_kaplan_meier's curve "
+        "(same duration-table front half). One t-keyed wide aggregate "
+        "+ one cumulative window over the bounded bucket table "
+        "(<= 169 rows by construction) + one reduction."
+    ),
+)
+def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import duration_table, logrank_test
+
+    ev = read_table(spark, sf_dir, "events")
+    dur = duration_table(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        entry_type="signup",
+        event_type="purchase",
+        horizon_seconds=604800,
+        bucket_seconds=3600,
+    )
+    grouped = dur.select(
+        F.when(F.col("_u") % 2 == 0, "even").otherwise("odd").alias(
+            "cohort"
+        ),
+        "ev",
+        "t",
+    )
+    return logrank_test(grouped, "cohort", "even", "odd")
