@@ -332,6 +332,8 @@ EXTENDED = [
     "q_events_wasserstein_drift",
     "q_stream_interval_join_outer",
     "q_events_logrank",
+    "q_graph_assortativity",
+    "q_orders_eb_shrunk_means",
 ]
 
 
@@ -400,9 +402,11 @@ def _effective_cores(spark, cpus: int = 32) -> float:
     work = 150_000_000
 
     def run(ntasks: int) -> float:
+        # id % work keeps the product under 2^63 for any ntasks (ANSI
+        # mode: a bigint overflow is an ERROR, not a wrap)
         t0 = time.time()
         spark.range(0, work * ntasks, 1, ntasks).selectExpr(
-            "sum(id * 2654435761 % 1000000007) AS s"
+            f"sum(id % {work} * 2654435761 % 1000000007) AS s"
         ).collect()
         return time.time() - t0
 
@@ -448,6 +452,8 @@ def main() -> None:
 
     for name in CORE + EXTENDED:
         try:
+            if name.startswith("q_stream_"):
+                _sq.reset_last_progress()
             times[name] = _best_of(lambda: specs[name].fn(spark, sf_dir).collect())
             if name.startswith("q_stream_"):
                 # micro-batch/state ledger of the last run (r9 verdict #3:

@@ -115,6 +115,93 @@ def test_distribution_distance_uniform_shift(spark):
 
 
 # --------------------------------------------------------------------------
+# degree_assortativity
+# --------------------------------------------------------------------------
+
+
+def test_assortativity_star_is_negative_one(spark):
+    """A star is perfectly disassortative: every edge pairs the hub
+    (deg k) with a leaf (deg 1) -> r = -1."""
+    from ups_crossref_etl_spark.operators.graph import degree_assortativity
+
+    star = [(0, i) for i in range(1, 6)]
+    r = degree_assortativity(_edges(spark, star)).collect()[0]
+    assert r.n_edges == 5
+    assert r.assortativity == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """A cycle is 2-regular: zero degree variance -> undefined r (NULL)."""
+    from ups_crossref_etl_spark.operators.graph import degree_assortativity
+
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    r = degree_assortativity(_edges(spark, cyc)).collect()[0]
+    assert r.n_edges == 5 and r.mean_degree == 2.0
+    assert r.assortativity is None
+
+
+def test_assortativity_networkx_parity(spark):
+    try:
+        import networkx as nx
+    except ImportError:
+        pytest.skip("networkx unavailable")
+    from ups_crossref_etl_spark.operators.graph import degree_assortativity
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 1)]
+    g = nx.Graph(edges)
+    want = nx.degree_assortativity_coefficient(g)
+    r = degree_assortativity(_edges(spark, edges)).collect()[0]
+    assert r.assortativity == pytest.approx(want, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# eb_shrunk_means
+# --------------------------------------------------------------------------
+
+
+def test_eb_shrinkage_pulls_small_groups_harder(spark):
+    from ups_crossref_etl_spark.operators.stats import eb_shrunk_means
+
+    # +-0.5 within-group noise (so sigma2 > 0), built deterministically
+    rows = (
+        [("big_lo", 1.0 + 0.5 * (-1) ** i) for i in range(40)]
+        + [("big_hi", 9.0 + 0.5 * (-1) ** i) for i in range(40)]
+        + [("small_hi", 9.0 + 0.5 * (-1) ** i) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in eb_shrunk_means(df, "g", "v").collect()}
+    mu = (40 * 1.0 + 40 * 9.0 + 2 * 9.0) / 82
+    # every group shrinks toward mu, small group proportionally harder
+    big_hi_pull = out["big_hi"].mean - out["big_hi"].shrunk_mean
+    small_hi_pull = out["small_hi"].mean - out["small_hi"].shrunk_mean
+    assert 0 <= big_hi_pull < small_hi_pull
+    assert out["big_lo"].shrunk_mean > out["big_lo"].mean  # pulled UP
+    assert abs(out["small_hi"].shrunk_mean - mu) < abs(
+        out["small_hi"].mean - mu
+    )
+
+
+def test_eb_shrinkage_no_signal_collapses_to_grand_mean(spark):
+    """Groups drawn identically (tau2 -> 0 by construction: all group
+    means equal) collapse every shrunk mean to the grand mean."""
+    from ups_crossref_etl_spark.operators.stats import eb_shrunk_means
+
+    rows = [(g, v) for g in ("a", "b", "c") for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = eb_shrunk_means(df, "g", "v").collect()
+    for r in out:
+        assert r.shrunk_mean == pytest.approx(2.0, abs=1e-6)
+
+
+def test_eb_shrinkage_degenerate_single_group(spark):
+    from ups_crossref_etl_spark.operators.stats import eb_shrunk_means
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
+    r = eb_shrunk_means(df, "g", "v").collect()[0]
+    assert r.shrunk_mean is None and r.mean == pytest.approx(1.5)
+
+
+# --------------------------------------------------------------------------
 # logrank_test
 # --------------------------------------------------------------------------
 

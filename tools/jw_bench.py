@@ -51,6 +51,10 @@ def main() -> None:
         .join(part.select(F.col("k").alias("_k2"),
                           F.col("name").alias("b")), "_k2")
         .select("a", "b")
+        # the part table is one small parquet file -> one partition; a
+        # real blocked candidate set arrives shuffle-partitioned, so
+        # spread the synthetic one the same way before timing
+        .repartition(32)
         .localCheckpoint()  # pin the candidate set; time ONLY the kernel
     )
     n_pairs = pairs.count()

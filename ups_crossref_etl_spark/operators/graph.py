@@ -701,6 +701,55 @@ def transitivity_summary(
     )
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the degrees at the two ends of an edge, over the
+    undirected edge set counted in BOTH directions. ONE row
+    ``(n_edges, mean_degree, assortativity)`` — positive means hubs
+    attach to hubs (social graphs), negative means hubs attach to
+    leaves (the disassortative signature of citation/biological/
+    co-occurrence graphs), and it is the one-number check run before
+    trusting degree-capped truncations (:func:`adamic_adar`,
+    :func:`transitivity_summary`): a strongly assortative graph
+    concentrates wedge mass in hub-hub cores, so capping costs more
+    there than the cap-agreement subgraph may show.
+
+    Shape: one degree aggregate (node-keyed), two broadcast-size joins
+    of the degree table back onto the edge list, one global moment
+    aggregate — degrees are exact BIGINTs so every moment sum
+    (Σxy, Σx, Σx²) is exact integer arithmetic on both engines; only
+    the final correlation is a double. No window, no self-join.
+    """
+    ori = _canonical_edges(edges).localCheckpoint()
+    und = ori.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionByName(
+        ori.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    paired = (
+        und.join(deg, "node")
+        .withColumnRenamed("_d", "_dx")
+        .join(deg.select(F.col("node").alias("nbr"), F.col("_d").alias("_dy")), "nbr")
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m"),
+        F.sum("_dx").cast("bigint").alias("_sx"),
+        F.sum(F.col("_dx") * F.col("_dy")).cast("bigint").alias("_sxy"),
+        F.sum(F.col("_dx") * F.col("_dx")).cast("bigint").alias("_sxx"),
+    )
+    # both directions counted, so Σx = Σy and Σx² = Σy² — one moment set
+    m = F.col("_m").cast("double")
+    sx = F.col("_sx").cast("double")
+    cov = F.col("_sxy").cast("double") - sx * sx / m
+    var = F.col("_sxx").cast("double") - sx * sx / m
+    return agg.select(
+        F.expr("_m div 2").cast("bigint").alias("n_edges"),
+        (F.round(sx / m, 6) + 0.0).alias("mean_degree"),
+        (
+            F.round(F.when(var > 0, cov / var), 6) + 0.0
+        ).alias("assortativity"),
+    )
+
+
 def adamic_adar(
     edges: DataFrame,
     top_n: int = 50,

@@ -1666,6 +1666,97 @@ def percent_rank_unique(
     )
 
 
+def eb_shrunk_means(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Empirical-Bayes (James-Stein) shrinkage of per-group means toward
+    the grand mean, one row per group: ``(group, n, mean,
+    shrunk_mean)`` — the estimator to publish when many groups have few
+    observations (per-domain quality scores, per-author averages,
+    per-seller ratings): raw small-n means are mostly noise, and the
+    one-way random-effects model shrinks each toward the grand mean by
+    exactly how little its sample size earns.
+
+    Method of moments (unbalanced one-way ANOVA): within-group variance
+    ``σ² = SS_w/(N-k)``, between-group mean square ``MS_b =
+    SS_b/(k-1)``, effective group size ``n0 = (N - Σn_g²/N)/(k-1)``,
+    signal variance ``τ² = max(0, (MS_b - σ²)/n0)``; each group's
+    posterior weight is ``B_g = τ²/(τ² + σ²/n_g)`` and ``shrunk =
+    μ + B_g (mean_g - μ)``. τ² = 0 (no real between-group signal)
+    collapses every group to the grand mean; n_g → ∞ recovers the raw
+    mean. Degenerate inputs (k < 2 or N <= k) return NULL shrunk_mean.
+
+    Shape: ONE grouped aggregate + one broadcast of the 1-row global
+    moment table — nothing corpus-sized after the first groupBy.
+    Determinism: values quantize to integer micros; per-row squares
+    accumulate in DECIMAL(38,0) (exact); the per-group ``s²/n`` terms
+    quantize to integer micros before their global sum, so every
+    cross-row aggregate is exact and only the final per-group B and
+    shrunk mean are (deterministic, single-expression) doubles.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(value_col).cast("double") * 1e6)
+        .cast("bigint")
+        .alias("_vu"),
+    ).filter(F.col("_g").isNotNull() & F.col("_vu").isNotNull())
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_vu").cast("bigint").alias("_s"),
+        F.sum(F.col("_vu").cast("decimal(38,0)") * F.col("_vu")).alias("_ssq"),
+    )
+    sval = F.col("_s").cast("double") / F.lit(1e6)
+    glob = per.agg(
+        F.sum("_n").cast("bigint").alias("_N"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum("_s").cast("bigint").alias("_S"),
+        F.sum("_ssq").cast("decimal(38,0)").alias("_SSQ"),
+        # micro-quantized s²/n terms can exceed bigint on high-valued
+        # columns (orders totalprice: ~4e19 per group) — accumulate in
+        # DECIMAL(38,0), still exact integers
+        F.sum(
+            F.round(sval * sval / F.col("_n").cast("double") * F.lit(1e6))
+            .cast("decimal(38,0)")
+        ).alias("_t1m"),
+        F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias("_n2"),
+    )
+    N = F.col("_N").cast("double")
+    k = F.col("_k").cast("double")
+    mu = F.col("_S").cast("double") / F.lit(1e6) / N
+    ssq_val = F.col("_SSQ").cast("double") / F.lit(1e12)
+    t1 = F.col("_t1m").cast("double") / F.lit(1e6)
+    ok = (F.col("_k") >= 2) & (F.col("_N") > F.col("_k"))
+    sigma2 = (ssq_val - t1) / (N - k)
+    s_val = F.col("_S").cast("double") / F.lit(1e6)
+    msb = (t1 - s_val * s_val / N) / (k - 1)
+    n0 = (N - F.col("_n2").cast("double") / N) / (k - 1)
+    tau2 = F.greatest(F.lit(0.0), (msb - sigma2) / n0)
+    g = glob.select(
+        F.when(ok, mu).alias("_mu"),
+        F.when(ok, sigma2).alias("_sigma2"),
+        F.when(ok, tau2).alias("_tau2"),
+    )
+    mean_g = F.col("_s").cast("double") / F.lit(1e6) / F.col("_n").cast("double")
+    b = F.col("_tau2") / (
+        F.col("_tau2") + F.col("_sigma2") / F.col("_n").cast("double")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        (F.round(mean_g, 6) + 0.0).alias("mean"),
+        (
+            F.round(
+                F.col("_mu")
+                + F.when(
+                    F.col("_tau2") > 0, b * (mean_g - F.col("_mu"))
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("shrunk_mean"),
+    )
+
+
 def distribution_distance(
     df: DataFrame,
     group_col: str,

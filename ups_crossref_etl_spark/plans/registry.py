@@ -80,6 +80,10 @@ _CHANGED_THIS_ROUND = [
     # the log-rank test completing the survival family (curve/hazard/
     # summary -> inference)
     "q_events_logrank",
+    # degree assortativity (the hub-mixing diagnostic behind the degree-
+    # cap contracts) and empirical-Bayes shrunk group means
+    "q_graph_assortativity",
+    "q_orders_eb_shrunk_means",
     # round-10 fixes (ADVICE.md): best_sse_split's per-key total was
     # max(prefix sum) — wrong for series with negative values after the
     # peak — now the true sum on BOTH engines; rectangle census sums

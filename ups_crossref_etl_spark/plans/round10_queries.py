@@ -437,3 +437,128 @@ def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
     )
     return logrank_test(grouped, "cohort", "even", "odd")
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the part co-order graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_assortativity",
+    """
+    WITH pe AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    und AS (SELECT lo AS node, hi AS nbr FROM e
+            UNION ALL SELECT hi AS node, lo AS nbr FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY node),
+    paired AS (
+      SELECT dx.d AS x, dy.d AS y
+      FROM und u JOIN deg dx ON u.node = dx.node
+      JOIN deg dy ON u.nbr = dy.node),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM paired)
+    SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+           round(CAST(sx AS DOUBLE) / m, 6) + 0.0 AS mean_degree,
+           round(CASE WHEN CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * sx / m > 0 THEN
+                   (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m)
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m)
+                 END, 6) + 0.0 AS assortativity
+    FROM mo
+    """,
+    doc=(
+        "Degree assortativity (Newman 2002) of the part co-order graph "
+        "(operators/graph.degree_assortativity): Pearson correlation "
+        "of endpoint degrees over the undirected edge set counted both "
+        "directions — the one-number 'do hubs attach to hubs' check "
+        "that tells you whether degree-capped truncations (the AA/"
+        "transitivity cap contracts) bite in the hub-hub core or the "
+        "periphery. One degree aggregate + two joins back + one moment "
+        "aggregate; all moments exact BIGINT sums, one final double "
+        "division."
+    ),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import degree_assortativity
+    from .round7c_queries import _part_coorder_edges
+
+    return degree_assortativity(_part_coorder_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrunk per-customer order values
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_eb_shrunk_means",
+    """
+    WITH base AS (
+      SELECT o_custkey AS g,
+             CAST(round(o_totalprice * 1e6) AS BIGINT) AS vu
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vu) AS BIGINT) AS s,
+             sum(CAST(vu AS HUGEINT) * vu) AS ssq
+      FROM base GROUP BY g),
+    gtot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(ssq) AS DOUBLE) AS ssqd,
+             sum(CAST(round((CAST(s AS DOUBLE) / 1e6)
+                  * (CAST(s AS DOUBLE) / 1e6)
+                  / CAST(n AS DOUBLE) * 1e6) AS HUGEINT))
+               AS t1m,
+             CAST(sum(n * n) AS BIGINT) AS n2
+      FROM per),
+    gm AS (
+      SELECT CAST(st AS DOUBLE) / 1e6 / nn AS mu,
+             (ssqd / 1e12 - CAST(t1m AS DOUBLE) / 1e6)
+               / (CAST(nn AS DOUBLE) - k) AS sigma2,
+             greatest(0.0, ((CAST(t1m AS DOUBLE) / 1e6
+                 - (CAST(st AS DOUBLE) / 1e6)
+                   * (CAST(st AS DOUBLE) / 1e6) / nn)
+                 / (CAST(k AS DOUBLE) - 1)
+               - (ssqd / 1e12 - CAST(t1m AS DOUBLE) / 1e6)
+                 / (CAST(nn AS DOUBLE) - k))
+               / ((CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE) / nn)
+                  / (CAST(k AS DOUBLE) - 1))) AS tau2
+      FROM gtot)
+    SELECT g AS o_custkey, n,
+           round(CAST(s AS DOUBLE) / 1e6 / n, 6) + 0.0 AS mean,
+           round(mu + CASE WHEN tau2 > 0 THEN
+                   tau2 / (tau2 + sigma2 / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / 1e6 / n - mu)
+                 ELSE 0.0 END, 6) + 0.0 AS shrunk_mean
+    FROM per CROSS JOIN gm
+    """,
+    doc=(
+        "Empirical-Bayes (James-Stein) shrinkage of per-customer mean "
+        "order value toward the grand mean (operators/stats."
+        "eb_shrunk_means): one-way random-effects method of moments — "
+        "sigma2 within, tau2 between via the unbalanced-n0 correction, "
+        "per-group posterior weight tau2/(tau2 + sigma2/n). The "
+        "estimator to publish for many-small-groups score tables "
+        "(per-domain quality, per-seller ratings) where raw small-n "
+        "means are mostly noise. One grouped aggregate + one 1-row "
+        "broadcast; micros/DECIMAL-exact sums, per-group s^2/n terms "
+        "micro-quantized before the global sum."
+    ),
+)
+def q_orders_eb_shrunk_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import eb_shrunk_means
+
+    orders = read_table(spark, sf_dir, "orders")
+    return eb_shrunk_means(orders, "o_custkey", "o_totalprice")

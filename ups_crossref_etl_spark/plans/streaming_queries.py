@@ -29,6 +29,14 @@ _seq = itertools.count()
 _LAST_RUN_PROGRESS: list[dict] = []
 
 
+def reset_last_progress() -> None:
+    """Clear the captured progress — callers timing a sequence of
+    stream queries reset before each one so a query that does NOT go
+    through ``_run`` (foreachBatch drivers: trending top-k, CDC apply)
+    can't be attributed the previous query's micro-batch ledger."""
+    _LAST_RUN_PROGRESS.clear()
+
+
 def summarize_last_progress() -> dict:
     """Compact micro-batch/state summary of the last ``_run`` for bench
     artifacts: batch count, rows in, final state rows, per-batch ms."""
