@@ -115,6 +115,37 @@ def test_fullcheck_current_round_covers_gated_registry(registry):
     assert not red, f"gated queries not passing in FULLCHECK: {red}"
 
 
+def test_bench_tiers_name_real_entries(registry):
+    """Every bench CORE/EXTENDED name must exist in the registry — a
+    typo here silently drops a query from the timed battery (the error
+    path records it, but only at run time)."""
+    import bench
+
+    specs, _, _ = registry
+    missing = [n for n in bench.CORE + bench.EXTENDED if n not in specs]
+    assert not missing, f"bench tier names not in registry: {missing}"
+
+
+def test_bench_local_carries_stability_fields():
+    """r9 verdict #4 made the longitudinal bench signal part of the
+    artifact: the committed BENCH_LOCAL.json must carry the median-of-3
+    frozen-tier passes, the measured effective-cores gauge, and the
+    q_stream_* micro-batch ledger (verdict #3) — and must have timed
+    the battery without per-query errors."""
+    import statistics
+
+    d = json.load(open(os.path.join(ROOT, "BENCH_LOCAL.json")))
+    assert len(d["core_runs"]) == 3
+    assert d["core_total_median"] == sorted(d["core_runs"])[1]
+    assert statistics.median(d["core_runs"]) == d["core_total_median"]
+    assert d["effective_cores"] > 1.0
+    sm = d["stream_metrics"]
+    assert "q_stream_interval_join" in sm
+    for v in sm.values():
+        assert v["n_batches"] >= 1 and v["input_rows"] > 0
+    assert not d.get("errors"), f"bench recorded errors: {d.get('errors')}"
+
+
 def test_changed_and_backlog_name_real_entries(registry):
     specs, changed, never = registry
     gated = {n for n, s in specs.items() if s.gate}
