@@ -1059,6 +1059,40 @@ def main() -> None:
         r_1.count(), r_N.count(),
     )
 
+    # round 10 (ADVICE r9): percent_rank_unique's distinct-value cumsum
+    # is now range-partitioned — probe it on a NEAR-UNIQUE key (event
+    # epoch micros + event_id disambiguator) where the distinct table is
+    # data-sized, the exact regime the old Window.orderBy degenerated on
+    from ups_crossref_etl_spark.functions.dates import epoch_seconds
+    from ups_crossref_etl_spark.operators.stats import percent_rank_unique
+
+    ev1s = read_table(spark, SF_DIR, "events")
+    pr_1 = ev1s.select(
+        "event_id",
+        (epoch_seconds(F.col("ts")) * 1000 + F.col("event_id") % 1000)
+        .alias("near_unique"),
+    ).localCheckpoint()
+    pr_N = (
+        pr_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            (F.col("event_id") * n + F.col("_salt")).alias("event_id"),
+            (F.col("near_unique") * n + F.col("_salt")).alias(
+                "near_unique"
+            ),
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "percent_rank_unique",
+        lambda: percent_rank_unique(pr_1, "near_unique", "event_id")
+        .agg(F.sum("score")).collect(),
+        lambda: percent_rank_unique(pr_N, "near_unique", "event_id")
+        .agg(F.sum("score")).collect(),
+        pr_1.count(), pr_N.count(),
+    )
+
     from ups_crossref_etl_spark.operators.classifier import logreg_irls
     from ups_crossref_etl_spark.operators.text_analysis import (
         quality_features,
