@@ -114,6 +114,40 @@ def test_distribution_distance_uniform_shift(spark):
     assert r.ks_stat == pytest.approx(0.5, abs=1e-6)
 
 
+def test_transitivity_cap_above_max_degree_is_noop(spark):
+    """A cap no degree reaches must reproduce the uncapped result
+    exactly — the cap-agreement gate's limiting case."""
+    from ups_crossref_etl_spark.operators.graph import transitivity_summary
+
+    e = _edges(
+        spark, [(1, 2), (2, 3), (1, 3), (3, 4), (3, 5), (5, 6), (3, 6)]
+    )
+    full = transitivity_summary(e).collect()[0]
+    capped = transitivity_summary(e, max_center_degree=100).collect()[0]
+    assert full == capped
+
+
+def test_distribution_distance_empty_group_nulls(spark):
+    from ups_crossref_etl_spark.operators.stats import distribution_distance
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
+    r = distribution_distance(df, "g", "v", "a", "b").collect()[0]
+    assert r.n_a == 2 and r.n_b == 0
+    assert r.w1_distance is None
+    assert r.ks_stat is None
+    assert r.cvm_stat is None
+
+
+def test_assortativity_ignores_self_loops_and_dup_edges(spark):
+    from ups_crossref_etl_spark.operators.graph import degree_assortativity
+
+    star = [(0, i) for i in range(1, 6)]
+    noisy = star + [(0, 0), (3, 3)] + [(i, 0) for i in range(1, 6)]
+    a = degree_assortativity(_edges(spark, star)).collect()[0]
+    b = degree_assortativity(_edges(spark, noisy)).collect()[0]
+    assert a == b
+
+
 # --------------------------------------------------------------------------
 # degree_assortativity
 # --------------------------------------------------------------------------

@@ -1823,8 +1823,11 @@ def distribution_distance(
         (F.col("_rn0") - F.lit(1)).alias("_rn"), F.col("_vu").alias("_vnext")
     )
     joined = cur.join(nxt, "_rn", "left").crossJoin(F.broadcast(tot))
-    fa = F.col("_ia").cast("double") / F.col("_na").cast("double")
-    fb = F.col("_ib").cast("double") / F.col("_nb").cast("double")
+    # try_divide: an empty group (n = 0) must flow NULL into the terms
+    # (the ok-guard below then NULLs the outputs) instead of raising
+    # ANSI DIVIDE_BY_ZERO inside the per-value expressions
+    fa = F.try_divide(F.col("_ia").cast("double"), F.col("_na").cast("double"))
+    fb = F.try_divide(F.col("_ib").cast("double"), F.col("_nb").cast("double"))
     diff = fa - fb
     gap = (F.col("_vnext") - F.col("_vu")).cast("double") / F.lit(1e6)
     w1_t = F.round(F.abs(diff) * gap * F.lit(1e12)).cast("bigint")
