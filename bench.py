@@ -333,6 +333,7 @@ EXTENDED = [
     "q_stream_interval_join_outer",
     "q_events_logrank",
     "q_graph_assortativity",
+    "q_graph_rich_club",
     "q_orders_eb_shrunk_means",
 ]
 

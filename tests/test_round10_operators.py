@@ -174,6 +174,39 @@ def test_assortativity_regular_graph_is_null(spark):
     assert r.assortativity is None
 
 
+def test_rich_club_clique_plus_pendants(spark):
+    """K4 on {0,1,2,3} (deg >= 3) plus pendants 0-4, 1-5 (deg 1).
+    k=2: rich = the 4 clique nodes, rich edges = 6 -> phi = 1.0.
+    k=3: only 0 and 1 (deg 4) -> one edge between them -> phi = 1.0.
+    k=4: nobody -> NULL phi."""
+    from ups_crossref_etl_spark.operators.graph import rich_club_coefficients
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(0, 4), (1, 5)]
+    out = {
+        r.k: r
+        for r in rich_club_coefficients(
+            _edges(spark, edges), [2, 3, 4]
+        ).collect()
+    }
+    assert out[2].n_rich == 4 and out[2].n_rich_edges == 6
+    assert out[2].phi == 1.0
+    assert out[3].n_rich == 2 and out[3].n_rich_edges == 1
+    assert out[3].phi == 1.0
+    assert out[4].n_rich == 0 and out[4].phi is None
+
+
+def test_rich_club_periphery_only_club_is_sparse(spark):
+    """Star hub + a single far edge: nodes above threshold share no
+    edges -> phi = 0."""
+    from ups_crossref_etl_spark.operators.graph import rich_club_coefficients
+
+    edges = [(0, i) for i in range(1, 6)] + [(10, i) for i in range(11, 16)]
+    out = rich_club_coefficients(_edges(spark, edges), [2]).collect()[0]
+    assert out.n_rich == 2  # the two hubs
+    assert out.n_rich_edges == 0 and out.phi == 0.0
+
+
 def test_assortativity_networkx_parity(spark):
     try:
         import networkx as nx

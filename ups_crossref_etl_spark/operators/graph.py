@@ -701,6 +701,94 @@ def transitivity_summary(
     )
 
 
+def rich_club_coefficients(
+    edges: DataFrame, thresholds: list[int]
+) -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004) at each
+    degree threshold: ``φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))`` — the
+    edge density among nodes of degree > k. One row per threshold:
+    ``(k, n_rich, n_rich_edges, phi)``. Rising φ(k) means hubs form a
+    densely wired core (the "rich club") — with :func:`degree_
+    assortativity` this is the second hub-mixing diagnostic read before
+    trusting degree-capped truncations: a strong club means the capped
+    operators discard a structurally distinct core, so the
+    cap-agreement gates deserve a tighter bound. (Raw φ, not the
+    null-model-normalized ρ — normalization needs degree-preserving
+    rewiring, a different machine.)
+
+    Shape: degree aggregate → one join of both endpoint degrees onto
+    the canonical edge list → ONE conditional aggregate per table
+    (every threshold is a ``sum(when(...))`` column in the same pass —
+    |thresholds| never multiplies the scans) → explode the 1-row
+    result to per-k rows. All counts exact BIGINTs; φ is one rounded
+    division.
+    """
+    if not thresholds:
+        raise ValueError("rich_club_coefficients: thresholds required")
+    ks = sorted(set(int(k) for k in thresholds))
+    ori = _canonical_edges(edges).localCheckpoint()
+    und = ori.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionByName(
+        ori.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("_d"))
+    nodes = deg.agg(
+        *[
+            F.sum(F.when(F.col("_d") > k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_n{k}")
+            for k in ks
+        ]
+    )
+    ed = ori.join(
+        deg.select(F.col("node").alias("lo"), F.col("_d").alias("_dx")), "lo"
+    ).join(
+        deg.select(F.col("node").alias("hi"), F.col("_d").alias("_dy")), "hi"
+    )
+    redges = ed.agg(
+        *[
+            F.sum(
+                F.when((F.col("_dx") > k) & (F.col("_dy") > k), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"_e{k}")
+            for k in ks
+        ]
+    )
+    wide = nodes.crossJoin(F.broadcast(redges))
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("k"),
+                        F.col(f"_n{k}").alias("n_rich"),
+                        F.col(f"_e{k}").alias("n_rich_edges"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("_r")
+    )
+    n = F.col("_r.n_rich").cast("double")
+    return stacked.select(
+        F.col("_r.k").alias("k"),
+        F.col("_r.n_rich").alias("n_rich"),
+        F.col("_r.n_rich_edges").alias("n_rich_edges"),
+        (
+            F.round(
+                F.when(
+                    F.col("_r.n_rich") > 1,
+                    2.0
+                    * F.col("_r.n_rich_edges").cast("double")
+                    / (n * (n - 1.0)),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("phi"),
+    ).orderBy("k")
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation of the degrees at the two ends of an edge, over the

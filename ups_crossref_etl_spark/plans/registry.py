@@ -83,6 +83,7 @@ _CHANGED_THIS_ROUND = [
     # degree assortativity (the hub-mixing diagnostic behind the degree-
     # cap contracts) and empirical-Bayes shrunk group means
     "q_graph_assortativity",
+    "q_graph_rich_club",
     "q_orders_eb_shrunk_means",
     # round-10 fixes (ADVICE.md): best_sse_split's per-key total was
     # max(prefix sum) — wrong for series with negative values after the
@@ -113,7 +114,7 @@ _CHANGED_THIS_ROUND = [
 #: Recomputed for r10 from the union of CORRECTNESS_r{1..9}.json (342
 #: distinct names ever sampled) against the gated registry: 17 gated
 #: entries remain never-driver-sampled. The lean r10 changed tier
-#: (~10 entries) leaves ~40 window slots, so this round drains the
+#: (15 entries) leaves ~35 window slots, so this round drains the
 #: backlog to ZERO.
 _NEVER_DRIVER_SAMPLED = [
     "q2_min_cost_supplier",

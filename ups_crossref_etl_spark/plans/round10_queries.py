@@ -4,8 +4,15 @@ Opens with the r9 verdict's #1 ask: the clustering-coefficient family
 gets the Adamic-Adar capped+exact+cap-agreement treatment — the uncapped
 wedge path measured slope 1.65 at 10× (SCALE_PROBE.json), so the
 operational transitivity gate now runs capped wedge centers
-(operators/graph.transitivity_summary) with the truncation cost pinned
-by a bounded-subgraph exact twin and a measured cap-agreement contract.
+(operators/graph.transitivity_summary, re-probed sublinear at 0.58) with
+the truncation cost pinned by a bounded-subgraph exact twin and a
+measured cap-agreement contract. Then the round's new operators:
+Wasserstein-1/KS/Cramér-von Mises two-sample drift (one range-
+partitioned CDF pass), the streaming LEFT OUTER interval join gate
+(watermark-gated NULL emission mirrored exactly in SQL), the log-rank
+test completing the survival family, the degree-assortativity +
+rich-club hub-mixing diagnostic pair behind the degree-cap contracts,
+and empirical-Bayes shrunk group means.
 
 Every gated entry pairs the Spark program with a DuckDB oracle; column
 aliases match exactly (the driver sorts columns by name before hashing).
@@ -492,6 +499,72 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .round7c_queries import _part_coorder_edges
 
     return degree_assortativity(_part_coorder_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficients of the part co-order graph
+# --------------------------------------------------------------------------
+
+_RC_KS = [30, 60, 90, 120]
+
+
+@register(
+    "q_graph_rich_club",
+    f"""
+    WITH pe AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM pe a JOIN pe b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    und AS (SELECT lo AS node, hi AS nbr FROM e
+            UNION ALL SELECT hi AS node, lo AS nbr FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY node),
+    ed AS (
+      SELECT dx.d AS dx, dy.d AS dy
+      FROM e JOIN deg dx ON e.lo = dx.node
+      JOIN deg dy ON e.hi = dy.node),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _RC_KS)}]) AS k),
+    rich AS (
+      SELECT ks.k,
+             CAST(sum(CASE WHEN deg.d > ks.k THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rich
+      FROM ks CROSS JOIN deg GROUP BY ks.k),
+    redge AS (
+      SELECT ks.k,
+             CAST(sum(CASE WHEN ed.dx > ks.k AND ed.dy > ks.k
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rich_edges
+      FROM ks CROSS JOIN ed GROUP BY ks.k)
+    SELECT CAST(rich.k AS BIGINT) AS k, n_rich, n_rich_edges,
+           round(CASE WHEN n_rich > 1 THEN
+                   2.0 * CAST(n_rich_edges AS DOUBLE)
+                   / (CAST(n_rich AS DOUBLE)
+                      * (CAST(n_rich AS DOUBLE) - 1.0))
+                 END, 6) + 0.0 AS phi
+    FROM rich JOIN redge ON rich.k = redge.k
+    ORDER BY k
+    """,
+    doc=(
+        "Rich-club coefficients phi(k) = 2*E_>k / (N_>k*(N_>k - 1)) of "
+        "the part co-order graph at degree thresholds 30/60/90/120 "
+        "(operators/graph.rich_club_coefficients): edge density among "
+        "nodes of degree > k — with q_graph_assortativity, the "
+        "hub-mixing diagnostic pair that says whether the repo's "
+        "degree-capped truncations (AA/NJ/transitivity, caps at 90) "
+        "discard a densely wired core or loose periphery. One degree "
+        "aggregate + one endpoint-degree join + ONE conditional "
+        "aggregate carrying every threshold as a column (thresholds "
+        "never multiply the scans), exploded to per-k rows; exact "
+        "BIGINT counts, one rounded division."
+    ),
+)
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import rich_club_coefficients
+    from .round7c_queries import _part_coorder_edges
+
+    return rich_club_coefficients(
+        _part_coorder_edges(spark, sf_dir), _RC_KS
+    )
 
 
 # --------------------------------------------------------------------------
