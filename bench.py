@@ -335,6 +335,20 @@ EXTENDED = [
     "q_graph_assortativity",
     "q_graph_rich_club",
     "q_orders_eb_shrunk_means",
+    # round 10 second wave: classical inference (Jarque-Bera,
+    # Brown-Forsythe, Fisher exact on a bounded 2x2, CMH, SRM),
+    # cluster validity (Calinski-Harabasz; the bounded-exact
+    # silhouette), the Misra-Gries one-pass bound contract, and PACF
+    # via Durbin-Levinson on the ACF machinery
+    "q_events_jarque_bera",
+    "q_events_brown_forsythe",
+    "q_events_fisher_exact",
+    "q_events_cmh",
+    "q_events_srm",
+    "q_emb_calinski_harabasz",
+    "q_emb_silhouette_bounded",
+    "q_events_misra_gries_bound",
+    "q_events_pacf",
 ]
 
 

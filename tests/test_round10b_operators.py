@@ -1,0 +1,474 @@
+"""Round-10 second-wave operator tests: Jarque-Bera, Fisher's exact,
+Brown-Forsythe (previously orphan), CMH, SRM, Calinski-Harabasz,
+bounded silhouette, Misra-Gries summary, PACF (Durbin-Levinson)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+# --------------------------------------------------------------------------
+# jarque_bera
+# --------------------------------------------------------------------------
+
+
+def _jb_reference(xs):
+    n = len(xs)
+    mu = sum(xs) / n
+    zq = [round((x - mu) * 1e4) for x in xs]
+    m2 = sum(z * z for z in zq) / n / 1e8
+    m3 = sum(z * z * z for z in zq) / n / 1e12
+    m4 = sum(z * z * z * z for z in zq) / n / 1e16
+    skew = m3 / m2**1.5
+    exk = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    return skew, exk, jb
+
+
+def test_jarque_bera_matches_reference_moments(spark):
+    from ups_crossref_etl_spark.operators.stats import jarque_bera
+
+    xs = [1.0, 2.0, 2.5, 3.0, 3.5, 4.0, 10.0, 2.2, 2.8, 3.1]
+    df = spark.createDataFrame([("g", x) for x in xs], ["g", "v"])
+    row = jarque_bera(df, "g", "v").collect()[0]
+    skew, exk, jb = _jb_reference(xs)
+    assert row.n == 10
+    assert row.skewness == pytest.approx(skew, abs=2e-6)
+    assert row.ex_kurtosis == pytest.approx(exk, abs=2e-6)
+    assert row.jb_stat == pytest.approx(jb, abs=2e-4)
+    # the outlier-heavy sample is visibly non-normal
+    assert row.jb_stat > 5.99
+
+
+def test_jarque_bera_gaussian_ish_small_stat(spark):
+    from ups_crossref_etl_spark.operators.stats import jarque_bera
+
+    # symmetric, light-tailed values -> skew ~ 0, small JB
+    xs = [-2.0, -1.0, -0.5, 0.0, 0.0, 0.5, 1.0, 2.0]
+    df = spark.createDataFrame([("g", x) for x in xs], ["g", "v"])
+    row = jarque_bera(df, "g", "v").collect()[0]
+    assert row.skewness == pytest.approx(0.0, abs=1e-6)
+    assert row.jb_stat < 5.99
+
+
+def test_jarque_bera_degenerate_groups_null(spark):
+    from ups_crossref_etl_spark.operators.stats import jarque_bera
+
+    rows = [("tiny", 1.0), ("tiny", 2.0)] + [("flat", 7.0)] * 10
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in jarque_bera(df, "g", "v").collect()}
+    assert out["tiny"].jb_stat is None  # n < min_n
+    assert out["flat"].jb_stat is None  # zero variance
+
+
+# --------------------------------------------------------------------------
+# fisher_exact
+# --------------------------------------------------------------------------
+
+
+def _fisher_reference(a, b, c, d):
+    """Plain-python hypergeometric enumeration (scipy semantics)."""
+    r1, r2, c1 = a + b, c + d, a + c
+    n = a + b + c + d
+    lf = [0.0]
+    for i in range(1, n + 1):
+        lf.append(lf[-1] + math.log(i))
+
+    def lp(k):
+        return (
+            lf[r1] - lf[k] - lf[r1 - k]
+            + lf[r2] - lf[c1 - k] - lf[r2 - c1 + k]
+            - (lf[n] - lf[c1] - lf[n - c1])
+        )
+
+    kmin, kmax = max(0, c1 - r2), min(r1, c1)
+    obs = lp(a)
+    two = sum(math.exp(lp(k)) for k in range(kmin, kmax + 1) if lp(k) <= obs + 5e-7)
+    left = sum(math.exp(lp(k)) for k in range(kmin, a + 1))
+    right = sum(math.exp(lp(k)) for k in range(a, kmax + 1))
+    return min(two, 1.0), min(left, 1.0), min(right, 1.0)
+
+
+def test_fisher_exact_known_table(spark):
+    from ups_crossref_etl_spark.operators.stats import fisher_exact
+
+    # scipy.stats.fisher_exact([[1, 9], [11, 3]]) ~ p_two = 0.0027594
+    rows = (
+        [("A", True)] * 1 + [("A", False)] * 9
+        + [("B", True)] * 11 + [("B", False)] * 3
+    )
+    df = spark.createDataFrame(rows, ["g", "f"])
+    row = fisher_exact(df, "g", "f").collect()[0]
+    assert (row.n11, row.n10, row.n21, row.n20) == (1, 9, 11, 3)
+    p2, pl, pr = _fisher_reference(1, 9, 11, 3)
+    assert row.p_two_sided == pytest.approx(p2, abs=2e-6)
+    assert row.p_two_sided == pytest.approx(0.0027594, abs=1e-6)
+    assert row.p_left == pytest.approx(pl, abs=2e-6)
+    assert row.p_right == pytest.approx(pr, abs=2e-6)
+    assert row.odds_ratio == pytest.approx((1 * 3) / (9 * 11), abs=1e-6)
+
+
+def test_fisher_exact_balanced_table_p_one(spark):
+    from ups_crossref_etl_spark.operators.stats import fisher_exact
+
+    rows = (
+        [("A", True)] * 5 + [("A", False)] * 5
+        + [("B", True)] * 5 + [("B", False)] * 5
+    )
+    df = spark.createDataFrame(rows, ["g", "f"])
+    row = fisher_exact(df, "g", "f").collect()[0]
+    assert row.p_two_sided == pytest.approx(1.0, abs=1e-6)
+
+
+def test_fisher_exact_zero_cell(spark):
+    from ups_crossref_etl_spark.operators.stats import fisher_exact
+
+    rows = [("A", False)] * 6 + [("B", True)] * 4 + [("B", False)] * 2
+    df = spark.createDataFrame(rows, ["g", "f"])
+    row = fisher_exact(df, "g", "f").collect()[0]
+    p2, pl, pr = _fisher_reference(0, 6, 4, 2)
+    assert row.p_two_sided == pytest.approx(p2, abs=2e-6)
+    # a = 0 with b*c > 0: odds ratio is a plain 0.0, not NULL
+    assert row.odds_ratio == pytest.approx(0.0, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# brown_forsythe (orphan gated this round)
+# --------------------------------------------------------------------------
+
+
+def test_brown_forsythe_equal_spread_small_f(spark):
+    from ups_crossref_etl_spark.operators.stats import brown_forsythe
+
+    rows = [("a", float(x)) for x in [1, 2, 3, 4, 5]] + [
+        ("b", float(x)) for x in [11, 12, 13, 14, 15]
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = brown_forsythe(df, "g", "v").collect()[0]
+    # identical spreads around different medians -> F == 0
+    assert row.f_stat == pytest.approx(0.0, abs=1e-9)
+    assert row.n_groups == 2 and row.n == 10
+
+
+def test_brown_forsythe_detects_spread_difference(spark):
+    from ups_crossref_etl_spark.operators.stats import brown_forsythe
+
+    rows = [("a", float(x)) for x in [5, 5, 5, 5, 5, 5]] + [
+        ("b", float(x)) for x in [0, 1, 9, 10, 0, 10]
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = brown_forsythe(df, "g", "v").collect()[0]
+    assert row.f_stat is not None and row.f_stat > 10.0
+
+
+# --------------------------------------------------------------------------
+# cmh_test
+# --------------------------------------------------------------------------
+
+
+def _cmh_reference(strata):
+    """strata: list of (a, b, c, d) — quantized-term mirror of the op."""
+    se = sv = sad = sbc = 0
+    n = suma = k = 0
+    for a, b, c, d in strata:
+        ns = a + b + c + d
+        if ns < 2:
+            continue
+        k += 1
+        n += ns
+        suma += a
+        se += round((a + b) * (a + c) / ns * 1e6)
+        sv += round((a + b) * (c + d) * (a + c) * (b + d) / (ns * ns * (ns - 1.0)) * 1e6)
+        sad += round(a * d / ns * 1e9)
+        sbc += round(b * c / ns * 1e9)
+    diff = suma - se / 1e6
+    stat = diff * diff / (sv / 1e6) if sv > 0 else None
+    ormh = sad / sbc if sbc > 0 else None
+    return k, n, suma, stat, ormh
+
+
+def _cmh_rows(strata):
+    rows = []
+    for i, (a, b, c, d) in enumerate(strata):
+        s = f"s{i}"
+        rows += [(s, "A", True)] * a + [(s, "A", False)] * b
+        rows += [(s, "B", True)] * c + [(s, "B", False)] * d
+    return rows
+
+
+def test_cmh_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.experiment import cmh_test
+
+    strata = [(12, 8, 5, 15), (3, 17, 9, 11), (7, 7, 7, 7)]
+    df = spark.createDataFrame(_cmh_rows(strata), ["s", "g", "f"])
+    row = cmh_test(df, "s", "g", "f").collect()[0]
+    k, n, suma, stat, ormh = _cmh_reference(strata)
+    assert (row.n_strata, row.n, row.sum_a) == (k, n, suma)
+    assert row.cmh_stat == pytest.approx(stat, abs=2e-6)
+    assert row.or_mh == pytest.approx(ormh, abs=2e-6)
+
+
+def test_cmh_no_association_within_strata(spark):
+    from ups_crossref_etl_spark.operators.experiment import cmh_test
+
+    # identical outcome rates within every stratum -> a == E, stat == 0
+    strata = [(4, 4, 4, 4), (2, 6, 2, 6)]
+    df = spark.createDataFrame(_cmh_rows(strata), ["s", "g", "f"])
+    row = cmh_test(df, "s", "g", "f").collect()[0]
+    assert row.cmh_stat == pytest.approx(0.0, abs=1e-6)
+    assert row.or_mh == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cmh_skips_tiny_strata(spark):
+    from ups_crossref_etl_spark.operators.experiment import cmh_test
+
+    strata = [(6, 2, 2, 6)]
+    rows = _cmh_rows(strata) + [("tiny", "A", True)]  # 1-row stratum
+    df = spark.createDataFrame(rows, ["s", "g", "f"])
+    row = cmh_test(df, "s", "g", "f").collect()[0]
+    assert row.n_strata == 1 and row.n == 16
+
+
+# --------------------------------------------------------------------------
+# srm_check
+# --------------------------------------------------------------------------
+
+
+def test_srm_counts_distinct_units_and_flags(spark):
+    from ups_crossref_etl_spark.operators.experiment import srm_check
+
+    # duplicated unit rows must not inflate counts
+    rows = [(u,) for u in range(200)] * 3
+    df = spark.createDataFrame(rows, ["user_id"])
+    row = srm_check(df, "user_id", seed="t").collect()[0]
+    assert row.n_units == 200
+    assert row.n_a + row.n_b == 200
+    # a genuine 50/50 md5 split over 200 units is nowhere near the
+    # p<0.001 alarm
+    assert row.srm is False
+
+
+def test_srm_fires_on_forced_imbalance(spark):
+    from ups_crossref_etl_spark.operators.experiment import srm_check
+    from ups_crossref_etl_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(F.col("id").alias("u"))
+    # drop 80% of arm-B units -> blatant SRM
+    kept = df.filter(
+        (hash_bucket(F.col("u"), "t2", 2) == 0)
+        | (F.col("u") % 5 == 0)
+    )
+    row = srm_check(kept, "u", seed="t2").collect()[0]
+    assert row.srm is True and row.chi2 > 100.0
+
+
+# --------------------------------------------------------------------------
+# calinski_harabasz
+# --------------------------------------------------------------------------
+
+
+def _ch_reference(points):
+    """points: list of (label, [floats]) — quantized-term mirror."""
+    from collections import defaultdict
+
+    qs = [(l, [round(x * 1e6) for x in v]) for l, v in points]
+    dims = len(qs[0][1])
+    per = defaultdict(lambda: [0, [0] * dims, [0] * dims])  # n, s1, s2
+    for l, q in qs:
+        per[l][0] += 1
+        for i, m in enumerate(q):
+            per[l][1][i] += m
+            per[l][2][i] += m * m
+    g1 = [sum(per[l][1][i] for l in per) for i in range(dims)]
+    gn = sum(per[l][0] for l in per)
+    w = b = 0
+    for l, (n, s1, s2) in per.items():
+        for i in range(dims):
+            w += round(s2[i] - s1[i] * s1[i] / n)
+            cd = s1[i] / n - g1[i] / gn
+            b += round(n * cd * cd)
+    k = len(per)
+    return (b / (k - 1)) / (w / (gn - k))
+
+
+def test_calinski_harabasz_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.similarity import calinski_harabasz
+
+    pts = [
+        (0, [0.0, 0.1]), (0, [0.2, 0.0]), (0, [0.1, 0.1]),
+        (1, [5.0, 5.1]), (1, [5.2, 4.9]), (1, [5.1, 5.0]),
+        (2, [0.0, 9.0]), (2, [0.1, 9.2]),
+    ]
+    df = spark.createDataFrame(
+        [(l, [float(x) for x in v]) for l, v in pts], ["label", "vec"]
+    )
+    row = calinski_harabasz(df, "vec", "label").collect()[0]
+    assert row.n_vecs == 8 and row.n_clusters == 3
+    assert row.ch_index == pytest.approx(_ch_reference(pts), rel=1e-6)
+    # well-separated tight clusters -> huge CH
+    assert row.ch_index > 100.0
+
+
+def test_calinski_harabasz_single_cluster_null(spark):
+    from ups_crossref_etl_spark.operators.similarity import calinski_harabasz
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [2.0, 1.0])], ["label", "vec"]
+    )
+    row = calinski_harabasz(df, "vec", "label").collect()[0]
+    assert row.ch_index is None
+
+
+# --------------------------------------------------------------------------
+# silhouette_bounded
+# --------------------------------------------------------------------------
+
+
+def test_silhouette_well_separated_near_one(spark):
+    from ups_crossref_etl_spark.operators.similarity import silhouette_bounded
+
+    pts = [
+        (1, 0, [0.0, 0.0]), (2, 0, [0.0, 0.1]),
+        (3, 1, [10.0, 10.0]), (4, 1, [10.0, 10.1]),
+    ]
+    df = spark.createDataFrame(pts, ["id", "label", "vec"])
+    out = {r.label: r for r in
+           silhouette_bounded(df, "vec", "label", "id").collect()}
+    assert out[0].n_points == 2 and out[1].n_points == 2
+    assert out[0].mean_silhouette > 0.98
+    assert out[1].mean_silhouette > 0.98
+
+
+def test_silhouette_singleton_cluster_scores_zero(spark):
+    from ups_crossref_etl_spark.operators.similarity import silhouette_bounded
+
+    pts = [
+        (1, 0, [0.0, 0.0]), (2, 0, [0.0, 0.2]),
+        (3, 9, [50.0, 50.0]),  # singleton
+    ]
+    df = spark.createDataFrame(pts, ["id", "label", "vec"])
+    out = {r.label: r for r in
+           silhouette_bounded(df, "vec", "label", "id").collect()}
+    assert out[9].mean_silhouette == pytest.approx(0.0, abs=1e-9)
+
+
+def test_silhouette_interleaved_clusters_low(spark):
+    from ups_crossref_etl_spark.operators.similarity import silhouette_bounded
+
+    # two clusters shuffled together on a line -> silhouette ~ <= 0
+    pts = [
+        (1, 0, [0.0]), (2, 1, [1.0]), (3, 0, [2.0]), (4, 1, [3.0]),
+        (5, 0, [4.0]), (6, 1, [5.0]),
+    ]
+    df = spark.createDataFrame(pts, ["id", "label", "vec"])
+    out = silhouette_bounded(df, "vec", "label", "id").collect()
+    assert all(r.mean_silhouette < 0.2 for r in out)
+
+
+# --------------------------------------------------------------------------
+# misra_gries_summary
+# --------------------------------------------------------------------------
+
+
+def test_misra_gries_bounds_hold_and_heavy_present(spark):
+    from pyspark.sql import functions as F
+    from ups_crossref_etl_spark.operators.sketches import misra_gries_summary
+
+    # zipf-ish: value i appears (400 >> i) times
+    rows = []
+    for i, c in enumerate([400, 200, 100, 50, 25, 12, 6, 3] + [1] * 50):
+        rows += [(f"v{i}",)] * c
+    df = spark.createDataFrame(rows, ["x"]).repartition(7)
+    k = 4
+    n = len(rows)
+    est = {r.x: r.est_count for r in
+           misra_gries_summary(df, "x", k).collect()}
+    true = {f"v{i}": c for i, c in
+            enumerate([400, 200, 100, 50, 25, 12, 6, 3] + [1] * 50)}
+    for v, e in est.items():
+        assert e <= true[v], f"overestimate for {v}"
+    for v, t in true.items():
+        assert t - est.get(v, 0) <= n / (k + 1)
+        if t > n / (k + 1):
+            assert est.get(v, 0) > 0, f"heavy {v} missing"
+
+
+def test_misra_gries_summary_small(spark):
+    from ups_crossref_etl_spark.operators.sketches import misra_gries_summary
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, ["x"])
+    est = {r.x: r.est_count for r in
+           misra_gries_summary(df, "x", 8).collect()}
+    # k >= distinct values: exact counts survive every prune
+    assert est == {"a": 5, "b": 2}
+
+
+# --------------------------------------------------------------------------
+# pacf_dl
+# --------------------------------------------------------------------------
+
+
+def _dl_reference(r):
+    """Textbook Durbin-Levinson over acf dict {lag: r}."""
+    out = {}
+    phi = {}
+    m = 0
+    while (m + 1) in r:
+        m += 1
+    for step in range(1, m + 1):
+        if step == 1:
+            phi_mm = r[1]
+        else:
+            num, den = r[step], 1.0
+            for j in range(1, step):
+                num -= phi[j] * r[step - j]
+                den -= phi[j] * r[j]
+            if den == 0.0:
+                break
+            phi_mm = num / den
+        phi = {j: phi[j] - phi_mm * phi[step - j] for j in range(1, step)}
+        phi[step] = phi_mm
+        out[step] = phi_mm
+    return out
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    import datetime as dt
+    from ups_crossref_etl_spark.operators.timeseries import acf, pacf_dl
+
+    # deterministic AR(1)-flavored series (hash noise, phi = 0.7)
+    x, xs = 0.0, []
+    for t in range(120):
+        noise = ((t * 2654435761) % 1000) / 1000.0 - 0.5
+        x = 0.7 * x + noise
+        xs.append(x)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=t), v) for t, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {r.lag: r.pacf_val for r in
+           pacf_dl(df, "k", "ts", "v", max_lag=3).collect()}
+    rv = {r.lag: float(r.acf_val) for r in
+          acf(df, "k", "ts", "v", 3, round_digits=12).collect()}
+    ref = _dl_reference(rv)
+    assert set(got) == {1, 2, 3}
+    for lag in got:
+        assert got[lag] == pytest.approx(round(ref[lag], 6), abs=1e-9)
+    # AR(1): pacf_1 dominant, pacf_2/3 materially smaller
+    assert abs(got[1]) > 0.3
+    assert abs(got[2]) < abs(got[1]) and abs(got[3]) < abs(got[1])
+
+
+def test_pacf_short_series_prefix_only(spark):
+    import datetime as dt
+    from ups_crossref_etl_spark.operators.timeseries import pacf_dl
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=t), float(v))
+            for t, v in enumerate([1, 5, 2])]  # n=3 -> lags 1..2 only
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {r.lag: r.pacf_val for r in
+           pacf_dl(df, "k", "ts", "v", max_lag=3).collect()}
+    assert set(got) == {1, 2}

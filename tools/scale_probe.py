@@ -1125,6 +1125,49 @@ def main() -> None:
         qf_1.count(), qf_N.count(),
     )
 
+    # round 10 second wave: the two new ops with a nontrivial kernel.
+    # misra_gries has a per-batch Python dict merge inside mapInPandas
+    # (constant work per row IF the counter bound holds — measure it);
+    # pacf rides the acf bounded-fanout self-join plus a per-key Arrow
+    # recursion. The other new gates (JB/BF/Fisher/CMH/SRM/CH) are
+    # single map-side-combinable aggregates — linear by construction.
+    from ups_crossref_etl_spark.operators.sketches import (
+        misra_gries_summary,
+    )
+    from ups_crossref_etl_spark.operators.timeseries import pacf_dl
+
+    ev_mg1 = read_table(spark, SF_DIR, "events").localCheckpoint()
+    ev_mgN = replicate(ev_mg1, "event_id", n).localCheckpoint()
+    probe(
+        "misra_gries",
+        lambda: misra_gries_summary(ev_mg1, "user_id", 8).count(),
+        lambda: misra_gries_summary(ev_mgN, "user_id", 8).count(),
+        ev_mg1.count(), ev_mgN.count(),
+    )
+    # users re-keyed to N disjoint copies: per-user series length stays
+    # constant, user count grows Nx — the partition-friendly growth mode
+    ev_pc1 = (
+        read_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .localCheckpoint()
+    )
+    ev_pcN = (
+        ev_pc1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            (F.col("user_id") * n + F.col("_salt")).alias("user_id"),
+            "ts", "value",
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "pacf",
+        lambda: pacf_dl(ev_pc1, "user_id", "ts", "value", 3).count(),
+        lambda: pacf_dl(ev_pcN, "user_id", "ts", "value", 3).count(),
+        ev_pc1.count(), ev_pcN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")
     if only and os.path.exists(out_path):

@@ -501,3 +501,153 @@ def sprt_decision(
         "decided_at_n",
         (F.round(F.col("_llr_last") / 1e9, 6) + 0.0).alias("llr_final"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    seed: str = "srm",
+    threshold_chi2: float = 10.8276,
+) -> DataFrame:
+    """Sample-ratio-mismatch check on a 50/50 hash split: chi-square
+    goodness-of-fit of the per-ARM distinct-unit counts against the
+    designed equal ratio. SRM is the first thing a broken assignment
+    pipeline fails (lossy logging, biased triggering, bot filters
+    applied per-arm) and invalidates every downstream readout; the
+    industry-standard alarm is p < 0.001, i.e. chi2(1 df) > 10.8276
+    (Fabijan et al. 2019, "Diagnosing Sample Ratio Mismatch").
+
+    Returns ONE row ``(n_units, n_a, n_b, chi2, srm)``. Arms come from
+    the same md5 ``hash_bucket`` primitive every experiment readout
+    here uses, so this audits exactly the assignment the readouts
+    consume. Determinism: counts are exact bigints; chi2 is one double
+    expression over them.
+
+    Shape: one distinct-unit aggregate (map-side combinable) + a 2-row
+    pivot — one cheap pass at any log size.
+    """
+    units = (
+        df.select(F.col(unit_col).alias("_u"))
+        .filter(F.col("_u").isNotNull())
+        .distinct()
+        .select(
+            F.when(hash_bucket(F.col("_u"), seed, 2) == 0, "A")
+            .otherwise("B")
+            .alias("_arm")
+        )
+    )
+    t = units.groupBy().agg(
+        F.sum((F.col("_arm") == "A").cast("bigint")).alias("n_a"),
+        F.sum((F.col("_arm") == "B").cast("bigint")).alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    e = n.cast("double") / F.lit(2.0)
+    chi2 = (
+        (F.col("n_a").cast("double") - e) * (F.col("n_a").cast("double") - e) / e
+        + (F.col("n_b").cast("double") - e) * (F.col("n_b").cast("double") - e) / e
+    )
+    return t.select(
+        n.cast("bigint").alias("n_units"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.round(F.when(n > 0, chi2), 6) + 0.0).alias("chi2"),
+        F.when(n > 0, chi2 > F.lit(threshold_chi2)).alias("srm"),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    group_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test across K strata of 2x2
+    [group x flag] tables: is there an association between arm and
+    outcome CONTROLLING for the stratifier? The Simpson's-paradox-proof
+    A/B readout — a confounder that shifts both assignment exposure
+    and outcome rate flips naive pooled rates, while CMH compares
+    within-stratum and pools the evidence (Mantel & Haenszel 1959).
+
+    ``group_col`` must take exactly two values (min value = row 1,
+    matching :func:`ups_crossref_etl_spark.operators.stats.fisher_exact`);
+    ``flag_col`` is boolean. Strata with fewer than 2 rows are excluded
+    (zero hypergeometric variance). No continuity correction — the
+    plain CMH = (Σa − ΣE)²/ΣV form, documented so the oracle mirrors it.
+
+    Returns ONE row ``(n_strata, n, sum_a, sum_e, cmh_stat, or_mh)``:
+    the statistic (χ²₁ under H0) and the Mantel-Haenszel pooled odds
+    ratio Σ(a·d/n)/Σ(b·c/n) (NULL when the denominator is 0).
+
+    Determinism: per-stratum counts are exact bigints; E, V, and the
+    odds-ratio terms quantize to integer micros/nanos before the
+    cross-stratum sums, so both engines add exact integers; the final
+    statistic is a one-shot double. Shape: one stratum-keyed aggregate
+    (map-side combinable) over the facts, then stratum-count-sized
+    math — linear at any log size, no window, no driver state.
+    """
+    base = df.select(
+        F.col(stratum_col).cast("string").alias("_s"),
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(flag_col).cast("boolean").alias("_f"),
+    ).filter(
+        F.col("_s").isNotNull() & F.col("_g").isNotNull() & F.col("_f").isNotNull()
+    )
+    lo = base.agg(F.min("_g").alias("_glo"))
+    per = (
+        base.join(F.broadcast(lo))
+        .groupBy("_s")
+        .agg(
+            F.sum(((F.col("_g") == F.col("_glo")) & F.col("_f")).cast("bigint")).alias("_a"),
+            F.sum(((F.col("_g") == F.col("_glo")) & ~F.col("_f")).cast("bigint")).alias("_b"),
+            F.sum(((F.col("_g") != F.col("_glo")) & F.col("_f")).cast("bigint")).alias("_c"),
+            F.sum(((F.col("_g") != F.col("_glo")) & ~F.col("_f")).cast("bigint")).alias("_d"),
+        )
+    )
+    r1 = F.col("_a") + F.col("_b")
+    r2 = F.col("_c") + F.col("_d")
+    c1 = F.col("_a") + F.col("_c")
+    c2 = F.col("_b") + F.col("_d")
+    ns = r1 + r2
+    nd = ns.cast("double")
+    e = r1.cast("double") * c1.cast("double") / nd
+    v = (
+        r1.cast("double") * r2.cast("double") * c1.cast("double") * c2.cast("double")
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    terms = per.filter(ns >= 2).select(
+        F.col("_a"),
+        F.round(e * 1e6).cast("bigint").alias("_eq"),
+        F.round(v * 1e6).cast("bigint").alias("_vq"),
+        F.round(F.col("_a").cast("double") * F.col("_d").cast("double") / nd * 1e9)
+        .cast("bigint")
+        .alias("_adq"),
+        F.round(F.col("_b").cast("double") * F.col("_c").cast("double") / nd * 1e9)
+        .cast("bigint")
+        .alias("_bcq"),
+        ns.alias("_ns"),
+    )
+    tot = terms.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("_ns").cast("bigint").alias("n"),
+        F.sum("_a").cast("bigint").alias("sum_a"),
+        F.sum("_eq").alias("_se"),
+        F.sum("_vq").alias("_sv"),
+        F.sum("_adq").alias("_sad"),
+        F.sum("_bcq").alias("_sbc"),
+    )
+    se = F.col("_se").cast("double") / 1e6
+    sv = F.col("_sv").cast("double") / 1e6
+    diff = F.col("sum_a").cast("double") - se
+    stat = F.when(sv > 0.0, diff * diff / sv)
+    ormh = F.when(
+        F.col("_sbc") > 0,
+        F.col("_sad").cast("double") / F.col("_sbc").cast("double"),
+    )
+    return tot.select(
+        "n_strata",
+        "n",
+        "sum_a",
+        (F.round(se, 6) + 0.0).alias("sum_e"),
+        (F.round(stat, 6) + 0.0).alias("cmh_stat"),
+        (F.round(ormh, 6) + 0.0).alias("or_mh"),
+    )

@@ -1088,3 +1088,177 @@ def davies_bouldin(
             ).alias("db_index"),
         )
     )
+
+
+def calinski_harabasz(
+    emb: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Calinski-Harabasz variance-ratio index (Calinski & Harabasz
+    1974) of a labeled embedding space:
+    ``CH = [B/(k-1)] / [W/(N-k)]`` with B the between-cluster sum of
+    squared centroid deviations (weighted by cluster size) and W the
+    pooled within-cluster sum of squares — higher is better-separated.
+    The GLOBAL average-case cluster validity twin of
+    :func:`davies_bouldin` (which penalizes each cluster's WORST
+    neighbor); reading them together distinguishes "one bad cluster"
+    from "everything mushy".
+
+    Returns ONE row ``(n_vecs, n_clusters, ch_index)``; NULL index when
+    k < 2, N <= k, or W = 0.
+
+    Determinism and shape: identical to davies_bouldin — ONE
+    posexplode + per-(label, dim) sufficient statistics (n, s1, s2)
+    over micro-quantized coordinates; W sums the per-(label, dim)
+    ``s2 - s1²/n`` terms and B the per-(label, dim) size-weighted
+    squared centroid deviations, each rounded to an exact integer
+    BEFORE the cross-group sums, so both engines add identical
+    integers and the ratio is a one-shot double. The corpus pays one
+    map-side-combinable aggregate; everything after is k·dims-sized.
+    """
+    rows = emb.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("_i", "_v"),
+    ).select(
+        "_l", "_i",
+        F.round(F.col("_v").cast("double") * 1e6).cast("bigint").alias("_m"),
+    )
+    per = rows.groupBy("_l", "_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_m").cast("bigint").alias("_s1"),
+        F.sum(F.col("_m") * F.col("_m")).cast("bigint").alias("_s2"),
+    )
+    # grand per-dim totals (S1, N) — dims-sized broadcast back
+    grand = per.groupBy("_i").agg(
+        F.sum("_s1").cast("bigint").alias("_g1"),
+        F.sum("_n").cast("bigint").alias("_gn"),
+    )
+    dim_within = F.round(
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1") / F.col("_n")
+    ).cast("bigint")
+    cdev = (
+        F.col("_s1").cast("double") / F.col("_n")
+        - F.col("_g1").cast("double") / F.col("_gn")
+    )
+    dim_between = F.round(
+        F.col("_n").cast("double") * cdev * cdev
+    ).cast("bigint")
+    j = per.join(F.broadcast(grand), "_i").select(
+        "_l", "_n", "_i",
+        dim_within.alias("_w"),
+        dim_between.alias("_b"),
+    )
+    tot = j.filter(F.col("_i") == 0).groupBy().agg(
+        F.sum("_n").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+    )
+    sums = j.groupBy().agg(
+        F.sum("_w").cast("bigint").alias("_sw"),
+        F.sum("_b").cast("bigint").alias("_sb"),
+    )
+    out = tot.join(sums)
+    k = F.col("n_clusters")
+    n = F.col("n_vecs")
+    ok = (k > 1) & (n > k) & (F.col("_sw") > 0)
+    ch = (
+        F.col("_sb").cast("double") / (k - 1).cast("double")
+    ) / (F.col("_sw").cast("double") / (n - k).cast("double"))
+    return out.select(
+        "n_vecs",
+        "n_clusters",
+        (F.round(F.when(ok, ch), 6) + 0.0).alias("ch_index"),
+    )
+
+
+def silhouette_bounded(
+    emb: DataFrame, vec_col: str, label_col: str, id_col: str
+) -> DataFrame:
+    """EXACT mean silhouette per cluster over a pre-bounded slice:
+    ``s(i) = (b_i - a_i) / max(a_i, b_i)`` with ``a_i`` the mean
+    distance to own-cluster co-members and ``b_i`` the best (minimum)
+    mean distance to another cluster; singleton-cluster points score 0
+    (the scikit-learn convention). The per-POINT validity complement
+    of the sufficient-statistics indices (davies_bouldin /
+    calinski_harabasz), and the only one of the three that exposes
+    per-cluster quality directly.
+
+    SCALE CONTRACT: all-pairs is quadratic BY DESIGN — the caller
+    passes an absolutely bounded slice (the gate uses
+    ``vec_id <= 240``, ~240 rows at ANY scale factor), exactly the
+    bounded-subgraph pattern of q_graph_transitivity_exact /
+    q_part_blocking_quality's truth join. The operational full-corpus
+    paths stay with the linear sufficient-statistics indices.
+
+    Returns one row per cluster ``(label_col, n_points,
+    mean_silhouette)``. Determinism: coordinates micro-quantize before
+    exact-integer squared distances (a per-pair array fold); each pair
+    distance rounds to integer nanos after one IEEE sqrt; per-point
+    means are exact-integer sums divided once; s(i) quantizes to nanos
+    before the per-cluster mean — both engines aggregate identical
+    integers throughout.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6).cast("bigint"),
+    )
+    sub = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_l"),
+        q.alias("_q"),
+    )
+    a = sub.select(
+        F.col("_id").alias("_ida"), F.col("_l").alias("_la"),
+        F.col("_q").alias("_qa"),
+    )
+    b = sub.select(
+        F.col("_id").alias("_idb"), F.col("_l").alias("_lb"),
+        F.col("_q").alias("_qb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    # bounded-slice all-pairs: non-equi join on purpose (see contract)
+    pairs = (
+        a.join(b, F.col("_ida") != F.col("_idb"))
+        .select(
+            "_ida", "_la", "_lb",
+            F.round(F.sqrt(d2.cast("double")) * 1e9).cast("bigint").alias("_dq"),
+        )
+    )
+    g = pairs.groupBy("_ida", "_la", "_lb").agg(
+        F.sum("_dq").cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+    )
+    ab = g.groupBy("_ida", "_la").agg(
+        F.max(
+            F.when(F.col("_lb") == F.col("_la"), F.col("_s").cast("double") / F.col("_c"))
+        ).alias("_a"),
+        F.min(
+            F.when(F.col("_lb") != F.col("_la"), F.col("_s").cast("double") / F.col("_c"))
+        ).alias("_b"),
+    )
+    s = F.when(
+        F.col("_a").isNull() | F.col("_b").isNull(), F.lit(0.0)
+    ).otherwise(
+        F.when(
+            F.greatest(F.col("_a"), F.col("_b")) > 0.0,
+            (F.col("_b") - F.col("_a")) / F.greatest(F.col("_a"), F.col("_b")),
+        ).otherwise(F.lit(0.0))
+    )
+    sq = ab.select(
+        "_la", F.round(s * 1e9).cast("bigint").alias("_sq")
+    )
+    return sq.groupBy("_la").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (
+            F.round(
+                F.sum("_sq").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1e9,
+                6,
+            )
+            + 0.0
+        ).alias("mean_silhouette"),
+    ).select(F.col("_la").alias(label_col), "n_points", "mean_silhouette")

@@ -249,3 +249,62 @@ def hll_intersection_estimate(
             "est_intersection"
         ),
     )
+
+
+def misra_gries_summary(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """ONE-pass mergeable Misra-Gries frequency summary: at most ``k``
+    ``(value, est_count)`` rows per partition, merged by summing
+    estimates, with the classic deterministic guarantee
+
+        est(v) <= true(v)   and   true(v) - est(v) <= n / (k + 1)
+
+    (Misra & Gries 1982; mergeability per Agarwal et al. 2012,
+    "Mergeable Summaries"). The complement of :func:`heavy_hitters`,
+    which re-scans to EXACT counts: use this when a second pass is
+    unaffordable (a stream, an expensive source scan) and a bounded
+    underestimate suffices. Every value with true frequency > n/(k+1)
+    is guaranteed present.
+
+    NOTE the reported rows and estimates depend on partition/batch
+    layout (any valid MG summary does); only the BOUNDS are
+    deterministic — which is exactly what the gate query checks, the
+    ``*_bound`` contract pattern.
+
+    Shape: one ``mapInPandas`` scan keeping <= k counters per
+    partition (per Arrow batch: one vectorized ``value_counts`` merged
+    into the counter dict, then one (k+1)-th-largest subtraction — no
+    per-row Python), then a groupBy over <= k·partitions candidate
+    rows. Summary size is kilobytes at any corpus size.
+    """
+    if k < 1:
+        raise ValueError("misra_gries_summary: k must be >= 1")
+    vals = df.select(F.col(value_col).cast("string").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            for v, c in b["_v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest estimate from everything;
+                # drops at least len-k counters, total decrement across
+                # the run is <= n_partition/(k+1)
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"_v": list(counters.keys()),
+             "_est": list(counters.values())}
+        )
+
+    cand = vals.mapInPandas(summarize, schema="_v string, _est long")
+    return (
+        cand.groupBy("_v")
+        .agg(F.sum("_est").cast("bigint").alias("est_count"))
+        .select(F.col("_v").alias(value_col), "est_count")
+    )

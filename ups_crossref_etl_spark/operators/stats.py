@@ -1871,3 +1871,192 @@ def distribution_distance(
             + 0.0
         ).alias("cvm_stat"),
     )
+
+
+def jarque_bera(
+    df: DataFrame, group_col: str, value_col: str, min_n: int = 8
+) -> DataFrame:
+    """Jarque-Bera normality screen per group: sample skewness, excess
+    kurtosis, and the JB statistic ``n/6 · (S² + K²/4)`` (asymptotically
+    χ²₂ under normality; JB > 5.99 rejects at 5%). The moment-based
+    "is this metric even close to Gaussian?" check that should precede
+    every t/z-based readout in the battery (Welch, CUPED, A/B) — heavy
+    tails inflate JB long before they show in a mean.
+
+    Returns one row per group ``(group_col, n, skewness, ex_kurtosis,
+    jb_stat)``; groups with ``n < min_n`` or zero variance report NULL
+    statistics (moments undefined / unstable).
+
+    Determinism: two-pass central moments — pass 1 takes the exact
+    DECIMAL(38,12) sum for the group mean (one double division); pass 2
+    quantizes each deviation to integer 1e-4 units (``round(z·1e4)``)
+    and accumulates z², z³, z⁴ as exact DECIMAL(38,0) integer sums, so
+    both engines aggregate identical integers in any order and the
+    final skew/kurtosis are one-shot double expressions over exact
+    sums. The 1e-4 grid bounds z⁴ at ~1e26 per row — ~1e12 rows per
+    group before the 38-digit accumulator saturates. Shape: two
+    group-keyed map-side-combinable aggregates joined by group (the
+    broadcast is the group table, never the data) — no window, no
+    driver state, linear at any corpus size.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    means = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        (
+            F.sum(F.col("_v").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mean"),
+    )
+    zq = (
+        base.join(F.broadcast(means), "_g")
+        .select(
+            "_g",
+            F.round((F.col("_v") - F.col("_mean")) * 1e4)
+            .cast("decimal(38,0)")
+            .alias("_z"),
+        )
+    )
+    mom = zq.groupBy("_g").agg(
+        F.sum((F.col("_z") * F.col("_z")).cast("decimal(38,0)")).alias("_s2"),
+        F.sum(
+            (
+                (F.col("_z") * F.col("_z")).cast("decimal(38,0)") * F.col("_z")
+            ).cast("decimal(38,0)")
+        ).alias("_s3"),
+        F.sum(
+            (
+                (F.col("_z") * F.col("_z")).cast("decimal(38,0)")
+                * (F.col("_z") * F.col("_z")).cast("decimal(38,0)")
+            ).cast("decimal(38,0)")
+        ).alias("_s4"),
+    )
+    j = means.join(mom, "_g")
+    n = F.col("_n").cast("double")
+    m2 = F.col("_s2").cast("double") / n / 1e8
+    m3 = F.col("_s3").cast("double") / n / 1e12
+    m4 = F.col("_s4").cast("double") / n / 1e16
+    ok = (F.col("_n") >= F.lit(min_n)) & (m2 > 0.0)
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return j.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        (F.round(F.when(ok, skew), 6) + 0.0).alias("skewness"),
+        (F.round(F.when(ok, exk), 6) + 0.0).alias("ex_kurtosis"),
+        (F.round(F.when(ok, jb), 4) + 0.0).alias("jb_stat"),
+    )
+
+
+def _log_fact(x):
+    """Exact-order log-factorial column: ``ln(x!) = Σ_{i=2..x} ln i``
+    (0 for x <= 1). A per-row fold over ``sequence(2, x)`` — bounded by
+    the fisher_exact contract (margins of a SMALL 2×2), never
+    data-sized. The oracle twin is ``lgamma(x + 1)``; both are within
+    ~1e-9 of ln Γ, eight orders below the 1e-6 output grid."""
+    return F.when(x <= 1, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(2).cast("bigint"), x.cast("bigint")),
+            F.lit(0.0),
+            lambda acc, i: acc + F.log(i.cast("double")),
+        )
+    )
+
+
+def fisher_exact(df: DataFrame, group_col: str, flag_col: str) -> DataFrame:
+    """Fisher's exact test on the 2×2 table ``group × flag`` — the
+    small-sample conditional test the asymptotic χ² screens
+    (chisq_drift, cmh_test) can't replace when any cell is tiny.
+    ``group_col`` must take exactly two values (sorted order defines
+    rows); ``flag_col`` is boolean. Returns ONE row ``(n, n11, n10,
+    n21, n20, odds_ratio, p_two_sided, p_left, p_right)`` —
+    hypergeometric tail probabilities, two-sided by the standard
+    sum-of-≤-observed-probability rule (scipy convention; the
+    equal-probability tolerance is widened to 5e-7 in log space so the
+    oracle's lgamma-vs-sum-of-ln gap, ~1e-8, can never flip a mirror
+    term's inclusion).
+
+    SCALE CONTRACT: exact enumeration is for SMALL tables — the
+    support is ``min(row1, col1)`` wide and each point costs a
+    log-factorial fold, so callers pass a bounded cohort (the gate
+    uses ``event_id <= 2000``); at corpus scale the χ²/CMH asymptotics
+    are the right tool and this is the calibration check beside them.
+    Shape: one aggregate to a single 4-count row, then a one-row
+    explode of the support — driver never sees data.
+    """
+    # counts: a = (g1, true), b = (g1, false), c = (g2, true), d = (g2, false)
+    # where g1 = min(group) — the sorted-order row convention
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(flag_col).cast("boolean").alias("_f"),
+    ).filter(F.col("_g").isNotNull() & F.col("_f").isNotNull())
+    lo = base.agg(F.min("_g").alias("_glo")).select("_glo")
+    t = base.join(F.broadcast(lo)).groupBy().agg(
+        F.sum(((F.col("_g") == F.col("_glo")) & F.col("_f")).cast("bigint")).alias("_a"),
+        F.sum(((F.col("_g") == F.col("_glo")) & ~F.col("_f")).cast("bigint")).alias("_b"),
+        F.sum(((F.col("_g") != F.col("_glo")) & F.col("_f")).cast("bigint")).alias("_c"),
+        F.sum(((F.col("_g") != F.col("_glo")) & ~F.col("_f")).cast("bigint")).alias("_d"),
+    )
+    r1 = F.col("_a") + F.col("_b")
+    r2 = F.col("_c") + F.col("_d")
+    c1 = F.col("_a") + F.col("_c")
+    c2 = F.col("_b") + F.col("_d")
+    nn = r1 + r2
+    m = t.select(
+        "_a", "_b", "_c", "_d",
+        r1.alias("_r1"), r2.alias("_r2"), c1.alias("_c1"), c2.alias("_c2"),
+        nn.alias("_nn"),
+        F.greatest(F.lit(0).cast("bigint"), c1 - r2).alias("_kmin"),
+        F.least(r1, c1).alias("_kmax"),
+        (_log_fact(r1) + _log_fact(r2) - _log_fact(nn) + _log_fact(c1) + _log_fact(c2)).alias("_lconst"),
+    )
+    ks = m.select(
+        "*",
+        F.explode(F.sequence(F.col("_kmin"), F.col("_kmax"))).alias("_k"),
+    )
+    lp = (
+        F.col("_lconst")
+        - _log_fact(F.col("_k"))
+        - _log_fact(F.col("_r1") - F.col("_k"))
+        - _log_fact(F.col("_c1") - F.col("_k"))
+        - _log_fact(F.col("_r2") - F.col("_c1") + F.col("_k"))
+    )
+    scored = ks.select("*", lp.alias("_lp"))
+    obs = scored.filter(F.col("_k") == F.col("_a")).select(
+        F.col("_lp").alias("_lpobs")
+    )
+    fin = (
+        scored.join(F.broadcast(obs))
+        .groupBy("_a", "_b", "_c", "_d", "_nn")
+        .agg(
+            F.sum(
+                F.when(F.col("_lp") <= F.col("_lpobs") + F.lit(5e-7), F.exp("_lp")).otherwise(F.lit(0.0))
+            ).alias("_ptwo"),
+            F.sum(
+                F.when(F.col("_k") <= F.col("_a"), F.exp("_lp")).otherwise(F.lit(0.0))
+            ).alias("_pleft"),
+            F.sum(
+                F.when(F.col("_k") >= F.col("_a"), F.exp("_lp")).otherwise(F.lit(0.0))
+            ).alias("_pright"),
+        )
+    )
+    orat = F.when(
+        (F.col("_b") * F.col("_c")) > 0,
+        F.col("_a").cast("double")
+        * F.col("_d").cast("double")
+        / (F.col("_b").cast("double") * F.col("_c").cast("double")),
+    )
+    return fin.select(
+        F.col("_nn").alias("n"),
+        F.col("_a").alias("n11"),
+        F.col("_b").alias("n10"),
+        F.col("_c").alias("n21"),
+        F.col("_d").alias("n20"),
+        (F.round(orat, 6) + 0.0).alias("odds_ratio"),
+        (F.round(F.least(F.col("_ptwo"), F.lit(1.0)), 6) + 0.0).alias("p_two_sided"),
+        (F.round(F.least(F.col("_pleft"), F.lit(1.0)), 6) + 0.0).alias("p_left"),
+        (F.round(F.least(F.col("_pright"), F.lit(1.0)), 6) + 0.0).alias("p_right"),
+    )

@@ -1540,3 +1540,82 @@ def best_sse_split(
         ).alias("mean_right"),
         (F.round(F.col("_g"), 6) + 0.0).alias("gain"),
     )
+
+
+def pacf_dl(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-group partial autocorrelation at lags ``1..max_lag`` via the
+    Durbin-Levinson recursion over the sample ACF — the AR-order
+    diagnostic that complements :func:`acf`: ACF says "is there
+    memory?", PACF says "how many AR lags explain it" (the PACF of an
+    AR(p) process cuts off after lag p; Box & Jenkins 1970).
+
+    Returns ``(key, lag, pacf_val)`` for every lag ``1..m`` where m is
+    the longest consecutive ACF prefix the key supports (keys need
+    ``n_points > lag`` and nonzero variance — :func:`acf`'s own
+    contract). Degenerate recursion steps (``|1 - Σ φ_j r_j| = 0``)
+    stop the ladder early.
+
+    Determinism: the ACF is computed at 12-dp quantization (exact
+    DECIMAL machinery, one rounded double per lag — identical on both
+    engines), and the recursion is plain IEEE doubles applied in a
+    FIXED textbook order (``num = r_m - φ_1 r_{m-1} - … ``,
+    left-to-right), so an oracle spelling out the same closed-form
+    steps reproduces it bit-for-bit. Shape: the corpus cost IS the acf
+    call (one ranking window + one bounded-fanout self-join); the
+    recursion then runs per key on ≤ max_lag rows via one grouped
+    Arrow batch — model-sized, never data-sized.
+    """
+    import pandas as pd
+
+    r = acf(df, key_col, ts_col, value_col, max_lag, round_digits=12)
+    key_field = r.schema[key_col].dataType.simpleString()
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("lag")
+        lags = pdf["lag"].tolist()
+        rv = {int(l): float(v) for l, v in zip(pdf["lag"], pdf["acf_val"])}
+        key = pdf[key_col].iloc[0]
+        # longest consecutive prefix 1..m
+        m = 0
+        while (m + 1) in rv:
+            m += 1
+        out_lag, out_val = [], []
+        phi: dict[int, float] = {}
+        for step in range(1, m + 1):
+            if step == 1:
+                phi_mm = rv[1]
+            else:
+                num = rv[step]
+                den = 1.0
+                for j in range(1, step):
+                    num -= phi[j] * rv[step - j]
+                    den -= phi[j] * rv[j]
+                if den == 0.0:
+                    break
+                phi_mm = num / den
+            new_phi = {}
+            for j in range(1, step):
+                new_phi[j] = phi[j] - phi_mm * phi[step - j]
+            new_phi[step] = phi_mm
+            phi = new_phi
+            out_lag.append(step)
+            out_val.append(round(phi_mm, 6) + 0.0)
+        return pd.DataFrame(
+            {key_col: [key] * len(out_lag), "lag": out_lag,
+             "pacf_val": out_val}
+        )
+
+    return (
+        r.select(key_col, "lag", "acf_val")
+        .groupBy(key_col)
+        .applyInPandas(
+            per_key,
+            schema=f"{key_col} {key_field}, lag long, pacf_val double",
+        )
+    )

@@ -100,6 +100,24 @@ _CHANGED_THIS_ROUND = [
     # its consumers re-verify
     "q_docs_ece",
     "q_docs_ece_approx_bound",
+    # round-10 second wave: classical-inference + cluster-validity
+    # widening (round10b_queries.py) — Jarque-Bera normality screen,
+    # Fisher's exact on a bounded 2x2, and the Brown-Forsythe
+    # equal-spread gate for the previously query-orphaned round-7
+    # operator (the r8 eccentricity lesson applied proactively)
+    "q_events_jarque_bera",
+    "q_events_fisher_exact",
+    "q_events_brown_forsythe",
+    # ... plus: CMH stratified association + SRM check (experiment
+    # family), Calinski-Harabasz + bounded-exact silhouette (cluster
+    # validity beside davies_bouldin), the Misra-Gries one-pass
+    # summary bound contract, and PACF via Durbin-Levinson
+    "q_events_cmh",
+    "q_events_srm",
+    "q_emb_calinski_harabasz",
+    "q_emb_silhouette_bounded",
+    "q_events_misra_gries_bound",
+    "q_events_pacf",
 ]
 
 
@@ -162,6 +180,7 @@ def load_all() -> dict[str, QuerySpec]:
     import hashlib
 
     from . import round10_queries  # noqa: F401
+    from . import round10b_queries  # noqa: F401
     from . import round9_queries  # noqa: F401
     from . import round8_queries  # noqa: F401
     from . import round7_queries  # noqa: F401

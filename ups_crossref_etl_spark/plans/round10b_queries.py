@@ -1,0 +1,710 @@
+"""Round-10 second-wave query registrations.
+
+The round-9 verdict's structural asks were closed by the first round-10
+wave (transitivity cap triple, drift distances, outer interval join,
+bench stability); this wave widens the INFERENCE and CLUSTER-VALIDITY
+surface with classical tests the battery lacked, plus a one-pass
+mergeable frequency sketch:
+
+- Jarque-Bera normality screen per group (moment-based; the "is a
+  t-readout even valid?" gate before Welch/CUPED/A-B),
+- Fisher's exact test on a bounded 2x2 (the small-sample complement to
+  the asymptotic chi-square family),
+- Brown-Forsythe equal-spread test (gates the previously ORPHAN
+  operators/stats.brown_forsythe — implemented in round 7, never
+  query-gated: the r8 eccentricity lesson applied proactively),
+- Cochran-Mantel-Haenszel stratified 2x2 association + pooled odds
+  ratio (Simpson's-paradox-proof A/B readout),
+- sample-ratio-mismatch (SRM) chi-square check on hash-assigned arms
+  (the first thing a broken experiment pipeline fails),
+- Calinski-Harabasz variance-ratio cluster validity (global twin of
+  the worst-neighbor Davies-Bouldin gate),
+- exact silhouette on a BOUNDED slice (the per-point validity twin;
+  quadratic only inside an absolute vec_id bound),
+- Misra-Gries one-pass heavy-hitter summary with its n/(k+1)
+  underestimate bound gated as a boolean contract,
+- PACF via Durbin-Levinson on the gated ACF machinery (lag-3 closed
+  form mirrored step-for-step in SQL).
+
+Every gated entry pairs the Spark program with a DuckDB oracle; column
+aliases match exactly (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import read_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality screen per event type
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_jarque_bera",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    means AS (
+      SELECT g, count(*) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mu
+      FROM base GROUP BY g),
+    zq AS (
+      SELECT base.g,
+             CAST(round((v - mu) * 1e4) AS HUGEINT) AS z
+      FROM base JOIN means ON base.g = means.g),
+    mom AS (
+      SELECT g, sum(z * z) AS s2, sum(z * z * z) AS s3,
+             sum(z * z * z * z) AS s4
+      FROM zq GROUP BY g),
+    j AS (
+      SELECT means.g, means.n,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS m2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS m3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) / 1e16 AS m4
+      FROM means JOIN mom ON means.g = mom.g),
+    s AS (
+      SELECT g, n, m2,
+             m3 / pow(m2, 1.5) AS skew,
+             m4 / (m2 * m2) - 3.0 AS exk
+      FROM j)
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n >= 8 AND m2 > 0.0 THEN skew END, 6) + 0.0
+             AS skewness,
+           round(CASE WHEN n >= 8 AND m2 > 0.0 THEN exk END, 6) + 0.0
+             AS ex_kurtosis,
+           round(CASE WHEN n >= 8 AND m2 > 0.0 THEN
+                   CAST(n AS DOUBLE) / 6.0
+                   * (skew * skew + exk * exk / 4.0) END, 4) + 0.0
+             AS jb_stat
+    FROM s
+    """,
+    doc=(
+        "Jarque-Bera normality screen (operators/stats.jarque_bera) of "
+        "event value per type: sample skewness, excess kurtosis, and "
+        "the JB statistic n/6*(S^2+K^2/4) — the moment-based 'is this "
+        "metric Gaussian enough for the t-based readouts?' check that "
+        "precedes Welch/CUPED/A-B in the same battery. Two-pass "
+        "central moments: exact DECIMAL mean, then deviations "
+        "quantized to integer 1e-4 units and z^2/z^3/z^4 accumulated "
+        "as exact integer sums — both engines aggregate identical "
+        "integers in any order. Two map-side-combinable group "
+        "aggregates; no window, no driver state."
+    ),
+)
+def q_events_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import jarque_bera
+
+    e = read_table(spark, sf_dir, "events")
+    return jarque_bera(e, "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe equal-spread test (gates the orphan operator)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_brown_forsythe",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    med AS (
+      SELECT g, quantile_cont(v, 0.5) AS m FROM base GROUP BY g),
+    z AS (
+      SELECT base.g, abs(v - m) AS zv
+      FROM base JOIN med ON base.g = med.g),
+    per AS (
+      SELECT g, count(*) AS n,
+             sum(CAST(zv AS DECIMAL(38,12))) AS s,
+             sum(CAST(CAST(zv AS DECIMAL(38,12))
+                      * CAST(zv AS DECIMAL(38,12))
+                 AS DECIMAL(38,12))) AS q
+      FROM z GROUP BY g),
+    t AS (
+      SELECT count(*) AS k, sum(n) AS n,
+             sum(s) AS st, sum(q) AS qt,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / n * 1e6) AS BIGINT)) AS a
+      FROM per)
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           CASE WHEN k > 1 AND n > k
+                     AND CAST(qt AS DOUBLE) - a / 1e6 > 0 THEN
+             round(((a / 1e6 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                   / ((CAST(qt AS DOUBLE) - a / 1e6)
+                      / CAST(n - k AS DOUBLE)), 6) + 0.0
+           END AS f_stat
+    FROM t
+    """,
+    doc=(
+        "Brown-Forsythe equal-spread test (operators/stats."
+        "brown_forsythe — implemented in round 7 as the "
+        "heteroscedasticity screen that should precede "
+        "q_events_anova_value_by_type, but left query-orphaned until "
+        "this round's audit): one-way ANOVA on |v - median(group)|. "
+        "One grouped exact-percentile aggregate for the medians "
+        "(group-count-sized; approx_percentile is the documented "
+        "100 TB swap-in), a broadcast join back, then the exact-DECIMAL "
+        "ANOVA moment machinery on the absolute deviations — "
+        "engine-identical integers before every cross-group sum."
+    ),
+)
+def q_events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import brown_forsythe
+
+    e = read_table(spark, sf_dir, "events")
+    return brown_forsythe(e, "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Fisher's exact test on a bounded 2x2 (hash arms x error flag)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_fisher_exact",
+    """
+    WITH base AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('fx-' ||
+                    CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS g,
+             (event_type = 'error') AS f
+      FROM events
+      WHERE event_id <= 2000 AND event_type IS NOT NULL),
+    lo AS (SELECT min(g) AS glo FROM base),
+    t AS (
+      SELECT
+        sum(CASE WHEN g = glo AND f THEN 1 ELSE 0 END) AS a,
+        sum(CASE WHEN g = glo AND NOT f THEN 1 ELSE 0 END) AS b,
+        sum(CASE WHEN g <> glo AND f THEN 1 ELSE 0 END) AS c,
+        sum(CASE WHEN g <> glo AND NOT f THEN 1 ELSE 0 END) AS d
+      FROM base CROSS JOIN lo),
+    m AS (
+      SELECT a, b, c, d,
+             a + b AS r1, c + d AS r2, a + c AS c1, b + d AS c2,
+             a + b + c + d AS nn,
+             greatest(0, (a + c) - (c + d)) AS kmin,
+             least(a + b, a + c) AS kmax,
+             lgamma(a + b + 1) + lgamma(c + d + 1)
+               - lgamma(a + b + c + d + 1)
+               + lgamma(a + c + 1) + lgamma(b + d + 1) AS lconst
+      FROM t),
+    ks AS (
+      SELECT m.*,
+             unnest(generate_series(CAST(kmin AS BIGINT),
+                                    CAST(kmax AS BIGINT))) AS k
+      FROM m),
+    scored AS (
+      SELECT *,
+             lconst - lgamma(k + 1) - lgamma(r1 - k + 1)
+                    - lgamma(c1 - k + 1)
+                    - lgamma(r2 - c1 + k + 1) AS lp
+      FROM ks),
+    wobs AS (
+      SELECT *, max(CASE WHEN k = a THEN lp END) OVER () AS lpobs
+      FROM scored),
+    fin AS (
+      SELECT a, b, c, d, nn,
+             sum(CASE WHEN lp <= lpobs + 5e-7 THEN exp(lp)
+                      ELSE 0.0 END) AS ptwo,
+             sum(CASE WHEN k <= a THEN exp(lp) ELSE 0.0 END) AS pleft,
+             sum(CASE WHEN k >= a THEN exp(lp) ELSE 0.0 END) AS pright
+      FROM wobs GROUP BY a, b, c, d, nn)
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(a AS BIGINT) AS n11, CAST(b AS BIGINT) AS n10,
+           CAST(c AS BIGINT) AS n21, CAST(d AS BIGINT) AS n20,
+           round(CASE WHEN b * c > 0 THEN
+                   CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END, 6)
+             + 0.0 AS odds_ratio,
+           round(least(ptwo, 1.0), 6) + 0.0 AS p_two_sided,
+           round(least(pleft, 1.0), 6) + 0.0 AS p_left,
+           round(least(pright, 1.0), 6) + 0.0 AS p_right
+    FROM fin
+    """,
+    doc=(
+        "Fisher's exact test (operators/stats.fisher_exact) on the "
+        "2x2 [hash-assigned arm x error flag] table over the BOUNDED "
+        "event_id <= 2000 cohort — the small-sample conditional test "
+        "beside the asymptotic chi-square family (chisq_drift, "
+        "cmh_test), and a calibration check for both. Hypergeometric "
+        "tails enumerated in log space: Spark folds ln(i) over "
+        "sequence() per support point (exact-order), the oracle uses "
+        "lgamma — within ~1e-8 of each other against a 5e-7 "
+        "equal-probability tolerance and a 1e-6 output grid. The "
+        "support is min(row1, col1) wide BY CONSTRUCTION of the "
+        "absolute cohort bound; at corpus scale the CMH/chi-square "
+        "asymptotics are the operational tool. One aggregate to a "
+        "single 4-count row, then a one-row explode — the driver "
+        "never sees data."
+    ),
+)
+def q_events_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+    from ..operators.stats import fisher_exact
+
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") <= 2000) & F.col("event_type").isNotNull())
+        .select(
+            F.when(hash_bucket(F.col("user_id"), "fx", 2) == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+            (F.col("event_type") == "error").alias("is_error"),
+        )
+    )
+    return fisher_exact(e, "arm", "is_error")
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch check on the hash-assigned arms
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_srm",
+    """
+    WITH units AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    arms AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('srm-' ||
+                    CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM units),
+    t AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM arms),
+    c AS (
+      SELECT n_a, n_b, n_a + n_b AS n,
+             CAST(n_a + n_b AS DOUBLE) / 2.0 AS e
+      FROM t)
+    SELECT CAST(n AS BIGINT) AS n_units, n_a, n_b,
+           round(CASE WHEN n > 0 THEN
+               (CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+             + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e
+           END, 6) + 0.0 AS chi2,
+           CASE WHEN n > 0 THEN
+               (CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+             + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e
+             > 10.8276
+           END AS srm
+    FROM c
+    """,
+    doc=(
+        "Sample-ratio-mismatch check (operators/experiment.srm_check) "
+        "on the md5 hash-assigned 50/50 user split: chi-square "
+        "goodness-of-fit of per-arm distinct-unit counts vs the "
+        "designed equal ratio, alarm at the industry-standard p<0.001 "
+        "(chi2 > 10.8276, Fabijan et al. 2019). SRM invalidates every "
+        "downstream readout, so this audits the exact hash_bucket "
+        "assignment q_events_ab_readout / cuped consume. One distinct-"
+        "unit aggregate + a 2-row pivot; exact bigint counts, one-shot "
+        "double chi2."
+    ),
+)
+def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import srm_check
+
+    e = read_table(spark, sf_dir, "events")
+    return srm_check(e, "user_id", seed="srm")
+
+
+# --------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified 2x2 association
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cmh",
+    """
+    WITH base AS (
+      SELECT hour(ts) AS s,
+             CASE WHEN CAST('0x' || substr(md5('cmh-' ||
+                    CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS g,
+             (event_type = 'error') AS f
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    lo AS (SELECT min(g) AS glo FROM base),
+    per AS (
+      SELECT s,
+             sum(CASE WHEN g = glo AND f THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN g = glo AND NOT f THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN g <> glo AND f THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN g <> glo AND NOT f THEN 1 ELSE 0 END) AS d
+      FROM base CROSS JOIN lo GROUP BY s),
+    terms AS (
+      SELECT a, a + b + c + d AS ns,
+             CAST(round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE) * 1e6)
+               AS BIGINT) AS eq,
+             CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                        / (CAST(a + b + c + d AS DOUBLE)
+                           * CAST(a + b + c + d AS DOUBLE)
+                           * (CAST(a + b + c + d AS DOUBLE) - 1.0)) * 1e6)
+               AS BIGINT) AS vq,
+             CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE) * 1e9)
+               AS BIGINT) AS adq,
+             CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE) * 1e9)
+               AS BIGINT) AS bcq
+      FROM per WHERE a + b + c + d >= 2),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(ns) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             sum(eq) AS se, sum(vq) AS sv,
+             sum(adq) AS sad, sum(bcq) AS sbc
+      FROM terms)
+    SELECT n_strata, n, sum_a,
+           round(CAST(se AS DOUBLE) / 1e6, 6) + 0.0 AS sum_e,
+           round(CASE WHEN CAST(sv AS DOUBLE) / 1e6 > 0.0 THEN
+                   (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1e6)
+                 * (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1e6)
+                 / (CAST(sv AS DOUBLE) / 1e6) END, 6) + 0.0 AS cmh_stat,
+           round(CASE WHEN sbc > 0 THEN
+                   CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE) END, 6)
+             + 0.0 AS or_mh
+    FROM tot
+    """,
+    doc=(
+        "Cochran-Mantel-Haenszel test (operators/experiment.cmh_test) "
+        "of [hash arm x error outcome] association CONTROLLING for "
+        "hour-of-day strata — the Simpson's-paradox-proof A/B readout "
+        "(a confounder shifting both exposure and outcome rate flips "
+        "naive pooled rates; CMH compares within-stratum and pools "
+        "evidence, Mantel & Haenszel 1959), plus the MH pooled odds "
+        "ratio. Plain (Σa−ΣE)²/ΣV form, no continuity correction; "
+        "strata with <2 rows excluded (zero hypergeometric variance). "
+        "Per-stratum E/V/odds terms quantize to integer micros/nanos "
+        "before the cross-stratum sums — exact integers on both "
+        "engines. One stratum-keyed map-side-combinable aggregate, "
+        "then 24-row math: linear at any log size."
+    ),
+)
+def q_events_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.experiment import cmh_test
+    from ..operators.sampling import hash_bucket
+
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.hour("ts").alias("stratum"),
+            F.when(hash_bucket(F.col("user_id"), "cmh", 2) == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+            (F.col("event_type") == "error").alias("is_error"),
+        )
+    )
+    return cmh_test(e, "stratum", "arm", "is_error")
+
+# --------------------------------------------------------------------------
+# Calinski-Harabasz variance-ratio cluster validity
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_calinski_harabasz",
+    """
+    WITH rows_ AS (
+      SELECT l, i, CAST(round(v * 1e6) AS BIGINT) AS m
+      FROM (SELECT label AS l, unnest(embedding)::DOUBLE AS v,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings) z),
+    per AS (
+      SELECT l, i, count(*) AS n, sum(m) AS s1, sum(m * m) AS s2
+      FROM rows_ GROUP BY l, i),
+    grand AS (
+      SELECT i, sum(s1) AS g1, sum(n) AS gn FROM per GROUP BY i),
+    j AS (
+      SELECT per.l, per.n, per.i,
+             CAST(round(CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1 / n) AS BIGINT) AS w,
+             CAST(round(CAST(n AS DOUBLE)
+                  * (CAST(s1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn)
+                  * (CAST(s1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn))
+               AS BIGINT) AS b
+      FROM per JOIN grand ON per.i = grand.i),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+             CAST(count(*) AS BIGINT) AS n_clusters
+      FROM j WHERE i = 1),
+    sums AS (
+      SELECT CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(b) AS BIGINT) AS sb
+      FROM j)
+    SELECT n_vecs, n_clusters,
+           round(CASE WHEN n_clusters > 1 AND n_vecs > n_clusters
+                           AND sw > 0 THEN
+                   (CAST(sb AS DOUBLE) / CAST(n_clusters - 1 AS DOUBLE))
+                 / (CAST(sw AS DOUBLE)
+                    / CAST(n_vecs - n_clusters AS DOUBLE)) END, 6) + 0.0
+             AS ch_index
+    FROM tot CROSS JOIN sums
+    """,
+    doc=(
+        "Calinski-Harabasz variance-ratio index (operators/similarity."
+        "calinski_harabasz) of the labeled embedding space: "
+        "[B/(k-1)]/[W/(N-k)] from the SAME per-(label, dim) sufficient "
+        "statistics as q_emb_davies_bouldin — the global average-case "
+        "validity reading beside DB's worst-neighbor one; together "
+        "they distinguish 'one bad cluster' from 'everything mushy'. "
+        "ONE posexplode + map-side-combinable aggregate over the "
+        "corpus; within/between terms round to exact integers per "
+        "(label, dim) before the cross-group sums — engine-exact at "
+        "any scale."
+    ),
+)
+def q_emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import calinski_harabasz
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return calinski_harabasz(emb, "embedding", "label")
+
+
+# --------------------------------------------------------------------------
+# Exact silhouette per cluster on a bounded slice
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_silhouette_bounded",
+    """
+    WITH sub AS (
+      SELECT vec_id AS id, label AS l,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id <= 240),
+    pairs AS (
+      SELECT a.id AS ida, a.l AS la, b.l AS lb,
+             CAST(round(sqrt(CAST(list_sum(list_transform(
+                    generate_series(1, len(a.q)),
+                    i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))
+                  AS DOUBLE)) * 1e9) AS BIGINT) AS dq
+      FROM sub a JOIN sub b ON a.id <> b.id),
+    g AS (
+      SELECT ida, la, lb, sum(dq) AS s, count(*) AS c
+      FROM pairs GROUP BY ida, la, lb),
+    ab AS (
+      SELECT ida, la,
+             max(CASE WHEN lb = la THEN CAST(s AS DOUBLE) / c END) AS am,
+             min(CASE WHEN lb <> la THEN CAST(s AS DOUBLE) / c END) AS bm
+      FROM g GROUP BY ida, la),
+    si AS (
+      SELECT la,
+             CAST(round(CASE
+               WHEN am IS NULL OR bm IS NULL THEN 0.0
+               WHEN greatest(am, bm) > 0.0
+                 THEN (bm - am) / greatest(am, bm)
+               ELSE 0.0 END * 1e9) AS BIGINT) AS sq
+      FROM ab)
+    SELECT la AS label, CAST(count(*) AS BIGINT) AS n_points,
+           round(CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1e9, 6) + 0.0 AS mean_silhouette
+    FROM si GROUP BY la
+    """,
+    doc=(
+        "EXACT mean silhouette per cluster (operators/similarity."
+        "silhouette_bounded) on the BOUNDED vec_id <= 240 slice — "
+        "~240 rows at ANY scale factor, so the all-pairs join is "
+        "quadratic only inside an absolute bound (the "
+        "q_graph_transitivity_exact / blocking-truth pattern). The "
+        "per-POINT validity complement of the linear "
+        "sufficient-statistics indices (davies_bouldin, "
+        "calinski_harabasz): per-cluster mean s(i) = (b-a)/max(a,b), "
+        "singletons scoring 0 per the scikit-learn convention. "
+        "Micro-quantized coordinates -> exact-integer squared "
+        "distances -> nano-quantized distances and silhouettes before "
+        "every mean — engine-exact."
+    ),
+)
+def q_emb_silhouette_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import silhouette_bounded
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") <= 240
+    )
+    return silhouette_bounded(emb, "embedding", "label", "vec_id")
+
+# --------------------------------------------------------------------------
+# Misra-Gries one-pass frequency summary: deterministic bound contract
+# --------------------------------------------------------------------------
+
+_MG_K = 8
+
+
+@register(
+    "q_events_misra_gries_bound",
+    f"""
+    WITH exact AS (
+      SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM exact)
+    SELECT n, n_distinct, CAST({_MG_K} AS BIGINT) AS k,
+           true AS no_overestimate,
+           true AS underestimate_within_bound,
+           true AS heavy_all_present
+    FROM tot
+    """,
+    doc=(
+        "Misra-Gries one-pass summary bound contract (operators/"
+        "sketches.misra_gries_summary, k=8) on the user_id column: the "
+        "summary content is partition-layout-dependent (any valid MG "
+        "summary is), so the gate pins the DETERMINISTIC guarantees — "
+        "est <= true for every reported value, true - est <= n/(k+1) "
+        "for EVERY value (absent = est 0), and every value with "
+        "frequency > n/(k+1) present (Misra & Gries 1982; mergeable "
+        "per Agarwal et al. 2012) — each verified exactly against a "
+        "full groupBy and emitted as booleans the oracle states as "
+        "literals (the *_bound pattern). The one-pass path costs one "
+        "mapInPandas scan with <= k counters/partition + a kilobyte "
+        "merge; use beside heavy_hitters (two-pass exact) when a "
+        "second scan is unaffordable."
+    ),
+)
+def q_events_misra_gries_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import misra_gries_summary
+
+    ev = read_table(spark, sf_dir, "events")
+    summary = misra_gries_summary(ev, "user_id", _MG_K)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_true"))
+    )
+    tot = exact.agg(
+        F.sum("_true").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    j = (
+        exact.join(summary, "user_id", "left")
+        .select(
+            "_true",
+            F.coalesce(F.col("est_count"), F.lit(0).cast("bigint")).alias("_est"),
+        )
+        .join(F.broadcast(tot))
+    )
+    kk = F.lit(_MG_K + 1).cast("bigint")
+    return j.groupBy("n", "n_distinct").agg(
+        F.lit(_MG_K).cast("bigint").alias("k"),
+        F.bool_and(F.col("_est") <= F.col("_true")).alias("no_overestimate"),
+        F.bool_and(
+            (F.col("_true") - F.col("_est")) * kk <= F.col("n")
+        ).alias("underestimate_within_bound"),
+        F.bool_and(
+            (F.col("_true") * kk <= F.col("n")) | (F.col("_est") > 0)
+        ).alias("heavy_all_present"),
+    ).select(
+        "n", "n_distinct", "k", "no_overestimate",
+        "underestimate_within_bound", "heavy_all_present",
+    )
+
+
+# --------------------------------------------------------------------------
+# PACF via Durbin-Levinson over the gated ACF machinery
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_pacf",
+    """
+    WITH pts AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    ranked AS (
+      SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn
+      FROM pts),
+    st AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+               AS mean
+      FROM ranked GROUP BY k),
+    c AS (
+      SELECT r.k, r.rn, (r.v - st.mean) AS cv
+      FROM ranked r JOIN st ON r.k = st.k),
+    den AS (
+      SELECT k, sum(CAST(cv * cv AS DECIMAL(38,12))) AS den
+      FROM c GROUP BY k),
+    num AS (
+      SELECT a.k, b.rn - a.rn AS lag,
+             sum(CAST(a.cv * b.cv AS DECIMAL(38,12))) AS num
+      FROM c a JOIN c b ON a.k = b.k AND b.rn > a.rn AND b.rn - a.rn <= 3
+      GROUP BY a.k, b.rn - a.rn),
+    acf12 AS (
+      SELECT num.k, lag,
+             round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 12) AS r
+      FROM num JOIN den ON num.k = den.k
+      WHERE den > 0),
+    rl AS (
+      SELECT k,
+             max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2,
+             max(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM acf12 GROUP BY k),
+    s2 AS (
+      SELECT *, CASE WHEN r2 IS NOT NULL AND (1 - r1 * r1) <> 0
+                     THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS phi22
+      FROM rl WHERE r1 IS NOT NULL),
+    s3 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM s2),
+    s4 AS (
+      SELECT *, CASE WHEN r3 IS NOT NULL AND phi22 IS NOT NULL
+                      AND (1 - phi21 * r1 - phi22 * r2) <> 0
+                     THEN (r3 - phi21 * r2 - phi22 * r1)
+                          / (1 - phi21 * r1 - phi22 * r2) END AS phi33
+      FROM s3)
+    SELECT k AS user_id, CAST(1 AS BIGINT) AS lag,
+           round(r1, 6) + 0.0 AS pacf_val FROM s4
+    UNION ALL
+    SELECT k, CAST(2 AS BIGINT), round(phi22, 6) + 0.0 FROM s4
+    WHERE phi22 IS NOT NULL
+    UNION ALL
+    SELECT k, CAST(3 AS BIGINT), round(phi33, 6) + 0.0 FROM s4
+    WHERE phi33 IS NOT NULL
+    """,
+    doc=(
+        "Per-user partial autocorrelation at lags 1-3 (operators/"
+        "timeseries.pacf_dl): Durbin-Levinson recursion over the "
+        "12-dp-quantized sample ACF — the AR-order diagnostic beside "
+        "q_events_acf (PACF of an AR(p) cuts off after lag p; Box & "
+        "Jenkins). The corpus cost IS the acf machinery (one ranking "
+        "window + one bounded-fanout self-join, exact DECIMAL "
+        "accumulation); the recursion then runs per key on <= 3 rows "
+        "in one grouped Arrow batch with a FIXED textbook operation "
+        "order, mirrored step-for-step by the oracle's closed-form "
+        "phi11/phi22/phi33 CTEs — bit-identical IEEE sequences, "
+        "engine-exact at 6 dp."
+    ),
+)
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import pacf_dl
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return pacf_dl(ev, "user_id", "ts", "value", max_lag=3)
