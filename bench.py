@@ -349,6 +349,12 @@ EXTENDED = [
     "q_emb_silhouette_bounded",
     "q_events_misra_gries_bound",
     "q_events_pacf",
+    "q_events_wilcoxon",
+    "q_events_runs_test",
+    "q_events_durbin_watson",
+    "q_events_friedman",
+    "q_events_gtest",
+    "q_emb_knn_loo",
 ]
 
 

@@ -472,3 +472,276 @@ def test_pacf_short_series_prefix_only(spark):
     got = {r.lag: r.pacf_val for r in
            pacf_dl(df, "k", "ts", "v", max_lag=3).collect()}
     assert set(got) == {1, 2}
+
+
+# --------------------------------------------------------------------------
+# wilcoxon_signed_rank
+# --------------------------------------------------------------------------
+
+
+def _wsr_reference(pairs):
+    ds = [round((y - x) * 1e6) for x, y in pairs]
+    nzd = [(abs(d), d > 0) for d in ds if d != 0]
+    from collections import Counter
+
+    cnt = Counter(a for a, _ in nzd)
+    pos = Counter(a for a, p in nzd if p)
+    mr, cum = {}, 0
+    for a in sorted(cnt):
+        mr[a] = cum + (cnt[a] + 1) / 2.0
+        cum += cnt[a]
+    nz = len(nzd)
+    wp = sum(pos[a] * mr[a] for a in pos)
+    ties = sum(t**3 - t for t in cnt.values())
+    mean = nz * (nz + 1) / 4.0
+    var = nz * (nz + 1) * (2.0 * nz + 1) / 24.0 - ties / 48.0
+    z = (wp - mean) / math.sqrt(var) if nz >= 2 and var > 0 else None
+    return len(ds), nz, wp, z
+
+
+def test_wilcoxon_matches_reference_with_ties(spark):
+    from ups_crossref_etl_spark.operators.stats import wilcoxon_signed_rank
+
+    pairs = [
+        (1.0, 2.0), (2.0, 3.0), (5.0, 4.0), (7.0, 7.0),  # one zero diff
+        (3.0, 4.0), (8.0, 6.5), (2.0, 2.5), (9.0, 9.5),  # |d| ties
+    ]
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    row = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    n_pairs, nz, wp, z = _wsr_reference(pairs)
+    assert (row.n_pairs, row.n_nonzero) == (n_pairs, nz)
+    assert row.w_plus == pytest.approx(wp, abs=1e-9)
+    assert row.z == pytest.approx(z, abs=2e-6)
+
+
+def test_wilcoxon_all_positive_diffs_extreme(spark):
+    from ups_crossref_etl_spark.operators.stats import wilcoxon_signed_rank
+
+    pairs = [(float(i), float(i) + 1.0 + 0.1 * i) for i in range(10)]
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    row = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    # W+ = full rank sum n(n+1)/2 = 55, z maximal positive
+    assert row.w_plus == pytest.approx(55.0, abs=1e-9)
+    assert row.z > 2.5
+
+
+# --------------------------------------------------------------------------
+# runs_test
+# --------------------------------------------------------------------------
+
+
+def test_runs_test_alternating_and_clustered(spark):
+    from ups_crossref_etl_spark.operators.stats import runs_test
+
+    # key "alt": perfectly alternating around the median -> max runs,
+    # z > 0; key "clust": all lows then all highs -> 2 runs, z < 0
+    rows = []
+    for i in range(20):
+        rows.append(("alt", i, 10.0 if i % 2 == 0 else 1.0))
+    for i in range(20):
+        rows.append(("clust", i, 1.0 if i < 10 else 10.0))
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    out = {r.k: r for r in runs_test(df, "k", ["o"], "v").collect()}
+    assert out["alt"].n_runs == 20 and out["alt"].z > 3.0
+    assert out["clust"].n_runs == 2 and out["clust"].z < -3.0
+    assert out["alt"].n_above == 10 and out["alt"].n_below == 10
+
+
+def test_runs_test_median_values_dropped(spark):
+    from ups_crossref_etl_spark.operators.stats import runs_test
+
+    rows = [("k", i, v) for i, v in
+            enumerate([1.0, 5.0, 5.0, 5.0, 9.0])]  # median 5 dropped
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    row = runs_test(df, "k", ["o"], "v").collect()[0]
+    assert row.n_above == 1 and row.n_below == 1 and row.n_runs == 2
+
+
+# --------------------------------------------------------------------------
+# durbin_watson
+# --------------------------------------------------------------------------
+
+
+def test_durbin_watson_alternating_residuals_near_four(spark):
+    import datetime as dt
+    from ups_crossref_etl_spark.operators.timeseries import durbin_watson
+
+    base = dt.datetime(2024, 1, 1)
+    # flat trend + perfectly alternating residuals -> DW ~ 4
+    rows = [(1, base + dt.timedelta(minutes=i),
+             5.0 + (1.0 if i % 2 == 0 else -1.0)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    row = durbin_watson(df, "k", "ts", "v").collect()[0]
+    assert row.dw_stat == pytest.approx(4.0, abs=0.15)
+
+
+def test_durbin_watson_smooth_trend_near_zero(spark):
+    import datetime as dt
+    from ups_crossref_etl_spark.operators.timeseries import durbin_watson
+
+    base = dt.datetime(2024, 1, 1)
+    # slow sine around a line: adjacent residuals nearly equal -> DW ~ 0
+    rows = [(1, base + dt.timedelta(minutes=i),
+             float(i) + 10.0 * math.sin(i / 20.0)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    row = durbin_watson(df, "k", "ts", "v").collect()[0]
+    assert row.dw_stat is not None and row.dw_stat < 0.5
+
+
+def test_durbin_watson_degenerate_time_dropped(spark):
+    import datetime as dt
+    from ups_crossref_etl_spark.operators.timeseries import durbin_watson
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, float(v)) for v in range(5)]  # zero time variance
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    assert durbin_watson(df, "k", "ts", "v").count() == 0
+
+
+# --------------------------------------------------------------------------
+# friedman_test
+# --------------------------------------------------------------------------
+
+
+def _friedman_reference(blocks):
+    """blocks: list of per-block value lists (k treatments each)."""
+    n = len(blocks)
+    k = len(blocks[0])
+    ranks = []
+    for vals in blocks:
+        r = []
+        for v in vals:
+            smaller = sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            r.append(smaller + (ties + 1) / 2.0)
+        ranks.append(r)
+    rj = [sum(ranks[i][j] for i in range(n)) for j in range(k)]
+    a = sum(r * r for row in ranks for r in row)
+    c = n * k * (k + 1) ** 2 / 4.0
+    dev2 = sum((x - n * (k + 1) / 2.0) ** 2 for x in rj)
+    q = (k - 1) * dev2 / (a - c)
+    return q, q / (n * (k - 1))
+
+
+def _friedman_rows(blocks, treatments):
+    rows = []
+    for i, vals in enumerate(blocks):
+        for t, v in zip(treatments, vals):
+            rows.append((f"b{i}", t, float(v)))
+    return rows
+
+
+def test_friedman_matches_reference_with_ties(spark):
+    from ups_crossref_etl_spark.operators.stats import friedman_test
+
+    blocks = [
+        [1.0, 2.0, 3.0],
+        [2.0, 2.0, 4.0],  # within-block tie
+        [1.0, 3.0, 2.0],
+        [1.5, 2.5, 3.5],
+        [2.0, 1.0, 3.0],
+    ]
+    df = spark.createDataFrame(
+        _friedman_rows(blocks, ["t1", "t2", "t3"]), ["b", "t", "v"]
+    )
+    row = friedman_test(df, "b", "t", "v").collect()[0]
+    q, w = _friedman_reference(blocks)
+    assert (row.n_blocks, row.k_treatments) == (5, 3)
+    assert row.q_stat == pytest.approx(q, abs=2e-6)
+    assert row.kendalls_w == pytest.approx(w, abs=2e-6)
+
+
+def test_friedman_incomplete_blocks_excluded(spark):
+    from ups_crossref_etl_spark.operators.stats import friedman_test
+
+    rows = _friedman_rows([[1.0, 2.0], [2.0, 1.0], [1.0, 3.0]], ["a", "b"])
+    rows.append(("lonely", "a", 9.0))  # missing treatment b -> excluded
+    df = spark.createDataFrame(rows, ["b", "t", "v"])
+    row = friedman_test(df, "b", "t", "v").collect()[0]
+    assert row.n_blocks == 3
+
+
+def test_friedman_perfect_concordance_w_one(spark):
+    from ups_crossref_etl_spark.operators.stats import friedman_test
+
+    # every block ranks treatments identically -> W == 1
+    blocks = [[1.0, 2.0, 3.0, 4.0] for _ in range(6)]
+    blocks = [[v + i for v in b] for i, b in enumerate(blocks)]
+    df = spark.createDataFrame(
+        _friedman_rows(blocks, ["a", "b", "c", "d"]), ["b", "t", "v"]
+    )
+    row = friedman_test(df, "b", "t", "v").collect()[0]
+    assert row.kendalls_w == pytest.approx(1.0, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# g_test
+# --------------------------------------------------------------------------
+
+
+def test_gtest_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import g_test
+
+    cells = {("a", "x"): 30, ("a", "y"): 10, ("b", "x"): 15, ("b", "y"): 25}
+    rows = [(r, c) for (r, c), k in cells.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, ["r", "c"])
+    row = g_test(df, "r", "c").collect()[0]
+    n = sum(cells.values())
+    rt = {"a": 40, "b": 40}
+    ct = {"x": 45, "y": 35}
+    g = sum(
+        round(2.0 * o * math.log(o / (rt[r] * ct[c] / n)) * 1e9)
+        for (r, c), o in cells.items()
+    ) / 1e9
+    assert (row.n, row.dof) == (80, 1)
+    assert row.g_stat == pytest.approx(g, abs=2e-6)
+    assert row.g_stat > 10.0  # strong association
+
+
+def test_gtest_independent_table_near_zero(spark):
+    from ups_crossref_etl_spark.operators.stats import g_test
+
+    # perfectly proportional table -> G == 0
+    rows = (
+        [("a", "x")] * 20 + [("a", "y")] * 10
+        + [("b", "x")] * 40 + [("b", "y")] * 20
+    )
+    df = spark.createDataFrame(rows, ["r", "c"])
+    row = g_test(df, "r", "c").collect()[0]
+    assert row.g_stat == pytest.approx(0.0, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# knn_loo_bounded
+# --------------------------------------------------------------------------
+
+
+def test_knn_loo_separated_clusters_perfect(spark):
+    from ups_crossref_etl_spark.operators.similarity import knn_loo_bounded
+
+    pts = [
+        (1, 0, [0.0, 0.0]), (2, 0, [0.1, 0.0]), (3, 0, [0.0, 0.1]),
+        (4, 1, [9.0, 9.0]), (5, 1, [9.1, 9.0]),
+    ]
+    df = spark.createDataFrame(pts, ["id", "label", "vec"])
+    out = {r.label: r for r in
+           knn_loo_bounded(df, "vec", "label", "id").collect()}
+    assert out[0].accuracy == pytest.approx(1.0)
+    assert out[1].accuracy == pytest.approx(1.0)
+
+
+def test_knn_loo_tie_breaks_on_smaller_id(spark):
+    from ups_crossref_etl_spark.operators.similarity import knn_loo_bounded
+
+    # point 3 is equidistant from 1 (label 0) and 5 (label 1);
+    # the smaller neighbor id (1) must win -> hit for label 0
+    pts = [
+        (1, 0, [0.0]), (3, 0, [1.0]), (5, 1, [2.0]),
+    ]
+    df = spark.createDataFrame(pts, ["id", "label", "vec"])
+    out = {r.label: r for r in
+           knn_loo_bounded(df, "vec", "label", "id").collect()}
+    assert out[0].n_points == 2
+    # id=3: tie between 1 and 5 -> neighbor 1, same label -> correct
+    # id=1: nearest is 3 (same label) -> correct
+    assert out[0].n_correct == 2

@@ -120,19 +120,6 @@ def band_signatures_udf(dim: int, bands: int, planes_per_band: int):
     return sigs
 
 
-def lsh_bucket_signature(vec_col: Column, dim: int, planes_per_band: int, band: int) -> Column:
-    """Sign-bit signature of one band: ``planes_per_band`` hyperplane signs
-    packed into a bigint."""
-    sig = F.lit(0).cast("bigint")
-    for i in range(planes_per_band):
-        plane = F.array(*[F.lit(v) for v in _plane(dim, band * 1000 + i)])
-        bit = F.when(dot(vec_col, plane) >= 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = sig.bitwiseOR(bit)
-    return sig
-
-
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -1262,3 +1249,75 @@ def silhouette_bounded(
             + 0.0
         ).alias("mean_silhouette"),
     ).select(F.col("_la").alias(label_col), "n_points", "mean_silhouette")
+
+
+def knn_loo_bounded(
+    emb: DataFrame, vec_col: str, label_col: str, id_col: str
+) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy per cluster over a pre-bounded
+    slice: each point is classified by its single nearest OTHER point's
+    label — the standard separability probe that asks "does local
+    geometry already predict the label?", complementing
+    :func:`silhouette_bounded` (geometry quality) with a task-shaped
+    readout. Distance ties break on the smaller neighbor id (total
+    order, engine-deterministic).
+
+    SCALE CONTRACT: all-pairs inside an absolutely bounded slice only
+    (the gate uses ``vec_id <= 240``) — the silhouette_bounded /
+    transitivity-exact pattern. Operational full-corpus neighbor
+    search stays with the LSH/IVF paths.
+
+    Returns one row per cluster ``(label_col, n_points, n_correct,
+    accuracy)``. Determinism: micro-quantized coordinates, exact
+    integer squared distances, and a per-point ``row_number`` over the
+    (distance, neighbor-id) total order.
+    """
+    from pyspark.sql import Window as W
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6).cast("bigint"),
+    )
+    sub = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_l"),
+        q.alias("_q"),
+    )
+    a = sub.select(
+        F.col("_id").alias("_ida"), F.col("_l").alias("_la"),
+        F.col("_q").alias("_qa"),
+    )
+    b = sub.select(
+        F.col("_id").alias("_idb"), F.col("_l").alias("_lb"),
+        F.col("_q").alias("_qb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    pairs = a.join(b, F.col("_ida") != F.col("_idb")).select(
+        "_ida", "_la", "_idb", "_lb", d2.alias("_d2")
+    )
+    w = W.partitionBy("_ida").orderBy("_d2", "_idb")
+    nn = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_ida", "_la", (F.col("_lb") == F.col("_la")).alias("_hit"))
+    )
+    return nn.groupBy("_la").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(F.col("_hit").cast("bigint")).cast("bigint").alias("n_correct"),
+    ).select(
+        F.col("_la").alias(label_col),
+        "n_points",
+        "n_correct",
+        (
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_points").cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("accuracy"),
+    )

@@ -2060,3 +2060,329 @@ def fisher_exact(df: DataFrame, group_col: str, flag_col: str) -> DataFrame:
         (F.round(F.least(F.col("_pleft"), F.lit(1.0)), 6) + 0.0).alias("p_left"),
         (F.round(F.least(F.col("_pright"), F.lit(1.0)), 6) + 0.0).alias("p_right"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test over PAIRED measurements (one row per
+    unit, columns x and y): the nonparametric paired-location test —
+    the within-unit complement of :func:`mann_whitney` (unpaired), and
+    the robust alternative to a paired t-test for pre/post readouts.
+    Zero differences are dropped (Wilcoxon's convention), |d| ties get
+    midranks with the standard tie-corrected normal approximation
+    (variance term − Σ(t³−t)/48).
+
+    Returns ONE row ``(n_pairs, n_nonzero, w_plus, z)``; ``z`` is NULL
+    when fewer than 2 nonzero differences or zero variance.
+
+    Determinism: differences quantize to integer micro-units, midranks
+    come from the :func:`mann_whitney` distinct-value trick — aggregate
+    per distinct |d| (the only unit-count-sized shuffle), one
+    cumulative window over the distinct-|d| table (bounded by the
+    micro-quantized difference cardinality; ``percent_rank_unique``'s
+    range-partitioned cumsum is the swap-in if differences are
+    near-unique at corpus scale); midranks are exact halves, tie terms
+    exact integers.
+    """
+    d = df.select(
+        F.round(
+            (F.col(y_col).cast("double") - F.col(x_col).cast("double"))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("_d")
+    ).filter(F.col("_d").isNotNull())
+    n_pairs = d.count()
+    nz = d.filter(F.col("_d") != 0).select(
+        F.abs(F.col("_d")).alias("_a"),
+        (F.col("_d") > 0).alias("_pos"),
+    )
+    per_v = nz.groupBy("_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t"),
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("_tp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "_t", "_tp",
+        (
+            F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("double")
+            + (F.col("_t") + 1).cast("double") / 2.0
+        ).alias("_midrank"),
+    )
+    agg = ranked.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_nonzero"),
+        F.sum(F.col("_tp") * F.col("_midrank")).alias("_wp"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_ties"),
+    )
+    nn = F.col("n_nonzero").cast("double")
+    mean = nn * (nn + 1.0) / 4.0
+    var = nn * (nn + 1.0) * (2.0 * nn + 1.0) / 24.0 - F.col(
+        "_ties"
+    ).cast("double") / 48.0
+    z = F.when(
+        (F.col("n_nonzero") >= 2) & (var > 0.0),
+        (F.col("_wp") - mean) / F.sqrt(var),
+    )
+    return agg.select(
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        "n_nonzero",
+        (F.round(F.col("_wp"), 2) + 0.0).alias("w_plus"),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+
+
+def runs_test(
+    df: DataFrame, key_col: str, order_cols: list[str], value_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per key: is the above/below-median sign
+    sequence of the ordered series RANDOM, or does it cluster (too few
+    runs — trend/regime persistence) or alternate (too many — negative
+    serial correlation)? The distribution-free randomness screen beside
+    the parametric serial-correlation diagnostics (acf, Ljung-Box,
+    Durbin-Watson). Values equal to the key median are dropped
+    (standard convention).
+
+    Returns ``(key, n_above, n_below, n_runs, z)`` with the normal
+    approximation ``z = (R - μ)/σ``, ``μ = 2·n1·n2/(n1+n2) + 1``;
+    ``z`` is NULL when either side is empty or σ² is 0.
+
+    Determinism: the sign sequence orders by the caller's total-order
+    columns (equal (order, value) rows are sign-identical, so any
+    residual tie order cannot move a run boundary); medians are exact
+    grouped percentiles (``approx_percentile`` is the 100 TB swap-in,
+    the mad_outliers contract). Shape: one grouped percentile, a
+    broadcast-back sign pass, one per-key window lag, one keyed
+    aggregate — all key-partitioned, no global window.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    med = base.groupBy("_k").agg(
+        F.percentile("_v", F.lit(0.5)).alias("_m")
+    )
+    signed = (
+        base.join(F.broadcast(med), "_k")
+        .filter(F.col("_v") != F.col("_m"))
+        .select(
+            "_k",
+            *[f"_o{i}" for i in range(len(order_cols))],
+            "_v",
+            (F.col("_v") > F.col("_m")).alias("_s"),
+        )
+    )
+    w = W.partitionBy("_k").orderBy(
+        *[f"_o{i}" for i in range(len(order_cols))], "_v"
+    )
+    stepped = signed.select(
+        "_k", "_s",
+        F.lag("_s").over(w).alias("_prev"),
+    )
+    agg = stepped.groupBy("_k").agg(
+        F.sum(F.col("_s").cast("bigint")).alias("n_above"),
+        F.sum((~F.col("_s")).cast("bigint")).alias("n_below"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("_prev").isNotNull()
+                    & (F.col("_s") != F.col("_prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (n * n * (n - 1.0))
+    )
+    z = F.when(
+        (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0.0),
+        (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_above",
+        "n_below",
+        "n_runs",
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Friedman test over COMPLETE blocks: do the k treatments differ
+    when every block (e.g. user) contributes one measurement per
+    treatment? The repeated-measures complement of
+    :func:`kruskal_wallis` (independent groups) — blocking removes
+    between-block level differences the KW test would count as noise.
+    Blocks missing any treatment are excluded (classic complete-block
+    design); ties within a block get midranks, and the statistic is the
+    tie-corrected form ``Q = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C)``
+    with ``A = Σ r²``, ``C = nk(k+1)²/4`` (χ²_{k−1} under H0). Also
+    reports Kendall's W = Q/(n(k−1)) — the [0,1] concordance effect
+    size.
+
+    Returns ONE row ``(n_blocks, k_treatments, q_stat, kendalls_w)``;
+    NULL statistics when fewer than 2 complete blocks, fewer than 2
+    treatments, or A = C (all ranks tied everywhere).
+
+    Determinism: per-(block, treatment) means come from exact DECIMAL
+    sums divided once; within-block midranks are exact halves from a
+    k-row window (rank + (ties−1)/2); rank sums and Σr² are exact in
+    doubles (halves below 2^52). Shape: one (block, treatment)-keyed
+    aggregate over the facts, a tiny distinct-treatment count, one
+    block-partitioned k-row window, two block/treatment-keyed
+    aggregates — no global window, no driver state.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(block_col).cast("string").alias("_b"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_b").isNotNull() & F.col("_t").isNotNull() & F.col("_v").isNotNull()
+    )
+    cell = base.groupBy("_b", "_t").agg(
+        (
+            F.sum(F.col("_v").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_m")
+    )
+    k_all = base.select("_t").distinct().count()
+    complete = (
+        cell.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == k_all)
+        .select("_b")
+    )
+    cc = cell.join(complete, "_b")
+    rk = cc.select(
+        "_b", "_t",
+        (
+            F.rank().over(W.partitionBy("_b").orderBy("_m")).cast("double")
+            + (
+                F.count(F.lit(1))
+                .over(W.partitionBy("_b", "_m"))
+                .cast("double")
+                - 1.0
+            )
+            / 2.0
+        ).alias("_r"),
+    )
+    # model-sized driver scalars (the blocking_quality convention):
+    # number of complete blocks and the treatment count
+    n_blocks = complete.count()
+    per_t = rk.groupBy("_t").agg(F.sum("_r").alias("_rj"))
+    tots = rk.agg(F.sum(F.col("_r") * F.col("_r")).alias("_a"))
+    dev = F.col("_rj") - F.lit(float(n_blocks)) * (
+        F.lit(float(k_all)) + 1.0
+    ) / 2.0
+    agg = per_t.groupBy().agg(
+        F.lit(n_blocks).cast("bigint").alias("n_blocks"),
+        F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
+        F.sum(dev * dev).alias("_dev2"),
+    )
+    j = agg.join(tots)
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k_treatments").cast("double")
+    c = n * k * (k + 1.0) * (k + 1.0) / 4.0
+    ok = (
+        (F.col("n_blocks") >= 2)
+        & (F.col("k_treatments") >= 2)
+        & (F.col("_a") - c > 0.0)
+    )
+    q = (k - 1.0) * F.col("_dev2") / (F.col("_a") - c)
+    return j.select(
+        "n_blocks",
+        "k_treatments",
+        (F.round(F.when(ok, q), 6) + 0.0).alias("q_stat"),
+        (F.round(F.when(ok, q / (n * (k - 1.0))), 6) + 0.0).alias(
+            "kendalls_w"
+        ),
+    )
+
+
+def g_test(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """G-test (likelihood-ratio) of independence on the observed
+    ``row × col`` contingency table: ``G = 2·Σ O·ln(O/E)`` with
+    ``E = rowtot·coltot/n`` — the χ²'s twin that is additive across
+    partitions of the table and better behaved for small expected
+    counts; under H0 it is χ² with (r−1)(c−1) df. Only OBSERVED cells
+    contribute (O = 0 terms vanish analytically, so the structural-
+    zero pitfall of grouped contingency math never engages).
+
+    Returns ONE row ``(n, n_row_levels, n_col_levels, dof, g_stat)``.
+
+    Determinism: cell/margin counts are exact bigints; each cell's
+    ``2·O·ln(O/E)`` quantizes to integer NANOS before the cross-cell
+    sum (the MI-cell convention), so both engines add exact integers;
+    the statistic is one double at the end. Shape: one cell-keyed
+    aggregate (map-side combinable) + two margin aggregates joined
+    back — margins are level-count-sized, never data-sized.
+    """
+    base = df.select(
+        F.col(row_col).cast("string").alias("_r"),
+        F.col(col_col).cast("string").alias("_c"),
+    ).filter(F.col("_r").isNotNull() & F.col("_c").isNotNull())
+    cells = base.groupBy("_r", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_o")
+    )
+    rmar = cells.groupBy("_r").agg(F.sum("_o").cast("bigint").alias("_rt"))
+    cmar = cells.groupBy("_c").agg(F.sum("_o").cast("bigint").alias("_ct"))
+    tot = cells.agg(F.sum("_o").cast("bigint").alias("_n"))
+    term = (
+        2.0
+        * F.col("_o").cast("double")
+        * F.log(
+            F.col("_o").cast("double")
+            / (
+                F.col("_rt").cast("double")
+                * F.col("_ct").cast("double")
+                / F.col("_n").cast("double")
+            )
+        )
+    )
+    scored = (
+        cells.join(F.broadcast(rmar), "_r")
+        .join(F.broadcast(cmar), "_c")
+        .join(F.broadcast(tot))
+        .select(
+            "_r", "_c",
+            F.col("_o"),
+            F.col("_n"),
+            F.round(term * 1e9).cast("bigint").alias("_tq"),
+        )
+    )
+    out = scored.groupBy("_n").agg(
+        F.countDistinct("_r").cast("bigint").alias("n_row_levels"),
+        F.countDistinct("_c").cast("bigint").alias("n_col_levels"),
+        F.sum("_tq").alias("_g"),
+    )
+    return out.select(
+        F.col("_n").alias("n"),
+        "n_row_levels",
+        "n_col_levels",
+        (
+            (F.col("n_row_levels") - 1) * (F.col("n_col_levels") - 1)
+        ).cast("bigint").alias("dof"),
+        (F.round(F.col("_g").cast("double") / 1e9, 6) + 0.0).alias(
+            "g_stat"
+        ),
+    )

@@ -1619,3 +1619,126 @@ def pacf_dl(
             schema=f"{key_col} {key_field}, lag long, pacf_val double",
         )
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Watson statistic per key over the residuals of the key's
+    own OLS line (value on epoch time):
+    ``DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²`` — the classic lag-1
+    serial-correlation diagnostic for a fitted trend (DW ≈ 2 means
+    uncorrelated residuals; → 0 positive, → 4 negative correlation),
+    complementing :func:`acf` (raw series) and the runs test
+    (distribution-free). Keys need ≥ 3 points and nonzero time
+    variance; degenerate keys report NULL.
+
+    Determinism: OLS sufficient statistics accumulate in exact
+    DECIMAL(38) (the groupwise_trend recipe), slope/intercept are
+    one-shot doubles, each residual quantizes to integer micro-units,
+    and numerator/denominator are exact integer sums — engine-identical
+    in any aggregation order. Shape: one keyed aggregate for the fit,
+    a broadcast-back residual pass, one key-partitioned window lag, one
+    keyed aggregate — no global window, no driver state.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.dates import epoch_seconds
+
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(F.col(ts_col)).alias("_t"),
+        F.round(F.col(value_col).cast("double") * 1e6)
+        .cast("bigint")
+        .alias("_vq"),
+    ).filter(F.col("_vq").isNotNull() & F.col("_t").isNotNull())
+    # OLS sufficient statistics over exact INTEGER (t, micro-value)
+    # pairs — every sum is an exact decimal of integers, so the fitted
+    # line is one identical double expression on both engines (the
+    # decimal-product scale rules for fractional t*v differ between
+    # engines; integers sidestep them entirely)
+    fit = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_t").cast("decimal(38,0)")).alias("_st"),
+        F.sum(F.col("_vq").cast("decimal(38,0)")).alias("_sv"),
+        F.sum(
+            (F.col("_t").cast("decimal(38,0)") * F.col("_t")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_stt"),
+        F.sum(
+            (F.col("_t").cast("decimal(38,0)") * F.col("_vq")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_stv"),
+    )
+    nd = F.col("_n").cast("double")
+    det = nd * F.col("_stt").cast("double") - F.col("_st").cast("double") * F.col(
+        "_st"
+    ).cast("double")
+    slope = F.when(
+        (F.col("_n") >= 3) & (det != 0.0),
+        (
+            nd * F.col("_stv").cast("double")
+            - F.col("_st").cast("double") * F.col("_sv").cast("double")
+        )
+        / det,
+    )
+    fitted = fit.select(
+        "_k", "_n",
+        slope.alias("_b"),
+        (
+            (F.col("_sv").cast("double") - slope * F.col("_st").cast("double"))
+            / nd
+        ).alias("_a"),
+    ).filter(F.col("_b").isNotNull())
+    # residuals stay in micro-units: e = vq - a - b*t (a, b are in
+    # micro-value space already), rounded to exact integers
+    resid = base.join(F.broadcast(fitted), "_k").select(
+        "_k", "_t", "_vq", "_n",
+        F.round(
+            F.col("_vq").cast("double")
+            - F.col("_a")
+            - F.col("_b") * F.col("_t").cast("double")
+        )
+        .cast("bigint")
+        .alias("_e"),
+    )
+    w = W.partitionBy("_k").orderBy("_t", "_vq")
+    stepped = resid.select(
+        "_k", "_n", "_e",
+        F.lag("_e").over(w).alias("_ep"),
+    )
+    agg = stepped.groupBy("_k", "_n").agg(
+        F.sum(
+            F.when(
+                F.col("_ep").isNotNull(),
+                (
+                    (F.col("_e") - F.col("_ep")).cast("decimal(38,0)")
+                    * (F.col("_e") - F.col("_ep"))
+                ).cast("decimal(38,0)"),
+            )
+        ).alias("_num"),
+        F.sum(
+            (F.col("_e").cast("decimal(38,0)") * F.col("_e")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_den"),
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").alias("n_points"),
+        (
+            F.round(
+                F.when(
+                    F.col("_den") > 0,
+                    F.col("_num").cast("double") / F.col("_den").cast("double"),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("dw_stat"),
+    )

@@ -118,6 +118,18 @@ _CHANGED_THIS_ROUND = [
     "q_emb_silhouette_bounded",
     "q_events_misra_gries_bound",
     "q_events_pacf",
+    # ... third mini-wave completing classical inference: the paired
+    # Wilcoxon signed-rank, the Wald-Wolfowitz runs test, and the
+    # Durbin-Watson residual serial-correlation diagnostic
+    "q_events_wilcoxon",
+    "q_events_runs_test",
+    "q_events_durbin_watson",
+    # ... and the fourth: Friedman complete-block test + Kendall's W,
+    # the G-test twin of the chi-square association, and the bounded
+    # leave-one-out 1-NN label-accuracy probe
+    "q_events_friedman",
+    "q_events_gtest",
+    "q_emb_knn_loo",
 ]
 
 

@@ -708,3 +708,496 @@ def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
     )
     return pacf_dl(ev, "user_id", "ts", "value", max_lag=3)
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank: paired pre/post user means
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_wilcoxon",
+    """
+    WITH pts AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY t, v) AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM pts),
+    p AS (
+      SELECT k,
+             CAST(sum(CASE WHEN rn * 2 <= n
+                           THEN CAST(v AS DECIMAL(38,12)) END) AS DOUBLE)
+               / sum(CASE WHEN rn * 2 <= n THEN 1 ELSE 0 END) AS pre,
+             CAST(sum(CASE WHEN rn * 2 > n
+                           THEN CAST(v AS DECIMAL(38,12)) END) AS DOUBLE)
+               / sum(CASE WHEN rn * 2 > n THEN 1 ELSE 0 END) AS post
+      FROM r GROUP BY k HAVING count(*) >= 2),
+    d AS (
+      SELECT CAST(round((post - pre) * 1e6) AS BIGINT) AS dd FROM p),
+    nzd AS (
+      SELECT abs(dd) AS a, dd > 0 AS pos FROM d WHERE dd <> 0),
+    pv AS (
+      SELECT a, count(*) AS t,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS tp
+      FROM nzd GROUP BY a),
+    rk AS (
+      SELECT t, tp,
+             CAST(coalesce(sum(t) OVER (ORDER BY a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0 AS mr
+      FROM pv),
+    ag AS (
+      SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS nz,
+             sum(tp * mr) AS wp,
+             sum(t * t * t - t) AS ties
+      FROM rk),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM d)
+    SELECT n_pairs, nz AS n_nonzero,
+           round(wp, 2) + 0.0 AS w_plus,
+           round(CASE WHEN nz >= 2
+                       AND CAST(nz AS DOUBLE) * (CAST(nz AS DOUBLE) + 1.0)
+                           * (2.0 * CAST(nz AS DOUBLE) + 1.0) / 24.0
+                           - CAST(ties AS DOUBLE) / 48.0 > 0.0 THEN
+                   (wp - CAST(nz AS DOUBLE) * (CAST(nz AS DOUBLE) + 1.0)
+                         / 4.0)
+                   / sqrt(CAST(nz AS DOUBLE) * (CAST(nz AS DOUBLE) + 1.0)
+                          * (2.0 * CAST(nz AS DOUBLE) + 1.0) / 24.0
+                          - CAST(ties AS DOUBLE) / 48.0) END, 6) + 0.0
+             AS z
+    FROM np CROSS JOIN ag
+    """,
+    doc=(
+        "Wilcoxon signed-rank test (operators/stats."
+        "wilcoxon_signed_rank) of each user's SECOND-half mean value "
+        "against their FIRST-half mean (pairs formed by the per-user "
+        "time-ordered split) — the nonparametric PAIRED location test "
+        "completing the inference family: mann_whitney is its unpaired "
+        "sibling, welch/cuped its parametric ones. Differences "
+        "quantize to integer micros, zero diffs drop (Wilcoxon "
+        "convention), |d| midranks come from the distinct-value "
+        "cumulative trick with the exact tie correction. Corpus cost: "
+        "one per-user window + keyed aggregate to build pairs, then "
+        "user-count-sized rank math."
+    ),
+)
+def q_events_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.dates import epoch_seconds
+    from ..operators.stats import wilcoxon_signed_rank
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pts = ev.select(
+        F.col("user_id").alias("_k"),
+        epoch_seconds(F.col("ts")).alias("_t"),
+        F.col("value").cast("double").alias("_v"),
+    )
+    w = W.partitionBy("_k").orderBy("_t", "_v")
+    r = pts.select(
+        "_k", "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(W.partitionBy("_k")).alias("_n"),
+    )
+    pre_c = F.col("_rn") * 2 <= F.col("_n")
+    pairs = (
+        r.groupBy("_k")
+        .agg(
+            (
+                F.sum(F.when(pre_c, F.col("_v").cast("decimal(38,12)"))).cast(
+                    "double"
+                )
+                / F.sum(F.when(pre_c, 1).otherwise(0))
+            ).alias("pre_mean"),
+            (
+                F.sum(
+                    F.when(~pre_c, F.col("_v").cast("decimal(38,12)"))
+                ).cast("double")
+                / F.sum(F.when(~pre_c, 1).otherwise(0))
+            ).alias("post_mean"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") >= 2)
+    )
+    return wilcoxon_signed_rank(pairs, "pre_mean", "post_mean")
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test per user
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_runs_test",
+    """
+    WITH pts AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT k, quantile_cont(v, 0.5) AS m FROM pts GROUP BY k),
+    s AS (
+      SELECT pts.k, t, v, v > m AS sgn
+      FROM pts JOIN med ON pts.k = med.k
+      WHERE v <> m),
+    stepped AS (
+      SELECT k, sgn,
+             lag(sgn) OVER (PARTITION BY k ORDER BY t, v) AS prev
+      FROM s),
+    ag AS (
+      SELECT k,
+             CAST(sum(CASE WHEN sgn THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(sum(CASE WHEN sgn THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_below,
+             CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM stepped GROUP BY k)
+    SELECT k AS user_id, n_above, n_below, n_runs,
+           round(CASE WHEN n_above > 0 AND n_below > 0
+                       AND 2.0 * CAST(n_above AS DOUBLE)
+                           * CAST(n_below AS DOUBLE)
+                           * (2.0 * CAST(n_above AS DOUBLE)
+                              * CAST(n_below AS DOUBLE)
+                              - CAST(n_above AS DOUBLE)
+                              - CAST(n_below AS DOUBLE))
+                           / ((CAST(n_above AS DOUBLE)
+                               + CAST(n_below AS DOUBLE))
+                              * (CAST(n_above AS DOUBLE)
+                                 + CAST(n_below AS DOUBLE))
+                              * (CAST(n_above AS DOUBLE)
+                                 + CAST(n_below AS DOUBLE) - 1.0)) > 0.0
+                 THEN
+                   (CAST(n_runs AS DOUBLE)
+                    - (2.0 * CAST(n_above AS DOUBLE)
+                       * CAST(n_below AS DOUBLE)
+                       / (CAST(n_above AS DOUBLE)
+                          + CAST(n_below AS DOUBLE)) + 1.0))
+                   / sqrt(2.0 * CAST(n_above AS DOUBLE)
+                          * CAST(n_below AS DOUBLE)
+                          * (2.0 * CAST(n_above AS DOUBLE)
+                             * CAST(n_below AS DOUBLE)
+                             - CAST(n_above AS DOUBLE)
+                             - CAST(n_below AS DOUBLE))
+                          / ((CAST(n_above AS DOUBLE)
+                              + CAST(n_below AS DOUBLE))
+                             * (CAST(n_above AS DOUBLE)
+                                + CAST(n_below AS DOUBLE))
+                             * (CAST(n_above AS DOUBLE)
+                                + CAST(n_below AS DOUBLE) - 1.0)))
+                 END, 6) + 0.0 AS z
+    FROM ag
+    """,
+    doc=(
+        "Wald-Wolfowitz runs test per user (operators/stats.runs_test): "
+        "is the above/below-median sign sequence of each user's "
+        "time-ordered values random, clustered (too few runs — regime "
+        "persistence the mean-shift/CUSUM family then locates) or "
+        "alternating (negative serial correlation)? The "
+        "distribution-free randomness screen beside acf/Ljung-Box/"
+        "Durbin-Watson. Median-equal values drop (standard); medians "
+        "are exact grouped percentiles (approx_percentile is the "
+        "100 TB swap-in). One grouped percentile + broadcast-back sign "
+        "pass + per-key window lag + keyed aggregate — all "
+        "key-partitioned, no global window."
+    ),
+)
+def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dates import epoch_seconds
+    from ..operators.stats import runs_test
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            epoch_seconds(F.col("ts")).alias("t_epoch"),
+            "value",
+        )
+    )
+    return runs_test(ev, "user_id", ["t_epoch"], "value")
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson serial-correlation statistic per user
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_durbin_watson",
+    """
+    WITH base AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    fit AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             sum(t) AS st, sum(vq) AS sv,
+             sum(t * t) AS stt, sum(t * vq) AS stv
+      FROM base GROUP BY k),
+    sl AS (
+      SELECT k, n,
+             CASE WHEN n >= 3
+                   AND CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0
+                  THEN (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             END AS b,
+             st, sv
+      FROM fit),
+    fitted AS (
+      SELECT k, n, b,
+             (CAST(sv AS DOUBLE) - b * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+      FROM sl WHERE b IS NOT NULL),
+    resid AS (
+      SELECT base.k, t, fitted.n,
+             CAST(round(CAST(vq AS DOUBLE) - a - b * CAST(t AS DOUBLE))
+               AS BIGINT) AS e,
+             vq
+      FROM base JOIN fitted ON base.k = fitted.k),
+    stepped AS (
+      SELECT k, n, e,
+             lag(e) OVER (PARTITION BY k ORDER BY t, vq) AS ep
+      FROM resid),
+    ag AS (
+      SELECT k, n,
+             sum(CASE WHEN ep IS NOT NULL
+                      THEN (e - ep) * (e - ep) END) AS num,
+             sum(e * e) AS den
+      FROM stepped GROUP BY k, n)
+    SELECT k AS user_id, n AS n_points,
+           round(CASE WHEN den > 0
+                 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6)
+             + 0.0 AS dw_stat
+    FROM ag
+    """,
+    doc=(
+        "Durbin-Watson statistic per user (operators/timeseries."
+        "durbin_watson) over residuals of each user's own OLS value-"
+        "on-time line — the classic lag-1 serial-correlation "
+        "diagnostic for a fitted trend (~2 uncorrelated, ->0 positive, "
+        "->4 negative), closing the serial-dependence family beside "
+        "acf (raw series), Ljung-Box (portmanteau) and the runs test "
+        "(distribution-free). OLS sufficient statistics are exact "
+        "integer sums over (epoch-second, micro-value) pairs — the "
+        "engine-divergent decimal-product scale rules never engage — "
+        "residuals quantize to integer micros, and DW is one double "
+        "ratio of exact integer sums. One keyed aggregate + broadcast-"
+        "back residual pass + per-key window lag + keyed aggregate; "
+        "no global window."
+    ),
+)
+def q_events_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import durbin_watson
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    return durbin_watson(ev, "user_id", "ts", "value")
+
+# --------------------------------------------------------------------------
+# Friedman test: event-type effects within complete user blocks
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_friedman",
+    """
+    WITH base AS (
+      SELECT CAST(user_id AS VARCHAR) AS b, event_type AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL),
+    cell AS (
+      SELECT b, t,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m
+      FROM base GROUP BY b, t),
+    kall AS (SELECT count(DISTINCT t) AS k FROM base),
+    complete AS (
+      SELECT b FROM cell GROUP BY b
+      HAVING count(*) = (SELECT k FROM kall)),
+    cc AS (SELECT cell.* FROM cell JOIN complete USING (b)),
+    rk AS (
+      SELECT b, t,
+             CAST(rank() OVER (PARTITION BY b ORDER BY m) AS DOUBLE)
+             + (CAST(count(*) OVER (PARTITION BY b, m) AS DOUBLE) - 1.0)
+               / 2.0 AS r
+      FROM cc),
+    nb AS (SELECT count(*) AS nn FROM complete),
+    pert AS (SELECT t, sum(r) AS rj FROM rk GROUP BY t),
+    tots AS (SELECT sum(r * r) AS a FROM rk),
+    agg AS (
+      SELECT CAST((SELECT nn FROM nb) AS BIGINT) AS n_blocks,
+             CAST(count(*) AS BIGINT) AS k_treatments,
+             sum((rj - CAST((SELECT nn FROM nb) AS DOUBLE)
+                       * (CAST((SELECT k FROM kall) AS DOUBLE) + 1.0)
+                       / 2.0)
+                 * (rj - CAST((SELECT nn FROM nb) AS DOUBLE)
+                         * (CAST((SELECT k FROM kall) AS DOUBLE) + 1.0)
+                         / 2.0)) AS dev2
+      FROM pert),
+    fin AS (
+      SELECT n_blocks, k_treatments, dev2, a,
+             CAST(n_blocks AS DOUBLE) * CAST(k_treatments AS DOUBLE)
+             * (CAST(k_treatments AS DOUBLE) + 1.0)
+             * (CAST(k_treatments AS DOUBLE) + 1.0) / 4.0 AS c
+      FROM agg CROSS JOIN tots)
+    SELECT n_blocks, k_treatments,
+           round(CASE WHEN n_blocks >= 2 AND k_treatments >= 2
+                       AND a - c > 0.0 THEN
+                   (CAST(k_treatments AS DOUBLE) - 1.0) * dev2 / (a - c)
+                 END, 6) + 0.0 AS q_stat,
+           round(CASE WHEN n_blocks >= 2 AND k_treatments >= 2
+                       AND a - c > 0.0 THEN
+                   (CAST(k_treatments AS DOUBLE) - 1.0) * dev2 / (a - c)
+                   / (CAST(n_blocks AS DOUBLE)
+                      * (CAST(k_treatments AS DOUBLE) - 1.0))
+                 END, 6) + 0.0 AS kendalls_w
+    FROM fin
+    """,
+    doc=(
+        "Friedman test (operators/stats.friedman_test) of event-type "
+        "effects across complete user blocks: each user contributing "
+        "all observed types gives one mean value per type, ranked "
+        "WITHIN the user (midranks on ties) — the repeated-measures "
+        "complement of q_events_kruskal_wallis, with blocking removing "
+        "between-user level differences; tie-corrected Q (chi2_{k-1} "
+        "under H0) plus Kendall's W concordance effect size. Exact "
+        "DECIMAL cell means, k-row per-block windows, exact-half rank "
+        "sums; one (block,treatment) aggregate over the facts is the "
+        "only corpus-sized work."
+    ),
+)
+def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import friedman_test
+
+    ev = read_table(spark, sf_dir, "events")
+    return friedman_test(ev, "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# G-test of independence: event type x hour of day
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_gtest",
+    """
+    WITH base AS (
+      SELECT event_type AS r, CAST(hour(ts) AS VARCHAR) AS c
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+    cells AS (
+      SELECT r, c, CAST(count(*) AS BIGINT) AS o
+      FROM base GROUP BY r, c),
+    rmar AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+    cmar AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    scored AS (
+      SELECT cells.r, cells.c, n,
+             CAST(round(2.0 * CAST(o AS DOUBLE)
+                        * ln(CAST(o AS DOUBLE)
+                             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                                / CAST(n AS DOUBLE))) * 1e9)
+               AS BIGINT) AS tq
+      FROM cells JOIN rmar ON cells.r = rmar.r
+      JOIN cmar ON cells.c = cmar.c
+      CROSS JOIN tot),
+    outq AS (
+      SELECT n,
+             CAST(count(DISTINCT r) AS BIGINT) AS n_row_levels,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_col_levels,
+             sum(tq) AS g
+      FROM scored GROUP BY n)
+    SELECT n, n_row_levels, n_col_levels,
+           CAST((n_row_levels - 1) * (n_col_levels - 1) AS BIGINT) AS dof,
+           round(CAST(g AS DOUBLE) / 1e9, 6) + 0.0 AS g_stat
+    FROM outq
+    """,
+    doc=(
+        "G-test of independence (operators/stats.g_test) on the "
+        "[event type x hour-of-day] contingency table: the "
+        "likelihood-ratio twin of q_events_type_hour_association's "
+        "chi-square — additive across table partitions and better "
+        "behaved at small expected counts; only OBSERVED cells "
+        "contribute (O=0 terms vanish analytically, sidestepping the "
+        "structural-zero pitfall). Per-cell 2*O*ln(O/E) quantizes to "
+        "integer nanos before the cross-cell sum. One cell-keyed "
+        "map-side-combinable aggregate + level-count-sized margins "
+        "broadcast back — linear at any log size."
+    ),
+)
+def q_events_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import g_test
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("string").alias("hour_of_day"),
+        )
+    )
+    return g_test(ev, "event_type", "hour_of_day")
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out 1-NN label accuracy on the bounded slice
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_emb_knn_loo",
+    """
+    WITH sub AS (
+      SELECT vec_id AS id, label AS l,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id <= 240),
+    pairs AS (
+      SELECT a.id AS ida, a.l AS la, b.id AS idb, b.l AS lb,
+             CAST(list_sum(list_transform(
+                    generate_series(1, len(a.q)),
+                    i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))
+               AS BIGINT) AS d2
+      FROM sub a JOIN sub b ON a.id <> b.id),
+    nn AS (
+      SELECT ida, la, lb,
+             row_number() OVER (PARTITION BY ida ORDER BY d2, idb) AS rn
+      FROM pairs),
+    hits AS (
+      SELECT la, CASE WHEN lb = la THEN 1 ELSE 0 END AS hit
+      FROM nn WHERE rn = 1)
+    SELECT la AS label, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(hit) AS BIGINT) AS n_correct,
+           round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             + 0.0 AS accuracy
+    FROM hits GROUP BY la
+    """,
+    doc=(
+        "Leave-one-out 1-NN label accuracy per cluster (operators/"
+        "similarity.knn_loo_bounded) on the BOUNDED vec_id <= 240 "
+        "slice — the task-shaped separability probe beside "
+        "q_emb_silhouette_bounded's geometric one: does local distance "
+        "already predict the label? Exact integer squared distances "
+        "over micro-quantized coordinates, nearest neighbor by a "
+        "(distance, neighbor-id) total order (engine-deterministic "
+        "ties). All-pairs only inside the absolute bound — the "
+        "operational neighbor search stays with the LSH/IVF paths."
+    ),
+)
+def q_emb_knn_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_loo_bounded
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") <= 240
+    )
+    return knn_loo_bounded(emb, "embedding", "label", "vec_id")
