@@ -1209,3 +1209,67 @@ def test_flesch_readability_map_only(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     plan = _plan(flesch_readability(d, "doc_id", "text"))
     assert "Exchange" not in plan
+
+
+def test_jarque_bera_no_window_two_keyed_aggregates(spark, sf_dir):
+    """The JB screen must stay two map-side-combinable grouped
+    aggregates joined by group — no Window, no cartesian."""
+    from ups_crossref_etl_spark.operators.stats import jarque_bera
+
+    e = read_table(spark, sf_dir, "events")
+    plan = _plan(jarque_bera(e, "event_type", "value"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # mean pass + moment pass
+
+
+def test_silhouette_bounded_filter_reaches_both_scans(spark, sf_dir):
+    """The bounded-slice contract is real only if the vec_id bound is
+    PUSHED to both sides of the all-pairs join — otherwise the BNLJ
+    build side would be the full corpus."""
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.similarity import (
+        silhouette_bounded,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") <= 240
+    )
+    plan = _plan(silhouette_bounded(emb, "embedding", "label", "vec_id"))
+    # every scan of the embeddings table carries the pushed bound
+    assert plan.count("LessThanOrEqual(vec_id,240)") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_durbin_watson_window_is_key_partitioned(spark, sf_dir):
+    """DW's lag window must be partitioned by the key — a global
+    per-row window here would be the r8 sorted-neighborhood mistake."""
+    from ups_crossref_etl_spark.operators.timeseries import durbin_watson
+
+    e = read_table(spark, sf_dir, "events")
+    plan = _plan(durbin_watson(e, "user_id", "ts", "value"))
+    assert "Window" in plan
+    import re as _re
+
+    # every Window node's partition spec is non-empty
+    for frag in _re.findall(r"Arguments: \[lag[^\]]*\], \[([^\]]*)\]", plan):
+        assert frag.strip(), "unpartitioned lag window in durbin_watson"
+
+
+def test_gtest_margins_broadcast_not_shuffled(spark, sf_dir):
+    """G-test margins are level-count-sized and must broadcast back to
+    the cell table, never shuffle the cells again."""
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.stats import g_test
+
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", F.hour("ts").cast("string").alias("h"))
+    )
+    plan = _plan(g_test(e, "event_type", "h"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

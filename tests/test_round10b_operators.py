@@ -745,3 +745,154 @@ def test_knn_loo_tie_breaks_on_smaller_id(spark):
     # id=3: tie between 1 and 5 -> neighbor 1, same label -> correct
     # id=1: nearest is 3 (same label) -> correct
     assert out[0].n_correct == 2
+
+
+# --------------------------------------------------------------------------
+# hypothesis properties: the new inference ops vs pure-python references
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.tuples(
+        st.integers(0, 20), st.integers(0, 20),
+        st.integers(0, 20), st.integers(0, 20),
+    ).filter(lambda t: (t[0] + t[1]) > 0 and (t[2] + t[3]) > 0)
+)
+def test_fisher_exact_property_vs_reference(spark, cells):
+    from ups_crossref_etl_spark.operators.stats import fisher_exact
+
+    a, b, c, d = cells
+    rows = (
+        [("A", True)] * a + [("A", False)] * b
+        + [("B", True)] * c + [("B", False)] * d
+    )
+    df = spark.createDataFrame(rows, "g string, f boolean")
+    row = fisher_exact(df, "g", "f").collect()[0]
+    p2, pl, pr = _fisher_reference(a, b, c, d)
+    assert row.p_two_sided == pytest.approx(p2, abs=2e-6)
+    assert row.p_left == pytest.approx(pl, abs=2e-6)
+    assert row.p_right == pytest.approx(pr, abs=2e-6)
+    # tails overlap at k = a, so they must cover at least 1
+    assert row.p_left + row.p_right >= 1.0 - 1e-6
+    assert 0.0 < row.p_two_sided <= 1.0
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=30, max_size=300),
+    st.integers(2, 6),
+    st.integers(1, 8),
+)
+def test_misra_gries_bounds_property(spark, vals, k, parts):
+    from ups_crossref_etl_spark.operators.sketches import misra_gries_summary
+
+    df = spark.createDataFrame(
+        [(f"v{v}",) for v in vals], "x string"
+    ).repartition(parts)
+    est = {r.x: r.est_count for r in
+           misra_gries_summary(df, "x", k).collect()}
+    from collections import Counter
+
+    true = Counter(f"v{v}" for v in vals)
+    n = len(vals)
+    for v, e in est.items():
+        assert 0 < e <= true[v]
+    for v, t in true.items():
+        assert (t - est.get(v, 0)) * (k + 1) <= n
+        if t * (k + 1) > n:
+            assert est.get(v, 0) > 0
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(-50, 50).map(lambda x: x / 4.0),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+def test_friedman_property_vs_reference(spark, blocks):
+    from ups_crossref_etl_spark.operators.stats import friedman_test
+
+    df = spark.createDataFrame(
+        _friedman_rows(blocks, ["t1", "t2", "t3"]), ["b", "t", "v"]
+    )
+    row = friedman_test(df, "b", "t", "v").collect()[0]
+    assert row.n_blocks == len(blocks) and row.k_treatments == 3
+    n, k = len(blocks), 3
+    # reference, guarding the all-ranks-tied degenerate case
+    ranks = []
+    for vals in blocks:
+        ranks.append([
+            sum(1 for x in vals if x < v)
+            + (sum(1 for x in vals if x == v) + 1) / 2.0
+            for v in vals
+        ])
+    a = sum(r * r for rr in ranks for r in rr)
+    c = n * k * (k + 1) ** 2 / 4.0
+    if a - c <= 0:
+        assert row.q_stat is None
+    else:
+        rj = [sum(ranks[i][j] for i in range(n)) for j in range(k)]
+        dev2 = sum((x - n * (k + 1) / 2.0) ** 2 for x in rj)
+        q = (k - 1) * dev2 / (a - c)
+        assert row.q_stat == pytest.approx(q, abs=2e-6)
+        assert row.kendalls_w is not None
+        assert -1e-9 <= row.kendalls_w <= 1.0 + 1e-9
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-100, 100).map(lambda x: x / 8.0),
+            st.integers(-100, 100).map(lambda x: x / 8.0),
+        ),
+        min_size=2, max_size=60,
+    )
+)
+def test_wilcoxon_property_vs_reference(spark, pairs):
+    from ups_crossref_etl_spark.operators.stats import wilcoxon_signed_rank
+
+    df = spark.createDataFrame(pairs, "x double, y double")
+    row = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    n_pairs, nz, wp, z = _wsr_reference(pairs)
+    assert (row.n_pairs, row.n_nonzero) == (n_pairs, nz)
+    if nz:
+        assert row.w_plus == pytest.approx(wp, abs=1e-9)
+    if z is None:
+        assert row.z is None
+    else:
+        assert row.z == pytest.approx(z, abs=2e-6)
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(st.integers(0, 9).map(float), min_size=4, max_size=80))
+def test_runs_test_property_vs_reference(spark, vals):
+    from ups_crossref_etl_spark.operators.stats import runs_test
+
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    out = runs_test(df, "k", ["o"], "v").collect()
+    # python reference: type-7 interpolated median, drop equals
+    svals = sorted(vals)
+    n = len(svals)
+    if n % 2:
+        med = svals[n // 2]
+    else:
+        med = (svals[n // 2 - 1] + svals[n // 2]) / 2.0
+    signs = [v > med for v in vals if v != med]
+    if not signs:
+        assert out == []
+        return
+    runs = 1 + sum(1 for i in range(1, len(signs))
+                   if signs[i] != signs[i - 1])
+    row = out[0]
+    assert row.n_runs == runs
+    assert row.n_above == sum(signs)
+    assert row.n_below == len(signs) - sum(signs)

@@ -1168,6 +1168,25 @@ def main() -> None:
         ev_pc1.count(), ev_pcN.count(),
     )
 
+    # round 10 third wave: the two per-key-window ops (runs test and
+    # Durbin-Watson) on the same users-grow-Nx replication — both are
+    # key-partitioned windows + keyed aggregates, must come back ~linear
+    from ups_crossref_etl_spark.operators.stats import runs_test
+    from ups_crossref_etl_spark.operators.timeseries import durbin_watson
+
+    probe(
+        "runs_test",
+        lambda: runs_test(ev_pc1, "user_id", ["ts"], "value").count(),
+        lambda: runs_test(ev_pcN, "user_id", ["ts"], "value").count(),
+        ev_pc1.count(), ev_pcN.count(),
+    )
+    probe(
+        "durbin_watson",
+        lambda: durbin_watson(ev_pc1, "user_id", "ts", "value").count(),
+        lambda: durbin_watson(ev_pcN, "user_id", "ts", "value").count(),
+        ev_pc1.count(), ev_pcN.count(),
+    )
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")
     if only and os.path.exists(out_path):

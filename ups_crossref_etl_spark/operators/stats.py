@@ -1914,12 +1914,16 @@ def jarque_bera(
         base.join(F.broadcast(means), "_g")
         .select(
             "_g",
+            "_n",
             F.round((F.col("_v") - F.col("_mean")) * 1e4)
             .cast("decimal(38,0)")
             .alias("_z"),
         )
     )
+    # _n rides along so the moment pass closes the plan without a
+    # second join back to the means table (one fewer corpus scan)
     mom = zq.groupBy("_g").agg(
+        F.max("_n").alias("_n"),
         F.sum((F.col("_z") * F.col("_z")).cast("decimal(38,0)")).alias("_s2"),
         F.sum(
             (
@@ -1933,7 +1937,7 @@ def jarque_bera(
             ).cast("decimal(38,0)")
         ).alias("_s4"),
     )
-    j = means.join(mom, "_g")
+    j = mom
     n = F.col("_n").cast("double")
     m2 = F.col("_s2").cast("double") / n / 1e8
     m3 = F.col("_s3").cast("double") / n / 1e12
