@@ -355,6 +355,7 @@ EXTENDED = [
     "q_events_friedman",
     "q_events_gtest",
     "q_emb_knn_loo",
+    "q_events_cox_bound",
 ]
 
 

@@ -896,3 +896,120 @@ def test_runs_test_property_vs_reference(spark, vals):
     assert row.n_runs == runs
     assert row.n_above == sum(signs)
     assert row.n_below == len(signs) - sum(signs)
+
+
+# --------------------------------------------------------------------------
+# cox_ph
+# --------------------------------------------------------------------------
+
+
+def _cox_reference(rows, iterations=8):
+    """Plain-python Newton on the Breslow partial likelihood; same
+    operation shapes as the operator (per-time sums, suffix risk sets)."""
+    def stats(beta):
+        # mirrors the operator's per-row micro-quantized integer sums
+        times = sorted({t for t, _, _ in rows})
+        per = {t: [0, 0, 0, 0, 0] for t in times}  # s0q s1q s2q d sxq
+        for t, d, x in rows:
+            w = math.exp(beta * x)
+            p = per[t]
+            p[0] += round(w * 1e6)
+            p[1] += round(w * x * 1e6)
+            p[2] += round(w * x * x * 1e6)
+            p[3] += d
+            p[4] += round(d * x * 1e6)
+        nll = grad = hess = 0.0
+        for i, t in enumerate(times):
+            s0 = sum(per[u][0] for u in times[i:]) / 1e6
+            s1 = sum(per[u][1] for u in times[i:]) / 1e6
+            s2 = sum(per[u][2] for u in times[i:]) / 1e6
+            d, sx = per[t][3], per[t][4] / 1e6
+            if d == 0:
+                continue
+            nll -= beta * sx - d * math.log(s0)
+            grad += sx - d * s1 / s0
+            hess += d * (s2 / s0 - (s1 / s0) ** 2)
+        return nll, grad, hess
+
+    beta = 0.0
+    nll, grad, hess = stats(beta)
+    for _ in range(iterations):
+        if hess <= 0:
+            break
+        step = grad / hess
+        scale, accepted = 1.0, False
+        for _ in range(10):
+            trial = beta + scale * step
+            tn, tg, th = stats(trial)
+            if tn <= nll:
+                beta, nll, grad, hess = trial, tn, tg, th
+                accepted = True
+                break
+            scale *= 0.5
+        if not accepted:
+            break
+        if abs(grad) < 1e-12:
+            break
+    return beta, nll
+
+
+def test_cox_ph_recovers_positive_effect(spark):
+    from ups_crossref_etl_spark.operators.survival import cox_ph
+
+    # high-x subjects fail early, low-x late or censored -> beta > 0
+    rows = []
+    for i in range(30):
+        x = 1.0 if i % 2 == 0 else -1.0
+        if x > 0:
+            rows.append((float(1 + i % 5), 1, x))
+        else:
+            rows.append((float(8 + i % 5), 1 if i % 4 else 0, x))
+    df = spark.createDataFrame(rows, "t double, d int, x double")
+    fit = cox_ph(df, "t", "d", "x", iterations=8)
+    ref_beta, ref_nll = _cox_reference(rows)
+    assert fit["n"] == 30
+    assert fit["beta"] == pytest.approx(ref_beta, abs=1e-6)
+    assert fit["nll_path"][-1] == pytest.approx(ref_nll, abs=1e-6)
+    assert fit["beta"] > 0.5
+    # monotone non-increasing path by construction
+    assert all(
+        a >= b - 1e-12
+        for a, b in zip(fit["nll_path"], fit["nll_path"][1:])
+    )
+
+
+def test_cox_ph_null_covariate_beta_near_zero(spark):
+    from ups_crossref_etl_spark.operators.survival import cox_ph
+
+    # x independent of failure time -> beta ~ 0 and nll barely moves
+    rows = [
+        (float(1 + i % 7), 1 if i % 3 else 0, 1.0 if i % 2 else -1.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "t double, d int, x double")
+    fit = cox_ph(df, "t", "d", "x", iterations=8)
+    ref_beta, _ = _cox_reference(rows)
+    assert fit["beta"] == pytest.approx(ref_beta, abs=1e-6)
+    assert abs(fit["beta"]) < 0.5
+
+
+def test_ranged_cumsum_signed_weights_regression(spark):
+    """_ranged_exclusive_cumsum partition totals must be SUM(weights),
+    not max(running sum) — with signed weights the running sum is not
+    monotone and the max silently corrupts every later partition's
+    offset (found via cox_ph's S1 risk sums at 8 shuffle partitions)."""
+    from pyspark.sql import functions as F
+    from ups_crossref_etl_spark.operators.stats import (
+        _ranged_exclusive_cumsum,
+    )
+
+    vals = [(i, (3 if i % 2 == 0 else -3)) for i in range(1, 41)]
+    df = spark.createDataFrame(vals, "k int, w long")
+    out = {
+        r.k: r.p
+        for r in _ranged_exclusive_cumsum(df, "k", "w", "p").collect()
+    }
+    run = 0
+    for k, w in vals:
+        assert out[k] == run, f"prefix wrong at k={k}"
+        run += w

@@ -1598,8 +1598,12 @@ def _ranged_exclusive_cumsum(
     for w in wcols:
         ranked = ranked.withColumn(f"_lsum_{w}", F.sum(w).over(wrun))
     ranked = ranked.localCheckpoint()
+    # partition total = SUM of the weights, never max(running sum):
+    # for signed weights (cox_ph's S1 risk sums) the running sum is not
+    # monotone, so its max is NOT the partition total — the same
+    # max-of-prefix trap the r9 advice caught in best_sse_split
     totals = ranked.groupBy("_pid").agg(
-        *[F.max(f"_lsum_{w}").alias(f"_tot_{w}") for w in wcols]
+        *[F.sum(w).alias(f"_tot_{w}") for w in wcols]
     ).collect()
     acc = {w: 0 for w in wcols}
     offsets = []

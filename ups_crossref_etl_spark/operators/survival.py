@@ -397,3 +397,143 @@ def logrank_test(
             F.round(F.when(F.col("_vsum") > 0, num * num / vv), 6) + 0.0
         ).alias("chi2"),
     )
+
+
+def cox_ph(
+    durations: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    iterations: int = 8,
+    tol: float = 1e-9,
+) -> dict:
+    """Distributed Cox proportional-hazards fit (single covariate,
+    Breslow tie handling) over subject-level ``(time, event, x)`` rows —
+    the regression layer on top of the descriptive survival stack here
+    (Kaplan-Meier curve → Nelson-Aalen hazard → log-rank two-sample →
+    THIS: a covariate effect with a likelihood). Returns
+    ``{"beta": b, "nll_path": [...], "n": n_subjects,
+    "n_events": k, "iterations_run": it}``; ``nll_path`` is the
+    NEGATIVE log partial likelihood and is non-increasing by
+    construction (Newton with step-halving, the logreg_irls recipe).
+
+    Scale shape per Newton step (Cox & Oakes; Breslow 1974): the only
+    corpus-sized work is ONE map-side-combinable aggregate per distinct
+    leaving time t of ``(Σ e^{βx}, Σ e^{βx}x, Σ e^{βx}x², Σ_events x,
+    #events)``; the risk-set sums ``S_k(t) = Σ_{t'≥t} s_k(t')`` then
+    come from the range-partitioned exclusive-prefix primitive
+    (``stats._ranged_exclusive_cumsum`` — no unpartitioned window even
+    when leaving times are near-unique), and the gradient/Hessian/nll
+    reduce over the time table. The driver holds one scalar β. No
+    subject-level state ever leaves the executors.
+    """
+    from .stats import _ranged_exclusive_cumsum
+
+    base = durations.select(
+        F.col(time_col).cast("double").alias("_t"),
+        F.col(event_col).cast("int").alias("_d"),
+        F.col(x_col).cast("double").alias("_x"),
+    ).filter(
+        F.col("_t").isNotNull() & F.col("_d").isNotNull() & F.col("_x").isNotNull()
+    ).localCheckpoint()
+    counts = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_d").alias("_k")
+    ).collect()[0]
+    n, k = int(counts["_n"]), int(counts["_k"] or 0)
+
+    def stats_for(beta: float) -> dict:
+        # per-ROW micro-quantized weight terms: every downstream sum
+        # (per-time, prefix, total) is then an exact integer — the fit
+        # is bit-deterministic across partitionings, and the ranged
+        # cumsum primitive's integer-weight contract is satisfied.
+        # Quantization error is ~5e-7 per row on e^{βx}x^k — far below
+        # Newton's needs on a standardized covariate.
+        w = F.exp(F.lit(float(beta)) * F.col("_x"))
+        per_t = base.groupBy("_t").agg(
+            F.sum(F.round(w * 1e6).cast("bigint")).cast("bigint").alias("_s0"),
+            F.sum(F.round(w * F.col("_x") * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("_s1"),
+            F.sum(
+                F.round(w * F.col("_x") * F.col("_x") * 1e6).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("_s2"),
+            F.sum(F.col("_d")).cast("bigint").alias("_dd"),
+            F.sum(F.round(F.col("_d") * F.col("_x") * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("_sxq"),
+        ).localCheckpoint()
+        pre = _ranged_exclusive_cumsum(
+            per_t.select("_t", "_s0", "_s1", "_s2"),
+            "_t",
+            ["_s0", "_s1", "_s2"],
+            ["_p0", "_p1", "_p2"],
+        ).select("_t", "_p0", "_p1", "_p2")
+        tot = per_t.agg(
+            F.sum("_s0").cast("bigint").alias("_t0"),
+            F.sum("_s1").cast("bigint").alias("_t1"),
+            F.sum("_s2").cast("bigint").alias("_t2"),
+        )
+        # suffix risk-set sums: S_k(t) = total_k - exclusive_prefix_k(t)
+        s0 = (F.col("_t0") - F.col("_p0")).cast("double") / 1e6
+        s1 = (F.col("_t1") - F.col("_p1")).cast("double") / 1e6
+        s2 = (F.col("_t2") - F.col("_p2")).cast("double") / 1e6
+        sx = F.col("_sxq").cast("double") / 1e6
+        ev = (
+            per_t.join(pre, "_t")
+            .join(F.broadcast(tot))
+            .filter(F.col("_dd") > 0)
+        )
+        row = ev.agg(
+            F.sum(
+                -(
+                    F.lit(float(beta)) * sx
+                    - F.col("_dd").cast("double") * F.log(s0)
+                )
+            ).alias("_nll"),
+            F.sum(
+                sx - F.col("_dd").cast("double") * s1 / s0
+            ).alias("_grad"),
+            F.sum(
+                F.col("_dd").cast("double")
+                * (s2 / s0 - (s1 / s0) * (s1 / s0))
+            ).alias("_hess"),
+        ).collect()[0]
+        return {
+            "nll": float(row["_nll"] if row["_nll"] is not None else 0.0),
+            "grad": float(row["_grad"] or 0.0),
+            "hess": float(row["_hess"] or 0.0),
+        }
+
+    beta = 0.0
+    cur = stats_for(beta)
+    nll_path = [cur["nll"]]
+    it_run = 0
+    for _ in range(iterations):
+        if cur["hess"] <= 0.0:
+            break
+        step = cur["grad"] / cur["hess"]
+        accepted = False
+        scale = 1.0
+        for _ in range(10):
+            trial = beta + scale * step
+            t_stats = stats_for(trial)
+            if t_stats["nll"] <= cur["nll"]:
+                beta, cur = trial, t_stats
+                accepted = True
+                break
+            scale *= 0.5
+        if not accepted:
+            break
+        it_run += 1
+        nll_path.append(cur["nll"])
+        if len(nll_path) >= 2 and nll_path[-2] - nll_path[-1] < tol:
+            break
+    return {
+        "beta": beta,
+        "nll_path": nll_path,
+        "n": n,
+        "n_events": k,
+        "iterations_run": it_run,
+    }

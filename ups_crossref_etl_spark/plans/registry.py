@@ -130,6 +130,14 @@ _CHANGED_THIS_ROUND = [
     "q_events_friedman",
     "q_events_gtest",
     "q_emb_knn_loo",
+    # ... and the flagship closer: distributed Cox proportional
+    # hazards (Breslow partial likelihood, risk-set suffix sums via
+    # the range-partitioned cumsum primitive), bound-gated like
+    # ALS/IRLS. Its stats pass also exposed and fixed a latent
+    # signed-weight bug in _ranged_exclusive_cumsum's partition
+    # totals (max-of-running-sum vs sum), so the primitive's gated
+    # consumers re-verify via the wave-1 entries above.
+    "q_events_cox_bound",
 ]
 
 

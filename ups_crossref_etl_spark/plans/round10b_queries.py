@@ -1201,3 +1201,108 @@ def q_emb_knn_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") <= 240
     )
     return knn_loo_bounded(emb, "embedding", "label", "vec_id")
+
+# --------------------------------------------------------------------------
+# Cox proportional hazards: bound contract (signup -> purchase hazard
+# regressed on the user's standardized mean event value)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cox_bound",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev
+      FROM entry LEFT JOIN fe USING (u)),
+    xs AS (
+      SELECT DISTINCT user_id AS u FROM events WHERE value IS NOT NULL),
+    sub AS (SELECT dur.* FROM dur JOIN xs USING (u))
+    SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+           CAST(sum(ev) AS BIGINT) AS n_events,
+           true AS nll_nonincreasing,
+           true AS beats_null,
+           true AS beta_bounded,
+           true AS stepped
+    FROM sub
+    """,
+    doc=(
+        "Quality contract for the distributed Cox proportional-hazards "
+        "fit (operators/survival.cox_ph — Newton on the Breslow "
+        "partial likelihood; the regression layer completing the "
+        "survival stack: KM curve -> Nelson-Aalen hazard -> log-rank "
+        "two-sample -> covariate effect with a likelihood): "
+        "signup->purchase hazard regressed on each user's standardized "
+        "mean event value. The fit is iterative float state, so the "
+        "gate pins the deterministic guarantees (the ALS/IRLS bound "
+        "pattern): the negative log partial likelihood path is "
+        "non-increasing (step-halving makes this true by "
+        "construction - asserted from the actual path), the fitted "
+        "nll does not exceed the beta=0 null (within 1e-6), |beta| "
+        "sane, and at least one accepted Newton step; exact side = "
+        "subject/event counts from the same duration construction as "
+        "q_events_kaplan_meier. Scale shape per Newton step: ONE "
+        "map-side-combinable per-leaving-time aggregate of micro-"
+        "quantized (sum e^bx, sum e^bx*x, sum e^bx*x^2) + the range-"
+        "partitioned exclusive-prefix primitive for the risk-set "
+        "suffix sums (no unpartitioned window even with near-unique "
+        "times) + one time-table reduction; the driver holds one "
+        "scalar beta."
+    ),
+)
+def q_events_cox_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import cox_ph, duration_table
+
+    ev = read_table(spark, sf_dir, "events")
+    dur = duration_table(
+        ev, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=604800, bucket_seconds=3600,
+    )
+    xs = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("user_id").alias("_u"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_xraw")
+        )
+    )
+    sub = dur.join(xs, "_u")
+    mom = sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.avg("_xraw").alias("_mu"),
+        F.stddev_pop("_xraw").alias("_sd"),
+    ).collect()[0]
+    sd = float(mom["_sd"] or 0.0)
+    z = (F.col("_xraw") - F.lit(float(mom["_mu"] or 0.0))) / F.lit(
+        sd if sd > 0 else 1.0
+    )
+    fit = cox_ph(
+        sub.select("ev", "t", z.alias("_z")), "t", "ev", "_z", iterations=8
+    )
+    path = fit["nll_path"]
+    mono = all(a >= b - 1e-9 for a, b in zip(path, path[1:]))
+    return sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("ev").cast("bigint").alias("n_events"),
+    ).select(
+        "n_subjects",
+        "n_events",
+        F.lit(bool(mono)).alias("nll_nonincreasing"),
+        F.lit(bool(path[-1] <= path[0] + 1e-6)).alias("beats_null"),
+        F.lit(bool(abs(fit["beta"]) < 50.0)).alias("beta_bounded"),
+        F.lit(bool(fit["iterations_run"] >= 1)).alias("stepped"),
+    )
