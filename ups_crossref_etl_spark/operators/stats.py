@@ -1565,6 +1565,7 @@ def _ranged_exclusive_cumsum(
     order_col: str,
     weight_col: str | list[str],
     out_col: str | list[str],
+    totals_out: dict | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum(s) of ``weight_col`` in ``order_col`` order
     with NO unpartitioned WindowExec: ``repartitionByRange`` on the
@@ -1575,7 +1576,12 @@ def _ranged_exclusive_cumsum(
     localCheckpointed so the collected offsets can never drift from a
     re-sampled RangePartitioner on recompute. Requires ``order_col``
     values distinct. Accepts parallel lists of weight/out columns (all
-    prefix sums share the single range pass).
+    prefix sums share the single range pass); the output keeps the
+    order column and every weight column, nothing else. Pass
+    ``totals_out`` (a dict) to ALSO receive the
+    grand total per weight column — already known from the offset fold,
+    so callers needing suffix sums (total − exclusive prefix) pay zero
+    extra jobs.
     """
     from pyspark.sql import Window
 
@@ -1611,6 +1617,8 @@ def _ranged_exclusive_cumsum(
         offsets.append((int(r["_pid"]), *[acc[w] for w in wcols]))
         for w in wcols:
             acc[w] += int(r[f"_tot_{w}"])
+    if totals_out is not None:
+        totals_out.update({w: int(acc[w]) for w in wcols})
     schema = "_pid int, " + ", ".join(f"_poff_{w} bigint" for w in wcols)
     off_df = spark.createDataFrame(
         offsets or [tuple([0] + [0] * len(wcols))], schema

@@ -463,28 +463,27 @@ def cox_ph(
             F.sum(F.round(F.col("_d") * F.col("_x") * 1e6).cast("bigint"))
             .cast("bigint")
             .alias("_sxq"),
-        ).localCheckpoint()
+        )
+        # _dd/_sxq ride the same range pass as extra weight columns, so
+        # the event-time table comes back complete from ONE cumsum call
+        # (its internal localCheckpoint is the only materialization) and
+        # the grand totals fall out of the offset fold — per stats pass:
+        # one corpus aggregate, one range pass, one reduction. No join
+        # back, no separate totals job.
+        tots: dict = {}
         pre = _ranged_exclusive_cumsum(
-            per_t.select("_t", "_s0", "_s1", "_s2"),
+            per_t,
             "_t",
-            ["_s0", "_s1", "_s2"],
-            ["_p0", "_p1", "_p2"],
-        ).select("_t", "_p0", "_p1", "_p2")
-        tot = per_t.agg(
-            F.sum("_s0").cast("bigint").alias("_t0"),
-            F.sum("_s1").cast("bigint").alias("_t1"),
-            F.sum("_s2").cast("bigint").alias("_t2"),
+            ["_s0", "_s1", "_s2", "_dd", "_sxq"],
+            ["_p0", "_p1", "_p2", "_pdd", "_psx"],
+            totals_out=tots,
         )
         # suffix risk-set sums: S_k(t) = total_k - exclusive_prefix_k(t)
-        s0 = (F.col("_t0") - F.col("_p0")).cast("double") / 1e6
-        s1 = (F.col("_t1") - F.col("_p1")).cast("double") / 1e6
-        s2 = (F.col("_t2") - F.col("_p2")).cast("double") / 1e6
+        s0 = (F.lit(tots["_s0"]) - F.col("_p0")).cast("double") / 1e6
+        s1 = (F.lit(tots["_s1"]) - F.col("_p1")).cast("double") / 1e6
+        s2 = (F.lit(tots["_s2"]) - F.col("_p2")).cast("double") / 1e6
         sx = F.col("_sxq").cast("double") / 1e6
-        ev = (
-            per_t.join(pre, "_t")
-            .join(F.broadcast(tot))
-            .filter(F.col("_dd") > 0)
-        )
+        ev = pre.filter(F.col("_dd") > 0)
         row = ev.agg(
             F.sum(
                 -(

@@ -1290,8 +1290,12 @@ def q_events_cox_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("_xraw") - F.lit(float(mom["_mu"] or 0.0))) / F.lit(
         sd if sd > 0 else 1.0
     )
+    # the bound contract needs descent, not convergence: 4 Newton
+    # iterations at a 1e-6 nll tolerance keep the battery cost at a
+    # handful of stats passes (each pass = one corpus aggregate)
     fit = cox_ph(
-        sub.select("ev", "t", z.alias("_z")), "t", "ev", "_z", iterations=8
+        sub.select("ev", "t", z.alias("_z")), "t", "ev", "_z",
+        iterations=4, tol=1e-6,
     )
     path = fit["nll_path"]
     mono = all(a >= b - 1e-9 for a, b in zip(path, path[1:]))
