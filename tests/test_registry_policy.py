@@ -171,6 +171,12 @@ def test_no_orphan_public_operators():
     ops_dir = os.path.join(ROOT, "ups_crossref_etl_spark", "operators")
     public: dict[str, str] = {}
     module_text: dict[str, str] = {}
+    #: per public function: occurrences of its own name inside its own
+    #: def statement (the name itself) + its docstring — excluded from
+    #: the same-module reference count, else a function whose docstring
+    #: mentions itself passes the orphan check with zero real consumers
+    #: (ADVICE r10)
+    self_refs: dict[str, int] = {}
     for fname in os.listdir(ops_dir):
         if not fname.endswith(".py") or fname == "__init__.py":
             continue
@@ -179,6 +185,10 @@ def test_no_orphan_public_operators():
         for node in ast.parse(text).body:
             if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):
                 public[node.name] = fname
+                doc = ast.get_docstring(node) or ""
+                self_refs[node.name] = 1 + len(
+                    re.findall(rf"\b{re.escape(node.name)}\b", doc)
+                )
 
     hay_parts = []
     for rel in [
@@ -210,12 +220,15 @@ def test_no_orphan_public_operators():
         if re.search(rf"\b{re.escape(name)}\b", hay):
             continue
         # same-module or sibling-operator usage beyond the def itself
+        # (the def statement + the function's own docstring are excluded
+        # from its own module's count — ADVICE r10: a self-citing
+        # docstring must not satisfy the orphan check)
         used = False
         for other, text in module_text.items():
             refs = len(re.findall(rf"\b{re.escape(name)}\b", text))
-            if (other != fname and refs >= 1) or (
-                other == fname and refs >= 2
-            ):
+            if other == fname:
+                refs -= self_refs.get(name, 1)
+            if refs >= 1:
                 used = True
                 break
         if not used:
@@ -251,4 +264,40 @@ def test_priority_tier_fits_driver_window():
     assert set(prio) == set(head), (
         "load_all() must emit the changed tier + backlog first; "
         f"missing from head: {sorted(set(prio) - set(head))}"
+    )
+
+
+def test_driver_sample_staleness_bounded(registry):
+    """r10 verdict #5: with the never-sampled backlog at zero, the
+    remaining re-verification risk is ROTATION STALENESS — nothing
+    guaranteed a gated query is re-sampled by the driver within any
+    bounded number of rounds under the old pure-md5 rotation. load_all
+    now orders the post-changed-tier entries least-recently-driver-
+    sampled first (from the committed CORRECTNESS_r*.json artifacts),
+    which bounds staleness by construction at ~ceil(N/slots) rounds;
+    this test enforces the bound against the artifacts so a future
+    ordering change (or a changed tier bloated enough to starve the
+    rotation) fails loudly instead of silently rotting coverage."""
+    from ups_crossref_etl_spark.plans.registry import (
+        _ROUND,
+        _last_sampled_rounds,
+    )
+
+    specs, _, _ = registry
+    gated = [n for n, s in specs.items() if s.gate]
+    # conservative slots/round estimate: 50-slot window minus a typical
+    # changed tier — the r9/r10 tiers ran 15-41 entries, so 35 free
+    # slots is the planning number (memory: round-flow checklist)
+    k_max = -(-len(gated) // 35) + 1
+    last = _last_sampled_rounds()
+    window = set(list(specs)[:50])
+    stale = sorted(
+        (n, _ROUND - last.get(n, 0))
+        for n in gated
+        if n not in window and _ROUND - last.get(n, 0) > k_max
+    )
+    assert not stale, (
+        f"gated queries whose most recent driver sample is older than "
+        f"{k_max} rounds and which are NOT scheduled in this round's "
+        f"window — the LRS rotation is being starved: {stale}"
     )

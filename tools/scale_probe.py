@@ -45,11 +45,26 @@ def timed(fn):
     return round(time.time() - t0, 2), out
 
 
+def sentinel(spark) -> float:
+    """Contention sentinel (bench.py's probe, same constants): a fixed
+    CPU-bound sum over 400M ids across 32 tasks, ~1.2 s on a quiet box.
+    Timed before and after the probe run and stamped into every entry
+    written by that run, so a contended measurement carrying a scale
+    claim is self-evident from the artifact (the r10 verdict flagged
+    the legacy probes for lacking exactly this)."""
+    t0 = time.time()
+    spark.range(0, 400_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000000007) AS s"
+    ).collect()
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
     spark = get_spark("scale_probe")
     results = {"replication": n, "probes": {}}
+    sent_pre = sentinel(spark)
 
     docs1 = read_table(spark, SF_DIR, "documents")
     docsN = replicate(docs1, "doc_id", n).localCheckpoint()
@@ -444,18 +459,35 @@ def main() -> None:
         ev1.count(), evN_ord.count(),
     )
 
-    # round 6: TF-IDF KNN — the df-cap is RELATIVE (6% of N), so the kept
-    # vocab and pair fanout both scale with the corpus; what must stay
-    # bounded is fanout/token-mass, which the cap enforces by construction.
+    # round 11: TF-IDF KNN on the OPERATIONAL absolute-df-cap path (the
+    # gated q_docs_tfidf_knn parameters). The old RELATIVE 6%-of-N cap
+    # measured slope 1.5 at 10x — kept posting lists lengthen with N, so
+    # pair fanout grows ~cap_frac*N per token; the absolute cap bounds
+    # fanout at max_df * token mass, linear at any N.
     from ups_crossref_etl_spark.operators.retrieval import tfidf_knn_graph
 
     probe(
         "tfidf_knn",
         lambda: tfidf_knn_graph(
-            docs1, "text", "doc_id", k=5, max_df_frac=0.06, ngram=3
+            docs1, "text", "doc_id", k=5, max_df=15, ngram=3
         ).count(),
         lambda: tfidf_knn_graph(
-            docsN, "text", "doc_id", k=5, max_df_frac=0.06, ngram=3
+            docsN, "text", "doc_id", k=5, max_df=15, ngram=3
+        ).count(),
+        docs1.count(), docsN.count(),
+    )
+    # ... and the pre-r11 relative-cap path kept as a named probe so the
+    # superlinear shape stays measured, not folklore (it is NOT any
+    # gated query's path anymore)
+    probe(
+        "tfidf_knn_relative_cap",
+        lambda: tfidf_knn_graph(
+            docs1, "text", "doc_id", k=5, max_df=None, max_df_frac=0.06,
+            ngram=3,
+        ).count(),
+        lambda: tfidf_knn_graph(
+            docsN, "text", "doc_id", k=5, max_df=None, max_df_frac=0.06,
+            ngram=3,
         ).count(),
         docs1.count(), docsN.count(),
     )
@@ -1186,6 +1218,11 @@ def main() -> None:
         lambda: durbin_watson(ev_pcN, "user_id", "ts", "value").count(),
         ev_pc1.count(), ev_pcN.count(),
     )
+
+    sent_post = sentinel(spark)
+    for entry in results["probes"].values():
+        entry["sentinel_pre"] = sent_pre
+        entry["sentinel_post"] = sent_post
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALE_PROBE.json")

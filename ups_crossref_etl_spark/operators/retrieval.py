@@ -109,7 +109,8 @@ def tfidf_knn_graph(
     text_col: str,
     id_col: str,
     k: int = 5,
-    max_df_frac: float = 0.5,
+    max_df: int | None = 1000,
+    max_df_frac: float | None = None,
     ngram: int = 1,
     round_digits: int = 4,
 ) -> DataFrame:
@@ -133,15 +134,25 @@ def tfidf_knn_graph(
     1. One corpus scan → ``(doc, token, tf)`` (map-side combinable
        groupBy — shuffle #1, token/doc-keyed).
     2. Token document frequencies reduce FROM tf (tiny, vocab-sized).
-       Tokens with ``df > max_df_frac·N`` are DROPPED before any pairing
-       — the posting-list cap. This is the 100 TB control: pair volume
-       is ``Σ_t df(t)²`` which one stopword ("the", df≈N) turns into
-       N² — capped, it is ≤ ``cap · Σ_t df(t)`` = ``cap × corpus token
-       mass``, linear in the corpus at fixed cap fraction only if the
-       fraction shrinks with N; operationally you tune the cap so the
-       hottest surviving posting list fits a task. (Dropping ubiquitous
-       tokens also barely moves cosine — their idf ≈ ln(1)+1 is the
-       floor; this is the trade every sparse-KNN system ships.)
+       Tokens with ``df > cap`` are DROPPED before any pairing — the
+       posting-list cap. This is the 100 TB control: pair volume is
+       ``Σ_t df(t)²`` which one stopword ("the", df≈N) turns into N².
+       The DEFAULT cap is ABSOLUTE (``max_df`` documents per posting
+       list), which bounds pair volume at ``max_df · Σ_t kept df(t)``
+       ≤ ``max_df × corpus token mass`` — LINEAR in the corpus at a
+       fixed cap. A RELATIVE cap (``max_df_frac``, the pre-round-11
+       default) lets kept posting lists lengthen with N, so pair
+       volume grows ~cap_frac·N per token — MEASURED superlinear
+       (SCALE_PROBE ``tfidf_knn`` slope 1.5 at 10× under the old
+       relative default); it remains available for small-corpus
+       exploration, and when both are given the tighter cap wins.
+       The truncation cost of the absolute cap is not asserted — it is
+       gated: ``q_docs_tfidf_knn_cap_agreement`` measures the edge-set
+       Jaccard between capped and uncapped graphs on a bounded
+       sub-corpus (the transitivity capped+exact+agreement pattern).
+       (Dropping ubiquitous tokens barely moves cosine — their idf
+       ≈ ln(1)+1 is the floor; this is the trade every sparse-KNN
+       system ships.)
     3. Pair dot-products via self-equi-join on token + groupBy(id_a,
        id_b) — shuffle is pair-keyed partial-aggregated rows, and the
        join itself is a hash/SMJ equi-join on the token key.
@@ -172,13 +183,15 @@ def tfidf_knn_graph(
         ).otherwise(F.array().cast("array<string>"))
     toks = df.select(F.col(id_col).alias("_id"), F.explode(terms).alias("_t"))
     n_docs = df.count()  # scalar N for idf — one count, not collected per row
-    max_df = int(max_df_frac * n_docs)
+    caps = [c for c in (
+        max_df,
+        None if max_df_frac is None else int(max_df_frac * n_docs),
+    ) if c is not None]
+    cap = min(caps) if caps else None
     tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
-    dfreq = (
-        tf.groupBy("_t")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    if cap is not None:
+        dfreq = dfreq.filter(F.col("_df") <= cap)
     # persisted: the posting relation feeds the norm aggregate AND both
     # sides of the pair join — without it the corpus scan + tf shuffle
     # replays 3x (a token-mass-sized cache, not a corpus-sized one;

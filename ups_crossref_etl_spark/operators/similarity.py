@@ -1109,19 +1109,28 @@ def calinski_harabasz(
         "_l", "_i",
         F.round(F.col("_v").cast("double") * 1e6).cast("bigint").alias("_m"),
     )
+    # _s1/_s2 accumulate in DECIMAL(38,0), not BIGINT: per-(label,dim)
+    # sums of _m*_m wrap a long silently past 2^63 (~9e6 rows per group
+    # at unit-scale coords on the 1e6 grid) while the DuckDB oracle
+    # sums into HUGEINT — the jarque_bera integer-moment recipe applies
+    # verbatim (ADVICE r10)
     per = rows.groupBy("_l", "_i").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum("_m").cast("bigint").alias("_s1"),
-        F.sum(F.col("_m") * F.col("_m")).cast("bigint").alias("_s2"),
+        F.sum(F.col("_m").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(
+            (F.col("_m").cast("decimal(38,0)") * F.col("_m"))
+            .cast("decimal(38,0)")
+        ).alias("_s2"),
     )
     # grand per-dim totals (S1, N) — dims-sized broadcast back
     grand = per.groupBy("_i").agg(
-        F.sum("_s1").cast("bigint").alias("_g1"),
+        F.sum("_s1").cast("decimal(38,0)").alias("_g1"),
         F.sum("_n").cast("bigint").alias("_gn"),
     )
     dim_within = F.round(
         F.col("_s2").cast("double")
-        - F.col("_s1").cast("double") * F.col("_s1") / F.col("_n")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double")
+        / F.col("_n").cast("double")
     ).cast("bigint")
     cdev = (
         F.col("_s1").cast("double") / F.col("_n")

@@ -815,14 +815,15 @@ def mann_whitney(
     ``experiment.permutation_test``'s Monte-Carlo p): U_a counts, over
     all cross pairs, how often an A value beats a B value (ties half).
     Midranks come from the ``binary_auc`` scale trick — aggregate per
-    DISTINCT value first (the only corpus-sized shuffle), then one
-    cumulative window over the distinct-value table; per-value midranks
-    are exact halves, so their sums are exact in doubles (no rounding
-    below 2^52) and order-independent. The tie correction term
-    sum(t^3 - t) is an exact integer aggregate.
+    DISTINCT value first (the only corpus-sized shuffle), then a
+    RANGE-PARTITIONED exclusive prefix sum over the distinct-value
+    table (``_ranged_exclusive_cumsum``, round 11 — a continuous metric
+    makes the distinct table ~data-sized, which degenerated the old
+    unpartitioned window to one partition exactly when scale mattered);
+    per-value midranks are exact halves, so their sums are exact in
+    doubles (no rounding below 2^52) and order-independent. The tie
+    correction term sum(t^3 - t) is an exact integer aggregate.
     """
-    from pyspark.sql import Window
-
     base = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -834,11 +835,19 @@ def mann_whitney(
         F.count(F.lit(1)).cast("bigint").alias("_t"),
         F.sum(F.when(F.col("_isa"), 1).otherwise(0)).cast("bigint").alias("_ta"),
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
-        "_v", "_t", "_ta",
+    # midrank = exclusive prefix of _t + (_t+1)/2, via the RANGE-
+    # partitioned cumsum primitive — on continuous metrics the distinct-
+    # value table is ~data-sized, so the old unpartitioned
+    # Window.orderBy was a single-partition bottleneck exactly when it
+    # mattered (r10 verdict; percent_rank_unique made the same move in
+    # r10). _ta rides the same range pass as a second weight column so
+    # nothing needs a join back.
+    ranked = _ranged_exclusive_cumsum(
+        per_v, "_v", ["_t", "_ta"], ["_off", "_offa"]
+    ).select(
+        "_t", "_ta",
         (
-            F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("double")
+            F.col("_off").cast("double")
             + (F.col("_t") + 1).cast("double") / 2.0
         ).alias("_midrank"),
     )
@@ -2094,12 +2103,13 @@ def wilcoxon_signed_rank(
 
     Determinism: differences quantize to integer micro-units, midranks
     come from the :func:`mann_whitney` distinct-value trick — aggregate
-    per distinct |d| (the only unit-count-sized shuffle), one
-    cumulative window over the distinct-|d| table (bounded by the
-    micro-quantized difference cardinality; ``percent_rank_unique``'s
-    range-partitioned cumsum is the swap-in if differences are
-    near-unique at corpus scale); midranks are exact halves, tie terms
-    exact integers.
+    per distinct |d| (the only unit-count-sized shuffle), then a
+    RANGE-PARTITIONED exclusive prefix sum over the distinct-|d| table
+    (``_ranged_exclusive_cumsum``, round 11: on continuous paired
+    metrics the micro-quantized differences are near-unique, so the
+    distinct table is ~n rows and the old unpartitioned window was a
+    single-partition bottleneck precisely at corpus scale); midranks
+    are exact halves, tie terms exact integers.
     """
     d = df.select(
         F.round(
@@ -2118,13 +2128,15 @@ def wilcoxon_signed_rank(
         F.count(F.lit(1)).cast("bigint").alias("_t"),
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("_tp"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
+    # exclusive prefix of _t via the range-partitioned primitive (no
+    # unpartitioned window even with near-unique |d|); _tp rides the
+    # same range pass as a second weight column
+    ranked = _ranged_exclusive_cumsum(
+        per_v, "_a", ["_t", "_tp"], ["_off", "_offp"]
+    ).select(
         "_t", "_tp",
         (
-            F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("double")
+            F.col("_off").cast("double")
             + (F.col("_t") + 1).cast("double") / 2.0
         ).alias("_midrank"),
     )

@@ -1572,9 +1572,23 @@ def pacf_dl(
     Arrow batch — model-sized, never data-sized.
     """
     import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
 
     r = acf(df, key_col, ts_col, value_col, max_lag, round_digits=12)
     key_field = r.schema[key_col].dataType.simpleString()
+
+    def _round6_half_up(x: float) -> float:
+        # Python round() is banker's (half-to-even) while the DuckDB
+        # oracle round() and every F.round in the repo are HALF_UP on
+        # the double's shortest decimal repr — an exact 6-dp half-tie
+        # in phi_mm would hash-mismatch under round() (ADVICE r10).
+        # Decimal(repr(x)) reproduces the same shortest-repr base both
+        # engines quantize from.
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("lag")
@@ -1605,7 +1619,7 @@ def pacf_dl(
             new_phi[step] = phi_mm
             phi = new_phi
             out_lag.append(step)
-            out_val.append(round(phi_mm, 6) + 0.0)
+            out_val.append(_round6_half_up(phi_mm) + 0.0)
         return pd.DataFrame(
             {key_col: [key] * len(out_lag), "lag": out_lag,
              "pacf_val": out_val}

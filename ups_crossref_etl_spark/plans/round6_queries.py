@@ -900,8 +900,7 @@ def q_orders_hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n FROM documents),
     dfreq AS (
       SELECT tok, count(*) AS df FROM tf GROUP BY 1
-      HAVING count(*) <= (SELECT CAST(floor(0.06 * count(*)) AS BIGINT)
-                          FROM documents)),
+      HAVING count(*) <= 15),
     w AS (
       SELECT tf.doc_id, tf.tok,
              tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0) AS w
@@ -928,20 +927,26 @@ def q_orders_hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rk WHERE rank <= 5
     """,
     doc=(
-        "Sparse lexical KNN graph (operators/retrieval.tfidf_knn_graph): "
-        "per document the 5 most-cosine-similar others under smooth-idf "
-        "TF-IDF over trigram shingles (unigram df ~= N on this corpus — "
-        "the degenerate case the ngram knob exists for), df-capped at "
-        "6% of N so no posting list exceeds cap*N pairs — the join-"
-        "fanout control that keeps pair volume ~= cap * token mass "
-        "instead of N^2 at 100 TB. Shingles are built row-locally "
-        "(codegen transform, no corpus re-explode); pair dot products "
-        "are a token-keyed self-equi-join with map-side partial agg, "
-        "never a doc-by-doc product; unordered pairs computed once and "
-        "mirrored AFTER the aggregate; top-k is one row_number window "
-        "on the source key with a neighbor-id tiebreak making the cut "
-        "total. Oracle replays the identical arithmetic (same ln, same "
-        "4-dp round)."
+        "Sparse lexical KNN graph (operators/retrieval.tfidf_knn_graph), "
+        "OPERATIONAL absolute-df-cap path: per document the 5 most-"
+        "cosine-similar others under smooth-idf TF-IDF over trigram "
+        "shingles (unigram df ~= N on this corpus — the degenerate case "
+        "the ngram knob exists for), posting lists capped at an ABSOLUTE "
+        "15 documents. The round-11 scale fix for the last measured "
+        "superlinear default (SCALE_PROBE tfidf_knn slope 1.5 at 10x "
+        "under the old RELATIVE 6%-of-N cap, whose kept posting lists "
+        "lengthen with the corpus): an absolute cap bounds pair volume "
+        "at max_df * token mass — linear at any N. Uncapped semantics "
+        "are gated on a bounded sub-corpus by q_docs_tfidf_knn_exact "
+        "and the truncation cost is MEASURED by "
+        "q_docs_tfidf_knn_cap_agreement (the transitivity triple "
+        "pattern). Shingles are built row-locally (codegen transform, "
+        "no corpus re-explode); pair dot products are a token-keyed "
+        "self-equi-join with map-side partial agg, never a doc-by-doc "
+        "product; unordered pairs computed once and mirrored AFTER the "
+        "aggregate; top-k is one row_number window on the source key "
+        "with a neighbor-id tiebreak making the cut total. Oracle "
+        "replays the identical arithmetic (same ln, same 4-dp round)."
     ),
 )
 def q_docs_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,7 +954,7 @@ def q_docs_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return tfidf_knn_graph(
-        docs, "text", "doc_id", k=5, max_df_frac=0.06, ngram=3
+        docs, "text", "doc_id", k=5, max_df=15, ngram=3
     )
 
 
