@@ -356,6 +356,10 @@ EXTENDED = [
     "q_events_gtest",
     "q_emb_knn_loo",
     "q_events_cox_bound",
+    # round 11
+    "q_docs_tfidf_knn_exact",
+    "q_docs_tfidf_knn_cap_agreement",
+    "q_events_cox_multi_bound",
 ]
 
 

@@ -1273,3 +1273,131 @@ def test_gtest_margins_broadcast_not_shuffled(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _spy_checkpoint_plans(monkeypatch):
+    """Capture the executed plan of every DataFrame at the moment it is
+    localCheckpointed — the only way to pin shapes that live ABOVE a
+    checkpoint truncation (the ranged-cumsum running-sum frame). Patches
+    the CONCRETE classic DataFrame class: pyspark.sql.DataFrame is the
+    abstract base in Spark 4 and instance methods resolve on the
+    subclass, so patching the base intercepts nothing."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    captured: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **k):
+        captured.append(
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    return captured
+
+
+def test_wilcoxon_midranks_no_single_partition_window(
+    spark, sf_dir, monkeypatch
+):
+    """r10 verdict #2: wilcoxon's distinct-|d| midrank cumsum must run
+    on the RANGE-partitioned primitive — on continuous paired metrics
+    the micro-quantized differences are near-unique, so the old
+    unpartitioned Window.orderBy degenerated to one partition exactly
+    at corpus scale. Pin: the checkpointed running-sum frame windows
+    over a rangepartitioning exchange, never a SinglePartition one."""
+    from ups_crossref_etl_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    captured = _spy_checkpoint_plans(monkeypatch)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.col("value").alias("x"),
+        (F.col("value") * 1.1 + (F.col("event_id") % 97) / 97.0).alias(
+            "y"
+        ),
+    )
+    wilcoxon_signed_rank(d, "x", "y").collect()
+    win_plans = [p for p in captured if "Window" in p]
+    assert win_plans, "expected the ranged-cumsum running-sum frame"
+    for p in win_plans:
+        assert "Exchange SinglePartition" not in p
+        assert "Exchange rangepartitioning" in p
+
+
+def test_mann_whitney_midranks_no_single_partition_window(
+    spark, sf_dir, monkeypatch
+):
+    """Same pin as wilcoxon for the unpaired test's midrank pass."""
+    from ups_crossref_etl_spark.operators.stats import mann_whitney
+
+    captured = _spy_checkpoint_plans(monkeypatch)
+    e = read_table(spark, sf_dir, "events")
+    mann_whitney(e, "event_type", "value", "click", "view").collect()
+    win_plans = [p for p in captured if "Window" in p]
+    assert win_plans, "expected the ranged-cumsum running-sum frame"
+    for p in win_plans:
+        assert "Exchange SinglePartition" not in p
+        assert "Exchange rangepartitioning" in p
+
+
+def test_cox_stats_pass_prepartitioned(spark, sf_dir, monkeypatch):
+    """r10 verdict #3/#7: a Cox Newton-step stats pass must not
+    re-derive range boundaries or re-checkpoint — the subject table is
+    range-partitioned ONCE per fit (the prelude's single
+    localCheckpoint), and each pass is the prepartitioned cumsum
+    (totals fold + reduction). Pin via spies: across a 3-pass fit there
+    is EXACTLY ONE localCheckpoint (carrying the one range exchange),
+    and no collect-time plan ever contains a rangepartitioning exchange
+    or an unpartitioned window."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from ups_crossref_etl_spark.operators.survival import cox_ph
+
+    ckpt_plans = _spy_checkpoint_plans(monkeypatch)
+    collect_plans: list[str] = []
+    orig_collect = DataFrame.collect
+
+    def collect_spy(self, *a, **k):
+        collect_plans.append(
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig_collect(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "collect", collect_spy)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("event_id") % 50).cast("double").alias("t"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("ev"),
+        (F.col("value") / 100.0).alias("x"),
+    )
+    fit = cox_ph(d, "t", "ev", "x", iterations=2, tol=0.0)
+    assert fit["n"] > 0
+    assert len(ckpt_plans) == 1, (
+        f"{len(ckpt_plans)} checkpoints in a cox fit — the per-pass "
+        "checkpoint is back (boundaries must be frozen once in the "
+        "prelude)"
+    )
+    assert "Exchange rangepartitioning" in ckpt_plans[0]
+    assert len(collect_plans) >= 5  # counts + >=2 passes x (totals+reduce)
+    for p in collect_plans:
+        assert "Exchange rangepartitioning" not in p, (
+            "a stats pass re-derived range boundaries"
+        )
+        # the running-sum Window must be fed by a keyed exchange, never
+        # SinglePartition (the trailing 1-row reduce legitimately IS
+        # single-partition, so scope the check to the Window's input)
+        lines = p.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window" in ln:
+                nxt = next(
+                    (x for x in lines[i + 1:] if "Exchange" in x), ""
+                )
+                assert "SinglePartition" not in nxt, (
+                    "unpartitioned window in a cox stats pass"
+                )

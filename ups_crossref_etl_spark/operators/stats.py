@@ -1575,6 +1575,8 @@ def _ranged_exclusive_cumsum(
     weight_col: str | list[str],
     out_col: str | list[str],
     totals_out: dict | None = None,
+    prepartitioned: bool = False,
+    cache_pool: list | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum(s) of ``weight_col`` in ``order_col`` order
     with NO unpartitioned WindowExec: ``repartitionByRange`` on the
@@ -1591,6 +1593,24 @@ def _ranged_exclusive_cumsum(
     grand total per weight column — already known from the offset fold,
     so callers needing suffix sums (total − exclusive prefix) pay zero
     extra jobs.
+
+    ``prepartitioned=True`` (round 11, for iterative callers like
+    ``survival.cox_ph`` that run MANY prefix passes over the same
+    ordered key set): the input already carries a ``_pid`` column with
+    range semantics — every row of one ``order_col`` value under one
+    pid, pids ascending with the order key, ``_pid`` MATERIALIZED
+    upstream (a localCheckpointed ``repartitionByRange`` +
+    ``spark_partition_id()``). The primitive then skips its own range
+    shuffle AND the checkpoint: the per-pass boundary re-sample and
+    materialization were ~half of cox's fixed cost, and determinism
+    still holds because the offsets derive from exact integer sums
+    grouped on the frozen upstream pid assignment (nothing re-samples
+    on recompute). To ALSO avoid recomputing the running-sum chain in
+    the caller's downstream action (the totals collect is one job, the
+    caller's reduction another), pass ``cache_pool`` (a list): the
+    running-sum frame is ``persist()``-ed — populated by the totals
+    job, read for free by the caller's — and appended to the pool; the
+    CALLER unpersists everything in the pool once its action is done.
     """
     from pyspark.sql import Window
 
@@ -1607,12 +1627,22 @@ def _ranged_exclusive_cumsum(
         .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = per_v.repartitionByRange(
-        n_parts, F.col(order_col).asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    if prepartitioned:
+        assert "_pid" in per_v.columns, (
+            "prepartitioned=True requires a materialized _pid column"
+        )
+        ranked = per_v
+    else:
+        ranked = per_v.repartitionByRange(
+            n_parts, F.col(order_col).asc()
+        ).withColumn("_pid", F.spark_partition_id())
     for w in wcols:
         ranked = ranked.withColumn(f"_lsum_{w}", F.sum(w).over(wrun))
-    ranked = ranked.localCheckpoint()
+    if not prepartitioned:
+        ranked = ranked.localCheckpoint()
+    elif cache_pool is not None:
+        ranked = ranked.persist()
+        cache_pool.append(ranked)
     # partition total = SUM of the weights, never max(running sum):
     # for signed weights (cox_ph's S1 risk sums) the running sum is not
     # monotone, so its max is NOT the partition total — the same

@@ -73,6 +73,26 @@ _CHANGED_THIS_ROUND = [
     "q_docs_tfidf_knn",
     "q_docs_tfidf_knn_exact",
     "q_docs_tfidf_knn_cap_agreement",
+    # round-11 #2: mann_whitney / wilcoxon midranks moved off the
+    # unpartitioned distinct-value window onto the range-partitioned
+    # cumsum primitive (near-unique continuous metrics made the old
+    # window a single-partition bottleneck); their gates re-verify
+    "q_events_mann_whitney",
+    "q_events_wilcoxon",
+    # round-11 #3/#4: cox_ph rebuilt on the shared vector-beta engine
+    # with a ONCE-per-fit range partitioning (prepartitioned cumsum —
+    # no per-pass boundary re-sample/checkpoint) and a loud degenerate-
+    # risk-set guard (ADVICE r10); plus the NEW multi-covariate fit
+    # with its superset-beats-subset bound gate
+    "q_events_cox_bound",
+    "q_events_cox_multi_bound",
+    # round-11 ADVICE fixes: pacf's per-step rounding was Python
+    # banker's-rounding while every other output rounds HALF_UP
+    # (oracle round()); calinski_harabasz moment sums now accumulate
+    # in decimal(38,0) like jarque_bera (bigint wrapped past 2^63
+    # while the DuckDB oracle summed HUGEINT)
+    "q_events_pacf",
+    "q_emb_calinski_harabasz",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

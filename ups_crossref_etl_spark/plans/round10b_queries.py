@@ -1291,11 +1291,15 @@ def q_events_cox_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd if sd > 0 else 1.0
     )
     # the bound contract needs descent, not convergence: 4 Newton
-    # iterations at a 1e-6 nll tolerance keep the battery cost at a
-    # handful of stats passes (each pass = one corpus aggregate)
+    # iterations at a 1e-4 nll tolerance. The tolerance is deliberately
+    # loose (r11): on this data the fit lands on the micro-quantization
+    # plateau after ONE accepted step (deltas ~1e-5 from then on), and
+    # a 1e-6 tol made the loop grind out 12 extra step-halving stats
+    # passes to "converge" through integer-grid noise — 17 corpus
+    # passes where ~6 carry all the information the booleans gate.
     fit = cox_ph(
         sub.select("ev", "t", z.alias("_z")), "t", "ev", "_z",
-        iterations=4, tol=1e-6,
+        iterations=4, tol=1e-4,
     )
     path = fit["nll_path"]
     mono = all(a >= b - 1e-9 for a, b in zip(path, path[1:]))

@@ -186,3 +186,126 @@ def q_docs_tfidf_knn_cap_agreement(
         (F.round(F.lit(jac), 6) + 0.0).alias("edge_jaccard"),
         F.lit(bool(jac >= _TFIDF_AGREE_FLOOR)).alias("agree_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-covariate Cox proportional hazards (bound contract)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cox_multi_bound",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev
+      FROM entry LEFT JOIN fe USING (u)),
+    xs AS (
+      SELECT DISTINCT user_id AS u FROM events WHERE value IS NOT NULL),
+    sub AS (SELECT dur.* FROM dur JOIN xs USING (u))
+    SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+           CAST(sum(ev) AS BIGINT) AS n_events,
+           true AS nll_nonincreasing,
+           true AS beats_null,
+           true AS beats_single,
+           true AS beta_bounded,
+           true AS stepped
+    FROM sub
+    """,
+    doc=(
+        "Quality contract for the MULTI-covariate distributed Cox fit "
+        "(operators/survival.cox_ph_multi — the r10 verdict's #4: the "
+        "vector-beta completion of the scalar cox_ph, per-time "
+        "sufficient statistics as d-vectors / d x d matrices, one "
+        "driver np.linalg.solve per Newton step): signup->purchase "
+        "hazard regressed JOINTLY on each user's standardized mean "
+        "event value and standardized event count. Iterative float "
+        "state, so the gate pins the deterministic guarantees (the "
+        "ALS/IRLS/cox_bound pattern): nll path non-increasing "
+        "(asserted from the actual path), fitted nll <= the beta=0 "
+        "null, fitted nll <= the SINGLE-covariate fit's nll + 1e-6 "
+        "(the nested model must not beat its superset — measured "
+        "margins 0.14 nats at sf0.01, 12.5 at sf0.1), |beta| sane, "
+        ">= 1 accepted step; exact side = subject/event counts from "
+        "the same duration construction as q_events_cox_bound. Scale "
+        "shape per Newton step: one map-side-combinable per-leaving-"
+        "time aggregate of 1 + d + d(d+1)/2 + 1 + d micro-quantized "
+        "integer columns + the PREPARTITIONED range prefix pass "
+        "(boundaries frozen once per fit, r11) + one time-table "
+        "reduction; the driver holds a d-vector and a d x d Hessian."
+    ),
+)
+def q_events_cox_multi_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import cox_ph, cox_ph_multi, duration_table
+
+    ev = read_table(spark, sf_dir, "events")
+    dur = duration_table(
+        ev, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=604800, bucket_seconds=3600,
+    )
+    xs = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("user_id").alias("_u"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_x1raw"),
+            F.count(F.lit(1)).cast("double").alias("_x2raw"),
+        )
+    )
+    sub = dur.join(xs, "_u")
+    mom = sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.avg("_x1raw").alias("_m1"),
+        F.stddev_pop("_x1raw").alias("_s1"),
+        F.avg("_x2raw").alias("_m2"),
+        F.stddev_pop("_x2raw").alias("_s2"),
+    ).collect()[0]
+    s1 = float(mom["_s1"] or 0.0)
+    s2 = float(mom["_s2"] or 0.0)
+    z1 = (F.col("_x1raw") - F.lit(float(mom["_m1"] or 0.0))) / F.lit(
+        s1 if s1 > 0 else 1.0
+    )
+    z2 = (F.col("_x2raw") - F.lit(float(mom["_m2"] or 0.0))) / F.lit(
+        s2 if s2 > 0 else 1.0
+    )
+    d = sub.select("ev", "t", z1.alias("_z1"), z2.alias("_z2"))
+    # descent, not convergence (the cox_bound precedent): 2-3 Newton
+    # iterations at a loose tol — the contract booleans need one
+    # accepted step and a superset-beats-subset comparison, not
+    # 6-digit convergence through quantization-plateau noise
+    single = cox_ph(d, "t", "ev", "_z1", iterations=2, tol=1e-4)
+    multi = cox_ph_multi(
+        d, "t", "ev", ["_z1", "_z2"], iterations=3, tol=1e-4
+    )
+    path = multi["nll_path"]
+    mono = all(a >= b - 1e-9 for a, b in zip(path, path[1:]))
+    return sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("ev").cast("bigint").alias("n_events"),
+    ).select(
+        "n_subjects",
+        "n_events",
+        F.lit(bool(mono)).alias("nll_nonincreasing"),
+        F.lit(bool(path[-1] <= path[0] + 1e-6)).alias("beats_null"),
+        F.lit(bool(path[-1] <= single["nll_path"][-1] + 1e-6)).alias(
+            "beats_single"
+        ),
+        F.lit(
+            bool(max(abs(b) for b in multi["beta"]) < 50.0)
+        ).alias("beta_bounded"),
+        F.lit(bool(multi["iterations_run"] >= 1)).alias("stepped"),
+    )
