@@ -360,6 +360,14 @@ EXTENDED = [
     "q_docs_tfidf_knn_exact",
     "q_docs_tfidf_knn_cap_agreement",
     "q_events_cox_multi_bound",
+    "q_lineitem_cronbach_alpha",
+    "q_lineitem_partial_corr",
+    "q_events_grubbs",
+    "q_events_cochran_q",
+    "q_events_page_trend",
+    "q_events_bh_adjust",
+    "q_events_greenwood",
+    "q_events_cox_baseline",
 ]
 
 

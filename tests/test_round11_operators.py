@@ -251,3 +251,242 @@ def test_mann_whitney_near_unique_values_matches_reference(spark):
     u_a = ra - na * (na + 1) / 2
     assert out["n_a"] == na and out["n_b"] == nb
     assert out["u_a"] == pytest.approx(u_a, abs=0.01)
+
+
+# --------------------------------------------------------------------------
+# round-11b wave: classical completions + FDR adjust + survival pair
+# --------------------------------------------------------------------------
+
+
+def test_cronbach_alpha_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import cronbach_alpha
+
+    rows = [
+        (1.0 + 0.1 * i, 2.0 + 0.11 * i, 0.5 + 0.09 * i)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+    # reference on the SAME 1e-6 quantized grid
+    qs = [[round(v * 1e6) for v in r] for r in rows]
+    tots = [sum(r) for r in qs]
+
+    def pvar(xs):
+        n = len(xs)
+        return (sum(x * x for x in xs) - sum(xs) ** 2 / n) / n / 1e12
+
+    iv = sum(pvar([r[i] for r in qs]) for i in range(3))
+    tv = pvar(tots)
+    alpha = 3 / 2 * (1 - iv / tv)
+    assert out["n"] == 30 and out["k_items"] == 3
+    assert out["alpha"] == pytest.approx(alpha, abs=1e-5)
+    # perfectly correlated items -> alpha ~ 1
+    assert out["alpha"] > 0.99
+
+
+def test_partial_corr_removes_confounder(spark):
+    from ups_crossref_etl_spark.operators.stats import partial_corr
+
+    # x and y both driven by z; partial correlation given z ~ 0
+    rows = []
+    for i in range(400):
+        z = (i % 20) - 10.0
+        x = 2.0 * z + ((i * 7) % 13 - 6) * 0.3
+        y = -1.5 * z + ((i * 11) % 17 - 8) * 0.3
+        rows.append((x, y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = partial_corr(df, "x", "y", "z").collect()[0]
+    assert abs(out["r_xy"]) > 0.8  # spurious raw association
+    assert abs(out["partial_r"]) < 0.2  # gone once z is controlled
+
+
+def test_grubbs_flags_planted_outlier(spark):
+    from ups_crossref_etl_spark.operators.stats import grubbs_test
+
+    import statistics
+
+    vals = [float(v) for v in range(20)] + [200.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "k string, v double"
+    )
+    out = grubbs_test(df, "k", "v").collect()[0]
+    mean = statistics.fmean(vals)
+    sd = statistics.stdev(vals)
+    g = max(abs(v - mean) for v in vals) / sd
+    assert out["n"] == 21
+    assert out["g_stat"] == pytest.approx(g, abs=1e-4)
+    assert out["g_stat"] > 4.0
+
+
+def test_cochran_q_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import cochran_q
+
+    # 3 treatments, 8 complete subjects + 1 incomplete (excluded)
+    data = {
+        "s1": (1, 1, 0), "s2": (1, 0, 0), "s3": (1, 1, 1),
+        "s4": (0, 0, 0), "s5": (1, 1, 0), "s6": (1, 0, 0),
+        "s7": (1, 1, 0), "s8": (0, 1, 0),
+    }
+    rows = [
+        (s, t, bool(v))
+        for s, (a, b, c) in data.items()
+        for t, v in zip(["t1", "t2", "t3"], (a, b, c))
+    ]
+    rows.append(("s9", "t1", True))  # incomplete block
+    df = spark.createDataFrame(rows, "s string, t string, y boolean")
+    out = cochran_q(df, "s", "t", "y").collect()[0]
+    gj = [
+        sum(v[i] for v in data.values()) for i in range(3)
+    ]
+    li = [sum(v) for v in data.values()]
+    t = sum(gj)
+    k = 3
+    q = (k - 1) * (k * sum(g * g for g in gj) - t * t) / (
+        k * t - sum(x * x for x in li)
+    )
+    assert out["n_subjects"] == 8
+    assert out["k_treatments"] == 3
+    assert out["q_stat"] == pytest.approx(q, abs=1e-6)
+
+
+def test_page_trend_detects_monotone_blocks(spark):
+    from ups_crossref_etl_spark.operators.stats import page_trend
+
+    # every block strictly increasing along the hypothesized order ->
+    # L is maximal: n*sum(j*j) = n*14; z = (L - 12n)/sqrt(2n)
+    rows = []
+    for b in range(12):
+        for j, t in enumerate(["lo", "mid", "hi"]):
+            rows.append((f"b{b}", t, float(j) + b * 0.01))
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    out = page_trend(df, "b", "t", "v", ["lo", "mid", "hi"]).collect()[0]
+    n = 12
+    assert out["n_blocks"] == n
+    assert out["l_stat"] == pytest.approx(14.0 * n, abs=0.01)
+    assert out["z"] == pytest.approx(
+        (14 * n - 12 * n) / math.sqrt(2 * n), abs=1e-4
+    )
+    assert out["z"] > 4.0
+
+
+def test_bh_adjust_matches_statsmodels_style_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import bh_adjust
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341,
+          0.384, 0.569, 0.594, 0.696, 0.762, 0.94, 0.942, 0.975, 0.986]
+    df = spark.createDataFrame(
+        [(f"h{i:02d}", p) for i, p in enumerate(ps)],
+        "k string, p double",
+    )
+    out = {
+        r["k"]: r
+        for r in bh_adjust(df, "k", "p").collect()
+    }
+    # reference BH step-up on the same 1e-9 quantized grid
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: (ps[i], f"h{i:02d}"))
+    c = [round(ps[i] * m / (r + 1) * 1e9) for r, i in enumerate(order)]
+    suffix = c[:]
+    for j in range(m - 2, -1, -1):
+        suffix[j] = min(suffix[j], suffix[j + 1])
+    for r, i in enumerate(order):
+        got = out[f"h{i:02d}"]
+        assert got["rank"] == r + 1
+        assert got["q_value"] == pytest.approx(
+            min(suffix[r], 10**9) / 1e9, abs=1e-6
+        )
+    # monotone in rank and capped at 1
+    qs = [out[f"h{i:02d}"]["q_value"] for i in order]
+    assert all(a <= b + 1e-12 for a, b in zip(qs, qs[1:]))
+    assert max(qs) <= 1.0
+
+
+def test_ranged_suffix_min_exact(spark):
+    from ups_crossref_etl_spark.operators.stats import (
+        _ranged_suffix_min,
+    )
+
+    vals = [(i, ((i * 37) % 101) - 50) for i in range(1, 201)]
+    df = spark.createDataFrame(vals, "k int, w long")
+    out = {
+        r["k"]: r["s"]
+        for r in _ranged_suffix_min(df, "k", "w", "s").collect()
+    }
+    ref = {}
+    acc = 1 << 62
+    for k, w in sorted(vals, reverse=True):
+        acc = min(acc, w)
+        ref[k] = acc
+    assert out == ref
+
+
+def test_greenwood_bands_match_hand_km(spark):
+    from ups_crossref_etl_spark.operators.survival import (
+        greenwood_bands,
+    )
+    import datetime as dt
+
+    # 6 users sign up at t0; failures at hours 1,1,2; censored rest
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(6):
+        rows.append((u, "signup", base))
+    for u, h in [(0, 1), (1, 1), (2, 2)]:
+        rows.append((u, "purchase", base + dt.timedelta(hours=h)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["t"]: r
+        for r in greenwood_bands(
+            df, "user_id", "event_type", "ts",
+            entry_type="signup", event_type="purchase",
+            horizon_seconds=4 * 3600, bucket_seconds=3600,
+        ).collect()
+    }
+    # t=1: n=6 d=2 -> S=2/3, gw = 2/(6*4); t=2: n=4 d=1 -> S=1/2,
+    # gw += 1/(4*3)
+    s1 = 1 - 2 / 6
+    se1 = s1 * math.sqrt(2 / (6 * 4))
+    s2 = s1 * (1 - 1 / 4)
+    se2 = s2 * math.sqrt(2 / (6 * 4) + 1 / (4 * 3))
+    assert out[1]["survival"] == pytest.approx(s1, abs=1e-6)
+    assert out[1]["se"] == pytest.approx(se1, abs=1e-5)
+    assert out[1]["lo"] == pytest.approx(max(0.0, s1 - 1.96 * se1), abs=1e-4)
+    assert out[2]["survival"] == pytest.approx(s2, abs=1e-6)
+    assert out[2]["se"] == pytest.approx(se2, abs=1e-5)
+    assert out[2]["hi"] == pytest.approx(min(1.0, s2 + 1.96 * se2), abs=1e-4)
+
+
+def test_cox_baseline_hazard_matches_hand_suffix(spark):
+    from ups_crossref_etl_spark.operators.survival import (
+        cox_baseline_hazard,
+    )
+
+    rows = [
+        (1.0, 1, 0.5), (1.0, 0, -0.5), (2.0, 1, 0.0),
+        (3.0, 1, 1.0), (3.0, 0, -1.0),
+    ]
+    df = spark.createDataFrame(rows, "t double, d int, x double")
+    beta = 0.3
+    out = {
+        r["t"]: r
+        for r in cox_baseline_hazard(df, "t", "d", "x", beta).collect()
+    }
+    # quantized reference
+    per = {}
+    for t, d, x in rows:
+        p = per.setdefault(t, [0, 0])
+        p[0] += round(math.exp(beta * x) * 1e6)
+        p[1] += d
+    times = sorted(per)
+    h = 0
+    for i, t in enumerate(times):
+        s0q = sum(per[u][0] for u in times[i:])
+        if per[t][1] == 0:
+            continue
+        h += round(per[t][1] / (s0q / 1e6) * 1e9)
+        assert out[t]["s0"] == pytest.approx(s0q / 1e6, abs=1e-6)
+        assert out[t]["h0"] == pytest.approx(h / 1e9, abs=1e-6)
+        assert out[t]["n_events"] == per[t][1]

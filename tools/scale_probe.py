@@ -64,6 +64,9 @@ def main() -> None:
     only = set(sys.argv[2:])
     spark = get_spark("scale_probe")
     results = {"replication": n, "probes": {}}
+    # JVM/codegen warmup so sentinel_pre measures box contention, not
+    # Spark spin-up
+    spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id)").collect()
     sent_pre = sentinel(spark)
 
     docs1 = read_table(spark, SF_DIR, "documents")
@@ -1123,6 +1126,55 @@ def main() -> None:
         lambda: percent_rank_unique(pr_N, "near_unique", "event_id")
         .agg(F.sum("score")).collect(),
         pr_1.count(), pr_N.count(),
+    )
+
+    # round 11: mann_whitney / wilcoxon midranks on the ranged cumsum —
+    # probe on a NEAR-UNIQUE continuous metric (epoch-scaled + per-row
+    # jitter), the regime where the old unpartitioned distinct-value
+    # window degenerated to a single partition
+    from ups_crossref_etl_spark.operators.stats import (
+        mann_whitney,
+        wilcoxon_signed_rank,
+    )
+
+    mw_1 = ev1s.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        (
+            epoch_seconds(F.col("ts")).cast("double")
+            + (F.col("event_id") % 9973).cast("double") / 9973.0
+        ).alias("v"),
+    ).localCheckpoint()
+    mw_N = (
+        mw_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            "g",
+            (F.col("v") * n + F.col("_salt")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "mann_whitney_midranks",
+        lambda: mann_whitney(mw_1, "g", "v", "a", "b").collect(),
+        lambda: mann_whitney(mw_N, "g", "v", "a", "b").collect(),
+        mw_1.count(), mw_N.count(),
+    )
+    wx_1 = mw_1.select(
+        F.col("v").alias("x"),
+        (F.col("v") * 1.000001 + 0.123).alias("y"),
+    ).localCheckpoint()
+    wx_N = mw_N.select(
+        F.col("v").alias("x"),
+        (F.col("v") * 1.000001 + 0.123).alias("y"),
+    ).localCheckpoint()
+    probe(
+        "wilcoxon_midranks",
+        lambda: wilcoxon_signed_rank(wx_1, "x", "y").collect(),
+        lambda: wilcoxon_signed_rank(wx_N, "x", "y").collect(),
+        wx_1.count(), wx_N.count(),
     )
 
     from ups_crossref_etl_spark.operators.classifier import logreg_irls

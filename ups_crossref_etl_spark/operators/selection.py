@@ -91,9 +91,15 @@ def dsir_weights(
 
     The model is tiny (``n_buckets`` rows) and broadcast; the corpus is
     scanned once for features and once more never — target membership is
-    aggregated in the same pass via conditional sums.
+    aggregated in the same pass via conditional sums. The (doc, bucket)
+    feature relation feeds BOTH the model aggregate and the scoring
+    join, so it is persisted (r11 — without it the corpus scan + gram
+    explode + md5 bucketing replayed twice; the cache is
+    doc×occupied-bucket-sized, far below the gram explosion, and
+    MEMORY_AND_DISK spills rather than OOMs at scale — the
+    tfidf_knn_graph precedent).
     """
-    feats = hashed_grams(df, text_col, id_col, n_buckets)
+    feats = hashed_grams(df, text_col, id_col, n_buckets).persist()
     flags = df.select(
         F.col(id_col).alias("_id"), is_target.cast("int").alias("_t")
     )

@@ -33,6 +33,7 @@ Scale shape:
 
 from __future__ import annotations
 
+import math
 from itertools import combinations
 
 from pyspark.sql import DataFrame
@@ -2443,4 +2444,522 @@ def g_test(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         (F.round(F.col("_g").cast("double") / 1e9, 6) + 0.0).alias(
             "g_stat"
         ),
+    )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list[str]) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over k parallel
+    numeric item columns (Cronbach 1951): ``α = k/(k−1) · (1 − Σσ²_i /
+    σ²_total)`` with population variances of each item and of the
+    per-row item sum — the standard "do these k signals measure one
+    construct?" screen before averaging quality sub-scores, rater
+    columns, or metric batteries into a composite.
+
+    Rows with any NULL item are dropped (listwise, the classical
+    definition). Returns ONE row ``(n, k_items, sum_item_var,
+    total_var, alpha)``; NULL alpha when n < 2, k < 2, or zero total
+    variance.
+
+    Determinism: each item quantizes to integer micro-units; per-item
+    and total (s1, s2) accumulate as exact DECIMAL(38,0) integer sums
+    (the jarque_bera recipe), so both engines add identical integers
+    and every variance is a one-shot double. Shape: ONE map-side-
+    combinable global aggregate of 2k+2 integer columns — no shuffle
+    beyond the 1-row reduce, linear at any corpus size.
+    """
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha: need >= 2 item columns")
+    cond = F.lit(True)
+    for c in item_cols:
+        cond = cond & F.col(c).isNotNull()
+    qs = [
+        F.round(F.col(c).cast("double") * 1e6).cast("bigint").alias(f"_q{i}")
+        for i, c in enumerate(item_cols)
+    ]
+    base = df.filter(cond).select(*qs)
+    tot = F.lit(0).cast("bigint")
+    for i in range(k):
+        tot = tot + F.col(f"_q{i}")
+    base = base.withColumn("_qt", tot)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for nm in [f"_q{i}" for i in range(k)] + ["_qt"]:
+        aggs.append(F.sum(F.col(nm).cast("decimal(38,0)")).alias(f"_s1{nm}"))
+        aggs.append(
+            F.sum(
+                (F.col(nm).cast("decimal(38,0)") * F.col(nm))
+                .cast("decimal(38,0)")
+            ).alias(f"_s2{nm}")
+        )
+    agg = base.agg(*aggs)
+    n = F.col("_n").cast("double")
+
+    def pvar(nm):
+        s1 = F.col(f"_s1{nm}").cast("double")
+        s2 = F.col(f"_s2{nm}").cast("double")
+        return (s2 - s1 * s1 / n) / n / 1e12
+
+    item_var = F.lit(0.0)
+    for i in range(k):
+        item_var = item_var + pvar(f"_q{i}")
+    total_var = pvar("_qt")
+    ok = (F.col("_n") >= 2) & (total_var > 0.0)
+    alpha = (
+        F.lit(float(k)) / F.lit(float(k - 1))
+        * (F.lit(1.0) - item_var / total_var)
+    )
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.lit(k).cast("bigint").alias("k_items"),
+        (F.round(item_var, 6) + 0.0).alias("sum_item_var"),
+        (F.round(total_var, 6) + 0.0).alias("total_var"),
+        (F.round(F.when(ok, alpha), 6) + 0.0).alias("alpha"),
+    )
+
+
+def partial_corr(
+    df: DataFrame, x_col: str, y_col: str, z_col: str
+) -> DataFrame:
+    """First-order partial correlation of x and y CONTROLLING for z:
+    ``r_xy·z = (r_xy − r_xz·r_yz) / √((1−r²_xz)(1−r²_yz))`` — the
+    "does the x–y association survive removing the confounder?" readout
+    beside :func:`corr_matrix` (raw Pearson) — e.g. quality-score vs
+    engagement controlling for document length.
+
+    Returns ONE row ``(n, r_xy, r_xz, r_yz, partial_r)``; NULL partial
+    when n < 3 or either controlled correlation is ±1 (degenerate
+    denominator).
+
+    Determinism: all three variables quantize to integer micro-units;
+    the 3 sums + 3 squares + 3 cross-products accumulate as exact
+    DECIMAL(38,0) (one map-side-combinable aggregate — the ols_xy
+    sufficient-statistics trick widened to 3 variables); every r is a
+    one-shot double over exact integers.
+    """
+    q = lambda c, nm: (  # noqa: E731
+        F.round(F.col(c).cast("double") * 1e6).cast("bigint").alias(nm)
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    ).select(q(x_col, "_x"), q(y_col, "_y"), q(z_col, "_z"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_z"))).alias("_sz"),
+        F.sum(dec(dec(F.col("_x")) * F.col("_x"))).alias("_sxx"),
+        F.sum(dec(dec(F.col("_y")) * F.col("_y"))).alias("_syy"),
+        F.sum(dec(dec(F.col("_z")) * F.col("_z"))).alias("_szz"),
+        F.sum(dec(dec(F.col("_x")) * F.col("_y"))).alias("_sxy"),
+        F.sum(dec(dec(F.col("_x")) * F.col("_z"))).alias("_sxz"),
+        F.sum(dec(dec(F.col("_y")) * F.col("_z"))).alias("_syz"),
+    )
+    n = F.col("_n").cast("double")
+
+    def r_of(sab, sa, sb, saa, sbb):
+        cov = n * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = n * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        db = n * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return F.when((da > 0) & (db > 0), cov / F.sqrt(da * db))
+
+    rxy = r_of("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    rxz = r_of("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    ryz = r_of("_syz", "_sy", "_sz", "_syy", "_szz")
+    den = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    ok = (F.col("_n") >= 3) & (den > 0.0)
+    pr = (rxy - rxz * ryz) / F.sqrt(den)
+    return agg.select(
+        F.col("_n").alias("n"),
+        (F.round(rxy, 6) + 0.0).alias("r_xy"),
+        (F.round(rxz, 6) + 0.0).alias("r_xz"),
+        (F.round(ryz, 6) + 0.0).alias("r_yz"),
+        (F.round(F.when(ok, pr), 6) + 0.0).alias("partial_r"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Grubbs' maximum-normed-residual statistic per group (Grubbs
+    1950): ``G = max_i |x_i − x̄| / s`` with the SAMPLE standard
+    deviation — the classical single-outlier screen beside the
+    robust :func:`mad_outliers` (which flags many; Grubbs asks "is the
+    single most extreme point surprising for a Gaussian?"). Compare G
+    against the t-based critical value for the caller's n and α.
+
+    Returns per group ``(group_col, n, mean, sd, g_stat)``; NULL
+    g_stat when n < 3 or zero variance.
+
+    Determinism: pass 1 takes exact DECIMAL sums for mean/sd; pass 2
+    quantizes each |deviation| to integer micro-units and takes the
+    integer MAX (order-free); G is a one-shot double. Shape: two
+    group-keyed map-side-combinable aggregates joined on the group —
+    the jarque_bera two-pass recipe, no window, linear at any size.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    mo = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_v").cast(_DEC)).alias("_s1"),
+        F.sum(
+            (F.col("_v").cast(_DEC) * F.col("_v").cast(_DEC)).cast(_DEC)
+        ).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    var = F.when(
+        F.col("_n") > 1,
+        (
+            F.col("_s2").cast("double")
+            - F.col("_s1").cast("double")
+            * F.col("_s1").cast("double")
+            / n
+        )
+        / (n - 1.0),
+    )
+    mom = mo.select(
+        "_g", "_n",
+        mean.alias("_mean"),
+        F.sqrt(var).alias("_sd"),
+    )
+    dev = (
+        base.join(F.broadcast(mom), "_g")
+        .groupBy("_g")
+        .agg(
+            F.max(
+                F.round(F.abs(F.col("_v") - F.col("_mean")) * 1e6)
+                .cast("bigint")
+            ).alias("_maxdev"),
+            F.max("_n").alias("_n"),
+            F.max("_mean").alias("_mean"),
+            F.max("_sd").alias("_sd"),
+        )
+    )
+    ok = (F.col("_n") >= 3) & (F.col("_sd") > 0.0)
+    g = F.col("_maxdev").cast("double") / 1e6 / F.col("_sd")
+    return dev.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        (F.round(F.col("_mean"), 6) + 0.0).alias("mean"),
+        (F.round(F.col("_sd"), 6) + 0.0).alias("sd"),
+        (F.round(F.when(ok, g), 6) + 0.0).alias("g_stat"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q test over COMPLETE blocks of BINARY outcomes: do the
+    k treatments have equal success rates when every subject is
+    measured under all k? The k-treatment generalization of McNemar
+    (``agreement.mcnemar``, k = 2) and the binary sibling of
+    :func:`friedman_test`: ``Q = (k−1)(k·ΣG_j² − T²) / (k·T − ΣL_i²)``
+    with ``G_j`` the per-treatment success totals, ``L_i`` the
+    per-subject success totals, ``T = ΣG = ΣL`` (χ²_{k−1} under H0).
+
+    Subjects missing any treatment are excluded (complete-block);
+    duplicate (subject, treatment) measurements reduce by MAX (any
+    success counts — deterministic). Returns ONE row ``(n_subjects,
+    k_treatments, q_stat)``; NULL when < 2 complete subjects, k < 2,
+    or a degenerate denominator (all-0/all-1 rows only).
+
+    Determinism: every term is an exact integer aggregate — the
+    statistic is a one-shot double ratio of exact integers. Shape: one
+    (subject, treatment) aggregate, a per-subject completeness filter,
+    one per-treatment and one per-subject aggregate — all keyed,
+    map-side-combinable, no windows.
+    """
+    base = df.select(
+        F.col(subject_col).cast("string").alias("_s"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(outcome_col).cast("boolean").cast("int").alias("_y"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_y").isNotNull()
+    )
+    cell = base.groupBy("_s", "_t").agg(F.max("_y").alias("_y"))
+    k_all = base.select("_t").distinct().count()
+    rows = (
+        cell.groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.sum("_y").cast("bigint").alias("_li"),
+        )
+        .filter(F.col("_nt") == k_all)
+    )
+    complete = rows.select("_s")
+    gj = (
+        cell.join(complete, "_s")
+        .groupBy("_t")
+        .agg(F.sum("_y").cast("bigint").alias("_gj"))
+    )
+    top = gj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
+        F.sum("_gj").cast("bigint").alias("_tt"),
+        F.sum(F.col("_gj") * F.col("_gj")).cast("bigint").alias("_g2"),
+    )
+    bot = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum(F.col("_li") * F.col("_li")).cast("bigint").alias("_l2"),
+    )
+    j = top.join(bot)
+    k = F.col("k_treatments").cast("double")
+    t = F.col("_tt").cast("double")
+    den = k * t - F.col("_l2").cast("double")
+    ok = (
+        (F.col("n_subjects") >= 2)
+        & (F.col("k_treatments") >= 2)
+        & (den > 0.0)
+    )
+    q = (
+        (k - 1.0)
+        * (k * F.col("_g2").cast("double") - t * t)
+        / den
+    )
+    return j.select(
+        "n_subjects",
+        "k_treatments",
+        (F.round(F.when(ok, q), 6) + 0.0).alias("q_stat"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    treatment_order: list[str],
+) -> DataFrame:
+    """Page's L trend test over COMPLETE blocks (Page 1963): are the k
+    treatments ORDERED as hypothesized (monotone trend), rather than
+    merely unequal (:func:`friedman_test`)? ``L = Σ_j j·R_j`` over the
+    caller's hypothesized treatment order, with ``R_j`` the rank sum of
+    treatment j across blocks; the normal approximation uses
+    ``E[L] = n·k(k+1)²/4`` and ``Var[L] = n·k²(k+1)(k²−1)/144``
+    (exact under no ties; midranks make z slightly conservative, the
+    standard practice).
+
+    Returns ONE row ``(n_blocks, k_treatments, l_stat, z)``; NULL z
+    when < 2 complete blocks or k < 3 (trend needs 3 points).
+    Treatments outside ``treatment_order`` are ignored.
+
+    Determinism and shape: identical to friedman_test — exact DECIMAL
+    cell means, within-block k-row midrank windows, keyed aggregates;
+    the ordinal weights join from a broadcast literal table.
+    """
+    from pyspark.sql import Window as W
+
+    k = len(treatment_order)
+    spark = df.sparkSession
+    base = df.select(
+        F.col(block_col).cast("string").alias("_b"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_b").isNotNull()
+        & F.col("_t").isin(list(treatment_order))
+        & F.col("_v").isNotNull()
+    )
+    cell = base.groupBy("_b", "_t").agg(
+        (
+            F.sum(F.col("_v").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_m")
+    )
+    complete = (
+        cell.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == k)
+        .select("_b")
+    )
+    cc = cell.join(complete, "_b")
+    rk = cc.select(
+        "_b", "_t",
+        (
+            F.rank().over(W.partitionBy("_b").orderBy("_m")).cast("double")
+            + (
+                F.count(F.lit(1))
+                .over(W.partitionBy("_b", "_m"))
+                .cast("double")
+                - 1.0
+            )
+            / 2.0
+        ).alias("_r"),
+    )
+    ordw = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(treatment_order)],
+        "_t string, _j int",
+    )
+    n_blocks = complete.count()
+    agg = (
+        rk.join(F.broadcast(ordw), "_t")
+        .agg(
+            F.sum(F.col("_j").cast("double") * F.col("_r")).alias("_l")
+        )
+    )
+    nd = float(n_blocks)
+    kd = float(k)
+    mean_l = nd * kd * (kd + 1.0) ** 2 / 4.0
+    var_l = nd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0
+    okv = n_blocks >= 2 and k >= 3 and var_l > 0.0
+    z = F.when(
+        F.lit(okv), (F.col("_l") - F.lit(mean_l)) / F.lit(math.sqrt(var_l) if var_l > 0 else 1.0)
+    )
+    return agg.select(
+        F.lit(n_blocks).cast("bigint").alias("n_blocks"),
+        F.lit(k).cast("bigint").alias("k_treatments"),
+        (F.round(F.col("_l"), 2) + 0.0).alias("l_stat"),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+
+
+def _ranged_suffix_min(
+    per_v: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Inclusive SUFFIX minimum of ``weight_col`` in ``order_col``
+    order with NO unpartitioned WindowExec — the running-min mirror of
+    :func:`_ranged_exclusive_cumsum`: ``repartitionByRange`` ascending
+    on the (distinct) order key, per-partition running min from the
+    RIGHT (a descending-order window inside each range), one
+    <= num_partitions-row driver collect of partition minima folded
+    from the right into broadcast offsets, and
+    ``suffix = least(local_suffix, offset)``. Requires ``order_col``
+    distinct and ``weight_col`` integer (BIGINT) — quantize doubles
+    first. Powers :func:`bh_adjust`'s step-up sweep; min is
+    associative/commutative so the fold is exact.
+    """
+    from pyspark.sql import Window
+
+    spark = per_v.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = 32
+    wrun = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        per_v.repartitionByRange(n_parts, F.col(order_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lmin", F.min(weight_col).over(wrun))
+        .localCheckpoint()
+    )
+    mins = ranked.groupBy("_pid").agg(
+        F.min(weight_col).alias("_m")
+    ).collect()
+    sentinel = (1 << 62)
+    acc = sentinel
+    offsets = []
+    # fold partition minima from the RIGHT: partition i's offset is the
+    # min over all later partitions
+    for r in sorted(mins, key=lambda r: -r["_pid"]):
+        offsets.append((int(r["_pid"]), acc))
+        acc = min(acc, int(r["_m"]))
+    off_df = spark.createDataFrame(
+        offsets or [(0, sentinel)], "_pid int, _soff bigint"
+    )
+    return ranked.join(F.broadcast(off_df), "_pid").select(
+        order_col,
+        weight_col,
+        F.least(F.col("_lmin"), F.col("_soff"))
+        .cast("bigint")
+        .alias(out_col),
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    out_col: str = "q_value",
+) -> DataFrame:
+    """Benjamini-Hochberg FDR-adjusted q-values over a table of
+    per-hypothesis p-values (Benjamini & Hochberg 1995): ``q_(i) =
+    min_{j >= i} (p_(j) · m / j)`` capped at 1 — THE multiplicity
+    correction to run before reading thousands of per-segment /
+    per-metric test readouts from this battery (Welch, MW, chi²,
+    log-rank, ...) as discoveries: at q <= α the expected fraction of
+    false discoveries is α.
+
+    Returns ``(key_col, p_value, rank, q_value)`` with ``rank`` the
+    1-based position in the (p, key) total order (key breaks p ties —
+    tied p's get adjacent ranks and identical q after the suffix-min
+    sweep smooths them).
+
+    Determinism and shape — NO global per-row window at any step:
+    ranks come from a range-partitioned exclusive count over the
+    distinct-p table + a p-partitioned row_number (the
+    percent_rank_unique construction); the step-up sweep quantizes
+    ``p·m/rank`` to integer nanos and takes a range-partitioned SUFFIX
+    MIN (:func:`_ranged_suffix_min` — per-partition running min +
+    a partition-minima fold, exact because min is associative). Both
+    engines sweep identical integers, so q is hash-exact.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(p_col).cast("double").alias("_p"),
+    ).filter(F.col("_p").isNotNull())
+    m = base.count()
+    per_p = base.groupBy("_p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t")
+    )
+    offs = _ranged_exclusive_cumsum(per_p, "_p", "_t", "_off").select(
+        "_p", "_off"
+    )
+    wr = Window.partitionBy("_p").orderBy("_k")
+    ranked = (
+        base.join(offs, "_p")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(wr))
+        .select(
+            "_k", "_p", "_rank",
+            F.round(
+                F.col("_p") * F.lit(float(m)) / F.col("_rank").cast("double")
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("_cq"),
+        )
+    ).localCheckpoint()
+    sw = _ranged_suffix_min(
+        ranked.select("_rank", "_cq"), "_rank", "_cq", "_sq"
+    )
+    return (
+        ranked.join(sw.select("_rank", "_sq"), "_rank")
+        .select(
+            F.col("_k").alias(key_col),
+            (F.round(F.col("_p"), 6) + 0.0).alias("p_value"),
+            F.col("_rank").cast("bigint").alias("rank"),
+            (
+                F.round(
+                    F.least(F.col("_sq"), F.lit(1_000_000_000)).cast(
+                        "double"
+                    )
+                    / 1e9,
+                    6,
+                )
+                + 0.0
+            ).alias(out_col),
+        )
     )

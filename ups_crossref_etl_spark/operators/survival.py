@@ -721,3 +721,178 @@ def cox_ph_multi(
         "n_events": fit["n_events"],
         "iterations_run": fit["iterations_run"],
     }
+
+
+def greenwood_bands(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    entry_type: str,
+    event_type: str,
+    horizon_seconds: int,
+    bucket_seconds: int = 3600,
+    z: float = 1.96,
+) -> DataFrame:
+    """Kaplan-Meier curve WITH Greenwood confidence bands (Greenwood
+    1926): ``Var[S(t)] = S(t)² · Σ_{t_i≤t} d_i/(n_i(n_i−d_i))``,
+    bands ``S ± z·se`` clamped to [0, 1] — the uncertainty the bare
+    :func:`kaplan_meier` curve hides, and what separates "retention
+    dropped" from "retention dropped, and not by chance".
+
+    Returns ``(t, n_risk, n_events, survival, se, lo, hi)`` per event
+    bucket; se/lo/hi are NULL from the first bucket that exhausts the
+    risk set (d = n ⇒ S = 0 and the Greenwood term is undefined).
+
+    Determinism: same recipe as the KM curve it extends — the
+    log-survival terms AND the Greenwood terms (each one double ratio
+    of exact integer d, n) quantize to integer pico-units and
+    accumulate as exact DECIMAL cumulative window sums in time order;
+    se/lo/hi are one-shot doubles rounded 6 dp. Shape: the duration
+    table's two user-keyed aggregates, one bucket groupBy, ONE window
+    pass over the bucket-cardinality table.
+    """
+    durations = duration_table(
+        events, user_col, type_col, ts_col,
+        entry_type, event_type, horizon_seconds, bucket_seconds,
+    )
+    agg = durations.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("_leaving"),
+    )
+    total = durations.count()
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_risk = F.lit(total) - F.coalesce(F.sum("_leaving").over(w), F.lit(0))
+    stepped = agg.withColumn("n_risk", n_risk.cast("bigint")).withColumn(
+        "_dead", (F.col("n_events") == F.col("n_risk")).cast("long")
+    )
+    dd = F.col("n_events").cast("double")
+    nn = F.col("n_risk").cast("double")
+    ln_term = F.log(F.lit(1.0) - dd / nn)
+    gw_term = F.round(
+        dd / (nn * (nn - dd)) * 1e12
+    ).cast("bigint")
+    km = (
+        stepped.withColumn(
+            "_lnsum",
+            F.sum(
+                F.when(F.col("_dead") == 0, ln_term)
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,12)")
+            ).over(wc),
+        )
+        .withColumn(
+            "_gwsum",
+            F.sum(
+                F.when(F.col("_dead") == 0, gw_term).otherwise(F.lit(0))
+                .cast("decimal(38,0)")
+            ).over(wc),
+        )
+        .withColumn("_zeros", F.sum("_dead").over(wc))
+        .filter(F.col("n_events") > 0)
+    )
+    surv = F.when(F.col("_zeros") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lnsum").cast("double"))
+    )
+    se = F.when(
+        F.col("_zeros") == 0,
+        surv * F.sqrt(F.col("_gwsum").cast("double") / 1e12),
+    )
+    return km.select(
+        "t",
+        "n_risk",
+        "n_events",
+        (F.round(surv, 6) + F.lit(0.0)).alias("survival"),
+        (F.round(se, 6) + 0.0).alias("se"),
+        (F.round(F.greatest(surv - F.lit(float(z)) * se, F.lit(0.0)), 6)
+         + 0.0).alias("lo"),
+        (F.round(F.least(surv + F.lit(float(z)) * se, F.lit(1.0)), 6)
+         + 0.0).alias("hi"),
+    )
+
+
+def cox_baseline_hazard(
+    durations: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    beta: float,
+) -> DataFrame:
+    """Breslow estimator of the Cox BASELINE cumulative hazard at a
+    FIXED coefficient: ``H₀(t) = Σ_{t_i≤t, d_i>0} d_i / S₀(t_i)`` with
+    ``S₀(t) = Σ_{t'≥t} e^{βx}`` — what turns a fitted :func:`cox_ph`
+    into absolute risk curves (``S(t|x) = exp(−H₀(t)·e^{βx})``).
+    Taking β as an INPUT keeps the estimator fully deterministic and
+    SQL-expressible, so the risk-set suffix-sum machinery the Cox
+    bound gates can only boolean-check gets an exact HASH gate here
+    (q_events_cox_baseline); pass ``cox_ph(...)["beta"]`` in
+    production.
+
+    Returns ``(t, n_events, s0, h0)`` per event time, ascending.
+
+    Determinism: per-row ``e^{βx}`` micro-quantizes to integers (the
+    cox_ph recipe) so S₀ is exact; each ``d/S₀`` term quantizes to
+    integer nanos and the cumulative H₀ is a second range-partitioned
+    prefix pass over exact integers. Shape: one per-time map-side-
+    combinable aggregate, two ranged prefix passes (suffix S₀ via
+    totals − exclusive-prefix, then the H₀ running sum) — no
+    unpartitioned window even with near-unique times.
+    """
+    from .stats import _ranged_exclusive_cumsum
+
+    base = durations.select(
+        F.col(time_col).cast("double").alias("_t"),
+        F.col(event_col).cast("int").alias("_d"),
+        F.col(x_col).cast("double").alias("_x"),
+    ).filter(
+        F.col("_t").isNotNull()
+        & F.col("_d").isNotNull()
+        & F.col("_x").isNotNull()
+    )
+    w = F.exp(F.lit(float(beta)) * F.col("_x"))
+    per_t = base.groupBy("_t").agg(
+        F.sum(F.round(w * 1e6).cast("bigint")).cast("bigint").alias("_s0"),
+        F.sum(F.col("_d")).cast("bigint").alias("_dd"),
+    )
+    tots: dict = {}
+    pre = _ranged_exclusive_cumsum(
+        per_t, "_t", ["_s0", "_dd"], ["_p0", "_pdd"], totals_out=tots
+    )
+    s0q = F.lit(tots["_s0"]) - F.col("_p0")
+    ev = pre.filter(F.col("_dd") > 0).select(
+        "_t",
+        F.col("_dd").alias("n_events"),
+        s0q.alias("_s0q"),
+        F.round(
+            F.when(
+                s0q > 0,
+                F.col("_dd").cast("double") / (s0q.cast("double") / 1e6),
+            )
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("_hq"),
+    )
+    cum = _ranged_exclusive_cumsum(
+        ev.select("_t", "_hq"), "_t", "_hq", "_hex"
+    )
+    return (
+        ev.join(cum.select("_t", "_hex"), "_t")
+        .select(
+            F.col("_t").alias("t"),
+            "n_events",
+            (F.round(F.col("_s0q").cast("double") / 1e6, 6) + 0.0).alias(
+                "s0"
+            ),
+            (
+                F.round(
+                    (F.col("_hex") + F.col("_hq")).cast("double") / 1e9, 6
+                )
+                + 0.0
+            ).alias("h0"),
+        )
+        .orderBy("t")
+    )

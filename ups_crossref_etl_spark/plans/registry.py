@@ -93,6 +93,22 @@ _CHANGED_THIS_ROUND = [
     # while the DuckDB oracle summed HUGEINT)
     "q_events_pacf",
     "q_emb_calinski_harabasz",
+    # round-11b wave: reliability / partial association / outlier
+    # screen / binary complete-blocks / ordered trend (classical
+    # inference completions), the Benjamini-Hochberg FDR adjust on a
+    # NEW range-partitioned suffix-min primitive (the multiplicity
+    # correction the per-segment test battery was missing), and the
+    # survival completions — Greenwood bands on the KM curve and the
+    # Breslow baseline hazard at fixed beta (the exact HASH gate for
+    # the Cox risk-set suffix machinery)
+    "q_lineitem_cronbach_alpha",
+    "q_lineitem_partial_corr",
+    "q_events_grubbs",
+    "q_events_cochran_q",
+    "q_events_page_trend",
+    "q_events_bh_adjust",
+    "q_events_greenwood",
+    "q_events_cox_baseline",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

@@ -309,3 +309,591 @@ def q_events_cox_multi_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("beta_bounded"),
         F.lit(bool(multi["iterations_run"] >= 1)).alias("stepped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11b wave: reliability / partial association / outlier screen /
+# binary blocks / ordered trend / FDR adjust / survival completions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_lineitem_cronbach_alpha",
+    """
+    WITH q AS (
+      SELECT CAST(round(l_quantity * 1000000) AS BIGINT) AS q0,
+             CAST(round(l_extendedprice / 1000.0 * 1000000) AS BIGINT)
+               AS q1,
+             CAST(round(l_discount * 100 * 1000000) AS BIGINT) AS q2,
+             CAST(round(l_tax * 100 * 1000000) AS BIGINT) AS q3
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+    w AS (SELECT q0, q1, q2, q3, q0 + q1 + q2 + q3 AS qt FROM q),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(q0 AS HUGEINT)) AS s0, sum(CAST(q0 AS HUGEINT) * q0) AS ss0,
+             sum(CAST(q1 AS HUGEINT)) AS s1, sum(CAST(q1 AS HUGEINT) * q1) AS ss1,
+             sum(CAST(q2 AS HUGEINT)) AS s2, sum(CAST(q2 AS HUGEINT) * q2) AS ss2,
+             sum(CAST(q3 AS HUGEINT)) AS s3, sum(CAST(q3 AS HUGEINT) * q3) AS ss3,
+             sum(CAST(qt AS HUGEINT)) AS st, sum(CAST(qt AS HUGEINT) * qt) AS sst
+      FROM w),
+    v AS (
+      SELECT n,
+             (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12
+             + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12
+             + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12
+             + (CAST(ss3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12
+               AS iv,
+             (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12
+               AS tv
+      FROM agg)
+    SELECT n, CAST(4 AS BIGINT) AS k_items,
+           round(iv, 6) + 0.0 AS sum_item_var,
+           round(tv, 6) + 0.0 AS total_var,
+           CASE WHEN n >= 2 AND tv > 0.0
+                THEN round(4.0 / 3.0 * (1.0 - iv / tv), 6)
+           END + 0.0 AS alpha
+    FROM v
+    """,
+    doc=(
+        "Cronbach's alpha internal-consistency reliability "
+        "(operators/stats.cronbach_alpha, Cronbach 1951) over a "
+        "4-item lineitem numeric battery (quantity, price/1000, "
+        "discount*100, tax*100): alpha = k/(k-1) * (1 - sum item "
+        "variance / total variance) — the 'do these signals measure "
+        "one construct?' screen before compositing sub-scores. "
+        "Micro-quantized items, DECIMAL(38,0) (oracle: HUGEINT) "
+        "integer moment sums, one map-side-combinable global "
+        "aggregate of 2k+2 columns; every variance a one-shot double "
+        "mirrored token-for-token."
+    ),
+)
+def q_lineitem_cronbach_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.stats import cronbach_alpha
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("i0"),
+        (F.col("l_extendedprice").cast("double") / 1000.0).alias("i1"),
+        (F.col("l_discount").cast("double") * 100.0).alias("i2"),
+        (F.col("l_tax").cast("double") * 100.0).alias("i3"),
+    )
+    return cronbach_alpha(li, ["i0", "i1", "i2", "i3"])
+
+
+@register(
+    "q_lineitem_partial_corr",
+    """
+    WITH q AS (
+      SELECT CAST(round(l_quantity * 1000000) AS BIGINT) AS x,
+             CAST(round(l_extendedprice / 1000.0 * 1000000) AS BIGINT)
+               AS y,
+             CAST(round(l_discount * 100 * 1000000) AS BIGINT) AS z
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(z AS HUGEINT)) AS sz,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(z AS HUGEINT) * z) AS szz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(y AS HUGEINT) * z) AS syz
+      FROM q),
+    r AS (
+      SELECT n,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+      FROM agg)
+    SELECT n,
+           round(rxy, 6) + 0.0 AS r_xy,
+           round(rxz, 6) + 0.0 AS r_xz,
+           round(ryz, 6) + 0.0 AS r_yz,
+           CASE WHEN n >= 3
+                 AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0
+                THEN round((rxy - rxz * ryz)
+                           / sqrt((1.0 - rxz * rxz)
+                                * (1.0 - ryz * ryz)), 6)
+           END + 0.0 AS partial_r
+    FROM r
+    """,
+    doc=(
+        "First-order partial correlation (operators/stats.partial_corr): "
+        "quantity vs extended price CONTROLLING for discount — does "
+        "the raw association survive removing the confounder? One "
+        "map-side-combinable aggregate of 10 DECIMAL(38,0) (oracle: "
+        "HUGEINT) sufficient statistics over micro-quantized values "
+        "(the ols_xy trick widened to 3 variables); every r and the "
+        "partial are one-shot doubles mirrored token-for-token."
+    ),
+)
+def q_lineitem_partial_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.stats import partial_corr
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_extendedprice").cast("double") / 1000.0).alias("y"),
+        (F.col("l_discount").cast("double") * 100.0).alias("z"),
+    )
+    return partial_corr(li, "x", "y", "z")
+
+
+@register(
+    "q_events_grubbs",
+    """
+    WITH b AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    mo AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(v AS DECIMAL(38,12))) AS s1,
+             sum(CAST(CAST(v AS DECIMAL(38,12))
+                      * CAST(v AS DECIMAL(38,12)) AS DECIMAL(38,12)))
+               AS s2
+      FROM b GROUP BY g),
+    mm AS (
+      SELECT g, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CASE WHEN n > 1 THEN
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE)) END AS sd
+      FROM mo),
+    dev AS (
+      SELECT b.g, max(CAST(round(abs(b.v - mm.mean) * 1000000)
+                           AS BIGINT)) AS maxdev,
+             max(mm.n) AS n, max(mm.mean) AS mean, max(mm.sd) AS sd
+      FROM b JOIN mm USING (g) GROUP BY b.g)
+    SELECT g AS event_type, n,
+           round(mean, 6) + 0.0 AS mean,
+           round(sd, 6) + 0.0 AS sd,
+           CASE WHEN n >= 3 AND sd > 0.0
+                THEN round(CAST(maxdev AS DOUBLE) / 1e6 / sd, 6)
+           END + 0.0 AS g_stat
+    FROM dev
+    """,
+    doc=(
+        "Grubbs' maximum-normed-residual outlier statistic per event "
+        "type (operators/stats.grubbs_test, Grubbs 1950): G = "
+        "max|x - mean| / sd — the classical single-outlier screen "
+        "beside the robust mad_outliers. Two group-keyed aggregates "
+        "(exact DECIMAL moments, then an integer micro-quantized MAX "
+        "deviation — order-free) joined on the broadcast group table; "
+        "G is a one-shot double."
+    ),
+)
+def q_events_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import grubbs_test
+
+    ev = read_table(spark, sf_dir, "events")
+    return grubbs_test(ev, "event_type", "value")
+
+
+@register(
+    "q_events_cochran_q",
+    """
+    WITH b AS (
+      SELECT CAST(user_id AS VARCHAR) AS s, event_type AS t,
+             CASE WHEN coalesce(value, 0) > 100 THEN 1 ELSE 0 END AS y
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    cell AS (SELECT s, t, max(y) AS y FROM b GROUP BY s, t),
+    kk AS (SELECT count(DISTINCT t) AS k FROM b),
+    rows_ AS (
+      SELECT s, count(*) AS nt, CAST(sum(y) AS BIGINT) AS li
+      FROM cell GROUP BY s),
+    comp AS (SELECT s, li FROM rows_ WHERE nt = (SELECT k FROM kk)),
+    gj AS (
+      SELECT cell.t, CAST(sum(cell.y) AS BIGINT) AS gj
+      FROM cell JOIN comp USING (s) GROUP BY cell.t),
+    top AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_treatments,
+             CAST(sum(gj) AS BIGINT) AS tt,
+             CAST(sum(gj * gj) AS BIGINT) AS g2
+      FROM gj),
+    bot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+             CAST(sum(li * li) AS BIGINT) AS l2
+      FROM comp)
+    SELECT n_subjects, k_treatments,
+           CASE WHEN n_subjects >= 2 AND k_treatments >= 2
+                 AND CAST(k_treatments AS DOUBLE) * CAST(tt AS DOUBLE)
+                     - CAST(l2 AS DOUBLE) > 0.0
+                THEN round(
+                  (CAST(k_treatments AS DOUBLE) - 1.0)
+                  * (CAST(k_treatments AS DOUBLE) * CAST(g2 AS DOUBLE)
+                     - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))
+                  / (CAST(k_treatments AS DOUBLE) * CAST(tt AS DOUBLE)
+                     - CAST(l2 AS DOUBLE)), 6)
+           END + 0.0 AS q_stat
+    FROM top CROSS JOIN bot
+    """,
+    doc=(
+        "Cochran's Q test (operators/stats.cochran_q): do the event "
+        "types have equal 'high-value interaction' (value > 100) "
+        "rates across users measured under ALL types (complete "
+        "blocks)? The k-treatment generalization of McNemar and the "
+        "binary sibling of friedman_test; every term is an exact "
+        "integer aggregate, the statistic one double ratio. Keyed "
+        "aggregates only — no windows, no driver state."
+    ),
+)
+def q_events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cochran_q
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("s"),
+        F.col("event_type").alias("t"),
+        (F.coalesce(F.col("value"), F.lit(0.0)) > 100.0).alias("y"),
+    )
+    return cochran_q(ev, "s", "t", "y")
+
+
+@register(
+    "q_events_page_trend",
+    """
+    WITH b AS (
+      SELECT CAST(user_id AS VARCHAR) AS bk,
+             CASE WHEN EXTRACT(hour FROM ts) < 8 THEN 'night'
+                  WHEN EXTRACT(hour FROM ts) < 16 THEN 'day'
+                  ELSE 'evening' END AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL),
+    cell AS (
+      SELECT bk, t,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m
+      FROM b GROUP BY bk, t),
+    comp AS (
+      SELECT bk FROM cell GROUP BY bk HAVING count(*) = 3),
+    cc AS (SELECT cell.* FROM cell JOIN comp USING (bk)),
+    rk AS (
+      SELECT bk, t,
+             CAST(rank() OVER (PARTITION BY bk ORDER BY m) AS DOUBLE)
+             + (CAST(count(*) OVER (PARTITION BY bk, m) AS DOUBLE)
+                - 1.0) / 2.0 AS r
+      FROM cc),
+    ordw AS (
+      SELECT * FROM (VALUES ('night', 1), ('day', 2), ('evening', 3))
+        AS o(t, j)),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM comp),
+    l AS (
+      SELECT sum(CAST(ordw.j AS DOUBLE) * rk.r) AS lv
+      FROM rk JOIN ordw USING (t))
+    SELECT nb.n_blocks, CAST(3 AS BIGINT) AS k_treatments,
+           round(l.lv, 2) + 0.0 AS l_stat,
+           CASE WHEN nb.n_blocks >= 2 THEN
+             round((l.lv - CAST(nb.n_blocks AS DOUBLE) * 3.0 * 16.0
+                            / 4.0)
+                   / sqrt(CAST(nb.n_blocks AS DOUBLE) * 9.0 * 4.0 * 8.0
+                          / 144.0), 6)
+           END + 0.0 AS z
+    FROM nb CROSS JOIN l
+    """,
+    doc=(
+        "Page's L trend test (operators/stats.page_trend, Page 1963): "
+        "is per-user mean event value MONOTONE across the hypothesized "
+        "night < day < evening ordering, rather than merely unequal "
+        "(friedman_test)? L = sum j*R_j over complete blocks with the "
+        "normal approximation E[L] = n*k(k+1)^2/4, Var = "
+        "n*k^2(k+1)(k^2-1)/144 (k=3: 12n, sqrt(2n)). Exact DECIMAL "
+        "cell means, within-block 3-row midrank windows, keyed "
+        "aggregates; the ordinal weights join from a broadcast "
+        "3-row literal."
+    ),
+)
+def q_events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import page_trend
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("bk"),
+        F.when(F.hour("ts") < 8, F.lit("night"))
+        .when(F.hour("ts") < 16, F.lit("day"))
+        .otherwise(F.lit("evening"))
+        .alias("t"),
+        F.col("value").cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("bk").isNotNull())
+    return page_trend(ev, "bk", "t", "v", ["night", "day", "evening"])
+
+
+@register(
+    "q_events_bh_adjust",
+    """
+    WITH cells AS (
+      SELECT event_type || ':' || CAST(EXTRACT(hour FROM ts) AS VARCHAR)
+               AS k,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+             sqrt((CAST(sum(c * c) AS DOUBLE)
+                   - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE))
+                  / CAST(count(*) AS DOUBLE)) AS sd
+      FROM cells),
+    ps AS (
+      SELECT k, round(exp(-abs((CAST(c AS DOUBLE) - mo.mu)
+                               / CASE WHEN mo.sd > 0.0 THEN mo.sd
+                                      ELSE 1.0 END)), 9) + 0.0 AS p,
+             mo.m AS m
+      FROM cells CROSS JOIN mo),
+    r AS (
+      SELECT k, p, m,
+             CAST(row_number() OVER (ORDER BY p, k) AS BIGINT) AS rk
+      FROM ps),
+    c AS (
+      SELECT k, p, rk,
+             CAST(round(p * CAST(m AS DOUBLE) / CAST(rk AS DOUBLE)
+                        * 1e9) AS BIGINT) AS cq
+      FROM r),
+    s AS (
+      SELECT k, p, rk,
+             min(cq) OVER (ORDER BY rk ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS sq
+      FROM c)
+    SELECT k AS cell, round(p, 6) + 0.0 AS p_value, rk AS rank,
+           round(CAST(least(sq, 1000000000) AS DOUBLE) / 1e9, 6) + 0.0
+             AS q_value
+    FROM s
+    """,
+    doc=(
+        "Benjamini-Hochberg FDR adjustment (operators/stats.bh_adjust, "
+        "Benjamini & Hochberg 1995) over per-(event_type, hour) cell "
+        "'p-values' (a deterministic exp(-|z|) transform of the cell "
+        "count z-score — the gate exercises the ADJUSTMENT machinery; "
+        "real p's come from the battery's tests): q_(i) = min_{j>=i} "
+        "p_(j)*m/j capped at 1 — THE multiplicity correction before "
+        "reading thousands of per-segment readouts as discoveries. "
+        "Distributed with NO global per-row window: ranks from a "
+        "range-partitioned exclusive count over the distinct-p table "
+        "+ p-partitioned row_number, and the step-up sweep is a "
+        "range-partitioned SUFFIX MIN over integer nanos "
+        "(stats._ranged_suffix_min — per-partition running min + an "
+        "exact partition-minima fold). Oracle sweeps identical "
+        "integers with a plain window."
+    ),
+)
+def q_events_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import bh_adjust
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    cells = ev.groupBy(
+        F.concat_ws(
+            ":", F.col("event_type"), F.hour("ts").cast("string")
+        ).alias("cell")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    mo = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m"),
+        F.sum("c").cast("bigint").alias("_s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_ss"),
+    ).collect()[0]
+    m = int(mo["_m"])
+    mu = float(mo["_s"]) / m
+    var = (float(mo["_ss"]) - float(mo["_s"]) ** 2 / m) / m
+    sd = var**0.5 if var > 0 else 1.0
+    ps = cells.select(
+        "cell",
+        (
+            F.round(
+                F.exp(
+                    -F.abs(
+                        (F.col("c").cast("double") - F.lit(mu))
+                        / F.lit(sd if sd > 0 else 1.0)
+                    )
+                ),
+                9,
+            )
+            + 0.0
+        ).alias("p"),
+    )
+    return bh_adjust(ps, "cell", "p")
+
+
+@register(
+    "q_events_greenwood",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN (pt - st) // 3600000000 ELSE 168 END AS t
+      FROM entry LEFT JOIN fe USING (u)),
+    agg AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM dur GROUP BY t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+    km AS (
+      SELECT t, n_events,
+             (SELECT n FROM tot)
+               - coalesce(sum(leaving)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_risk
+      FROM agg),
+    st AS (
+      SELECT t, n_risk, n_events,
+             sum(CASE WHEN n_events = n_risk
+                      THEN CAST(0.0 AS DECIMAL(38,12))
+                      ELSE CAST(ln(1.0 - n_events
+                                   / CAST(n_risk AS DOUBLE))
+                           AS DECIMAL(38,12)) END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum,
+             sum(CASE WHEN n_events = n_risk
+                      THEN CAST(0 AS DECIMAL(38,0))
+                      ELSE CAST(CAST(round(
+                             CAST(n_events AS DOUBLE)
+                             / (CAST(n_risk AS DOUBLE)
+                                * (CAST(n_risk AS DOUBLE)
+                                   - CAST(n_events AS DOUBLE)))
+                             * 1e12) AS BIGINT) AS DECIMAL(38,0)) END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS gwsum,
+             sum(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zeros
+      FROM km),
+    fin AS (
+      SELECT t, n_risk, n_events,
+             CASE WHEN zeros > 0 THEN 0.0
+                  ELSE exp(CAST(lnsum AS DOUBLE)) END AS s,
+             CASE WHEN zeros = 0 THEN
+               exp(CAST(lnsum AS DOUBLE))
+               * sqrt(CAST(gwsum AS DOUBLE) / 1e12) END AS se
+      FROM st WHERE n_events > 0)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           round(s, 6) + 0.0 AS survival,
+           round(se, 6) + 0.0 AS se,
+           round(greatest(s - 1.96 * se, 0.0), 6) + 0.0 AS lo,
+           round(least(s + 1.96 * se, 1.0), 6) + 0.0 AS hi
+    FROM fin
+    """,
+    doc=(
+        "Kaplan-Meier curve WITH Greenwood 95% confidence bands "
+        "(operators/survival.greenwood_bands, Greenwood 1926): "
+        "Var[S] = S^2 * sum d/(n(n-d)), bands S +/- 1.96se clamped to "
+        "[0,1] — the uncertainty the bare KM gate hides. Same recipe "
+        "as q_events_kaplan_meier plus a second DECIMAL cumulative "
+        "sum of pico-quantized Greenwood terms; se NULL from the "
+        "first risk-set-exhausting bucket."
+    ),
+)
+def q_events_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import greenwood_bands
+
+    ev = read_table(spark, sf_dir, "events")
+    return greenwood_bands(
+        ev, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=604800, bucket_seconds=3600,
+    )
+
+
+@register(
+    "q_events_cox_baseline",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN (pt - st) // 3600000000 ELSE 168 END AS t
+      FROM entry LEFT JOIN fe USING (u)),
+    x AS (
+      SELECT u, ev, CAST(t AS DOUBLE) AS t,
+             CAST(u % 21 AS DOUBLE) / 10.0 - 1.0 AS xv
+      FROM dur),
+    per AS (
+      SELECT t,
+             CAST(sum(CAST(round(exp(0.1 * xv) * 1e6) AS BIGINT))
+                  AS BIGINT) AS s0q,
+             CAST(sum(ev) AS BIGINT) AS dd
+      FROM x GROUP BY t),
+    sfx AS (
+      SELECT t, dd,
+             sum(s0q) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS s0s
+      FROM per),
+    evt AS (
+      SELECT t, dd AS n_events, s0s,
+             CAST(round(CAST(dd AS DOUBLE)
+                        / (CAST(s0s AS DOUBLE) / 1e6) * 1e9)
+                  AS BIGINT) AS hq
+      FROM sfx WHERE dd > 0),
+    cum AS (
+      SELECT t, n_events, s0s,
+             sum(hq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS hcum
+      FROM evt)
+    SELECT t, n_events,
+           round(CAST(s0s AS DOUBLE) / 1e6, 6) + 0.0 AS s0,
+           round(CAST(hcum AS DOUBLE) / 1e9, 6) + 0.0 AS h0
+    FROM cum ORDER BY t
+    """,
+    doc=(
+        "Breslow baseline cumulative hazard at a FIXED beta = 0.1 "
+        "(operators/survival.cox_baseline_hazard): H0(t) = "
+        "sum_{t_i<=t} d_i / S0(t_i) with S0 the micro-quantized "
+        "risk-set suffix sum — what turns a cox_ph fit into absolute "
+        "risk curves, and (because beta is an input) the exact HASH "
+        "gate for the Cox risk-set suffix machinery that the "
+        "iterative bound gates can only boolean-check. Covariate is "
+        "the deterministic (u %% 21)/10 - 1 grid; per-time aggregate "
+        "+ two range-partitioned prefix passes, no unpartitioned "
+        "window."
+    ),
+)
+def q_events_cox_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import cox_baseline_hazard, duration_table
+
+    ev = read_table(spark, sf_dir, "events")
+    dur = duration_table(
+        ev, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=604800, bucket_seconds=3600,
+    ).select(
+        "ev",
+        F.col("t").cast("double").alias("t"),
+        ((F.col("_u") % 21).cast("double") / 10.0 - 1.0).alias("xv"),
+    )
+    return cox_baseline_hazard(dur, "t", "ev", "xv", beta=0.1)
