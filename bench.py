@@ -368,6 +368,10 @@ EXTENDED = [
     "q_events_bh_adjust",
     "q_events_greenwood",
     "q_events_cox_baseline",
+    "q_docs_zipf_fit",
+    "q_docs_token_dispersion",
+    "q_events_cohens_d",
+    "q_events_concordance",
 ]
 
 

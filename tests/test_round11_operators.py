@@ -490,3 +490,99 @@ def test_cox_baseline_hazard_matches_hand_suffix(spark):
         assert out[t]["s0"] == pytest.approx(s0q / 1e6, abs=1e-6)
         assert out[t]["h0"] == pytest.approx(h / 1e9, abs=1e-6)
         assert out[t]["n_events"] == per[t][1]
+
+
+# --------------------------------------------------------------------------
+# round-11c wave: corpus diagnostics + effect size + concordance
+# --------------------------------------------------------------------------
+
+
+def test_cohens_d_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import cohens_d
+
+    import statistics
+
+    a = [float(v) for v in range(10, 30)]
+    b = [float(v) + 5.5 for v in range(12, 35)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = cohens_d(df, "g", "v").collect()[0]
+    ssa = sum((v - statistics.fmean(a)) ** 2 for v in a)
+    ssb = sum((v - statistics.fmean(b)) ** 2 for v in b)
+    dof = len(a) + len(b) - 2
+    d = (statistics.fmean(b) - statistics.fmean(a)) / math.sqrt(
+        (ssa + ssb) / dof
+    )
+    g = d * (1 - 3 / (4 * dof - 1))
+    assert out["group_a"] == "a" and out["group_b"] == "b"
+    assert out["d"] == pytest.approx(d, abs=1e-6)
+    assert out["g"] == pytest.approx(g, abs=1e-6)
+
+
+def test_concordance_bounded_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import (
+        concordance_bounded,
+    )
+
+    rows = [
+        (1.0, 1, 0.9), (2.0, 1, 0.7), (2.5, 0, 0.7),
+        (3.0, 1, 0.2), (4.0, 0, 0.1), (5.0, 0, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "t double, d int, s double")
+    out = concordance_bounded(df, "t", "d", "s").collect()[0]
+    ncomp = nconc2 = 0
+    for ti, di, si in rows:
+        for tj, _, sj in rows:
+            if ti < tj and di == 1:
+                ncomp += 1
+                nconc2 += 2 if si > sj else (1 if si == sj else 0)
+    assert out["n_comparable"] == ncomp
+    assert out["n_concordant_x2"] == nconc2
+    assert out["c_index"] == pytest.approx(nconc2 / (2 * ncomp), abs=1e-6)
+    assert out["c_index"] > 0.5  # descending score with time = good
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import zipf_fit
+
+    # synthetic corpus with freq(token_r) ~ 120/r: slope ~ -1
+    words = []
+    for r in range(1, 41):
+        words.extend([f"w{r:02d}"] * max(1, round(120 / r)))
+    docs = [(i, " ".join(words[i::7])) for i in range(7)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = zipf_fit(df, "text", "doc_id", min_count=1).collect()[0]
+    assert out["vocab_size"] == 40
+    assert out["total_tokens"] == len(words)
+    assert out["slope"] == pytest.approx(-1.0, abs=0.1)
+    assert out["r2"] > 0.95
+
+
+def test_token_dispersion_even_vs_bursty(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        token_dispersion,
+    )
+
+    # 'even' appears twice in every doc; 'burst' only in docs of part 0
+    docs = []
+    for i in range(20):
+        text = "even even"
+        if i % 10 == 0:
+            text += " burst" * 10
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r["token"]: r
+        for r in token_dispersion(
+            df, "text", "doc_id", n_parts=10, min_count=10
+        ).collect()
+    }
+    assert out["even"]["n_occurrences"] == 40
+    # 'even' is uniform per part (v_i = 0.1) but the burst token skews
+    # the part SHARES (part 0 holds 24/60 tokens), so its DP is 0.3
+    # exactly, not ~0 — DP measures deviation from the corpus mass
+    # layout, not from uniformity
+    assert out["even"]["dp"] == pytest.approx(0.3, abs=0.01)
+    assert out["burst"]["n_occurrences"] == 20
+    assert out["burst"]["dp"] == pytest.approx(0.6, abs=0.01)
+    assert out["burst"]["dp"] > out["even"]["dp"]

@@ -1177,6 +1177,72 @@ def main() -> None:
         wx_1.count(), wx_N.count(),
     )
 
+    # round 11: BH FDR adjust — near-unique p-values so BOTH ranged
+    # passes (exclusive-count ranks, suffix-min sweep) run on a
+    # data-sized distinct table; hypotheses grow Nx
+    from ups_crossref_etl_spark.operators.stats import bh_adjust
+
+    bh_1 = ev1s.select(
+        F.col("event_id").cast("string").alias("k"),
+        (
+            (F.col("event_id") * F.lit(2654435761))
+            .cast("bigint") % F.lit(1000000007)
+        ).cast("double").alias("_h"),
+    ).select(
+        "k", (F.col("_h") / 1.000000007e9).alias("p")
+    ).localCheckpoint()
+    bh_N = (
+        bh_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            F.concat_ws("_", "k", F.col("_salt").cast("string")).alias(
+                "k"
+            ),
+            ((F.col("p") + F.col("_salt")) / F.lit(float(n))).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "bh_adjust",
+        lambda: bh_adjust(bh_1, "k", "p").agg(
+            F.sum("q_value")
+        ).collect(),
+        lambda: bh_adjust(bh_N, "k", "p").agg(
+            F.sum("q_value")
+        ).collect(),
+        bh_1.count(), bh_N.count(),
+    )
+
+    # round 11: multi-covariate Cox (d=2) — subjects grow Nx with the
+    # time/covariate distribution preserved (distinct event times stay
+    # ~200, the per-pass aggregate is what must scale linearly)
+    from ups_crossref_etl_spark.operators.survival import cox_ph_multi
+
+    cx_1 = ev1s.select(
+        ((F.col("event_id") % 200) + 1).cast("double").alias("t"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("d"),
+        (F.coalesce(F.col("value"), F.lit(0.0)) / 100.0).alias("x0"),
+        ((F.col("event_id") % 13).cast("double") / 13.0).alias("x1"),
+    ).localCheckpoint()
+    cx_N = (
+        cx_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .drop("_salt")
+        .localCheckpoint()
+    )
+    probe(
+        "cox_multi",
+        lambda: cox_ph_multi(
+            cx_1, "t", "d", ["x0", "x1"], iterations=2, tol=1e-4
+        )["iterations_run"],
+        lambda: cox_ph_multi(
+            cx_N, "t", "d", ["x0", "x1"], iterations=2, tol=1e-4
+        )["iterations_run"],
+        cx_1.count(), cx_N.count(),
+    )
+
     from ups_crossref_etl_spark.operators.classifier import logreg_irls
     from ups_crossref_etl_spark.operators.text_analysis import (
         quality_features,

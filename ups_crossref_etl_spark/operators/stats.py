@@ -2963,3 +2963,129 @@ def bh_adjust(
             ).alias(out_col),
         )
     )
+
+
+def cohens_d(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Standardized mean difference between exactly two groups: Cohen's
+    d over the pooled sample SD, plus the small-sample-corrected
+    Hedges' g (``g = J·d``, ``J = 1 − 3/(4·df − 1)``, df = n_a+n_b−2)
+    — the effect SIZE companion to :func:`welch_t`'s significance
+    readout: a t-test on a 100M-row cohort flags differences nobody
+    should act on; d says whether the difference is worth anything.
+
+    Groups order lexicographically; positive d = later-sorting group
+    higher (the welch_t sign convention). Returns ONE row ``(group_a,
+    group_b, n_a, n_b, mean_a, mean_b, d, g)``; d/g NULL when either
+    group has < 2 rows or the pooled variance is 0.
+
+    Determinism and shape: identical to welch_t — per-group
+    DECIMAL(38,12) moment sums in one keyed map-side-combinable
+    aggregate, min/max struct pivot to one row, one-shot doubles.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_v").cast(_DEC)).alias("_s"),
+        F.sum(
+            (F.col("_v").cast(_DEC) * F.col("_v").cast(_DEC)).cast(_DEC)
+        ).alias("_q"),
+    )
+    wide = per.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.min(F.struct("_g", "_n", "_s", "_q")).alias("_a"),
+        F.max(F.struct("_g", "_n", "_s", "_q")).alias("_b"),
+    ).filter(F.col("_k") == 2)
+
+    def moments(side):
+        n = F.col(f"_{side}._n")
+        s = F.col(f"_{side}._s").cast("double")
+        q = F.col(f"_{side}._q").cast("double")
+        mean = s / n.cast("double")
+        ss = q - s * s / n.cast("double")  # centered sum of squares
+        return n, mean, ss
+
+    na, ma, ssa = moments("a")
+    nb, mb, ssb = moments("b")
+    dof = (na + nb - 2).cast("double")
+    pooled_var = (ssa + ssb) / dof
+    ok = (na > 1) & (nb > 1) & (pooled_var > 0.0)
+    d = (mb - ma) / F.sqrt(pooled_var)
+    j = F.lit(1.0) - F.lit(3.0) / (4.0 * dof - 1.0)
+    return wide.select(
+        F.col("_a._g").alias("group_a"),
+        F.col("_b._g").alias("group_b"),
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        (F.round(ma, 6) + 0.0).alias("mean_a"),
+        (F.round(mb, 6) + 0.0).alias("mean_b"),
+        (F.round(F.when(ok, d), 6) + 0.0).alias("d"),
+        (F.round(F.when(ok, d * j), 6) + 0.0).alias("g"),
+    )
+
+
+def concordance_bounded(
+    durations: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+) -> DataFrame:
+    """EXACT Harrell's concordance index over a pre-bounded subject
+    slice: among comparable pairs (i fails before j is last seen:
+    ``t_i < t_j`` and ``d_i = 1``), the fraction where the risk score
+    ranks them correctly (``score_i > score_j``; score ties count ½) —
+    THE discrimination metric for a fitted :func:`cox_ph` risk score
+    (C = 0.5 random, 1.0 perfect).
+
+    SCALE CONTRACT: all-pairs is quadratic BY DESIGN — the caller
+    passes an absolutely bounded slice (the gate uses ``_u < 400``,
+    ≤400 subjects at ANY scale factor), exactly the bounded-subgraph
+    pattern of silhouette_bounded / q_graph_transitivity_exact. The
+    operational full-corpus discrimination readout is
+    ``binary_auc`` on a horizon label; this is the censoring-aware
+    exact twin.
+
+    Returns ONE row ``(n_comparable, n_concordant_x2, c_index)`` —
+    concordant pairs are counted in half-units (×2: tie = 1, win = 2)
+    so the count is an exact integer and C one rounded division.
+    """
+    a = durations.select(
+        F.col(time_col).cast("double").alias("_ta"),
+        F.col(event_col).cast("int").alias("_da"),
+        F.col(score_col).cast("double").alias("_sa"),
+    )
+    b = durations.select(
+        F.col(time_col).cast("double").alias("_tb"),
+        F.col(score_col).cast("double").alias("_sb"),
+    )
+    pairs = a.join(b, F.col("_ta") < F.col("_tb")).filter(
+        F.col("_da") == 1
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comparable"),
+        F.sum(
+            F.when(F.col("_sa") > F.col("_sb"), 2)
+            .when(F.col("_sa") == F.col("_sb"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_concordant_x2"),
+    )
+    ok = F.col("n_comparable") > 0
+    return agg.select(
+        "n_comparable",
+        "n_concordant_x2",
+        (
+            F.round(
+                F.when(
+                    ok,
+                    F.col("n_concordant_x2").cast("double")
+                    / (2.0 * F.col("n_comparable").cast("double")),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("c_index"),
+    )

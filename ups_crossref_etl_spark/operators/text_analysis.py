@@ -1619,3 +1619,171 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias("n_digit"),
         label.alias("script"),
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 1
+) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: log-log OLS
+    of ``ln(frequency)`` on ``ln(rank)`` over the vocabulary —
+    natural-language corpora sit near slope −1; a slope far from it
+    (or a low r²) flags templated/boilerplate-heavy or synthetic text
+    before it pollutes a training mix (the corpus-level sibling of the
+    per-document quality features).
+
+    Returns ONE row ``(vocab_size, total_tokens, slope, intercept,
+    r2)``; slope/r2 NULL for degenerate vocabularies (< 2 distinct
+    frequencies). ``min_count`` trims the hapax tail (rank-noise)
+    before fitting.
+
+    Scale shape — no global per-row window despite the global rank:
+    one token groupBy (the only corpus-sized shuffle), then ranks over
+    the VOCAB-sized table via the range-partitioned exclusive count
+    over distinct frequencies + a frequency-partitioned row_number
+    (``stats._ranged_exclusive_cumsum`` — vocab is corpus-sized in the
+    worst case, which is exactly when an unpartitioned ORDER BY rank
+    would degenerate). The fit itself reuses :func:`stats.ols_xy`'s
+    quantized sufficient-statistics aggregate (one shuffle of 6
+    integer columns).
+    """
+    from pyspark.sql import Window
+
+    from .stats import _ranged_exclusive_cumsum, ols_xy
+
+    tf = (
+        token_frequencies(df, text_col, id_col, exact_doc_freq=False)
+        .filter(F.col("n_occurrences") >= min_count)
+        .select("token", F.col("n_occurrences").cast("bigint").alias("_f"))
+    )
+    totals = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_v"),
+        F.sum("_f").cast("bigint").alias("_tt"),
+    ).collect()[0]
+    vocab, total = int(totals["_v"] or 0), int(totals["_tt"] or 0)
+    # rank 1 = most frequent: exclusive count of tokens with HIGHER
+    # frequency (ranged cumsum over distinct -f) + row_number within
+    # the frequency tie, token tiebreak — the percent_rank_unique
+    # construction
+    per_f = tf.groupBy(
+        (-F.col("_f")).alias("_nf")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    offs = _ranged_exclusive_cumsum(per_f, "_nf", "_t", "_off").select(
+        "_nf", "_off"
+    )
+    wr = Window.partitionBy("_f").orderBy("token")
+    ranked = (
+        tf.join(offs, (-tf["_f"]) == offs["_nf"])
+        .withColumn("_rank", F.col("_off") + F.row_number().over(wr))
+        .select(
+            F.lit("all").alias("_g"),
+            F.log(F.col("_rank").cast("double")).alias("_x"),
+            F.log(F.col("_f").cast("double")).alias("_y"),
+        )
+    )
+    fit = ols_xy(ranked, "_g", "_x", "_y")
+    out = fit.select(
+        F.lit(vocab).cast("bigint").alias("vocab_size"),
+        F.lit(total).cast("bigint").alias("total_tokens"),
+        "slope",
+        "intercept",
+        "r2",
+    )
+    # ols_xy drops degenerate groups entirely — emit a NULL-stat row
+    # instead so the readout always has exactly one row
+    if out.limit(1).count() == 0:
+        spark = df.sparkSession
+        return spark.range(1).select(
+            F.lit(vocab).cast("bigint").alias("vocab_size"),
+            F.lit(total).cast("bigint").alias("total_tokens"),
+            F.lit(None).cast("double").alias("slope"),
+            F.lit(None).cast("double").alias("intercept"),
+            F.lit(None).cast("double").alias("r2"),
+        )
+    return out
+
+
+def token_dispersion(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_parts: int = 10,
+    min_count: int = 10,
+) -> DataFrame:
+    """Gries' deviation-of-proportions dispersion DP per token (Gries
+    2008): split the corpus into ``n_parts`` equal-share document
+    buckets and measure ``DP = ½·Σ_i |v_i − s_i|`` where ``v_i`` is
+    the share of the token's occurrences falling in part i and ``s_i``
+    the part's share of total tokens — DP ≈ 0 means the token is
+    spread evenly (function words), DP → 1 means it clusters in few
+    parts (topical/boilerplate bursts). The burstiness diagnostic that
+    separates "frequent because ubiquitous" from "frequent because one
+    subcorpus spams it" — corpus-mix curation reads it next to raw
+    frequency.
+
+    Parts are ``md5-bucket(id) % n_parts`` (engine-portable, the
+    sampling.hash_bucket convention is NOT needed here because the
+    bucket is ``id % n_parts`` — deterministic and mirrorable as
+    plain modulo). Returns ``(token, n_occurrences, dp)`` for tokens
+    with ≥ ``min_count`` occurrences.
+
+    Determinism: each |v_i − s_i| term is one double over exact
+    integer counts, quantized to integer nanos BEFORE the per-token
+    sum (≤ n_parts terms, but Spark's aggregation order is still
+    nondeterministic — integer addition is not). Shape: one
+    (token, part) groupBy (the only corpus-sized shuffle; the part
+    totals are an n_parts-row broadcast), one token groupBy — linear.
+    """
+    toks = df.select(
+        (F.col(id_col) % n_parts).cast("int").alias("_part"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    cell = toks.groupBy("token", "_part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    part_tot = cell.groupBy("_part").agg(
+        F.sum("_c").cast("bigint").alias("_pt")
+    )
+    grand = part_tot.agg(F.sum("_pt").cast("bigint").alias("_gt"))
+    tok_tot = cell.groupBy("token").agg(
+        F.sum("_c").cast("bigint").alias("_tc")
+    )
+    term = F.round(
+        F.abs(
+            F.col("_c").cast("double") / F.col("_tc").cast("double")
+            - F.col("_pt").cast("double") / F.col("_gt").cast("double")
+        )
+        * 1e9
+    ).cast("bigint")
+    # a token ABSENT from a part still contributes |0 - s_i| to DP:
+    # sum present-part terms, then add the missing-part mass
+    # sum_{absent i} s_i = 1 - sum_{present i} s_i exactly — via the
+    # same quantized integers
+    sterm = F.round(
+        F.col("_pt").cast("double") / F.col("_gt").cast("double") * 1e9
+    ).cast("bigint")
+    per_tok = (
+        cell.join(F.broadcast(part_tot), "_part")
+        .crossJoin(F.broadcast(grand))
+        .join(tok_tot, "token")
+        .groupBy("token")
+        .agg(
+            F.max("_tc").alias("n_occurrences"),
+            F.sum(term).alias("_present"),
+            F.sum(sterm).alias("_present_share"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    dp = (
+        F.col("_present").cast("double")
+        + (F.lit(1_000_000_000) - F.col("_present_share")).cast("double")
+    ) / 2e9
+    return per_tok.select(
+        "token",
+        "n_occurrences",
+        (F.round(dp, 6) + 0.0).alias("dp"),
+    )

@@ -109,6 +109,15 @@ _CHANGED_THIS_ROUND = [
     "q_events_bh_adjust",
     "q_events_greenwood",
     "q_events_cox_baseline",
+    # round-11c wave: corpus diagnostics (Zipf log-log fit, Gries DP
+    # token dispersion — the burstiness screen beside raw frequency),
+    # the Cohen's d / Hedges' g effect size beside welch_t, and the
+    # bounded-exact Harrell's C discrimination readout for cox risk
+    # scores
+    "q_docs_zipf_fit",
+    "q_docs_token_dispersion",
+    "q_events_cohens_d",
+    "q_events_concordance",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

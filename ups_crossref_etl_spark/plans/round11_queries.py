@@ -897,3 +897,268 @@ def q_events_cox_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("_u") % 21).cast("double") / 10.0 - 1.0).alias("xv"),
     )
     return cox_baseline_hazard(dur, "t", "ev", "xv", beta=0.1)
+
+
+# --------------------------------------------------------------------------
+# Round-11c wave: corpus diagnostics + effect size + survival discrimination
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_zipf_fit",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY token HAVING count(*) >= 2),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(f) AS BIGINT) AS tt
+      FROM tf),
+    rk AS (
+      SELECT token, f,
+             CAST(row_number() OVER (ORDER BY f DESC, token) AS BIGINT)
+               AS rank
+      FROM tf),
+    q AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)
+               AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)
+               AS y
+      FROM rk),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM q),
+    fit AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM agg)
+    SELECT tot.v AS vocab_size, tot.tt AS total_tokens,
+           round(cov / dx, 6) + 0.0 AS slope,
+           round((syd - cov / dx * sxd) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) + 0.0 AS intercept,
+           CASE WHEN dy > 0 THEN round(cov * cov / (dx * dy), 4)
+           END + 0.0 AS r2
+    FROM fit CROSS JOIN tot
+    """,
+    doc=(
+        "Zipf's-law fit of the corpus unigram distribution "
+        "(operators/text_analysis.zipf_fit): log-log OLS of "
+        "ln(frequency) on ln(rank) over the min_count>=2 vocabulary — "
+        "natural text sits near slope -1; a far-off slope or low r2 "
+        "flags templated/synthetic corpora before they pollute a "
+        "training mix. Ranks with NO global per-row window (ranged "
+        "exclusive count over distinct frequencies + tie row_number); "
+        "the fit reuses ols_xy's micro-quantized sufficient-statistics "
+        "aggregate, mirrored token-for-token in the oracle."
+    ),
+)
+def q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import zipf_fit
+
+    docs = read_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", "doc_id", min_count=2)
+
+
+@register(
+    "q_docs_token_dispersion",
+    """
+    WITH toks AS (
+      SELECT doc_id % 10 AS part,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    cell AS (
+      SELECT token, part, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY token, part),
+    pt AS (SELECT part, CAST(sum(c) AS BIGINT) AS ptot
+           FROM cell GROUP BY part),
+    gt AS (SELECT CAST(sum(ptot) AS BIGINT) AS g FROM pt),
+    tc AS (SELECT token, CAST(sum(c) AS BIGINT) AS tctot
+           FROM cell GROUP BY token),
+    per AS (
+      SELECT cell.token, max(tc.tctot) AS n_occurrences,
+             sum(CAST(round(abs(CAST(cell.c AS DOUBLE)
+                                / CAST(tc.tctot AS DOUBLE)
+                                - CAST(pt.ptot AS DOUBLE)
+                                  / CAST(gt.g AS DOUBLE)) * 1e9)
+                      AS BIGINT)) AS present,
+             sum(CAST(round(CAST(pt.ptot AS DOUBLE)
+                            / CAST(gt.g AS DOUBLE) * 1e9)
+                      AS BIGINT)) AS present_share
+      FROM cell JOIN pt USING (part) CROSS JOIN gt
+      JOIN tc USING (token)
+      GROUP BY cell.token
+      HAVING max(tc.tctot) >= 10)
+    SELECT token, n_occurrences,
+           round((CAST(present AS DOUBLE)
+                  + CAST(1000000000 - present_share AS DOUBLE)) / 2e9,
+                 6) + 0.0 AS dp
+    FROM per
+    """,
+    doc=(
+        "Gries' deviation-of-proportions token dispersion "
+        "(operators/text_analysis.token_dispersion, Gries 2008): "
+        "DP = half the sum of |token share in part - part share| over "
+        "10 doc_id%%10 corpus parts — separates 'frequent because "
+        "ubiquitous' (function words, DP~0) from 'frequent because "
+        "one subcorpus spams it' (DP->1), the burstiness diagnostic "
+        "corpus-mix curation reads beside raw frequency. Absent-part "
+        "mass folded in exactly as 1e9 minus the present quantized "
+        "share sum; every term integer-nanos-quantized before the "
+        "per-token sum. One (token, part) groupBy + one token groupBy."
+    ),
+)
+def q_docs_token_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text_analysis import token_dispersion
+
+    docs = read_table(spark, sf_dir, "documents")
+    return token_dispersion(
+        docs, "text", "doc_id", n_parts=10, min_count=10
+    )
+
+
+@register(
+    "q_events_cohens_d",
+    """
+    WITH b AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(v AS DECIMAL(38,12))) AS s,
+             sum(CAST(CAST(v AS DECIMAL(38,12))
+                      * CAST(v AS DECIMAL(38,12)) AS DECIMAL(38,12)))
+               AS q
+      FROM b GROUP BY g),
+    a AS (SELECT * FROM per ORDER BY g LIMIT 1),
+    bb AS (SELECT * FROM per ORDER BY g DESC LIMIT 1),
+    mm AS (
+      SELECT a.g AS ga, bb.g AS gb, a.n AS na, bb.n AS nb,
+             CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+             CAST(bb.s AS DOUBLE) / CAST(bb.n AS DOUBLE) AS mb,
+             (CAST(a.q AS DOUBLE) - CAST(a.s AS DOUBLE)
+              * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+             + (CAST(bb.q AS DOUBLE) - CAST(bb.s AS DOUBLE)
+                * CAST(bb.s AS DOUBLE) / CAST(bb.n AS DOUBLE)) AS ss,
+             CAST(a.n + bb.n - 2 AS DOUBLE) AS dof
+      FROM a CROSS JOIN bb)
+    SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+           round(ma, 6) + 0.0 AS mean_a,
+           round(mb, 6) + 0.0 AS mean_b,
+           CASE WHEN na > 1 AND nb > 1 AND ss / dof > 0.0
+                THEN round((mb - ma) / sqrt(ss / dof), 6)
+           END + 0.0 AS d,
+           CASE WHEN na > 1 AND nb > 1 AND ss / dof > 0.0
+                THEN round((mb - ma) / sqrt(ss / dof)
+                           * (1.0 - 3.0 / (4.0 * dof - 1.0)), 6)
+           END + 0.0 AS g
+    FROM mm
+    """,
+    doc=(
+        "Cohen's d / Hedges' g standardized mean difference between "
+        "click and view event values (operators/stats.cohens_d): the "
+        "effect SIZE companion to welch_t's significance readout — at "
+        "100M rows a t-test flags differences nobody should act on; "
+        "d says whether they matter. Pooled sample SD from the same "
+        "DECIMAL moment sums as welch_t; g applies the small-sample "
+        "correction J = 1 - 3/(4 df - 1). One keyed aggregate + a "
+        "2-row pivot."
+    ),
+)
+def q_events_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cohens_d
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(["click", "view"])
+    )
+    return cohens_d(ev, "event_type", "value")
+
+
+@register(
+    "q_events_concordance",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events WHERE user_id < 400),
+    entry AS (SELECT u, min(us) AS st FROM e WHERE t = 'signup'
+              GROUP BY u),
+    fe AS (
+      SELECT e.u, min(e.us) AS pt
+      FROM e JOIN entry USING (u)
+      WHERE e.t = 'purchase' AND e.us > entry.st
+      GROUP BY e.u),
+    dur AS (
+      SELECT entry.u,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN pt IS NOT NULL AND pt <= st + 604800000000
+                  THEN (pt - st) // 3600000000 ELSE 168 END AS t,
+             CAST(entry.u % 21 AS DOUBLE) / 10.0 - 1.0 AS sc
+      FROM entry LEFT JOIN fe USING (u)),
+    pairs AS (
+      SELECT a.sc AS sa, b.sc AS sb
+      FROM dur a JOIN dur b ON CAST(a.t AS DOUBLE) < CAST(b.t AS DOUBLE)
+      WHERE a.ev = 1),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_comparable,
+             CAST(sum(CASE WHEN sa > sb THEN 2
+                           WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_concordant_x2
+      FROM pairs)
+    SELECT n_comparable, n_concordant_x2,
+           CASE WHEN n_comparable > 0
+                THEN round(CAST(n_concordant_x2 AS DOUBLE)
+                           / (2.0 * CAST(n_comparable AS DOUBLE)), 6)
+           END + 0.0 AS c_index
+    FROM agg
+    """,
+    doc=(
+        "EXACT Harrell's concordance index on the bounded user_id < "
+        "400 subject slice (operators/stats.concordance_bounded): "
+        "among comparable pairs (i fails before j is last seen), the "
+        "fraction the risk score orders correctly, score ties = 1/2 — "
+        "THE discrimination metric for a cox_ph risk score, counted "
+        "in exact half-units (x2) so C is one rounded division. "
+        "All-pairs quadratic BY DESIGN on an absolutely bounded slice "
+        "(the silhouette_bounded / transitivity_exact contract); the "
+        "operational full-corpus readout is binary_auc on a horizon "
+        "label. Score is the deterministic (u %% 21)/10 - 1 grid "
+        "(tie-rich, so the half-credit path is genuinely exercised)."
+    ),
+)
+def q_events_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import concordance_bounded
+    from ..operators.survival import duration_table
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 400
+    )
+    dur = duration_table(
+        ev, "user_id", "event_type", "ts",
+        entry_type="signup", event_type="purchase",
+        horizon_seconds=604800, bucket_seconds=3600,
+    ).select(
+        "ev",
+        F.col("t").cast("double").alias("t"),
+        ((F.col("_u") % 21).cast("double") / 10.0 - 1.0).alias("sc"),
+    )
+    return concordance_bounded(dur, "t", "ev", "sc")
