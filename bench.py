@@ -372,6 +372,9 @@ EXTENDED = [
     "q_docs_token_dispersion",
     "q_events_cohens_d",
     "q_events_concordance",
+    "q_docs_keyness",
+    "q_lineitem_benford",
+    "q_events_jonckheere",
 ]
 
 

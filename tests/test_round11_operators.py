@@ -586,3 +586,139 @@ def test_token_dispersion_even_vs_bursty(spark):
     assert out["burst"]["n_occurrences"] == 20
     assert out["burst"]["dp"] == pytest.approx(0.6, abs=0.01)
     assert out["burst"]["dp"] > out["even"]["dp"]
+
+
+# --------------------------------------------------------------------------
+# round-11d wave: keyness + Benford + Jonckheere
+# --------------------------------------------------------------------------
+
+
+def test_keyness_g2_flags_target_signature_token(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import keyness_g2
+    from pyspark.sql import functions as F
+
+    docs = []
+    for i in range(40):
+        text = "shared words appear here"
+        if i % 4 == 0:
+            text += " medical medical clinical"
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = keyness_g2(
+        df, "text", "doc_id", F.col("doc_id") % 4 == 0,
+        min_count=5, top_n=10,
+    ).collect()
+    by_tok = {r["token"]: r for r in out}
+    # target-only token tops the list with direction +1
+    assert out[0]["token"] in ("medical", "clinical")
+    assert by_tok["medical"]["direction"] == 1
+    assert by_tok["medical"]["n_ref"] == 0
+    assert by_tok["medical"]["g2"] > by_tok["shared"]["g2"]
+    # shared tokens are (slightly) overused in the REFERENCE slice
+    # relative to totals, so their direction is -1 and g2 small
+    assert by_tok["shared"]["direction"] == -1
+
+
+def test_keyness_g2_matches_hand_computation(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import keyness_g2
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b b b"), (2, "a b"), (3, "b b")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["token"]: r
+        for r in keyness_g2(
+            df, "text", "doc_id", F.col("doc_id") < 2,
+            min_count=1, top_n=10,
+        ).collect()
+    }
+    # target (docs 0,1): a=3 b=4; ref (docs 2,3): a=1 b=3
+    tt, tr = 7, 4
+    for tok, ct, cr in [("a", 3, 1), ("b", 4, 3)]:
+        row = ct + cr
+        g2q = 0
+        if ct:
+            g2q += round(2 * ct * math.log(ct / (tt * row / (tt + tr))) * 1e9)
+        if cr:
+            g2q += round(2 * cr * math.log(cr / (tr * row / (tt + tr))) * 1e9)
+        assert out[tok]["g2"] == pytest.approx(g2q / 1e9, abs=1e-6)
+        assert out[tok]["n_target"] == ct and out[tok]["n_ref"] == cr
+
+
+def test_benford_screen_on_benford_data(spark):
+    from ups_crossref_etl_spark.operators.stats import benford_screen
+
+    # exponential spacing is Benford-convergent: v = 1.07^i
+    rows = [(1.07**i,) for i in range(300)]
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_screen(df, "v").collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    assert sum(r["n"] for r in out) == 300
+    chi2 = sum(r["chi2_term"] for r in out)
+    assert chi2 < 15.51  # chi2_8 at 5% — organic data passes
+    # digit 1 dominates per Benford
+    assert out[0]["obs_share"] == pytest.approx(0.301, abs=0.03)
+
+
+def test_benford_screen_flags_uniform_data(spark):
+    from ups_crossref_etl_spark.operators.stats import benford_screen
+
+    # uniform [100, 1000): every first digit near-equal — wildly
+    # non-Benford
+    rows = [(100.0 + i,) for i in range(900)]
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_screen(df, "v").collect()
+    chi2 = sum(r["chi2_term"] for r in out)
+    assert chi2 > 100.0
+
+
+def test_jonckheere_matches_scipy_style_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import (
+        jonckheere_terpstra,
+    )
+
+    rows = []
+    vals = {
+        "g1": [1.0, 2.0, 3.0, 2.5, 1.5, 2.0],
+        "g2": [2.5, 3.5, 4.0, 3.0, 2.0, 4.5],
+        "g3": [4.0, 5.0, 4.5, 6.0, 3.5, 5.5],
+    }
+    for g, vs in vals.items():
+        rows.extend((g, v) for v in vs)
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = jonckheere_terpstra(
+        df, "g", "v", ["g1", "g2", "g3"]
+    ).collect()[0]
+    # hand J: sum over ordered pairs of (wins + half ties)
+    order = ["g1", "g2", "g3"]
+    j = 0.0
+    for ai in range(3):
+        for bi in range(ai + 1, 3):
+            for x in vals[order[ai]]:
+                for y in vals[order[bi]]:
+                    j += 1.0 if x < y else (0.5 if x == y else 0.0)
+    assert out["n"] == 18
+    assert out["j_stat"] == pytest.approx(j, abs=0.01)
+    # tie-corrected variance (Hollander & Wolfe)
+    from collections import Counter
+
+    allv = [v for vs in vals.values() for v in vs]
+    n = len(allv)
+    ngs = [len(vs) for vs in vals.values()]
+    ties = Counter(allv).values()
+    mean_j = (n * n - sum(g * g for g in ngs)) / 4
+    var_j = (
+        (n * (n - 1) * (2 * n + 5)
+         - sum(g * (g - 1) * (2 * g + 5) for g in ngs)
+         - sum(t * (t - 1) * (2 * t + 5) for t in ties)) / 72
+        + (sum(g * (g - 1) * (g - 2) for g in ngs)
+           * sum(t * (t - 1) * (t - 2) for t in ties))
+        / (36 * n * (n - 1) * (n - 2))
+        + (sum(g * (g - 1) for g in ngs)
+           * sum(t * (t - 1) for t in ties)) / (8 * n * (n - 1))
+    )
+    z = (j - mean_j) / math.sqrt(var_j)
+    assert out["z"] == pytest.approx(z, abs=1e-4)
+    assert out["z"] > 3.0  # strongly increasing groups

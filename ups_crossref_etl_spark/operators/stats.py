@@ -3089,3 +3089,170 @@ def concordance_bounded(
             + 0.0
         ).alias("c_index"),
     )
+
+
+def benford_screen(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """Benford's-law first-digit screen (Benford 1938; Nigrini's fraud
+    audit): compare the leading-digit distribution of a positive
+    numeric column against ``P(d) = log10(1 + 1/d)`` — the standard
+    "does this column look organically generated?" data-quality check
+    for amounts, counts, and durations (fabricated or truncated data
+    rarely matches).
+
+    Returns 9 rows ``(digit, n, obs_share, benford_p, chi2_term)``
+    ascending by digit — ``Σ chi2_term`` is the χ²₈ statistic (the
+    caller's one-liner); zero/negative/NULL values are excluded.
+
+    Determinism: digit extraction is string-based (first char of the
+    non-scientific decimal rendering with sign/zeros/dot stripped —
+    engine-portable, no log10 edge cases at powers of ten); shares and
+    χ² terms are one-shot doubles over exact counts. Shape: one
+    map-side-combinable 9-group aggregate — linear, no shuffle beyond
+    9 rows.
+    """
+    # format_number-free digit grab: cast through DECIMAL(38,12) to
+    # guarantee plain (non-scientific) rendering on both engines, strip
+    # leading zeros/dot, take the first char
+    s = F.regexp_replace(
+        F.abs(F.col(value_col).cast("decimal(38,12)")).cast("string"),
+        r"^[0.]*",
+        "",
+    )
+    digit = F.substring(s, 1, 1).cast("int")
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & (F.col(value_col).cast("double") > 0.0)
+    ).select(digit.alias("_d"))
+    per = base.filter(F.col("_d").between(1, 9)).groupBy("_d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("bigint").alias("_n"))
+    nn = F.col("_n").cast("double")
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("_d").cast("double"))
+    obs = F.col("n").cast("double") / nn
+    chi2 = nn * (obs - p) * (obs - p) / p
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_d").cast("bigint").alias("digit"),
+            "n",
+            (F.round(obs, 6) + 0.0).alias("obs_share"),
+            (F.round(p, 6) + 0.0).alias("benford_p"),
+            (F.round(chi2, 6) + 0.0).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_order: list[str],
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across k
+    INDEPENDENT groups (Jonckheere 1954): are the group locations
+    monotone along the caller's hypothesized order — the independent-
+    groups counterpart of :func:`page_trend` (blocked) and the trend-
+    aware upgrade of :func:`kruskal_wallis` (which only asks
+    "different?"). ``J = Σ_{a<b} U_ab`` over ordered group pairs, ties
+    counting ½; the normal approximation uses the tie-corrected
+    variance (Hollander & Wolfe).
+
+    Returns ONE row ``(n, k_groups, j_stat, z)``; z NULL when k < 3,
+    n < 2, or zero variance. Groups outside ``group_order`` are
+    ignored.
+
+    Determinism and scale shape — NO pairwise data join: aggregate per
+    DISTINCT value into k per-group count columns (one corpus-keyed
+    shuffle), run ONE range-partitioned exclusive-prefix pass over the
+    distinct-value table with all k columns as parallel weights
+    (``_ranged_exclusive_cumsum``), and reduce ``Σ_v Σ_{a<b}
+    c_b(v)·(2·C_a(<v) + c_a(v))`` in exact half-units — J in ×2 units
+    is an exact integer however the data partitions. Tie/group-size
+    correction terms are exact integer aggregates. k is bounded small
+    (it is the caller's hypothesis list).
+    """
+    k = len(group_order)
+    if k < 2:
+        raise ValueError("jonckheere_terpstra: need >= 2 ordered groups")
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_g").isin(list(group_order)) & F.col("_v").isNotNull())
+    aggs = [
+        F.sum(F.when(F.col("_g") == g, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"_c{i}")
+        for i, g in enumerate(group_order)
+    ]
+    per_v = base.groupBy("_v").agg(*aggs)
+    cnames = [f"_c{i}" for i in range(k)]
+    pre = _ranged_exclusive_cumsum(
+        per_v, "_v", cnames, [f"_p{i}" for i in range(k)]
+    )
+    # J in x2 half-units: for each ordered pair a<b and distinct value
+    # v, c_b(v) beats the 2*C_a(<v) below it and half-ties the c_a(v)
+    # at it
+    j2 = F.lit(0).cast("bigint")
+    for a in range(k):
+        for b in range(a + 1, k):
+            j2 = j2 + F.col(f"_c{b}") * (
+                2 * F.col(f"_p{a}") + F.col(f"_c{a}")
+            )
+    tie_t = F.lit(0).cast("bigint")
+    for i in range(k):
+        tie_t = tie_t + F.col(f"_c{i}")
+    red = pre.agg(
+        F.sum(j2).cast("bigint").alias("_j2"),
+        F.sum(tie_t).cast("bigint").alias("_n"),
+        *[F.sum(F.col(c)).cast("bigint").alias(f"_n{i}")
+          for i, c in enumerate(cnames)],
+        F.sum(tie_t * (tie_t - 1) * (2 * tie_t + 5)).cast("bigint")
+        .alias("_t1"),
+        F.sum(tie_t * (tie_t - 1) * (tie_t - 2)).cast("bigint")
+        .alias("_t2"),
+        F.sum(tie_t * (tie_t - 1)).cast("bigint").alias("_t3"),
+    ).collect()[0]
+    n = int(red["_n"] or 0)
+    ngs = [int(red[f"_n{i}"] or 0) for i in range(k)]
+    j2 = int(red["_j2"] or 0)
+    # exact integer components; EVERY double expression (j, mean, var,
+    # z) is evaluated by Spark from integer literals and rounded with
+    # F.round (HALF_UP — the repo/oracle convention; Python round() is
+    # banker's, the pacf ADVICE-r10 trap)
+    g1 = sum(g * (g - 1) * (2 * g + 5) for g in ngs)
+    g2i = sum(g * (g - 1) * (g - 2) for g in ngs)
+    g3 = sum(g * (g - 1) for g in ngs)
+    sumsq = sum(g * g for g in ngs)
+    t1, t2, t3 = (
+        int(red["_t1"] or 0), int(red["_t2"] or 0), int(red["_t3"] or 0)
+    )
+    spark = df.sparkSession
+    jd = F.lit(j2).cast("double") / 2.0
+    if n < 3 or k < 3:
+        return spark.range(1).select(
+            F.lit(n).cast("bigint").alias("n"),
+            F.lit(k).cast("bigint").alias("k_groups"),
+            (F.round(jd, 2) + 0.0).alias("j_stat"),
+            F.lit(None).cast("double").alias("z"),
+        )
+    mean_j = (F.lit(n * n - sumsq)).cast("double") / 4.0
+    var_j = (
+        F.lit(n * (n - 1) * (2 * n + 5) - g1 - t1).cast("double") / 72.0
+        + F.lit(g2i).cast("double")
+        * F.lit(t2).cast("double")
+        / F.lit(36.0 * n * (n - 1) * (n - 2))
+        + F.lit(g3).cast("double")
+        * F.lit(t3).cast("double")
+        / F.lit(8.0 * n * (n - 1))
+    )
+    z = F.when(var_j > 0.0, (jd - mean_j) / F.sqrt(var_j))
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(k).cast("bigint").alias("k_groups"),
+        (F.round(jd, 2) + 0.0).alias("j_stat"),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )

@@ -1787,3 +1787,78 @@ def token_dispersion(
         "n_occurrences",
         (F.round(dp, 6) + 0.0).alias("dp"),
     )
+
+
+def keyness_g2(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus keyness: per-token log-likelihood ratio G² (Dunning 1993 /
+    Rayson & Garside 2000) between a TARGET document slice and the rest
+    of the corpus — THE "what distinguishes this subcorpus?"
+    readout corpus-mix curation runs before boosting or down-weighting
+    a source: high-G² tokens overused in the target (``direction`` +1)
+    are its signature; overused in the reference (−1) its blind spots.
+
+    ``G² = 2·Σ O·ln(O/E)`` over the token's 2-cell row (target /
+    reference occurrences) with expectations from the corpus totals —
+    the per-token slice of :func:`stats.g_test`'s table. Returns the
+    ``top_n`` tokens by ``(G² desc, token asc)`` (a total order →
+    TakeOrdered) as ``(token, n_target, n_ref, g2, direction)``.
+
+    Determinism: counts are exact bigints; each O·ln(O/E) term
+    quantizes to integer nanos before the 2-term sum (the g_test cell
+    convention); G² is one rounded double. Shape: one corpus scan →
+    token-keyed conditional-count aggregate (map-side combinable), the
+    2-row totals broadcast, TakeOrderedAndProject for the cut — linear,
+    no windows.
+    """
+    toks = df.select(
+        is_target.cast("int").alias("_t"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    per = toks.groupBy("token").agg(
+        F.sum("_t").cast("bigint").alias("n_target"),
+        F.sum(F.lit(1) - F.col("_t")).cast("bigint").alias("n_ref"),
+    ).filter(F.col("n_target") + F.col("n_ref") >= min_count)
+    tot = per.agg(
+        F.sum("n_target").cast("bigint").alias("_tt"),
+        F.sum("n_ref").cast("bigint").alias("_tr"),
+    )
+    ct = F.col("n_target").cast("double")
+    cr = F.col("n_ref").cast("double")
+    tt = F.col("_tt").cast("double")
+    tr = F.col("_tr").cast("double")
+    row = ct + cr
+    et = tt * row / (tt + tr)
+    er = tr * row / (tt + tr)
+    term_t = F.when(
+        F.col("n_target") > 0,
+        F.round(2.0 * ct * F.log(ct / et) * 1e9).cast("bigint"),
+    ).otherwise(F.lit(0))
+    term_r = F.when(
+        F.col("n_ref") > 0,
+        F.round(2.0 * cr * F.log(cr / er) * 1e9).cast("bigint"),
+    ).otherwise(F.lit(0))
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n_target",
+        "n_ref",
+        (
+            F.round((term_t + term_r).cast("double") / 1e9, 6) + 0.0
+        ).alias("g2"),
+        F.when(ct / tt >= cr / tr, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("direction"),
+    )
+    return scored.orderBy(F.desc("g2"), F.asc("token")).limit(top_n)

@@ -118,6 +118,13 @@ _CHANGED_THIS_ROUND = [
     "q_docs_token_dispersion",
     "q_events_cohens_d",
     "q_events_concordance",
+    # round-11d wave: corpus keyness (the what-distinguishes-this-
+    # subcorpus G2 readout), the Benford first-digit data-quality
+    # screen, and the Jonckheere-Terpstra ordered-groups trend test
+    # (completing the ordered-alternative pair with page_trend)
+    "q_docs_keyness",
+    "q_lineitem_benford",
+    "q_events_jonckheere",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

@@ -1162,3 +1162,222 @@ def q_events_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("_u") % 21).cast("double") / 10.0 - 1.0).alias("sc"),
     )
     return concordance_bounded(dur, "t", "ev", "sc")
+
+
+# --------------------------------------------------------------------------
+# Round-11d wave: corpus keyness + Benford screen + Jonckheere trend
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_keyness",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS t,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    per AS (
+      SELECT token,
+             CAST(sum(t) AS BIGINT) AS n_target,
+             CAST(sum(1 - t) AS BIGINT) AS n_ref
+      FROM toks GROUP BY token
+      HAVING sum(t) + sum(1 - t) >= 5),
+    tot AS (
+      SELECT CAST(sum(n_target) AS BIGINT) AS tt,
+             CAST(sum(n_ref) AS BIGINT) AS tr
+      FROM per),
+    sc AS (
+      SELECT token, n_target, n_ref,
+             (CASE WHEN n_target > 0 THEN
+                CAST(round(2.0 * CAST(n_target AS DOUBLE)
+                  * ln(CAST(n_target AS DOUBLE)
+                       / (CAST(tt AS DOUBLE)
+                          * CAST(n_target + n_ref AS DOUBLE)
+                          / CAST(tt + tr AS DOUBLE))) * 1e9)
+                     AS BIGINT) ELSE 0 END
+              + CASE WHEN n_ref > 0 THEN
+                CAST(round(2.0 * CAST(n_ref AS DOUBLE)
+                  * ln(CAST(n_ref AS DOUBLE)
+                       / (CAST(tr AS DOUBLE)
+                          * CAST(n_target + n_ref AS DOUBLE)
+                          / CAST(tt + tr AS DOUBLE))) * 1e9)
+                     AS BIGINT) ELSE 0 END) AS g2q,
+             CASE WHEN CAST(n_target AS DOUBLE) / CAST(tt AS DOUBLE)
+                       >= CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)
+                  THEN 1 ELSE -1 END AS direction
+      FROM per CROSS JOIN tot)
+    SELECT token, n_target, n_ref,
+           round(CAST(g2q AS DOUBLE) / 1e9, 6) + 0.0 AS g2,
+           CAST(direction AS INTEGER) AS direction
+    FROM sc ORDER BY g2 DESC, token LIMIT 50
+    """,
+    doc=(
+        "Corpus keyness by log-likelihood G2 (operators/text_analysis."
+        "keyness_g2, Dunning 1993 / Rayson & Garside 2000): the top-50 "
+        "tokens distinguishing the doc_id%%17 target slice from the "
+        "rest — THE 'what makes this subcorpus different?' readout "
+        "before boosting or down-weighting a source in a training "
+        "mix. Per-token 2-cell G2 with nanos-quantized O*ln(O/E) "
+        "terms (the g_test cell convention); one token-keyed "
+        "conditional-count aggregate + broadcast totals + "
+        "TakeOrdered(g2 desc, token) — linear, no windows."
+    ),
+)
+def q_docs_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import keyness_g2
+
+    docs = read_table(spark, sf_dir, "documents")
+    return keyness_g2(
+        docs, "text", "doc_id", F.col("doc_id") % 17 == 0,
+        min_count=5, top_n=50,
+    )
+
+
+@register(
+    "q_lineitem_benford",
+    """
+    WITH d AS (
+      SELECT CAST(substring(
+               regexp_replace(
+                 CAST(abs(CAST(l_extendedprice AS DECIMAL(38,12)))
+                      AS VARCHAR),
+                 '^[0.]*', ''),
+               1, 1) AS INTEGER) AS dg
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND CAST(l_extendedprice AS DOUBLE) > 0.0),
+    per AS (
+      SELECT dg, CAST(count(*) AS BIGINT) AS n
+      FROM d WHERE dg BETWEEN 1 AND 9 GROUP BY dg),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM per)
+    SELECT CAST(dg AS BIGINT) AS digit, n,
+           round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) + 0.0
+             AS obs_share,
+           round(log10(1.0 + 1.0 / CAST(dg AS DOUBLE)), 6) + 0.0
+             AS benford_p,
+           round(CAST(nn AS DOUBLE)
+                 * (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+                    - log10(1.0 + 1.0 / CAST(dg AS DOUBLE)))
+                 * (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+                    - log10(1.0 + 1.0 / CAST(dg AS DOUBLE)))
+                 / log10(1.0 + 1.0 / CAST(dg AS DOUBLE)), 6) + 0.0
+             AS chi2_term
+    FROM per CROSS JOIN tot ORDER BY digit
+    """,
+    doc=(
+        "Benford's-law first-digit screen on extended price "
+        "(operators/stats.benford_screen): observed leading-digit "
+        "shares vs P(d) = log10(1 + 1/d) with per-digit chi-square "
+        "terms — the organic-data audit for amount columns (price = "
+        "qty x unit price is a product of distributions, the "
+        "Benford-convergent case). Digit extraction is string-based "
+        "through a DECIMAL(38,12) rendering (engine-portable, no "
+        "log10 edge cases at powers of ten); one 9-group map-side "
+        "aggregate."
+    ),
+)
+def q_lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import benford_screen
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return benford_screen(li, "l_extendedprice")
+
+
+@register(
+    "q_events_jonckheere",
+    """
+    WITH b AS (
+      SELECT CASE WHEN EXTRACT(hour FROM ts) < 8 THEN 'night'
+                  WHEN EXTRACT(hour FROM ts) < 16 THEN 'day'
+                  ELSE 'evening' END AS g,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    per AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 'night' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN g = 'day' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g = 'evening' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM b GROUP BY v),
+    pre AS (
+      SELECT v, c0, c1, c2,
+             coalesce(sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS p0,
+             coalesce(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS p1
+      FROM per),
+    red AS (
+      SELECT CAST(sum(c1 * (2 * p0 + c0)
+                      + c2 * (2 * p0 + c0)
+                      + c2 * (2 * p1 + c1)) AS BIGINT) AS j2,
+             CAST(sum(c0 + c1 + c2) AS BIGINT) AS n,
+             CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1)
+                      * (2 * (c0 + c1 + c2) + 5)) AS BIGINT) AS t1,
+             CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1)
+                      * (c0 + c1 + c2 - 2)) AS BIGINT) AS t2,
+             CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1))
+                  AS BIGINT) AS t3
+      FROM pre),
+    fin AS (
+      SELECT n,
+             CAST(j2 AS DOUBLE) / 2.0 AS jd,
+             CAST(n * n - (n0 * n0 + n1 * n1 + n2 * n2) AS DOUBLE)
+               / 4.0 AS mean_j,
+             CAST(n * (n - 1) * (2 * n + 5)
+                  - (n0 * (n0 - 1) * (2 * n0 + 5)
+                     + n1 * (n1 - 1) * (2 * n1 + 5)
+                     + n2 * (n2 - 1) * (2 * n2 + 5))
+                  - t1 AS DOUBLE) / 72.0
+             + CAST(n0 * (n0 - 1) * (n0 - 2)
+                    + n1 * (n1 - 1) * (n1 - 2)
+                    + n2 * (n2 - 1) * (n2 - 2) AS DOUBLE)
+               * CAST(t2 AS DOUBLE)
+               / (36.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                  * CAST(n - 2 AS DOUBLE))
+             + CAST(n0 * (n0 - 1) + n1 * (n1 - 1) + n2 * (n2 - 1)
+                    AS DOUBLE)
+               * CAST(t3 AS DOUBLE)
+               / (8.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+               AS var_j
+      FROM red)
+    SELECT n, CAST(3 AS BIGINT) AS k_groups,
+           round(jd, 2) + 0.0 AS j_stat,
+           CASE WHEN var_j > 0.0
+                THEN round((jd - mean_j) / sqrt(var_j), 6)
+           END + 0.0 AS z
+    FROM fin
+    """,
+    doc=(
+        "Jonckheere-Terpstra ordered-alternative test "
+        "(operators/stats.jonckheere_terpstra, Jonckheere 1954): is "
+        "event value monotone across INDEPENDENT night < day < "
+        "evening groups — the independent-groups counterpart of "
+        "q_events_page_trend (blocked) and the trend-aware upgrade of "
+        "kruskal_wallis. NO pairwise join: per-distinct-value group "
+        "counts, ONE range-partitioned exclusive-prefix pass with all "
+        "k counts as parallel weights, J accumulated in exact x2 "
+        "half-units; tie-corrected variance (Hollander & Wolfe) from "
+        "exact integer aggregates, z a one-shot double mirrored "
+        "token-for-token."
+    ),
+)
+def q_events_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import jonckheere_terpstra
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(F.hour("ts") < 8, F.lit("night"))
+        .when(F.hour("ts") < 16, F.lit("day"))
+        .otherwise(F.lit("evening"))
+        .alias("g"),
+        F.col("value").cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    return jonckheere_terpstra(
+        ev, "g", "v", ["night", "day", "evening"]
+    )
