@@ -33,7 +33,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier", "nelson_aalen", "duration_table"]
+__all__ = [
+    "kaplan_meier",
+    "nelson_aalen",
+    "duration_table",
+    "rmst",
+    "logrank_test",
+    "cox_ph",
+    "cox_ph_multi",
+    "greenwood_bands",
+    "cox_baseline_hazard",
+]
 
 
 def duration_table(
