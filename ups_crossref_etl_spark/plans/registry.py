@@ -125,6 +125,11 @@ _CHANGED_THIS_ROUND = [
     "q_docs_keyness",
     "q_lineitem_benford",
     "q_events_jonckheere",
+    # round-11 late: the classifier bound gate gets the cox
+    # descent-not-convergence treatment (3 Newton iterations, tol
+    # 1e-5 — same gated booleans, AUC 0.9999 vs 0.99999, 2.4x fewer
+    # stats passes on the battery's second-slowest extended line)
+    "q_docs_quality_classifier_bound",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.
