@@ -722,3 +722,115 @@ def test_jonckheere_matches_scipy_style_reference(spark):
     z = (j - mean_j) / math.sqrt(var_j)
     assert out["z"] == pytest.approx(z, abs=1e-4)
     assert out["z"] > 3.0  # strongly increasing groups
+
+
+# --------------------------------------------------------------------------
+# hypothesis properties: the round-11 primitives vs pure-python references
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.integers(-1000, 1000), min_size=1, max_size=120, unique=True
+    ).flatmap(
+        lambda ks: st.tuples(
+            st.just(ks),
+            st.lists(
+                st.integers(-(1 << 40), 1 << 40),
+                min_size=len(ks), max_size=len(ks),
+            ),
+        )
+    )
+)
+def test_ranged_suffix_min_property(spark, kw):
+    """Suffix min through the range-partitioned fold == a right-to-left
+    scan, for ANY signed weights and key spacing."""
+    from ups_crossref_etl_spark.operators.stats import (
+        _ranged_suffix_min,
+    )
+
+    ks, ws = kw
+    vals = list(zip(ks, ws))
+    df = spark.createDataFrame(vals, "k long, w long")
+    out = {
+        r["k"]: r["s"]
+        for r in _ranged_suffix_min(df, "k", "w", "s").collect()
+    }
+    acc = 1 << 62
+    ref = {}
+    for k, w in sorted(vals, reverse=True):
+        acc = min(acc, w)
+        ref[k] = acc
+    assert out == ref
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 10**9).map(lambda x: x / 1e9),
+        min_size=1, max_size=80,
+    )
+)
+def test_bh_adjust_property_vs_reference(spark, ps):
+    """BH q-values match the quantized step-up reference for any
+    p-list (ties included), are monotone in rank, and are capped at
+    1."""
+    from ups_crossref_etl_spark.operators.stats import bh_adjust
+
+    rows = [(f"h{i:03d}", round(p, 9)) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "k string, p double")
+    out = {r["k"]: r for r in bh_adjust(df, "k", "p").collect()}
+    m = len(rows)
+    order = sorted(rows, key=lambda kv: (kv[1], kv[0]))
+    c = [round(p * m / (r + 1) * 1e9) for r, (_, p) in enumerate(order)]
+    suffix = c[:]
+    for j in range(m - 2, -1, -1):
+        suffix[j] = min(suffix[j], suffix[j + 1])
+    for r, (k, _) in enumerate(order):
+        assert out[k]["rank"] == r + 1
+        assert out[k]["q_value"] == pytest.approx(
+            min(suffix[r], 10**9) / 1e9, abs=1e-6
+        )
+    qs = [out[k]["q_value"] for k, _ in order]
+    assert all(a <= b + 1e-12 for a, b in zip(qs, qs[1:]))
+    assert all(q <= 1.0 for q in qs)
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),            # time bucket
+            st.integers(0, 1),            # event flag
+            # |x| <= 1 keeps hypothesis's perfect-separation draws away
+            # from the quantized-S0-underflow guard (needs beta.x < -14.5,
+            # unreachable in 4 halved Newton steps at this range)
+            st.integers(-4, 4).map(lambda x: x / 4.0),    # x0
+            st.integers(-4, 4).map(lambda x: x / 4.0),    # x1
+        ),
+        min_size=6, max_size=50,
+    )
+)
+def test_cox_multi_property_vs_reference(spark, raw):
+    """cox_ph_multi matches the pure-python quantized Newton reference
+    on arbitrary small duration tables (or both degenerate the same
+    way)."""
+    from ups_crossref_etl_spark.operators.survival import cox_ph_multi
+
+    rows = [(float(t), d, x0, x1) for t, d, x0, x1 in raw]
+    df = spark.createDataFrame(
+        rows, "t double, d int, x0 double, x1 double"
+    )
+    fit = cox_ph_multi(df, "t", "d", ["x0", "x1"], iterations=4)
+    ref_beta, ref_path = _cox_multi_reference(rows, iterations=4)
+    assert fit["n"] == len(rows)
+    assert fit["nll_path"][-1] == pytest.approx(ref_path[-1], abs=1e-6)
+    assert fit["beta"][0] == pytest.approx(ref_beta[0], abs=1e-5)
+    assert fit["beta"][1] == pytest.approx(ref_beta[1], abs=1e-5)
+    assert all(
+        a >= b - 1e-9
+        for a, b in zip(fit["nll_path"], fit["nll_path"][1:])
+    )
