@@ -1243,6 +1243,55 @@ def main() -> None:
         cx_1.count(), cx_N.count(),
     )
 
+    # round 11c/d: the two vocab-rank paths — zipf's ranked-vocabulary
+    # OLS (ranged exclusive count, no global ORDER BY) and keyness G2
+    # (token-keyed conditional counts + TakeOrdered). The dialect
+    # replication (per-salt token suffixes) grows the VOCABULARY 10x —
+    # the regime where the rank pass must stay distributed.
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        keyness_g2,
+        zipf_fit,
+    )
+
+    docsN_dial = (
+        docs1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            (F.col("doc_id") * n + F.col("_salt")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.lower("text"), r"[^a-z0-9]+"),
+                    lambda t: F.concat(
+                        t, F.lit("z"), F.col("_salt").cast("string")
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "zipf_fit",
+        lambda: zipf_fit(docs1, "text", "doc_id", min_count=2).collect(),
+        lambda: zipf_fit(
+            docsN_dial, "text", "doc_id", min_count=2
+        ).collect(),
+        docs1.count(), docsN_dial.count(),
+    )
+    probe(
+        "keyness_g2",
+        lambda: keyness_g2(
+            docs1, "text", "doc_id", F.col("doc_id") % 17 == 0,
+            min_count=5, top_n=50,
+        ).collect(),
+        lambda: keyness_g2(
+            docsN_dial, "text", "doc_id", F.col("doc_id") % 17 == 0,
+            min_count=5, top_n=50,
+        ).collect(),
+        docs1.count(), docsN_dial.count(),
+    )
+
     from ups_crossref_etl_spark.operators.classifier import logreg_irls
     from ups_crossref_etl_spark.operators.text_analysis import (
         quality_features,
