@@ -558,16 +558,53 @@ def test_zipf_fit_recovers_power_law(spark):
     assert out["r2"] > 0.95
 
 
+def _disp_bucket(doc_id, n_parts=10):
+    """Pure-python mirror of sampling.hash_bucket(id, 'disp', n)."""
+    import hashlib
+
+    h = hashlib.md5(f"disp-{doc_id}".encode()).hexdigest()[:8]
+    return int(h, 16) % n_parts
+
+
+def _disp_reference(docs, n_parts=10, min_count=10):
+    """Quantization-free DP reference over (id, text) pairs."""
+    from collections import Counter, defaultdict
+
+    cell = defaultdict(Counter)  # part -> token counts
+    for i, text in docs:
+        for t in text.split():
+            cell[_disp_bucket(i, n_parts)][t] += 1
+    part_tot = {p: sum(c.values()) for p, c in cell.items()}
+    grand = sum(part_tot.values())
+    tok_tot = Counter()
+    for c in cell.values():
+        tok_tot.update(c)
+    out = {}
+    for tok, tc in tok_tot.items():
+        if tc < min_count:
+            continue
+        dp = 0.0
+        for p in range(n_parts):
+            v = cell[p][tok] / tc if p in cell else 0.0
+            s = part_tot.get(p, 0) / grand
+            dp += abs(v - s)
+        out[tok] = dp / 2.0
+    return out
+
+
 def test_token_dispersion_even_vs_bursty(spark):
     from ups_crossref_etl_spark.operators.text_analysis import (
         token_dispersion,
     )
 
-    # 'even' appears twice in every doc; 'burst' only in docs of part 0
+    # 'even' appears twice in every doc; 'burst' only in the docs
+    # hash_bucket lands in part 0 (buckets come from the md5 'disp'
+    # convention since ADVICE r11 — a plain id % n_parts is NULL on
+    # string ids and silently emptied the joins)
     docs = []
-    for i in range(20):
+    for i in range(40):
         text = "even even"
-        if i % 10 == 0:
+        if _disp_bucket(i) == 0:
             text += " burst" * 10
         docs.append((i, text))
     df = spark.createDataFrame(docs, "doc_id int, text string")
@@ -577,15 +614,32 @@ def test_token_dispersion_even_vs_bursty(spark):
             df, "text", "doc_id", n_parts=10, min_count=10
         ).collect()
     }
-    assert out["even"]["n_occurrences"] == 40
-    # 'even' is uniform per part (v_i = 0.1) but the burst token skews
-    # the part SHARES (part 0 holds 24/60 tokens), so its DP is 0.3
-    # exactly, not ~0 — DP measures deviation from the corpus mass
-    # layout, not from uniformity
-    assert out["even"]["dp"] == pytest.approx(0.3, abs=0.01)
-    assert out["burst"]["n_occurrences"] == 20
-    assert out["burst"]["dp"] == pytest.approx(0.6, abs=0.01)
+    ref = _disp_reference(docs)
+    assert out["even"]["n_occurrences"] == 80
+    assert out["even"]["dp"] == pytest.approx(ref["even"], abs=1e-6)
+    assert out["burst"]["dp"] == pytest.approx(ref["burst"], abs=1e-6)
+    # the bursty token clusters in few parts -> strictly higher DP
     assert out["burst"]["dp"] > out["even"]["dp"]
+
+
+def test_token_dispersion_string_ids(spark):
+    """ADVICE r11 regression: STRING document ids must bucket (the old
+    id %% n_parts yielded NULL parts that dropped out of the equi-joins
+    and returned an empty DP table)."""
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        token_dispersion,
+    )
+
+    docs = [(f"doc-{i}", "alpha beta") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = token_dispersion(
+        df, "text", "doc_id", n_parts=4, min_count=5
+    ).collect()
+    ref = _disp_reference(docs, n_parts=4, min_count=5)
+    got = {r["token"]: r["dp"] for r in rows}
+    assert set(got) == {"alpha", "beta"}
+    for tok, dp in got.items():
+        assert dp == pytest.approx(ref[tok], abs=1e-6)
 
 
 # --------------------------------------------------------------------------

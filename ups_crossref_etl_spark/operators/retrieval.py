@@ -104,12 +104,21 @@ def bm25_topk(
     )
 
 
+#: Default ABSOLUTE posting-list cap (documents per term) when the
+#: caller specifies no cap at all. A sentinel (not the plain default)
+#: so that a caller passing ONLY ``max_df_frac`` gets exactly the
+#: relative cap they asked for — before ADVICE r11 the absolute
+#: default silently combined with an explicit fractional cap.
+_MAX_DF_DEFAULT = 1000
+_MAX_DF_UNSET = object()
+
+
 def tfidf_knn_graph(
     df: DataFrame,
     text_col: str,
     id_col: str,
     k: int = 5,
-    max_df: int | None = 1000,
+    max_df: "int | None" = _MAX_DF_UNSET,  # type: ignore[assignment]
     max_df_frac: float | None = None,
     ngram: int = 1,
     round_digits: int = 4,
@@ -145,7 +154,11 @@ def tfidf_knn_graph(
        volume grows ~cap_frac·N per token — MEASURED superlinear
        (SCALE_PROBE ``tfidf_knn`` slope 1.5 at 10× under the old
        relative default); it remains available for small-corpus
-       exploration, and when both are given the tighter cap wins.
+       exploration. Cap resolution: passing ONLY ``max_df_frac``
+       uses the fractional cap alone (the absolute default does NOT
+       silently combine with it — ADVICE r11); passing both EXPLICIT
+       caps takes the tighter; ``max_df=None`` explicitly disables
+       the absolute cap (the exact-twin spelling).
        The truncation cost of the absolute cap is not asserted — it is
        gated: ``q_docs_tfidf_knn_cap_agreement`` measures the edge-set
        Jaccard between capped and uncapped graphs on a bounded
@@ -183,6 +196,12 @@ def tfidf_knn_graph(
         ).otherwise(F.array().cast("array<string>"))
     toks = df.select(F.col(id_col).alias("_id"), F.explode(terms).alias("_t"))
     n_docs = df.count()  # scalar N for idf — one count, not collected per row
+    if max_df is _MAX_DF_UNSET:
+        # no explicit absolute cap: the absolute default applies ONLY
+        # when no relative cap was requested either (ADVICE r11 — an
+        # explicit max_df_frac must not be silently tightened by an
+        # unrelated default); max_df=None explicitly means UNCAPPED
+        max_df = None if max_df_frac is not None else _MAX_DF_DEFAULT
     caps = [c for c in (
         max_df,
         None if max_df_frac is None else int(max_df_frac * n_docs),

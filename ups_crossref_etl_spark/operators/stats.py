@@ -3196,25 +3196,32 @@ def jonckheere_terpstra(
     # J in x2 half-units: for each ordered pair a<b and distinct value
     # v, c_b(v) beats the 2*C_a(<v) below it and half-ties the c_a(v)
     # at it
-    j2 = F.lit(0).cast("bigint")
+    j2 = F.lit(0).cast("decimal(38,0)")
     for a in range(k):
         for b in range(a + 1, k):
-            j2 = j2 + F.col(f"_c{b}") * (
+            j2 = j2 + F.col(f"_c{b}").cast("decimal(38,0)") * (
                 2 * F.col(f"_p{a}") + F.col(f"_c{a}")
-            )
+            ).cast("decimal(38,0)")
     tie_t = F.lit(0).cast("bigint")
     for i in range(k):
         tie_t = tie_t + F.col(f"_c{i}")
+    # cubic/quadratic tie terms accumulate in decimal(38,0): a single
+    # value shared by ~1.66M+ rows makes t*(t-1)*(2t+5) exceed 2^63,
+    # which BIGINT wraps silently in non-ANSI Spark while the DuckDB
+    # oracle (HUGEINT) stays exact — the calinski_harabasz/jarque_bera
+    # overflow class (ADVICE r11)
+    tie_d = tie_t.cast("decimal(38,0)")
     red = pre.agg(
-        F.sum(j2).cast("bigint").alias("_j2"),
+        F.sum(j2.cast("decimal(38,0)")).cast("decimal(38,0)")
+        .alias("_j2"),
         F.sum(tie_t).cast("bigint").alias("_n"),
         *[F.sum(F.col(c)).cast("bigint").alias(f"_n{i}")
           for i, c in enumerate(cnames)],
-        F.sum(tie_t * (tie_t - 1) * (2 * tie_t + 5)).cast("bigint")
-        .alias("_t1"),
-        F.sum(tie_t * (tie_t - 1) * (tie_t - 2)).cast("bigint")
-        .alias("_t2"),
-        F.sum(tie_t * (tie_t - 1)).cast("bigint").alias("_t3"),
+        F.sum(tie_d * (tie_d - 1) * (2 * tie_d + 5))
+        .cast("decimal(38,0)").alias("_t1"),
+        F.sum(tie_d * (tie_d - 1) * (tie_d - 2))
+        .cast("decimal(38,0)").alias("_t2"),
+        F.sum(tie_d * (tie_d - 1)).cast("decimal(38,0)").alias("_t3"),
     ).collect()[0]
     n = int(red["_n"] or 0)
     ngs = [int(red[f"_n{i}"] or 0) for i in range(k)]
@@ -3222,7 +3229,17 @@ def jonckheere_terpstra(
     # exact integer components; EVERY double expression (j, mean, var,
     # z) is evaluated by Spark from integer literals and rounded with
     # F.round (HALF_UP — the repo/oracle convention; Python round() is
-    # banker's, the pacf ADVICE-r10 trap)
+    # banker's, the pacf ADVICE-r10 trap). Integer literals go through
+    # _xlit: Python ints are arbitrary-precision, but F.lit overflows
+    # past 2^63 — cubic terms in n ride a Decimal literal instead
+    # (exact int → double cast is identical in both engines).
+    from decimal import Decimal
+
+    def _xlit(v: int):
+        if -(2 ** 63) <= v < 2 ** 63:
+            return F.lit(v)
+        return F.lit(Decimal(v))
+
     g1 = sum(g * (g - 1) * (2 * g + 5) for g in ngs)
     g2i = sum(g * (g - 1) * (g - 2) for g in ngs)
     g3 = sum(g * (g - 1) for g in ngs)
@@ -3231,7 +3248,7 @@ def jonckheere_terpstra(
         int(red["_t1"] or 0), int(red["_t2"] or 0), int(red["_t3"] or 0)
     )
     spark = df.sparkSession
-    jd = F.lit(j2).cast("double") / 2.0
+    jd = _xlit(j2).cast("double") / 2.0
     if n < 3 or k < 3:
         return spark.range(1).select(
             F.lit(n).cast("bigint").alias("n"),
@@ -3239,14 +3256,14 @@ def jonckheere_terpstra(
             (F.round(jd, 2) + 0.0).alias("j_stat"),
             F.lit(None).cast("double").alias("z"),
         )
-    mean_j = (F.lit(n * n - sumsq)).cast("double") / 4.0
+    mean_j = _xlit(n * n - sumsq).cast("double") / 4.0
     var_j = (
-        F.lit(n * (n - 1) * (2 * n + 5) - g1 - t1).cast("double") / 72.0
-        + F.lit(g2i).cast("double")
-        * F.lit(t2).cast("double")
+        _xlit(n * (n - 1) * (2 * n + 5) - g1 - t1).cast("double") / 72.0
+        + _xlit(g2i).cast("double")
+        * _xlit(t2).cast("double")
         / F.lit(36.0 * n * (n - 1) * (n - 2))
-        + F.lit(g3).cast("double")
-        * F.lit(t3).cast("double")
+        + _xlit(g3).cast("double")
+        * _xlit(t3).cast("double")
         / F.lit(8.0 * n * (n - 1))
     )
     z = F.when(var_j > 0.0, (jd - mean_j) / F.sqrt(var_j))

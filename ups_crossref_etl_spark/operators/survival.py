@@ -811,16 +811,28 @@ def greenwood_bands(
         F.col("_zeros") == 0,
         surv * F.sqrt(F.col("_gwsum").cast("double") / 1e12),
     )
+    # lo/hi are NULL exactly when se is (post-risk-set-exhaustion rows,
+    # per the docstring contract): F.greatest/F.least SKIP NULL inputs,
+    # so without the guard an exhausted bucket reads lo=0.0, hi=1.0 —
+    # a meaningless full-width band around survival=0 (ADVICE r11)
     return km.select(
         "t",
         "n_risk",
         "n_events",
         (F.round(surv, 6) + F.lit(0.0)).alias("survival"),
         (F.round(se, 6) + 0.0).alias("se"),
-        (F.round(F.greatest(surv - F.lit(float(z)) * se, F.lit(0.0)), 6)
-         + 0.0).alias("lo"),
-        (F.round(F.least(surv + F.lit(float(z)) * se, F.lit(1.0)), 6)
-         + 0.0).alias("hi"),
+        F.when(
+            se.isNotNull(),
+            F.round(
+                F.greatest(surv - F.lit(float(z)) * se, F.lit(0.0)), 6
+            ) + 0.0,
+        ).alias("lo"),
+        F.when(
+            se.isNotNull(),
+            F.round(
+                F.least(surv + F.lit(float(z)) * se, F.lit(1.0)), 6
+            ) + 0.0,
+        ).alias("hi"),
     )
 
 

@@ -1720,11 +1720,15 @@ def token_dispersion(
     subcorpus spams it" — corpus-mix curation reads it next to raw
     frequency.
 
-    Parts are ``md5-bucket(id) % n_parts`` (engine-portable, the
-    sampling.hash_bucket convention is NOT needed here because the
-    bucket is ``id % n_parts`` — deterministic and mirrorable as
-    plain modulo). Returns ``(token, n_occurrences, dp)`` for tokens
-    with ≥ ``min_count`` occurrences.
+    Parts are ``hash_bucket(id, 'disp', n_parts)`` — the
+    sampling.hash_bucket md5 convention (engine-portable; DuckDB
+    mirrors it as ``CAST('0x' || substr(md5('disp-' || id), 1, 8) AS
+    BIGINT) % n_parts``). A plain ``id % n_parts`` was the pre-r12
+    bucketing; it yields NULL on STRING document ids, and NULL parts
+    silently drop out of the equi-joins (empty DP instead of a loud
+    failure — ADVICE r11), so the operator hashes the id's string
+    form instead, which buckets any id type. Returns ``(token,
+    n_occurrences, dp)`` for tokens with ≥ ``min_count`` occurrences.
 
     Determinism: each |v_i − s_i| term is one double over exact
     integer counts, quantized to integer nanos BEFORE the per-token
@@ -1733,8 +1737,12 @@ def token_dispersion(
     (token, part) groupBy (the only corpus-sized shuffle; the part
     totals are an n_parts-row broadcast), one token groupBy — linear.
     """
+    from .sampling import hash_bucket
+
     toks = df.select(
-        (F.col(id_col) % n_parts).cast("int").alias("_part"),
+        hash_bucket(F.col(id_col), "disp", n_parts)
+        .cast("int")
+        .alias("_part"),
         F.explode(
             F.filter(
                 F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),

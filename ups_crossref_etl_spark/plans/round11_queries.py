@@ -622,7 +622,12 @@ def q_events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import page_trend
 
-    ev = read_table(spark, sf_dir, "events").select(
+    # ts IS NOT NULL matches the oracle predicate: without it a NULL
+    # timestamp falls through F.when to the 'evening' bucket on the
+    # Spark side only (ADVICE r11)
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         F.col("user_id").cast("string").alias("bk"),
         F.when(F.hour("ts") < 8, F.lit("night"))
         .when(F.hour("ts") < 16, F.lit("day"))
@@ -794,8 +799,10 @@ def q_events_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
            round(s, 6) + 0.0 AS survival,
            round(se, 6) + 0.0 AS se,
-           round(greatest(s - 1.96 * se, 0.0), 6) + 0.0 AS lo,
-           round(least(s + 1.96 * se, 1.0), 6) + 0.0 AS hi
+           CASE WHEN se IS NOT NULL THEN
+             round(greatest(s - 1.96 * se, 0.0), 6) + 0.0 END AS lo,
+           CASE WHEN se IS NOT NULL THEN
+             round(least(s + 1.96 * se, 1.0), 6) + 0.0 END AS hi
     FROM fin
     """,
     doc=(
@@ -978,7 +985,8 @@ def q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_docs_token_dispersion",
     """
     WITH toks AS (
-      SELECT doc_id % 10 AS part,
+      SELECT CAST('0x' || substr(md5('disp-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 10 AS part,
              unnest(list_filter(string_split_regex(lower(text),
                                                    '[^a-z0-9]+'),
                                 x -> x <> '')) AS token
@@ -1015,7 +1023,10 @@ def q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Gries' deviation-of-proportions token dispersion "
         "(operators/text_analysis.token_dispersion, Gries 2008): "
         "DP = half the sum of |token share in part - part share| over "
-        "10 doc_id%%10 corpus parts — separates 'frequent because "
+        "10 md5-hash-bucketed corpus parts (the sampling.hash_bucket "
+        "convention — works for string ids too, where a plain modulo "
+        "is NULL and silently empties the joins) — separates "
+        "'frequent because "
         "ubiquitous' (function words, DP~0) from 'frequent because "
         "one subcorpus spams it' (DP->1), the burstiness diagnostic "
         "corpus-mix curation reads beside raw frequency. Absent-part "
@@ -1311,19 +1322,23 @@ def q_lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                PRECEDING AND 1 PRECEDING), 0) AS p1
       FROM per),
     red AS (
-      SELECT CAST(sum(c1 * (2 * p0 + c0)
-                      + c2 * (2 * p0 + c0)
-                      + c2 * (2 * p1 + c1)) AS BIGINT) AS j2,
-             CAST(sum(c0 + c1 + c2) AS BIGINT) AS n,
-             CAST(sum(c0) AS BIGINT) AS n0,
-             CAST(sum(c1) AS BIGINT) AS n1,
-             CAST(sum(c2) AS BIGINT) AS n2,
-             CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1)
-                      * (2 * (c0 + c1 + c2) + 5)) AS BIGINT) AS t1,
-             CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1)
-                      * (c0 + c1 + c2 - 2)) AS BIGINT) AS t2,
-             CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1))
-                  AS BIGINT) AS t3
+      SELECT CAST(sum(CAST(c1 AS HUGEINT) * (2 * p0 + c0)
+                      + CAST(c2 AS HUGEINT) * (2 * p0 + c0)
+                      + CAST(c2 AS HUGEINT) * (2 * p1 + c1))
+                  AS HUGEINT) AS j2,
+             CAST(sum(c0 + c1 + c2) AS HUGEINT) AS n,
+             CAST(sum(c0) AS HUGEINT) AS n0,
+             CAST(sum(c1) AS HUGEINT) AS n1,
+             CAST(sum(c2) AS HUGEINT) AS n2,
+             CAST(sum(CAST(c0 + c1 + c2 AS HUGEINT)
+                      * (c0 + c1 + c2 - 1)
+                      * (2 * (c0 + c1 + c2) + 5)) AS HUGEINT) AS t1,
+             CAST(sum(CAST(c0 + c1 + c2 AS HUGEINT)
+                      * (c0 + c1 + c2 - 1)
+                      * (c0 + c1 + c2 - 2)) AS HUGEINT) AS t2,
+             CAST(sum(CAST(c0 + c1 + c2 AS HUGEINT)
+                      * (c0 + c1 + c2 - 1))
+                  AS HUGEINT) AS t3
       FROM pre),
     fin AS (
       SELECT n,
@@ -1347,7 +1362,7 @@ def q_lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (8.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
                AS var_j
       FROM red)
-    SELECT n, CAST(3 AS BIGINT) AS k_groups,
+    SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_groups,
            round(jd, 2) + 0.0 AS j_stat,
            CASE WHEN var_j > 0.0
                 THEN round((jd - mean_j) / sqrt(var_j), 6)
@@ -1371,7 +1386,12 @@ def q_lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import jonckheere_terpstra
 
-    ev = read_table(spark, sf_dir, "events").select(
+    # ts IS NOT NULL matches the oracle predicate: without it a NULL
+    # timestamp falls through F.when to the 'evening' bucket on the
+    # Spark side only (ADVICE r11)
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         F.when(F.hour("ts") < 8, F.lit("night"))
         .when(F.hour("ts") < 16, F.lit("day"))
         .otherwise(F.lit("evening"))
