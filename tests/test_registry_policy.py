@@ -301,3 +301,54 @@ def test_driver_sample_staleness_bounded(registry):
         f"{k_max} rounds and which are NOT scheduled in this round's "
         f"window — the LRS rotation is being starved: {stale}"
     )
+
+
+def test_fullcheck_postdates_last_gated_code_change():
+    """r11 verdict #6: 'FULLCHECK must be refreshed AFTER the last
+    gated-query code change' was enforced only by discipline plus the
+    name-coverage test (which a code EDIT to an already-listed query
+    slips past). Mechanical version: no commit AFTER the current
+    round's FULLCHECK artifact commit may touch gated-path code. The
+    artifact may land in the SAME commit as the last code change (the
+    r10/r11 pattern) — `fc..HEAD` excludes the artifact commit itself.
+    Mid-round this test is red until the final FULLCHECK refresh, the
+    same lifecycle as test_fullcheck_current_round_covers_gated_registry.
+    """
+    import subprocess
+
+    from ups_crossref_etl_spark.plans.registry import _ROUND
+
+    artifact = f"FULLCHECK_r{_ROUND:02d}.json"
+
+    def git(*args: str) -> str:
+        try:
+            return subprocess.run(
+                ["git", *args], cwd=ROOT, capture_output=True,
+                text=True, timeout=60, check=True,
+            ).stdout.strip()
+        except (OSError, subprocess.SubprocessError):
+            pytest.skip("git history unavailable")
+
+    fc_commit = git("log", "-1", "--format=%H", "--", artifact)
+    assert fc_commit, (
+        f"{artifact} has never been committed — run "
+        f"tools/check_queries.py <sf_dir> --json {artifact} after the "
+        "round's last gated-path change"
+    )
+    gated_paths = [
+        "ups_crossref_etl_spark/plans",
+        "ups_crossref_etl_spark/operators",
+        "ups_crossref_etl_spark/functions",
+        "ups_crossref_etl_spark/sources",
+        "ups_crossref_etl_spark/streaming",
+        "ups_crossref_etl_spark/schemas.py",
+        "__spark_entry__.py",
+    ]
+    drift = git(
+        "log", "--format=%h %s", f"{fc_commit}..HEAD", "--", *gated_paths
+    )
+    assert not drift, (
+        f"gated-path code changed AFTER the {artifact} commit "
+        f"({fc_commit[:9]}) — the full battery must be re-run and the "
+        f"artifact recommitted. Offending commits:\n{drift}"
+    )

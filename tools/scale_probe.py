@@ -1036,6 +1036,34 @@ def main() -> None:
         lambda: ktruss(aa_eN, k=4).count(),
         aa_e1.count(), aa_eN.count(),
     )
+
+    # round 12 (r11 verdict #1): ktruss at a FULL 10x decade on a
+    # box-fitting shape. The full sf0.1 co-order graph at 10x exceeds
+    # single-box shuffle-file churn (SCALE.md), so the decade runs on
+    # the co-order graph of a 1-in-10 ORDER sample: the 10x endpoint
+    # (sampled graph x 10 disjoint copies) lands at ~the same edge
+    # count as the full-graph 1x run already measured to completion —
+    # the decade and the committed 3x full-graph probe cross-anchor.
+    pe_kt = (
+        li1.filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    kt_e1 = (
+        pe_kt.alias("a").join(pe_kt.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    kt_eN = graph_copies(kt_e1, n)
+    probe(
+        "ktruss_decade",
+        lambda: ktruss(kt_e1, k=4).count(),
+        lambda: ktruss(kt_eN, k=4).count(),
+        kt_e1.count(), kt_eN.count(),
+    )
     probe(
         "neighbor_jaccard_capped",
         lambda: neighbor_jaccard(aa_e1, top_n=50, max_degree=90).count(),

@@ -51,85 +51,39 @@ def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
 
 
 #: Current build round — keys the deterministic rotation in ``load_all``.
-_ROUND = 11
+_ROUND = 12
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
-#: (first ~50 entries) re-verifies them. Round 10: the transitivity
-#: capped+exact+cap-agreement triple (the r9 verdict's #1 ask), plus
-#: every query touched by the ADVICE.md fixes (best-SSE total-sum bug,
-#: rectangle BIGINT terms, ALS init hash, percent_rank distributed
-#: cumsum).
+#: (first ~50 entries) re-verifies them. Past rounds' lists live in git
+#: history (the driver artifacts CORRECTNESS_r{N}.json record what each
+#: round's window actually sampled).
 #: COMPLETENESS IS TESTED: tests/test_registry_policy.py fails if any
 #: gated query lacking committed verification evidence (CORRECTNESS_r*/
 #: FULLCHECK_r* union) is missing from this list.
 _CHANGED_THIS_ROUND = [
-    # round-11 #1 (r10 verdict): tfidf_knn_graph's RELATIVE df cap was
-    # the last measured superlinear default (SCALE_PROBE slope 1.5 at
-    # 10x — kept posting lists lengthen with N); the operational gate
-    # now runs an ABSOLUTE cap, with uncapped semantics gated on a
-    # bounded sub-corpus and the truncation cost measured by an
-    # edge-set-Jaccard agreement contract (the transitivity triple)
+    # round-12 ADVICE fixes (results or gate code changed):
+    # greenwood lo/hi NULL-gated on se; jonckheere decimal tie terms +
+    # HUGEINT oracle; page_trend/jonckheere ts IS NOT NULL parity;
+    # token_dispersion md5 hash-bucketed parts (values CHANGE)
+    "q_events_greenwood",
+    "q_events_jonckheere",
+    "q_events_page_trend",
+    "q_docs_token_dispersion",
+    # round-12: tfidf_knn_graph cap-resolution sentinel (explicit
+    # max_df_frac no longer silently tightened) — gate params are
+    # explicit so values are unchanged, but the resolution code path
+    # is new; re-verify the triple
     "q_docs_tfidf_knn",
     "q_docs_tfidf_knn_exact",
     "q_docs_tfidf_knn_cap_agreement",
-    # round-11 #2: mann_whitney / wilcoxon midranks moved off the
-    # unpartitioned distinct-value window onto the range-partitioned
-    # cumsum primitive (near-unique continuous metrics made the old
-    # window a single-partition bottleneck); their gates re-verify
-    "q_events_mann_whitney",
-    "q_events_wilcoxon",
-    # round-11 #3/#4: cox_ph rebuilt on the shared vector-beta engine
-    # with a ONCE-per-fit range partitioning (prepartitioned cumsum —
-    # no per-pass boundary re-sample/checkpoint) and a loud degenerate-
-    # risk-set guard (ADVICE r10); plus the NEW multi-covariate fit
-    # with its superset-beats-subset bound gate
-    "q_events_cox_bound",
+    # round-12 (r11 verdict #3): both cox fits share one prepared
+    # subject table via cox_ph_nested — identical booleans, new path
     "q_events_cox_multi_bound",
-    # round-11 ADVICE fixes: pacf's per-step rounding was Python
-    # banker's-rounding while every other output rounds HALF_UP
-    # (oracle round()); calinski_harabasz moment sums now accumulate
-    # in decimal(38,0) like jarque_bera (bigint wrapped past 2^63
-    # while the DuckDB oracle summed HUGEINT)
-    "q_events_pacf",
-    "q_emb_calinski_harabasz",
-    # round-11b wave: reliability / partial association / outlier
-    # screen / binary complete-blocks / ordered trend (classical
-    # inference completions), the Benjamini-Hochberg FDR adjust on a
-    # NEW range-partitioned suffix-min primitive (the multiplicity
-    # correction the per-segment test battery was missing), and the
-    # survival completions — Greenwood bands on the KM curve and the
-    # Breslow baseline hazard at fixed beta (the exact HASH gate for
-    # the Cox risk-set suffix machinery)
-    "q_lineitem_cronbach_alpha",
-    "q_lineitem_partial_corr",
-    "q_events_grubbs",
-    "q_events_cochran_q",
-    "q_events_page_trend",
-    "q_events_bh_adjust",
-    "q_events_greenwood",
-    "q_events_cox_baseline",
-    # round-11c wave: corpus diagnostics (Zipf log-log fit, Gries DP
-    # token dispersion — the burstiness screen beside raw frequency),
-    # the Cohen's d / Hedges' g effect size beside welch_t, and the
-    # bounded-exact Harrell's C discrimination readout for cox risk
-    # scores
-    "q_docs_zipf_fit",
-    "q_docs_token_dispersion",
-    "q_events_cohens_d",
-    "q_events_concordance",
-    # round-11d wave: corpus keyness (the what-distinguishes-this-
-    # subcorpus G2 readout), the Benford first-digit data-quality
-    # screen, and the Jonckheere-Terpstra ordered-groups trend test
-    # (completing the ordered-alternative pair with page_trend)
-    "q_docs_keyness",
-    "q_lineitem_benford",
-    "q_events_jonckheere",
-    # round-11 late: the classifier bound gate gets the cox
-    # descent-not-convergence treatment (3 Newton iterations, tol
-    # 1e-5 — same gated booleans, AUC 0.9999 vs 0.99999, 2.4x fewer
-    # stats passes on the battery's second-slowest extended line)
-    "q_docs_quality_classifier_bound",
+    # round-12 (r11 verdict #5): co-order edge builder factored into
+    # plans/graph_inputs.py — ktruss's gate body changed (others kept
+    # their helper indirection; PLANS.md regen proves zero shape drift)
+    "q_graph_ktruss",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

@@ -247,7 +247,7 @@ def q_docs_tfidf_knn_cap_agreement(
     ),
 )
 def q_events_cox_multi_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.survival import cox_ph, cox_ph_multi, duration_table
+    from ..operators.survival import cox_ph_nested, duration_table
 
     ev = read_table(spark, sf_dir, "events")
     dur = duration_table(
@@ -286,11 +286,17 @@ def q_events_cox_multi_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     # descent, not convergence (the cox_bound precedent): 2-3 Newton
     # iterations at a loose tol — the contract booleans need one
     # accepted step and a superset-beats-subset comparison, not
-    # 6-digit convergence through quantization-plateau noise
-    single = cox_ph(d, "t", "ev", "_z1", iterations=2, tol=1e-4)
-    multi = cox_ph_multi(
-        d, "t", "ev", ["_z1", "_z2"], iterations=3, tol=1e-4
+    # 6-digit convergence through quantization-plateau noise. Both
+    # fits share ONE prepared (range-partitioned, checkpointed)
+    # subject table via cox_ph_nested (round 12, r11 verdict #3): the
+    # old independent cox_ph re-materialized the whole duration
+    # lineage and re-partitioned it purely to feed beats_single.
+    fits = cox_ph_nested(
+        d, "t", "ev", ["_z1", "_z2"], ["_z1"],
+        iterations=3, tol=1e-4, nested_iterations=2,
     )
+    multi = fits["full"]
+    single = fits["nested"]
     path = multi["nll_path"]
     mono = all(a >= b - 1e-9 for a, b in zip(path, path[1:]))
     return sub.agg(

@@ -1223,19 +1223,11 @@ def q_emb_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _supplier_co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers that co-supplied an order (the co-authorship graph shape
-    of the reference's domain): distinct (order, supplier) pairs
-    self-joined on the order key."""
-    li = read_table(spark, sf_dir, "lineitem")
-    pe = li.select("l_orderkey", "l_suppkey").distinct()
-    return (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-    )
+    of the reference's domain) — the shared builder owns the src < dst
+    orientation contract."""
+    from .graph_inputs import supplier_coorder_edges
+
+    return supplier_coorder_edges(spark, sf_dir)
 
 
 @register(

@@ -366,16 +366,6 @@ s{r} AS MATERIALIZED (
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
+    from .graph_inputs import part_coorder_edges
 
-    li = read_table(spark, sf_dir, "lineitem")
-    pe = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
-    return kcore(edges, k=80, max_iter=12)
+    return kcore(part_coorder_edges(spark, sf_dir), k=80, max_iter=12)

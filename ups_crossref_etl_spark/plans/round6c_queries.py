@@ -459,19 +459,9 @@ SELECT node, CAST(label AS BIGINT) AS label FROM l3
 )
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
+    from .graph_inputs import part_coorder_edges
 
-    li = read_table(spark, sf_dir, "lineitem")
-    pe = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
-    return label_propagation(edges, rounds=3)
+    return label_propagation(part_coorder_edges(spark, sf_dir), rounds=3)
 
 
 _SPLIT_AUDIT_ORACLE = """

@@ -487,17 +487,10 @@ _REACH_CTES = """
 
 
 def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_inputs import co_order_edges
+
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
-    pe = li.select("l_orderkey", "l_partkey").distinct()
-    return (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    return co_order_edges(li, "l_partkey")
 
 
 @register(

@@ -1739,19 +1739,9 @@ _COORDER_EDGES = """
 )
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pagerank import hits
+    from .graph_inputs import supplier_coorder_edges
 
-    li = read_table(spark, sf_dir, "lineitem")
-    pe = li.select("l_orderkey", "l_suppkey").distinct()
-    e = (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-    )
-    return hits(e, n_iter=2)
+    return hits(supplier_coorder_edges(spark, sf_dir), n_iter=2)
 
 
 # --------------------------------------------------------------------------
@@ -1799,18 +1789,9 @@ def q_graph_clustering_coefficient(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..operators.graph import clustering_coefficient
+    from .graph_inputs import supplier_coorder_edges
 
-    li = read_table(spark, sf_dir, "lineitem")
-    pe = li.select("l_orderkey", "l_suppkey").distinct()
-    e = (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-    )
+    e = supplier_coorder_edges(spark, sf_dir)
     # The supplier co-order graph is a bounded near-clique (suppliers are
     # a dimension; 1000 nodes / 91% density at sf0.1, 124M triangles) —
     # the node-count preflight dispatches it to the dense bitset path,

@@ -113,22 +113,11 @@ def _aa_sql(where: str, cap: int | None) -> str:
     """
 
 
-def _part_coorder_edges(
-    spark: SparkSession, sf_dir: str, part_bound: int | None = None
-) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    if part_bound is not None:
-        li = li.filter(F.col("l_partkey") <= part_bound)
-    pe = li.select("l_orderkey", "l_partkey").distinct()
-    return (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+# round 12 (r11 verdict #5): the co-order pair construction lives in
+# ONE place — plans/graph_inputs.py owns the src < dst orientation
+# contract; this alias keeps the long-standing local name (round10+
+# plan files import it from here).
+from .graph_inputs import part_coorder_edges as _part_coorder_edges  # noqa: E402
 
 
 @register(
@@ -370,17 +359,9 @@ _SUPP_COORDER_EDGES = """
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import modularity
 
-    li = read_table(spark, sf_dir, "lineitem")
-    pe = li.select("l_orderkey", "l_suppkey").distinct()
-    edges = (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-    )
+    from .graph_inputs import supplier_coorder_edges
+
+    edges = supplier_coorder_edges(spark, sf_dir)
     assign = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
@@ -2012,19 +1993,9 @@ t{r + 1} AS MATERIALIZED (
 )
 def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import ktruss
+    from .graph_inputs import part_coorder_edges
 
-    li = read_table(spark, sf_dir, "lineitem")
-    pe = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        pe.alias("a")
-        .join(pe.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
-    out = ktruss(edges, k=10, max_iter=40)
+    out = ktruss(part_coorder_edges(spark, sf_dir), k=10, max_iter=40)
     return out.select(
         F.col("lo").cast("bigint").alias("lo"),
         F.col("hi").cast("bigint").alias("hi"),
