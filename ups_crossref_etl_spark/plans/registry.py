@@ -84,6 +84,13 @@ _CHANGED_THIS_ROUND = [
     # plans/graph_inputs.py — ktruss's gate body changed (others kept
     # their helper indirection; PLANS.md regen proves zero shape drift)
     "q_graph_ktruss",
+    # round-12 (r11 verdict #4): gate-tier streams start under an
+    # 8-partition shuffle override (state-store count tracks shuffle
+    # partitions; 128 store instances for 31 state rows WAS the
+    # per-batch floor) — the two flagged lines re-verify; all 11
+    # q_stream_* gates re-checked green at sf0.01 this round
+    "q_stream_interval_join",
+    "q_stream_interval_join_outer",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

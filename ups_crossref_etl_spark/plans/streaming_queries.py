@@ -60,16 +60,48 @@ def summarize_last_progress() -> dict:
     }
 
 
+#: Shuffle-partition count for gate-tier streaming queries (env:
+#: SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS). A stateful streaming query
+#: instantiates one state-store provider PER shuffle partition PER
+#: stateful operator side (a stream-stream interval join keeps 4
+#: stores/partition), and every micro-batch pays provider init +
+#: commit + snapshot maintenance for EACH — measured at sf0.1 (r11
+#: verdict #4): with the session's 32 partitions the interval-join
+#: gate spends 6.7 s + 3.8 s of addBatch on 31 state rows; at 8
+#: partitions the same batches run 1.2 s + 0.8 s. This is a REAL
+#: production sizing rule, not a bench hack: state-store count tracks
+#: shuffle partitions, so streaming jobs size partitions to state/
+#: throughput (per-batch rows ÷ healthy task size), never to the
+#: batch-analytics default — on a 1000-executor cluster you'd RAISE
+#: it for data volume; on a 200k-row micro-batch you lower it.
+_STREAM_SHUFFLE_PARTITIONS = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8"
+    )
+)
+
+
 def _run(stream_df, mode: str = "complete") -> DataFrame:
     import json as _json
 
+    spark = stream_df.sparkSession
     name = f"_gate_stream_{next(_seq)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .start()
+    # shuffle partitions are frozen into the query's state layout at
+    # start(); scope the stream-tier override to the start call and
+    # restore the session default for the batch work around it
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS)
     )
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
         _LAST_RUN_PROGRESS[:] = [
@@ -78,7 +110,7 @@ def _run(stream_df, mode: str = "complete") -> DataFrame:
         ]
     finally:
         q.stop()
-    return stream_df.sparkSession.table(name)
+    return spark.table(name)
 
 
 @register(
