@@ -939,6 +939,276 @@ def greenwood_bands(
     )
 
 
+def competing_duration_table(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    entry_type: str,
+    event_types: list[str],
+    horizon_seconds: int,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Per-subject ``(cause, t)`` under COMPETING events: time from
+    first ``entry_type`` to the FIRST subsequent occurrence of any of
+    ``event_types`` within the horizon; ``cause`` is the 1-based index
+    of the winning type (ties at the same microsecond go to the
+    EARLIER list entry — deterministic, and mirrored by the oracle),
+    0 = censored at the horizon bucket. The competing-risks front half
+    of :func:`competing_risks_cif`, generalizing
+    :func:`duration_table`'s single event type. Shape: one filtered
+    user-keyed min-aggregate per competing type (K is the caller's
+    hypothesis list, bounded small) + K broadcast-joinable left joins
+    on the entry table."""
+    if len(event_types) < 1:
+        raise ValueError("competing_duration_table: need >= 1 event type")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        us(ts_col).alias("_us"),
+    )
+    entry = ev.filter(F.col("_ty") == entry_type).groupBy("_u").agg(
+        F.min("_us").alias("_st")
+    )
+    cur = entry
+    for i, t in enumerate(event_types):
+        fe = (
+            ev.filter(F.col("_ty") == t)
+            .join(entry.select("_u", "_st"), "_u")
+            .filter(F.col("_us") > F.col("_st"))
+            .groupBy("_u")
+            .agg(F.min("_us").alias(f"_pt{i}"))
+        )
+        cur = cur.join(fe, "_u", "left")
+    horizon_us = int(horizon_seconds) * 1_000_000
+    bucket_us = int(bucket_seconds) * 1_000_000
+    horizon_bucket = int(horizon_seconds) // int(bucket_seconds)
+    # winner = min in-horizon first-event time; microsecond ties break
+    # to the lower type index (least() alone would be ambiguous)
+    in_h = [
+        F.when(
+            F.col(f"_pt{i}").isNotNull()
+            & (F.col(f"_pt{i}") <= F.col("_st") + F.lit(horizon_us)),
+            F.col(f"_pt{i}"),
+        )
+        for i in range(len(event_types))
+    ]
+    win_t = F.least(*in_h) if len(in_h) > 1 else in_h[0]
+    cause = F.lit(0)
+    for i in reversed(range(len(event_types))):
+        cause = F.when(in_h[i] == win_t, F.lit(i + 1)).otherwise(cause)
+    cause = F.when(win_t.isNotNull(), cause).otherwise(F.lit(0))
+    staged = cur.select(
+        "_u",
+        "_st",
+        cause.cast("int").alias("cause"),
+        win_t.alias("_wt"),
+    )
+    return staged.select(
+        "_u",
+        "cause",
+        F.when(
+            F.col("_wt").isNotNull(),
+            F.expr(f"(_wt - _st) div {bucket_us}"),
+        )
+        .otherwise(F.lit(horizon_bucket))
+        .cast("bigint")
+        .alias("t"),
+    )
+
+
+def competing_risks_cif(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    entry_type: str,
+    event_types: list[str],
+    horizon_seconds: int,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions under COMPETING
+    risks (Aalen & Johansen 1978; Kalbfleisch & Prentice): with causes
+    k competing for each subject's first event,
+    ``CIF_k(t) = Σ_{t_i≤t} S(t_i−)·d_{k,i}/n_i`` where S is the
+    ALL-CAUSE Kaplan-Meier survival and n the common risk set — the
+    estimator a naive per-cause KM gets WRONG (1−KM_k treats competing
+    events as censoring and overstates every cause's incidence; the
+    CIFs here sum to 1−S(t) exactly). The conversion-vs-failure
+    readout: of users who signed up, what fraction purchased vs
+    errored-out by hour t, accounting for the race between the two.
+
+    Supports exactly 2 competing causes (the gate shape; the duration
+    front half generalizes). Returns per all-cause-event bucket
+    ``(t, n_risk, n_events_a, n_events_b, cif_a, cif_b)``, ascending.
+
+    Determinism: the KM recipe — exclusive DECIMAL(38,12) ln-survival
+    sums (exact integer d, n per ratio) with the zero-survival flag
+    counted exclusively, each CIF increment ``S(t−)·d_k/n`` quantized
+    to integer picos BEFORE its cumulative DECIMAL sum. Shape: the
+    duration table's keyed aggregates, one bucket groupBy, window
+    passes over the bucket-cardinality table (≤ horizon/bucket rows —
+    the kaplan_meier/greenwood precedent: bounded by construction, so
+    the unpartitioned window is over a ~168-row frame at any SF).
+    """
+    if len(event_types) != 2:
+        raise ValueError("competing_risks_cif: exactly 2 competing causes")
+    dur = competing_duration_table(
+        events, user_col, type_col, ts_col,
+        entry_type, event_types, horizon_seconds, bucket_seconds,
+    )
+    agg = dur.groupBy("t").agg(
+        F.sum((F.col("cause") == 1).cast("int"))
+        .cast("bigint")
+        .alias("_d1"),
+        F.sum((F.col("cause") == 2).cast("int"))
+        .cast("bigint")
+        .alias("_d2"),
+        F.count(F.lit(1)).cast("bigint").alias("_leaving"),
+    )
+    total = dur.count()
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_risk = F.lit(total) - F.coalesce(F.sum("_leaving").over(w), F.lit(0))
+    stepped = (
+        agg.withColumn("n_risk", n_risk.cast("bigint"))
+        .withColumn("_d", (F.col("_d1") + F.col("_d2")).cast("bigint"))
+        .withColumn(
+            "_dead", (F.col("_d") == F.col("n_risk")).cast("long")
+        )
+    )
+    dd = F.col("_d").cast("double")
+    nn = F.col("n_risk").cast("double")
+    ln_term = F.log(F.lit(1.0) - dd / nn)
+    km = (
+        stepped.withColumn(
+            "_lnpre",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_dead") == 0, ln_term)
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(38,12)")
+                ).over(w),
+                F.lit(0).cast("decimal(38,12)"),
+            ),
+        )
+        .withColumn(
+            "_zpre", F.coalesce(F.sum("_dead").over(w), F.lit(0))
+        )
+    )
+    s_minus = F.when(F.col("_zpre") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lnpre").cast("double"))
+    )
+    t1 = F.round(s_minus * F.col("_d1").cast("double") / nn * 1e12).cast(
+        "bigint"
+    )
+    t2 = F.round(s_minus * F.col("_d2").cast("double") / nn * 1e12).cast(
+        "bigint"
+    )
+    cum = km.withColumn(
+        "_c1", F.sum(t1.cast("decimal(38,0)")).over(wc)
+    ).withColumn("_c2", F.sum(t2.cast("decimal(38,0)")).over(wc))
+    return (
+        cum.filter(F.col("_d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            F.col("_d1").alias("n_events_a"),
+            F.col("_d2").alias("n_events_b"),
+            (F.round(F.col("_c1").cast("double") / 1e12, 6) + 0.0).alias(
+                "cif_a"
+            ),
+            (F.round(F.col("_c2").cast("double") / 1e12, 6) + 0.0).alias(
+                "cif_b"
+            ),
+        )
+        .orderBy("t")
+    )
+
+
+def schoenfeld_residuals(
+    durations: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    beta: float,
+) -> DataFrame:
+    """Schoenfeld residuals at a FIXED coefficient — THE proportional-
+    hazards diagnostic (Schoenfeld 1982; Grambsch & Therneau 1994):
+    per event time ``r(t) = Σ_{events at t} x − d_t·s1(t)/s0(t)`` with
+    risk-set sums ``s0(t) = Σ_{t'≥t} e^{βx}``, ``s1(t) = Σ_{t'≥t}
+    e^{βx}·x`` (Breslow ties). Under PH the residuals are centered
+    noise with NO trend in time; a systematic drift means the hazard
+    ratio changes over follow-up and the single-β Cox readout
+    (q_events_cox_bound) is mis-specified — this is the check a real
+    survival analysis runs right after the fit. Taking β as an input
+    keeps it deterministic and SQL-expressible (the
+    :func:`cox_baseline_hazard` contract); pass ``cox_ph(...)["beta"]``
+    in production, then regress the residuals on t
+    (:func:`~..operators.stats.ols_xy`) for the trend readout.
+
+    Returns ``(t, n_events, residual)`` per event time, ascending.
+
+    Determinism: per-row ``e^{βx}`` and ``e^{βx}·x`` micro-quantize to
+    (signed) integers so the per-time sums and the ranged
+    exclusive-prefix suffix sums are exact integer arithmetic; the
+    residual is a one-shot double rounded 6 dp. Shape: one per-time
+    map-side-combinable aggregate + ONE range-partitioned prefix pass
+    (three parallel integer weights) — no unpartitioned window even
+    with near-unique times, no subject-level state on the driver.
+    """
+    from .stats import _ranged_exclusive_cumsum
+
+    base = durations.select(
+        F.col(time_col).cast("double").alias("_t"),
+        F.col(event_col).cast("int").alias("_d"),
+        F.col(x_col).cast("double").alias("_x"),
+    ).filter(
+        F.col("_t").isNotNull()
+        & F.col("_d").isNotNull()
+        & F.col("_x").isNotNull()
+    )
+    w = F.exp(F.lit(float(beta)) * F.col("_x"))
+    per_t = base.groupBy("_t").agg(
+        F.sum(F.round(w * 1e6).cast("bigint")).cast("bigint").alias("_s0"),
+        F.sum(F.round(w * F.col("_x") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("_s1"),
+        F.sum(F.col("_d")).cast("bigint").alias("_dd"),
+        F.sum(F.round(F.col("_d") * F.col("_x") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("_sx"),
+    )
+    tots: dict = {}
+    # _dd/_sx ride through as (unused-prefix) weights — the cumsum
+    # primitive returns only key + weight + prefix columns (the cox
+    # engine's wnames convention)
+    pre = _ranged_exclusive_cumsum(
+        per_t,
+        "_t",
+        ["_s0", "_s1", "_dd", "_sx"],
+        ["_p0", "_p1", "_pdd", "_psx"],
+        totals_out=tots,
+    )
+    s0q = F.lit(tots["_s0"]) - F.col("_p0")
+    s1q = F.lit(tots["_s1"]) - F.col("_p1")
+    resid = F.col("_sx").cast("double") / 1e6 - F.col("_dd").cast(
+        "double"
+    ) * (s1q.cast("double") / s0q.cast("double"))
+    return (
+        pre.filter((F.col("_dd") > 0) & (s0q > 0))
+        .select(
+            F.col("_t").alias("t"),
+            F.col("_dd").alias("n_events"),
+            (F.round(resid, 6) + 0.0).alias("residual"),
+        )
+        .orderBy("t")
+    )
+
+
 def cox_baseline_hazard(
     durations: DataFrame,
     time_col: str,

@@ -91,6 +91,16 @@ _CHANGED_THIS_ROUND = [
     # q_stream_* gates re-checked green at sf0.01 this round
     "q_stream_interval_join",
     "q_stream_interval_join_outer",
+    # round-12 new wave: survival completions (Schoenfeld PH
+    # diagnostic, Aalen-Johansen competing-risks CIF), corpus
+    # completions (Heaps' law vocabulary-growth fit, Monroe log-odds
+    # keyness), rank-test completions (Brunner-Munzel, Quade)
+    "q_events_schoenfeld",
+    "q_events_competing_risks",
+    "q_docs_heaps_fit",
+    "q_docs_log_odds_keyness",
+    "q_events_brunner_munzel",
+    "q_events_quade",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.
@@ -152,6 +162,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     import hashlib
 
+    from . import round12_queries  # noqa: F401
     from . import round11_queries  # noqa: F401
     from . import round10_queries  # noqa: F401
     from . import round10b_queries  # noqa: F401
