@@ -189,3 +189,251 @@ def test_competing_duration_tie_goes_to_earlier_type(spark):
     assert got[0]["cause"] == 1  # purchase listed first wins the tie
     assert got[1]["cause"] == 2
     assert got[0]["t"] == 1 and got[1]["t"] == 1
+
+
+# --------------------------------------------------------------------------
+# brunner_munzel
+# --------------------------------------------------------------------------
+
+
+def _midranks(vals, universe):
+    from collections import Counter
+
+    cnt = Counter(universe)
+    less, c = {}, 0
+    for v in sorted(cnt):
+        less[v] = c
+        c += cnt[v]
+    return [less[v] + (cnt[v] + 1) / 2 for v in vals]
+
+
+def _bm_reference(xs, ys):
+    """scipy.stats.brunnermunzel formula, pure python midranks."""
+    allv = xs + ys
+    rc_x = _midranks(xs, allv)
+    rc_y = _midranks(ys, allv)
+    r_x = _midranks(xs, xs)
+    r_y = _midranks(ys, ys)
+    nx, ny = len(xs), len(ys)
+    mx, my = sum(rc_x) / nx, sum(rc_y) / ny
+    sx = sum(
+        (rc - r - mx + (nx + 1) / 2) ** 2 for rc, r in zip(rc_x, r_x)
+    ) / (nx - 1)
+    sy = sum(
+        (rc - r - my + (ny + 1) / 2) ** 2 for rc, r in zip(rc_y, r_y)
+    ) / (ny - 1)
+    vtot = nx * sx + ny * sy
+    w = nx * ny * (my - mx) / ((nx + ny) * math.sqrt(vtot))
+    dfw = vtot ** 2 / (
+        (nx * sx) ** 2 / (nx - 1) + (ny * sy) ** 2 / (ny - 1)
+    )
+    p = (my - (ny + 1) / 2) / nx
+    return p, w, dfw
+
+
+def test_brunner_munzel_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import brunner_munzel
+
+    xs = [1.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 4.0]
+    ys = [3.0, 3.0, 4.0, 3.0, 1.0, 2.0, 3.0, 1.0, 1.0, 5.0, 4.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    p, w, dfw = _bm_reference(xs, ys)
+    assert out["n_a"] == len(xs) and out["n_b"] == len(ys)
+    assert out["p_hat"] == pytest.approx(p, abs=1e-6)
+    assert out["w"] == pytest.approx(w, abs=1e-6)
+    assert out["df_welch"] == pytest.approx(dfw, abs=1e-5)
+
+
+def test_brunner_munzel_zero_variance_null(spark):
+    from ups_crossref_etl_spark.operators.stats import brunner_munzel
+
+    rows = [("a", 1.0)] * 5 + [("b", 1.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    assert out["p_hat"] == pytest.approx(0.5, abs=1e-9)
+    assert out["w"] is None and out["df_welch"] is None
+
+
+# --------------------------------------------------------------------------
+# quade_test
+# --------------------------------------------------------------------------
+
+
+def _quade_reference(blocks, order):
+    """Conover 1999 construction; blocks: list of dict treat->value."""
+    k = len(order)
+    n = len(blocks)
+    rng = [max(b.values()) - min(b.values()) for b in blocks]
+    q = _midranks(rng, rng)
+    s = {}  # (i, j) -> S_ij
+    for i, b in enumerate(blocks):
+        vals = [b[t] for t in order]
+        r = _midranks(vals, vals)
+        for j in range(k):
+            s[(i, j)] = q[i] * (r[j] - (k + 1) / 2)
+    a2 = sum(v * v for v in s.values())
+    sj = [sum(s[(i, j)] for i in range(n)) for j in range(k)]
+    b2 = sum(v * v for v in sj) / n
+    if a2 == b2:
+        return None
+    return (n - 1) * b2 / (a2 - b2)
+
+
+def test_quade_matches_reference(spark):
+    from ups_crossref_etl_spark.operators.stats import quade_test
+
+    order = ["t1", "t2", "t3"]
+    blocks = [
+        {"t1": 1.0, "t2": 2.0, "t3": 3.5},
+        {"t1": 2.0, "t2": 2.0, "t3": 2.1},
+        {"t1": 5.0, "t2": 1.0, "t3": 3.0},
+        {"t1": 1.0, "t2": 1.5, "t3": 4.0},
+        {"t1": 2.5, "t2": 2.5, "t3": 2.5},
+    ]
+    rows = [
+        (f"b{i}", t, v)
+        for i, b in enumerate(blocks)
+        for t, v in b.items()
+    ]
+    df = spark.createDataFrame(rows, "bk string, t string, v double")
+    out = quade_test(df, "bk", "t", "v", order).collect()[0]
+    want = _quade_reference(blocks, order)
+    assert out["n_blocks"] == 5
+    assert out["df1"] == 2 and out["df2"] == 8
+    assert out["f_stat"] == pytest.approx(want, abs=1e-6)
+
+
+def test_quade_incomplete_blocks_dropped_and_degenerate_null(spark):
+    from ups_crossref_etl_spark.operators.stats import quade_test
+
+    # one incomplete block (no t3) + two all-equal complete blocks
+    rows = [
+        ("b0", "t1", 9.0), ("b0", "t2", 1.0),
+        ("b1", "t1", 2.0), ("b1", "t2", 2.0), ("b1", "t3", 2.0),
+        ("b2", "t1", 3.0), ("b2", "t2", 3.0), ("b2", "t3", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "bk string, t string, v double")
+    out = quade_test(df, "bk", "t", "v", ["t1", "t2", "t3"]).collect()[0]
+    assert out["n_blocks"] == 2  # b0 incomplete
+    assert out["f_stat"] is None  # all-agree: A = B = 0
+
+
+# --------------------------------------------------------------------------
+# heaps_fit
+# --------------------------------------------------------------------------
+
+
+def test_heaps_fit_recovers_sublinear_growth(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import heaps_fit
+
+    # vocabulary grows with sqrt of tokens by construction: doc i
+    # introduces types up to ~sqrt scale
+    docs = []
+    for i in range(200):
+        toks = ["w%d" % ((i * 37 + j * j) % 400) for j in range(20)]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = heaps_fit(df, "text", "doc_id", n_points=10).collect()[0]
+    assert out["n_points"] >= 5
+    # bounded type inventory -> strongly sublinear growth
+    assert 0.0 < out["beta"] < 0.9
+    assert out["r2"] is None or out["r2"] > 0.5
+
+
+def test_heaps_fit_matches_python_reference(spark):
+    import hashlib
+
+    from ups_crossref_etl_spark.operators.text_analysis import heaps_fit
+
+    def bucket(i, n=10):
+        h = hashlib.md5(f"heaps-{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % n
+
+    docs = [(i, f"alpha beta w{i % 7} w{i % 13}") for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = heaps_fit(df, "text", "doc_id", n_points=10).collect()[0]
+    # python mirror: cumulative mass + first-bucket type counts
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    first = {}
+    for i, text in docs:
+        b = bucket(i)
+        for tok in text.split():
+            mass[b] += 1
+            first[tok] = min(first.get(tok, 99), b)
+    pts = []
+    nn = vv = 0
+    for b in range(10):
+        nn += mass[b]
+        vv += sum(1 for t, fb in first.items() if fb == b)
+        if nn > 0 and vv > 0:
+            pts.append((math.log(nn), math.log(vv)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    logk = (sy - beta * sx) / n
+    assert out["n_points"] == n
+    assert out["beta"] == pytest.approx(beta, abs=1e-4)
+    assert out["log_k"] == pytest.approx(logk, abs=1e-3)
+
+
+# --------------------------------------------------------------------------
+# log_odds_keyness
+# --------------------------------------------------------------------------
+
+
+def test_log_odds_keyness_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        log_odds_keyness,
+    )
+
+    docs = []
+    for i in range(40):
+        text = "common filler words here"
+        if i % 4 == 0:
+            text += " signature" * 3
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r["token"]: r
+        for r in log_odds_keyness(
+            df, "text", "doc_id", F.col("doc_id") % 4 == 0,
+            alpha0=100.0, min_count=5, top_n=10,
+        ).collect()
+    }
+    # python mirror
+    from collections import Counter
+
+    tgt, ref = Counter(), Counter()
+    for i, text in docs:
+        (tgt if i % 4 == 0 else ref).update(text.split())
+    vocab = {
+        t
+        for t in set(tgt) | set(ref)
+        if tgt[t] + ref[t] >= 5
+    }
+    nt = sum(tgt[t] for t in vocab)
+    nr = sum(ref[t] for t in vocab)
+    for tok in vocab:
+        yt, yr = tgt[tok], ref[tok]
+        aw = 100.0 * (yt + yr) / (nt + nr)
+        delta = math.log((yt + aw) / (nt + 100.0 - yt - aw)) - math.log(
+            (yr + aw) / (nr + 100.0 - yr - aw)
+        )
+        sigma = math.sqrt(1.0 / (yt + aw) + 1.0 / (yr + aw))
+        if tok in out:
+            assert out[tok]["delta"] == pytest.approx(delta, abs=1e-6)
+            assert out[tok]["z"] == pytest.approx(
+                delta / sigma, abs=1e-6
+            )
+    # the planted signature token is the top |z| and positive
+    top = max(out.values(), key=lambda r: abs(r["z"]))
+    assert top["token"] == "signature" and top["z"] > 0

@@ -3273,3 +3273,224 @@ def jonckheere_terpstra(
         (F.round(jd, 2) + 0.0).alias("j_stat"),
         (F.round(z, 6) + 0.0).alias("z"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test (Brunner & Munzel
+    2000): tests ``P(A < B) + ½P(A = B) = ½`` WITHOUT the
+    equal-variance/shape assumption Mann-Whitney needs for a location
+    reading — the rank-test analog of Welch's t, and the correct
+    default when the two groups' dispersions differ (where
+    :func:`mann_whitney` conflates location with scale). Returns ONE
+    row ``(n_a, n_b, p_hat, w, df_welch)``: the stochastic-superiority
+    estimate ``p̂ = P(A < B) + ½P(A = B)``, the studentized statistic
+    W (compare to t with Welch-like df), and that df.
+
+    Distributed shape — the :func:`mann_whitney` recipe extended with
+    WITHIN-group midranks at zero extra passes: per DISTINCT value the
+    combined midrank is ``off + (t+1)/2`` and the within-a midrank is
+    ``offa + (ta+1)/2``, both from the SAME range-partitioned
+    exclusive-prefix pass (``_t``/``_ta`` as parallel weights), so the
+    per-value rank differences are pure integers in ×2 half-units:
+    ``2(R−R_a) = 2(off−offa) + (t−ta)`` and ``2(R−R_b) = 2·offa +
+    ta``. Their weighted first/second moments accumulate in
+    DECIMAL(38,0) (the jonckheere overflow lesson applied at birth);
+    every output is a one-shot double over those exact integers,
+    mirrored token-for-token.
+    """
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).alias("_isa"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per_v = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t"),
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_ta"),
+    )
+    pre = _ranged_exclusive_cumsum(
+        per_v, "_v", ["_t", "_ta"], ["_off", "_offa"]
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tb = F.col("_t") - F.col("_ta")
+    r2c = 2 * F.col("_off") + F.col("_t") + 1  # 2 x combined midrank
+    da2 = 2 * (F.col("_off") - F.col("_offa")) + tb  # 2(R - R_a)
+    db2 = 2 * F.col("_offa") + F.col("_ta")  # 2(R - R_b)
+    agg = pre.agg(
+        F.sum("_ta").cast("bigint").alias("n_a"),
+        F.sum(tb).cast("bigint").alias("n_b"),
+        F.sum(dec(F.col("_ta")) * dec(r2c)).cast("decimal(38,0)")
+        .alias("_ra2"),
+        F.sum(dec(tb) * dec(r2c)).cast("decimal(38,0)").alias("_rb2"),
+        F.sum(dec(F.col("_ta")) * dec(da2)).cast("decimal(38,0)")
+        .alias("_sa1"),
+        F.sum(dec(F.col("_ta")) * dec(da2) * dec(da2))
+        .cast("decimal(38,0)")
+        .alias("_sa2"),
+        F.sum(dec(tb) * dec(db2)).cast("decimal(38,0)").alias("_sb1"),
+        F.sum(dec(tb) * dec(db2) * dec(db2))
+        .cast("decimal(38,0)")
+        .alias("_sb2"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ra_bar = F.col("_ra2").cast("double") / 2.0 / na
+    rb_bar = F.col("_rb2").cast("double") / 2.0 / nb
+    da_bar = F.col("_sa1").cast("double") / 2.0 / na
+    db_bar = F.col("_sb1").cast("double") / 2.0 / nb
+    sa2 = (
+        F.col("_sa2").cast("double") / 4.0 - na * da_bar * da_bar
+    ) / (na - 1.0)
+    sb2 = (
+        F.col("_sb2").cast("double") / 4.0 - nb * db_bar * db_bar
+    ) / (nb - 1.0)
+    vtot = na * sa2 + nb * sb2
+    w = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (vtot > 0.0),
+        na * nb * (rb_bar - ra_bar) / ((na + nb) * F.sqrt(vtot)),
+    )
+    dfw = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (vtot > 0.0),
+        vtot * vtot
+        / (
+            (na * sa2) * (na * sa2) / (na - 1.0)
+            + (nb * sb2) * (nb * sb2) / (nb - 1.0)
+        ),
+    )
+    p_hat = F.when(
+        F.col("n_a") > 0, (rb_bar - (nb + 1.0) / 2.0) / na
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.round(p_hat, 6) + 0.0).alias("p_hat"),
+        (F.round(w, 6) + 0.0).alias("w"),
+        (F.round(dfw, 6) + 0.0).alias("df_welch"),
+    )
+
+
+def quade_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    treatment_order: list[str],
+) -> DataFrame:
+    """Quade test over COMPLETE blocks (Quade 1979): the Friedman
+    family member that WEIGHTS each block by the rank of its RANGE, so
+    blocks where treatments actually differ dominate — markedly more
+    powerful than :func:`friedman_test` at small k (Conover 1999
+    recommends it for k ≤ 4; Friedman wins as k grows). ``S_ij =
+    Q_i·(r_ij − (k+1)/2)`` with ``r_ij`` within-block midranks and
+    ``Q_i`` the across-blocks midrank of block i's range; ``F = (n−1)B
+    / (A − B)`` with ``A = Σ S_ij²``, ``B = (1/n)·Σ_j S_j²`` on
+    ``(k−1, (n−1)(k−1))`` df.
+
+    Returns ONE row ``(n_blocks, k_treatments, f_stat, df1, df2)``;
+    f_stat NULL when < 2 complete blocks or A = B (all-agree
+    degenerate).
+
+    Determinism and shape: exact DECIMAL cell means (friedman/page
+    recipe); within-block midranks are k-row windows; the block-range
+    midranks come from ONE range-partitioned exclusive-prefix pass
+    over the distinct-range table (blocks are corpus-sized — no global
+    window); S_ij lives in exact ×4 quarter-units so A and B
+    accumulate as DECIMAL(38,0) integers and F is one mirrored double
+    ``(n−1)·ΣS_j² / (n·ΣS_ij² − ΣS_j²)``.
+    """
+    from pyspark.sql import Window as W
+
+    k = len(treatment_order)
+    if k < 2:
+        raise ValueError("quade_test: need >= 2 treatments")
+    base = df.select(
+        F.col(block_col).cast("string").alias("_b"),
+        F.col(treatment_col).cast("string").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(
+        F.col("_b").isNotNull()
+        & F.col("_t").isin(list(treatment_order))
+        & F.col("_v").isNotNull()
+    )
+    cell = base.groupBy("_b", "_t").agg(
+        (
+            F.sum(F.col("_v").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_m")
+    )
+    complete = (
+        cell.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == k)
+        .select("_b")
+    )
+    cc = cell.join(complete, "_b")
+    # within-block midranks in x2 half-units: 2*rank + ties - 1
+    rk = cc.select(
+        "_b",
+        "_t",
+        "_m",
+        (
+            2 * F.rank().over(W.partitionBy("_b").orderBy("_m"))
+            + F.count(F.lit(1)).over(W.partitionBy("_b", "_m"))
+            - 1
+        ).cast("bigint").alias("_r2"),
+    )
+    rng = cc.groupBy("_b").agg(
+        (F.max("_m") - F.min("_m")).alias("_rng")
+    )
+    per_r = rng.groupBy("_rng").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    qoff = _ranged_exclusive_cumsum(per_r, "_rng", "_c", "_qoff")
+    qrk = rng.join(qoff, "_rng").select(
+        "_b",
+        (2 * F.col("_qoff") + F.col("_c") + 1)
+        .cast("bigint")
+        .alias("_q2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s4 = dec(F.col("_q2")) * dec(F.col("_r2") - F.lit(k + 1))
+    scored = rk.join(qrk, "_b").select(
+        "_t", s4.cast("decimal(38,0)").alias("_s4")
+    )
+    n_blocks = complete.count()
+    per_j = scored.groupBy("_t").agg(
+        F.sum("_s4").cast("decimal(38,0)").alias("_sj4")
+    )
+    a16 = scored.agg(
+        F.sum(dec(F.col("_s4")) * dec(F.col("_s4")))
+        .cast("decimal(38,0)")
+        .alias("_a16")
+    )
+    b16 = per_j.agg(
+        F.sum(dec(F.col("_sj4")) * dec(F.col("_sj4")))
+        .cast("decimal(38,0)")
+        .alias("_b16")
+    )
+    spark = df.sparkSession
+    nd = F.lit(float(n_blocks))
+    joined = a16.crossJoin(F.broadcast(b16))
+    a16d = F.col("_a16").cast("double")
+    b16d = F.col("_b16").cast("double")
+    denom = nd * a16d - b16d
+    f_stat = F.when(
+        F.lit(n_blocks >= 2) & (denom > 0.0),
+        (nd - 1.0) * b16d / denom,
+    )
+    return joined.select(
+        F.lit(n_blocks).cast("bigint").alias("n_blocks"),
+        F.lit(k).cast("bigint").alias("k_treatments"),
+        (F.round(f_stat, 6) + 0.0).alias("f_stat"),
+        F.lit(k - 1).cast("bigint").alias("df1"),
+        F.lit((n_blocks - 1) * (k - 1)).cast("bigint").alias("df2"),
+    )

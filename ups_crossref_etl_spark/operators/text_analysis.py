@@ -1870,3 +1870,178 @@ def keyness_g2(
         .alias("direction"),
     )
     return scored.orderBy(F.desc("g2"), F.asc("token")).limit(top_n)
+
+
+def log_odds_keyness(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    alpha0: float = 500.0,
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Monroe/Colaresi/Quinn "Fightin' Words" keyness (2008): per-token
+    log-odds-ratio between a TARGET slice and the rest, with an
+    INFORMATIVE Dirichlet prior proportional to the full-corpus
+    distribution — the standard companion to :func:`keyness_g2`: G²
+    rewards raw frequency (corpus-sized counts dominate), while the
+    prior-shrunk z-score surfaces distinctive MID-frequency vocabulary
+    and damps the one-off hapax noise that plagues unshrunk log-odds.
+
+    ``δ_w = ln((y_tw+α_w)/(n_t+α₀−y_tw−α_w)) − ln((y_rw+α_w)/
+    (n_r+α₀−y_rw−α_w))`` with ``α_w = α₀·y_w/n`` (prior mass follows
+    the corpus unigram distribution, total prior ``α₀``), variance
+    ``σ²_w ≈ 1/(y_tw+α_w) + 1/(y_rw+α_w)``, ``z_w = δ_w/σ_w``. Returns
+    the ``top_n`` tokens by ``(|z| desc, token asc)`` as ``(token,
+    n_target, n_ref, delta, z)`` — positive z = target signature,
+    negative = target blind spot.
+
+    Determinism: the ONLY aggregates are exact integer counts; δ, σ, z
+    are one-shot per-token double expressions over those integers,
+    mirrored token-for-token in the oracle (no cross-row double sum
+    exists to quantize), and the ordering key is the 6-dp-rounded |z|
+    with a token tiebreak so the cut is total. Shape: one corpus scan →
+    token-keyed conditional-count aggregate, 2-row totals broadcast,
+    TakeOrdered cut — linear, the keyness_g2 plan with a different
+    score expression.
+    """
+    toks = df.select(
+        is_target.cast("int").alias("_t"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    per = toks.groupBy("token").agg(
+        F.sum("_t").cast("bigint").alias("n_target"),
+        F.sum(F.lit(1) - F.col("_t")).cast("bigint").alias("n_ref"),
+    ).filter(F.col("n_target") + F.col("n_ref") >= min_count)
+    tot = per.agg(
+        F.sum("n_target").cast("bigint").alias("_tt"),
+        F.sum("n_ref").cast("bigint").alias("_tr"),
+    )
+    a0 = F.lit(float(alpha0))
+    yt = F.col("n_target").cast("double")
+    yr = F.col("n_ref").cast("double")
+    nt = F.col("_tt").cast("double")
+    nr = F.col("_tr").cast("double")
+    aw = a0 * (yt + yr) / (nt + nr)
+    delta = F.log((yt + aw) / (nt + a0 - yt - aw)) - F.log(
+        (yr + aw) / (nr + a0 - yr - aw)
+    )
+    sigma = F.sqrt(1.0 / (yt + aw) + 1.0 / (yr + aw))
+    z = delta / sigma
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n_target",
+        "n_ref",
+        (F.round(delta, 6) + 0.0).alias("delta"),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+    return scored.orderBy(
+        F.desc(F.abs(F.col("z"))), F.asc("token")
+    ).limit(top_n)
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_points: int = 10,
+) -> DataFrame:
+    """Heaps'/Herdan's law fit ``V(N) = K·N^β`` of vocabulary growth
+    (Heaps 1978): how fast distinct types accumulate with corpus size —
+    the companion diagnostic to :func:`zipf_fit` (natural text: β ≈
+    0.4–0.6; templated/synthetic corpora flatten early, OCR noise and
+    id-like garbage push β toward 1). Corpus-mix curation reads it to
+    size vocabulary budgets and spot degenerate sources before
+    tokenizer training.
+
+    Nested corpus prefixes come from the md5 hash-bucket convention
+    (``hash_bucket(id, 'heaps', n_points)``): prefix i = documents in
+    buckets 0..i — deterministic, engine-portable, and each prefix is
+    a uniform random subsample of the corpus, which is exactly the
+    exchangeability Heaps' law assumes (document ORDER would bias the
+    curve with source-ordered lakes). ``N_i`` = prefix token mass;
+    ``V_i`` = types whose FIRST bucket ≤ i (one min-aggregate — no
+    per-prefix distinct pass). Log-log OLS over the ≤ ``n_points``
+    (ln N_i, ln V_i) points via :func:`stats.ols_xy`.
+
+    Returns ONE row ``(n_points, beta, log_k, r2)``; NULL stats when
+    the fit is degenerate (< 2 non-empty prefixes or zero variance).
+
+    Shape: one corpus scan → (bucket) mass aggregate + (token) min
+    aggregate + (first-bucket) count — all map-side combinable; the
+    cumulative windows run over the ``n_points``-row dense bucket
+    table (bounded by the parameter, the KM-bucket-table precedent).
+    """
+    from .sampling import hash_bucket
+    from .stats import ols_xy
+
+    if n_points < 2:
+        raise ValueError("heaps_fit: need n_points >= 2")
+    toks = df.select(
+        hash_bucket(F.col(id_col), "heaps", n_points)
+        .cast("int")
+        .alias("_b"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    mass = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m")
+    )
+    vnew = (
+        toks.groupBy("token")
+        .agg(F.min("_b").alias("_fb"))
+        .groupBy(F.col("_fb").alias("_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    )
+    spark = df.sparkSession
+    idx = spark.range(n_points).select(F.col("id").cast("int").alias("_b"))
+    cells = (
+        idx.join(mass, "_b", "left")
+        .join(vnew, "_b", "left")
+        .select(
+            "_b",
+            F.coalesce("_m", F.lit(0)).cast("bigint").alias("_m"),
+            F.coalesce("_v", F.lit(0)).cast("bigint").alias("_v"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        cells.select(
+            F.sum("_m").over(wc).alias("_N"),
+            F.sum("_v").over(wc).alias("_V"),
+        )
+        .filter((F.col("_N") > 0) & (F.col("_V") > 0))
+        .select(
+            F.lit("all").alias("_g"),
+            F.log(F.col("_N").cast("double")).alias("_x"),
+            F.log(F.col("_V").cast("double")).alias("_y"),
+        )
+    )
+    fit = ols_xy(pts, "_g", "_x", "_y").select(
+        "n_points",
+        F.col("slope").alias("beta"),
+        F.col("intercept").alias("log_k"),
+        "r2",
+    )
+    if fit.limit(1).count() == 0:
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_points"),
+            F.lit(None).cast("double").alias("beta"),
+            F.lit(None).cast("double").alias("log_k"),
+            F.lit(None).cast("double").alias("r2"),
+        )
+    return fit

@@ -222,3 +222,360 @@ def q_events_competing_risks(
         entry_type="signup", event_types=["purchase", "error"],
         horizon_seconds=604800, bucket_seconds=3600,
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_heaps_fit",
+    """
+    WITH toks AS (
+      SELECT CAST('0x' || substr(md5('heaps-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 10 AS b,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    mass AS (SELECT b, CAST(count(*) AS BIGINT) AS m FROM toks
+             GROUP BY b),
+    fb AS (SELECT token, min(b) AS fb FROM toks GROUP BY token),
+    vnew AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS v FROM fb
+             GROUP BY fb),
+    idx AS (SELECT unnest(range(0, 10)) AS b),
+    cells AS (
+      SELECT idx.b, coalesce(m, 0) AS m, coalesce(v, 0) AS v
+      FROM idx LEFT JOIN mass USING (b) LEFT JOIN vnew USING (b)),
+    cum AS (
+      SELECT b,
+             sum(m) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS nn,
+             sum(v) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS vv
+      FROM cells),
+    q AS (
+      SELECT CAST(round(ln(CAST(nn AS DOUBLE)) * 1000000) AS BIGINT)
+               AS x,
+             CAST(round(ln(CAST(vv AS DOUBLE)) * 1000000) AS BIGINT)
+               AS y
+      FROM cum WHERE nn > 0 AND vv > 0),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM q),
+    fit AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM agg)
+    SELECT n AS n_points,
+           round(cov / dx, 6) + 0.0 AS beta,
+           round((syd - cov / dx * sxd) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) + 0.0 AS log_k,
+           CASE WHEN dy > 0 THEN round(cov * cov / (dx * dy), 4)
+           END + 0.0 AS r2
+    FROM fit
+    """,
+    doc=(
+        "Heaps'/Herdan's law vocabulary-growth fit (operators/"
+        "text_analysis.heaps_fit): log-log OLS of ln(types) on "
+        "ln(tokens) over 10 NESTED md5-hash-bucket corpus prefixes — "
+        "natural text grows types at beta ~ 0.4-0.6; templated "
+        "corpora flatten, id-garbage pushes beta toward 1. The "
+        "companion diagnostic to q_docs_zipf_fit. V per prefix comes "
+        "from ONE token min-bucket aggregate (no per-prefix distinct "
+        "pass); windows run over the 10-row dense bucket table; the "
+        "fit is stats.ols_xy's micro-quantized sufficient-statistics "
+        "recipe mirrored token-for-token."
+    ),
+)
+def q_docs_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import heaps_fit
+
+    docs = read_table(spark, sf_dir, "documents")
+    return heaps_fit(docs, "text", "doc_id", n_points=10)
+
+
+# --------------------------------------------------------------------------
+# Monroe log-odds keyness ("Fightin' Words")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_log_odds_keyness",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS t,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    per AS (
+      SELECT token, CAST(sum(t) AS BIGINT) AS n_target,
+             CAST(sum(1 - t) AS BIGINT) AS n_ref
+      FROM toks GROUP BY token
+      HAVING sum(t) + sum(1 - t) >= 5),
+    tot AS (
+      SELECT CAST(sum(n_target) AS BIGINT) AS tt,
+             CAST(sum(n_ref) AS BIGINT) AS tr
+      FROM per),
+    raw AS (
+      SELECT token, n_target, n_ref,
+             ln((CAST(n_target AS DOUBLE)
+                 + CAST(500.0 AS DOUBLE)
+                   * (CAST(n_target AS DOUBLE) + CAST(n_ref AS DOUBLE))
+                   / (CAST(tt AS DOUBLE) + CAST(tr AS DOUBLE)))
+                / (CAST(tt AS DOUBLE) + CAST(500.0 AS DOUBLE)
+                   - CAST(n_target AS DOUBLE)
+                   - CAST(500.0 AS DOUBLE)
+                     * (CAST(n_target AS DOUBLE) + CAST(n_ref AS DOUBLE))
+                     / (CAST(tt AS DOUBLE) + CAST(tr AS DOUBLE))))
+             - ln((CAST(n_ref AS DOUBLE)
+                   + CAST(500.0 AS DOUBLE)
+                     * (CAST(n_target AS DOUBLE) + CAST(n_ref AS DOUBLE))
+                     / (CAST(tt AS DOUBLE) + CAST(tr AS DOUBLE)))
+                  / (CAST(tr AS DOUBLE) + CAST(500.0 AS DOUBLE)
+                     - CAST(n_ref AS DOUBLE)
+                     - CAST(500.0 AS DOUBLE)
+                       * (CAST(n_target AS DOUBLE)
+                          + CAST(n_ref AS DOUBLE))
+                       / (CAST(tt AS DOUBLE) + CAST(tr AS DOUBLE))))
+               AS delta_raw,
+             sqrt(CAST(1.0 AS DOUBLE)
+                  / (CAST(n_target AS DOUBLE)
+                     + CAST(500.0 AS DOUBLE)
+                       * (CAST(n_target AS DOUBLE)
+                          + CAST(n_ref AS DOUBLE))
+                       / (CAST(tt AS DOUBLE) + CAST(tr AS DOUBLE)))
+                  + CAST(1.0 AS DOUBLE)
+                    / (CAST(n_ref AS DOUBLE)
+                       + CAST(500.0 AS DOUBLE)
+                         * (CAST(n_target AS DOUBLE)
+                            + CAST(n_ref AS DOUBLE))
+                         / (CAST(tt AS DOUBLE) + CAST(tr AS DOUBLE))))
+               AS sigma_raw
+      FROM per CROSS JOIN tot),
+    sc AS (
+      SELECT token, n_target, n_ref,
+             round(delta_raw, 6) + 0.0 AS delta,
+             round(delta_raw / sigma_raw, 6) + 0.0 AS z
+      FROM raw)
+    SELECT token, n_target, n_ref, delta, z
+    FROM sc ORDER BY abs(z) DESC, token LIMIT 50
+    """,
+    doc=(
+        "Monroe/Colaresi/Quinn 'Fightin' Words' log-odds keyness with "
+        "an informative Dirichlet prior (operators/text_analysis."
+        "log_odds_keyness, 2008): prior-shrunk per-token log-odds "
+        "z-scores between the doc_id %% 17 = 0 slice and the rest, "
+        "prior mass alpha0 = 500 spread proportional to the corpus "
+        "unigram distribution — the standard companion to G2 keyness "
+        "(q_docs_keyness): G2 rewards raw frequency; the shrunk z "
+        "surfaces distinctive mid-frequency vocabulary and damps "
+        "hapax noise. Only integer counts aggregate; delta/sigma/z "
+        "are one-shot per-token doubles mirrored token-for-token, "
+        "ordered by 6-dp |z| with a token tiebreak (total cut)."
+    ),
+)
+def q_docs_log_odds_keyness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text_analysis import log_odds_keyness
+
+    docs = read_table(spark, sf_dir, "documents")
+    return log_odds_keyness(
+        docs, "text", "doc_id", F.col("doc_id") % 17 == 0,
+        alpha0=500.0, min_count=5, top_n=50,
+    )
+
+
+# --------------------------------------------------------------------------
+# Brunner-Munzel: the heteroskedasticity-robust rank test
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_brunner_munzel",
+    """
+    WITH b AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+    per AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(isa) AS BIGINT) AS ta
+      FROM b GROUP BY v),
+    pre AS (
+      SELECT v, t, ta,
+             coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS off,
+             coalesce(sum(ta) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS offa
+      FROM per),
+    agg AS (
+      SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+             CAST(sum(t - ta) AS BIGINT) AS n_b,
+             sum(CAST(ta AS HUGEINT) * (2 * off + t + 1)) AS ra2,
+             sum(CAST(t - ta AS HUGEINT) * (2 * off + t + 1)) AS rb2,
+             sum(CAST(ta AS HUGEINT)
+                 * (2 * (off - offa) + (t - ta))) AS sa1,
+             sum(CAST(ta AS HUGEINT)
+                 * (2 * (off - offa) + (t - ta))
+                 * (2 * (off - offa) + (t - ta))) AS sa2,
+             sum(CAST(t - ta AS HUGEINT) * (2 * offa + ta)) AS sb1,
+             sum(CAST(t - ta AS HUGEINT) * (2 * offa + ta)
+                 * (2 * offa + ta)) AS sb2
+      FROM pre),
+    fin AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(ra2 AS DOUBLE) / 2.0 / CAST(n_a AS DOUBLE) AS ra_bar,
+             CAST(rb2 AS DOUBLE) / 2.0 / CAST(n_b AS DOUBLE) AS rb_bar,
+             (CAST(sa2 AS DOUBLE) / 4.0
+              - CAST(n_a AS DOUBLE)
+                * (CAST(sa1 AS DOUBLE) / 2.0 / CAST(n_a AS DOUBLE))
+                * (CAST(sa1 AS DOUBLE) / 2.0 / CAST(n_a AS DOUBLE)))
+             / (CAST(n_a AS DOUBLE) - 1.0) AS s2a,
+             (CAST(sb2 AS DOUBLE) / 4.0
+              - CAST(n_b AS DOUBLE)
+                * (CAST(sb1 AS DOUBLE) / 2.0 / CAST(n_b AS DOUBLE))
+                * (CAST(sb1 AS DOUBLE) / 2.0 / CAST(n_b AS DOUBLE)))
+             / (CAST(n_b AS DOUBLE) - 1.0) AS s2b
+      FROM agg)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 THEN
+             round((rb_bar - (nb + 1.0) / 2.0) / na, 6) END + 0.0
+             AS p_hat,
+           CASE WHEN n_a > 1 AND n_b > 1
+                     AND na * s2a + nb * s2b > 0.0 THEN
+             round(na * nb * (rb_bar - ra_bar)
+                   / ((na + nb) * sqrt(na * s2a + nb * s2b)), 6)
+           END + 0.0 AS w,
+           CASE WHEN n_a > 1 AND n_b > 1
+                     AND na * s2a + nb * s2b > 0.0 THEN
+             round((na * s2a + nb * s2b) * (na * s2a + nb * s2b)
+                   / ((na * s2a) * (na * s2a) / (na - 1.0)
+                      + (nb * s2b) * (nb * s2b) / (nb - 1.0)), 6)
+           END + 0.0 AS df_welch
+    FROM fin
+    """,
+    doc=(
+        "Brunner-Munzel generalized Wilcoxon test (operators/stats."
+        "brunner_munzel, Brunner & Munzel 2000) between click and view "
+        "event values: tests P(A<B)+0.5*P(A=B) = 0.5 WITHOUT the "
+        "equal-shape assumption Mann-Whitney needs — the rank analog "
+        "of Welch's t, correct when dispersions differ. Combined AND "
+        "within-group midranks from ONE range-partitioned exclusive-"
+        "prefix pass (per-value differences are pure integers in x2 "
+        "half-units: 2(R-Ra) = 2(off-offa)+(t-ta)); moments in "
+        "DECIMAL(38,0)/HUGEINT; W, Welch df, and the stochastic-"
+        "superiority p_hat are one-shot mirrored doubles."
+    ),
+)
+def q_events_brunner_munzel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.stats import brunner_munzel
+
+    ev = read_table(spark, sf_dir, "events")
+    return brunner_munzel(ev, "event_type", "value", "click", "view")
+
+
+# --------------------------------------------------------------------------
+# Quade test: range-weighted blocked comparison
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_quade",
+    """
+    WITH b AS (
+      SELECT CAST(user_id AS VARCHAR) AS bk,
+             CASE WHEN EXTRACT(hour FROM ts) < 8 THEN 'night'
+                  WHEN EXTRACT(hour FROM ts) < 16 THEN 'day'
+                  ELSE 'evening' END AS t,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL),
+    cell AS (
+      SELECT bk, t,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m
+      FROM b GROUP BY bk, t),
+    comp AS (
+      SELECT bk FROM cell GROUP BY bk HAVING count(*) = 3),
+    cc AS (SELECT cell.* FROM cell JOIN comp USING (bk)),
+    rk AS (
+      SELECT bk, t,
+             CAST(2 * rank() OVER (PARTITION BY bk ORDER BY m)
+                  + count(*) OVER (PARTITION BY bk, m) - 1
+                  AS BIGINT) AS r2
+      FROM cc),
+    rng AS (SELECT bk, max(m) - min(m) AS rg FROM cc GROUP BY bk),
+    perr AS (SELECT rg, CAST(count(*) AS BIGINT) AS c FROM rng
+             GROUP BY rg),
+    qoff AS (
+      SELECT rg, c,
+             coalesce(sum(c) OVER (ORDER BY rg ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS qo
+      FROM perr),
+    qrk AS (
+      SELECT rng.bk, CAST(2 * qo + c + 1 AS BIGINT) AS q2
+      FROM rng JOIN qoff USING (rg)),
+    sc AS (
+      SELECT rk.t, CAST(q2 AS HUGEINT) * (r2 - 4) AS s4
+      FROM rk JOIN qrk USING (bk)),
+    a16 AS (SELECT sum(CAST(s4 AS HUGEINT) * s4) AS a FROM sc),
+    perj AS (SELECT t, CAST(sum(s4) AS HUGEINT) AS sj FROM sc
+             GROUP BY t),
+    b16 AS (SELECT sum(CAST(sj AS HUGEINT) * sj) AS bb FROM perj),
+    nbl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM comp)
+    SELECT n AS n_blocks, CAST(3 AS BIGINT) AS k_treatments,
+           CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(a AS DOUBLE)
+                                  - CAST(bb AS DOUBLE) > 0.0 THEN
+             round((CAST(n AS DOUBLE) - 1.0) * CAST(bb AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(a AS DOUBLE)
+                      - CAST(bb AS DOUBLE)), 6)
+           END + 0.0 AS f_stat,
+           CAST(2 AS BIGINT) AS df1,
+           CAST((n - 1) * 2 AS BIGINT) AS df2
+    FROM nbl CROSS JOIN a16 CROSS JOIN b16
+    """,
+    doc=(
+        "Quade test (operators/stats.quade_test, Quade 1979): the "
+        "Friedman-family blocked comparison that weights each user "
+        "block by the across-blocks midrank of its RANGE, so blocks "
+        "where the night/day/evening means actually differ dominate — "
+        "more powerful than Friedman at k <= 4 (Conover 1999); "
+        "completes the blocked family beside q_events_page_trend "
+        "(ordered) and friedman (unordered). Exact DECIMAL cell "
+        "means; within-block 3-row midrank windows; block-range "
+        "midranks from ONE ranged exclusive-prefix pass (blocks are "
+        "corpus-sized); S_ij in exact x4 quarter-units, A/B in "
+        "DECIMAL(38,0)/HUGEINT, F one mirrored double."
+    ),
+)
+def q_events_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import quade_test
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        F.col("user_id").cast("string").alias("bk"),
+        F.when(F.hour("ts") < 8, F.lit("night"))
+        .when(F.hour("ts") < 16, F.lit("day"))
+        .otherwise(F.lit("evening"))
+        .alias("t"),
+        F.col("value").cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("bk").isNotNull())
+    return quade_test(ev, "bk", "t", "v", ["night", "day", "evening"])
