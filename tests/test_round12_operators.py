@@ -437,3 +437,175 @@ def test_log_odds_keyness_matches_reference(spark):
     # the planted signature token is the top |z| and positive
     top = max(out.values(), key=lambda r: abs(r["z"]))
     assert top["token"] == "signature" and top["z"] > 0
+
+
+# --------------------------------------------------------------------------
+# yule_k
+# --------------------------------------------------------------------------
+
+
+def test_yule_k_matches_hand_formula(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import yule_k
+
+    docs = [(0, "a a a b b c"), (1, "a b c d")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = yule_k(df, "text").collect()[0]
+    # tf: a=4, b=3, c=2, d=1 -> N=10, sum f^2 = 16+9+4+1 = 30
+    assert out["vocab_size"] == 4
+    assert out["total_tokens"] == 10
+    assert out["yule_k"] == pytest.approx(
+        1e4 * (30 - 10) / 100.0, abs=1e-6
+    )
+
+
+def test_yule_k_repetitive_beats_diverse(spark):
+    from ups_crossref_etl_spark.operators.text_analysis import yule_k
+
+    rep = spark.createDataFrame(
+        [(0, "spam " * 50)], "doc_id int, text string"
+    )
+    div = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(50)))],
+        "doc_id int, text string",
+    )
+    k_rep = yule_k(rep, "text").collect()[0]["yule_k"]
+    k_div = yule_k(div, "text").collect()[0]["yule_k"]
+    assert k_rep > k_div
+    assert k_div == pytest.approx(0.0, abs=1e-6)  # all hapax
+
+
+# --------------------------------------------------------------------------
+# burrows_delta
+# --------------------------------------------------------------------------
+
+
+def test_burrows_delta_same_style_near_zero(spark):
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        burrows_delta,
+    )
+
+    # groups 0/1 share a style; group 2 inverts the function-word mix
+    docs = []
+    for i in range(60):
+        g = i % 3
+        if g < 2:
+            docs.append((i, "the of and " * 5 + "is was"))
+        else:
+            docs.append((i, "is was " * 8 + "the"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        (r["group_a"], r["group_b"]): r["delta"]
+        for r in burrows_delta(
+            df, "text", F.col("doc_id") % 3, top_m=5
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[("0", "1")] == pytest.approx(0.0, abs=1e-6)
+    assert out[("0", "2")] > 1.0
+    assert out[("1", "2")] > 1.0
+
+
+def test_burrows_delta_matches_python_reference(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from ups_crossref_etl_spark.operators.text_analysis import (
+        burrows_delta,
+    )
+
+    docs = [
+        (0, "a a b c d"), (1, "a b b c"), (2, "c c d d a"),
+        (3, "b d d a a a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in burrows_delta(
+            df, "text", F.col("doc_id") % 2, top_m=3
+        ).collect()
+    }
+    # python mirror with pico-quantized relative frequencies
+    cell = {}
+    for i, text in docs:
+        g = str(i % 2)
+        cell.setdefault(g, Counter()).update(text.split())
+    tot = Counter()
+    for c in cell.values():
+        tot.update(c)
+    topm = sorted(tot, key=lambda t: (-tot[t], t))[:3]
+    groups = sorted(cell)
+    n_g = {g: sum(cell[g].values()) for g in groups}
+    fq = {
+        (g, t): round(cell[g][t] / n_g[g] * 1e12)
+        for g in groups
+        for t in topm
+    }
+    k = len(groups)
+    z = {}
+    for t in topm:
+        s1 = sum(fq[(g, t)] for g in groups)
+        s2 = sum(fq[(g, t)] ** 2 for g in groups)
+        mu = s1 / k
+        sd = math.sqrt(s2 / k - mu * mu)
+        if sd > 0:
+            for g in groups:
+                z[(g, t)] = (fq[(g, t)] - mu) / sd
+    terms = [
+        round(abs(z[("0", t)] - z[("1", t)]) * 1e9)
+        for t in topm
+        if ("0", t) in z
+    ]
+    want = sum(terms) / 1e9 / len(terms)
+    assert got[("0", "1")]["n_tokens"] == len(terms)
+    assert got[("0", "1")]["delta"] == pytest.approx(want, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# hurst_aggvar
+# --------------------------------------------------------------------------
+
+
+def test_hurst_white_noise_near_half(spark):
+    from ups_crossref_etl_spark.operators.timeseries import hurst_aggvar
+
+    # deterministic pseudo-noise: md5-derived iid-uniform values on a
+    # 1-minute grid — no long-range structure, so H should sit near
+    # 0.5. (A multiplicative-hash mod sequence does NOT work here:
+    # it is low-discrepancy/anti-persistent, H -> 0.)
+    import hashlib
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + dt.timedelta(minutes=i),
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            / 2 ** 32,
+        )
+        for i in range(4096)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = hurst_aggvar(
+        df, "ts", "value", base_seconds=3600, n_scales=5
+    ).collect()[0]
+    assert out["n_scales_used"] >= 4
+    assert 0.2 < out["hurst"] < 0.75
+
+
+def test_hurst_trending_series_high(spark):
+    from ups_crossref_etl_spark.operators.timeseries import hurst_aggvar
+
+    # strong linear trend = maximal persistence: bucket-mean variance
+    # GROWS with width -> slope > 0 -> H > 1 boundary readout
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=i), float(i))
+        for i in range(4096)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = hurst_aggvar(
+        df, "ts", "value", base_seconds=3600, n_scales=5
+    ).collect()[0]
+    assert out["hurst"] > 0.9

@@ -2045,3 +2045,192 @@ def heaps_fit(
             F.lit(None).cast("double").alias("r2"),
         )
     return fit
+
+
+def yule_k(df: DataFrame, text_col: str) -> DataFrame:
+    """Yule's characteristic K (Yule 1944): ``K = 10⁴·(Σ_f f²·V_f − N)
+    / N²`` over the token frequency spectrum — the classic
+    length-invariant lexical-richness constant (repetitiveness rises
+    K; rich vocabulary lowers it), the single-number companion to the
+    full :func:`zipf_fit` / :func:`heaps_fit` curves: template spam
+    and boilerplate jump out as K outliers before a curve is ever
+    plotted. Since ``Σ_f f²·V_f = Σ_tokens tf²``, K needs only the
+    token-frequency second moment — no spectrum materialization.
+
+    Returns ONE row ``(vocab_size, total_tokens, yule_k)``.
+
+    Determinism: tf counts are exact bigints; ``Σ tf²`` accumulates in
+    DECIMAL(38,0) (a stopword at corpus scale squares past 2^63 — the
+    jonckheere lesson); K is one mirrored double. Shape: one corpus
+    scan → token groupBy → 1-row reduction, all map-side combinable.
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token")
+    )
+    tf = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_f")
+    )
+    agg = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("_f").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.col("_f").cast("decimal(38,0)")
+            * F.col("_f").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_f2"),
+    )
+    n = F.col("total_tokens").cast("double")
+    k = (
+        F.lit(10000.0)
+        * (F.col("_f2").cast("double") - n)
+        / (n * n)
+    )
+    return agg.select(
+        "vocab_size",
+        "total_tokens",
+        F.when(
+            F.col("total_tokens") > 0, F.round(k, 6) + 0.0
+        ).alias("yule_k"),
+    )
+
+
+def burrows_delta(
+    df: DataFrame,
+    text_col: str,
+    group_col,
+    top_m: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance (Burrows 2002; Argamon
+    2008): between every pair of document groups, the mean absolute
+    difference of z-scored relative frequencies over the corpus's
+    ``top_m`` most-frequent tokens — THE standard authorship /
+    style-drift measure, and for corpus curation the "did these two
+    sources come from the same generator?" screen (near-zero Delta
+    between supposedly independent sources flags templated or
+    machine-copied text). Function words dominate the top-m list by
+    construction, which is what makes Delta a STYLE measure rather
+    than a topic measure.
+
+    ``group_col`` is a Column expression labeling each document's
+    group (bounded small — authors/sources, not documents). Per group
+    g and top-m token w: relative frequency ``f_gw = c_gw / N_g``;
+    token-level mean/sd are taken ACROSS groups (population sd, the
+    Delta convention); ``z_gw = (f_gw − μ_w)/σ_w`` for tokens with
+    ``σ_w > 0``; ``Delta(a,b) = mean_w |z_aw − z_bw|``. Returns one
+    row per unordered pair ``(group_a, group_b, n_tokens, delta)``,
+    ``group_a < group_b``.
+
+    Determinism: the top-m cut orders by ``(count desc, token asc)``
+    (total); counts are exact ints, so f/μ/σ/z are identical doubles
+    in both engines; each ``|z_a − z_b|`` term quantizes to integer
+    nanos before the per-pair mean (the repo's cross-row double-sum
+    rule). Shape: one corpus scan → (group, token) count aggregate;
+    everything after the cut is k·m rows (bounded by parameters), so
+    the pair self-join is a broadcast-scale operation.
+    """
+    toks = df.select(
+        group_col.cast("string").alias("_g"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    ).filter(F.col("_g").isNotNull())
+    cell = toks.groupBy("_g", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    topm = (
+        cell.groupBy("token")
+        .agg(F.sum("_c").cast("bigint").alias("_tot"))
+        .orderBy(F.desc("_tot"), F.asc("token"))
+        .limit(top_m)
+        .select("token")
+    )
+    gtot = cell.groupBy("_g").agg(
+        F.sum("_c").cast("bigint").alias("_n")
+    )
+    n_groups = gtot.count()
+    # dense (group x top-m token) grid so absent tokens score f = 0;
+    # relative frequencies quantize to integer picos BEFORE the
+    # cross-group moments (a k-double sum is still order-dependent at
+    # the ulp — the repo's cross-row double-sum rule)
+    grid = gtot.crossJoin(F.broadcast(topm))
+    fgrid = grid.join(cell, ["_g", "token"], "left").select(
+        "_g",
+        "token",
+        F.round(
+            F.coalesce(F.col("_c"), F.lit(0)).cast("double")
+            / F.col("_n").cast("double")
+            * 1e12
+        )
+        .cast("bigint")
+        .alias("_fq"),
+    )
+    kd = F.lit(float(n_groups))
+    mom = fgrid.groupBy("token").agg(
+        F.sum("_fq").cast("bigint").alias("_s1"),
+        F.sum(
+            F.col("_fq").cast("decimal(38,0)")
+            * F.col("_fq").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    ).select(
+        "token",
+        (F.col("_s1").cast("double") / kd).alias("_mu"),
+        F.sqrt(
+            F.col("_s2").cast("double") / kd
+            - (F.col("_s1").cast("double") / kd)
+            * (F.col("_s1").cast("double") / kd)
+        ).alias("_sd"),
+    )
+    z = fgrid.join(F.broadcast(mom), "token").filter(
+        F.col("_sd") > 0.0
+    ).select(
+        "_g",
+        "token",
+        (
+            (F.col("_fq").cast("double") - F.col("_mu")) / F.col("_sd")
+        ).alias("_z"),
+    )
+    a = z.select(
+        F.col("_g").alias("group_a"), "token", F.col("_z").alias("_za")
+    )
+    b = z.select(
+        F.col("_g").alias("group_b"), "token", F.col("_z").alias("_zb")
+    )
+    pairs = a.join(b, "token").filter(
+        F.col("group_a") < F.col("group_b")
+    )
+    term = F.round(F.abs(F.col("_za") - F.col("_zb")) * 1e9).cast(
+        "bigint"
+    )
+    return (
+        pairs.groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(term).cast("bigint").alias("_dsum"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_tokens",
+            (
+                F.round(
+                    F.col("_dsum").cast("double")
+                    / 1e9
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("delta"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -1756,3 +1756,103 @@ def durbin_watson(
             + 0.0
         ).alias("dw_stat"),
     )
+
+
+def hurst_aggvar(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    base_seconds: int = 3600,
+    n_scales: int = 6,
+) -> DataFrame:
+    """Hurst exponent via the AGGREGATED-VARIANCE method (Beran 1994;
+    Taqqu, Teverovsky & Willinger 1995): bucket the series at widths
+    ``base·2^j`` for ``j = 0..n_scales−1``, take the variance of the
+    bucket MEANS at each width, and fit ``ln Var ~ ln width`` — for a
+    long-range-dependent process ``Var(X̄_m) ∝ m^{2H−2}``, so
+    ``H = 1 + slope/2``. H ≈ 0.5 is memoryless; H → 1 means strong
+    persistence (load/traffic series almost always show it, and
+    ignoring it makes every naive confidence interval too tight — the
+    long-memory cousin of the :func:`acf`/:func:`ljung_box` readouts).
+
+    Returns ONE row ``(n_scales_used, hurst, slope, r2)``; NULL stats
+    when fewer than 2 scales have ≥ 2 buckets (slope undefined).
+
+    Determinism: bucket means are exact DECIMAL sums / counts; each
+    mean micro-quantizes to integer units so the per-scale variance
+    reduces over exact integers (the welch_t moment recipe); the
+    log-log fit is :func:`stats.ols_xy`'s quantized
+    sufficient-statistics recipe over ≤ ``n_scales`` points. Shape:
+    ONE corpus pass — explode each row into its ``n_scales`` (scale,
+    bucket) cells (bounded ×n_scales row growth), one (scale, bucket)
+    groupBy, one n_scales-row reduction. Events need no global order:
+    bucketing is pure epoch arithmetic.
+    """
+    from ..functions.dates import epoch_seconds
+    from .stats import ols_xy
+
+    if n_scales < 2:
+        raise ValueError("hurst_aggvar: need n_scales >= 2")
+    widths = [int(base_seconds) * (2 ** j) for j in range(n_scales)]
+    base = df.select(
+        epoch_seconds(F.col(ts_col)).alias("_sec"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_sec").isNotNull() & F.col("_v").isNotNull())
+    cells = base.select(
+        F.explode(
+            F.array(*[F.lit(w) for w in widths])
+        ).alias("_w"),
+        "_sec",
+        "_v",
+    ).select(
+        "_w",
+        F.expr("_sec div _w").alias("_bkt"),
+        "_v",
+    )
+    means = cells.groupBy("_w", "_bkt").agg(
+        (
+            F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_m")
+    )
+    mq = means.select(
+        "_w", F.round(F.col("_m") * 1e6).cast("bigint").alias("_mq")
+    )
+    per_w = mq.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nb"),
+        F.sum(F.col("_mq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_s1"),
+        F.sum(
+            F.col("_mq").cast("decimal(38,0)")
+            * F.col("_mq").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    )
+    nb = F.col("_nb").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (s2 / nb - (s1 / nb) * (s1 / nb)) / 1e12
+    pts = per_w.filter(F.col("_nb") >= 2).select(
+        F.lit("all").alias("_g"),
+        F.log(F.col("_w").cast("double")).alias("_x"),
+        F.when(var > 0.0, F.log(var)).alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    fit = ols_xy(pts, "_g", "_x", "_y")
+    spark = df.sparkSession
+    if fit.limit(1).count() == 0:
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_scales_used"),
+            F.lit(None).cast("double").alias("hurst"),
+            F.lit(None).cast("double").alias("slope"),
+            F.lit(None).cast("double").alias("r2"),
+        )
+    return fit.select(
+        F.col("n_points").alias("n_scales_used"),
+        (F.round(F.lit(1.0) + F.col("slope") / 2.0, 6) + 0.0).alias(
+            "hurst"
+        ),
+        "slope",
+        "r2",
+    )

@@ -101,6 +101,11 @@ _CHANGED_THIS_ROUND = [
     "q_docs_log_odds_keyness",
     "q_events_brunner_munzel",
     "q_events_quade",
+    # round-12 wave D: Yule's K richness constant, Burrows' Delta
+    # stylometry, Hurst long-range-dependence exponent
+    "q_docs_yule_k",
+    "q_docs_burrows_delta",
+    "q_events_hurst",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

@@ -579,3 +579,210 @@ def q_events_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("v"),
     ).filter(F.col("v").isNotNull() & F.col("bk").isNotNull())
     return quade_test(ev, "bk", "t", "v", ["night", "day", "evening"])
+
+
+# --------------------------------------------------------------------------
+# Yule's K lexical-richness constant
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_yule_k",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    tf AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM toks
+           GROUP BY token)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(f) AS BIGINT) AS total_tokens,
+           CASE WHEN sum(f) > 0 THEN
+             round(CAST(10000.0 AS DOUBLE)
+                   * (CAST(sum(CAST(f AS HUGEINT) * f) AS DOUBLE)
+                      - CAST(sum(f) AS DOUBLE))
+                   / (CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE)),
+                   6)
+           END + 0.0 AS yule_k
+    FROM tf
+    """,
+    doc=(
+        "Yule's characteristic K (operators/text_analysis.yule_k, "
+        "Yule 1944): 10^4*(sum tf^2 - N)/N^2 — the length-invariant "
+        "lexical-richness constant; template spam and boilerplate "
+        "jump out as K outliers before the zipf/heaps curves are "
+        "plotted. Needs only the token-frequency second moment "
+        "(sum_f f^2*V_f = sum_tokens tf^2): one token groupBy + one "
+        "1-row reduction, tf^2 in DECIMAL(38,0)/HUGEINT (a corpus-"
+        "scale stopword squares past 2^63), K one mirrored double."
+    ),
+)
+def q_docs_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import yule_k
+
+    docs = read_table(spark, sf_dir, "documents")
+    return yule_k(docs, "text")
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta stylometric distance
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_docs_burrows_delta",
+    """
+    WITH toks AS (
+      SELECT CAST(doc_id % 4 AS VARCHAR) AS g,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    cell AS (
+      SELECT g, token, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY g, token),
+    topm AS (
+      SELECT token FROM (
+        SELECT token, sum(c) AS tot FROM cell GROUP BY token
+        ORDER BY tot DESC, token LIMIT 30)),
+    gtot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cell
+             GROUP BY g),
+    ng AS (SELECT CAST(count(*) AS BIGINT) AS k FROM gtot),
+    fg AS (
+      SELECT gtot.g, topm.token,
+             CAST(round(CAST(coalesce(cell.c, 0) AS DOUBLE)
+                        / CAST(gtot.n AS DOUBLE) * 1e12) AS BIGINT)
+               AS fq
+      FROM gtot CROSS JOIN topm
+      LEFT JOIN cell ON cell.g = gtot.g AND cell.token = topm.token),
+    mom AS (
+      SELECT token,
+             CAST(sum(fq) AS DOUBLE) / CAST((SELECT k FROM ng)
+                                            AS DOUBLE) AS mu,
+             sqrt(CAST(sum(CAST(fq AS HUGEINT) * fq) AS DOUBLE)
+                  / CAST((SELECT k FROM ng) AS DOUBLE)
+                  - (CAST(sum(fq) AS DOUBLE)
+                     / CAST((SELECT k FROM ng) AS DOUBLE))
+                    * (CAST(sum(fq) AS DOUBLE)
+                       / CAST((SELECT k FROM ng) AS DOUBLE))) AS sd
+      FROM fg GROUP BY token),
+    z AS (
+      SELECT fg.g, fg.token,
+             (CAST(fq AS DOUBLE) - mu) / sd AS zv
+      FROM fg JOIN mom USING (token) WHERE sd > 0.0),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             CAST(round(abs(a.zv - b.zv) * 1e9) AS BIGINT) AS term
+      FROM z a JOIN z b ON a.token = b.token AND a.g < b.g)
+    SELECT group_a, group_b,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(term) AS DOUBLE) / 1e9
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS delta
+    FROM pairs GROUP BY group_a, group_b
+    """,
+    doc=(
+        "Burrows' Delta stylometric distance (operators/text_analysis."
+        "burrows_delta, Burrows 2002) between the four doc_id %% 4 "
+        "document groups over the corpus's 30 most-frequent tokens "
+        "(count-desc, token-asc total cut): mean |z_a - z_b| of "
+        "z-scored relative frequencies — the standard authorship / "
+        "style-drift screen ('did these sources come from the same "
+        "generator?'). Relative frequencies quantize to integer picos "
+        "BEFORE the cross-group moments; everything after the one "
+        "(group, token) count aggregate is k x 30 rows, so the pair "
+        "join is broadcast-scale."
+    ),
+)
+def q_docs_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import burrows_delta
+
+    docs = read_table(spark, sf_dir, "documents")
+    return burrows_delta(
+        docs, "text", F.col("doc_id") % 4, top_m=30
+    )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent (aggregated variance)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_hurst",
+    """
+    WITH base AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    cells AS (
+      SELECT w, sec // w AS bkt, v
+      FROM base CROSS JOIN (
+        SELECT unnest([3600, 7200, 14400, 28800, 57600, 115200]) AS w)),
+    means AS (
+      SELECT w, bkt,
+             CAST(round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT)
+               AS mq
+      FROM cells GROUP BY w, bkt),
+    per_w AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS nb,
+             sum(CAST(mq AS HUGEINT)) AS s1,
+             sum(CAST(mq AS HUGEINT) * mq) AS s2
+      FROM means GROUP BY w),
+    vw AS (
+      SELECT w, nb,
+             (CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))) / 1e12
+               AS var
+      FROM per_w WHERE nb >= 2),
+    q AS (
+      SELECT CAST(round(ln(CAST(w AS DOUBLE)) * 1000000) AS BIGINT)
+               AS x,
+             CAST(round(ln(var) * 1000000) AS BIGINT) AS y
+      FROM vw WHERE var > 0.0),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM q),
+    fit AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+      FROM agg),
+    sl AS (
+      SELECT n, dy, dx, cov,
+             round(cov / dx, 6) + 0.0 AS slope
+      FROM fit)
+    SELECT n AS n_scales_used,
+           round(1.0 + slope / 2.0, 6) + 0.0 AS hurst,
+           slope,
+           CASE WHEN dy > 0 THEN round(cov * cov / (dx * dy), 4)
+           END + 0.0 AS r2
+    FROM sl
+    """,
+    doc=(
+        "Hurst exponent via aggregated variance (operators/timeseries."
+        "hurst_aggvar, Taqqu/Teverovsky/Willinger 1995): variance of "
+        "hourly-to-32-hourly bucket means of event value, log-log "
+        "slope -> H = 1 + slope/2 — the long-range-dependence readout "
+        "(H ~ 0.5 memoryless, H -> 1 persistent) that says whether "
+        "naive confidence intervals on this series are too tight. ONE "
+        "corpus pass: explode into 6 (scale, bucket) cells, exact "
+        "DECIMAL bucket means micro-quantized before the per-scale "
+        "moment reduction, ols_xy's quantized fit over <= 6 points."
+    ),
+)
+def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import hurst_aggvar
+
+    ev = read_table(spark, sf_dir, "events")
+    return hurst_aggvar(ev, "ts", "value", base_seconds=3600, n_scales=6)
