@@ -375,6 +375,16 @@ EXTENDED = [
     "q_docs_keyness",
     "q_lineitem_benford",
     "q_events_jonckheere",
+    # round 12
+    "q_events_schoenfeld",
+    "q_events_competing_risks",
+    "q_docs_heaps_fit",
+    "q_docs_log_odds_keyness",
+    "q_events_brunner_munzel",
+    "q_events_quade",
+    "q_docs_yule_k",
+    "q_docs_burrows_delta",
+    "q_events_hurst",
 ]
 
 

@@ -1401,3 +1401,90 @@ def test_cox_stats_pass_prepartitioned(spark, sf_dir, monkeypatch):
                 assert "SinglePartition" not in nxt, (
                     "unpartitioned window in a cox stats pass"
                 )
+
+
+def test_brunner_munzel_midranks_no_single_partition_window(
+    spark, sf_dir, monkeypatch
+):
+    """Round 12: Brunner-Munzel's combined+within-group midranks run
+    on the same ranged-cumsum primitive as mann_whitney — the
+    near-unique continuous metric regime must never window over a
+    SinglePartition exchange."""
+    from ups_crossref_etl_spark.operators.stats import brunner_munzel
+
+    captured = _spy_checkpoint_plans(monkeypatch)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        (
+            F.col("value") + (F.col("event_id") % 9973) / 9973.0
+        ).alias("v"),
+    )
+    brunner_munzel(d, "g", "v", "a", "b").collect()
+    win_plans = [p for p in captured if "Window" in p]
+    assert win_plans, "expected the ranged-cumsum running-sum frame"
+    for p in win_plans:
+        assert "Exchange SinglePartition" not in p
+        assert "Exchange rangepartitioning" in p
+
+
+def test_quade_block_range_ranks_no_single_partition_window(
+    spark, sf_dir, monkeypatch
+):
+    """Round 12: Quade's across-blocks range midranks — blocks are
+    corpus-sized and cell-mean ranges near-unique, so the rank pass
+    must be the ranged primitive; the only legitimate non-ranged
+    windows are the k-row within-block midrank frames (partitioned
+    by block)."""
+    from ups_crossref_etl_spark.operators.stats import quade_test
+
+    captured = _spy_checkpoint_plans(monkeypatch)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.select(
+        F.col("user_id").cast("string").alias("bk"),
+        F.when(F.hour("ts") < 8, F.lit("night"))
+        .when(F.hour("ts") < 16, F.lit("day"))
+        .otherwise(F.lit("evening"))
+        .alias("t"),
+        F.col("value").cast("double").alias("v"),
+    )
+    quade_test(d, "bk", "t", "v", ["night", "day", "evening"]).collect()
+    win_plans = [p for p in captured if "Window" in p]
+    assert win_plans, "expected the ranged-cumsum running-sum frame"
+    for p in win_plans:
+        assert "Exchange SinglePartition" not in p
+
+
+def test_schoenfeld_no_single_partition_window(
+    spark, sf_dir, monkeypatch
+):
+    """Round 12: Schoenfeld's risk-set suffix sums ride the ranged
+    prefix primitive (near-unique event times at corpus scale)."""
+    from ups_crossref_etl_spark.operators.survival import (
+        schoenfeld_residuals,
+    )
+
+    captured = _spy_checkpoint_plans(monkeypatch)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = e.select(
+        (
+            F.col("event_id").cast("double")
+            + (F.col("event_id") % 97) / 97.0
+        ).alias("t"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("ev"),
+        (F.col("value") / 100.0).alias("x"),
+    )
+    schoenfeld_residuals(d, "t", "ev", "x", beta=0.1).collect()
+    win_plans = [p for p in captured if "Window" in p]
+    assert win_plans, "expected the ranged-cumsum running-sum frame"
+    for p in win_plans:
+        assert "Exchange SinglePartition" not in p
+        assert "Exchange rangepartitioning" in p

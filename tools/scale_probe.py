@@ -1414,6 +1414,124 @@ def main() -> None:
         ev_pc1.count(), ev_pcN.count(),
     )
 
+    # round 12: the new ranged-pass consumers on NEAR-UNIQUE keys (the
+    # regime where an unpartitioned window would degenerate) plus the
+    # Hurst bounded-explode shape. Values jitter per event id so the
+    # distinct-value tables are data-sized; replication re-keys to N
+    # disjoint copies.
+    from ups_crossref_etl_spark.operators.stats import (
+        brunner_munzel,
+        quade_test,
+    )
+    from ups_crossref_etl_spark.operators.survival import (
+        schoenfeld_residuals,
+    )
+    from ups_crossref_etl_spark.operators.timeseries import hurst_aggvar
+
+    bm_1 = ev_pc1.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        (
+            F.col("value") + (F.col("event_id") % 9973).cast("double")
+            / 9973.0
+        ).alias("v"),
+    ).localCheckpoint()
+    bm_N = (
+        bm_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select("g", (F.col("v") * n + F.col("_salt")).alias("v"))
+        .localCheckpoint()
+    )
+    probe(
+        "brunner_munzel",
+        lambda: brunner_munzel(bm_1, "g", "v", "a", "b").collect(),
+        lambda: brunner_munzel(bm_N, "g", "v", "a", "b").collect(),
+        bm_1.count(), bm_N.count(),
+    )
+
+    qd_1 = ev_pc1.select(
+        F.col("user_id").cast("string").alias("bk"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("t1"))
+        .when(F.col("event_id") % 3 == 1, F.lit("t2"))
+        .otherwise(F.lit("t3"))
+        .alias("t"),
+        (
+            F.col("value") + (F.col("event_id") % 9973).cast("double")
+            / 9973.0
+        ).alias("v"),
+    ).localCheckpoint()
+    qd_N = (
+        qd_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            F.concat_ws("_", "bk", F.col("_salt").cast("string"))
+            .alias("bk"),
+            "t",
+            (F.col("v") * n + F.col("_salt")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "quade",
+        lambda: quade_test(qd_1, "bk", "t", "v",
+                           ["t1", "t2", "t3"]).collect(),
+        lambda: quade_test(qd_N, "bk", "t", "v",
+                           ["t1", "t2", "t3"]).collect(),
+        qd_1.count(), qd_N.count(),
+    )
+
+    sf_1 = ev_pc1.select(
+        (
+            F.col("event_id").cast("double")
+            + (F.col("event_id") % 97).cast("double") / 97.0
+        ).alias("t"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("ev"),
+        (F.col("value") / 100.0).alias("x"),
+    ).localCheckpoint()
+    sf_N = (
+        sf_1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            (F.col("t") * n + F.col("_salt")).alias("t"), "ev", "x"
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "schoenfeld",
+        lambda: schoenfeld_residuals(sf_1, "t", "ev", "x", 0.1)
+        .count(),
+        lambda: schoenfeld_residuals(sf_N, "t", "ev", "x", 0.1)
+        .count(),
+        sf_1.count(), sf_N.count(),
+    )
+
+    from ups_crossref_etl_spark.functions.dates import (
+        epoch_seconds as _es,
+    )
+
+    hu_N = (
+        ev_pc1.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            F.timestamp_seconds(
+                _es(F.col("ts")) * n + F.col("_salt") * 60
+            ).alias("ts"),
+            "value",
+        )
+        .localCheckpoint()
+    )
+    probe(
+        "hurst_aggvar",
+        lambda: hurst_aggvar(ev_pc1, "ts", "value").collect(),
+        lambda: hurst_aggvar(hu_N, "ts", "value").collect(),
+        ev_pc1.count(), hu_N.count(),
+    )
+
     sent_post = sentinel(spark)
     for entry in results["probes"].values():
         entry["sentinel_pre"] = sent_pre
