@@ -609,3 +609,115 @@ def test_hurst_trending_series_high(spark):
         df, "ts", "value", base_seconds=3600, n_scales=5
     ).collect()[0]
     assert out["hurst"] > 0.9
+
+
+# --------------------------------------------------------------------------
+# scale-test family: ansari_bradley / mood_test / bartlett_test
+# --------------------------------------------------------------------------
+
+
+def _score_test_reference(xs, ys, g):
+    """Exact conditional permutation moments for T = sum_{i in A} g(R_i)
+    with midranks; g takes (midrank, N)."""
+    allv = xs + ys
+    n = len(allv)
+    rc_x = _midranks(xs, allv)
+    scores_all = [g(r, n) for r in _midranks(allv, allv)]
+    t = sum(g(r, n) for r in rc_x)
+    gbar = sum(scores_all) / n
+    e = len(xs) * gbar
+    var = (
+        len(xs)
+        * len(ys)
+        * sum((s - gbar) ** 2 for s in scores_all)
+        / (n * (n - 1))
+    )
+    return t, e, var
+
+
+def test_ansari_bradley_matches_permutation_moments(spark):
+    from ups_crossref_etl_spark.operators.stats import ansari_bradley
+
+    xs = [1.0, 3.0, 3.0, 5.0, 7.0, 2.0, 6.0]
+    ys = [2.0, 4.0, 4.0, 4.0, 6.0, 0.5, 8.0, 3.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ansari_bradley(df, "g", "v", "a", "b").collect()[0]
+    t, e, var = _score_test_reference(
+        xs, ys, lambda r, n: min(r, n + 1 - r)
+    )
+    assert out["ab_stat"] == pytest.approx(t, abs=0.01)
+    assert out["z"] == pytest.approx((t - e) / math.sqrt(var), abs=1e-6)
+
+
+def test_mood_matches_permutation_moments(spark):
+    from ups_crossref_etl_spark.operators.stats import mood_test
+
+    xs = [1.0, 9.0, 2.0, 8.0, 1.5, 8.5]  # dispersed
+    ys = [4.0, 5.0, 4.5, 5.5, 5.0]       # concentrated
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mood_test(df, "g", "v", "a", "b").collect()[0]
+    t, e, var = _score_test_reference(
+        xs, ys, lambda r, n: (r - (n + 1) / 2) ** 2
+    )
+    assert out["mood_stat"] == pytest.approx(t, abs=0.01)
+    assert out["z"] == pytest.approx((t - e) / math.sqrt(var), abs=1e-6)
+    # dispersed group a -> tail-heavy scores -> positive z
+    assert out["z"] > 0
+
+
+def test_ansari_mood_opposite_polarity(spark):
+    """Group a more dispersed: Ansari scores (mid-peaked) go LOW,
+    Mood scores (tail-peaked) go HIGH."""
+    from ups_crossref_etl_spark.operators.stats import (
+        ansari_bradley,
+        mood_test,
+    )
+
+    xs = [float(v) for v in (1, 20, 2, 19, 3, 18)]
+    ys = [float(v) for v in (9, 10, 11, 12, 10)]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    za = ansari_bradley(df, "g", "v", "a", "b").collect()[0]["z"]
+    zm = mood_test(df, "g", "v", "a", "b").collect()[0]["z"]
+    assert za < 0 < zm
+
+
+def test_bartlett_matches_hand_formula(spark):
+    from ups_crossref_etl_spark.operators.stats import bartlett_test
+
+    groups = {
+        "g1": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "g2": [2.0, 2.5, 3.0, 3.5, 4.0, 3.2],
+        "g3": [0.0, 5.0, 10.0, 2.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = bartlett_test(df, "g", "v").collect()[0]
+    k = len(groups)
+    n = sum(len(vs) for vs in groups.values())
+    def var(vs):
+        m = sum(vs) / len(vs)
+        return sum((v - m) ** 2 for v in vs) / (len(vs) - 1)
+    sp2 = sum((len(vs) - 1) * var(vs) for vs in groups.values()) / (
+        n - k
+    )
+    t = (n - k) * math.log(sp2) - sum(
+        (len(vs) - 1) * math.log(var(vs)) for vs in groups.values()
+    )
+    c = 1.0 + (
+        sum(1.0 / (len(vs) - 1) for vs in groups.values())
+        - 1.0 / (n - k)
+    ) / (3.0 * (k - 1))
+    assert out["k_groups"] == k and out["n"] == n and out["df"] == k - 1
+    assert out["t_stat"] == pytest.approx(t / c, abs=1e-4)
+
+
+def test_bartlett_zero_variance_group_null(spark):
+    from ups_crossref_etl_spark.operators.stats import bartlett_test
+
+    rows = [("a", 1.0)] * 4 + [("b", float(v)) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = bartlett_test(df, "g", "v").collect()[0]
+    assert out["t_stat"] is None  # ln(0) reported loudly as NULL

@@ -3494,3 +3494,265 @@ def quade_test(
         F.lit(k - 1).cast("bigint").alias("df1"),
         F.lit((n_blocks - 1) * (k - 1)).cast("bigint").alias("df2"),
     )
+
+
+def _two_sample_rank_score_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    score2_fn,
+    stat_name: str,
+) -> DataFrame:
+    """Shared engine for two-sample LINEAR RANK SCORE tests (Hájek):
+    ``T = Σ_{i∈A} g(R_i)`` with midranks, judged against the exact
+    conditional permutation moments ``E[T] = n_a·ḡ`` and ``Var[T] =
+    n_a·n_b·Σ(g_i−ḡ)² / (N(N−1))`` — the construction behind
+    Ansari-Bradley, Mood, and every other scores test; Wilcoxon is
+    ``g(R) = R`` (kept separate in :func:`mann_whitney` for its
+    U/Cliff's-delta outputs). ``score2_fn(r2, n)`` must return the
+    score in EXACT ×2 half-units from the ×2 midrank column ``r2``
+    (itself integer: ``2·off + t + 1``) — integer scores make every
+    moment an exact DECIMAL aggregate, so z is one mirrored double.
+
+    Shape: per-distinct-value group counts (the only corpus-sized
+    shuffle) → ONE range-partitioned exclusive-prefix pass → 1-row
+    reduction. Ties need no correction term: midrank scores feed the
+    permutation variance directly (Hollander & Wolfe's conditional
+    treatment).
+    """
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).alias("_isa"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per_v = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_t"),
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_ta"),
+    )
+    tots: dict = {}
+    pre = _ranged_exclusive_cumsum(
+        per_v, "_v", ["_t", "_ta"], ["_off", "_offa"], totals_out=tots
+    )
+    n_total = int(tots["_t"])
+    r2 = 2 * F.col("_off") + F.col("_t") + 1
+    g2 = score2_fn(r2, n_total)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pre.agg(
+        F.sum("_ta").cast("bigint").alias("n_a"),
+        F.sum(F.col("_t") - F.col("_ta")).cast("bigint").alias("n_b"),
+        F.sum(dec(F.col("_ta")) * dec(g2)).cast("decimal(38,0)")
+        .alias("_t2"),
+        F.sum(dec(F.col("_t")) * dec(g2)).cast("decimal(38,0)")
+        .alias("_g1"),
+        F.sum(dec(F.col("_t")) * dec(g2) * dec(g2))
+        .cast("decimal(38,0)")
+        .alias("_g2s"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    t_stat = F.col("_t2").cast("double") / 2.0
+    e_stat = na * F.col("_g1").cast("double") / 2.0 / nn
+    var_stat = (
+        na
+        * nb
+        * (
+            F.col("_g2s").cast("double")
+            - F.col("_g1").cast("double")
+            * F.col("_g1").cast("double")
+            / nn
+        )
+        / (4.0 * nn * (nn - 1.0))
+    )
+    z = F.when(var_stat > 0.0, (t_stat - e_stat) / F.sqrt(var_stat))
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.round(t_stat, 2) + 0.0).alias(stat_name),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test (Ansari & Bradley 1960):
+    score each observation by its distance from the rank extremes,
+    ``g(R) = min(R, N+1−R)`` — small scores at both tails, large in
+    the middle — and test whether group A's scores sum higher
+    (A more concentrated) or lower (A more dispersed) than chance.
+    The rank-based "do the groups differ in SPREAD?" companion to
+    :func:`mann_whitney`'s location question and
+    :func:`brunner_munzel`'s stochastic-superiority question —
+    location tests read identical when only the variance moved; this
+    is the screen that catches it. Assumes roughly equal medians (the
+    textbook caveat; pair with :func:`mood_test` which shares it).
+
+    Returns ONE row ``(n_a, n_b, ab_stat, z)`` with z from the exact
+    conditional permutation moments (midrank-tie treatment). Shape:
+    the shared rank-score engine — one corpus-keyed distinct-value
+    aggregate + one ranged prefix pass.
+    """
+    return _two_sample_rank_score_test(
+        df, group_col, value_col, group_a, group_b,
+        lambda r2, n: F.least(r2, F.lit(2 * (n + 1)) - r2),
+        "ab_stat",
+    )
+
+
+def mood_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mood two-sample SCALE test (Mood 1954): scores are squared
+    deviations from the central rank, ``g(R) = (R − (N+1)/2)²`` —
+    large in the tails — so a HIGH group-A sum means A is more
+    dispersed (note the opposite polarity to :func:`ansari_bradley`,
+    whose scores peak in the middle; the pair agreeing is the robust
+    scale readout). Same exact conditional permutation moments, same
+    one-ranged-pass shape via the shared rank-score engine.
+
+    Returns ONE row ``(n_a, n_b, mood_stat, z)``. ``mood_stat`` is
+    reported in the natural (R−(N+1)/2)² units; with midranks the
+    per-value score is a multiple of ¼, carried exactly (the engine's
+    ×2 contract squares to ×4; the extra factor folds into the
+    statistic scale, and z is scale-invariant).
+    """
+    # g(R) = (R-(N+1)/2)^2 = (r2 - (N+1))^2 / 4; in the engine's x2
+    # half-units: g2 = 2*g = (r2-(N+1))^2 / 2 — NOT integer when
+    # r2-(N+1) is odd, so pass 2*(r2-(N+1))^2 (x4 units) and divide
+    # the reported statistic by 4 afterwards? Simpler: report T in
+    # g2 = (r2-(N+1))^2 units (x4 the natural score): z is invariant
+    # to the scale factor, and ab_stat-style outputs document units.
+    out = _two_sample_rank_score_test(
+        df, group_col, value_col, group_a, group_b,
+        lambda r2, n: (r2 - F.lit(n + 1)) * (r2 - F.lit(n + 1)),
+        "_m4",
+    )
+    # _m4 is T in x4 quarter-units x the engine's /2 half-unit fold:
+    # engine reports sum(g2)/2 where g2 = (r2-(N+1))^2 = 4g, so _m4 =
+    # 2*T_natural; halve for the textbook statistic
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.round(F.col("_m4") / 2.0, 2) + 0.0).alias("mood_stat"),
+        "z",
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's test of equal variances across k groups (Bartlett
+    1937): ``T = [(N−k)·ln(S_p²) − Σ(n_i−1)·ln(S_i²)] / C`` with the
+    usual correction ``C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1))``,
+    chi-square on k−1 df under normality — the PARAMETRIC
+    equal-variance gate (most powerful when normality holds; the
+    repo's :func:`levene_test` is the robust fallback, and
+    :func:`ansari_bradley`/:func:`mood_test` the rank pair). Groups
+    with < 2 values are dropped (their variance is undefined).
+
+    Returns ONE row ``(k_groups, n, t_stat, df)``; t NULL when k < 2
+    or any kept group has zero variance (ln undefined — report NULL
+    loudly rather than a clamped fiction).
+
+    Determinism: per-group moments accumulate as micro-quantized
+    integers in DECIMAL(38,0) (the welch_t recipe), so every S_i² is
+    an identical double in both engines; each ``(n_i−1)·ln(S_i²)``
+    term quantizes to integer nanos before the k-row sum (cross-row
+    double-sum rule). Shape: one group-keyed moment aggregate + one
+    k-row reduction.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.round(F.col(value_col).cast("double") * 1e6)
+        .cast("bigint")
+        .alias("_vq"),
+    ).filter(F.col("_g").isNotNull() & F.col("_vq").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(dec(F.col("_vq"))).cast("decimal(38,0)").alias("_s1"),
+        F.sum(dec(F.col("_vq")) * dec(F.col("_vq")))
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    ).filter(F.col("_n") >= 2)
+    nd = F.col("_n").cast("double")
+    # unbiased per-group variance in natural units (micro-quant /1e12)
+    s2 = (
+        (
+            F.col("_s2").cast("double")
+            - F.col("_s1").cast("double")
+            * F.col("_s1").cast("double")
+            / nd
+        )
+        / (nd - 1.0)
+        / 1e12
+    )
+    # per-group one-shot double terms, nano-quantized BEFORE the k-row
+    # sums (cross-row double-sum rule): the (n-1)ln(S^2) pieces, the
+    # 1/(n-1) correction pieces, and the within-group SS pieces
+    # (s2 - s1^2/n in natural units)
+    ssw_g = (
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double")
+        * F.col("_s1").cast("double")
+        / nd
+    ) / 1e12
+    terms = per_g.select(
+        "_n",
+        s2.alias("_var"),
+        F.round((nd - 1.0) * F.log(s2) * 1e9).cast("bigint").alias(
+            "_lnq"
+        ),
+        F.round(1.0 / (nd - 1.0) * 1e12).cast("bigint").alias("_invq"),
+        # the SS piece rides DECIMAL(38,0): nano-quantized within-group
+        # SS of a wide-range metric exceeds 2^63 (measured 1.8e22 on
+        # lineitem prices at sf0.01)
+        F.round(ssw_g * 1e9).cast("decimal(38,0)").alias("_sswq"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum(dec(F.col("_sswq"))).cast("decimal(38,0)").alias("_ssw"),
+        F.sum("_lnq").cast("bigint").alias("_lnsum"),
+        F.sum("_invq").cast("bigint").alias("_invsum"),
+        F.sum((F.col("_var") <= 0.0).cast("int")).cast("bigint")
+        .alias("_degenerate"),
+    )
+    kd = F.col("k_groups").cast("double")
+    ndt = F.col("n").cast("double")
+    sp2 = F.col("_ssw").cast("double") / 1e9 / (ndt - kd)
+    c_corr = 1.0 + (
+        F.col("_invsum").cast("double") / 1e12 - 1.0 / (ndt - kd)
+    ) / (3.0 * (kd - 1.0))
+    t_stat = (
+        (ndt - kd) * F.log(sp2)
+        - F.col("_lnsum").cast("double") / 1e9
+    ) / c_corr
+    ok = (
+        (F.col("k_groups") >= 2)
+        & (F.col("_degenerate") == 0)
+        & (sp2 > 0.0)
+    )
+    return agg.select(
+        "k_groups",
+        "n",
+        (F.round(F.when(ok, t_stat), 6) + 0.0).alias("t_stat"),
+        (F.col("k_groups") - 1).cast("bigint").alias("df"),
+    )

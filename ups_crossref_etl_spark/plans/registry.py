@@ -106,6 +106,12 @@ _CHANGED_THIS_ROUND = [
     "q_docs_yule_k",
     "q_docs_burrows_delta",
     "q_events_hurst",
+    # round-12 wave E: the scale-test family (did the SPREAD move?) —
+    # Ansari-Bradley + Mood rank pair on the shared permutation-score
+    # engine, Bartlett parametric gate
+    "q_events_ansari",
+    "q_events_mood",
+    "q_lineitem_bartlett",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

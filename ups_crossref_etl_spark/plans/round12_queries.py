@@ -786,3 +786,195 @@ def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return hurst_aggvar(ev, "ts", "value", base_seconds=3600, n_scales=6)
+
+
+# --------------------------------------------------------------------------
+# Two-sample scale tests: Ansari-Bradley + Mood (rank) and Bartlett
+# (parametric) — the "did the SPREAD move?" family
+# --------------------------------------------------------------------------
+
+
+_SCALE_TEST_PRE = """
+    WITH b AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+    per AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(isa) AS BIGINT) AS ta
+      FROM b GROUP BY v),
+    tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn FROM per),
+    pre AS (
+      SELECT v, t, ta,
+             coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM per)
+"""
+
+
+def _scale_test_sql(g2_expr: str, stat_alias: str, stat_sel: str) -> str:
+    return (
+        _SCALE_TEST_PRE
+        + f""",
+    sc AS (
+      SELECT t, ta, {g2_expr} AS g2
+      FROM pre CROSS JOIN tot),
+    agg AS (
+      SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+             CAST(sum(t - ta) AS BIGINT) AS n_b,
+             sum(CAST(ta AS HUGEINT) * g2) AS t2,
+             sum(CAST(t AS HUGEINT) * g2) AS g1,
+             sum(CAST(t AS HUGEINT) * g2 * g2) AS g2s
+      FROM sc),
+    fin AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
+             CAST(t2 AS DOUBLE) / 2.0 AS t_stat,
+             CAST(n_a AS DOUBLE) * CAST(g1 AS DOUBLE) / 2.0
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS e_stat,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               * (CAST(g2s AS DOUBLE)
+                  - CAST(g1 AS DOUBLE) * CAST(g1 AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+               / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                  * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     - 1.0)) AS var_stat
+      FROM agg)
+    SELECT n_a, n_b,
+           {stat_sel} AS {stat_alias},
+           CASE WHEN var_stat > 0.0 THEN
+             round((t_stat - e_stat) / sqrt(var_stat), 6)
+           END + 0.0 AS z
+    FROM fin
+    """
+    )
+
+
+@register(
+    "q_events_ansari",
+    _scale_test_sql(
+        "least(2 * off + t + 1, 2 * (nn + 1) - (2 * off + t + 1))",
+        "ab_stat",
+        "round(t_stat, 2) + 0.0",
+    ),
+    doc=(
+        "Ansari-Bradley two-sample SCALE test (operators/stats."
+        "ansari_bradley, 1960) between click and view event values: "
+        "scores g(R) = min(R, N+1-R) peak mid-rank, so a low group "
+        "sum means MORE dispersion — the rank-based 'did the spread "
+        "move?' screen location tests are blind to. Exact conditional "
+        "permutation moments over midrank scores (no tie-correction "
+        "formula needed); one distinct-value aggregate + one ranged "
+        "prefix pass; z a mirrored one-shot double."
+    ),
+)
+def q_events_ansari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ansari_bradley
+
+    ev = read_table(spark, sf_dir, "events")
+    return ansari_bradley(ev, "event_type", "value", "click", "view")
+
+
+@register(
+    "q_events_mood",
+    _scale_test_sql(
+        "(2 * off + t + 1 - (nn + 1)) * (2 * off + t + 1 - (nn + 1))",
+        "mood_stat",
+        "round((round(t_stat, 2) + 0.0) / 2.0, 2) + 0.0",
+    ),
+    doc=(
+        "Mood two-sample SCALE test (operators/stats.mood_test, 1954) "
+        "between click and view event values: squared central-rank "
+        "deviations peak in the TAILS (opposite polarity to "
+        "Ansari-Bradley — the pair agreeing is the robust dispersion "
+        "readout). Same shared rank-score engine: exact permutation "
+        "moments, one ranged pass; the statistic is reported halved "
+        "from the engine's x2 half-unit fold, mirrored double-round."
+    ),
+)
+def q_events_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mood_test
+
+    ev = read_table(spark, sf_dir, "events")
+    return mood_test(ev, "event_type", "value", "click", "view")
+
+
+@register(
+    "q_lineitem_bartlett",
+    """
+    WITH b AS (
+      SELECT CAST(l_returnflag AS VARCHAR) AS g,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6)
+                  AS BIGINT) AS vq
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(vq AS HUGEINT)) AS s1,
+             sum(CAST(vq AS HUGEINT) * vq) AS s2
+      FROM b GROUP BY g HAVING count(*) >= 2),
+    terms AS (
+      SELECT n,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) / 1e12 AS var,
+             CAST(round((CAST(n AS DOUBLE) - 1.0)
+                        * ln((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0) / 1e12)
+                        * 1e9) AS BIGINT) AS lnq,
+             CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0) * 1e12)
+                  AS BIGINT) AS invq,
+             CAST(round((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / 1e12 * 1e9)
+                  AS HUGEINT) AS sswq
+      FROM per),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(sswq) AS HUGEINT) AS ssw,
+             CAST(sum(lnq) AS BIGINT) AS lnsum,
+             CAST(sum(invq) AS BIGINT) AS invsum,
+             CAST(sum(CASE WHEN var <= 0.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS degen
+      FROM terms)
+    SELECT k_groups, n,
+           CASE WHEN k_groups >= 2 AND degen = 0
+                     AND CAST(ssw AS DOUBLE) / 1e9
+                         / (CAST(n AS DOUBLE)
+                            - CAST(k_groups AS DOUBLE)) > 0.0 THEN
+             round(((CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))
+                    * ln(CAST(ssw AS DOUBLE) / 1e9
+                         / (CAST(n AS DOUBLE)
+                            - CAST(k_groups AS DOUBLE)))
+                    - CAST(lnsum AS DOUBLE) / 1e9)
+                   / (1.0 + (CAST(invsum AS DOUBLE) / 1e12
+                             - 1.0 / (CAST(n AS DOUBLE)
+                                      - CAST(k_groups AS DOUBLE)))
+                            / (3.0 * (CAST(k_groups AS DOUBLE)
+                                      - 1.0))), 6)
+           END + 0.0 AS t_stat,
+           CAST(k_groups - 1 AS BIGINT) AS df
+    FROM agg
+    """,
+    doc=(
+        "Bartlett's equal-variance test (operators/stats."
+        "bartlett_test, 1937) of l_extendedprice across the three "
+        "l_returnflag groups: the PARAMETRIC dispersion gate (most "
+        "powerful under normality; levene_test is the robust "
+        "fallback, ansari/mood the rank pair). Micro-quantized "
+        "DECIMAL(38,0) per-group moments; the (n-1)ln(S^2), 1/(n-1) "
+        "and within-SS pieces nano-quantize per group before the "
+        "k-row sums; T one mirrored double on k-1 df."
+    ),
+)
+def q_lineitem_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import bartlett_test
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return bartlett_test(li, "l_returnflag", "l_extendedprice")
