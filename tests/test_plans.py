@@ -1344,9 +1344,53 @@ def test_mann_whitney_midranks_no_single_partition_window(
         assert "Exchange rangepartitioning" in p
 
 
+def test_cox_stats_pass_driver_fast_path(spark, sf_dir, monkeypatch):
+    """Round 12: with a BOUNDED distinct-time table (bucketed
+    durations — the t %% 50 grid here) each Newton stats pass is ONE
+    collect of the tiny per-time integer table (driver reduction), no
+    ranged cumsum, no per-pass checkpoint: exactly one localCheckpoint
+    (the prepare), >= 3 single-job collects (counts + one per pass),
+    zero rangepartitioning or Window in any collect plan."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from ups_crossref_etl_spark.operators.survival import cox_ph
+
+    ckpt_plans = _spy_checkpoint_plans(monkeypatch)
+    collect_plans: list[str] = []
+    orig_collect = DataFrame.collect
+
+    def collect_spy(self, *a, **k):
+        collect_plans.append(
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig_collect(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "collect", collect_spy)
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("event_id") % 50).cast("double").alias("t"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("ev"),
+        (F.col("value") / 100.0).alias("x"),
+    )
+    fit = cox_ph(d, "t", "ev", "x", iterations=2, tol=0.0)
+    assert fit["n"] > 0
+    assert len(ckpt_plans) == 1
+    assert "Exchange rangepartitioning" in ckpt_plans[0]
+    assert len(collect_plans) >= 3  # counts + 1 per stats pass
+    for p in collect_plans:
+        assert "Exchange rangepartitioning" not in p
+        assert "Window" not in p, (
+            "bounded-time stats pass should not need a window"
+        )
+
+
 def test_cox_stats_pass_prepartitioned(spark, sf_dir, monkeypatch):
-    """r10 verdict #3/#7: a Cox Newton-step stats pass must not
-    re-derive range boundaries or re-checkpoint — the subject table is
+    """r10 verdict #3/#7: a Cox Newton-step stats pass on a
+    DATA-SIZED time table (the distributed path, forced here by
+    zeroing the driver-path threshold) must not re-derive range
+    boundaries or re-checkpoint — the subject table is
     range-partitioned ONCE per fit (the prelude's single
     localCheckpoint), and each pass is the prepartitioned cumsum
     (totals fold + reduction). Pin via spies: across a 3-pass fit there
@@ -1355,8 +1399,10 @@ def test_cox_stats_pass_prepartitioned(spark, sf_dir, monkeypatch):
     or an unpartitioned window."""
     from pyspark.sql.classic.dataframe import DataFrame
 
+    from ups_crossref_etl_spark.operators import survival
     from ups_crossref_etl_spark.operators.survival import cox_ph
 
+    monkeypatch.setattr(survival, "_DRIVER_TIME_TABLE_MAX", 0)
     ckpt_plans = _spy_checkpoint_plans(monkeypatch)
     collect_plans: list[str] = []
     orig_collect = DataFrame.collect

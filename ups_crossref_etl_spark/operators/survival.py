@@ -30,8 +30,18 @@ the distinct-time table (bucket-cardinality-sized, not user-sized).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Max distinct event times for the driver-side Newton reduction in
+#: ``_cox_newton_engine`` — bucketed duration tables are bounded by
+#: horizon/bucket + 1 at ANY corpus size, so collecting the per-time
+#: INTEGER stats is a bounded collect (the repo's 1-row/≤numPartitions
+#: collect convention); continuous time tables exceed this and take
+#: the distributed ranged-suffix path.
+_DRIVER_TIME_TABLE_MAX = 32_768
 
 __all__ = [
     "kaplan_meier",
@@ -448,10 +458,12 @@ def _cox_newton_fit(
     DROP those event terms, biasing the fit — the same reduction now
     counts such times and raises instead.
     """
-    parted, xs, n, k = _cox_prepare(
+    parted, xs, n, k, n_times = _cox_prepare(
         durations, time_col, event_col, x_cols
     )
-    return _cox_newton_engine(parted, xs, iterations, tol, init, n, k)
+    return _cox_newton_engine(
+        parted, xs, iterations, tol, init, n, k, n_times=n_times
+    )
 
 
 def _cox_prepare(
@@ -459,6 +471,7 @@ def _cox_prepare(
     time_col: str,
     event_col: str,
     x_cols: list[str],
+    n_partitions: int | None = None,
 ) -> tuple[DataFrame, list[str], int, int]:
     """The per-FIT fixed cost of :func:`_cox_newton_fit`, factored out
     so NESTED fits (same subjects, covariate subsets — the
@@ -491,16 +504,36 @@ def _cox_prepare(
     # ONE range partitioning of the subject table on time, frozen for
     # the whole fit — the time distribution is identical across every
     # stats pass, so re-deriving boundaries per pass (a sample job +
-    # checkpoint each) was pure fixed cost
+    # checkpoint each) was pure fixed cost. ``n_partitions`` (round 12)
+    # lets a caller who already KNOWS the subject count size the fit's
+    # partitioning to the data: every Newton stats pass pays ~3 stage
+    # barriers per partition wave, so a dimension-sized subject table
+    # (1.5k subjects at sf0.1) on the session's 32 shuffle partitions
+    # spends its whole budget on empty-task scheduling — the same
+    # partitions-track-state lesson as the streaming gate tier. At
+    # billions of subjects the hint grows into the thousands; it never
+    # changes results (the integer-quantized sums are partitioning-
+    # invariant by construction).
     parted = (
-        base.repartitionByRange(n_parts, F.col("_t").asc())
+        base.repartitionByRange(
+            n_parts if n_partitions is None else max(1, int(n_partitions)),
+            F.col("_t").asc(),
+        )
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
     counts = parted.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_d").alias("_k")
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_d").alias("_k"),
+        F.countDistinct("_t").alias("_nt"),
     ).collect()[0]
-    return parted, xs, int(counts["_n"]), int(counts["_k"] or 0)
+    return (
+        parted,
+        xs,
+        int(counts["_n"]),
+        int(counts["_k"] or 0),
+        int(counts["_nt"] or 0),
+    )
 
 
 def _cox_newton_engine(
@@ -511,11 +544,25 @@ def _cox_newton_engine(
     init: list[float] | None,
     n: int,
     k: int,
+    n_times: int | None = None,
 ) -> dict:
     """Newton loop of :func:`_cox_newton_fit` over an already-prepared
     (range-partitioned, checkpointed) subject table. ``xs`` may be any
     subset of the prepared covariate columns — nested fits share one
-    ``_cox_prepare`` base."""
+    ``_cox_prepare`` base.
+
+    When the DISTINCT-TIME count is known and BOUNDED (``n_times`` ≤
+    ``_DRIVER_TIME_TABLE_MAX`` — bucketed duration tables are ≤
+    horizon/bucket + 1 rows at ANY corpus size), each stats pass runs
+    as ONE job collecting the tiny per-time INTEGER table and reduces
+    it on the driver: the distributed path's ranged-cumsum + broadcast
+    join + second job exist for continuous (data-sized) time tables,
+    and on a ≤169-row table they were pure per-pass fixed cost
+    (round 12 — measured ~1-2.5 s/pass of Catalyst/scheduling floor at
+    any SF). The driver reduction accumulates the SAME micro-quantized
+    integers in ascending-time order, so it is deterministic by
+    construction; the distributed path stays the default whenever the
+    time table could be corpus-sized."""
     import numpy as np
 
     from .stats import _ranged_exclusive_cumsum
@@ -571,6 +618,58 @@ def _cox_newton_engine(
                 .cast("bigint")
                 .alias(sxn[j])
             )
+        if n_times is not None and n_times <= _DRIVER_TIME_TABLE_MAX:
+            # bounded time table: ONE job, exact-integer suffix sums
+            # and the Newton reduction on the driver (ascending-time
+            # order — deterministic)
+            rows = sorted(
+                parted.groupBy("_t").agg(*aggs).collect(),
+                key=lambda r: r["_t"],
+            )
+            suf = {w: 0 for w in wnames}
+            acc = []  # (row, suffix snapshot) in DESC then reversed
+            for r in reversed(rows):
+                for w in wnames:
+                    suf[w] += int(r[w] or 0)
+                acc.append((r, dict(suf)))
+            acc.reverse()
+            nll = 0.0
+            bad = 0
+            grad = np.zeros(d)
+            hess = np.zeros((d, d))
+            for r, s in acc:
+                ddv = int(r["_dd"] or 0)
+                if ddv <= 0:
+                    continue
+                if s["_s0"] <= 0:
+                    bad += 1
+                    continue
+                s0 = s["_s0"] / 1e6
+                s1v = [s[nm] / 1e6 for nm in s1n]
+                sxv = [int(r[nm] or 0) / 1e6 for nm in sxn]
+                ddf = float(ddv)
+                lin_v = sum(
+                    float(beta[j]) * sxv[j] for j in range(d)
+                )
+                nll += -(lin_v - ddf * math.log(s0))
+                for j in range(d):
+                    grad[j] += sxv[j] - ddf * s1v[j] / s0
+                for (j, kk), nm in zip(pairs, s2n):
+                    v = ddf * (
+                        s[nm] / 1e6 / s0 - (s1v[j] / s0) * (s1v[kk] / s0)
+                    )
+                    hess[j, kk] += v
+                    if j != kk:
+                        hess[kk, j] += v
+            if bad > 0:
+                raise ValueError(
+                    "cox: degenerate risk set — quantized S0 "
+                    f"underflowed to 0 at {bad} event time(s) (all "
+                    "e^(beta.x) < 5e-7 there); rescale/standardize "
+                    "the covariates rather than accepting a silently "
+                    "biased fit"
+                )
+            return {"nll": float(nll), "grad": grad, "hess": hess}
         # equal times share a range partition, so the (_pid, _t) group
         # IS the per-time group; _pid rides through for the
         # prepartitioned cumsum
@@ -777,6 +876,7 @@ def cox_ph_nested(
     iterations: int = 8,
     tol: float = 1e-9,
     nested_iterations: int | None = None,
+    n_partitions: int | None = None,
 ) -> dict:
     """FULL vs NESTED Cox fit over ONE shared prepared base — the
     likelihood-ratio-style model comparison (is the extra covariate
@@ -802,8 +902,9 @@ def cox_ph_nested(
         raise ValueError(
             f"cox_ph_nested: nested_cols {missing} not in x_cols"
         )
-    parted, xs, n, k = _cox_prepare(
-        durations, time_col, event_col, list(x_cols)
+    parted, xs, n, k, n_times = _cox_prepare(
+        durations, time_col, event_col, list(x_cols),
+        n_partitions=n_partitions,
     )
     by_name = dict(zip(x_cols, xs))
     nested_xs = [by_name[c] for c in nested_cols]
@@ -818,7 +919,7 @@ def cox_ph_nested(
         }
 
     full = _cox_newton_engine(
-        parted, xs, iterations, tol, None, n, k
+        parted, xs, iterations, tol, None, n, k, n_times=n_times
     )
     nested = _cox_newton_engine(
         parted,
@@ -828,6 +929,7 @@ def cox_ph_nested(
         None,
         n,
         k,
+        n_times=n_times,
     )
     return {
         "full": _pub(full),

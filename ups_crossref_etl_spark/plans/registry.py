@@ -78,8 +78,12 @@ _CHANGED_THIS_ROUND = [
     "q_docs_tfidf_knn_exact",
     "q_docs_tfidf_knn_cap_agreement",
     # round-12 (r11 verdict #3): both cox fits share one prepared
-    # subject table via cox_ph_nested — identical booleans, new path
+    # subject table via cox_ph_nested; Newton stats passes on BOUNDED
+    # time tables now reduce on the driver (one job/pass) — identical
+    # booleans, new path, so the single-covariate bound gate
+    # re-verifies too
     "q_events_cox_multi_bound",
+    "q_events_cox_bound",
     # round-12 (r11 verdict #5): co-order edge builder factored into
     # plans/graph_inputs.py — ktruss's gate body changed (others kept
     # their helper indirection; PLANS.md regen proves zero shape drift)

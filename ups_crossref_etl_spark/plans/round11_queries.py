@@ -266,7 +266,12 @@ def q_events_cox_multi_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("_x2raw"),
         )
     )
-    sub = dur.join(xs, "_u")
+    # ONE materialization of the duration+covariate lineage (round 12):
+    # the moments collect, the fits' prepared base, and the final
+    # subject/event reduction all previously recomputed the full
+    # events-table lineage (two user-keyed aggregates + join) — three
+    # corpus passes for one 150k-row subject table
+    sub = dur.join(xs, "_u").localCheckpoint()
     mom = sub.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.avg("_x1raw").alias("_m1"),
@@ -291,9 +296,15 @@ def q_events_cox_multi_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subject table via cox_ph_nested (round 12, r11 verdict #3): the
     # old independent cox_ph re-materialized the whole duration
     # lineage and re-partitioned it purely to feed beats_single.
+    # size the fit's partitioning to the KNOWN subject count (mom
+    # already counted it): ~100k subjects per partition — a 1.5k-row
+    # table on 32 shuffle partitions spent its whole budget on
+    # empty-task stage scheduling (round 12; ~3 stage barriers per
+    # Newton stats pass)
     fits = cox_ph_nested(
         d, "t", "ev", ["_z1", "_z2"], ["_z1"],
         iterations=3, tol=1e-4, nested_iterations=2,
+        n_partitions=max(1, int(mom["_n"] or 0) // 100_000),
     )
     multi = fits["full"]
     single = fits["nested"]
