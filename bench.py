@@ -385,6 +385,9 @@ EXTENDED = [
     "q_docs_yule_k",
     "q_docs_burrows_delta",
     "q_events_hurst",
+    "q_events_ansari",
+    "q_events_mood",
+    "q_lineitem_bartlett",
 ]
 
 
