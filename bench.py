@@ -388,6 +388,9 @@ EXTENDED = [
     "q_events_ansari",
     "q_events_mood",
     "q_lineitem_bartlett",
+    "q_docs_fleiss_kappa",
+    "q_docs_krippendorff",
+    "q_events_gumbel",
 ]
 
 

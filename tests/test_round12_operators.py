@@ -721,3 +721,137 @@ def test_bartlett_zero_variance_group_null(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     out = bartlett_test(df, "g", "v").collect()[0]
     assert out["t_stat"] is None  # ln(0) reported loudly as NULL
+
+
+# --------------------------------------------------------------------------
+# fleiss_kappa / krippendorff_alpha_nominal / gumbel_block_maxima
+# --------------------------------------------------------------------------
+
+
+def test_fleiss_kappa_matches_hand_formula(spark):
+    from ups_crossref_etl_spark.operators.agreement import fleiss_kappa
+
+    # 4 units x 3 raters over 2 categories
+    ratings = {
+        "u1": ["a", "a", "a"],
+        "u2": ["a", "a", "b"],
+        "u3": ["b", "b", "b"],
+        "u4": ["a", "b", "b"],
+        "u5": ["a", "a"],  # incomplete -> dropped
+    }
+    rows = [(u, v) for u, vs in ratings.items() for v in vs]
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = fleiss_kappa(df, "u", "v", n_raters=3).collect()[0]
+    kept = {u: vs for u, vs in ratings.items() if len(vs) == 3}
+    n = 3
+    p_is = []
+    from collections import Counter
+
+    cat = Counter()
+    for vs in kept.values():
+        c = Counter(vs)
+        cat.update(c)
+        p_is.append(
+            (sum(v * v for v in c.values()) - n) / (n * (n - 1))
+        )
+    p_bar = sum(p_is) / len(p_is)
+    tot = sum(cat.values())
+    p_e = sum((v / tot) ** 2 for v in cat.values())
+    want = (p_bar - p_e) / (1 - p_e)
+    assert out["n_units"] == 4
+    assert out["p_bar"] == pytest.approx(p_bar, abs=1e-6)
+    assert out["p_e"] == pytest.approx(p_e, abs=1e-6)
+    assert out["kappa"] == pytest.approx(want, abs=1e-6)
+
+
+def test_fleiss_kappa_single_category_null(spark):
+    from ups_crossref_etl_spark.operators.agreement import fleiss_kappa
+
+    rows = [(f"u{i}", "a") for i in range(4) for _ in range(2)]
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = fleiss_kappa(df, "u", "v", n_raters=2).collect()[0]
+    assert out["p_e"] == pytest.approx(1.0)
+    assert out["kappa"] is None
+
+
+def test_krippendorff_matches_hand_formula_with_missing(spark):
+    from ups_crossref_etl_spark.operators.agreement import (
+        krippendorff_alpha_nominal,
+    )
+
+    ratings = {
+        "u1": ["a", "a", "a"],
+        "u2": ["a", "b"],          # 2 raters only
+        "u3": ["b", "b", "b"],
+        "u4": ["b", "a", "b"],
+        "u5": ["a"],               # single rating -> dropped
+    }
+    rows = [(u, v) for u, vs in ratings.items() for v in vs]
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = krippendorff_alpha_nominal(df, "u", "v").collect()[0]
+    from collections import Counter
+
+    kept = {u: vs for u, vs in ratings.items() if len(vs) >= 2}
+    d_o = 0.0
+    cat = Counter()
+    n = 0
+    for vs in kept.values():
+        m = len(vs)
+        c = Counter(vs)
+        cat.update(c)
+        n += m
+        d_o += (m * m - sum(v * v for v in c.values())) / (m - 1)
+    d_e = (n * n - sum(v * v for v in cat.values())) / (n - 1)
+    assert out["n_units"] == 4 and out["n_values"] == n
+    assert out["alpha"] == pytest.approx(1 - d_o / d_e, abs=1e-6)
+
+
+def test_krippendorff_perfect_agreement_is_one(spark):
+    from ups_crossref_etl_spark.operators.agreement import (
+        krippendorff_alpha_nominal,
+    )
+
+    rows = [
+        (f"u{i}", "a" if i % 2 == 0 else "b")
+        for i in range(10)
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = krippendorff_alpha_nominal(df, "u", "v").collect()[0]
+    assert out["alpha"] == pytest.approx(1.0)
+
+
+def test_gumbel_block_maxima_matches_hand_mom(spark):
+    import statistics
+
+    from ups_crossref_etl_spark.operators.timeseries import (
+        gumbel_block_maxima,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    maxima = []
+    for day in range(30):
+        mx = 0.0
+        for j in range(24):
+            v = float((day * 131 + j * 17) % 997) / 10.0
+            mx = max(mx, v)
+            rows.append(
+                (base + dt.timedelta(days=day, hours=j), v)
+            )
+        maxima.append(round(mx * 1e6) / 1e6)
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = gumbel_block_maxima(
+        df, "ts", "value", block_seconds=86400, return_periods=(30,)
+    ).collect()[0]
+    m = sum(maxima) / len(maxima)
+    var = sum((x - m) ** 2 for x in maxima) / len(maxima)
+    beta = math.sqrt(var) * math.sqrt(6.0) / math.pi
+    mu = m - 0.5772156649015329 * beta
+    rl30 = mu - beta * math.log(-math.log(1.0 - 1.0 / 30.0))
+    assert out["n_blocks"] == 30
+    assert out["mu"] == pytest.approx(mu, abs=1e-4)
+    assert out["beta"] == pytest.approx(beta, abs=1e-4)
+    assert out["rl_30"] == pytest.approx(rl30, abs=1e-3)
+    # a return level extrapolates BEYOND the observed maxima
+    assert out["rl_30"] > m

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cohens_kappa"]
+__all__ = [
+    "cohens_kappa",
+    "mcnemar",
+    "fleiss_kappa",
+    "krippendorff_alpha_nominal",
+]
 
 
 def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
@@ -143,4 +148,165 @@ def mcnemar(
     return agg.select(
         "n", "n_pos_a", "n_pos_b", "b_discordant", "c_discordant",
         (F.round(chi2, 6) + 0.0).alias("chi2"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971): chance-corrected agreement among a
+    FIXED number of raters per unit — the multi-rater generalization of
+    :func:`cohens_kappa` (which wants exactly two NAMED raters; Fleiss
+    only needs each unit rated ``n_raters`` times by anyone). The
+    labeling-pool audit: three quality gates / redundant annotators /
+    an ensemble of judges voting per document. Units with a rating
+    count ≠ ``n_raters`` are dropped (the complete-blocks convention).
+
+    ``P_i = (Σ_k n_ik² − n)/(n(n−1))`` per unit, ``κ = (P̄ − P_e)/(1 −
+    P_e)`` with ``P_e = Σ_k p_k²`` from the pooled category shares.
+
+    Returns ONE row ``(n_units, n_raters, k_categories, p_bar, p_e,
+    kappa)``; kappa NULL when P_e = 1 (a single category — agreement
+    is undefined, not perfect).
+
+    Determinism: with n fixed, ``Σ_i P_i = (Σ_i Σ_k n_ik² − N·n) /
+    (n(n−1))`` is EXACT integer arithmetic (the squared cell counts
+    accumulate in DECIMAL(38,0)); P_e's category shares are exact
+    count ratios; every output is a one-shot mirrored double. Shape:
+    one (unit, value) count aggregate (the only corpus-sized shuffle),
+    one unit-keyed reduction, one category-keyed reduction.
+    """
+    if n_raters < 2:
+        raise ValueError("fleiss_kappa: need n_raters >= 2")
+    base = df.select(
+        F.col(unit_col).cast("string").alias("_u"),
+        F.col(value_col).cast("string").alias("_v"),
+    ).filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+    cell = base.groupBy("_u", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    per_u = cell.groupBy("_u").agg(
+        F.sum("_c").cast("bigint").alias("_m"),
+        F.sum(
+            F.col("_c").cast("decimal(38,0)")
+            * F.col("_c").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    ).filter(F.col("_m") == n_raters)
+    kept = cell.join(per_u.select("_u"), "_u")
+    cat = kept.groupBy("_v").agg(
+        F.sum("_c").cast("bigint").alias("_nk")
+    )
+    ua = per_u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("_s2").cast("decimal(38,0)").alias("_ss2"),
+    )
+    ca = cat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_categories"),
+        F.sum("_nk").cast("bigint").alias("_ntot"),
+        F.sum(
+            F.col("_nk").cast("decimal(38,0)")
+            * F.col("_nk").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_nk2"),
+    )
+    j = ua.crossJoin(F.broadcast(ca))
+    nu = F.col("n_units").cast("double")
+    nr = F.lit(float(n_raters))
+    p_bar = (
+        F.col("_ss2").cast("double") - nu * nr
+    ) / (nu * nr * (nr - 1.0))
+    p_e = F.col("_nk2").cast("double") / (
+        F.col("_ntot").cast("double") * F.col("_ntot").cast("double")
+    )
+    kappa = F.when(p_e < 1.0, (p_bar - p_e) / (1.0 - p_e))
+    return j.select(
+        "n_units",
+        F.lit(n_raters).cast("bigint").alias("n_raters"),
+        "k_categories",
+        (F.round(p_bar, 6) + 0.0).alias("p_bar"),
+        (F.round(p_e, 6) + 0.0).alias("p_e"),
+        (F.round(kappa, 6) + 0.0).alias("kappa"),
+    )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 2004): the
+    agreement coefficient that tolerates MISSING ratings — any number
+    of raters per unit, units with a single rating simply drop — which
+    is the real shape of pooled human/model labeling efforts (Fleiss
+    wants a fixed panel; Cohen wants two named raters). ``α = 1 −
+    D_o/D_e`` over the coincidence construction: within a unit with
+    ``m_u ≥ 2`` ratings every ordered pair coincides with weight
+    ``1/(m_u−1)``, so the observed disagreement mass is ``Σ_u (m_u² −
+    Σ_c n_uc²)/(m_u−1)`` and the expected mass is ``(n² − Σ_c n_c²)
+    /(n−1)`` from the pooled totals.
+
+    Returns ONE row ``(n_units, n_values, k_categories, alpha)``;
+    alpha NULL when D_e = 0 (one category overall).
+
+    Determinism: cell counts are exact ints; each unit's disagreement
+    mass is ONE double over its exact integers, quantized to integer
+    nanos BEFORE the unit sum (m_u varies, so the sum is not globally
+    rational — the cross-row double-sum rule); D_e is a one-shot
+    double over global integer totals; α is mirrored token-for-token.
+    Shape: one (unit, value) count aggregate, one unit-keyed
+    reduction, one category-keyed reduction — linear, no windows.
+    """
+    base = df.select(
+        F.col(unit_col).cast("string").alias("_u"),
+        F.col(value_col).cast("string").alias("_v"),
+    ).filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+    cell = base.groupBy("_u", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    per_u = cell.groupBy("_u").agg(
+        F.sum("_c").cast("bigint").alias("_m"),
+        F.sum(
+            F.col("_c").cast("decimal(38,0)")
+            * F.col("_c").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    ).filter(F.col("_m") >= 2)
+    md = F.col("_m").cast("double")
+    dq = F.round(
+        (md * md - F.col("_s2").cast("double")) / (md - 1.0) * 1e9
+    ).cast("bigint")
+    ua = per_u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("_m").cast("bigint").alias("_ntot"),
+        F.sum(dq).cast("bigint").alias("_doq"),
+    )
+    kept = cell.join(per_u.select("_u"), "_u")
+    ca = kept.groupBy("_v").agg(
+        F.sum("_c").cast("bigint").alias("_nk")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_categories"),
+        F.sum(
+            F.col("_nk").cast("decimal(38,0)")
+            * F.col("_nk").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_nk2"),
+    )
+    j = ua.crossJoin(F.broadcast(ca))
+    nt = F.col("_ntot").cast("double")
+    d_o = F.col("_doq").cast("double") / 1e9
+    d_e = (nt * nt - F.col("_nk2").cast("double")) / (nt - 1.0)
+    alpha = F.when(d_e > 0.0, 1.0 - d_o / d_e)
+    return j.select(
+        "n_units",
+        F.col("_ntot").alias("n_values"),
+        "k_categories",
+        (F.round(alpha, 6) + 0.0).alias("alpha"),
     )

@@ -1856,3 +1856,90 @@ def hurst_aggvar(
         "slope",
         "r2",
     )
+
+
+#: Euler-Mascheroni constant — the Gumbel mean offset (mu = m - gamma*beta).
+_EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    block_seconds: int = 86400,
+    return_periods: tuple[int, ...] = (30, 365),
+) -> DataFrame:
+    """Extreme-value tail fit via BLOCK MAXIMA + Gumbel method of
+    moments (Gumbel 1958; the Fisher-Tippett type-I limit for
+    light-tailed maxima): per time block take the max, fit
+    ``β̂ = s·√6/π``, ``μ̂ = m − γ·β̂`` from the maxima's mean/std, and
+    read RETURN LEVELS ``μ − β·ln(−ln(1 − 1/T))`` — "the daily-max
+    value exceeded once per T days". THE capacity-planning readout a
+    percentile can't give: p99.9 describes the past sample; the
+    return level extrapolates the tail law (Var/load/latency ceilings
+    sized to a 1-in-365-day event).
+
+    Returns ONE row ``(n_blocks, mu, beta, rl_<T> ...)``; NULL fit
+    when < 2 blocks or zero variance. Method of moments (not ML) keeps
+    the fit closed-form and deterministic — the documented trade: MOM
+    is consistent for Gumbel and needs no iteration; heavy-tailed data
+    (Fréchet domain) biases it low, which the companion
+    :func:`~.operators.kll` quantile sketches would flag.
+
+    Determinism: block maxima are exact (max of doubles); each maximum
+    micro-quantizes to integer units so the moment sums are exact
+    DECIMAL integers (the welch_t recipe); μ/β/levels are one-shot
+    mirrored doubles. Shape: one (block) max aggregate (map-side
+    combinable) + one 1-row moment reduction — linear, no windows.
+    """
+    from ..functions.dates import epoch_seconds
+
+    base = df.select(
+        epoch_seconds(F.col(ts_col)).alias("_sec"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_sec").isNotNull() & F.col("_v").isNotNull())
+    blocks = base.select(
+        F.expr(f"_sec div {int(block_seconds)}").alias("_b"), "_v"
+    ).groupBy("_b").agg(F.max("_v").alias("_mx"))
+    mq = blocks.select(
+        F.round(F.col("_mx") * 1e6).cast("bigint").alias("_mq")
+    )
+    agg = mq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.col("_mq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_s1"),
+        F.sum(
+            F.col("_mq").cast("decimal(38,0)")
+            * F.col("_mq").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_s2"),
+    )
+    import math as _m
+
+    nb = F.col("n_blocks").cast("double")
+    mean = F.col("_s1").cast("double") / nb / 1e6
+    var = (
+        F.col("_s2").cast("double") / nb
+        - (F.col("_s1").cast("double") / nb)
+        * (F.col("_s1").cast("double") / nb)
+    ) / 1e12
+    beta = F.sqrt(var) * F.lit(_m.sqrt(6.0) / _m.pi)
+    mu = mean - F.lit(_EULER_GAMMA) * beta
+    ok = (F.col("n_blocks") >= 2) & (var > 0.0)
+    cols = [
+        "n_blocks",
+        (F.round(F.when(ok, mu), 6) + 0.0).alias("mu"),
+        (F.round(F.when(ok, beta), 6) + 0.0).alias("beta"),
+    ]
+    for t in return_periods:
+        if t < 2:
+            raise ValueError("gumbel_block_maxima: return periods >= 2")
+        rl = mu - beta * F.lit(
+            _m.log(-_m.log(1.0 - 1.0 / float(t)))
+        )
+        cols.append(
+            (F.round(F.when(ok, rl), 6) + 0.0).alias(f"rl_{int(t)}")
+        )
+    return agg.select(*cols)

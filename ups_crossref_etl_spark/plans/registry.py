@@ -116,6 +116,12 @@ _CHANGED_THIS_ROUND = [
     "q_events_ansari",
     "q_events_mood",
     "q_lineitem_bartlett",
+    # round-12 wave F: multi-rater agreement (Fleiss fixed-panel,
+    # Krippendorff missing-tolerant) and the Gumbel block-maxima
+    # return-level readout
+    "q_docs_fleiss_kappa",
+    "q_docs_krippendorff",
+    "q_events_gumbel",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

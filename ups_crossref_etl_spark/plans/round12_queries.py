@@ -978,3 +978,241 @@ def q_lineitem_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     return bartlett_test(li, "l_returnflag", "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# Multi-rater agreement: Fleiss' kappa + Krippendorff's alpha
+# --------------------------------------------------------------------------
+
+#: Three deterministic "raters" over documents — the labeling-pool
+#: audit shape: independent quality gates voting keep/drop. r3 is the
+#: one that ABSTAINS on non-multiples-of-3 doc ids in the
+#: Krippendorff gate (missing ratings are its whole point).
+_RATERS_SQL = """
+      SELECT doc_id AS u,
+             CASE WHEN length(text) >= 200 THEN 'keep' ELSE 'drop' END
+               AS v
+      FROM documents
+      UNION ALL
+      SELECT doc_id AS u,
+             CASE WHEN len(list_filter(string_split_regex(lower(text),
+                                                          '[^a-z0-9]+'),
+                                       x -> x <> '')) >= 40
+                  THEN 'keep' ELSE 'drop' END AS v
+      FROM documents
+      UNION ALL
+      SELECT doc_id AS u,
+             CASE WHEN doc_id % 10 < 7 THEN 'keep' ELSE 'drop' END AS v
+      FROM documents{r3_where}
+"""
+
+
+def _rater_rows(spark: SparkSession, sf_dir: str, r3_partial: bool):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    r1 = docs.select(
+        F.col("doc_id").alias("u"),
+        F.when(F.length("text") >= 200, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("v"),
+    )
+    r2 = docs.select(
+        F.col("doc_id").alias("u"),
+        F.when(toks >= 40, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("v"),
+    )
+    d3 = docs.filter(F.col("doc_id") % 3 == 0) if r3_partial else docs
+    r3 = d3.select(
+        F.col("doc_id").alias("u"),
+        F.when(F.col("doc_id") % 10 < 7, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("v"),
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@register(
+    "q_docs_fleiss_kappa",
+    """
+    WITH r AS (""" + _RATERS_SQL.format(r3_where="") + """),
+    cell AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY u, v),
+    per_u AS (
+      SELECT u, CAST(sum(c) AS BIGINT) AS m,
+             sum(CAST(c AS HUGEINT) * c) AS s2
+      FROM cell GROUP BY u HAVING sum(c) = 3),
+    kept AS (SELECT cell.* FROM cell JOIN per_u USING (u)),
+    cat AS (SELECT v, CAST(sum(c) AS BIGINT) AS nk FROM kept
+            GROUP BY v),
+    ua AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                  CAST(sum(s2) AS HUGEINT) AS ss2 FROM per_u),
+    ca AS (SELECT CAST(count(*) AS BIGINT) AS k_categories,
+                  CAST(sum(nk) AS BIGINT) AS ntot,
+                  sum(CAST(nk AS HUGEINT) * nk) AS nk2 FROM cat),
+    fin AS (
+      SELECT n_units, k_categories,
+             (CAST(ss2 AS DOUBLE) - CAST(n_units AS DOUBLE) * 3.0)
+               / (CAST(n_units AS DOUBLE) * 3.0 * (3.0 - 1.0)) AS p_bar,
+             CAST(nk2 AS DOUBLE)
+               / (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE)) AS p_e
+      FROM ua CROSS JOIN ca)
+    SELECT n_units, CAST(3 AS BIGINT) AS n_raters, k_categories,
+           round(p_bar, 6) + 0.0 AS p_bar,
+           round(p_e, 6) + 0.0 AS p_e,
+           CASE WHEN p_e < 1.0 THEN
+             round((p_bar - p_e) / (1.0 - p_e), 6) END + 0.0 AS kappa
+    FROM fin
+    """,
+    doc=(
+        "Fleiss' kappa (operators/agreement.fleiss_kappa, Fleiss "
+        "1971) over three deterministic quality 'raters' per document "
+        "(char-length gate, token-count gate, id-bucket gate): "
+        "chance-corrected agreement for a FIXED rating count per unit "
+        "— the multi-rater sibling of q_docs_rater_kappa. Sum of "
+        "per-unit P_i collapses to exact integer arithmetic when n is "
+        "fixed; cell squares in DECIMAL(38,0)/HUGEINT; kappa one "
+        "mirrored double."
+    ),
+)
+def q_docs_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agreement import fleiss_kappa
+
+    return fleiss_kappa(
+        _rater_rows(spark, sf_dir, r3_partial=False), "u", "v",
+        n_raters=3,
+    )
+
+
+@register(
+    "q_docs_krippendorff",
+    """
+    WITH r AS ("""
+    + _RATERS_SQL.format(r3_where=" WHERE doc_id % 3 = 0")
+    + """),
+    cell AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY u, v),
+    per_u AS (
+      SELECT u, CAST(sum(c) AS BIGINT) AS m,
+             sum(CAST(c AS HUGEINT) * c) AS s2
+      FROM cell GROUP BY u HAVING sum(c) >= 2),
+    du AS (
+      SELECT u, m,
+             CAST(round((CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                         - CAST(s2 AS DOUBLE))
+                        / (CAST(m AS DOUBLE) - 1.0) * 1e9)
+                  AS BIGINT) AS dq
+      FROM per_u),
+    ua AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                  CAST(sum(m) AS BIGINT) AS ntot,
+                  CAST(sum(dq) AS BIGINT) AS doq FROM du),
+    kept AS (SELECT cell.* FROM cell JOIN per_u USING (u)),
+    ca AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_categories,
+             sum(CAST(nk AS HUGEINT) * nk) AS nk2
+      FROM (SELECT v, CAST(sum(c) AS BIGINT) AS nk FROM kept
+            GROUP BY v)),
+    fin AS (
+      SELECT n_units, ntot, k_categories,
+             CAST(doq AS DOUBLE) / 1e9 AS d_o,
+             (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE)
+              - CAST(nk2 AS DOUBLE)) / (CAST(ntot AS DOUBLE) - 1.0)
+               AS d_e
+      FROM ua CROSS JOIN ca)
+    SELECT n_units, ntot AS n_values, k_categories,
+           CASE WHEN d_e > 0.0 THEN round(1.0 - d_o / d_e, 6)
+           END + 0.0 AS alpha
+    FROM fin
+    """,
+    doc=(
+        "Krippendorff's alpha, nominal (operators/agreement."
+        "krippendorff_alpha_nominal, Krippendorff 2004) over the same "
+        "three quality raters with rater 3 ABSTAINING on 2/3 of "
+        "documents — the agreement coefficient that tolerates missing "
+        "ratings (Fleiss wants a fixed panel; Cohen two named raters), "
+        "i.e. the real shape of pooled labeling efforts. Per-unit "
+        "disagreement mass (m^2 - sum c^2)/(m-1) nano-quantized "
+        "before the unit sum; expected mass from pooled integer "
+        "totals; alpha one mirrored double."
+    ),
+)
+def q_docs_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.agreement import krippendorff_alpha_nominal
+
+    return krippendorff_alpha_nominal(
+        _rater_rows(spark, sf_dir, r3_partial=True), "u", "v"
+    )
+
+
+# --------------------------------------------------------------------------
+# Gumbel block maxima (extreme-value return levels)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_events_gumbel",
+    """
+    WITH base AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    blocks AS (
+      SELECT sec // 86400 AS b, max(v) AS mx FROM base GROUP BY b),
+    mq AS (SELECT CAST(round(mx * 1e6) AS BIGINT) AS mq FROM blocks),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             sum(CAST(mq AS HUGEINT)) AS s1,
+             sum(CAST(mq AS HUGEINT) * mq) AS s2
+      FROM mq),
+    fin AS (
+      SELECT n_blocks,
+             CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1e6
+               AS mean,
+             (CAST(s2 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)))
+             / 1e12 AS var
+      FROM agg),
+    fit AS (
+      SELECT n_blocks, var,
+             sqrt(var) * 0.779696801233676 AS beta,
+             mean - 0.5772156649015329
+                    * (sqrt(var) * 0.779696801233676) AS mu
+      FROM fin)
+    SELECT n_blocks,
+           CASE WHEN n_blocks >= 2 AND var > 0.0 THEN round(mu, 6)
+           END + 0.0 AS mu,
+           CASE WHEN n_blocks >= 2 AND var > 0.0 THEN round(beta, 6)
+           END + 0.0 AS beta,
+           CASE WHEN n_blocks >= 2 AND var > 0.0 THEN
+             round(mu - beta * -3.3842944934992527, 6)
+           END + 0.0 AS rl_30,
+           CASE WHEN n_blocks >= 2 AND var > 0.0 THEN
+             round(mu - beta * -5.8985259242227315, 6)
+           END + 0.0 AS rl_365
+    FROM fit
+    """,
+    doc=(
+        "Gumbel block-maxima tail fit (operators/timeseries."
+        "gumbel_block_maxima, Fisher-Tippett type I): daily maxima of "
+        "event value, method-of-moments beta = s*sqrt(6)/pi, mu = m - "
+        "gamma*beta, and 30/365-day RETURN LEVELS mu - beta*ln(-ln(1-"
+        "1/T)) — the capacity-planning readout a percentile cannot "
+        "give (p99.9 describes the sample; the return level "
+        "extrapolates the tail law). Maxima micro-quantized before "
+        "the DECIMAL moment reduction; constants mirrored as exact "
+        "double literals; one block-max aggregate + one 1-row reduce."
+    ),
+)
+def q_events_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gumbel_block_maxima
+
+    ev = read_table(spark, sf_dir, "events")
+    return gumbel_block_maxima(
+        ev, "ts", "value", block_seconds=86400, return_periods=(30, 365)
+    )
