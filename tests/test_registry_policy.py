@@ -126,12 +126,51 @@ def test_bench_tiers_name_real_entries(registry):
     assert not missing, f"bench tier names not in registry: {missing}"
 
 
+#: Mechanical quiet-box bar (r12 verdict #2): committed measurement
+#: artifacts carrying scale/perf claims must have been captured with the
+#: contention sentinel at or under these bounds (quiet box ≈ 0.65-0.7
+#: pre / 0.3-0.4 post; the bar leaves headroom for honest jitter while
+#: rejecting the 0.8-1.03 contended captures that shipped in r12).
+_SENTINEL_PRE_MAX = 0.9
+_SENTINEL_POST_MAX = 0.5
+
+#: SCALE_PROBE entries captured BEFORE the sentinel bar was mechanized
+#: (rounds ≤12) — grandfathered explicitly by name; every entry touched
+#: from round 13 on must carry quiet sentinel stamps or the policy test
+#: fails. Re-capturing a legacy probe quiet? Remove its name here.
+_LEGACY_PROBES = frozenset({
+    "adamic_adar", "adamic_adar_capped", "als_bound", "bh_adjust",
+    "bigram_nll", "bloom_probe", "bm25_topk", "bounded_walks",
+    "bpe_encode", "bruteforce_topk", "clustering_coefficient",
+    "cms_build_estimate", "cohort_retention", "containment_join",
+    "contamination_probe", "corpus_pipeline", "corr_matrix", "cox_multi",
+    "dsir_select", "durbin_watson", "exact_dedup", "fuzzy_linkage",
+    "hits_2iter", "hll_sketch_rollup", "hybrid_skew_join",
+    "incremental_dedup", "interleaved_order", "item_cosine", "kcore",
+    "kendall_tau_capped", "keyness_g2", "ktruss", "ktruss_decade",
+    "label_propagation_3r", "late_arrival_audit", "mad_outliers",
+    "mann_whitney_midranks", "max_coverage_select", "minhash_candidates",
+    "misra_gries", "neighbor_jaccard_capped", "ngram_novelty", "pacf",
+    "pack_sequences", "pagerank_3iter", "percent_rank_unique",
+    "permutation_test", "poisson_bootstrap", "q1_style_agg",
+    "quality_classifier", "runs_test", "sampling_assign",
+    "scd2_intervals", "semantic_edges", "seq3_support", "snapshot_diff",
+    "sorted_neighborhood", "span_removal", "tfidf_knn",
+    "tfidf_knn_relative_cap", "transitivity_capped", "unigram_nll",
+    "unigram_segment", "vocab_top1000", "wilcoxon_midranks",
+    "winnow_overlap", "wordpiece_segment", "zipf_fit",
+})
+
+
 def test_bench_local_carries_stability_fields():
     """r9 verdict #4 made the longitudinal bench signal part of the
     artifact: the committed BENCH_LOCAL.json must carry the median-of-3
     frozen-tier passes, the measured effective-cores gauge, and the
     q_stream_* micro-batch ledger (verdict #3) — and must have timed
-    the battery without per-query errors."""
+    the battery without per-query errors. r12 verdict #2: the quiet-
+    sentinel bar is now asserted, not just stamped — a contended
+    capture (r12 shipped sentinel_pre 0.82-1.03) cannot be committed
+    without failing this test."""
     import statistics
 
     d = json.load(open(os.path.join(ROOT, "BENCH_LOCAL.json")))
@@ -144,6 +183,45 @@ def test_bench_local_carries_stability_fields():
     for v in sm.values():
         assert v["n_batches"] >= 1 and v["input_rows"] > 0
     assert not d.get("errors"), f"bench recorded errors: {d.get('errors')}"
+    assert d["sentinel_pre"] <= _SENTINEL_PRE_MAX, (
+        f"BENCH_LOCAL.json was captured contended (sentinel_pre "
+        f"{d['sentinel_pre']} > {_SENTINEL_PRE_MAX}) — re-run bench.py "
+        "on a quiet box before committing"
+    )
+    assert d["sentinel_post"] <= _SENTINEL_POST_MAX, (
+        f"BENCH_LOCAL.json capture ended contended (sentinel_post "
+        f"{d['sentinel_post']} > {_SENTINEL_POST_MAX}) — re-run bench.py "
+        "on a quiet box before committing"
+    )
+    # contention mid-battery shows as one inflated core pass even with
+    # quiet endpoint sentinels (memory: 37/47/39 vs 35/34/35) — require
+    # a tight spread around the median
+    med = d["core_total_median"]
+    assert max(d["core_runs"]) <= 1.25 * med, (
+        f"core_runs spread too wide ({d['core_runs']}): one inflated "
+        "pass means mid-battery contention — discard and re-capture"
+    )
+
+
+def test_scale_probe_entries_carry_quiet_sentinels():
+    """r12 verdict #2, second half: every SCALE_PROBE entry NOT in the
+    explicit legacy grandfather list must carry sentinel_pre/post
+    stamps at or under the quiet bar — the four round-12 probes shipped
+    at sentinel_pre 1.03 because nothing mechanical rejected them."""
+    d = json.load(open(os.path.join(ROOT, "SCALE_PROBE.json")))
+    bad = []
+    for name, e in d["probes"].items():
+        if name in _LEGACY_PROBES:
+            continue
+        pre, post = e.get("sentinel_pre"), e.get("sentinel_post")
+        if pre is None or post is None:
+            bad.append(f"{name}: missing sentinel stamps")
+        elif pre > _SENTINEL_PRE_MAX or post > _SENTINEL_POST_MAX:
+            bad.append(f"{name}: contended capture (pre={pre}, post={post})")
+    assert not bad, (
+        "SCALE_PROBE entries violating the quiet-sentinel bar "
+        f"(re-run tools/scale_probe.py on an idle box): {bad}"
+    )
 
 
 def test_changed_and_backlog_name_real_entries(registry):
@@ -285,10 +363,25 @@ def test_driver_sample_staleness_bounded(registry):
 
     specs, _, _ = registry
     gated = [n for n, s in specs.items() if s.gate]
-    # conservative slots/round estimate: 50-slot window minus a typical
-    # changed tier — the r9/r10 tiers ran 15-41 entries, so 35 free
-    # slots is the planning number (memory: round-flow checklist)
-    k_max = -(-len(gated) // 35) + 1
+    # THE ROTATION MATH (r12 verdict #6), stated as a function of
+    # registry size: the driver window holds W=50 slots; the changed
+    # tier consumes |changed| of them (historical tiers ran 15-41, so
+    # plan on S = W - 25 = 25 free rotation slots/round); LRS-first
+    # ordering then guarantees every gated query is driver-re-sampled
+    # at least every k_max = ceil(N / S) + 1 rounds. With N = len(gated)
+    # this bound GROWS with the registry — the hard ceiling below makes
+    # silent growth past the intended bound fail loudly instead of
+    # quietly stretching staleness (FULLCHECK still re-verifies every
+    # gate locally each round; this bound is specifically about the
+    # driver's independent window).
+    planning_slots = 25
+    k_max = -(-len(gated) // planning_slots) + 1
+    assert k_max <= 22, (
+        f"registry grew to {len(gated)} gated queries: the 50-slot "
+        f"driver window can no longer re-sample everything within "
+        f"{k_max} <= 22 rounds at {planning_slots} rotation slots/round "
+        "— trim the gate set, or revisit the window policy"
+    )
     last = _last_sampled_rounds()
     window = set(list(specs)[:50])
     stale = sorted(

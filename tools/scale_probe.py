@@ -1532,6 +1532,60 @@ def main() -> None:
         ev_pc1.count(), hu_N.count(),
     )
 
+    # round 13 (r12 verdict #4): variable-length exact-substring dedup —
+    # replication copies the dup-span structure too (each span's doc
+    # count multiplies), the hard case for the seed join
+    from ups_crossref_etl_spark.operators.spans import long_repeated_spans
+
+    probe(
+        "long_spans",
+        lambda: long_repeated_spans(
+            docs1, "text", "doc_id", min_len=20, min_docs=2
+        ).count(),
+        lambda: long_repeated_spans(
+            docsN, "text", "doc_id", min_len=20, min_docs=2
+        ).count(),
+        docs1.count(), docsN.count(),
+    )
+
+    # round 13 (r12 verdict #3): the ktruss DENSITY axis the disjoint-
+    # copy decade cannot see — fixed node count (l_partkey % 2000),
+    # 1x/2x/3x order-sample density, recording peel-round depth per
+    # step: does peel DEPTH grow with density, or only per-round work?
+    if not only or "ktruss_density" in only:
+        dens = []
+        for dstep in (1, 2, 3):
+            lid = (
+                li1.filter(F.col("l_orderkey") % 30 < dstep)
+                .select(
+                    "l_orderkey",
+                    (F.col("l_partkey") % 2000).alias("pk"),
+                )
+                .distinct()
+            )
+            e_d = (
+                lid.alias("a").join(lid.alias("b"), "l_orderkey")
+                .filter(F.col("a.pk") < F.col("b.pk"))
+                .select(
+                    F.col("a.pk").alias("src"),
+                    F.col("b.pk").alias("dst"),
+                )
+                .localCheckpoint()
+            )
+            st: dict = {}
+            t0 = time.time()
+            ktruss(e_d, k=4, stats=st).count()
+            dens.append({
+                "density_step": dstep,
+                "edges": st["edges_in"],
+                "sec": round(time.time() - t0, 2),
+                "peel_rounds": st["peel_rounds"],
+            })
+        results["probes"]["ktruss_density"] = {
+            "nodes_fixed_mod": 2000,
+            "steps": dens,
+        }
+
     sent_post = sentinel(spark)
     for entry in results["probes"].values():
         entry["sentinel_pre"] = sent_pre

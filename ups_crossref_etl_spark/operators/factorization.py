@@ -50,6 +50,18 @@ from pyspark.sql import functions as F
 
 __all__ = ["als_factorize", "als_rmse", "predict_ratings"]
 
+#: Threshold for the driver-side normal-equation solve (r12 verdict #5,
+#: the cox _DRIVER_TIME_TABLE_MAX pattern): when the side being solved
+#: has <= this many entities, the per-entity (rank² + rank + 1) packed
+#: sufficient statistics are collected (one job — replacing the
+#: pandas_udf solve + localCheckpoint job pair and its Python-worker
+#: round trip) and solved in one numpy batch on the driver; the factor
+#: table re-enters the plan as a broadcastable local DataFrame. At
+#: 65,536 entities and rank 8 the collected payload is ~38 MB of
+#: doubles — driver-safe; beyond it the distributed Arrow solve is the
+#: only scale-correct choice and remains the default.
+_DRIVER_SOLVE_MAX = 65536
+
 
 def _init_factors(
     entities: DataFrame, key_col: str, rank: int, scale: float = 0.1
@@ -81,19 +93,33 @@ def _solve_side(
     fixed_factors: DataFrame,
     rank: int,
     reg: float,
+    n_solve: int | None = None,
+    n_fixed: int | None = None,
 ):
     """One ALS half-step: re-estimate ``solve_key``'s factors holding
-    ``fixed_key``'s fixed. Returns (entity, factor array)."""
+    ``fixed_key``'s fixed. Returns (entity, factor array).
+
+    ``n_solve``/``n_fixed`` (entity counts, measured once per fit by
+    :func:`als_factorize`) pick the fixed-cost-minimal physical shape
+    without changing results: a bounded fixed side is broadcast into
+    the ratings join (map-side — the fact table never reshuffles per
+    half-step), and a bounded solve side takes the driver batch solve
+    (see ``_DRIVER_SOLVE_MAX``) instead of pandas_udf + checkpoint."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
+    fixed_in = (
+        F.broadcast(fixed_factors)
+        if n_fixed is not None and n_fixed <= 262_144
+        else fixed_factors
+    )
     joined = ratings.select(
         F.col(solve_key).alias("_s"),
         F.col(fixed_key).alias("_e"),
         F.col(rating_col).cast("double").alias("_r"),
-    ).join(fixed_factors, "_e")
+    ).join(fixed_in, "_e")
     v = F.col("_fac")
     outer = F.flatten(
         F.transform(v, lambda x: F.transform(v, lambda y: x * y))
@@ -108,6 +134,41 @@ def _solve_side(
         + [F.count(F.lit(1)).cast("double").alias("_n")]
     )
     sums = per_row.groupBy("_s").agg(*agg_cols)
+    lam = float(reg)
+    r = rank
+
+    if n_solve is not None and n_solve <= _DRIVER_SOLVE_MAX:
+        # bounded solve side: ONE job collects the (rank²+rank+1)-wide
+        # per-entity sufficient statistics; the rank×rank solves batch
+        # on the driver (same np.linalg.solve the Arrow path runs) and
+        # the factor table re-enters as a LocalRelation — Catalyst
+        # broadcasts it into the next half-step's join for free
+        from pyspark.sql.types import StructField, StructType
+
+        spark = ratings.sparkSession
+        rows = sums.collect()
+        etype = joined.schema["_s"].dataType
+        schema = StructType([
+            StructField("_e", etype),
+            StructField("_fac", ArrayType(DoubleType())),
+        ])
+        out_rows = []
+        eye = np.eye(r)
+        for row in rows:
+            a = np.array(
+                [row[f"_a{i}"] for i in range(r * r)], dtype=np.float64
+            ).reshape(r, r)
+            b = np.array(
+                [row[f"_b{j}"] for j in range(r)], dtype=np.float64
+            )
+            a = a + lam * row["_n"] * eye
+            try:
+                fac = np.linalg.solve(a, b).tolist()
+            except np.linalg.LinAlgError:
+                fac = [0.0] * r
+            out_rows.append((row["_s"], fac))
+        return spark.createDataFrame(out_rows, schema)
+
     packed = sums.select(
         F.col("_s").alias("_e"),
         F.array(
@@ -116,9 +177,6 @@ def _solve_side(
             F.col("_n"),
         ).alias("_p"),
     )
-
-    lam = float(reg)
-    r = rank
 
     @pandas_udf(ArrayType(DoubleType()))
     def _solve_udf(p):  # p: Series of lists, len rank^2 + rank + 1
@@ -158,17 +216,35 @@ def als_factorize(
         raise ValueError("als_factorize: rank and iterations must be >= 1")
     users = ratings.select(
         F.col(user_col).alias(user_col)
-    ).distinct()
-    items = ratings.select(F.col(item_col).alias(item_col)).distinct()
-    item_f = _init_factors(items, item_col, rank).localCheckpoint()
+    ).distinct().localCheckpoint()
+    items = ratings.select(
+        F.col(item_col).alias(item_col)
+    ).distinct().localCheckpoint()
+    # entity counts, measured ONCE per fit (two jobs amortized over all
+    # half-steps): they gate the driver batch solve and the broadcast
+    # of the fixed factor side — per-iteration physical shape, zero
+    # result change (r12 verdict #5, the cox fixed-cost lesson)
+    n_users = users.count()
+    n_items = items.count()
+    item_f = _init_factors(items, item_col, rank)
+    if n_items > _DRIVER_SOLVE_MAX:
+        item_f = item_f.localCheckpoint()
     user_f = None
     for _ in range(iterations):
         user_f = _solve_side(
-            ratings, user_col, item_col, rating_col, item_f, rank, reg
-        ).localCheckpoint()
+            ratings, user_col, item_col, rating_col, item_f, rank, reg,
+            n_solve=n_users, n_fixed=n_items,
+        )
+        if n_users > _DRIVER_SOLVE_MAX:
+            # distributed-path output only: the driver-solved table is
+            # already a LocalRelation (checkpointing it would add a job)
+            user_f = user_f.localCheckpoint()
         item_f = _solve_side(
-            ratings, item_col, user_col, rating_col, user_f, rank, reg
-        ).localCheckpoint()
+            ratings, item_col, user_col, rating_col, user_f, rank, reg,
+            n_solve=n_items, n_fixed=n_users,
+        )
+        if n_items > _DRIVER_SOLVE_MAX:
+            item_f = item_f.localCheckpoint()
     uf = user_f.select(
         F.col("_e").alias(user_col), F.col("_fac").alias("factors")
     )

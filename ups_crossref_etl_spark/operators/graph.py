@@ -332,7 +332,12 @@ def triangle_count(edges: DataFrame, dense_max_nodes: int | None = None) -> Data
 
 
 def kcore(
-    edges: DataFrame, k: int = 3, max_iter: int = 50, strict: bool = True
+    edges: DataFrame,
+    k: int = 3,
+    max_iter: int = 50,
+    strict: bool = True,
+    broadcast_max_nodes: int = 10_000_000,
+    peels_per_round: int = 2,
 ) -> DataFrame:
     """k-core decomposition membership: the maximal subgraph where every
     node has degree ≥ ``k`` within the subgraph. Returns
@@ -356,6 +361,18 @@ def kcore(
     Convergence is verified (limit(1) probe); exhausting ``max_iter``
     with deletions still occurring raises (``strict=True``, default —
     a partial peel over-reports the core) or warns.
+
+    Fixed-cost shape (r12 verdict #5, the cox/stream lesson — peel
+    DEPTH costs a Catalyst+scheduling floor per materialized round
+    regardless of data): (a) when the node count is bounded
+    (``broadcast_max_nodes``; counted once from the input) the
+    surviving-node set is BROADCAST into both semi-joins, so each peel
+    is one degree aggregate + two map-side joins — the edge table never
+    reshuffles per peel; (b) ``peels_per_round`` peels share one
+    checkpoint+count job pair (the peel step is idempotent at the
+    fixpoint, so over-peeling is safe by the same argument that lets
+    the SQL oracle over-unroll — results are IDENTICAL, only the
+    number of materialization floors changes).
     """
     import warnings
 
@@ -368,17 +385,30 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+    # node count (one cheap aggregate on the checkpointed edges) gates
+    # the broadcast of the per-peel survivor set; the set only shrinks,
+    # so the input count is a sound upper bound for every round
+    n_nodes = sym.select(F.count_distinct("src")).collect()[0][0]
+    bcast = n_nodes <= broadcast_max_nodes
+
+    def _peel(e: DataFrame) -> DataFrame:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("src")
+        if bcast:
+            keep = F.broadcast(keep)
+        return (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+
     converged = False
     prev_edges = sym.count()
     for _ in range(max_iter):
-        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-        keep = deg.filter(F.col("_deg") >= k).select("src")
-        pruned = (
-            sym.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
+        stepped = sym
+        for _p in range(max(1, int(peels_per_round))):
+            stepped = _peel(stepped)
+        pruned = stepped.localCheckpoint()
         # the symmetric edge set only ever SHRINKS, so an unchanged count
         # is a fixpoint — one cheap count on the just-checkpointed edges
         # instead of an anti-join probe (halves the actions per round)
@@ -1291,7 +1321,11 @@ def spread_labels(
 
 
 def ktruss(
-    edges: DataFrame, k: int = 4, max_iter: int = 40, strict: bool = True
+    edges: DataFrame,
+    k: int = 4,
+    max_iter: int = 40,
+    strict: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """k-truss decomposition membership (Cohen 2008): the maximal
     subgraph where every EDGE sits in at least ``k - 2`` triangles
@@ -1314,12 +1348,22 @@ def ktruss(
     orientation (and its Σ out-deg² wedge bound) tracks the shrinking
     subgraph. ``strict=True`` raises on ``max_iter`` exhaustion — a
     half-peeled truss is simply wrong.
+
+    ``stats`` (optional dict, observability only — results are
+    identical): on return carries ``peel_rounds`` (support passes run,
+    including the fixpoint-confirming one) and ``edges_in`` — the
+    density-vs-depth ledger the r12 verdict's #3 probe records.
     """
     if max_iter < 1:
         raise ValueError(f"ktruss: max_iter must be >= 1, got {max_iter}")
     ori = _canonical_edges(edges).localCheckpoint()
     n_prev = ori.count()
+    if stats is not None:
+        stats["edges_in"] = n_prev
+        stats["peel_rounds"] = 0
     for _ in range(max_iter):
+        if stats is not None:
+            stats["peel_rounds"] += 1
         tri = _oriented_triangles(_degree_oriented(ori))
         sup = (
             tri.select(

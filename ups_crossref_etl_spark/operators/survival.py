@@ -472,15 +472,17 @@ def _cox_prepare(
     event_col: str,
     x_cols: list[str],
     n_partitions: int | None = None,
-) -> tuple[DataFrame, list[str], int, int]:
+) -> tuple[DataFrame, list[str], int, int, int]:
     """The per-FIT fixed cost of :func:`_cox_newton_fit`, factored out
     so NESTED fits (same subjects, covariate subsets — the
     superset-beats-subset contract in q_events_cox_multi_bound) pay it
     ONCE: project/filter the subject table, range-partition it on time
     (boundaries frozen for every downstream stats pass), materialize
     with one localCheckpoint, and count subjects/events. Returns
-    ``(parted, xs, n, k)`` where ``xs`` are the engine-internal
-    covariate column names aligned with ``x_cols``."""
+    ``(parted, xs, n, k, n_times)`` where ``xs`` are the
+    engine-internal covariate column names aligned with ``x_cols`` and
+    ``n_times`` the distinct-event-time count that gates the bounded
+    driver reduction."""
     d = len(x_cols)
     if d < 1:
         raise ValueError("cox: need at least one covariate")
@@ -626,11 +628,11 @@ def _cox_newton_engine(
                 parted.groupBy("_t").agg(*aggs).collect(),
                 key=lambda r: r["_t"],
             )
-            suf = {w: 0 for w in wnames}
+            suf = {wn: 0 for wn in wnames}
             acc = []  # (row, suffix snapshot) in DESC then reversed
             for r in reversed(rows):
-                for w in wnames:
-                    suf[w] += int(r[w] or 0)
+                for wn in wnames:
+                    suf[wn] += int(r[wn] or 0)
                 acc.append((r, dict(suf)))
             acc.reverse()
             nll = 0.0

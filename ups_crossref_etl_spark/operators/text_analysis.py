@@ -1681,17 +1681,13 @@ def zipf_fit(
         )
     )
     fit = ols_xy(ranked, "_g", "_x", "_y")
-    out = fit.select(
-        F.lit(vocab).cast("bigint").alias("vocab_size"),
-        F.lit(total).cast("bigint").alias("total_tokens"),
-        "slope",
-        "intercept",
-        "r2",
-    )
     # ols_xy drops degenerate groups entirely — emit a NULL-stat row
-    # instead so the readout always has exactly one row
-    if out.limit(1).count() == 0:
-        spark = df.sparkSession
+    # instead so the readout always has exactly one row. take(1) runs
+    # the corpus job ONCE; the limit(1).count() probe ran it twice
+    # (r12 ADVICE).
+    rows = fit.take(1)
+    spark = df.sparkSession
+    if not rows:
         return spark.range(1).select(
             F.lit(vocab).cast("bigint").alias("vocab_size"),
             F.lit(total).cast("bigint").alias("total_tokens"),
@@ -1699,7 +1695,14 @@ def zipf_fit(
             F.lit(None).cast("double").alias("intercept"),
             F.lit(None).cast("double").alias("r2"),
         )
-    return out
+    r = rows[0]
+    return spark.range(1).select(
+        F.lit(vocab).cast("bigint").alias("vocab_size"),
+        F.lit(total).cast("bigint").alias("total_tokens"),
+        F.lit(r["slope"]).cast("double").alias("slope"),
+        F.lit(r["intercept"]).cast("double").alias("intercept"),
+        F.lit(r["r2"]).cast("double").alias("r2"),
+    )
 
 
 def token_dispersion(
@@ -2037,14 +2040,23 @@ def heaps_fit(
         F.col("intercept").alias("log_k"),
         "r2",
     )
-    if fit.limit(1).count() == 0:
+    # take(1) materializes the fit ONCE (limit(1).count() + returning
+    # the unpersisted frame ran the whole job twice — r12 ADVICE)
+    rows = fit.take(1)
+    if not rows:
         return spark.range(1).select(
             F.lit(0).cast("bigint").alias("n_points"),
             F.lit(None).cast("double").alias("beta"),
             F.lit(None).cast("double").alias("log_k"),
             F.lit(None).cast("double").alias("r2"),
         )
-    return fit
+    r = rows[0]
+    return spark.range(1).select(
+        F.lit(int(r["n_points"])).cast("bigint").alias("n_points"),
+        F.lit(r["beta"]).cast("double").alias("beta"),
+        F.lit(r["log_k"]).cast("double").alias("log_k"),
+        F.lit(r["r2"]).cast("double").alias("r2"),
+    )
 
 
 def yule_k(df: DataFrame, text_col: str) -> DataFrame:

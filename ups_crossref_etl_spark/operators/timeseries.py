@@ -1806,7 +1806,7 @@ def hurst_aggvar(
         "_v",
     ).select(
         "_w",
-        F.expr("_sec div _w").alias("_bkt"),
+        F.floor(F.col("_sec") / F.col("_w")).cast("bigint").alias("_bkt"),
         "_v",
     )
     means = cells.groupBy("_w", "_bkt").agg(
@@ -1841,20 +1841,28 @@ def hurst_aggvar(
     ).filter(F.col("_y").isNotNull())
     fit = ols_xy(pts, "_g", "_x", "_y")
     spark = df.sparkSession
-    if fit.limit(1).count() == 0:
+    # Single materialization: take(1) runs the corpus job ONCE and the
+    # (≤1-row) output is rebuilt from literals — the limit(1).count()
+    # probe re-executed the full scan a second time (r12 ADVICE).
+    rows = fit.take(1)
+    if not rows:
         return spark.range(1).select(
             F.lit(0).cast("bigint").alias("n_scales_used"),
             F.lit(None).cast("double").alias("hurst"),
             F.lit(None).cast("double").alias("slope"),
             F.lit(None).cast("double").alias("r2"),
         )
-    return fit.select(
-        F.col("n_points").alias("n_scales_used"),
-        (F.round(F.lit(1.0) + F.col("slope") / 2.0, 6) + 0.0).alias(
-            "hurst"
-        ),
-        "slope",
-        "r2",
+    r = rows[0]
+    return spark.range(1).select(
+        F.lit(int(r["n_points"])).cast("bigint").alias("n_scales_used"),
+        (
+            F.round(
+                F.lit(1.0) + F.lit(r["slope"]).cast("double") / 2.0, 6
+            )
+            + 0.0
+        ).alias("hurst"),
+        F.lit(r["slope"]).cast("double").alias("slope"),
+        F.lit(r["r2"]).cast("double").alias("r2"),
     )
 
 
@@ -1899,7 +1907,10 @@ def gumbel_block_maxima(
         F.col(value_col).cast("double").alias("_v"),
     ).filter(F.col("_sec").isNotNull() & F.col("_v").isNotNull())
     blocks = base.select(
-        F.expr(f"_sec div {int(block_seconds)}").alias("_b"), "_v"
+        F.floor(F.col("_sec") / F.lit(int(block_seconds)))
+        .cast("bigint")
+        .alias("_b"),
+        "_v",
     ).groupBy("_b").agg(F.max("_v").alias("_mx"))
     mq = blocks.select(
         F.round(F.col("_mx") * 1e6).cast("bigint").alias("_mq")

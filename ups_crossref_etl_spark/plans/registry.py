@@ -51,7 +51,7 @@ def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
 
 
 #: Current build round — keys the deterministic rotation in ``load_all``.
-_ROUND = 12
+_ROUND = 13
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
@@ -62,66 +62,28 @@ _ROUND = 12
 #: gated query lacking committed verification evidence (CORRECTNESS_r*/
 #: FULLCHECK_r* union) is missing from this list.
 _CHANGED_THIS_ROUND = [
-    # round-12 ADVICE fixes (results or gate code changed):
-    # greenwood lo/hi NULL-gated on se; jonckheere decimal tie terms +
-    # HUGEINT oracle; page_trend/jonckheere ts IS NOT NULL parity;
-    # token_dispersion md5 hash-bucketed parts (values CHANGE)
-    "q_events_greenwood",
-    "q_events_jonckheere",
-    "q_events_page_trend",
-    "q_docs_token_dispersion",
-    # round-12: tfidf_knn_graph cap-resolution sentinel (explicit
-    # max_df_frac no longer silently tightened) — gate params are
-    # explicit so values are unchanged, but the resolution code path
-    # is new; re-verify the triple
-    "q_docs_tfidf_knn",
-    "q_docs_tfidf_knn_exact",
-    "q_docs_tfidf_knn_cap_agreement",
-    # round-12 (r11 verdict #3): both cox fits share one prepared
-    # subject table via cox_ph_nested; Newton stats passes on BOUNDED
-    # time tables now reduce on the driver (one job/pass) — identical
-    # booleans, new path, so the single-covariate bound gate
-    # re-verifies too
-    "q_events_cox_multi_bound",
-    "q_events_cox_bound",
-    # round-12 (r11 verdict #5): co-order edge builder factored into
-    # plans/graph_inputs.py — ktruss's gate body changed (others kept
-    # their helper indirection; PLANS.md regen proves zero shape drift)
-    "q_graph_ktruss",
-    # round-12 (r11 verdict #4): gate-tier streams start under an
-    # 8-partition shuffle override (state-store count tracks shuffle
-    # partitions; 128 store instances for 31 state rows WAS the
-    # per-batch floor) — the two flagged lines re-verify; all 11
-    # q_stream_* gates re-checked green at sf0.01 this round
-    "q_stream_interval_join",
-    "q_stream_interval_join_outer",
-    # round-12 new wave: survival completions (Schoenfeld PH
-    # diagnostic, Aalen-Johansen competing-risks CIF), corpus
-    # completions (Heaps' law vocabulary-growth fit, Monroe log-odds
-    # keyness), rank-test completions (Brunner-Munzel, Quade)
-    "q_events_schoenfeld",
-    "q_events_competing_risks",
-    "q_docs_heaps_fit",
-    "q_docs_log_odds_keyness",
-    "q_events_brunner_munzel",
-    "q_events_quade",
-    # round-12 wave D: Yule's K richness constant, Burrows' Delta
-    # stylometry, Hurst long-range-dependence exponent
-    "q_docs_yule_k",
-    "q_docs_burrows_delta",
+    # round-13 ADVICE fixes: epoch bucketing div→floor (matches the
+    # oracles' `//` floor semantics for pre-1970 timestamps; values
+    # unchanged on the nonnegative-epoch test data), single-
+    # materialization take(1) rebuild of the ≤1-row fit readouts
+    # (zipf/heaps/hurst ran the corpus job twice), and degenerate-fit
+    # CASE guards added to the hurst/heaps oracles to mirror ols_xy's
+    # drop semantics
     "q_events_hurst",
-    # round-12 wave E: the scale-test family (did the SPREAD move?) —
-    # Ansari-Bradley + Mood rank pair on the shared permutation-score
-    # engine, Bartlett parametric gate
-    "q_events_ansari",
-    "q_events_mood",
-    "q_lineitem_bartlett",
-    # round-12 wave F: multi-rater agreement (Fleiss fixed-panel,
-    # Krippendorff missing-tolerant) and the Gumbel block-maxima
-    # return-level readout
-    "q_docs_fleiss_kappa",
-    "q_docs_krippendorff",
     "q_events_gumbel",
+    "q_docs_heaps_fit",
+    "q_docs_zipf_fit",
+    # round-13 (r12 verdict #4): variable-length exact-substring dedup —
+    # maximal ≥20-token cross-doc repeated intervals with verbatim
+    # full-span verification (operators/spans.long_repeated_spans)
+    "q_docs_long_repeated_spans",
+    # round-13 (r12 verdict #5): fixed-cost reductions — ALS bounded
+    # driver batch solve + broadcast fixed-factor joins; kcore
+    # broadcast survivor set + 2 peels per materialization. Identical
+    # results (dual-path pytest + plan pins), new physical paths —
+    # re-verify the gates
+    "q_part_als_bound",
+    "q_graph_kcore",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.
@@ -171,11 +133,14 @@ def load_all() -> dict[str, QuerySpec]:
     committed CORRECTNESS_r{N}.json artifacts, ties broken by the
     round-keyed ``md5(f"r{_ROUND}:{name}")`` rotation) — replacing
     round ≤10's pure md5 rotation, whose expected-case coverage had NO
-    maximum-staleness guarantee (the r10 verdict's #5): with ~35 free
-    slots per round and a 376-query registry, LRS-first guarantees every
-    gated query is re-sampled at least every ceil(N/slots) ≈ 11 rounds,
-    and ``tests/test_registry_policy.py::test_driver_sample_staleness_
-    bounded`` enforces the bound against the committed artifacts. Every
+    maximum-staleness guarantee (the r10 verdict's #5). Rotation math
+    (r12 verdict #6): with W=50 window slots and S = W − |changed tier|
+    free rotation slots per round (plan on S ≈ 25), LRS-first guarantees
+    every gated query is re-sampled at least every ceil(N/S)+1 rounds —
+    a bound that GROWS with registry size N, so ``tests/test_registry_
+    policy.py::test_driver_sample_staleness_bounded`` both enforces it
+    against the committed artifacts and hard-caps it (fails loudly if N
+    grows past the point the window can cover within ~22 rounds). Every
     entry is meanwhile FULLCHECK-verified locally each round (committed
     as FULLCHECK_r{N}.json — MANDATORY per round, after the last
     registry change; r8 skipped it and got flagged). gate=False entries
@@ -183,6 +148,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     import hashlib
 
+    from . import round13_queries  # noqa: F401
     from . import round12_queries  # noqa: F401
     from . import round11_queries  # noqa: F401
     from . import round10_queries  # noqa: F401

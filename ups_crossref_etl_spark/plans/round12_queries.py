@@ -276,11 +276,14 @@ def q_events_competing_risks(
                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
              CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
       FROM agg)
-    SELECT n AS n_points,
-           round(cov / dx, 6) + 0.0 AS beta,
-           round((syd - cov / dx * sxd) / CAST(n AS DOUBLE)
-                 / 1000000.0, 6) + 0.0 AS log_k,
-           CASE WHEN dy > 0 THEN round(cov * cov / (dx * dy), 4)
+    SELECT CASE WHEN n >= 2 AND dx > 0 THEN n ELSE 0 END AS n_points,
+           CASE WHEN n >= 2 AND dx > 0
+                THEN round(cov / dx, 6) END + 0.0 AS beta,
+           CASE WHEN n >= 2 AND dx > 0
+                THEN round((syd - cov / dx * sxd) / CAST(n AS DOUBLE)
+                           / 1000000.0, 6) END + 0.0 AS log_k,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                THEN round(cov * cov / (dx * dy), 4)
            END + 0.0 AS r2
     FROM fit
     """,
@@ -760,12 +763,16 @@ def q_docs_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg),
     sl AS (
       SELECT n, dy, dx, cov,
-             round(cov / dx, 6) + 0.0 AS slope
+             CASE WHEN n >= 2 AND dx > 0
+                  THEN round(cov / dx, 6) END + 0.0 AS slope
       FROM fit)
-    SELECT n AS n_scales_used,
-           round(1.0 + slope / 2.0, 6) + 0.0 AS hurst,
+    SELECT CASE WHEN n >= 2 AND dx > 0 THEN n ELSE 0 END
+             AS n_scales_used,
+           CASE WHEN n >= 2 AND dx > 0
+                THEN round(1.0 + slope / 2.0, 6) END + 0.0 AS hurst,
            slope,
-           CASE WHEN dy > 0 THEN round(cov * cov / (dx * dy), 4)
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                THEN round(cov * cov / (dx * dy), 4)
            END + 0.0 AS r2
     FROM sl
     """,
