@@ -203,10 +203,10 @@ def test_als_driver_path_plans(spark, monkeypatch):
     uf, _ = fz.als_factorize(df, "u", "i", "r", rank=3, reg=0.1,
                              iterations=1)
     plan_d = uf._jdf.queryExecution().executedPlan().toString()
-    # driver-solved factors enter the plan as a parallelized local
-    # table (Scan ExistingRDD) with NO Python eval stage anywhere
+    # driver-solved factors enter the plan as a local table (Arrow ->
+    # LocalTableScan) with NO Python eval stage anywhere
     assert "ArrowEvalPython" not in plan_d
-    assert "Scan ExistingRDD" in plan_d
+    assert "LocalTableScan" in plan_d or "Scan ExistingRDD" in plan_d
 
     # distributed path: pin the half-step output BEFORE the
     # localCheckpoint truncates the plan (memory: shapes above a

@@ -138,36 +138,56 @@ def _solve_side(
     r = rank
 
     if n_solve is not None and n_solve <= _DRIVER_SOLVE_MAX:
-        # bounded solve side: ONE job collects the (rank²+rank+1)-wide
-        # per-entity sufficient statistics; the rank×rank solves batch
-        # on the driver (same np.linalg.solve the Arrow path runs) and
-        # the factor table re-enters as a LocalRelation — Catalyst
-        # broadcasts it into the next half-step's join for free
-        from pyspark.sql.types import StructField, StructType
+        # bounded solve side: ONE job pulls the (rank²+rank+1)-wide
+        # per-entity sufficient statistics over Arrow (no Row objects),
+        # every rank×rank system solves in ONE batched LAPACK call
+        # (np.linalg.solve on an (n, r, r) stack — same arithmetic the
+        # Arrow-UDF path runs per batch), and the factor table re-enters
+        # the plan as a parallelized local table Catalyst broadcasts
+        # into the next half-step's join for free
+        import pyarrow as pa
 
         spark = ratings.sparkSession
-        rows = sums.collect()
-        etype = joined.schema["_s"].dataType
-        schema = StructType([
-            StructField("_e", etype),
-            StructField("_fac", ArrayType(DoubleType())),
-        ])
-        out_rows = []
-        eye = np.eye(r)
-        for row in rows:
-            a = np.array(
-                [row[f"_a{i}"] for i in range(r * r)], dtype=np.float64
-            ).reshape(r, r)
-            b = np.array(
-                [row[f"_b{j}"] for j in range(r)], dtype=np.float64
+        tbl = sums.toArrow()
+        n_rows = tbl.num_rows
+        if n_rows == 0:
+            from pyspark.sql.types import StructField, StructType
+
+            etype = joined.schema["_s"].dataType
+            return spark.createDataFrame(
+                [],
+                StructType([
+                    StructField("_e", etype),
+                    StructField("_fac", ArrayType(DoubleType())),
+                ]),
             )
-            a = a + lam * row["_n"] * eye
-            try:
-                fac = np.linalg.solve(a, b).tolist()
-            except np.linalg.LinAlgError:
-                fac = [0.0] * r
-            out_rows.append((row["_s"], fac))
-        return spark.createDataFrame(out_rows, schema)
+        col = {
+            c: tbl.column(c).to_numpy(zero_copy_only=False)
+            for c in tbl.column_names
+        }
+        a = np.stack(
+            [col[f"_a{i}"] for i in range(r * r)], axis=1
+        ).reshape(n_rows, r, r)
+        b = np.stack([col[f"_b{j}"] for j in range(r)], axis=1)
+        a = a + (lam * col["_n"])[:, None, None] * np.eye(r)
+        try:
+            x = np.linalg.solve(a, b)
+        except np.linalg.LinAlgError:
+            # rare singular entity: per-row fallback, zeros where it
+            # fails (mirrors the Arrow-UDF path's per-row try/except)
+            x = np.zeros((n_rows, r))
+            for i in range(n_rows):
+                try:
+                    x[i] = np.linalg.solve(a[i], b[i])
+                except np.linalg.LinAlgError:
+                    pass
+        out_tbl = pa.table(
+            {
+                "_e": tbl.column("_s"),
+                "_fac": pa.array(x.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+        return spark.createDataFrame(out_tbl)
 
     packed = sums.select(
         F.col("_s").alias("_e"),
@@ -214,18 +234,16 @@ def als_factorize(
     """
     if rank < 1 or iterations < 1:
         raise ValueError("als_factorize: rank and iterations must be >= 1")
-    users = ratings.select(
-        F.col(user_col).alias(user_col)
-    ).distinct().localCheckpoint()
-    items = ratings.select(
-        F.col(item_col).alias(item_col)
-    ).distinct().localCheckpoint()
-    # entity counts, measured ONCE per fit (two jobs amortized over all
-    # half-steps): they gate the driver batch solve and the broadcast
-    # of the fixed factor side — per-iteration physical shape, zero
-    # result change (r12 verdict #5, the cox fixed-cost lesson)
-    n_users = users.count()
-    n_items = items.count()
+    items = ratings.select(F.col(item_col).alias(item_col)).distinct()
+    # entity counts, measured ONCE per fit in ONE aggregate job: they
+    # gate the driver batch solve and the broadcast of the fixed factor
+    # side — per-iteration physical shape, zero result change (r12
+    # verdict #5, the cox fixed-cost lesson)
+    cnt = ratings.agg(
+        F.count_distinct(F.col(user_col)).alias("_nu"),
+        F.count_distinct(F.col(item_col)).alias("_ni"),
+    ).first()
+    n_users, n_items = int(cnt["_nu"]), int(cnt["_ni"])
     item_f = _init_factors(items, item_col, rank)
     if n_items > _DRIVER_SOLVE_MAX:
         item_f = item_f.localCheckpoint()
@@ -245,22 +263,18 @@ def als_factorize(
         )
         if n_items > _DRIVER_SOLVE_MAX:
             item_f = item_f.localCheckpoint()
+    # Coverage by construction (no zero-fill join needed): every entity
+    # of ``ratings`` contributes >= 1 row to its side's sufficient-
+    # statistics aggregate (the fixed side always covers all entities:
+    # init does, and each solve preserves it), so both factor tables
+    # already cover the full entity sets. The former zero-fill
+    # left-join re-ran two distinct() shuffles inside EVERY downstream
+    # consumer plan — pure fixed cost.
     uf = user_f.select(
         F.col("_e").alias(user_col), F.col("_fac").alias("factors")
     )
     itf = item_f.select(
         F.col("_e").alias(item_col), F.col("_fac").alias("factors")
-    )
-    # entities with no ratings never appear in a solve; join back with
-    # zero vectors so the factor tables cover the full entity sets
-    zero = F.array(*[F.lit(0.0) for _ in range(rank)])
-    uf = (
-        users.join(uf, user_col, "left")
-        .select(user_col, F.coalesce("factors", zero).alias("factors"))
-    )
-    itf = (
-        items.join(itf, item_col, "left")
-        .select(item_col, F.coalesce("factors", zero).alias("factors"))
     )
     return uf, itf
 

@@ -348,10 +348,10 @@ def kcore(
     (dense-core extraction over citation / co-occurrence / near-dup
     graphs) and a spam-farm detector.
 
-    Scale shape: each round is one degree aggregate (groupBy node over
-    the surviving symmetric edges, map-side combined) plus one semi-join
-    filtering the edge set to surviving endpoints — both keyed on node
-    ids; nothing pairwise, no window. Rounds needed = peel depth, which
+    Scale shape: each round is one degree aggregate (explode of both
+    endpoints of the surviving CANONICAL lo<hi edges — the symmetric 2×
+    table is never materialized — map-side combined) plus two
+    endpoint-keyed semi-joins; nothing pairwise, no window. Rounds needed = peel depth, which
     is small for real graphs (a node sequence each unlocking the next is
     the worst case); ``localCheckpoint`` truncates lineage per round.
     The peel step is IDEMPOTENT at the fixpoint (applying it to a
@@ -376,11 +376,15 @@ def kcore(
     """
     import warnings
 
-    sym = (
+    # peel on the CANONICAL (lo < hi, distinct) edge form — degrees come
+    # from an explode of both endpoints, so the symmetric 2x edge table
+    # is never materialized and every per-round checkpoint writes half
+    # the bytes (r13: the peel loop is materialization-bound)
+    canon = (
         edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
         )
         .distinct()
         .localCheckpoint()
@@ -388,32 +392,40 @@ def kcore(
     # node count (one cheap aggregate on the checkpointed edges) gates
     # the broadcast of the per-peel survivor set; the set only shrinks,
     # so the input count is a sound upper bound for every round
-    n_nodes = sym.select(F.count_distinct("src")).collect()[0][0]
+    n_nodes = canon.select(
+        F.explode(F.array("lo", "hi")).alias("node")
+    ).select(F.count_distinct("node")).collect()[0][0]
     bcast = n_nodes <= broadcast_max_nodes
 
+    def _degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.explode(F.array("lo", "hi")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+
     def _peel(e: DataFrame) -> DataFrame:
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-        keep = deg.filter(F.col("_deg") >= k).select("src")
+        keep = _degrees(e).filter(F.col("_deg") >= k).select("node")
         if bcast:
             keep = F.broadcast(keep)
         return (
-            e.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .select("src", "dst")
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
         )
 
     converged = False
-    prev_edges = sym.count()
+    prev_edges = canon.count()
     for _ in range(max_iter):
-        stepped = sym
+        stepped = canon
         for _p in range(max(1, int(peels_per_round))):
             stepped = _peel(stepped)
         pruned = stepped.localCheckpoint()
-        # the symmetric edge set only ever SHRINKS, so an unchanged count
-        # is a fixpoint — one cheap count on the just-checkpointed edges
+        # the edge set only ever SHRINKS, so an unchanged count is a
+        # fixpoint — one cheap count on the just-checkpointed edges
         # instead of an anti-join probe (halves the actions per round)
         cur_edges = pruned.count()
-        sym = pruned
+        canon = pruned
         if cur_edges == prev_edges:
             converged = True
             break
@@ -426,8 +438,8 @@ def kcore(
         if strict:
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    return _degrees(canon).select(
+        "node", F.col("_deg").cast("bigint").alias("core_degree")
     )
 
 

@@ -524,11 +524,22 @@ def q_part_als_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     uf, itf = als_factorize(
         ratings, "u", "i", "r", rank=4, reg=0.05, iterations=2
     )
-    rmse_model = als_rmse(ratings, "u", "i", "r", uf, itf)
-    stats = ratings.agg(
+    # ONE aggregate pass computes the model squared error AND the
+    # baseline sufficient statistics (r12 verdict #5: the separate
+    # als_rmse collect + stats job pair was pure fixed cost; the
+    # factor joins are broadcast local tables, so this is map-only +
+    # one 1-row reduction)
+    from ..operators.factorization import predict_ratings
+
+    pred = predict_ratings(ratings, "u", "i", uf, itf)
+    stats = pred.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
         F.sum("ru").cast("bigint").alias("_s1"),
         F.sum(F.col("ru").cast("decimal(38,0)") * F.col("ru")).alias("_s2"),
+        F.sum(
+            (F.col("r") - F.col("prediction"))
+            * (F.col("r") - F.col("prediction"))
+        ).alias("_se"),
     )
     n = F.col("n_ratings").cast("double")
     rmse_b = (
@@ -543,13 +554,12 @@ def q_part_als_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 0.0
     )
+    rmse_m = F.sqrt(F.col("_se") / n)
     return stats.select(
         "n_ratings",
         rmse_b.alias("rmse_baseline"),
-        (F.lit(float(rmse_model)) < rmse_b).alias("model_beats_baseline"),
-        F.lit(rmse_model >= 0.0 and rmse_model == rmse_model).alias(
-            "rmse_valid"
-        ),
+        (rmse_m < rmse_b).alias("model_beats_baseline"),
+        (~F.isnan(rmse_m) & (rmse_m >= F.lit(0.0))).alias("rmse_valid"),
     )
 
 
