@@ -30,6 +30,13 @@ under neighbor contention (BENCH_r07's core tier read ~2x its quiet
 re-run) is self-evident from the artifact — quiet baseline ~1.2 s; a
 sentinel at 2-3x that means the per-query numbers are inflated by load.
 
+Round 13: both lines also carry ``shuffle_sentinel_pre/post`` — a fixed
+SHUFFLE-bound probe (hash repartition of 20M ids) that sees the I/O
+contention mode the CPU sentinel is blind to: the r13 capture ran with a
+FASTER CPU sentinel than r12's quiet baseline while shuffle-heavy queries
+inflated ~1.15×, i.e. the box's virtualized disk was the contended
+resource. Quiet baseline ~1-2 s.
+
 Round 10 (r9 verdict #3/#4): both lines also carry ``core_runs`` (three
 single-execution pass totals of the frozen tier), ``core_total_median``
 (their median — the longitudinal anchor, immune to one noisy pass) and
@@ -391,6 +398,8 @@ EXTENDED = [
     "q_docs_fleiss_kappa",
     "q_docs_krippendorff",
     "q_events_gumbel",
+    # round 13
+    "q_docs_long_repeated_spans",
 ]
 
 
@@ -489,6 +498,27 @@ def _sentinel(spark) -> float:
     )
 
 
+def _shuffle_sentinel(spark) -> float:
+    """I/O contention sentinel (round 13): a fixed SHUFFLE-bound probe —
+    20M ids hash-repartitioned across 32 partitions then reduced —
+    timed like ``_sentinel``. The r13 capture showed the failure mode
+    the CPU sentinel cannot see: CPU sentinel FASTER than the prior
+    quiet capture while shuffle-heavy queries ran ~1.15× slower
+    (virtualized-disk contention inflates shuffle-file writes, not
+    arithmetic). Quiet-box reading here: ~1-2 s; a capture whose
+    shuffle sentinel is 2×+ its committed baseline has I/O-inflated
+    per-query numbers even if the CPU sentinel is quiet."""
+    from pyspark.sql import functions as F
+
+    return _best_of(
+        lambda: spark.range(0, 20_000_000, 1, 32)
+        .repartition(32, (F.col("id") % 997).cast("int"))
+        .selectExpr("sum(id) AS s")
+        .collect(),
+        n=1,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -498,6 +528,7 @@ def main() -> None:
     # warmup: JVM/codegen/parquet-footer caches
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
     sentinel_pre = _sentinel(spark)
+    shuffle_sentinel_pre = _shuffle_sentinel(spark)
 
     # One broken query must never zero the whole artifact (BENCH_r04 was
     # rc=1/no-data because a single NTZ cast threw): record the error per
@@ -548,6 +579,7 @@ def main() -> None:
         errors["q_join_bucketed_demo"] = str(ex).split("\n")[0][:200]
 
     sentinel_post = _sentinel(spark)
+    shuffle_sentinel_post = _shuffle_sentinel(spark)
     effective_cores = _effective_cores(spark)
 
     core_names = set(CORE) | {"q_join_unbucketed_smj", "q_join_bucketed_noshuffle"}
@@ -562,6 +594,8 @@ def main() -> None:
         "effective_cores": effective_cores,
         "sentinel_pre": sentinel_pre,
         "sentinel_post": sentinel_post,
+        "shuffle_sentinel_pre": shuffle_sentinel_pre,
+        "shuffle_sentinel_post": shuffle_sentinel_post,
         "sf": sf,
     }
     if stream_metrics:
@@ -591,6 +625,8 @@ def main() -> None:
         "n_errors": len(errors),
         "sentinel_pre": sentinel_pre,
         "sentinel_post": sentinel_post,
+        "shuffle_sentinel_pre": shuffle_sentinel_pre,
+        "shuffle_sentinel_post": shuffle_sentinel_post,
         "sf": sf,
     }
     line = json.dumps(compact)

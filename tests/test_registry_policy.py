@@ -201,6 +201,13 @@ def test_bench_local_carries_stability_fields():
         f"core_runs spread too wide ({d['core_runs']}): one inflated "
         "pass means mid-battery contention — discard and re-capture"
     )
+    # round 13: the artifact must also carry the SHUFFLE sentinel pair
+    # (the I/O contention mode the CPU sentinel is blind to — observed
+    # this round: CPU sentinel FASTER than baseline, shuffle-heavy
+    # lines ~1.15× inflated). No bound yet: the first committed capture
+    # IS the baseline; bound it once a quiet history exists.
+    assert d.get("shuffle_sentinel_pre") is not None
+    assert d.get("shuffle_sentinel_post") is not None
 
 
 def test_scale_probe_entries_carry_quiet_sentinels():

@@ -229,8 +229,11 @@ def als_factorize(
     item_factors)`` as ``(user/item, factors array<double>)``.
 
     Driver loop is ``2 * iterations`` half-steps over bounded state;
-    each half-step is one equi-join + one map-side-combined aggregate +
-    one Arrow solve (see module docstring for the 100 TB shape).
+    each half-step is one equi-join (fixed side broadcast when its
+    entity count is bounded) + one map-side-combined aggregate + one
+    solve — a single batched driver LAPACK call below
+    ``_DRIVER_SOLVE_MAX`` entities, the distributed Arrow solve above
+    it (see module docstring for the 100 TB shape).
     """
     if rank < 1 or iterations < 1:
         raise ValueError("als_factorize: rank and iterations must be >= 1")
