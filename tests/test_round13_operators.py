@@ -222,3 +222,110 @@ def test_als_driver_path_plans(spark, monkeypatch):
     assert "ArrowEvalPython" in plan_x
     # bounded fixed side must broadcast into the ratings join
     assert "BroadcastHashJoin" in plan_x
+
+
+# --------------------------------------------------------------------------
+# Fixed-cost wave 2: stream-tier conf scoping + max-coverage broadcast path
+# --------------------------------------------------------------------------
+
+
+def test_scoped_shuffle_partitions_reaches_foreachbatch_and_restores(
+    spark, tmp_path
+):
+    """The production sizing rule (plans/streaming_queries) only works if
+    the conf scoped around ``start()`` is what foreachBatch jobs see —
+    the sink runs on the stream's CLONED session, which snapshots the
+    conf at start. Pin both halves: the scoped value inside the sink,
+    and the session default restored immediately after start()."""
+    from ups_crossref_etl_spark.streaming.events import (
+        scoped_shuffle_partitions,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id", "id % 3 AS k").write.parquet(src)
+    seen: list[str] = []
+
+    def sink(batch_df, _bid):
+        seen.append(
+            batch_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+
+    stream = spark.readStream.schema("id long, k long").parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_shuffle_partitions(spark, 5):
+        q = stream.writeStream.foreachBatch(sink).start()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen and all(v == "5" for v in seen)
+
+
+def test_scoped_shuffle_partitions_none_is_noop(spark):
+    from ups_crossref_etl_spark.streaming.events import (
+        scoped_shuffle_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_shuffle_partitions(spark, None):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def _coverage_fixture(spark):
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j) % 60}" for j in range(25)))
+        for i in range(30)
+    ]
+    return spark.createDataFrame(docs, ["doc_id", "text"])
+
+
+def test_max_coverage_broadcast_and_distributed_paths_agree(
+    spark, monkeypatch
+):
+    """The threshold-gated broadcast of the covered set (bounded by
+    k x max distinct shingles per doc; exact size known on the driver
+    as the sum of past gains) must not change the greedy selection —
+    only the join's physical side."""
+    from ups_crossref_etl_spark.operators import selection as sel
+
+    df = _coverage_fixture(spark)
+    bcast = [tuple(r) for r in sel.max_coverage_select(df, k=4).collect()]
+
+    monkeypatch.setattr(sel, "_BROADCAST_COVERED_MAX", -1)
+    dist = [tuple(r) for r in sel.max_coverage_select(df, k=4).collect()]
+    assert bcast == dist
+    assert len(bcast) >= 2
+
+
+def test_max_coverage_rounds_never_shuffle_token_table_by_token(
+    spark, monkeypatch
+):
+    """r13 fixed-cost pin: on the broadcast path every per-round
+    marginal-gain job anti-joins the checkpointed (doc, token) table
+    against a BROADCAST covered set — no round may re-shuffle the
+    corpus-sized table by token (the pre-r13 shape exchanged it on _t
+    every round). The winner job is pinned via a collect spy (the gains
+    frame is consumed by limit(1).collect, never checkpointed)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from ups_crossref_etl_spark.operators import selection as sel
+
+    captured: list[str] = []
+    orig = CDF.collect
+
+    def spy(self, *a, **k):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(CDF, "collect", spy)
+    sel.max_coverage_select(_coverage_fixture(spark), k=4)
+    gains = [p for p in captured if "TakeOrderedAndProject" in p]
+    assert len(gains) >= 3
+    for p in gains:
+        assert "Exchange hashpartitioning(_t" not in p
+        assert "Exchange SinglePartition" not in p
+    # rounds 2+ carry the covered anti-join as a broadcast build
+    for p in gains[1:]:
+        assert "BroadcastHashJoin" in p and "LeftAnti" in p

@@ -164,6 +164,17 @@ def dsir_select(
     )
 
 
+#: Covered-set rows up to which the per-round anti-join broadcasts the
+#: covered tokens instead of shuffling the corpus-sized (doc, token)
+#: table by token. The set is bounded by k x the largest doc's distinct
+#: shingles (NOT corpus size), and its exact row count is free on the
+#: driver (sum of past gains) — same threshold-gating pattern as
+#: survival._DRIVER_TIME_TABLE_MAX. 4M string rows is comfortably under
+#: executor broadcast budgets; past it the join falls back to the
+#: distributed _t-keyed anti-join.
+_BROADCAST_COVERED_MAX = 4_000_000
+
+
 def max_coverage_select(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -181,10 +192,17 @@ def max_coverage_select(
     marginal-gain computation is distributed:
 
     - round state = the covered-token set, kept as a DATAFRAME (never
-      collected — at corpus scale it is vocabulary-sized);
-    - marginal gain per candidate = one anti-join of (doc, token) rows
-      against the covered set + one doc-keyed count (both key-clustered
-      shuffles);
+      collected — its exact size is known on the driver for free: the
+      sum of past gains), BROADCAST into the anti-join while it fits
+      (``_BROADCAST_COVERED_MAX``; it is bounded by k x the largest
+      doc's distinct-shingle count, not by corpus size) and joined
+      _t-keyed distributed only past that;
+    - the (doc, token) table is exploded ONCE and checkpointed; each
+      round's marginal-gain pass on the broadcast path is a narrow
+      scan + broadcast anti-join + partial doc count, so the ONLY
+      per-round exchange carries (doc, partial_count) rows — never the
+      corpus-sized token table (r13; previously every round re-shuffled
+      the full table by token for the anti-join);
     - the winner is ONE driver row (max gain, doc_id tiebreak — total
       order, engine-independent);
     - k rounds total, k small by construction.
@@ -217,11 +235,17 @@ def max_coverage_select(
     )
     spark = df.sparkSession
     covered = None
+    covered_rows = 0
     picks = []
     for rnd in range(1, k + 1):
         cand = tok
         if covered is not None:
-            cand = tok.join(covered, "_t", "left_anti")
+            cov = (
+                F.broadcast(covered)
+                if covered_rows <= _BROADCAST_COVERED_MAX
+                else covered
+            )
+            cand = tok.join(cov, "_t", "left_anti")
         gains = cand.groupBy("_id").agg(F.count(F.lit(1)).alias("gain"))
         top = gains.orderBy(F.desc("gain"), F.asc("_id")).limit(1).collect()
         if not top or top[0]["gain"] == 0:
@@ -232,6 +256,9 @@ def max_coverage_select(
         covered = (
             newly if covered is None else covered.unionByName(newly).distinct()
         ).localCheckpoint()
+        # exact driver-side size of the covered set: each gain counts the
+        # tokens the pick added that no earlier pick had
+        covered_rows += gain
     return spark.createDataFrame(
         picks, "pick_order long, doc_id long, gain long"
     )

@@ -84,6 +84,19 @@ _CHANGED_THIS_ROUND = [
     # re-verify the gates
     "q_part_als_bound",
     "q_graph_kcore",
+    # round-13 fixed-cost wave 2 (same class as the cox/ALS/kcore
+    # reductions): stream-tier shuffle-partition scoping extended to the
+    # two direct-start stream gates (foreachBatch jobs snapshot the conf
+    # at start() too); max_coverage_select now broadcasts the
+    # bounded covered set so no round re-shuffles the corpus-sized
+    # (doc, token) table by token; the tfidf
+    # cap-agreement gate checkpoints both edge sets so each tfidf
+    # pipeline runs once. Identical results, new physical paths —
+    # re-verify the gates
+    "q_stream_cdc_apply",
+    "q_stream_trending_topk",
+    "q_docs_max_coverage_select",
+    "q_docs_tfidf_knn_cap_agreement",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

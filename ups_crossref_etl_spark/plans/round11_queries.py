@@ -168,12 +168,16 @@ def q_docs_tfidf_knn_cap_agreement(
     docs = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _TFIDF_DOC_BOUND
     )
+    # each edge set feeds THREE actions (two counts + the shared-edge
+    # join); checkpoint the k-bounded edge lists so each tfidf pipeline
+    # (tokenize -> df -> weights -> knn self-join) executes exactly once
+    # (r13: previously the full pipeline ran 2x and the capped 2x)
     full = tfidf_knn_graph(
         docs, "text", "doc_id", k=5, max_df=None, ngram=3
-    ).select("doc_id", "neighbor_id")
+    ).select("doc_id", "neighbor_id").localCheckpoint()
     capped = tfidf_knn_graph(
         docs, "text", "doc_id", k=5, max_df=_TFIDF_AGREE_CAP, ngram=3
-    ).select("doc_id", "neighbor_id")
+    ).select("doc_id", "neighbor_id").localCheckpoint()
     n_full = full.count()
     n_cap = capped.count()
     n_shared = full.join(capped, ["doc_id", "neighbor_id"]).count()

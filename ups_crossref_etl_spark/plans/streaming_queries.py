@@ -310,7 +310,10 @@ def q_stream_sliding_10m5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import events as se
 
-    return se.trending_topk(se.stream_events(spark, sf_dir))
+    return se.trending_topk(
+        se.stream_events(spark, sf_dir),
+        shuffle_partitions=_STREAM_SHUFFLE_PARTITIONS,
+    )
 
 
 @register(
@@ -378,7 +381,12 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    q = se.stream_cdc_apply(stream, state_path, ["c_custkey"])
+    q = se.stream_cdc_apply(
+        stream,
+        state_path,
+        ["c_custkey"],
+        shuffle_partitions=_STREAM_SHUFFLE_PARTITIONS,
+    )
     try:
         q.processAllAvailable()
     finally:

@@ -27,6 +27,37 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a stream ``start()``.
+
+    A streaming query freezes the conf into its cloned session at
+    ``start()`` — both the in-plan stateful shuffles (state-store count
+    tracks shuffle partitions: one provider per partition per stateful
+    side) AND every batch job launched inside ``foreachBatch`` (the sink
+    runs on the stream's cloned session, which snapshots the conf at
+    start). Sizing rule as in ``plans/streaming_queries``: partitions
+    follow per-trigger state/throughput, never the batch-analytics
+    default — measured here (r13): the CDC foreachBatch merge (one
+    anti-join + one winner join + state rewrite per trigger over a
+    customer-sized snapshot) and the trending-topk stateful window agg
+    both pay per-task/provider floors x32 under the session default.
+    ``n=None`` leaves the session conf untouched.
+    """
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (for tests/smoke: a static
     dir behaves as a one-batch stream; in production the same plan reads
@@ -492,7 +523,10 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
 
 
 def trending_topk(
-    events: DataFrame, window: str = "5 minutes", k: int = 3
+    events: DataFrame,
+    window: str = "5 minutes",
+    k: int = 3,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Per-trigger trending: top-``k`` event types per tumbling window,
     re-ranked on EVERY micro-batch via ``foreachBatch`` — the correct
@@ -531,11 +565,12 @@ def trending_topk(
         out.clear()  # keep only the latest trigger's ranking
         out.extend([tuple(r) for r in ranked.collect()])
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(sink)
-        .start()
-    )
+    with scoped_shuffle_partitions(events.sparkSession, shuffle_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -637,6 +672,7 @@ def stream_cdc_apply(
     op_col: str = "op",
     seq_col: str = "seq",
     checkpoint: str | None = None,
+    shuffle_partitions: int | None = None,
 ):
     """STREAMING CDC apply: maintain a keyed snapshot under a change
     stream — the streaming twin of ``operators/cdc.apply_changes`` and
@@ -678,7 +714,8 @@ def stream_cdc_apply(
     w = changes.writeStream.foreachBatch(sink)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
-    return w.start()
+    with scoped_shuffle_partitions(changes.sparkSession, shuffle_partitions):
+        return w.start()
 
 
 def stream_psi_monitor(
