@@ -972,11 +972,17 @@ def test_unigram_word_count_partial_agg_and_map_only_segment(spark, sf_dir):
 
 def test_corr_matrix_single_aggregate_exchange(spark, sf_dir):
     """corr_matrix: ALL pairwise moments in ONE map-side-combinable
-    aggregate — a single exchange carrying one row; no per-pair rescans,
-    no join."""
+    aggregate — a single one-row aggregate exchange; no per-pair
+    rescans, no join. r13 adds a CONDITIONAL round-robin spread of the
+    scan (guide §2.5 input skew: single-row-group testdata parquet runs
+    the DECIMAL(38,12) moment arithmetic on one core otherwise), so the
+    plan carries at most one extra RoundRobinPartitioning exchange —
+    and none at all on inputs that already split (the 100 TB case)."""
     q = load_all()["q_lineitem_corr_matrix"].fn(spark, sf_dir)
     plan = _plan(q)
-    assert plan.count("Exchange") == 1
+    n_exchange = plan.count("Exchange")
+    n_spread = plan.count("RoundRobinPartitioning")
+    assert n_exchange - n_spread == 1 and n_spread <= 1
     assert "partial_sum" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
 

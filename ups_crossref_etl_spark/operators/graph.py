@@ -1448,7 +1448,12 @@ def codegree_pairs(
     centers = deg.filter(F.col("_d") > 1)
     if max_center_degree is not None:
         centers = centers.filter(F.col("_d") <= max_center_degree)
-    wi = und.join(centers.select("node"), "node")
+    # r13: materialize the wedge input ONCE — ``wi`` feeds both sides of
+    # the center-keyed self-join below, and without a checkpoint the
+    # whole edge-build + degree-aggregate subtree is planned and executed
+    # once per side (the rectangles _before plan carried 76 Exchanges).
+    # Values are unchanged; only the duplicated subtree goes away.
+    wi = und.join(centers.select("node"), "node").localCheckpoint()
     pairs = (
         wi.alias("a")
         .join(wi.alias("b"), "node")

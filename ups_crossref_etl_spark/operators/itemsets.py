@@ -68,8 +68,19 @@ def frequent_pairs(
 ) -> DataFrame:
     """``(item_a, item_b, n_baskets, lift)`` with ``item_a < item_b``,
     support >= ``min_support_frac`` of baskets, Apriori-pruned."""
-    b = _baskets(df, basket_col, item_col)
+    # r13: materialize the basket relation once — it feeds L1 and both
+    # sides of the pair self-join (and, via frequent_triples, four more
+    # consumers); unchecked, the upstream join+distinct re-executed per
+    # consumer (the triples _before plan carried 116 Exchanges).
+    b = _baskets(df, basket_col, item_col).localCheckpoint()
     n = b.select("_b").distinct().count()
+    return _pairs_from(b, n, min_support_frac)
+
+
+def _pairs_from(b: DataFrame, n: int, min_support_frac: float) -> DataFrame:
+    """Frequent pairs from an already-materialized basket relation —
+    shared by :func:`frequent_pairs` and :func:`frequent_triples` so the
+    basket build and count run once per query, not once per level."""
     thr = float(min_support_frac) * n
 
     l1 = (
@@ -108,13 +119,11 @@ def frequent_triples(
     """``(item_a, item_b, item_c, n_baskets)`` with items ascending,
     support >= ``min_support_frac``; candidates require ALL three
     sub-pairs frequent (level-wise pruning via broadcast semi-joins)."""
-    b = _baskets(df, basket_col, item_col)
+    b = _baskets(df, basket_col, item_col).localCheckpoint()
     n = b.select("_b").distinct().count()
     thr = float(min_support_frac) * n
 
-    l2 = frequent_pairs(df, basket_col, item_col, min_support_frac).select(
-        "item_a", "item_b"
-    )
+    l2 = _pairs_from(b, n, min_support_frac).select("item_a", "item_b")
     # baskets containing a frequent pair (a < b), joined with a third
     # member c > b, pruned so (a, c) and (b, c) are frequent too
     pair_in_basket = (

@@ -194,7 +194,14 @@ def tfidf_knn_graph(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    toks = df.select(F.col(id_col).alias("_id"), F.explode(terms).alias("_t"))
+    from ..sources.lake import spread_scan
+
+    # r13: tokenize/shingle+explode is heavy row-local work; a single-
+    # row-group scan runs it all on one core (guide §2.5 input skew).
+    # No-op on multi-split inputs; groupBy counts are layout-invariant.
+    toks = spread_scan(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), F.explode(terms).alias("_t")
+    )
     n_docs = df.count()  # scalar N for idf — one count, not collected per row
     if max_df is _MAX_DF_UNSET:
         # no explicit absolute cap: the absolute default applies ONLY
@@ -207,7 +214,12 @@ def tfidf_knn_graph(
         None if max_df_frac is None else int(max_df_frac * n_docs),
     ) if c is not None]
     cap = min(caps) if caps else None
-    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    # r13: persisted — ``tf`` feeds the df-count aggregate AND (via the
+    # idf join) the weight table; without it the corpus scan + tokenize
+    # + tf shuffle execute once per consumer (the _before plan carried
+    # 18 parquet scans for ONE knn invocation). Same size class as the
+    # existing ``w`` persist below (token-mass rows, MEMORY_AND_DISK).
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf")).persist()
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     if cap is not None:
         dfreq = dfreq.filter(F.col("_df") <= cap)
@@ -246,6 +258,10 @@ def tfidf_knn_graph(
                 "cos"
             ),
         )
+        # r13: the mirror union below references ``cosp`` twice; without
+        # a persist the posting self-join + both norm joins execute once
+        # per direction. Pair-relation sized (≤ cap · token mass rows).
+        .persist()
     )
     mirrored = cosp.unionByName(
         cosp.select(

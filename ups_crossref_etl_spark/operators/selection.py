@@ -226,8 +226,13 @@ def max_coverage_select(
         ).otherwise(F.array().cast("array<string>"))
     else:
         elems = toks
+    from ..sources.lake import spread_scan
+
+    # r13: spread a single-row-group scan so the tokenize+explode feeding
+    # the checkpoint runs on every core (guide §2.5 input skew; no-op on
+    # multi-split inputs — anti-join/count work is layout-invariant)
     tok = (
-        df.select(
+        spread_scan(df.select(id_col, text_col)).select(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(elems)).alias("_t"),
         )

@@ -62,7 +62,15 @@ def corr_matrix(df: DataFrame, cols: list[str], round_digits: int = 4) -> DataFr
     a correlation MATRIX, vs pairwise deletion which can produce a
     non-PSD matrix).
     """
-    d = df.na.drop(subset=cols)
+    from ..sources.lake import spread_scan
+
+    # r13: the per-row work here is k + k(k+1)/2 DECIMAL(38,12) casts,
+    # multiplies and sum updates — BigDecimal arithmetic, the most
+    # CPU-expensive map work in the battery — and a single-row-group
+    # input runs all of it on one core (guide §2.5 input skew). The
+    # spread is a no-op on multi-split inputs; the decimal sums are
+    # exact and commutative, so the result is partition-invariant.
+    d = spread_scan(df.na.drop(subset=cols).select(*cols))
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast(_DEC)).alias(f"_s_{c}"))

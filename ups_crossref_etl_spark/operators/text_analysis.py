@@ -661,12 +661,27 @@ def pmi_collocations(
     the bigram table twice BROADCAST; T/P are a broadcast scalar row.
     The final top-k is TakeOrderedAndProject — no global sort.
     """
+    from ..sources.lake import spread_scan
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
         lambda t: t != F.lit(""),
     )
-    tok_rows = df.select(F.explode(toks).alias("w"))
-    uni = tok_rows.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # r13: (a) spread a single-row-group scan so the tokenize+explode
+    # runs on every core (guide §2.5 input skew; no-op on multi-split
+    # inputs — counts are layout-invariant); (b) checkpoint the two
+    # aggregates: ``uni`` feeds THREE consumers (the T scalar and both
+    # broadcast joins) and ``bi_all`` two (the min-count filter and the
+    # P scalar) — unchecked, each consumer re-ran the full corpus scan
+    # + tokenize (the _before plan carried 5 parquet scans). Both are
+    # vocab-/bigram-type-sized, far below corpus size.
+    base = spread_scan(df.select(text_col))
+    tok_rows = base.select(F.explode(toks).alias("w"))
+    uni = (
+        tok_rows.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
 
     t = toks  # alias for the bigram builder below
     bigrams = F.transform(
@@ -676,10 +691,11 @@ def pmi_collocations(
         ),
     )
     bi_all = (
-        df.select(F.explode(bigrams).alias("b"))
+        base.select(F.explode(bigrams).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint()
     )
     bi = bi_all.filter(F.col("c_ab") >= min_count)
     # P = TOTAL adjacent-bigram count (pre-filter): p(ab) is a probability

@@ -97,6 +97,47 @@ _CHANGED_THIS_ROUND = [
     "q_stream_trending_topk",
     "q_docs_max_coverage_select",
     "q_docs_tfidf_knn_cap_agreement",
+    # round-13 optimization waves 3-4 (this file documents the physical
+    # changes; OPTIMIZATION_r13.md carries the measurements). Identical
+    # results — new physical paths, re-verify the gates:
+    # (a) co_order_edges: one order-keyed collect_set exchange + row-
+    #     local sorted pair expansion replaces distinct + self-join
+    #     (identical multiset, proven by a grouped-count comparison);
+    #     touches every co-order graph gate below.
+    # (b) codegree_pairs: wedge input checkpointed once (was executed
+    #     once per self-join side).
+    # (c) itemsets: basket relation checkpointed + L2 shared with L3.
+    # (d) tfidf_knn_graph: tf and cosp persisted (were re-executed per
+    #     consumer/mirror side); conditional scan spread.
+    # (e) corr_matrix / containment_join / pmi_collocations: conditional
+    #     scan spread; containment checkpoints the ranked token table;
+    #     pmi checkpoints the two count aggregates.
+    "q_lineitem_corr_matrix",
+    "q_docs_containment_join",
+    "q_basket_frequent_pairs",
+    "q_basket_frequent_triples",
+    "q_docs_tfidf_knn",
+    "q_docs_tfidf_knn_exact",
+    "q_docs_pmi_collocations",
+    "q_graph_two_hop_reach",
+    "q_graph_hyperanf_bound",
+    "q_graph_adamic_adar",
+    "q_graph_adamic_adar_exact",
+    "q_graph_adamic_adar_cap_agreement",
+    "q_graph_modularity",
+    "q_graph_ktruss",
+    "q_graph_neighbor_jaccard",
+    "q_graph_neighbor_jaccard_exact",
+    "q_graph_label_propagation",
+    "q_graph_transitivity",
+    "q_graph_transitivity_exact",
+    "q_graph_transitivity_cap_agreement",
+    "q_graph_assortativity",
+    "q_graph_rich_club",
+    "q_graph_rectangles",
+    "q_graph_rectangles_exact",
+    "q_graph_hits",
+    "q_graph_clustering_coefficient",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

@@ -76,6 +76,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a frame whose scan yields fewer partitions
+    than the session's parallelism — the optimization-guide §2.5 "input
+    skew" case: a single-row-group parquet file (or gzip) is ONE task no
+    matter the split config, so every downstream per-row expression runs
+    on one core while the rest of the cluster idles. The testdata files
+    are all single-row-group, which serializes the map side of every
+    scan at any ``local[N]``.
+
+    No-op when the scan already has enough splits — the 100 TB case,
+    where the inputs are thousands of row groups and adding a full-table
+    round-robin exchange would be a pure extra shuffle. The knob is the
+    observed plan partitioning vs ``defaultParallelism``, not a constant,
+    so the same code is right on one core, local[32], and a cluster.
+
+    Callers must be partition-layout-invariant: exact/commutative
+    aggregates (decimal sums, counts, min/max), shuffle-keyed joins and
+    groupBys — NOT per-partition-sketch operators (KLL, IVF k-means
+    partials) whose output depends on which rows share a partition.
+    """
+    spark = df.sparkSession
+    target = parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table present in ``sf_dir`` keyed by name.
 
