@@ -64,6 +64,16 @@ def hop_distances(
         .select("src", "dst", F.lit(1).cast("bigint").alias("dist"))
         .localCheckpoint()
     )
+    # r13 fixpoint detector: (pair count, total dist) — the pair set only
+    # GROWS and a fixed pair's dist only SHRINKS, so the pair is invariant
+    # iff the table is. One aggregate per round on the lazily-checkpointed
+    # merge (scans every partition, completing the checkpoint in the same
+    # job) replaces the old eager checkpoint + left-join + limit(1) probe
+    # — one job per round instead of two, identical convergence decision.
+    stats = dist.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dist").alias("_s")
+    ).collect()[0]
+    prev = (stats["_n"], stats["_s"])
     converged = False
     for _ in range(max_rounds):
         # min-plus square: src --d1--> mid --d2--> dst
@@ -84,26 +94,17 @@ def hop_distances(
             dist.unionByName(via)
             .groupBy("src", "dst")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            merged.alias("m")
-            .join(
-                dist.alias("d"),
-                (F.col("m.src") == F.col("d.src"))
-                & (F.col("m.dst") == F.col("d.dst")),
-                "left",
-            )
-            .filter(
-                F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
-            )
-            .limit(1)
-            .count()
-        )
+        stats = merged.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("dist").alias("_s")
+        ).collect()[0]
+        cur = (stats["_n"], stats["_s"])
         dist = merged
-        if changed == 0:
+        if cur == prev:
             converged = True
             break
+        prev = cur
     if not converged:
         msg = (
             f"hop_distances hit max_rounds={max_rounds} before the "

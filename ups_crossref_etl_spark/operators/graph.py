@@ -88,9 +88,19 @@ def connected_components(
                 "label",
                 F.least(F.col("_l1"), F.coalesce("_pl", "_l1")).alias("new_label"),
             )
-            .localCheckpoint()
+            # r13: lazy — the change-count aggregate below scans every
+            # partition, completing the checkpoint in the same job (the
+            # eager checkpoint + limit(1) probe paid two jobs per round;
+            # a limit probe must NOT drive a lazy checkpoint, since it
+            # can short-circuit before all partitions are stored)
+            .localCheckpoint(eager=False)
         )
-        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        changed = (
+            updated.agg(
+                F.sum((F.col("new_label") != F.col("label")).cast("int"))
+            ).collect()[0][0]
+            or 0
+        )
         nodes = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             converged = True
@@ -420,7 +430,10 @@ def kcore(
         stepped = canon
         for _p in range(max(1, int(peels_per_round))):
             stepped = _peel(stepped)
-        pruned = stepped.localCheckpoint()
+        # r13: LAZY checkpoint — the convergence count() computes every
+        # partition, which completes the checkpoint in the SAME job; an
+        # eager checkpoint paid a separate materialization job per round
+        pruned = stepped.localCheckpoint(eager=False)
         # the edge set only ever SHRINKS, so an unchanged count is a
         # fixpoint — one cheap count on the just-checkpointed edges
         # instead of an anti-join probe (halves the actions per round)
@@ -503,6 +516,11 @@ def label_propagation(
                 )
             )
             .select("node", (-F.col("_b._neg")).cast("long").alias("label"))
+            # r13 note: dropping this per-round checkpoint to unroll the
+            # fixed 3 rounds into one AQE job (the pagerank shallow-run
+            # lesson) was MEASURED SLOWER here (7.4 vs 5.6 s noop at
+            # sf0.1) — the nested per-round label broadcasts serialize
+            # construction without the checkpoint. Kept as-is.
             .localCheckpoint()
         )
     return labels
@@ -932,9 +950,11 @@ def adamic_adar(
     if max_degree is not None:
         centers = centers.filter(F.col("_d") <= max_degree)
     w_nanos = F.round(1e9 / F.log(F.col("_d").cast("double"))).cast("bigint")
+    # r13: materialized once — feeds both sides of the wedge self-join
+    # (same duplicated-subtree fix as codegree_pairs; values unchanged)
     weighted = und.join(centers, "node").select(
         "node", "nbr", w_nanos.alias("_w")
-    )
+    ).localCheckpoint()
     pairs = (
         weighted.alias("a")
         .join(weighted.alias("b"), "node")
@@ -1008,7 +1028,9 @@ def neighbor_jaccard(
     centers = deg.filter(F.col("_d") > 1)
     if max_degree is not None:
         centers = centers.filter(F.col("_d") <= max_degree)
-    wedge_in = und.join(centers.select("node"), "node")
+    # r13: materialized once — feeds both sides of the wedge self-join
+    # (same duplicated-subtree fix as codegree_pairs; values unchanged)
+    wedge_in = und.join(centers.select("node"), "node").localCheckpoint()
     pairs = (
         wedge_in.alias("a")
         .join(wedge_in.alias("b"), "node")
@@ -1184,7 +1206,9 @@ def transitive_closure(
             )
             .distinct()
             .select(F.col("_gs").alias("src"), F.col("_gd").alias("dst"))
-            .localCheckpoint()
+            # r13: lazy — the count below materializes the checkpoint in
+            # the same job (was one extra job per round)
+            .localCheckpoint(eager=False)
         )
         n_now = grown.count()
         if n_now == n_prev:

@@ -64,6 +64,12 @@ def item_cosine_similarity(
     deg = inter.groupBy("_i").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n")
     )
+    # r13 note: the pairexpand.sorted_pairs rewrite was MEASURED 2.2x
+    # SLOWER here (8.1 vs 3.8 s noop at sf0.1): per-user catalogs are
+    # ~40 items, and the nested transform/slice expansion pays O(m²)
+    # array allocation per group — the join machinery generates the
+    # same pairs cheaper. The expansion only wins on small groups
+    # (co-order baskets ≤ 7, see plans/graph_inputs). Kept as-is.
     pairs = (
         inter.alias("a")
         .join(inter.alias("b"), "_u")

@@ -42,34 +42,15 @@ def co_order_edges(
     # r13 (optimization round): ONE order-keyed exchange instead of two.
     # The old shape — distinct (exchange on (order, key)) + self-join
     # (exchange on order) — paid two full shuffles of the pair-extraction
-    # input plus join machinery. A per-order ``collect_set`` (map-side
-    # combinable, so the pre-shuffle partial dedups exactly like the old
-    # distinct did) followed by a row-local sorted pair expansion emits
-    # the IDENTICAL multiset of rows: per order, every unordered pair of
-    # distinct keys exactly once, oriented src < dst by the array sort.
-    # NULL parity with the old equi-join: NULL order keys never joined,
-    # so they are filtered; NULL keys never satisfied a.key < b.key, and
-    # collect_set drops them the same way. Basket skew is bounded by the
-    # same argument as before (one order = one basket, lineitem ≤ 7
-    # rows), so the per-group array is tiny at any scale factor.
-    grouped = (
-        df.filter(F.col(order_col).isNotNull())
-        .groupBy(order_col)
-        .agg(F.array_sort(F.collect_set(F.col(key_col))).alias("_ks"))
-    )
-    ks = F.col("_ks")
-    pairs = F.flatten(
-        F.transform(
-            ks,
-            lambda x, i: F.transform(
-                F.slice(ks, i + F.lit(2), F.size(ks) - i - F.lit(1)),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
-    return grouped.select(F.explode(pairs).alias("_p")).select(
-        F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst")
-    )
+    # input plus join machinery; ``operators/pairexpand.sorted_pairs``
+    # emits the IDENTICAL multiset (per order, every unordered pair of
+    # distinct keys exactly once, oriented src < dst by the array sort)
+    # from one ``collect_set`` exchange + a row-local codegen expansion.
+    # Basket skew is bounded by the same argument as before (one order =
+    # one basket, lineitem ≤ 7 rows).
+    from ..operators.pairexpand import sorted_pairs
+
+    return sorted_pairs(df, order_col, key_col, out_a="src", out_b="dst")
 
 
 def part_coorder_edges(
