@@ -329,3 +329,27 @@ def test_max_coverage_rounds_never_shuffle_token_table_by_token(
     # rounds 2+ carry the covered anti-join as a broadcast build
     for p in gains[1:]:
         assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_bpe_train_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The vocab-bounded driver BPE merge loop (r13, the cox/ALS
+    driver-reduction pattern) must learn the IDENTICAL merge list as
+    the distributed Arrow-UDF loop — same pair counts, same
+    (count desc, 'lo hi' asc) tie-break, same leftmost-first
+    _merge_word application; only the physical execution differs."""
+    from ups_crossref_etl_spark.operators import bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "a rat sat where the cat sat",
+        "banana bandana cabana",
+        "scattered cats chatter",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    driver = bpe.bpe_train(df, "text", n_merges=8)
+    monkeypatch.setattr(bpe, "_DRIVER_MERGE_MAX", -1)
+    dist = bpe.bpe_train(df, "text", n_merges=8)
+    assert driver == dist and len(driver) == 8

@@ -39,6 +39,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
+#: Vocabulary bound for the driver-side BPE merge loop (the cox/ALS
+#: driver-reduction pattern): below it, training collects the (word, n)
+#: vocab ONCE and runs the merge rounds in Python — identical results,
+#: none of the per-round job/UDF floors. Above it, the distributed
+#: Arrow-UDF loop runs (billion-word vocabularies never fit a driver).
+_DRIVER_MERGE_MAX = 65536
+
 
 def _merge_word(syms: list, pair: tuple[str, str]) -> list:
     """Leftmost-first, non-overlapping application of one merge."""
@@ -82,8 +89,14 @@ def _adjacent_pairs(syms_col):
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """``(word, n)`` over lowercased word tokens — the one corpus-sized
     aggregation BPE training needs."""
+    from ..sources.lake import spread_scan
+
+    # r13: spread a single-row-group scan so the tokenize+explode runs
+    # on every core (guide §2.5; no-op on multi-split inputs — counts
+    # are layout-invariant)
     return (
-        df.select(
+        spread_scan(df.select(text_col))
+        .select(
             F.explode(
                 F.filter(
                     F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
@@ -101,9 +114,44 @@ def bpe_train(
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merge pairs; returns them in rank order.
     Stops early if no adjacent pair occurs twice."""
-    vocab = word_vocab(df, text_col).select(
+    vocab_df = word_vocab(df, text_col)
+    # r13 driver merge loop (the cox/ALS bounded-reduction pattern):
+    # training's RESULT is a tiny driver-side merge list, and its loop
+    # state is VOCAB-sized, not corpus-sized — when the distinct-word
+    # vocabulary fits under _DRIVER_MERGE_MAX, ONE job collects
+    # (word, n) and the 10-round argmax/merge loop runs in pure Python
+    # with the same _merge_word and the same (count desc, pair asc)
+    # tie-break, bit-identical to the distributed unroll (pinned by a
+    # dual-path test). The distributed loop below pays ~2 jobs + one
+    # Arrow-UDF stage PER MERGE (measured ~4.1 s of pure round floors
+    # at sf0.1) and remains the path for vocabularies past the bound.
+    head = vocab_df.limit(_DRIVER_MERGE_MAX + 1).collect()
+    if len(head) <= _DRIVER_MERGE_MAX:
+        words: list[tuple[list, int]] = [
+            (list(r["word"]), int(r["n"])) for r in head
+        ]
+        merges_d: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            cnt: dict[tuple[str, str], int] = {}
+            for syms, n in words:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    cnt[p] = cnt.get(p, 0) + n
+            if not cnt:
+                break
+            # the distributed loop orders by (cnt DESC, 'lo hi' ASC) —
+            # mirror the string tie-break exactly
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+            if best[1] < 2:
+                break
+            pair = best[0]
+            merges_d.append(pair)
+            words = [(_merge_word(syms, pair), n) for syms, n in words]
+        return merges_d
+
+    vocab = vocab_df.select(
         "n", F.split("word", "(?!$)").alias("syms")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -123,7 +171,7 @@ def bpe_train(
         merges.append((lo, hi))
         vocab = vocab.select(
             "n", _merge_udf((lo, hi))(F.col("syms")).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -157,8 +205,13 @@ def bpe_segment(
                 {"_id": b["_id"], "n_words": n_words, "n_bpe_tokens": n_toks}
             )
 
-    out = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    from ..sources.lake import spread_scan
+
+    # r13: row-local Python map — spread a single-row-group scan so the
+    # per-doc merge replay uses every core (guide §2.5/§4; no-op on
+    # multi-split inputs; per-row output, layout-invariant)
+    out = spread_scan(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     ).mapInPandas(
         seg, schema=f"_id long, n_words long, n_bpe_tokens long"
     )
@@ -226,7 +279,10 @@ def bpe_encode(
                 {"_id": ids, "n_tokens": ntoks, "tokens_str": toks}
             )
 
-    out = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    from ..sources.lake import spread_scan
+
+    # r13: same spread as bpe_segment — the encode replay is row-local
+    out = spread_scan(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     ).mapInPandas(enc, schema="_id long, n_tokens long, tokens_str string")
     return out.withColumnRenamed("_id", id_col)

@@ -237,6 +237,11 @@ def als_factorize(
     """
     if rank < 1 or iterations < 1:
         raise ValueError("als_factorize: rank and iterations must be >= 1")
+    # r13: materialize the ratings relation ONCE — every half-step joins
+    # it and the gate feeds an aggregate here, so without this the
+    # upstream scan+shuffle re-executed 2*iterations times; the entity-
+    # count job below completes the lazy checkpoint in the same job
+    ratings = ratings.localCheckpoint(eager=False)
     items = ratings.select(F.col(item_col).alias(item_col)).distinct()
     # entity counts, measured ONCE per fit in ONE aggregate job: they
     # gate the driver batch solve and the broadcast of the fixed factor

@@ -1299,6 +1299,13 @@ def winsorized_mean(
         .cast("bigint")
         .alias("_vq"),
     ).filter(F.col("_vq").isNotNull())
+    from ..sources.lake import spread_scan
+
+    # r13: spread a single-row-group scan (integer-quantized values,
+    # exact percentiles and BIGINT sums — layout-invariant) and
+    # materialize once: ``base`` feeds the cuts aggregate AND the
+    # clamp join, so the scan otherwise executes twice
+    base = spread_scan(base).localCheckpoint(eager=False)
     cuts = base.groupBy("grp").agg(
         F.round(F.percentile("_vq", F.lit(float(lower))))
         .cast("bigint")
@@ -2485,7 +2492,11 @@ def cronbach_alpha(df: DataFrame, item_cols: list[str]) -> DataFrame:
         F.round(F.col(c).cast("double") * 1e6).cast("bigint").alias(f"_q{i}")
         for i, c in enumerate(item_cols)
     ]
-    base = df.filter(cond).select(*qs)
+    from ..sources.lake import spread_scan
+
+    # r13: exact integer/decimal sums — layout-invariant; spread a
+    # single-row-group scan (guide §2.5; no-op on multi-split inputs)
+    base = spread_scan(df.filter(cond).select(*qs))
     tot = F.lit(0).cast("bigint")
     for i in range(k):
         tot = tot + F.col(f"_q{i}")
@@ -2552,6 +2563,12 @@ def partial_corr(
         & F.col(y_col).isNotNull()
         & F.col(z_col).isNotNull()
     ).select(q(x_col, "_x"), q(y_col, "_y"), q(z_col, "_z"))
+    from ..sources.lake import spread_scan
+
+    # r13: decimal(38,0) moment sums are exact/commutative — spread a
+    # single-row-group scan so the per-row BigDecimal work parallelizes
+    # (guide §2.5; no-op on multi-split inputs; same as corr_matrix)
+    base = spread_scan(base)
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     agg = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),

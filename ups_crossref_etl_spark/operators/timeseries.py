@@ -611,6 +611,9 @@ def theil_sen_trend(
         )
     # NULL/non-castable values drop BEFORE pairing so n_pairs counts
     # exactly the slopes the median sees (consumers weight by it)
+    # r13: materialize ``a`` once — it feeds BOTH pair-join sides and
+    # the n_points aggregate (subtree otherwise executed 3x per run)
+    a = a.localCheckpoint()
     b = a.select(
         F.col("_k"),
         F.col("_t").alias("_t2"),

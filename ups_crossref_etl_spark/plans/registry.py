@@ -138,6 +138,20 @@ _CHANGED_THIS_ROUND = [
     "q_graph_rectangles_exact",
     "q_graph_hits",
     "q_graph_clustering_coefficient",
+    # round-13 optimization wave 5: ALS ratings checkpointed once per
+    # fit; theil_sen input materialized once (fed both pair-join sides
+    # + counts); winsorized/cronbach/partial_corr/quality-classifier
+    # conditional scan spread (exact integer/decimal aggregates —
+    # layout-invariant; the classifier gate outputs boolean bounds);
+    # BPE driver merge loop below _DRIVER_MERGE_MAX (dual-path pinned).
+    "q_docs_quality_classifier_bound",
+    "q_lineitem_winsorized_price",
+    "q_lineitem_cronbach_alpha",
+    "q_lineitem_partial_corr",
+    "q_events_theil_sen",
+    "q_events_theil_sen_capped",
+    "q_events_theil_sen_cap_agreement",
+    "q_docs_bpe_encode",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

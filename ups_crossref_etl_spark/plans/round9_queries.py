@@ -640,8 +640,19 @@ def q_docs_quality_classifier_bound(
     from ..operators.evaluation import binary_auc
     from ..operators.text_analysis import quality_features
 
-    d = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    from ..sources.lake import spread_scan
+
+    # r13: spread BELOW the feature projection (a single-row-group scan
+    # otherwise evaluates the regex-heavy quality_features on one core
+    # at checkpoint time — guide §2.5 input skew; no-op on multi-split
+    # inputs). The gate's outputs are boolean bounds + exact counts, so
+    # the ulp-level order sensitivity of the double sufficient-statistic
+    # sums (which the DuckDB oracle never reproduced bit-for-bit either)
+    # cannot flip them.
+    d = spread_scan(
+        read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+        ).select("text", "n_chars")
     )
     qf = quality_features(F.col("text"))
     feats = d.select(

@@ -95,10 +95,29 @@ def spread_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
     aggregates (decimal sums, counts, min/max), shuffle-keyed joins and
     groupBys — NOT per-partition-sketch operators (KLL, IVF k-means
     partials) whose output depends on which rows share a partition.
+
+    Detection: total input-file bytes under ``target x openCostInBytes
+    (4 MB)`` — below that the split packer cannot hand every core a
+    meaty split, so the scan is parallelism-starved whatever the
+    row-group layout. (The first implementation probed
+    ``df.rdd.getNumPartitions()``, which compiles the plan to an RDD —
+    measured ~0.4 s of pure driver overhead PER CALL; the file-size
+    probe is a local stat of an already-listed file index.) Non-file
+    and remote sources return unchanged — at cluster scale the inputs
+    split on their own.
     """
     spark = df.sparkSession
     target = parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = df.inputFiles()
+        total = 0
+        for p in files:
+            if not p.startswith("file:"):
+                return df
+            total += os.path.getsize(p.removeprefix("file:"))
+    except Exception:  # noqa: BLE001 — unknown source: leave untouched
+        return df
+    if not files or total >= target * 4 * 1024 * 1024:
         return df
     return df.repartition(target)
 
