@@ -123,7 +123,14 @@ def frequent_triples(
     n = b.select("_b").distinct().count()
     thr = float(min_support_frac) * n
 
-    l2 = _pairs_from(b, n, min_support_frac).select("item_a", "item_b")
+    # r13: l2 is referenced THREE times (the pair-in-basket prune and
+    # both sub-pair broadcast prunes) — materialize the small frequent-
+    # pair set once instead of re-running its pipeline per reference
+    l2 = (
+        _pairs_from(b, n, min_support_frac)
+        .select("item_a", "item_b")
+        .localCheckpoint()
+    )
     # baskets containing a frequent pair (a < b), joined with a third
     # member c > b, pruned so (a, c) and (b, c) are frequent too
     pair_in_basket = (
