@@ -522,6 +522,7 @@ def _shuffle_sentinel(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench")
     specs = load_all()
 
@@ -597,17 +598,23 @@ def main() -> None:
         "shuffle_sentinel_pre": shuffle_sentinel_pre,
         "shuffle_sentinel_post": shuffle_sentinel_post,
         "sf": sf,
+        "cpus": cpus,
     }
     if stream_metrics:
         full["stream_metrics"] = stream_metrics
     if errors:
         full["errors"] = errors
     # full detail: one (large) log line + a committable file — NOT the
-    # last line, since the driver's tail capture only keeps ~2000 chars
+    # last line, since the driver's tail capture only keeps ~2000 chars.
+    # r14 (r13 verdict #2): a non-default core count writes its OWN file
+    # (BENCH_LOCAL_c{N}.json) so the driver's 8-core scaling pass no
+    # longer clobbers the 32-core full per-query detail, and both JSON
+    # lines carry ``cpus`` so any captured artifact states its core count.
     print(json.dumps(full))
+    local_name = "BENCH_LOCAL.json" if cpus == 32 else f"BENCH_LOCAL_c{cpus}.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as f:
+                               local_name), "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass
@@ -628,6 +635,7 @@ def main() -> None:
         "shuffle_sentinel_pre": shuffle_sentinel_pre,
         "shuffle_sentinel_post": shuffle_sentinel_post,
         "sf": sf,
+        "cpus": cpus,
     }
     line = json.dumps(compact)
     assert len(line) < 1500, f"compact bench line too long ({len(line)}B)"

@@ -93,7 +93,13 @@ def shingle_hash_rows(
     (The per-row array formulation this replaces was measured 5-50×
     slower: higher-order functions are interpreted, not codegen'd.)
     """
-    toks = df.select(
+    # r14 (r13 verdict #6): spread a parallelism-starved scan before
+    # tokenize+posexplode — xxhash64 shingle keys are content-derived
+    # and the downstream (id-keyed windows, min/count aggregates,
+    # distinct) is layout-invariant; no-op on multi-split inputs.
+    from ..sources.lake import spread_scan
+
+    toks = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.posexplode(_tokens(F.col(text_col))).alias("_pos", "_tok"),
     )
@@ -289,9 +295,13 @@ def minhash_near_dup_pairs(
     ``minhash_lsh_candidates`` + ``ngram_jaccard_pairs`` form) doubles the
     dominant scan at corpus scale; measured at sf0.1/local[32] this fused
     form is ~1.6× faster cold (7.3s → 4.5s)."""
+    # r14: LAZY checkpoint — every consumer (signature aggregation,
+    # verify joins) reads full partitions, so the first stage of the
+    # caller's action materializes it; the eager form paid a standalone
+    # job plus a driver sync before the query even started.
     sh_rows = shingle_hash_rows(
         df, text_col, id_col, shingle_k, distinct=False
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket_size,
         shingle_rows=sh_rows,

@@ -1654,8 +1654,54 @@ def _ranged_exclusive_cumsum(
         ).withColumn("_pid", F.spark_partition_id())
     for w in wcols:
         ranked = ranked.withColumn(f"_lsum_{w}", F.sum(w).over(wrun))
+    if not prepartitioned and totals_out is None:
+        # r14: ZERO standalone jobs on this path. The partition-offset
+        # fold moves IN-PLAN: a <= n_parts-row per-pid aggregate + an
+        # exclusive running sum over those rows (a bounded
+        # unpartitioned window) broadcast-joined back. The checkpoint
+        # stays — measured fact: range exchanges are NEVER reused by
+        # the planner (hash exchanges are), so without it the two
+        # consumers would each execute their own range shuffle with an
+        # independent RangePartitioner sample and the pid assignments
+        # could drift — but it is LAZY: the caller's single action
+        # materializes it while building the broadcast (every offset
+        # aggregates every partition, so no consumer can observe a
+        # partial store). Offsets are the same exact bigint sums the
+        # driver fold produced. Remaining cost: one plan-to-RDD
+        # compile (~0.3-0.5 s driver-side) that localCheckpoint pays
+        # even when lazy.
+        ranked = ranked.localCheckpoint(eager=False)
+        from pyspark.sql import Window as _W
+
+        woff = _W.orderBy("_pid").rowsBetween(_W.unboundedPreceding, -1)
+        off_df = ranked.groupBy("_pid").agg(
+            *[F.sum(w).alias(f"_tot_{w}") for w in wcols]
+        ).select(
+            "_pid",
+            *[
+                F.coalesce(F.sum(f"_tot_{w}").over(woff), F.lit(0))
+                .cast("bigint")
+                .alias(f"_poff_{w}")
+                for w in wcols
+            ],
+        )
+        return ranked.join(F.broadcast(off_df), "_pid").select(
+            order_col,
+            *wcols,
+            *[
+                (F.col(f"_poff_{w}") + F.col(f"_lsum_{w}") - F.col(w))
+                .cast("bigint")
+                .alias(o)
+                for w, o in zip(wcols, ocols)
+            ],
+        )
     if not prepartitioned:
-        ranked = ranked.localCheckpoint()
+        # totals_out path: the grand total must reach the driver, and
+        # the collected offsets must stay consistent with the pid
+        # assignment the CALLER's later action sees — exchange reuse
+        # cannot span actions, so this path keeps the (lazy)
+        # checkpoint; the totals collect materializes it.
+        ranked = ranked.localCheckpoint(eager=False)
     elif cache_pool is not None:
         ranked = ranked.persist()
         cache_pool.append(ranked)
@@ -1715,21 +1761,28 @@ def percent_rank_unique(
     per_v = df.groupBy(F.col(value_col).alias("_v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_t")
     )
-    offs = _ranged_exclusive_cumsum(per_v, "_v", "_t", "_off").select(
-        "_v", "_off"
+    # r14: n = Σ_t folds in from the cumsum primitive's output (its
+    # internal checkpoint) — the standalone df.count() job re-executed
+    # the caller's whole upstream once per run just to embed the
+    # denominator as a literal. Same exact integer, same double.
+    pre = _ranged_exclusive_cumsum(per_v, "_v", "_t", "_off")
+    offs = pre.select("_v", "_off")
+    nrow = pre.agg(
+        F.when(F.sum("_t") > 1, (F.sum("_t") - 1).cast("double"))
+        .otherwise(F.lit(1.0))
+        .alias("_denom")
     )
-    n = df.count()
     wr = Window.partitionBy(value_col).orderBy(id_col)
-    denom = float(n - 1) if n > 1 else 1.0
     return (
         df.join(offs, df[value_col] == offs["_v"])
+        .crossJoin(F.broadcast(nrow))
         .withColumn("_r", F.row_number().over(wr))
         .withColumn(
             out_col,
             (F.col("_off") + F.col("_r") - F.lit(1)).cast("double")
-            / F.lit(denom),
+            / F.col("_denom"),
         )
-        .drop("_v", "_off", "_r")
+        .drop("_v", "_off", "_r", "_denom")
     )
 
 
@@ -2165,8 +2218,16 @@ def wilcoxon_signed_rank(
         .cast("bigint")
         .alias("_d")
     ).filter(F.col("_d").isNotNull())
-    n_pairs = d.count()
-    nz = d.filter(F.col("_d") != 0).select(
+    # r14: the zero-difference group RIDES the range pass instead of a
+    # standalone d.count() job (which re-executed the whole upstream
+    # once per run purely to embed n_pairs as a literal). |d| = 0 is the
+    # smallest key, so it takes offset 0 and inflates every nonzero
+    # offset by the zero count zc; the midrank correction subtracts it
+    # back EXACTLY in the final aggregate:
+    #   Σ _tp·(_off − zc + (_t+1)/2)  =  S1 − zc·S2
+    # with S1/S2 plain sums over nonzero rows — counts and half-integer
+    # midranks, all exact below 2^52, so w_plus is bit-identical.
+    nz = d.select(
         F.abs(F.col("_d")).alias("_a"),
         (F.col("_d") > 0).alias("_pos"),
     )
@@ -2177,22 +2238,31 @@ def wilcoxon_signed_rank(
     # exclusive prefix of _t via the range-partitioned primitive (no
     # unpartitioned window even with near-unique |d|); _tp rides the
     # same range pass as a second weight column
-    ranked = _ranged_exclusive_cumsum(
+    pre = _ranged_exclusive_cumsum(
         per_v, "_a", ["_t", "_tp"], ["_off", "_offp"]
-    ).select(
-        "_t", "_tp",
-        (
-            F.col("_off").cast("double")
-            + (F.col("_t") + 1).cast("double") / 2.0
-        ).alias("_midrank"),
     )
-    agg = ranked.agg(
-        F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_nonzero"),
-        F.sum(F.col("_tp") * F.col("_midrank")).alias("_wp"),
+    is_nz = F.col("_a") != 0
+    midrank_raw = (
+        F.col("_off").cast("double")
+        + (F.col("_t") + 1).cast("double") / 2.0
+    )
+    agg = pre.agg(
+        F.coalesce(F.sum(F.when(~is_nz, F.col("_t"))), F.lit(0))
+        .cast("bigint")
+        .alias("_zc"),
+        F.coalesce(F.sum(F.when(is_nz, F.col("_t"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_nonzero"),
+        F.sum(F.when(is_nz, F.col("_tp") * midrank_raw)).alias("_s1"),
+        F.sum(F.when(is_nz, F.col("_tp"))).cast("bigint").alias("_s2"),
         F.sum(
-            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            F.when(
+                is_nz,
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"),
+            )
         ).alias("_ties"),
     )
+    wp = F.col("_s1") - (F.col("_zc") * F.col("_s2")).cast("double")
     nn = F.col("n_nonzero").cast("double")
     mean = nn * (nn + 1.0) / 4.0
     var = nn * (nn + 1.0) * (2.0 * nn + 1.0) / 24.0 - F.col(
@@ -2200,12 +2270,12 @@ def wilcoxon_signed_rank(
     ).cast("double") / 48.0
     z = F.when(
         (F.col("n_nonzero") >= 2) & (var > 0.0),
-        (F.col("_wp") - mean) / F.sqrt(var),
+        (wp - mean) / F.sqrt(var),
     )
     return agg.select(
-        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        (F.col("n_nonzero") + F.col("_zc")).cast("bigint").alias("n_pairs"),
         "n_nonzero",
-        (F.round(F.col("_wp"), 2) + 0.0).alias("w_plus"),
+        (F.round(wp, 2) + 0.0).alias("w_plus"),
         (F.round(z, 6) + 0.0).alias("z"),
     )
 
@@ -2333,17 +2403,26 @@ def friedman_test(
     ).filter(
         F.col("_b").isNotNull() & F.col("_t").isNotNull() & F.col("_v").isNotNull()
     )
+    # r14: one action, one upstream execution. cell (block×treatment-
+    # sized) is lazily checkpointed — it feeds the completeness filter,
+    # the rank pass, and the two tiny scalar aggregates below, which
+    # previously ran as 2 standalone count() jobs (k_all, n_blocks) +
+    # a final plan that re-executed the cell subtree 4 more times.
     cell = base.groupBy("_b", "_t").agg(
         (
             F.sum(F.col("_v").cast(_DEC)).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("_m")
+    ).localCheckpoint(eager=False)
+    # distinct treatments of cell == distinct treatments of base (every
+    # base row lands in exactly one cell), read from the checkpoint
+    kt = cell.select("_t").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_kall")
     )
-    k_all = base.select("_t").distinct().count()
     complete = (
         cell.groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_nt"))
-        .filter(F.col("_nt") == k_all)
+        .join(F.broadcast(kt), F.col("_nt") == F.col("_kall"))
         .select("_b")
     )
     cc = cell.join(complete, "_b")
@@ -2360,20 +2439,27 @@ def friedman_test(
             / 2.0
         ).alias("_r"),
     )
-    # model-sized driver scalars (the blocking_quality convention):
-    # number of complete blocks and the treatment count
-    n_blocks = complete.count()
-    per_t = rk.groupBy("_t").agg(F.sum("_r").alias("_rj"))
-    tots = rk.agg(F.sum(F.col("_r") * F.col("_r")).alias("_a"))
-    dev = F.col("_rj") - F.lit(float(n_blocks)) * (
-        F.lit(float(k_all)) + 1.0
-    ) / 2.0
-    agg = per_t.groupBy().agg(
-        F.lit(n_blocks).cast("bigint").alias("n_blocks"),
-        F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
-        F.sum(dev * dev).alias("_dev2"),
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("_nb"))
+    # Σr² rides the per-treatment pass (exact: _r are halves, _r²
+    # quarter-units — partial-then-total regrouping cannot round)
+    per_t = rk.groupBy("_t").agg(
+        F.sum("_r").alias("_rj"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_aj"),
     )
-    j = agg.join(tots)
+    dev = F.col("_rj") - F.col("_nb").cast("double") * (
+        F.col("_kall").cast("double") + 1.0
+    ) / 2.0
+    j = (
+        per_t.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kt))
+        .groupBy()
+        .agg(
+            F.coalesce(F.max("_nb"), F.lit(0)).cast("bigint").alias("n_blocks"),
+            F.count(F.lit(1)).cast("bigint").alias("k_treatments"),
+            F.sum(dev * dev).alias("_dev2"),
+            F.sum("_aj").alias("_a"),
+        )
+    )
     n = F.col("n_blocks").cast("double")
     k = F.col("k_treatments").cast("double")
     c = n * k * (k + 1.0) * (k + 1.0) / 4.0
@@ -2717,15 +2803,22 @@ def cochran_q(
         & F.col("_t").isNotNull()
         & F.col("_y").isNotNull()
     )
-    cell = base.groupBy("_s", "_t").agg(F.max("_y").alias("_y"))
-    k_all = base.select("_t").distinct().count()
+    # r14: no standalone distinct-count job — cell is lazily
+    # checkpointed (it feeds the completeness filter and the treatment
+    # totals) and the treatment count folds in as a broadcast 1-row
+    # join condition (distinct _t of cell == distinct _t of base).
+    cell = base.groupBy("_s", "_t").agg(F.max("_y").alias("_y")) \
+        .localCheckpoint(eager=False)
+    kt = cell.select("_t").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_kall")
+    )
     rows = (
         cell.groupBy("_s")
         .agg(
             F.count(F.lit(1)).alias("_nt"),
             F.sum("_y").cast("bigint").alias("_li"),
         )
-        .filter(F.col("_nt") == k_all)
+        .join(F.broadcast(kt), F.col("_nt") == F.col("_kall"))
     )
     complete = rows.select("_s")
     gj = (
@@ -2800,12 +2893,18 @@ def page_trend(
         & F.col("_t").isin(list(treatment_order))
         & F.col("_v").isNotNull()
     )
+    # r14: no standalone n_blocks count() job — cell lazily
+    # checkpointed (feeds completeness + ranks), the complete-block
+    # count folds in as a broadcast 1-row crossJoin, and the moment
+    # formulae move from Python floats to identical column arithmetic
+    # (n·k(k+1)²/4 etc. are products of exact small-int doubles — no
+    # rounding either way).
     cell = base.groupBy("_b", "_t").agg(
         (
             F.sum(F.col("_v").cast(_DEC)).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("_m")
-    )
+    ).localCheckpoint(eager=False)
     complete = (
         cell.groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_nt"))
@@ -2830,23 +2929,24 @@ def page_trend(
         [(t, i + 1) for i, t in enumerate(treatment_order)],
         "_t string, _j int",
     )
-    n_blocks = complete.count()
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("_nb"))
     agg = (
         rk.join(F.broadcast(ordw), "_t")
         .agg(
             F.sum(F.col("_j").cast("double") * F.col("_r")).alias("_l")
         )
+        .crossJoin(F.broadcast(nb))
     )
-    nd = float(n_blocks)
     kd = float(k)
+    nd = F.col("_nb").cast("double")
     mean_l = nd * kd * (kd + 1.0) ** 2 / 4.0
     var_l = nd * kd * kd * (kd + 1.0) * (kd * kd - 1.0) / 144.0
-    okv = n_blocks >= 2 and k >= 3 and var_l > 0.0
     z = F.when(
-        F.lit(okv), (F.col("_l") - F.lit(mean_l)) / F.lit(math.sqrt(var_l) if var_l > 0 else 1.0)
+        (F.col("_nb") >= 2) & F.lit(k >= 3) & (var_l > 0.0),
+        (F.col("_l") - mean_l) / F.sqrt(var_l),
     )
     return agg.select(
-        F.lit(n_blocks).cast("bigint").alias("n_blocks"),
+        F.col("_nb").alias("n_blocks"),
         F.lit(k).cast("bigint").alias("k_treatments"),
         (F.round(F.col("_l"), 2) + 0.0).alias("l_stat"),
         (F.round(z, 6) + 0.0).alias("z"),
@@ -2863,13 +2963,13 @@ def _ranged_suffix_min(
     order with NO unpartitioned WindowExec — the running-min mirror of
     :func:`_ranged_exclusive_cumsum`: ``repartitionByRange`` ascending
     on the (distinct) order key, per-partition running min from the
-    RIGHT (a descending-order window inside each range), one
-    <= num_partitions-row driver collect of partition minima folded
-    from the right into broadcast offsets, and
-    ``suffix = least(local_suffix, offset)``. Requires ``order_col``
-    distinct and ``weight_col`` integer (BIGINT) — quantize doubles
-    first. Powers :func:`bh_adjust`'s step-up sweep; min is
-    associative/commutative so the fold is exact.
+    RIGHT (a descending-order window inside each range), an IN-PLAN
+    <= num_partitions-row partition-minima fold broadcast back (r14 —
+    zero standalone jobs), and ``suffix = least(local_suffix,
+    offset)``. Requires ``order_col`` distinct and ``weight_col``
+    integer (BIGINT) — quantize doubles first. Powers
+    :func:`bh_adjust`'s step-up sweep; min is associative/commutative
+    so the fold is exact.
     """
     from pyspark.sql import Window
 
@@ -2887,21 +2987,28 @@ def _ranged_suffix_min(
         per_v.repartitionByRange(n_parts, F.col(order_col).asc())
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lmin", F.min(weight_col).over(wrun))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    mins = ranked.groupBy("_pid").agg(
-        F.min(weight_col).alias("_m")
-    ).collect()
+    # r14: partition-minima fold moved IN-PLAN (the cumsum primitive's
+    # change, mirrored): per-pid minima + an EXCLUSIVE running min over
+    # descending pid (partition i's offset = min over all LATER
+    # partitions; the last partition gets the sentinel) — a bounded
+    # <= n_parts-row window, broadcast-joined back. Same exact integers
+    # as the driver fold; zero standalone jobs; the LAZY checkpoint is
+    # materialized by the broadcast build and keeps the two consumers
+    # on one frozen pid assignment (range exchanges are never reused
+    # by the planner — see the cumsum primitive).
     sentinel = (1 << 62)
-    acc = sentinel
-    offsets = []
-    # fold partition minima from the RIGHT: partition i's offset is the
-    # min over all later partitions
-    for r in sorted(mins, key=lambda r: -r["_pid"]):
-        offsets.append((int(r["_pid"]), acc))
-        acc = min(acc, int(r["_m"]))
-    off_df = spark.createDataFrame(
-        offsets or [(0, sentinel)], "_pid int, _soff bigint"
+    woff = Window.orderBy(F.col("_pid").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = ranked.groupBy("_pid").agg(
+        F.min(weight_col).alias("_m")
+    ).select(
+        "_pid",
+        F.coalesce(F.min("_m").over(woff), F.lit(sentinel))
+        .cast("bigint")
+        .alias("_soff"),
     )
     return ranked.join(F.broadcast(off_df), "_pid").select(
         order_col,
@@ -2946,27 +3053,32 @@ def bh_adjust(
         F.col(key_col).alias("_k"),
         F.col(p_col).cast("double").alias("_p"),
     ).filter(F.col("_p").isNotNull())
-    m = base.count()
     per_p = base.groupBy("_p").agg(
         F.count(F.lit(1)).cast("bigint").alias("_t")
     )
-    offs = _ranged_exclusive_cumsum(per_p, "_p", "_t", "_off").select(
-        "_p", "_off"
-    )
+    # r14: m = Σ_t folds in from the cumsum primitive's OUTPUT (its
+    # internal checkpoint — no re-execution of base, no standalone
+    # count() job); same exact integer as base.count(), cast to the
+    # same double.
+    pre = _ranged_exclusive_cumsum(per_p, "_p", "_t", "_off")
+    offs = pre.select("_p", "_off")
+    mrow = pre.agg(F.sum("_t").cast("bigint").alias("_m"))
     wr = Window.partitionBy("_p").orderBy("_k")
     ranked = (
         base.join(offs, "_p")
+        .crossJoin(F.broadcast(mrow))
         .withColumn("_rank", F.col("_off") + F.row_number().over(wr))
         .select(
             "_k", "_p", "_rank",
             F.round(
-                F.col("_p") * F.lit(float(m)) / F.col("_rank").cast("double")
+                F.col("_p") * F.col("_m").cast("double")
+                / F.col("_rank").cast("double")
                 * 1e9
             )
             .cast("bigint")
             .alias("_cq"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sw = _ranged_suffix_min(
         ranked.select("_rank", "_cq"), "_rank", "_cq", "_sq"
     )
@@ -3446,19 +3558,24 @@ def quade_test(
         & F.col("_t").isin(list(treatment_order))
         & F.col("_v").isNotNull()
     )
+    # r14: cell and cc lazily checkpointed — cc feeds BOTH the midrank
+    # pass and the block-range pass (previously the whole cell⋈complete
+    # subtree executed once per consumer), and the complete-block count
+    # folds in as a broadcast 1-row crossJoin instead of a standalone
+    # count() job.
     cell = base.groupBy("_b", "_t").agg(
         (
             F.sum(F.col("_v").cast(_DEC)).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("_m")
-    )
+    ).localCheckpoint(eager=False)
     complete = (
         cell.groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_nt"))
         .filter(F.col("_nt") == k)
         .select("_b")
     )
-    cc = cell.join(complete, "_b")
+    cc = cell.join(complete, "_b").localCheckpoint(eager=False)
     # within-block midranks in x2 half-units: 2*rank + ties - 1
     rk = cc.select(
         "_b",
@@ -3488,36 +3605,37 @@ def quade_test(
     scored = rk.join(qrk, "_b").select(
         "_t", s4.cast("decimal(38,0)").alias("_s4")
     )
-    n_blocks = complete.count()
+    # r14: A = Σ S_ij² rides the per-treatment pass (DECIMAL(38,0)
+    # partial-then-total regrouping of exact integers — cannot round),
+    # so ONE grouped aggregate replaces the two scored-subtree
+    # consumers; n_blocks folds in as a broadcast 1-row crossJoin.
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("_nb"))
     per_j = scored.groupBy("_t").agg(
-        F.sum("_s4").cast("decimal(38,0)").alias("_sj4")
-    )
-    a16 = scored.agg(
+        F.sum("_s4").cast("decimal(38,0)").alias("_sj4"),
         F.sum(dec(F.col("_s4")) * dec(F.col("_s4")))
         .cast("decimal(38,0)")
-        .alias("_a16")
+        .alias("_aj16"),
     )
-    b16 = per_j.agg(
+    joined = per_j.agg(
+        F.sum(F.col("_aj16")).cast("decimal(38,0)").alias("_a16"),
         F.sum(dec(F.col("_sj4")) * dec(F.col("_sj4")))
         .cast("decimal(38,0)")
-        .alias("_b16")
-    )
-    spark = df.sparkSession
-    nd = F.lit(float(n_blocks))
-    joined = a16.crossJoin(F.broadcast(b16))
+        .alias("_b16"),
+    ).crossJoin(F.broadcast(nb))
+    nd = F.col("_nb").cast("double")
     a16d = F.col("_a16").cast("double")
     b16d = F.col("_b16").cast("double")
     denom = nd * a16d - b16d
     f_stat = F.when(
-        F.lit(n_blocks >= 2) & (denom > 0.0),
+        (F.col("_nb") >= 2) & (denom > 0.0),
         (nd - 1.0) * b16d / denom,
     )
     return joined.select(
-        F.lit(n_blocks).cast("bigint").alias("n_blocks"),
+        F.col("_nb").alias("n_blocks"),
         F.lit(k).cast("bigint").alias("k_treatments"),
         (F.round(f_stat, 6) + 0.0).alias("f_stat"),
         F.lit(k - 1).cast("bigint").alias("df1"),
-        F.lit((n_blocks - 1) * (k - 1)).cast("bigint").alias("df2"),
+        ((F.col("_nb") - 1) * F.lit(k - 1)).cast("bigint").alias("df2"),
     )
 
 

@@ -55,8 +55,15 @@ def _grams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
         f"transform(sequence(1, greatest(size(_toks) - {k} + 1, 0)), "
         f"i -> concat_ws(' ', slice(_toks, i, {k})))"
     )
+    # r14 (r13 verdict #6): spread a parallelism-starved scan before the
+    # tokenize+gram explode — md5 gram hashes are content-derived and
+    # every downstream step (per-doc ordered windows with a tie-free
+    # composite min key, distinct, exact counts) is layout-invariant.
+    from ..sources.lake import spread_scan
+
     return (
-        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .filter(F.size("_toks") >= k)
         .select("doc_id", F.posexplode(gram_list).alias("_p0", "gram"))
         .select(
@@ -114,10 +121,14 @@ def winnow_overlap_pairs(
     Fingerprints appearing in more than ``max_df`` documents are
     dropped (both for fanout and because ubiquity means boilerplate,
     not copying)."""
+    # r14: fp feeds the df-count aggregate AND the kept join; kept feeds
+    # BOTH sides of the pair self-join — two lazy checkpoints execute
+    # the fingerprint pipeline once per action instead of four times.
     fp = (
         winnow_fingerprints(df, text_col, id_col, k=k, w=w)
         .select("doc_id", "fp_hash")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     df_counts = fp.groupBy("fp_hash").agg(
         F.count(F.lit(1)).alias("_df")
@@ -125,7 +136,7 @@ def winnow_overlap_pairs(
     kept = fp.join(
         df_counts.filter(F.col("_df") <= max_df).select("fp_hash"),
         "fp_hash",
-    )
+    ).localCheckpoint(eager=False)
     pairs = (
         kept.alias("a")
         .join(kept.alias("b"), "fp_hash")

@@ -51,7 +51,7 @@ def register(name: str, oracle: str | None, doc: str = "", gate: bool = True):
 
 
 #: Current build round — keys the deterministic rotation in ``load_all``.
-_ROUND = 13
+_ROUND = 14
 
 #: Queries whose code or oracle changed in the CURRENT round — they jump
 #: to the head of the registry so the driver's bounded correctness window
@@ -62,96 +62,65 @@ _ROUND = 13
 #: gated query lacking committed verification evidence (CORRECTNESS_r*/
 #: FULLCHECK_r* union) is missing from this list.
 _CHANGED_THIS_ROUND = [
-    # round-13 ADVICE fixes: epoch bucketing div→floor (matches the
-    # oracles' `//` floor semantics for pre-1970 timestamps; values
-    # unchanged on the nonnegative-epoch test data), single-
-    # materialization take(1) rebuild of the ≤1-row fit readouts
-    # (zipf/heaps/hurst ran the corpus job twice), and degenerate-fit
-    # CASE guards added to the hurst/heaps oracles to mirror ols_xy's
-    # drop semantics
-    "q_events_hurst",
-    "q_events_gumbel",
-    "q_docs_heaps_fit",
-    "q_docs_zipf_fit",
-    # round-13 (r12 verdict #4): variable-length exact-substring dedup —
-    # maximal ≥20-token cross-doc repeated intervals with verbatim
-    # full-span verification (operators/spans.long_repeated_spans)
+    # round-14 (r13 verdict #7): the r13 wave-4 convergence-probe
+    # rewrites (hop_distances count+sum fixpoint; lazy checkpoint
+    # materialized by the convergence aggregate in connected_components
+    # / transitive_closure / the SCC doubling loop) changed these
+    # queries' physical paths but missed the r13 re-verification list —
+    # FULLCHECK covered them; the driver window re-samples them now.
+    "q_graph_scc",
+    "q_graph_transitive_closure",
+    "q_graph_eccentricity",
+    "q_graph_tree_betweenness",
+    "q_docs_neardup_cc",
+    "q_docs_quality_keeper",
+    # round-14 rank-stats fixed-cost wave (identical results, new
+    # physical paths — re-verify): standalone count()/collect() driver
+    # jobs folded into the single query plan as broadcast 1-row
+    # aggregates (wilcoxon n_pairs rides the range pass with an exact
+    # midrank correction; friedman/cochran/page/quade fold k_all and
+    # n_blocks; bh_adjust folds m; percent_rank_unique folds n), the
+    # _ranged_exclusive_cumsum / _ranged_suffix_min partition-offset
+    # folds moved in-plan (lazy checkpoint materialized by the
+    # broadcast build — zero standalone jobs per call), and duplicated
+    # subtrees merged into single grouped passes (friedman Σr², quade
+    # A=ΣS², cc checkpoints).
+    "q_events_wilcoxon",
+    "q_events_friedman",
+    "q_events_cochran_q",
+    "q_events_page_trend",
+    "q_events_bh_adjust",
+    "q_events_quade",
+    "q_events_mann_whitney",
+    "q_events_wasserstein_drift",
+    "q_events_jonckheere",
+    "q_events_brunner_munzel",
+    "q_events_ansari",
+    "q_events_mood",
+    "q_events_schoenfeld",
+    "q_events_cox_baseline",
+    "q_docs_ece",
+    "q_docs_ece_approx_bound",
+    "q_lineitem_kruskal_wallis",
+    # round-14: acf's centered table (scan+window+stats-join) fed three
+    # consumers and the final output re-joined stats — one lazy
+    # checkpoint + n_points riding the lag aggregate (max of a per-key
+    # constant). Identical results, new physical path.
+    "q_events_acf",
+    "q_events_pacf",
+    "q_events_ljung_box",
+    # round-14 (r13 verdict #6): text-dedup seed scans spread (md5 /
+    # xxhash64 keys are content-derived; downstream = exact counts,
+    # ordered windows, order-insensitive set membership — proven
+    # layout-invariant per operator) + lazy checkpoints for the
+    # multiply-consumed tokenized bases (spans base/grams, winnow
+    # fp/kept, minhash shingle rows eager→lazy).
+    "q_docs_remove_common_spans",
     "q_docs_long_repeated_spans",
-    # round-13 (r12 verdict #5): fixed-cost reductions — ALS bounded
-    # driver batch solve + broadcast fixed-factor joins; kcore
-    # broadcast survivor set + 2 peels per materialization. Identical
-    # results (dual-path pytest + plan pins), new physical paths —
-    # re-verify the gates
-    "q_part_als_bound",
-    "q_graph_kcore",
-    # round-13 fixed-cost wave 2 (same class as the cox/ALS/kcore
-    # reductions): stream-tier shuffle-partition scoping extended to the
-    # two direct-start stream gates (foreachBatch jobs snapshot the conf
-    # at start() too); max_coverage_select now broadcasts the
-    # bounded covered set so no round re-shuffles the corpus-sized
-    # (doc, token) table by token; the tfidf
-    # cap-agreement gate checkpoints both edge sets so each tfidf
-    # pipeline runs once. Identical results, new physical paths —
-    # re-verify the gates
-    "q_stream_cdc_apply",
-    "q_stream_trending_topk",
-    "q_docs_max_coverage_select",
-    "q_docs_tfidf_knn_cap_agreement",
-    # round-13 optimization waves 3-4 (this file documents the physical
-    # changes; OPTIMIZATION_r13.md carries the measurements). Identical
-    # results — new physical paths, re-verify the gates:
-    # (a) co_order_edges: one order-keyed collect_set exchange + row-
-    #     local sorted pair expansion replaces distinct + self-join
-    #     (identical multiset, proven by a grouped-count comparison);
-    #     touches every co-order graph gate below.
-    # (b) codegree_pairs: wedge input checkpointed once (was executed
-    #     once per self-join side).
-    # (c) itemsets: basket relation checkpointed + L2 shared with L3.
-    # (d) tfidf_knn_graph: tf and cosp persisted (were re-executed per
-    #     consumer/mirror side); conditional scan spread.
-    # (e) corr_matrix / containment_join / pmi_collocations: conditional
-    #     scan spread; containment checkpoints the ranked token table;
-    #     pmi checkpoints the two count aggregates.
-    "q_lineitem_corr_matrix",
-    "q_docs_containment_join",
-    "q_basket_frequent_pairs",
-    "q_basket_frequent_triples",
-    "q_docs_tfidf_knn",
-    "q_docs_tfidf_knn_exact",
-    "q_docs_pmi_collocations",
-    "q_graph_two_hop_reach",
-    "q_graph_hyperanf_bound",
-    "q_graph_adamic_adar",
-    "q_graph_adamic_adar_exact",
-    "q_graph_adamic_adar_cap_agreement",
-    "q_graph_modularity",
-    "q_graph_ktruss",
-    "q_graph_neighbor_jaccard",
-    "q_graph_neighbor_jaccard_exact",
-    "q_graph_label_propagation",
-    "q_graph_transitivity",
-    "q_graph_transitivity_exact",
-    "q_graph_transitivity_cap_agreement",
-    "q_graph_assortativity",
-    "q_graph_rich_club",
-    "q_graph_rectangles",
-    "q_graph_rectangles_exact",
-    "q_graph_hits",
-    "q_graph_clustering_coefficient",
-    # round-13 optimization wave 5: ALS ratings checkpointed once per
-    # fit; theil_sen input materialized once (fed both pair-join sides
-    # + counts); winsorized/cronbach/partial_corr/quality-classifier
-    # conditional scan spread (exact integer/decimal aggregates —
-    # layout-invariant; the classifier gate outputs boolean bounds);
-    # BPE driver merge loop below _DRIVER_MERGE_MAX (dual-path pinned).
-    "q_docs_quality_classifier_bound",
-    "q_lineitem_winsorized_price",
-    "q_lineitem_cronbach_alpha",
-    "q_lineitem_partial_corr",
-    "q_events_theil_sen",
-    "q_events_theil_sen_capped",
-    "q_events_theil_sen_cap_agreement",
-    "q_docs_bpe_encode",
+    "q_docs_winnow_fingerprints",
+    "q_docs_winnow_overlap_pairs",
+    "q_docs_minhash_recall_bound",
+    "q_docs_dedup_survivors_bound",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

@@ -108,16 +108,28 @@ def spread_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = parts or spark.sparkContext.defaultParallelism
+    threshold = target * 4 * 1024 * 1024
     try:
         files = df.inputFiles()
+        # r14 (r13 verdict #8): O(1)-ish on the driver at scale. The split
+        # packer charges every file openCostInBytes (4 MB) against the
+        # 128 MB maxPartitionBytes bin, so >= target*32 files guarantee
+        # >= target splits whatever their real sizes — obviously-large
+        # inputs skip the stat loop entirely, and the loop below bails
+        # the moment the running total crosses the threshold, so a
+        # million-file table never stats a million paths.
+        if len(files) >= target * 32:
+            return df
         total = 0
         for p in files:
             if not p.startswith("file:"):
                 return df
             total += os.path.getsize(p.removeprefix("file:"))
+            if total >= threshold:
+                return df
     except Exception:  # noqa: BLE001 — unknown source: leave untouched
         return df
-    if not files or total >= target * 4 * 1024 * 1024:
+    if not files:
         return df
     return df.repartition(target)
 
