@@ -477,14 +477,19 @@ def test_zorder_tiles_codegen_no_udf(spark, sf_dir):
 def test_remove_common_spans_no_cartesian_hash_keyed(spark, sf_dir):
     """Span removal must stay equi-join-shaped end to end: grams/covered
     positions join on hash/position keys, never a cartesian; and the
-    shuffled gram relation carries the md5 hash, not raw n-gram text."""
+    shuffled gram relation carries the md5 hash, not raw n-gram text.
+    r14: base and grams are lazily checkpointed (they each feed multiple
+    consumers), so the md5 evaluation lives inside the materialized gram
+    relation — the consumer plan must show the narrow (_id, pos, gh)
+    checkpoint scans, which is the same guarantee (fixed-width hash
+    rows, never token text, cross the shuffle)."""
     from ups_crossref_etl_spark.operators.spans import remove_common_spans
 
     d = read_table(spark, sf_dir, "documents")
     plan = _plan(remove_common_spans(d, "text", "doc_id"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "md5" in plan
+    assert "gh#" in plan and "Scan ExistingRDD" in plan
 
 
 def test_bigram_nll_broadcasts_scalar_no_window(spark, sf_dir):

@@ -940,7 +940,7 @@ def adamic_adar(
             F.greatest("src", "dst").alias("hi"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und = ori.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionByName(
         ori.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
@@ -954,7 +954,7 @@ def adamic_adar(
     # (same duplicated-subtree fix as codegree_pairs; values unchanged)
     weighted = und.join(centers, "node").select(
         "node", "nbr", w_nanos.alias("_w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pairs = (
         weighted.alias("a")
         .join(weighted.alias("b"), "node")
@@ -1019,7 +1019,7 @@ def neighbor_jaccard(
             F.greatest("src", "dst").alias("hi"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und = ori.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionByName(
         ori.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
@@ -1030,7 +1030,7 @@ def neighbor_jaccard(
         centers = centers.filter(F.col("_d") <= max_degree)
     # r13: materialized once — feeds both sides of the wedge self-join
     # (same duplicated-subtree fix as codegree_pairs; values unchanged)
-    wedge_in = und.join(centers.select("node"), "node").localCheckpoint()
+    wedge_in = und.join(centers.select("node"), "node").localCheckpoint(eager=False)
     pairs = (
         wedge_in.alias("a")
         .join(wedge_in.alias("b"), "node")
@@ -1477,7 +1477,7 @@ def codegree_pairs(
     # whole edge-build + degree-aggregate subtree is planned and executed
     # once per side (the rectangles _before plan carried 76 Exchanges).
     # Values are unchanged; only the duplicated subtree goes away.
-    wi = und.join(centers.select("node"), "node").localCheckpoint()
+    wi = und.join(centers.select("node"), "node").localCheckpoint(eager=False)
     pairs = (
         wi.alias("a")
         .join(wi.alias("b"), "node")

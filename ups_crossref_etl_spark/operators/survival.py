@@ -516,13 +516,17 @@ def _cox_prepare(
     # billions of subjects the hint grows into the thousands; it never
     # changes results (the integer-quantized sums are partitioning-
     # invariant by construction).
+    # r14: LAZY checkpoint — the counts aggregate just below reads every
+    # partition and so materializes it in the same job (one job instead
+    # of checkpoint-materialization + collect); the frozen-boundary
+    # guarantee is unchanged (all later passes read the stored RDD).
     parted = (
         base.repartitionByRange(
             n_parts if n_partitions is None else max(1, int(n_partitions)),
             F.col("_t").asc(),
         )
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counts = parted.agg(
         F.count(F.lit(1)).alias("_n"),

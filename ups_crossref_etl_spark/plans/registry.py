@@ -121,6 +121,30 @@ _CHANGED_THIS_ROUND = [
     "q_docs_winnow_overlap_pairs",
     "q_docs_minhash_recall_bound",
     "q_docs_dedup_survivors_bound",
+    # round-14 (r13 verdict #4/#5/#10): containment/setsim token-rank
+    # table broadcast when the input is bounded (file-bytes-gated,
+    # falls back to the shuffle join at scale) + checkpoints made lazy;
+    # adamic_adar/neighbor_jaccard/codegree ori+wedge checkpoints made
+    # lazy (standalone materialization jobs removed); frequent_pairs
+    # basket count folded in-plan; frequent_triples row-local triple
+    # expansion when every L1-pruned basket is narrow (width-probed,
+    # Apriori join path kept for wide baskets).
+    "q_docs_containment_join",
+    "q_docs_jaccard_join",
+    "q_basket_frequent_pairs",
+    "q_basket_frequent_triples",
+    "q_graph_adamic_adar",
+    "q_graph_adamic_adar_exact",
+    "q_graph_adamic_adar_cap_agreement",
+    "q_graph_neighbor_jaccard",
+    "q_graph_neighbor_jaccard_exact",
+    "q_graph_rectangles",
+    "q_graph_rectangles_exact",
+    # round-14: _cox_prepare's checkpoint made lazy (the counts
+    # aggregate materializes it in the same job — one job per fit
+    # instead of two; frozen time-partition boundaries unchanged).
+    "q_events_cox_bound",
+    "q_events_cox_multi_bound",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.

@@ -76,6 +76,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def input_bytes_below(df: DataFrame, threshold: int) -> bool:
+    """True iff ``df``'s file-source inputs are KNOWN to total under
+    ``threshold`` bytes — the driver-side size signal behind conditional
+    broadcast/spread decisions (r14). Conservative and O(1)-ish at
+    scale: the stat loop bails False the moment the running total
+    crosses the threshold, an input with more files than the threshold
+    could even cover in 4 MB open-cost charges returns False without
+    statting, and non-file/unknown sources return False (broadcast
+    decisions must fail toward the shuffle plan, never toward an
+    unbounded broadcast)."""
+    try:
+        files = df.inputFiles()
+        if not files or len(files) * 4 * 1024 * 1024 >= threshold:
+            return False
+        total = 0
+        for p in files:
+            if not p.startswith("file:"):
+                return False
+            total += os.path.getsize(p.removeprefix("file:"))
+            if total >= threshold:
+                return False
+        return True
+    except Exception:  # noqa: BLE001 — unknown source
+        return False
+
+
 def spread_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin repartition a frame whose scan yields fewer partitions
     than the session's parallelism — the optimization-guide §2.5 "input
