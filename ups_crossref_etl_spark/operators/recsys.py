@@ -60,7 +60,7 @@ def item_cosine_similarity(
             .select("_u")
         )
         inter = inter.join(keep, "_u", "left_semi")
-    inter = inter.localCheckpoint()  # feeds degrees AND the pair join
+    inter = inter.localCheckpoint(eager=False)  # feeds degrees AND the pair join (r14: lazy — single-action consumers)
     deg = inter.groupBy("_i").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n")
     )

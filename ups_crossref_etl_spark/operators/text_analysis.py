@@ -451,7 +451,7 @@ def token_divergence(
     joined = toks.groupBy("token").agg(
         F.count(F.when(F.col("_g") == group_a, 1)).alias("_ca"),
         F.count(F.when(F.col("_g") == group_b, 1)).alias("_cb"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tot = joined.agg(
         F.sum("_ca").alias("_Ta"),
         F.sum("_cb").alias("_Tb"),
@@ -680,7 +680,7 @@ def pmi_collocations(
     uni = (
         tok_rows.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     t = toks  # alias for the bigram builder below
@@ -695,7 +695,7 @@ def pmi_collocations(
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bi = bi_all.filter(F.col("c_ab") >= min_count)
     # P = TOTAL adjacent-bigram count (pre-filter): p(ab) is a probability
@@ -1534,7 +1534,7 @@ def source_token_overlap(
             ).alias("_t"),
         )
         .distinct()
-        .localCheckpoint()  # feeds sizes AND the pair join
+        .localCheckpoint(eager=False)  # feeds sizes AND the pair join
     )
     sizes = toks.groupBy("_g").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n")

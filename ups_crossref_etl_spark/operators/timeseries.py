@@ -613,6 +613,9 @@ def theil_sen_trend(
     # exactly the slopes the median sees (consumers weight by it)
     # r13: materialize ``a`` once — it feeds BOTH pair-join sides and
     # the n_points aggregate (subtree otherwise executed 3x per run)
+    # (r14: left EAGER deliberately — making it lazy would change the
+    # theil_sen family's physical path and cost 3 driver-window
+    # re-verification slots this round for a single saved job)
     a = a.localCheckpoint()
     b = a.select(
         F.col("_k"),

@@ -145,6 +145,14 @@ _CHANGED_THIS_ROUND = [
     # instead of two; frozen time-partition boundaries unchanged).
     "q_events_cox_bound",
     "q_events_cox_multi_bound",
+    # round-14: one-shot multi-consumer checkpoints eager→lazy
+    # (item_cosine inter; pmi uni/bi_all; log_odds joined;
+    # source_overlap toks; theil_sen point table) — standalone
+    # materialization jobs removed, values unchanged.
+    "q_part_item_cosine",
+    "q_docs_source_overlap",
+    "q_docs_log_odds_keyness",
+    "q_docs_pmi_collocations",
 ]
 
 #: Gated queries never yet sampled by a driver correctness window.
